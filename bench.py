@@ -1,0 +1,75 @@
+"""Benchmark harness — mirrors the reference's bench set.
+
+The reference benches simplified TPC-H Q1/Q3/Q6/Q10
+(crates/bench/src/main.rs:160-167, 3 iterations, wall-clock ms). We run
+the same four queries (plus Q5 as the join stress case) through the
+Spark engine at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], and print ONE JSON line:
+
+    {"metric": "tpch_total", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "startup_sec": ...}
+
+Per-query value = best of N iterations (default 2) — steady-state
+throughput, JIT/codegen warmed, matching how a long-running engine
+behaves; session startup is reported separately, not mixed into query
+time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = (
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+
+    t0 = time.perf_counter()
+    from strake_spark.session import build_session
+    from strake_spark import inventory
+
+    spark = build_session(app_name="strake-spark-bench")
+    # Touch the JVM + read one footer so session startup isn't billed to q1.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    startup = time.perf_counter() - t0
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = inventory.REGISTRY[name]
+        best = float("inf")
+        for _ in range(max(1, iters)):
+            t = time.perf_counter()
+            n = spec.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t)
+        times[name] = round(best, 4)
+        print(f"# {name}: {times[name]:.3f}s rows={n}", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "tpch_total",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "startup_sec": round(startup, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""YAML config model.
+
+Mirrors the reference's source/table configuration shape
+(crates/common/src/models.rs:53-103: SourceConfig{name, type, url,
+username, password, max_concurrent_queries, default_limit, cache,
+tables[]}; TableConfig{name, schema, partition_column, columns[]}) and
+its engine limits (crates/common/src/config.rs:20-23, config/strake.yaml).
+
+Declared column types follow the reference's mapping
+(crates/connectors/src/sources/file.rs:373-382): int/integer->Int32,
+bigint->Int64, varchar/string/text/char->Utf8, float/double->Float64,
+boolean->Boolean, date->Date32, decimal->Decimal(15,2), default Utf8.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import types as T
+
+_TYPE_MAP: dict[str, T.DataType] = {
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "varchar": T.StringType(),
+    "string": T.StringType(),
+    "text": T.StringType(),
+    "char": T.StringType(),
+    "float": T.DoubleType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "decimal": T.DecimalType(15, 2),
+}
+
+
+def map_declared_type(name: str) -> T.DataType:
+    """Declared YAML type -> Spark type (file.rs:373-382 semantics)."""
+    return _TYPE_MAP.get(name.strip().lower(), T.StringType())
+
+
+@dataclass
+class ColumnConfig:
+    name: str
+    type: str = "string"
+
+    @property
+    def spark_type(self) -> T.DataType:
+        return map_declared_type(self.type)
+
+
+@dataclass
+class TableConfig:
+    name: str
+    path: str | None = None
+    schema: str | None = None  # namespace, not structural schema
+    partition_column: str | None = None
+    columns: list[ColumnConfig] = field(default_factory=list)
+    options: dict[str, Any] = field(default_factory=dict)
+
+    def struct_type(self) -> T.StructType | None:
+        if not self.columns:
+            return None
+        return T.StructType(
+            [T.StructField(c.name, c.spark_type, True) for c in self.columns]
+        )
+
+
+@dataclass
+class SourceConfig:
+    name: str
+    type: str
+    url: str | None = None
+    username: str | None = None
+    password: str | None = None
+    max_concurrent_queries: int | None = None
+    default_limit: int | None = None
+    cache: bool = False
+    options: dict[str, Any] = field(default_factory=dict)
+    tables: list[TableConfig] = field(default_factory=list)
+
+
+@dataclass
+class QueryLimits:
+    """Defaults per reference config/strake.yaml + config.rs:20."""
+
+    default_limit: int = 1000
+    max_output_rows: int = 10_000
+    query_timeout_seconds: float = 300.0
+    max_estimated_rows: int | None = None
+    max_estimated_bytes: int | None = None
+
+
+@dataclass
+class CacheConfig:
+    enabled: bool = False
+    directory: str = "/tmp/strake-spark-cache"
+    ttl_seconds: float = 3600.0
+    max_mb: int = 2048
+
+
+@dataclass
+class RetryConfig:
+    max_attempts: int = 5
+    base_ms: int = 1000
+    cap_ms: int = 60_000
+
+
+@dataclass
+class EngineConfig:
+    sources: list[SourceConfig] = field(default_factory=list)
+    query_limits: QueryLimits = field(default_factory=QueryLimits)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    retry: RetryConfig = field(default_factory=RetryConfig)
+    global_connection_budget: int = 100
+
+
+def _column(d: Any) -> ColumnConfig:
+    if isinstance(d, str):
+        return ColumnConfig(name=d)
+    return ColumnConfig(name=d["name"], type=str(d.get("type", "string")))
+
+
+def _table(d: dict[str, Any]) -> TableConfig:
+    return TableConfig(
+        name=d["name"],
+        path=d.get("path") or d.get("url"),
+        schema=d.get("schema"),
+        partition_column=d.get("partition_column"),
+        columns=[_column(c) for c in d.get("columns") or []],
+        options=dict(d.get("options") or {}),
+    )
+
+
+def _source(d: dict[str, Any]) -> SourceConfig:
+    return SourceConfig(
+        name=d["name"],
+        type=str(d["type"]).lower(),
+        url=d.get("url"),
+        username=d.get("username"),
+        password=d.get("password"),
+        max_concurrent_queries=d.get("max_concurrent_queries"),
+        default_limit=d.get("default_limit"),
+        cache=bool(d.get("cache", False)),
+        options=dict(d.get("options") or {}),
+        tables=[_table(t) for t in d.get("tables") or []],
+    )
+
+
+def parse_config(raw: dict[str, Any]) -> EngineConfig:
+    ql = raw.get("query_limits") or {}
+    ca = raw.get("cache") or {}
+    re_ = raw.get("retry") or {}
+    return EngineConfig(
+        sources=[_source(s) for s in raw.get("sources") or []],
+        query_limits=QueryLimits(
+            default_limit=int(ql.get("default_limit", 1000)),
+            max_output_rows=int(ql.get("max_output_rows", 10_000)),
+            query_timeout_seconds=float(ql.get("query_timeout_seconds", 300.0)),
+            max_estimated_rows=ql.get("max_estimated_rows"),
+            max_estimated_bytes=ql.get("max_estimated_bytes"),
+        ),
+        cache=CacheConfig(
+            enabled=bool(ca.get("enabled", False)),
+            directory=str(ca.get("directory", "/tmp/strake-spark-cache")),
+            ttl_seconds=float(ca.get("ttl_seconds", 3600.0)),
+            max_mb=int(ca.get("max_mb", 2048)),
+        ),
+        retry=RetryConfig(
+            max_attempts=int(re_.get("max_attempts", 5)),
+            base_ms=int(re_.get("base_ms", 1000)),
+            cap_ms=int(re_.get("cap_ms", 60_000)),
+        ),
+        global_connection_budget=int(raw.get("global_connection_budget", 100)),
+    )
+
+
+def load_config(path_or_dict: str | dict[str, Any]) -> EngineConfig:
+    if isinstance(path_or_dict, dict):
+        return parse_config(path_or_dict)
+    import yaml
+
+    with open(path_or_dict) as f:
+        return parse_config(yaml.safe_load(f) or {})

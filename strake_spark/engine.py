@@ -1,0 +1,150 @@
+"""StrakeEngine — the governed SparkSession wrapper.
+
+Mirrors the reference's FederationEngine lifecycle
+(crates/runtime/src/federation.rs:326-490) re-expressed on Spark:
+
+    gate (read-only) -> cache probe -> spark.sql (Catalyst optimize)
+    -> defensive limit -> cost gate -> timed execution -> cache put
+
+and the Python connection surface (python/strake/__init__.pyi:28-68:
+sql/describe/trace/explain_tree/list_sources).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from strake_spark.config import EngineConfig, load_config
+from strake_spark.errors import QueryRejected
+from strake_spark.governance.gate import ensure_select, sanitize_identifier
+from strake_spark.governance.limits import (
+    apply_defensive_limit,
+    check_cost,
+    plan_stats,
+    run_with_timeout,
+)
+from strake_spark.session import build_session
+from strake_spark.sources.registry import register_source
+
+log = logging.getLogger("strake_spark.engine")
+
+
+class StrakeEngine:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        config: EngineConfig | dict | str | None = None,
+    ) -> None:
+        if config is None:
+            self.config = EngineConfig()
+        elif isinstance(config, EngineConfig):
+            self.config = config
+        else:
+            self.config = load_config(config)
+        self.spark = spark or build_session()
+        self._views: dict[str, list[str]] = {}
+        self._query_log: list[dict[str, Any]] = []
+        self._cache = None
+        if self.config.cache.enabled:
+            from strake_spark.cache import ResultCache
+
+            self._cache = ResultCache(self.spark, self.config.cache)
+        for src in self.config.sources:
+            self.register(src)
+
+    # ------------------------------------------------------------- sources
+    def register(self, source_cfg) -> list[str]:
+        views = register_source(self.spark, source_cfg)
+        self._views[source_cfg.name] = views
+        log.info("registered source %s -> %s", source_cfg.name, views)
+        return views
+
+    def list_sources(self) -> dict[str, list[str]]:
+        return dict(self._views)
+
+    def describe(self, view: str) -> list[dict[str, str]]:
+        sanitize_identifier(view)
+        df = self.spark.table(view)
+        return [
+            {"column": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+            for f in df.schema.fields
+        ]
+
+    # ------------------------------------------------------------- queries
+    def sql(self, query: str, user: str | None = None) -> DataFrame:
+        """Gate + plan a read-only SQL query; returns a governed DataFrame.
+
+        Lazily planned: call .collect()/.toPandas() yourself, or use
+        ``execute`` for timeout + cache + output-row enforcement.
+        """
+        ensure_select(query)
+        df = self.spark.sql(query)
+        df = apply_defensive_limit(df, self.config.query_limits)
+        check_cost(df, self.config.query_limits)
+        return df
+
+    def execute(self, query: str, user: str | None = None):
+        """Full governed execution -> pyarrow.Table (zero-copy boundary,
+        like reference docs/python-api.md:110-122)."""
+        limits = self.config.query_limits
+        started = time.time()
+        df = self.sql(query, user=user)
+        if self._cache is not None:
+            hit = self._cache.get(df, user)
+            if hit is not None:
+                self._log_query(query, user, started, cached=True)
+                return hit
+        table = run_with_timeout(df, lambda d: d.toArrow(), limits.query_timeout_seconds)
+        if limits.max_output_rows and table.num_rows > limits.max_output_rows:
+            raise QueryRejected(
+                f"result has {table.num_rows} rows > max_output_rows {limits.max_output_rows}"
+            )
+        if self._cache is not None:
+            self._cache.put(df, user, table)
+        self._log_query(query, user, started, cached=False)
+        return table
+
+    # ---------------------------------------------------------- inspection
+    def explain_tree(self, query: str) -> str:
+        """Formatted physical plan tree with pushdown markers
+        (reference crates/runtime/src/query/plan_tree.rs:22-120)."""
+        from strake_spark.plans.tree import format_plan_tree
+
+        ensure_select(query)
+        return format_plan_tree(self.spark.sql(query))
+
+    def trace(self, query: str) -> dict[str, Any]:
+        """Plan + stats report (reference crates/runtime/src/query/trace.rs:7-72)."""
+        df = self.sql(query)
+        rows, size = plan_stats(df)
+        return {
+            "query": query,
+            "estimated_rows": rows,
+            "estimated_bytes": size,
+            "analyzed": df._jdf.queryExecution().analyzed().toString(),
+            "optimized": df._jdf.queryExecution().optimizedPlan().toString(),
+            "physical": df._jdf.queryExecution().executedPlan().toString(),
+        }
+
+    def query_log(self) -> list[dict[str, Any]]:
+        return list(self._query_log)
+
+    def _log_query(self, query: str, user: str | None, started: float, cached: bool) -> None:
+        self._query_log.append(
+            {
+                "query": query,
+                "user": user,
+                "duration_s": round(time.time() - started, 4),
+                "cached": cached,
+                "ts": started,
+            }
+        )
+
+
+def connect(config: EngineConfig | dict | str | None = None, spark: SparkSession | None = None) -> StrakeEngine:
+    """Reference ``strake.connect`` equivalent (python/strake/__init__.py:10-39)."""
+    return StrakeEngine(spark=spark, config=config)

@@ -1,0 +1,76 @@
+"""File sources: parquet / csv / json over local paths or Hadoop-FS URLs.
+
+Reference: crates/connectors/src/sources/file.rs — ListingTable over
+local/remote URLs with schema inference or YAML-declared schema
+(file.rs:233-236, 366-397), filter/pruning pushdown enabled
+(crates/runtime/src/federation.rs:179-185). In Spark all of that is the
+built-in reader: parquet gives predicate pushdown + partition pruning
+for free; declared schemas skip inference (a full-scan cost on JSON/CSV
+at 100 TB — always declare in production).
+
+Object stores (file.rs:124-207 routes s3/gs/az/http/ftp/sftp through
+OpenDAL): s3a:// gs:// abfss:// resolve through Hadoop FS connectors
+when their jars are on the classpath; http(s) is handled by a
+driver-side fetch in sources/rest.py; ftp/sftp are not supported in v1.
+
+Each table registers a temp view named ``<source>_<table>`` wrapped with
+schema-drift reconciliation when a declared schema exists (see
+sources/drift.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from strake_spark.config import SourceConfig, TableConfig
+from strake_spark.errors import SourceError
+from strake_spark.governance.gate import sanitize_identifier
+from strake_spark.sources.registry import source_type
+
+_FORMATS = {"parquet", "csv", "json", "ndjson"}
+
+
+def _read_one(spark: SparkSession, fmt: str, path: str, tbl: TableConfig) -> DataFrame:
+    reader = spark.read
+    opts = dict(tbl.options)
+    declared = tbl.struct_type()
+    if fmt == "parquet":
+        df = reader.options(**opts).parquet(path)
+        if declared is not None:
+            from strake_spark.sources.drift import reconcile
+
+            df = reconcile(df, declared, context=f"{tbl.name}")
+        return df
+    if fmt == "csv":
+        opts.setdefault("header", "true")
+        if declared is not None:
+            return reader.options(**opts).schema(declared).csv(path)
+        opts.setdefault("inferSchema", "true")
+        return reader.options(**opts).csv(path)
+    if fmt in ("json", "ndjson"):
+        if declared is not None:
+            return reader.options(**opts).schema(declared).json(path)
+        return reader.options(**opts).json(path)
+    raise SourceError(f"unsupported file format {fmt!r}")
+
+
+def view_name(source: str, table: str) -> str:
+    return f"{sanitize_identifier(source)}_{sanitize_identifier(table)}"
+
+
+@source_type("parquet", "csv", "json", "ndjson", "file")
+def register_file_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
+    fmt = cfg.type if cfg.type in _FORMATS else str(cfg.options.get("format", "parquet"))
+    base = cfg.url or ""
+    registered: list[str] = []
+    if not cfg.tables:
+        raise SourceError(f"file source {cfg.name!r} declares no tables")
+    for tbl in cfg.tables:
+        path = tbl.path or os.path.join(base, f"{tbl.name}.{ 'parquet' if fmt == 'parquet' else fmt }")
+        df = _read_one(spark, fmt, path, tbl)
+        name = view_name(cfg.name, tbl.name)
+        df.createOrReplaceTempView(name)
+        registered.append(name)
+    return registered

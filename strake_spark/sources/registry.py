@@ -1,0 +1,54 @@
+"""Source-type registry: maps a config ``type:`` string to a register
+function, mirroring the reference's registry
+(crates/connectors/src/sources/mod.rs:75-105: parquet/csv/json -> file,
+iceberg -> iceberg_rest, plus sql/flight/rest/grpc providers).
+
+A register function has signature ``fn(spark, source_cfg) -> list[str]``
+and returns the fully-qualified view names it registered. Views are
+namespaced ``<source>_<table>`` (Spark temp views are single-part; the
+reference uses strake.<source>.<table>, crates/runtime/src/
+federation.rs:176 + sources/sql/mod.rs:73-80).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+from strake_spark.config import SourceConfig
+from strake_spark.errors import SourceError
+
+RegisterFn = Callable[[SparkSession, SourceConfig], list[str]]
+
+SOURCE_TYPES: dict[str, RegisterFn] = {}
+
+
+def source_type(*names: str):
+    def deco(fn: RegisterFn) -> RegisterFn:
+        for n in names:
+            SOURCE_TYPES[n] = fn
+        return fn
+
+    return deco
+
+
+def register_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
+    try:
+        fn = SOURCE_TYPES[cfg.type]
+    except KeyError:
+        raise SourceError(
+            f"unknown source type {cfg.type!r} (known: {sorted(SOURCE_TYPES)})"
+        ) from None
+    return fn(spark, cfg)
+
+
+# Populate the registry.
+from strake_spark.sources import file as _file  # noqa: E402,F401
+
+for _mod in ("duck", "sqlite", "jdbc", "rest", "flight", "iceberg"):
+    try:
+        __import__(f"strake_spark.sources.{_mod}")
+    except ModuleNotFoundError as e:  # pragma: no cover
+        if e.name != f"strake_spark.sources.{_mod}":
+            raise

@@ -1,0 +1,105 @@
+"""Shared test fixtures: one SparkSession per test session, plus the
+DuckDB-oracle comparator that mirrors the driver's correctness gate
+(row count + column names + order-insensitive exact values)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from strake_spark.data import TABLES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_MID = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from strake_spark.session import build_session
+
+    spark = build_session(app_name="strake-spark-tests", shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with the synthetic tables registered as views,
+    exactly like the driver's oracle harness."""
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form: columns sorted by name, tz-naive datetimes,
+    numeric unified to float64/int64, rows sorted by stringified tuple."""
+    import datetime as _dt
+
+    out = pdf[sorted(pdf.columns)].copy()
+    for c in out.columns:
+        s = out[c]
+        if s.dtype == object:
+            probe = s.dropna()
+            if len(probe) and isinstance(probe.iloc[0], (_dt.date, _dt.datetime)):
+                s = pd.to_datetime(s)
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            out[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype("bool")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        else:
+            out[c] = s.astype("string")
+    order = np.argsort(
+        out.astype("string").fillna("\x00").agg("\x1f".join, axis=1).to_numpy()
+    )
+    return out.iloc[order].reset_index(drop=True)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol: float = 0.0):
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"column mismatch: {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"row count mismatch: {len(spark_pdf)} vs {len(oracle_pdf)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) and rtol > 0:
+            np.testing.assert_allclose(
+                a[c].to_numpy(), b[c].to_numpy(), rtol=rtol, err_msg=f"column {c}"
+            )
+        else:
+            pd.testing.assert_series_equal(a[c], b[c], check_names=False, obj=f"column {c}")
+
+
+def run_and_compare(spark, name: str, sf_dir: str = SF_DIR):
+    """Execute one inventory entry on Spark and on the DuckDB oracle."""
+    from strake_spark import inventory
+
+    spec = inventory.REGISTRY[name]
+    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only check, like the driver's
+        return spark_pdf
+    con = duck_con(sf_dir)
+    oracle_pdf = con.execute(spec.oracle).df()
+    rtol = 1e-9 if "fp_tol" in spec.tags else 0.0
+    compare_frames(spark_pdf, oracle_pdf, rtol=rtol)
+    return spark_pdf
