@@ -1,0 +1,189 @@
+"""Dedup inventory: each entry runs the operator from
+strake_spark.operators.dedup and is verified against a DuckDB oracle
+that reimplements the SAME algorithm in SQL (portable md5-derived
+hashing makes the two engines agree bit-for-bit).
+
+The oracle SQL is generated from the same parameter functions
+(operators/hashing.py minhash_params etc.), so the two sides cannot
+drift independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from strake_spark.data import table
+from strake_spark.inventory import query
+from strake_spark.operators import dedup as D
+from strake_spark.operators.hashing import (
+    sql_h32,
+    sql_h60,
+    sql_minhash_expr,
+    sql_normalize_text,
+)
+
+# ---------------------------------------------------------------- shared SQL
+
+_NORM = sql_normalize_text("text")
+
+_SHINGLES_CTE = f"""
+norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), {D.SHINGLE_WIDTH}) AS shingle
+    FROM norm, LATERAL unnest(generate_series(1, length(t) - {D.SHINGLE_WIDTH - 1}))
+         AS s(i)
+    WHERE length(t) >= {D.SHINGLE_WIDTH}
+),
+hashed AS (SELECT doc_id, {sql_h32('shingle')} AS h FROM sh),
+sig AS (
+    SELECT doc_id,
+           {", ".join(f"MIN({sql_minhash_expr('h', k)}) AS mh{k}" for k in range(D.NUM_HASHES))}
+    FROM hashed GROUP BY doc_id
+)"""
+
+
+def _band_key_sql(band: int) -> str:
+    rows = D.NUM_HASHES // D.NUM_BANDS
+    cols = [f"CAST(mh{band * rows + r} AS VARCHAR)" for r in range(rows)]
+    return f"concat_ws('_', {', '.join(cols)})"
+
+
+# ------------------------------------------------------------------- exact
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    notes="content-digest groupBy; at scale only the 32-byte digest shuffles",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------ minhash
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"WITH {_SHINGLES_CTE} SELECT * FROM sig",
+    notes=f"K={D.NUM_HASHES} MinHash over {D.SHINGLE_WIDTH}-char shingles; universal hash family over md5-derived 32-bit base",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    banded AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {band} AS band, {_band_key_sql(band)} AS band_key FROM sig" for band in range(D.NUM_BANDS))}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ({" + ".join(f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END" for k in range(D.NUM_HASHES))})
+           / {float(D.NUM_HASHES)} AS est_jaccard
+    FROM pairs
+    JOIN sig sa ON pairs.id_a = sa.doc_id
+    JOIN sig sb ON pairs.id_b = sb.doc_id
+    WHERE ({" + ".join(f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END" for k in range(D.NUM_HASHES))})
+          / {float(D.NUM_HASHES)} >= 0.5
+    """,
+    notes=f"banded LSH ({D.NUM_BANDS} bands x {D.NUM_HASHES // D.NUM_BANDS}); bucket self-join is the only all-to-all step",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_candidates(table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------ simhash
+
+_TOKENS_CTE = f"""
+norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+toks AS (
+    SELECT doc_id, {sql_h60('tok')} AS h
+    FROM (SELECT doc_id, unnest(str_split(t, ' ')) AS tok FROM norm WHERE length(t) > 0)
+),
+sums AS (
+    SELECT doc_id,
+           {", ".join(f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{j}" for j in range(D.SIMHASH_BITS))}
+    FROM toks GROUP BY doc_id
+),
+fp AS (
+    SELECT doc_id,
+           CAST({" + ".join(f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(D.SIMHASH_BITS))} AS BIGINT) AS simhash
+    FROM sums
+)"""
+
+
+@query(
+    "dedup_simhash_signatures",
+    oracle=f"WITH {_TOKENS_CTE} SELECT doc_id, simhash FROM fp",
+    notes=f"{D.SIMHASH_BITS}-bit SimHash from token-frequency-weighted md5 hashes",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(table(spark, sf_dir, "documents"))
+
+
+_SIM_BLOCK_BITS = D.SIMHASH_BITS // 4
+_SIM_MASK = (1 << _SIM_BLOCK_BITS) - 1
+
+
+@query(
+    "dedup_simhash_near_pairs",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    blocked AS (
+        {" UNION ALL ".join(f"SELECT doc_id, simhash, {blk} AS blk, (simhash >> {blk * _SIM_BLOCK_BITS}) & {_SIM_MASK} AS blk_val FROM fp" for blk in range(4))}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 8
+    """,
+    notes="pigeonhole blocking on fingerprint quarters; Hamming via bit_count(xor)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ ngram jaccard
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, str_split({_NORM}, ' ') AS w FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
+        FROM norm, LATERAL unnest(generate_series(1, len(w) - 2)) AS s(i)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) >= 0.4
+    """,
+    notes="exact word-3-gram Jaccard via inverted-index join",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"))

@@ -1,0 +1,128 @@
+"""Event-stream analytics over the events table (batch expressions of
+streaming-shaped computations; the Structured Streaming variants live in
+strake_spark.streaming and are smoke-tested separately — the reference
+itself has no streaming subsystem, SURVEY §2.6).
+
+props is a JSON string column — JSON extraction is part of the surface
+(the reference ingests nested JSON from REST sources, rest.rs:564).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from strake_spark.data import table
+from strake_spark.inventory import query
+from strake_spark.inventory._util import dec
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    notes="tumbling time-window aggregation (batch form of a streaming windowed agg)",
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", "decimal(19,6)")).cast("double").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN date_diff('second',
+                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) > 1800
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM ordered
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           date_diff('second', MIN(ts), MAX(ts)) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    notes="gap-based sessionization (30 min): lag -> new-session flag -> running sum -> per-session agg",
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new_session"),
+    )
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("is_new_session").over(run))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_s"),
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    notes="JSON property extraction from a string column (REST-source shape, rest.rs:564)",
+)
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "events_top_users_per_type",
+    oracle="""
+    SELECT * FROM (
+        SELECT event_type, user_id, COUNT(*) AS n_events,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id) AS rnk
+        FROM events
+        GROUP BY event_type, user_id) t
+    WHERE rnk <= 5
+    """,
+    notes="top-k per group: agg then windowed rank — two shuffles total, no global sort",
+)
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("event_type").orderBy(F.col("n_events").desc(), "user_id")
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)

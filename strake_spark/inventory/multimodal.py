@@ -1,0 +1,49 @@
+"""Multimodal-column inventory: binary payload metadata is oracle-
+checked (md5/octet_length agree across engines); the mapInPandas
+feature extraction is rows-only (Python UDF, no SQL equivalent) with
+determinism asserted in tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strake_spark.data import table
+from strake_spark.inventory import query
+from strake_spark.operators import multimodal as MM
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS digest,
+           'text/plain' AS mime
+    FROM documents
+    """,
+    notes="binary payload + typed metadata columns; digest/length identical across engines",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = MM.attach_binary(table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.digest").alias("digest"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+@query(
+    "multimodal_decode_features",
+    tags=("rows_only",),
+    notes="Arrow-batched mapInPandas feature extraction over binary payloads (stub decoder: byte histogram); determinism + schema asserted in tests/test_operators.py",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = MM.attach_binary(table(spark, sf_dir, "documents"))
+    feats = MM.decode_features(docs)
+    # surface scalars + vector so the driver's rows-only check sees a
+    # stable schema
+    return feats.select(
+        "doc_id", "n_bytes", F.round(F.element_at("features", 1), 9).alias("f0")
+    )

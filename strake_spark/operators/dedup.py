@@ -1,0 +1,294 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each a shuffle-lean DataFrame pipeline:
+
+- exact_duplicates: hash-groupBy on content digest. One shuffle on the
+  digest; at 100 TB the digest (32 bytes) shuffles, never the text.
+- minhash_signatures / minhash_candidates: char-shingle -> K MinHash
+  values -> banded LSH -> bucket self-join. The only all-to-all step is
+  the bucket join, whose fan-in is controlled by band width; hot buckets
+  (boilerplate docs) are the classic skew source — AQE skew-join or a
+  bucket-size cap handles them.
+- simhash_signatures / simhash_near_pairs: 48-bit SimHash from token
+  hashes; near-pairs by Hamming distance. Pair generation blocks on
+  band prefixes of the fingerprint, not a cross join.
+- ngram_jaccard_pairs: exact word-n-gram Jaccard via inverted-index
+  join (explode n-grams, join on n-gram, count per pair) — the
+  standard "similarity join by inverted list" at scale; prefix/length
+  filters would bound it further.
+
+All hashes are md5-derived (operators/hashing.py) so a SQL oracle in
+any engine reproduces the results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from strake_spark.operators.hashing import (
+    h32,
+    h60,
+    minhash_expr,
+    normalize_text,
+)
+
+# Tuned for the synthetic docs (hundreds of chars); at production scale
+# K/bands stay, shingle width typically 9-13 chars for prose.
+SHINGLE_WIDTH = 5
+NUM_HASHES = 16
+NUM_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 48
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical texts by md5 digest; returns one row per digest
+    with the keeper (min id) and the duplicate count."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def char_shingles(docs: DataFrame, id_col: str, text_col: str, width: int = SHINGLE_WIDTH) -> DataFrame:
+    """(id, shingle) pairs: distinct character n-grams of the normalized
+    text. explode(sequence(...)) keeps generation columnar/codegen'd —
+    no Python in the loop."""
+    norm = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
+    return (
+        norm.filter(F.length("t") >= width)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length("t") - (width - 1))).alias("i"),
+            F.col("t"),
+        )
+        .select(F.col(id_col), F.col("t").substr(F.col("i"), F.lit(width)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """One row per doc with columns mh0..mh{K-1}: min over shingles of
+    the k-th universal hash of the shingle's 32-bit base hash.
+
+    Single shuffle (groupBy id); the K mins are map-side partial aggs,
+    so the shuffle carries K longs per doc regardless of text size.
+    """
+    sh = char_shingles(docs, id_col, text_col).select(
+        F.col(id_col), h32(F.col("shingle")).alias("h")
+    )
+    aggs = [F.min(minhash_expr(F.col("h"), k)).alias(f"mh{k}") for k in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs with estimated Jaccard >= threshold.
+
+    Bands the signature, self-joins on (band, band-key). Distinct pairs
+    may collide in several bands — dedup before scoring. Estimated
+    Jaccard = fraction of agreeing signature components.
+    """
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes).cache()
+    rows_per_band = num_hashes // num_bands
+    banded = None
+    for band in range(num_bands):
+        cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        part = sig.select(
+            F.col(id_col), F.lit(band).alias("band"), key.alias("band_key")
+        )
+        banded = part if banded is None else banded.unionAll(part)
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.mh{k}") == F.col(f"sb.mh{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    return (
+        pairs.join(sa, pairs.id_a == F.col(f"sa.{id_col}"))
+        .join(sb, pairs.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    norm = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
+    return norm.filter(F.length("t") > 0).select(
+        F.col(id_col), F.explode(F.split(F.col("t"), " ")).alias("tok")
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash fingerprint: per bit j, sum +1/-1 over token hashes'
+    j-th bit; fingerprint sets bit j when the sum is positive.
+
+    Expressed as K conditional-sum aggregates over the token relation —
+    one shuffle, map-side partials, no per-bit explode (the naive
+    bits x tokens explode shuffles 48x more rows for no reason).
+    Duplicate tokens intentionally count with multiplicity (standard
+    weighted SimHash with term frequency).
+    """
+    toks = _tokens(docs, id_col, text_col).select(
+        F.col(id_col), h60(F.col("tok")).alias("h")
+    )
+    bit_aggs = []
+    for j in range(bits):
+        bit_set = F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1
+        bit_aggs.append(
+            F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"s{j}")
+        )
+    summed = toks.groupBy(id_col).agg(*bit_aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return summed.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 8,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    Blocking: split the fingerprint into ``num_blocks`` bit-ranges; by
+    pigeonhole, any pair within distance < num_blocks agrees on at
+    least one whole block, so joining per-block on equal block values
+    finds all such pairs without a cross join. (max_hamming above the
+    pigeonhole bound trades recall, as in production SimHash dedup.)
+    """
+    sig = simhash_signatures(docs, id_col, text_col, bits).cache()
+    block_bits = bits // num_blocks
+    mask = (1 << block_bits) - 1
+    blocked = None
+    for blk in range(num_blocks):
+        part = sig.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(blk).alias("blk"),
+            F.shiftright(F.col("simhash"), blk * block_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("blk_val"),
+        )
+        blocked = part if blocked is None else blocked.unionAll(part)
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact word n-gram Jaccard via inverted-index join.
+
+    Explode distinct n-grams, join on the n-gram (the inverted list),
+    count shared grams per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    norm = docs.select(F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("w"))
+    grams = (
+        norm.filter(F.size("w") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.size("w") - n)).alias("i"),
+            F.col("w"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("i") + 1, n)).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(sa, common.id_a == F.col(f"sa.{id_col}"))
+        .join(sb, common.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

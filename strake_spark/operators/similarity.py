@@ -1,0 +1,174 @@
+"""Embedding similarity search (ANN) over an array<float> column.
+
+- cosine_topk: brute-force exact top-k — the correctness baseline.
+  Query set broadcast against the corpus; dot products run JVM-side via
+  zip_with/aggregate (no Python in the loop). At 100 TB corpus scale
+  the corpus side stays partitioned; only the query block broadcasts.
+- lsh_topk: bucketed approximate variant — corpus and queries are
+  bucketed by sign-bits of dot products against a fixed set of anchor
+  vectors (random-hyperplane LSH, hyperplanes = held-out corpus
+  vectors so both engines derive them identically); candidates are
+  same-bucket only, cutting the join from |Q|x|C| to |Q|x|C|/2^bits on
+  average. Recall vs the exact baseline is asserted in tests.
+
+All arithmetic is double, accumulated left-to-right in both engines, so
+a SQL oracle reproduces scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors."""
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("nbr_norm"),
+    )
+    queries = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("q_norm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (_dot(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "nbr_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def lsh_bucket(vec: Column, anchors: list[tuple[int, list[float]]]) -> Column:
+    """Bucket id from sign bits of dot(vec, anchor_i)."""
+    bucket = F.lit(0).cast("long")
+    for bit, (_aid, avec) in enumerate(anchors):
+        arr = F.array(*[F.lit(float(x)) for x in avec])
+        bucket = bucket + F.when(_dot(vec, arr) > 0, F.lit(1 << bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 20,
+    n_anchor_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Anchors are the ``n_anchor_bits`` lowest-id corpus vectors (excluded
+    from queries/corpus pairing they anchor) — a deterministic choice
+    both engines can reproduce without a shared RNG.
+    """
+    anchors_rows = (
+        emb.orderBy(id_col).limit(n_anchor_bits).select(id_col, vec_col).collect()
+    )
+    anchors = [(r[0], list(r[1])) for r in anchors_rows]
+
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_norm2(F.col(vec_col))).alias("nrm"),
+        lsh_bucket(F.col(vec_col), anchors).alias("bucket"),
+    )
+    corpus = bucketed.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        F.col("nrm").alias("nbr_norm"),
+        "bucket",
+    )
+    queries = bucketed.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (_dot(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "nbr_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Brute-force all-pairs here (correctness baseline); the scale path is
+    lsh_topk-style bucketing first — documented rather than forced, so
+    the oracle stays exact.
+    """
+    lhs = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("na"),
+    )
+    rhs = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("nb"),
+    )
+    return (
+        lhs.join(rhs, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

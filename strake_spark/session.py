@@ -60,6 +60,9 @@ def build_session(
         # --- local-mode hygiene ---
         "spark.ui.enabled": "true" if enable_ui else "false",
         "spark.sql.parquet.filterPushdown": "true",
+        # Parquet TIMESTAMP(NANOS) columns (events.ts) are read as raw
+        # int64 nanos; data.table() converts them to micros timestamps.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         # broadcast threshold: dims like region/nation/customer are tiny
         # relative to fact tables; raise from 10MB so Catalyst broadcasts
         # them even at larger SF (at 100 TB the dims stay broadcastable).
