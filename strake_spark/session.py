@@ -57,6 +57,9 @@ def build_session(
         "spark.sql.session.timeZone": "UTC",
         # --- python boundary: Arrow batches, not pickled rows ---
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Python DataSource readers (duckdb/sqlite/rest connectors) push
+        # Catalyst filters to the remote engine via pushFilters().
+        "spark.sql.python.filterPushdown.enabled": "true",
         # --- local-mode hygiene ---
         "spark.ui.enabled": "true" if enable_ui else "false",
         "spark.sql.parquet.filterPushdown": "true",

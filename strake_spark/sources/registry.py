@@ -13,6 +13,7 @@ federation.rs:176 + sources/sql/mod.rs:73-80).
 from __future__ import annotations
 
 from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 
@@ -22,6 +23,31 @@ from strake_spark.errors import SourceError
 RegisterFn = Callable[[SparkSession, SourceConfig], list[str]]
 
 SOURCE_TYPES: dict[str, RegisterFn] = {}
+
+
+@dataclass(frozen=True)
+class RemoteTable:
+    """Provenance of a registered view that lives in an external SQL
+    engine — the unit the federation planner groups by. ``dialect`` +
+    ``url`` play the role of the reference's SQLExecutor
+    ``compute_context`` (connection identity,
+    crates/connectors/src/sources/sql/postgres_federation.rs:46-49)."""
+
+    source: str
+    dialect: str
+    url: str
+    table: str
+
+    def context(self) -> str:
+        return f"{self.dialect}://{self.url}"
+
+
+# view name -> remote provenance (views without an entry are local files)
+REMOTE_TABLES: dict[str, RemoteTable] = {}
+
+
+def remember_remote(view: str, remote: RemoteTable) -> None:
+    REMOTE_TABLES[view] = remote
 
 
 def source_type(*names: str):

@@ -1,0 +1,190 @@
+"""SQLite source — Spark 4 Python DataSource over the stdlib driver.
+
+Reference: crates/connectors/src/sources/sql/sqlite.rs +
+sqlite_federation.rs (local-file DB registered as table providers).
+
+Executor-side scans (each partition opens its own read-only sqlite3
+connection), Catalyst filter pushdown into the remote WHERE clause, and
+``rowid``-range partitioning for parallel reads — rowid is SQLite's
+implicit integer PK, so a table splits into N contiguous slices without
+any schema cooperation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from strake_spark.config import SourceConfig
+from strake_spark.errors import SourceError
+from strake_spark.sources import pushsql
+from strake_spark.sources.registry import RemoteTable, remember_remote, source_type
+
+FORMAT_NAME = "strake_sqlite"
+
+
+def _connect(path: str):
+    import sqlite3
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    return con
+
+
+def _decltype_to_spark(decl: str) -> T.DataType:
+    """SQLite declared-type affinity -> Spark type (reference fetches
+    schema from DB metadata the same way, sql/mod.rs:73-80)."""
+    d = (decl or "").upper()
+    if "INT" in d:
+        return T.LongType()
+    if any(k in d for k in ("CHAR", "CLOB", "TEXT")):
+        return T.StringType()
+    if "BLOB" in d or d == "":
+        return T.BinaryType()
+    if any(k in d for k in ("REAL", "FLOA", "DOUB")):
+        return T.DoubleType()
+    if "BOOL" in d:
+        return T.BooleanType()
+    if "DATE" in d or "TIME" in d:
+        return T.StringType()  # SQLite stores datetimes as text
+    return T.DoubleType()  # NUMERIC affinity
+
+
+def table_schema(path: str, table: str) -> StructType:
+    con = _connect(path)
+    try:
+        cols = con.execute(f"PRAGMA table_info({pushsql.quote_ident(table)})").fetchall()
+    finally:
+        con.close()
+    if not cols:
+        raise SourceError(f"sqlite table not found: {table!r}")
+    return StructType(
+        [T.StructField(c[1], _decltype_to_spark(c[2]), True) for c in cols]
+    )
+
+
+@dataclass
+class _Slice(InputPartition):
+    predicate: str | None
+
+
+class SQLiteReader(DataSourceReader):
+    def __init__(self, options, schema: StructType) -> None:
+        self.options = options
+        self.schema = schema
+        self.pushed: list[str] = []
+
+    def pushFilters(self, filters):
+        self.pushed, remaining = pushsql.split_filters(list(filters))
+        return remaining
+
+    def partitions(self):
+        n = int(self.options.get("num_partitions", "1"))
+        table = self.options.get("table")
+        if n <= 1 or not table:
+            return [_Slice(None)]
+        col = self.options.get("partition_column", "rowid")
+        con = _connect(self.options["path"])
+        try:
+            qc = pushsql.quote_ident(col)
+            lo, hi = con.execute(
+                f"SELECT min({qc}), max({qc}) FROM {pushsql.quote_ident(table)}"
+            ).fetchone()
+        finally:
+            con.close()
+        return [_Slice(r.predicate()) for r in pushsql.plan_ranges(col, lo, hi, n)]
+
+    def read(self, partition: _Slice):
+        table = self.options.get("table")
+        query = self.options.get("query")
+        table_sql = f"({query})" if query else pushsql.quote_ident(table)
+        sql = pushsql.build_select(
+            table_sql,
+            list(self.schema.fieldNames()),
+            self.pushed,
+            extra_predicate=partition.predicate,
+        )
+        con = _connect(self.options["path"])
+        try:
+            cur = con.execute(sql)
+            while True:
+                rows = cur.fetchmany(10_000)
+                if not rows:
+                    break
+                yield from rows
+        finally:
+            con.close()
+
+
+class SQLiteDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        table = self.options.get("table")
+        if table:
+            return table_schema(self.options["path"], table)
+        raise SourceError("sqlite source needs 'table' option (or an explicit .schema())")
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SQLiteReader(self.options, schema)
+
+
+_REGISTERED: set[int] = set()
+
+
+def ensure_format(spark: SparkSession) -> None:
+    key = id(spark.sparkContext)
+    if key not in _REGISTERED:
+        spark.dataSource.register(SQLiteDataSource)
+        _REGISTERED.add(key)
+
+
+def discover_tables(path: str) -> list[str]:
+    con = _connect(path)
+    try:
+        rows = con.execute(
+            "SELECT name FROM sqlite_master WHERE type = 'table' "
+            "AND name NOT LIKE 'sqlite_%' ORDER BY name"
+        ).fetchall()
+    finally:
+        con.close()
+    return [r[0] for r in rows]
+
+
+@source_type("sqlite")
+def register_sqlite_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
+    from strake_spark.sources.file import view_name
+
+    if not cfg.url:
+        raise SourceError(f"sqlite source {cfg.name!r} needs url (database file path)")
+    ensure_format(spark)
+    names = [t.name for t in cfg.tables] or discover_tables(cfg.url)
+    declared = {t.name: t for t in cfg.tables}
+    registered: list[str] = []
+    for tname in names:
+        reader = (
+            spark.read.format(FORMAT_NAME)
+            .option("path", cfg.url)
+            .option("table", tname)
+        )
+        tbl = declared.get(tname)
+        if tbl is not None and tbl.partition_column:
+            reader = reader.option("partition_column", tbl.partition_column)
+        n_parts = cfg.options.get("num_partitions")
+        if n_parts:
+            reader = reader.option("num_partitions", str(n_parts))
+        df = reader.load()
+        if tbl is not None and tbl.struct_type() is not None:
+            from strake_spark.sources.drift import reconcile
+
+            df = reconcile(df, tbl.struct_type(), context=tname)
+        view = view_name(cfg.name, tname)
+        df.createOrReplaceTempView(view)
+        remember_remote(view, RemoteTable(cfg.name, "sqlite", cfg.url, tname))
+        registered.append(view)
+    return registered
