@@ -48,6 +48,7 @@ class StrakeEngine:
         self.spark = spark or build_session()
         self._views: dict[str, list[str]] = {}
         self._query_log: list[dict[str, Any]] = []
+        self._last_pushdown = None  # PushdownPlan of the most recent sql()
         self._cache = None
         if self.config.cache.enabled:
             from strake_spark.cache import ResultCache
@@ -78,11 +79,18 @@ class StrakeEngine:
     def sql(self, query: str, user: str | None = None) -> DataFrame:
         """Gate + plan a read-only SQL query; returns a governed DataFrame.
 
+        Same-source federation runs first: when every referenced table
+        lives in one remote SQL engine, the whole statement is pushed
+        there (plans/federation.py) and Spark only scans the result.
+
         Lazily planned: call .collect()/.toPandas() yourself, or use
         ``execute`` for timeout + cache + output-row enforcement.
         """
         ensure_select(query)
-        df = self.spark.sql(query)
+        from strake_spark.plans.federation import plan_sql
+
+        df, pushed = plan_sql(self.spark, query)
+        self._last_pushdown = pushed
         df = apply_defensive_limit(df, self.config.query_limits)
         check_cost(df, self.config.query_limits)
         return df

@@ -1,0 +1,229 @@
+"""Same-source query pushdown — the Spark re-expression of the
+reference's federation machinery.
+
+The reference's single largest subsystem finds maximal same-source plan
+subtrees and unparses them back to remote SQL (datafusion-federation's
+FederationOptimizerRule registered at crates/runtime/src/federation.rs:232;
+unparser in crates/sql/src/sql_generator/translator/mod.rs:76-145; source
+identity = SQLExecutor::compute_context, crates/connectors/src/sources/
+sql/postgres_federation.rs:46-49). That buys one thing: joins/aggregates
+between tables living in the SAME external engine run *inside* that
+engine, so only the (small) result crosses the wire instead of the
+(huge) base tables.
+
+Spark-first design:
+
+- **Parse, don't regex.** DuckDB's ``json_serialize_sql`` gives a full
+  SQL AST; we walk it for base-table references (minus CTE names) and
+  map each through the source registry's ``REMOTE_TABLES`` provenance.
+- **Whole-statement pushdown** when every referenced table resolves to
+  one remote context: rewrite view names -> remote table names by
+  mutating the AST and deserializing back to SQL
+  (``json_deserialize_sql``), then execute via the source's own
+  DataSource ``query`` option. The remote engine does the join/agg; the
+  Spark scan sees only the result rows.
+- **Graceful degradation**: mixed-source or unparseable queries run on
+  Spark, where each scan still gets per-source filter/column pushdown
+  (pushsql.py) — the same split as the reference's LocalExecution path
+  (crates/sql/src/dialect_router.rs:28-100). A remote execution error
+  also falls back to local execution (their circuit-breaker fallback
+  analog) unless fallback is disabled.
+
+At 100 TB the win is exactly the reference's: a same-source
+join-then-aggregate that reduces 10^9 rows to 10^3 should ship 10^3.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from strake_spark.sources.registry import REMOTE_TABLES, RemoteTable
+
+log = logging.getLogger("strake_spark.federation")
+
+# dialect -> (DataSource format name, option key for the db location)
+_PUSHABLE_DIALECTS = {
+    "duckdb": ("strake_duckdb", "path"),
+    "sqlite": ("strake_sqlite", "path"),
+}
+
+
+def _serialize(sql: str) -> dict | None:
+    """Spark-SQL text -> DuckDB JSON AST (None if DuckDB can't parse it —
+    that alone disqualifies pushdown, not execution)."""
+    import duckdb
+
+    try:
+        con = duckdb.connect()
+        try:
+            raw = con.execute(
+                "SELECT json_serialize_sql(?::VARCHAR)", [sql]
+            ).fetchone()[0]
+        finally:
+            con.close()
+        ast = json.loads(raw)
+        if ast.get("error"):
+            return None
+        return ast
+    except Exception:
+        return None
+
+
+def _deserialize(ast: dict) -> str | None:
+    import duckdb
+
+    try:
+        con = duckdb.connect()
+        try:
+            return con.execute(
+                "SELECT json_deserialize_sql(?::JSON)", [json.dumps(ast)]
+            ).fetchone()[0]
+        finally:
+            con.close()
+    except Exception:
+        return None
+
+
+def _walk_base_tables(node, out: list[dict]) -> None:
+    """Collect every BASE_TABLE node dict (mutable references into the AST)."""
+    if isinstance(node, dict):
+        if node.get("type") == "BASE_TABLE" and "table_name" in node:
+            out.append(node)
+        for v in node.values():
+            _walk_base_tables(v, out)
+    elif isinstance(node, list):
+        for v in node:
+            _walk_base_tables(v, out)
+
+
+def _cte_names(ast: dict) -> set[str]:
+    names: set[str] = set()
+
+    def walk(node):
+        if isinstance(node, dict):
+            cte = node.get("cte_map")
+            if isinstance(cte, dict):
+                for entry in cte.get("map", []):
+                    k = entry.get("key")
+                    if k:
+                        names.add(k.lower())
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(ast)
+    return names
+
+
+@dataclass(frozen=True)
+class PushdownPlan:
+    """A fully-pushable statement: one remote context owns every table."""
+
+    remote: RemoteTable  # representative (context/dialect/url)
+    rewritten_sql: str
+    views: tuple[str, ...]
+
+
+def analyze(sql: str) -> PushdownPlan | None:
+    """Decide whole-statement pushdown. Returns None when the query must
+    run on Spark (mixed sources, local tables, or unparseable)."""
+    if not REMOTE_TABLES:
+        return None
+    ast = _serialize(sql)
+    if ast is None:
+        return None
+    refs: list[dict] = []
+    _walk_base_tables(ast, refs)
+    if not refs:
+        return None
+    ctes = _cte_names(ast)
+    remotes: list[tuple[dict, RemoteTable]] = []
+    contexts: set[str] = set()
+    for node in refs:
+        name = node["table_name"]
+        if name.lower() in ctes:
+            continue
+        remote = REMOTE_TABLES.get(name) or REMOTE_TABLES.get(name.lower())
+        if remote is None:
+            return None  # a local table participates -> Spark executes
+        remotes.append((node, remote))
+        contexts.add(remote.context())
+    if not remotes or len(contexts) != 1:
+        return None  # zero or >1 remote engines -> Spark executes
+    rep = remotes[0][1]
+    if rep.dialect not in _PUSHABLE_DIALECTS:
+        return None
+    views = tuple(sorted({node["table_name"] for node, _ in remotes}))
+    for node, remote in remotes:
+        node["table_name"] = remote.table
+        # drop any schema qualifier that named our view namespace
+        if node.get("schema_name"):
+            node["schema_name"] = ""
+    pushed_sql = _deserialize(ast)
+    if pushed_sql is None:
+        return None
+    return PushdownPlan(remote=rep, rewritten_sql=pushed_sql, views=views)
+
+
+def referenced_remote_views(sql: str) -> set[str] | None:
+    """Remote views a statement references, or None when unparseable
+    (callers should then refresh conservatively)."""
+    ast = _serialize(sql)
+    if ast is None:
+        return None
+    refs: list[dict] = []
+    _walk_base_tables(ast, refs)
+    ctes = _cte_names(ast)
+    out: set[str] = set()
+    for node in refs:
+        name = node["table_name"]
+        if name.lower() in ctes:
+            continue
+        if name in REMOTE_TABLES:
+            out.add(name)
+        elif name.lower() in REMOTE_TABLES:
+            out.add(name.lower())
+    return out
+
+
+def execute_pushdown(spark: SparkSession, plan: PushdownPlan) -> DataFrame:
+    fmt, path_key = _PUSHABLE_DIALECTS[plan.remote.dialect]
+    return (
+        spark.read.format(fmt)
+        .option(path_key, plan.remote.url)
+        .option("query", plan.rewritten_sql)
+        .load()
+    )
+
+
+def plan_sql(
+    spark: SparkSession, sql: str, allow_fallback: bool = True
+) -> tuple[DataFrame, PushdownPlan | None]:
+    """Main entry: returns (DataFrame, pushdown-plan-or-None).
+
+    Pushdown failures (remote parse/execute errors from dialect drift)
+    fall back to local Spark execution, mirroring the reference's
+    LocalExecution dialect-router arm.
+    """
+    plan = analyze(sql)
+    if plan is not None:
+        try:
+            df = execute_pushdown(spark, plan)
+            # force schema resolution now so dialect errors surface here
+            df.schema
+            return df, plan
+        except Exception as e:  # pragma: no cover - dialect drift path
+            if not allow_fallback:
+                raise
+            log.warning(
+                "pushdown to %s failed (%s); executing locally",
+                plan.remote.context(),
+                e,
+            )
+    return spark.sql(sql), None

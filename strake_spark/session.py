@@ -57,9 +57,12 @@ def build_session(
         "spark.sql.session.timeZone": "UTC",
         # --- python boundary: Arrow batches, not pickled rows ---
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # Python DataSource readers (duckdb/sqlite/rest connectors) push
-        # Catalyst filters to the remote engine via pushFilters().
-        "spark.sql.python.filterPushdown.enabled": "true",
+        # NOTE: spark.sql.python.filterPushdown deliberately left OFF.
+        # PythonDataSourceV2 caches one read plan per shared provider and
+        # the pushdown rule mutates it, so two scans of one relation with
+        # different filters (self-join; filtered-then-unfiltered temp
+        # view) read each other's data. Our connectors instead rely on
+        # whole-statement federation pushdown (plans/federation.py).
         # --- local-mode hygiene ---
         "spark.ui.enabled": "true" if enable_ui else "false",
         "spark.sql.parquet.filterPushdown": "true",

@@ -54,14 +54,21 @@ class _Slice(InputPartition):
 
 
 class DuckDBReader(DataSourceReader):
+    """Deliberately does NOT implement ``pushFilters``: Spark's
+    PythonDataSourceV2 caches one read plan per shared TableProvider and
+    the pushdown rule mutates it (setReadInfo), so two scans of the same
+    relation with different filters (a self-join, or a filtered query
+    followed by an unfiltered one on a temp view) silently read each
+    other's filtered data. Every scan here derives only from the
+    (immutable) options, so a cached/stale read plan is always
+    semantically identical. Remote filtering still happens at the right
+    place: whole-statement federation pushdown (plans/federation.py)
+    ships the entire query — filters included — to DuckDB, and the
+    ``where`` option lets callers pin a scan-level predicate explicitly."""
+
     def __init__(self, options, schema: StructType) -> None:
         self.options = options
         self.schema = schema
-        self.pushed: list[str] = []
-
-    def pushFilters(self, filters):
-        self.pushed, remaining = pushsql.split_filters(list(filters))
-        return remaining
 
     def partitions(self):
         col = self.options.get("partition_column")
@@ -79,10 +86,11 @@ class DuckDBReader(DataSourceReader):
         return [_Slice(r.predicate()) for r in pushsql.plan_ranges(col, lo, hi, n)]
 
     def read(self, partition: _Slice):
+        where = self.options.get("where")
         sql = pushsql.build_select(
             _table_sql(self.options),
             list(self.schema.fieldNames()),
-            self.pushed,
+            [where] if where else [],
             extra_predicate=partition.predicate,
         )
         con = _connect(self.options["path"])
@@ -152,23 +160,44 @@ def register_duckdb_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
     declared = {t.name: t for t in cfg.tables}
     registered: list[str] = []
     for tname in names:
-        reader = (
-            spark.read.format(FORMAT_NAME)
-            .option("path", cfg.url)
-            .option("table", tname)
-        )
+        options = {"path": cfg.url, "table": tname}
         tbl = declared.get(tname)
         if tbl is not None and tbl.partition_column:
-            reader = reader.option("partition_column", tbl.partition_column).option(
-                "num_partitions", str(cfg.options.get("num_partitions", 8))
-            )
-        df = reader.load()
-        if tbl is not None and tbl.struct_type() is not None:
-            from strake_spark.sources.drift import reconcile
-
-            df = reconcile(df, tbl.struct_type(), context=tname)
+            options["partition_column"] = tbl.partition_column
+            options["num_partitions"] = str(cfg.options.get("num_partitions", 8))
         view = view_name(cfg.name, tname)
-        df.createOrReplaceTempView(view)
-        remember_remote(view, RemoteTable(cfg.name, "duckdb", cfg.url, tname))
+        declared_schema = tbl.struct_type() if tbl is not None else None
+
+        def build(
+            spark: SparkSession,
+            known_schema=None,
+            _options=options,
+            _declared=declared_schema,
+            _view=view,
+            _tname=tname,
+        ):
+            reader = spark.read.format(FORMAT_NAME).options(**_options)
+            if known_schema is not None:
+                reader = reader.schema(known_schema)
+            df = reader.load()
+            schema = df.schema
+            if _declared is not None:
+                from strake_spark.sources.drift import reconcile
+
+                df = reconcile(df, _declared, context=_tname)
+            df.createOrReplaceTempView(_view)
+            return schema
+
+        schema = build(spark)
+        remember_remote(
+            view,
+            RemoteTable(
+                cfg.name,
+                "duckdb",
+                cfg.url,
+                tname,
+                rebuild=lambda spark, _b=build, _s=schema: _b(spark, known_schema=_s),
+            ),
+        )
         registered.append(view)
     return registered

@@ -1,18 +1,22 @@
-"""Shared pushdown machinery for SQL-speaking Python DataSources.
+"""Shared remote-SQL machinery for SQL-speaking Python DataSources.
 
 Re-expresses the reference's scan-level pushdown surface
 (crates/connectors/src/sources/file.rs filter pushdown flags;
 crates/sql/src/sql_generator/expr.rs literal/operator rendering;
-identifier safety per crates/sql/src/sql_generator/sanitize.rs:4-36)
-for the Spark 4 Python DataSource API: translate the `Filter` objects
-Catalyst hands to ``DataSourceReader.pushFilters`` into a WHERE clause
-the remote engine (DuckDB / SQLite / any ANSI dialect) evaluates, so
-the data never leaves the source unfiltered.
+identifier safety per crates/sql/src/sql_generator/sanitize.rs:4-36):
+identifier/literal quoting, SELECT composition, and numeric range
+partition planning that mirrors Spark's own JDBC partitioning — split a
+``partition_column`` into N half-open ranges so N executors read
+concurrently (the property that matters at 100 TB, where a driver-side
+fetch would serialize the scan).
 
-Partition planning mirrors Spark's own JDBC range partitioning: split a
-numeric ``partition_column`` into N half-open ranges so N executors read
-concurrently — the property that matters at 100 TB, where a single
-driver-side fetch would serialize the scan.
+``filter_to_sql``/``split_filters`` translate Catalyst ``Filter``
+objects to remote WHERE text. They are NOT wired into
+``DataSourceReader.pushFilters``: Spark's PythonDataSourceV2 caches one
+mutable read plan per shared provider, so per-scan filter state corrupts
+self-joins and filtered-then-unfiltered sequences (see DuckDBReader).
+They serve explicit ``where`` options and will plug straight back into
+pushFilters when upstream keys the read plan by scan.
 """
 
 from __future__ import annotations

@@ -31,12 +31,21 @@ class RemoteTable:
     engine — the unit the federation planner groups by. ``dialect`` +
     ``url`` play the role of the reference's SQLExecutor
     ``compute_context`` (connection identity,
-    crates/connectors/src/sources/sql/postgres_federation.rs:46-49)."""
+    crates/connectors/src/sources/sql/postgres_federation.rs:46-49).
+
+    ``rebuild`` re-registers the view over a brand-new relation. Needed
+    because Spark's PythonDataSourceV2 caches its read plan on the
+    shared TableProvider instance and the filter-pushdown rule mutates
+    it (setReadInfo) — a query WITHOUT filters reuses the previous
+    query's pushed-filter read plan if the relation object is shared.
+    The engine refreshes referenced remote views before local execution
+    so every statement plans against a fresh provider."""
 
     source: str
     dialect: str
     url: str
     table: str
+    rebuild: Callable[[SparkSession], None] | None = None
 
     def context(self) -> str:
         return f"{self.dialect}://{self.url}"
@@ -48,6 +57,16 @@ REMOTE_TABLES: dict[str, RemoteTable] = {}
 
 def remember_remote(view: str, remote: RemoteTable) -> None:
     REMOTE_TABLES[view] = remote
+
+
+def refresh_remote_views(spark: SparkSession, views=None) -> None:
+    """Re-register the given remote views (default: all) over fresh
+    relations, clearing any stale pushed-filter read plan."""
+    names = list(REMOTE_TABLES) if views is None else [v for v in views if v in REMOTE_TABLES]
+    for v in names:
+        rb = REMOTE_TABLES[v].rebuild
+        if rb is not None:
+            rb(spark)
 
 
 def source_type(*names: str):

@@ -72,14 +72,14 @@ class _Slice(InputPartition):
 
 
 class SQLiteReader(DataSourceReader):
+    """No ``pushFilters`` — see DuckDBReader for the shared-read-plan
+    correctness hazard. Scans derive only from immutable options; remote
+    filtering comes from whole-statement federation pushdown or an
+    explicit ``where`` option."""
+
     def __init__(self, options, schema: StructType) -> None:
         self.options = options
         self.schema = schema
-        self.pushed: list[str] = []
-
-    def pushFilters(self, filters):
-        self.pushed, remaining = pushsql.split_filters(list(filters))
-        return remaining
 
     def partitions(self):
         n = int(self.options.get("num_partitions", "1"))
@@ -101,10 +101,11 @@ class SQLiteReader(DataSourceReader):
         table = self.options.get("table")
         query = self.options.get("query")
         table_sql = f"({query})" if query else pushsql.quote_ident(table)
+        where = self.options.get("where")
         sql = pushsql.build_select(
             table_sql,
             list(self.schema.fieldNames()),
-            self.pushed,
+            [where] if where else [],
             extra_predicate=partition.predicate,
         )
         con = _connect(self.options["path"])
@@ -128,7 +129,24 @@ class SQLiteDataSource(DataSource):
         table = self.options.get("table")
         if table:
             return table_schema(self.options["path"], table)
-        raise SourceError("sqlite source needs 'table' option (or an explicit .schema())")
+        query = self.options.get("query")
+        if not query:
+            raise SourceError("sqlite source needs 'table' or 'query' option")
+        # SQLite has no result-type metadata for arbitrary queries; probe
+        # one row and type from Python values (string when all-NULL/empty).
+        con = _connect(self.options["path"])
+        try:
+            cur = con.execute(f"SELECT * FROM ({query}) LIMIT 1")
+            names = [d[0] for d in cur.description]
+            row = cur.fetchone()
+        finally:
+            con.close()
+        py_to_spark = {int: T.LongType(), float: T.DoubleType(), bytes: T.BinaryType()}
+        fields = []
+        for i, name in enumerate(names):
+            v = row[i] if row is not None else None
+            fields.append(T.StructField(name, py_to_spark.get(type(v), T.StringType()), True))
+        return StructType(fields)
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SQLiteReader(self.options, schema)
@@ -167,24 +185,46 @@ def register_sqlite_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
     declared = {t.name: t for t in cfg.tables}
     registered: list[str] = []
     for tname in names:
-        reader = (
-            spark.read.format(FORMAT_NAME)
-            .option("path", cfg.url)
-            .option("table", tname)
-        )
+        options = {"path": cfg.url, "table": tname}
         tbl = declared.get(tname)
         if tbl is not None and tbl.partition_column:
-            reader = reader.option("partition_column", tbl.partition_column)
+            options["partition_column"] = tbl.partition_column
         n_parts = cfg.options.get("num_partitions")
         if n_parts:
-            reader = reader.option("num_partitions", str(n_parts))
-        df = reader.load()
-        if tbl is not None and tbl.struct_type() is not None:
-            from strake_spark.sources.drift import reconcile
-
-            df = reconcile(df, tbl.struct_type(), context=tname)
+            options["num_partitions"] = str(n_parts)
         view = view_name(cfg.name, tname)
-        df.createOrReplaceTempView(view)
-        remember_remote(view, RemoteTable(cfg.name, "sqlite", cfg.url, tname))
+        declared_schema = tbl.struct_type() if tbl is not None else None
+
+        def build(
+            spark: SparkSession,
+            known_schema=None,
+            _options=options,
+            _declared=declared_schema,
+            _view=view,
+            _tname=tname,
+        ):
+            reader = spark.read.format(FORMAT_NAME).options(**_options)
+            if known_schema is not None:
+                reader = reader.schema(known_schema)
+            df = reader.load()
+            schema = df.schema
+            if _declared is not None:
+                from strake_spark.sources.drift import reconcile
+
+                df = reconcile(df, _declared, context=_tname)
+            df.createOrReplaceTempView(_view)
+            return schema
+
+        schema = build(spark)
+        remember_remote(
+            view,
+            RemoteTable(
+                cfg.name,
+                "sqlite",
+                cfg.url,
+                tname,
+                rebuild=lambda spark, _b=build, _s=schema: _b(spark, known_schema=_s),
+            ),
+        )
         registered.append(view)
     return registered

@@ -64,7 +64,7 @@ class TestDuckDBSource:
         )
         compare_frames(df.toPandas(), _expected(duck_db, "SELECT * FROM nation"))
 
-    def test_filter_pushdown_matches(self, spark, duck_db):
+    def test_filtered_scan_matches(self, spark, duck_db):
         duck_src.ensure_format(spark)
         df = (
             spark.read.format(duck_src.FORMAT_NAME)
@@ -79,6 +79,37 @@ class TestDuckDBSource:
         )
         compare_frames(df.toPandas(), exp)
 
+    def test_where_option_filters_remotely(self, spark, duck_db):
+        duck_src.ensure_format(spark)
+        df = (
+            spark.read.format(duck_src.FORMAT_NAME)
+            .option("path", duck_db)
+            .option("table", "orders")
+            .option("where", "o_totalprice > 100000")
+            .load()
+        )
+        exp = _expected(duck_db, "SELECT * FROM orders WHERE o_totalprice > 100000")
+        compare_frames(df.toPandas(), exp)
+
+    def test_self_join_with_different_filters(self, spark, duck_db):
+        """Two scans of one view with different predicates must not share
+        state (the PythonDataSourceV2 read-plan-cache hazard that made us
+        drop pushFilters)."""
+        duck_src.ensure_format(spark)
+        (
+            spark.read.format(duck_src.FORMAT_NAME)
+            .option("path", duck_db)
+            .option("table", "nation")
+            .load()
+            .createOrReplaceTempView("sj_nation")
+        )
+        n = spark.sql(
+            "SELECT count(*) AS n FROM sj_nation a JOIN sj_nation b "
+            "ON a.n_regionkey + 4 = b.n_regionkey "
+            "WHERE a.n_regionkey <= 0 AND b.n_regionkey >= 4"
+        ).collect()[0].n
+        assert n == 25  # 5 nations in region 0 x 5 in region 4
+
     def test_partitioned_read_complete(self, spark, duck_db):
         duck_src.ensure_format(spark)
         df = (
@@ -92,6 +123,26 @@ class TestDuckDBSource:
         assert df.rdd.getNumPartitions() == 4
         exp = _expected(duck_db, "SELECT * FROM orders")
         compare_frames(df.toPandas(), exp)
+
+    def test_no_filter_state_leak_across_queries(self, spark, duck_db):
+        """A filter applied by one query must not bleed into the next
+        scan of the same view (PythonDataSourceV2 read-plan-cache
+        hazard)."""
+        duck_src.ensure_format(spark)
+        df = (
+            spark.read.format(duck_src.FORMAT_NAME)
+            .option("path", duck_db)
+            .option("table", "nation")
+            .load()
+        )
+        df.createOrReplaceTempView("leak_check")
+        n_all = spark.sql("SELECT count(*) AS n FROM leak_check").collect()[0].n
+        n_filt = spark.sql(
+            "SELECT count(*) AS n FROM leak_check WHERE n_regionkey >= 3"
+        ).collect()[0].n
+        n_again = spark.sql("SELECT count(*) AS n FROM leak_check").collect()[0].n
+        assert n_filt < n_all
+        assert n_again == n_all
 
     def test_query_option(self, spark, duck_db):
         duck_src.ensure_format(spark)
