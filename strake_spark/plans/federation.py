@@ -45,11 +45,31 @@ from strake_spark.sources.registry import REMOTE_TABLES, RemoteTable
 
 log = logging.getLogger("strake_spark.federation")
 
-# dialect -> (DataSource format name, option key for the db location)
-_PUSHABLE_DIALECTS = {
-    "duckdb": ("strake_duckdb", "path"),
-    "sqlite": ("strake_sqlite", "path"),
+# Post-unparse textual fixes per target dialect — the pragmatic core of
+# the reference's FunctionMapper layer (crates/sql/src/dialects/
+# function_mapper.rs:21-117: declarative rename/transform rules). The
+# unparsed SQL comes out of DuckDB's deserializer in DuckDB dialect;
+# these map DuckDB-isms back to each target's spelling. Anything the
+# target still rejects falls back to local execution.
+_DIALECT_FIXES: dict[str, list[tuple[str, str]]] = {
+    "duckdb": [],
+    "sqlite": [
+        ("count_star()", "count(*)"),
+        ("string_agg(", "group_concat("),
+    ],
+    "postgres": [("count_star()", "count(*)")],
+    "postgresql": [("count_star()", "count(*)")],
+    "mysql": [("count_star()", "count(*)"), ('"', "`")],
+    "mariadb": [("count_star()", "count(*)"), ('"', "`")],
+    "clickhouse": [("count_star()", "count(*)")],
+    "jdbc": [("count_star()", "count(*)")],
 }
+
+
+def apply_dialect_fixes(sql: str, dialect: str) -> str:
+    for old, new in _DIALECT_FIXES.get(dialect, [("count_star()", "count(*)")]):
+        sql = sql.replace(old, new)
+    return sql
 
 
 def _serialize(sql: str) -> dict | None:
@@ -157,7 +177,7 @@ def analyze(sql: str) -> PushdownPlan | None:
     if not remotes or len(contexts) != 1:
         return None  # zero or >1 remote engines -> Spark executes
     rep = remotes[0][1]
-    if rep.dialect not in _PUSHABLE_DIALECTS:
+    if rep.push_query is None:
         return None
     views = tuple(sorted({node["table_name"] for node, _ in remotes}))
     for node, remote in remotes:
@@ -168,6 +188,7 @@ def analyze(sql: str) -> PushdownPlan | None:
     pushed_sql = _deserialize(ast)
     if pushed_sql is None:
         return None
+    pushed_sql = apply_dialect_fixes(pushed_sql, rep.dialect)
     return PushdownPlan(remote=rep, rewritten_sql=pushed_sql, views=views)
 
 
@@ -193,13 +214,7 @@ def referenced_remote_views(sql: str) -> set[str] | None:
 
 
 def execute_pushdown(spark: SparkSession, plan: PushdownPlan) -> DataFrame:
-    fmt, path_key = _PUSHABLE_DIALECTS[plan.remote.dialect]
-    return (
-        spark.read.format(fmt)
-        .option(path_key, plan.remote.url)
-        .option("query", plan.rewritten_sql)
-        .load()
-    )
+    return plan.remote.push_query(spark, plan.rewritten_sql)
 
 
 def plan_sql(

@@ -189,6 +189,15 @@ def register_duckdb_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
             return schema
 
         schema = build(spark)
+
+        def push_query(spark: SparkSession, sql: str, _url=cfg.url):
+            return (
+                spark.read.format(FORMAT_NAME)
+                .option("path", _url)
+                .option("query", sql)
+                .load()
+            )
+
         remember_remote(
             view,
             RemoteTable(
@@ -197,6 +206,7 @@ def register_duckdb_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
                 cfg.url,
                 tname,
                 rebuild=lambda spark, _b=build, _s=schema: _b(spark, known_schema=_s),
+                push_query=push_query,
             ),
         )
         registered.append(view)

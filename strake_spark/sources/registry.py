@@ -46,6 +46,10 @@ class RemoteTable:
     url: str
     table: str
     rebuild: Callable[[SparkSession], None] | None = None
+    # Executes one SQL statement INSIDE the remote engine, returning the
+    # result as a DataFrame scan — the federation planner's vehicle for
+    # whole-statement pushdown. None => this source can't push.
+    push_query: Callable[[SparkSession, str], "object"] | None = None
 
     def context(self) -> str:
         return f"{self.dialect}://{self.url}"

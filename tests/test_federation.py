@@ -130,6 +130,15 @@ class TestPushedEqualsLocal:
         local = eng.spark.sql(sql).toPandas()
         compare_frames(df.toPandas(), local)
 
+    def test_sqlite_aggregate_pushdown_dialect_fix(self, fed_engine):
+        """count(*) unparses as DuckDB count_star(); the dialect-fix
+        layer must respell it before SQLite executes the pushed query."""
+        eng, _ = fed_engine
+        sql = "SELECT r_regionkey, count(*) AS n FROM flt_region GROUP BY r_regionkey"
+        df, plan = federation.plan_sql(eng.spark, sql)
+        assert plan is not None and "count_star" not in plan.rewritten_sql
+        compare_frames(df.toPandas(), eng.spark.sql(sql).toPandas())
+
     def test_spark_only_function_falls_back(self, fed_engine):
         eng, _ = fed_engine
         # xxhash64 exists in Spark, not DuckDB: parse fails -> local path

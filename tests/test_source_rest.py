@@ -1,0 +1,234 @@
+"""REST connector: pagination styles x auth modes against an in-process
+HTTP server (reference rest.rs inline tests + crates/connectors/tests/
+rest_source.rs pattern)."""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from strake_spark.config import parse_config
+from strake_spark.sources import rest as rest_src
+from strake_spark.sources.registry import register_source
+
+ROWS = [{"id": i, "name": f"item_{i}", "score": i * 1.5} for i in range(25)]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _json(self, obj, headers=None):
+        body = json.dumps(obj).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _deny(self, code=401):
+        self.send_response(code)
+        self.end_headers()
+
+    def do_POST(self):
+        if urlparse(self.path).path == "/oauth/token":
+            ln = int(self.headers.get("Content-Length", "0"))
+            form = parse_qs(self.rfile.read(ln).decode())
+            if form.get("client_id") == ["cid"] and form.get("client_secret") == ["sec"]:
+                self._json({"access_token": "OAUTH-TOK", "expires_in": 3600})
+            else:
+                self._deny()
+        else:
+            self._deny(404)
+
+    def do_GET(self):
+        u = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        path = u.path
+
+        if path == "/plain":
+            return self._json(ROWS)
+        if path == "/offset":
+            off, lim = int(q.get("offset", 0)), int(q.get("limit", 10))
+            return self._json({"data": ROWS[off : off + lim]})
+        if path == "/paged":
+            page, lim = int(q.get("page", 1)), int(q.get("limit", 10))
+            start = (page - 1) * lim
+            return self._json({"data": ROWS[start : start + lim]})
+        if path == "/token":
+            start = int(q.get("page_token", 0))
+            chunk = ROWS[start : start + 10]
+            nxt = str(start + 10) if start + 10 < len(ROWS) else None
+            return self._json({"items": chunk, "next_token": nxt})
+        if path == "/linked":
+            start = int(q.get("start", 0))
+            chunk = ROWS[start : start + 10]
+            headers = {}
+            if start + 10 < len(ROWS):
+                host = self.headers["Host"]
+                headers["Link"] = f'<http://{host}/linked?start={start + 10}>; rel="next"'
+            return self._json(chunk, headers)
+        if path == "/bodyurl":
+            start = int(q.get("start", 0))
+            chunk = ROWS[start : start + 10]
+            host = self.headers["Host"]
+            nxt = (
+                f"http://{host}/bodyurl?start={start + 10}"
+                if start + 10 < len(ROWS)
+                else None
+            )
+            return self._json({"results": chunk, "next": nxt})
+        if path == "/secure/basic":
+            expect = "Basic " + base64.b64encode(b"alice:pw").decode()
+            if self.headers.get("Authorization") != expect:
+                return self._deny()
+            return self._json(ROWS[:5])
+        if path == "/secure/bearer":
+            if self.headers.get("Authorization") != "Bearer sekret":
+                return self._deny()
+            return self._json(ROWS[:5])
+        if path == "/secure/oauth":
+            if self.headers.get("Authorization") != "Bearer OAUTH-TOK":
+                return self._deny()
+            return self._json(ROWS[:5])
+        if path == "/filtered":
+            status = q.get("status")
+            rows = [dict(r, status=status or "any") for r in ROWS[:3]]
+            return self._json(rows)
+        self._deny(404)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def _load(spark, url, **options):
+    rest_src.ensure_format(spark)
+    reader = spark.read.format(rest_src.FORMAT_NAME).option("url", url)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def _check_all_rows(df):
+    got = sorted((r.id, r.name) for r in df.collect())
+    assert got == [(r["id"], r["name"]) for r in ROWS]
+    assert df.schema["score"].dataType.simpleString() == "double"
+
+
+class TestPagination:
+    def test_single_page(self, spark, server):
+        _check_all_rows(_load(spark, f"{server}/plain"))
+
+    def test_offset(self, spark, server):
+        df = _load(
+            spark, f"{server}/offset",
+            pagination="offset", page_size="10", records_path="data",
+        )
+        _check_all_rows(df)
+
+    def test_page_number(self, spark, server):
+        df = _load(
+            spark, f"{server}/paged",
+            pagination="page", page_size="10", records_path="data",
+        )
+        _check_all_rows(df)
+
+    def test_token(self, spark, server):
+        df = _load(
+            spark, f"{server}/token",
+            pagination="token", records_path="items", token_field="next_token",
+        )
+        _check_all_rows(df)
+
+    def test_link_header(self, spark, server):
+        df = _load(spark, f"{server}/linked", pagination="link")
+        _check_all_rows(df)
+
+    def test_body_url(self, spark, server):
+        df = _load(
+            spark, f"{server}/bodyurl",
+            pagination="body_url", records_path="results", next_url_field="next",
+        )
+        _check_all_rows(df)
+
+
+class TestAuth:
+    def test_basic(self, spark, server):
+        df = _load(
+            spark, f"{server}/secure/basic",
+            auth_type="basic", username="alice", password="pw",
+        )
+        assert df.count() == 5
+
+    def test_bearer(self, spark, server):
+        df = _load(spark, f"{server}/secure/bearer", auth_type="bearer", token="sekret")
+        assert df.count() == 5
+
+    def test_oauth2_client_credentials(self, spark, server):
+        df = _load(
+            spark, f"{server}/secure/oauth",
+            auth_type="oauth2", token_url=f"{server}/oauth/token",
+            client_id="cid", client_secret="sec",
+        )
+        assert df.count() == 5
+
+    def test_bad_credentials_surface(self, spark, server):
+        with pytest.raises(Exception, match="401"):
+            # schema inference fetches the sample page -> auth error here
+            _load(spark, f"{server}/secure/bearer", auth_type="bearer", token="WRONG")
+
+    def test_jwt_stubbed(self, spark, server):
+        from strake_spark.sources.rest import _Auth
+
+        with pytest.raises(NotImplementedError):
+            _Auth({"auth_type": "jwt"}).headers()
+
+
+class TestRegistration:
+    def test_register_source_with_declared_columns(self, spark, server):
+        cfg = parse_config(
+            {
+                "sources": [
+                    {
+                        "name": "api",
+                        "type": "rest",
+                        "url": server,
+                        "options": {"pagination": "offset", "page_size": 10,
+                                    "records_path": "data"},
+                        "tables": [
+                            {
+                                "name": "offset",
+                                "columns": [
+                                    {"name": "id", "type": "bigint"},
+                                    {"name": "name", "type": "string"},
+                                    {"name": "score", "type": "double"},
+                                ],
+                            }
+                        ],
+                    }
+                ]
+            }
+        )
+        views = register_source(spark, cfg.sources[0])
+        assert views == ["api_offset"]
+        assert spark.sql("SELECT count(*) AS n FROM api_offset").collect()[0].n == 25
+        assert spark.table("api_offset").schema["id"].dataType.simpleString() == "bigint"
+
+    def test_static_params_forwarded(self, spark, server):
+        df = _load(
+            spark, f"{server}/filtered", params=json.dumps({"status": "active"})
+        )
+        rows = df.collect()
+        assert len(rows) == 3 and all(r.status == "active" for r in rows)
