@@ -115,6 +115,7 @@ class EngineConfig:
     cache: CacheConfig = field(default_factory=CacheConfig)
     retry: RetryConfig = field(default_factory=RetryConfig)
     global_connection_budget: int = 100
+    policies: Any = None  # governance.policies.PolicyConfig when set
 
 
 def _column(d: Any) -> ColumnConfig:
@@ -150,10 +151,13 @@ def _source(d: dict[str, Any]) -> SourceConfig:
 
 
 def parse_config(raw: dict[str, Any]) -> EngineConfig:
+    from strake_spark.governance.policies import parse_policies
+
     ql = raw.get("query_limits") or {}
     ca = raw.get("cache") or {}
     re_ = raw.get("retry") or {}
     return EngineConfig(
+        policies=parse_policies(raw.get("policies")),
         sources=[_source(s) for s in raw.get("sources") or []],
         query_limits=QueryLimits(
             default_limit=int(ql.get("default_limit", 1000)),

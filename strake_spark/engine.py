@@ -47,6 +47,7 @@ class StrakeEngine:
             self.config = load_config(config)
         self.spark = spark or build_session()
         self._views: dict[str, list[str]] = {}
+        self._view_source: dict[str, str] = {}
         self._query_log: list[dict[str, Any]] = []
         self._last_pushdown = None  # PushdownPlan of the most recent sql()
         self._cache = None
@@ -54,15 +55,53 @@ class StrakeEngine:
             from strake_spark.cache import ResultCache
 
             self._cache = ResultCache(self.spark, self.config.cache)
+        from strake_spark.reliability import CircuitBreaker, ConcurrencyGovernor
+
+        self._governor = ConcurrencyGovernor(self.config.global_connection_budget)
+        self._breakers: dict[str, CircuitBreaker] = {}
         for src in self.config.sources:
             self.register(src)
+        self._policies = None
+        if getattr(self.config, "policies", None) is not None and self.config.policies.enabled:
+            from strake_spark.governance.policies import PolicyEnforcer
+
+            self._policies = PolicyEnforcer(self.spark, self.config.policies)
 
     # ------------------------------------------------------------- sources
     def register(self, source_cfg) -> list[str]:
+        from strake_spark.reliability import CircuitBreaker
+
         views = register_source(self.spark, source_cfg)
         self._views[source_cfg.name] = views
+        for v in views:
+            self._view_source[v] = source_cfg.name
+        self._governor.set_source_limit(
+            source_cfg.name, source_cfg.max_concurrent_queries
+        )
+        self._breakers.setdefault(source_cfg.name, CircuitBreaker(source_cfg.name))
         log.info("registered source %s -> %s", source_cfg.name, views)
         return views
+
+    def _touched_sources(self, query: str) -> tuple[str, ...]:
+        """Sources whose views a statement references (AST-derived;
+        empty when unparseable — global admission still applies)."""
+        from strake_spark.plans.federation import _cte_names, _serialize, _walk_base_tables
+
+        ast = _serialize(query)
+        if ast is None:
+            return ()
+        refs: list[dict] = []
+        _walk_base_tables(ast, refs)
+        ctes = _cte_names(ast)
+        out: set[str] = set()
+        for node in refs:
+            name = node["table_name"]
+            if name.lower() in ctes:
+                continue
+            src = self._view_source.get(name) or self._view_source.get(name.lower())
+            if src:
+                out.add(src)
+        return tuple(sorted(out))
 
     def list_sources(self) -> dict[str, list[str]]:
         return dict(self._views)
@@ -87,6 +126,8 @@ class StrakeEngine:
         ``execute`` for timeout + cache + output-row enforcement.
         """
         ensure_select(query)
+        if self._policies is not None:
+            query = self._policies.rewrite(query, user)
         from strake_spark.plans.federation import plan_sql
 
         df, pushed = plan_sql(self.spark, query)
@@ -97,16 +138,41 @@ class StrakeEngine:
 
     def execute(self, query: str, user: str | None = None):
         """Full governed execution -> pyarrow.Table (zero-copy boundary,
-        like reference docs/python-api.md:110-122)."""
+        like reference docs/python-api.md:110-122).
+
+        Admission (global budget + per-source caps) and per-source
+        circuit breakers wrap the whole query, the reference's
+        granularity (it wraps each source's TableProvider; one grant
+        per query per source)."""
         limits = self.config.query_limits
         started = time.time()
-        df = self.sql(query, user=user)
-        if self._cache is not None:
-            hit = self._cache.get(df, user)
-            if hit is not None:
-                self._log_query(query, user, started, cached=True)
-                return hit
-        table = run_with_timeout(df, lambda d: d.toArrow(), limits.query_timeout_seconds)
+        sources = self._touched_sources(query)
+        breakers = [self._breakers[s] for s in sources if s in self._breakers]
+        with self._governor.admit(sources):
+            for b in breakers:
+                b.acquire()
+            try:
+                df = self.sql(query, user=user)
+                hit = self._cache.get(df, user) if self._cache is not None else None
+                if hit is not None:
+                    table = hit
+                else:
+                    table = run_with_timeout(
+                        df, lambda d: d.toArrow(), limits.query_timeout_seconds
+                    )
+            except QueryRejected:
+                for b in breakers:
+                    b.release()  # governance rejection, not a source fault
+                raise
+            except Exception:
+                for b in breakers:
+                    b.record(False)
+                raise
+            for b in breakers:
+                b.record(True)
+        if hit is not None:
+            self._log_query(query, user, started, cached=True)
+            return hit
         if limits.max_output_rows and table.num_rows > limits.max_output_rows:
             raise QueryRejected(
                 f"result has {table.num_rows} rows > max_output_rows {limits.max_output_rows}"

@@ -111,6 +111,36 @@ class _Auth:
         return self._token
 
 
+def _get_with_retry(session, url, params, timeout, options):
+    """GET with exponential-backoff retry on transport errors and 5xx
+    (reference wraps connector fetches in retry.rs policy). 4xx are
+    permanent — auth/shape errors surface immediately."""
+    import requests
+
+    from strake_spark.config import RetryConfig
+    from strake_spark.reliability import retry_call
+
+    policy = RetryConfig(
+        max_attempts=int(options.get("retry_attempts", "3")),
+        base_ms=int(options.get("retry_base_ms", "200")),
+        cap_ms=int(options.get("retry_cap_ms", "5000")),
+    )
+
+    def attempt():
+        resp = session.get(url, params=params, timeout=timeout)
+        if resp.status_code >= 500:
+            resp.raise_for_status()
+        return resp
+
+    resp = retry_call(
+        attempt,
+        policy,
+        retryable=(requests.ConnectionError, requests.Timeout, requests.HTTPError),
+    )
+    resp.raise_for_status()
+    return resp
+
+
 def _fetch_pages(options):
     """Yield lists of record dicts, one per page, following the
     configured pagination style until exhaustion or max_pages."""
@@ -160,8 +190,7 @@ def _fetch_pages(options):
         elif style in ("link", "body_url") and next_url is not None:
             req_url, q = next_url, {}  # next link is already fully formed
 
-        resp = session.get(req_url, params=q, timeout=timeout)
-        resp.raise_for_status()
+        resp = _get_with_retry(session, req_url, q, timeout, options)
         body = resp.json()
         records = _dig(body, records_path)
         if records is None:
