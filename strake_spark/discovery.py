@@ -1,0 +1,97 @@
+"""Schema discovery & search.
+
+Reference: the MCP tools ``search_schemas(query)`` /
+``get_schema_details(fqn)`` (python/strake/mcp.py:173-257) backed by a
+full-text index over information_schema columns + table/column comments
+(python/strake/search.py:29-160, LanceDB FTS; metadata enrichment
+python/strake/metadata.py:42-260).
+
+Spark design: the index is SQLite FTS5 (stdlib — no vendored deps) over
+``spark.catalog`` metadata: one document per column with table name,
+column name, type, and source provenance. Rebuilt on demand; queries
+are ranked by BM25. At 100 TB the catalog is still small metadata —
+driver-side FTS is the right scale point (the reference does the same)."""
+
+from __future__ import annotations
+
+import sqlite3
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class ColumnHit:
+    table: str
+    column: str
+    type: str
+    source: str
+    score: float
+
+
+class SchemaIndex:
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._con: sqlite3.Connection | None = None
+
+    def rebuild(self) -> int:
+        """(Re)index every temp view / table in the session catalog.
+        Returns the number of column documents indexed."""
+        from strake_spark.sources.registry import REMOTE_TABLES
+
+        con = sqlite3.connect(":memory:")
+        con.execute(
+            "CREATE VIRTUAL TABLE cols USING fts5(tbl, col, typ, src)"
+        )
+        n = 0
+        for t in self.spark.catalog.listTables():
+            name = t.name
+            try:
+                schema = self.spark.table(name).schema
+            except Exception:
+                continue
+            remote = REMOTE_TABLES.get(name)
+            src = remote.context() if remote else (t.tableType or "view")
+            for f in schema.fields:
+                con.execute(
+                    "INSERT INTO cols VALUES (?,?,?,?)",
+                    (name, f.name, f.dataType.simpleString(), src),
+                )
+                n += 1
+        con.commit()
+        if self._con is not None:
+            self._con.close()
+        self._con = con
+        return n
+
+    def search(self, query: str, limit: int = 20) -> list[ColumnHit]:
+        """BM25-ranked column search; '*' suffix expansion applied to
+        bare terms so 'cust' finds 'c_custkey'."""
+        if self._con is None:
+            self.rebuild()
+        terms = [t for t in query.replace("'", " ").split() if t]
+        if not terms:
+            return []
+        fts = " OR ".join(f'"{t}"*' for t in terms)
+        rows = self._con.execute(
+            "SELECT tbl, col, typ, src, rank FROM cols "
+            "WHERE cols MATCH ? ORDER BY rank LIMIT ?",
+            (fts, limit),
+        ).fetchall()
+        return [ColumnHit(r[0], r[1], r[2], r[3], -float(r[4])) for r in rows]
+
+
+def get_schema_details(spark: SparkSession, table: str) -> dict:
+    """Per-table column dump (reference mcp.py:207-257)."""
+    df = spark.table(table)
+    return {
+        "table": table,
+        "columns": [
+            {
+                "name": f.name,
+                "type": f.dataType.simpleString(),
+                "nullable": f.nullable,
+            }
+            for f in df.schema.fields
+        ],
+    }

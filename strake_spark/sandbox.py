@@ -1,0 +1,193 @@
+"""Sandboxed Python execution — the engine's "Code Mode".
+
+Reference: python/strake/sandbox/native.py:202-683 — pooled hardened
+worker subprocesses with rlimits, network isolation
+(unshare(CLONE_NEWNET)), seccomp, optional Firecracker microVMs; the
+MCP ``run_python`` tool executes agent scripts against the engine
+(python/strake/mcp.py:258-295).
+
+This re-expression keeps the architecture (subprocess isolation, rlimit
+resource caps, captured stdout, wall-clock timeout, result-size cap)
+with portable primitives only: ``resource.setrlimit`` for CPU/memory/
+file-size/process caps and a scrubbed environment. Linux namespace /
+seccomp / microVM layers are environment-dependent privileges this
+container doesn't have — the hook points are marked and the guard
+degrades gracefully, mirroring the reference's fallback ladder
+(native sandbox when Firecracker is unavailable, native.py:202).
+
+The executed script gets a ``strake`` shim whose ``sql(query)`` runs
+against the parent engine via a result file – scripts never hold the
+SparkSession. Queries are pre-executed by the PARENT (the sandbox has
+no network and no JVM); the child only post-processes pandas frames.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import textwrap
+from dataclasses import dataclass
+
+
+@dataclass
+class SandboxLimits:
+    cpu_seconds: int = 10
+    memory_mb: int = 512
+    file_size_mb: int = 16
+    max_processes: int = 8
+    wall_seconds: float = 30.0
+    max_output_bytes: int = 1_000_000
+
+
+@dataclass
+class SandboxResult:
+    ok: bool
+    stdout: str
+    stderr: str
+    error: str | None = None
+
+
+_PRELUDE = """\
+import resource, sys, os
+
+def _cap(limit, value):
+    try:
+        resource.setrlimit(limit, (value, value))
+    except (ValueError, OSError):
+        pass  # privilege-dependent; keep going with what we can enforce
+
+_cap(resource.RLIMIT_CPU, {cpu})
+_cap(resource.RLIMIT_AS, {mem} * 1024 * 1024)
+_cap(resource.RLIMIT_FSIZE, {fsize} * 1024 * 1024)
+_cap(resource.RLIMIT_NPROC, {nproc})
+# hook point: unshare(CLONE_NEWNET) / seccomp would go here with privileges
+
+import types
+
+class _Strake(types.SimpleNamespace):
+    def sql(self, query):
+        key = self._queries.get(query)
+        if key is None:
+            raise RuntimeError(
+                "query not pre-registered with the sandbox: " + query[:100]
+            )
+        import pandas as _pd
+        return _pd.read_parquet(key)
+
+strake = _Strake(_queries={queries!r})
+del types
+"""
+
+
+def run_python(
+    script: str,
+    limits: SandboxLimits | None = None,
+    query_results: dict[str, str] | None = None,
+) -> SandboxResult:
+    """Execute ``script`` in a resource-capped subprocess.
+
+    ``query_results`` maps SQL text -> parquet path of the pre-executed
+    result (the parent engine runs the queries; the child gets data,
+    never the engine)."""
+    limits = limits or SandboxLimits()
+    prelude = _PRELUDE.format(
+        cpu=limits.cpu_seconds,
+        mem=limits.memory_mb,
+        fsize=limits.file_size_mb,
+        nproc=limits.max_processes,
+        queries=query_results or {},
+    )
+    with tempfile.TemporaryDirectory(prefix="strake-sbx-") as tmp:
+        path = os.path.join(tmp, "script.py")
+        with open(path, "w") as f:
+            f.write(prelude + "\n" + textwrap.dedent(script))
+        env = {
+            "PATH": "/usr/bin:/bin",
+            "HOME": tmp,
+            "TMPDIR": tmp,
+            # no proxy/credential env vars leak into the sandbox
+            # single-threaded BLAS/OMP: thread pools would blow the
+            # RLIMIT_NPROC cap (and a sandbox shouldn't fan out anyway)
+            "OPENBLAS_NUM_THREADS": "1",
+            "OMP_NUM_THREADS": "1",
+            "MKL_NUM_THREADS": "1",
+            "NUMEXPR_NUM_THREADS": "1",
+        }
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-I", path],  # -I: isolated mode
+                capture_output=True,
+                timeout=limits.wall_seconds,
+                env=env,
+                cwd=tmp,
+            )
+        except subprocess.TimeoutExpired:
+            return SandboxResult(
+                False, "", "", error=f"wall-clock timeout ({limits.wall_seconds}s)"
+            )
+    stdout = proc.stdout[: limits.max_output_bytes].decode(errors="replace")
+    stderr = proc.stderr[: limits.max_output_bytes].decode(errors="replace")
+    if proc.returncode != 0:
+        return SandboxResult(
+            False, stdout, stderr, error=f"exit code {proc.returncode}"
+        )
+    return SandboxResult(True, stdout, stderr)
+
+
+class InjectionGuard:
+    """Prompt-injection scan of result text (reference: Aho-Corasick
+    scanner with disabled/dry_run/enforce modes,
+    python/src/connection.rs:27-95,370-412). Substring automaton over a
+    pattern list; mode semantics preserved."""
+
+    DEFAULT_PATTERNS = (
+        "ignore previous instructions",
+        "ignore all previous instructions",
+        "disregard your instructions",
+        "you are now",
+        "system prompt",
+        "<|im_start|>",
+        "###instruction",
+        "do anything now",
+    )
+
+    def __init__(self, mode: str = "disabled", patterns=None) -> None:
+        if mode not in ("disabled", "dry_run", "enforce"):
+            raise ValueError(f"unknown guard mode {mode!r}")
+        self.mode = mode
+        self.patterns = tuple(p.lower() for p in (patterns or self.DEFAULT_PATTERNS))
+
+    def scan(self, text: str) -> list[str]:
+        low = text.lower()
+        return [p for p in self.patterns if p in low]
+
+    def check(self, text: str) -> tuple[str, list[str]]:
+        """-> (possibly-redacted text, matched patterns). In enforce
+        mode matched content is replaced; dry_run only reports."""
+        if self.mode == "disabled":
+            return text, []
+        hits = self.scan(text)
+        if not hits or self.mode == "dry_run":
+            return text, hits
+        redacted = text
+        for p in hits:
+            # case-insensitive replace
+            idx = redacted.lower().find(p)
+            while idx != -1:
+                redacted = redacted[:idx] + "[REDACTED]" + redacted[idx + len(p):]
+                idx = redacted.lower().find(p)
+        return redacted, hits
+
+
+def json_result(result: SandboxResult) -> str:
+    return json.dumps(
+        {
+            "ok": result.ok,
+            "stdout": result.stdout,
+            "stderr": result.stderr,
+            "error": result.error,
+        }
+    )
