@@ -71,8 +71,8 @@ def oracle_sql() -> dict[str, str]:
 # error *inside* an existing module must surface loudly.
 _SUBMODULES: list[str] = []
 
-for _mod in ("tpch", "relational", "window", "setops", "expressions", "subqueries",
-             "events", "dedup", "similarity", "text", "multimodal"):
+for _mod in ("tpch", "tpch_extended", "relational", "window", "setops", "expressions",
+             "subqueries", "events", "dedup", "similarity", "text", "multimodal"):
     _path = f"strake_spark.inventory.{_mod}"
     try:
         __import__(_path)
