@@ -72,7 +72,8 @@ def oracle_sql() -> dict[str, str]:
 _SUBMODULES: list[str] = []
 
 for _mod in ("tpch", "tpch_extended", "relational", "window", "setops", "expressions",
-             "subqueries", "events", "dedup", "similarity", "text", "multimodal"):
+             "subqueries", "events", "dedup", "similarity", "text", "multimodal",
+             "streaming_entries"):
     _path = f"strake_spark.inventory.{_mod}"
     try:
         __import__(_path)

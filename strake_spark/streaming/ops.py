@@ -1,0 +1,167 @@
+"""Streaming operator implementations.
+
+Each operator takes a streaming DataFrame (from ``read_event_stream``)
+and returns a transformed streaming DataFrame the caller writes with
+its own sink/trigger. The shapes:
+
+- tumbling_counts: event-time tumbling window + watermark — the
+  canonical late-data-tolerant aggregate. State: one row per
+  (window, event_type); the watermark bounds it.
+- session_counts: data-driven session windows (``session_window``) per
+  user — gaps close sessions; watermark evicts closed-session state.
+- dedup_stream: exact streaming dedup via ``dropDuplicatesWithinWatermark``
+  — the streaming face of the batch dedup_exact operator.
+- user_running_totals: custom stateful operator via
+  ``applyInPandasWithState`` — per-user running event count + value sum
+  with TTL'd state, the template for operators the built-ins can't
+  express (GroupState scales per-key across executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    nanos_ts: bool = False,
+) -> DataFrame:
+    """File-source stream over the events layout (parquet). On a real
+    deployment the same operators run over Kafka — only this reader
+    changes. ``nanos_ts`` handles the driver testdata layout where ts is
+    parquet TIMESTAMP(NANOS) read as raw int64 under
+    spark.sql.legacy.parquet.nanosAsLong (same truncation as
+    data.table())."""
+    schema = EVENT_SCHEMA
+    if nanos_ts:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in EVENT_SCHEMA.fields
+            ]
+        )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    if nanos_ts:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_STATE_SCHEMA = "user_id LONG, n LONG, total DOUBLE"
+_OUT_SCHEMA = "user_id LONG, n LONG, total DOUBLE"
+
+
+def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running (count, value-sum) maintained in GroupState —
+    the applyInPandasWithState template for custom stateful operators.
+    Emits the updated running totals for every user seen in a batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [user_id], "n": [n], "total": [total]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType="n LONG, total DOUBLE",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, tmp_dir: str, output_mode: str | None = None
+) -> DataFrame:
+    """Drain a stream with the availableNow trigger into an in-memory
+    table and return the final batch result (test/utility path)."""
+    name = f"strake_stream_{abs(hash(tmp_dir)) % 10**8}"
+    if output_mode is None:
+        output_mode = "complete" if _has_aggregation(stream_df) else "append"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", f"{tmp_dir}/_chk_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

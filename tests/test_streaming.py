@@ -1,0 +1,111 @@
+"""Structured Streaming operators: each streaming result must equal the
+equivalent batch computation over the same files (availableNow drain)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from strake_spark.streaming import (
+    dedup_stream,
+    read_event_stream,
+    session_counts,
+    tumbling_counts,
+    user_running_totals,
+)
+from strake_spark.streaming.ops import run_to_completion
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """The events table split into multiple parquet files (so the file
+    stream sees several input units)."""
+    from strake_spark.data import table
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    table(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(out)
+    # drop spark's _SUCCESS marker; the file stream reads *.parquet
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(out, f))
+    return out
+
+
+def _batch(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+class TestTumbling:
+    def test_matches_batch_windows(self, spark, events_dir, tmp_path):
+        stream = tumbling_counts(read_event_stream(spark, events_dir), "1 hour")
+        got = run_to_completion(stream, str(tmp_path)).toPandas()
+        exp = (
+            _batch(spark, events_dir)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n", "total_value",
+            )
+            .toPandas()
+        )
+        key = ["window_start", "event_type"]
+        got_s = got.sort_values(key).reset_index(drop=True)
+        exp_s = exp.sort_values(key).reset_index(drop=True)
+        assert len(got_s) == len(exp_s) > 0
+        assert (got_s["n"].to_numpy() == exp_s["n"].to_numpy()).all()
+        assert abs(got_s["total_value"].to_numpy() - exp_s["total_value"].to_numpy()).max() == 0.0
+
+
+class TestSessionization:
+    def test_session_totals_match_batch(self, spark, events_dir, tmp_path):
+        stream = session_counts(read_event_stream(spark, events_dir), gap="30 minutes")
+        got = run_to_completion(stream, str(tmp_path)).toPandas()
+        exp = (
+            _batch(spark, events_dir)
+            .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .toPandas()
+        )
+        assert got["n_events"].sum() == exp["n_events"].sum()
+        assert len(got) == len(exp) > 0
+
+
+class TestDedup:
+    def test_duplicate_event_ids_collapse(self, spark, events_dir, tmp_path):
+        dup_dir = str(tmp_path / "dup")
+        os.makedirs(dup_dir)
+        for f in os.listdir(events_dir):
+            shutil.copy(os.path.join(events_dir, f), dup_dir)
+            # duplicate every file once under a new name
+            shutil.copy(os.path.join(events_dir, f), os.path.join(dup_dir, "dup_" + f))
+        stream = dedup_stream(read_event_stream(spark, dup_dir))
+        got = run_to_completion(stream, str(tmp_path / "chk"))
+        n_unique = _batch(spark, events_dir).select("event_id").distinct().count()
+        assert got.count() == n_unique
+
+
+class TestCustomStateful:
+    def test_running_totals_match_batch(self, spark, events_dir, tmp_path):
+        stream = user_running_totals(read_event_stream(spark, events_dir))
+        got = run_to_completion(stream, str(tmp_path), output_mode="update").toPandas()
+        # the memory sink keeps every update; the LAST row per user is
+        # the final running total
+        final = got.groupby("user_id").last().reset_index()
+        exp = (
+            _batch(spark, events_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .toPandas()
+        )
+        merged = final.merge(exp, on="user_id", suffixes=("_got", "_exp"))
+        assert len(merged) == len(exp) > 0
+        assert (merged["n_got"] == merged["n_exp"]).all()
