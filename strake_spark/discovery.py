@@ -81,6 +81,42 @@ class SchemaIndex:
         return [ColumnHit(r[0], r[1], r[2], r[3], -float(r[4])) for r in rows]
 
 
+def register_information_schema(spark: SparkSession) -> list[str]:
+    """Emulate information_schema over the session catalog (the
+    reference turns on DataFusion's with_information_schema,
+    crates/runtime/src/federation.rs:176). Registers
+    ``information_schema_tables`` / ``information_schema_columns`` temp
+    views; call again after registering sources to refresh."""
+    from strake_spark.sources.registry import REMOTE_TABLES
+
+    tables_rows = []
+    cols_rows = []
+    for t in spark.catalog.listTables():
+        if t.name.startswith("information_schema_"):
+            continue
+        remote = REMOTE_TABLES.get(t.name)
+        source = remote.context() if remote else "local"
+        tables_rows.append((t.name, t.tableType or "TEMPORARY", source))
+        try:
+            schema = spark.table(t.name).schema
+        except Exception:
+            continue
+        for pos, f in enumerate(schema.fields, start=1):
+            cols_rows.append(
+                (t.name, f.name, pos, f.dataType.simpleString(),
+                 "YES" if f.nullable else "NO")
+            )
+    spark.createDataFrame(
+        tables_rows or [("", "", "")], "table_name string, table_type string, source string"
+    ).filter("table_name <> ''").createOrReplaceTempView("information_schema_tables")
+    spark.createDataFrame(
+        cols_rows or [("", "", 0, "", "")],
+        "table_name string, column_name string, ordinal_position int, "
+        "data_type string, is_nullable string",
+    ).filter("table_name <> ''").createOrReplaceTempView("information_schema_columns")
+    return ["information_schema_tables", "information_schema_columns"]
+
+
 def get_schema_details(spark: SparkSession, table: str) -> dict:
     """Per-table column dump (reference mcp.py:207-257)."""
     df = spark.table(table)

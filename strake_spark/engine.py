@@ -106,6 +106,13 @@ class StrakeEngine:
     def list_sources(self) -> dict[str, list[str]]:
         return dict(self._views)
 
+    def register_information_schema(self) -> list[str]:
+        """information_schema_tables / _columns views over the catalog
+        (reference: with_information_schema(true), federation.rs:176)."""
+        from strake_spark.discovery import register_information_schema
+
+        return register_information_schema(self.spark)
+
     def describe(self, view: str) -> list[dict[str, str]]:
         sanitize_identifier(view)
         df = self.spark.table(view)
@@ -185,11 +192,23 @@ class StrakeEngine:
     # ---------------------------------------------------------- inspection
     def explain_tree(self, query: str) -> str:
         """Formatted physical plan tree with pushdown markers
-        (reference crates/runtime/src/query/plan_tree.rs:22-120)."""
+        (reference crates/runtime/src/query/plan_tree.rs:22-120). When
+        same-source federation applies, the remote statement is shown
+        first — everything under it executed inside the source."""
+        from strake_spark.plans.federation import plan_sql
         from strake_spark.plans.tree import format_plan_tree
 
         ensure_select(query)
-        return format_plan_tree(self.spark.sql(query))
+        df, pushed = plan_sql(self.spark, query)
+        tree = format_plan_tree(df)
+        if pushed is not None:
+            header = (
+                f"RemoteQuery [PUSHED] source={pushed.remote.source} "
+                f"dialect={pushed.remote.dialect}\n"
+                f"  {pushed.rewritten_sql}\n"
+            )
+            return header + tree
+        return tree
 
     def trace(self, query: str) -> dict[str, Any]:
         """Plan + stats report (reference crates/runtime/src/query/trace.rs:7-72)."""

@@ -56,20 +56,31 @@ def quote_ident(name: str) -> str:
 
 
 def sql_literal(value) -> str:
+    """Self-contained SQL literal. Rejects what has no portable safe
+    encoding: NUL inside strings (terminates literals in several
+    engines — hypothesis-found injection surface) and binary values
+    (X'..' hex is not universal; DuckDB parses it as a string). Callers
+    treat SourceError as 'keep this predicate local'."""
     if value is None:
         return "NULL"
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
-    if isinstance(value, (int, float)):
+    if isinstance(value, int):
         return repr(value)
+    if isinstance(value, float):
+        # bare decimal text parses as DECIMAL in some engines (DuckDB),
+        # silently changing comparison semantics — force binary float
+        return f"CAST({value!r} AS DOUBLE PRECISION)"
     if isinstance(value, _dt.datetime):
         return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
     if isinstance(value, _dt.date):
         return f"DATE '{value.isoformat()}'"
     if isinstance(value, (bytes, bytearray)):
-        return "X'" + value.hex() + "'"
-    s = str(value).replace("'", "''")
-    return f"'{s}'"
+        raise SourceError("binary literals are not portable; not pushed")
+    s = str(value)
+    if "\x00" in s:
+        raise SourceError("NUL in string literal; not pushed")
+    return "'" + s.replace("'", "''") + "'"
 
 
 def _col(f: Filter) -> str:
@@ -82,7 +93,16 @@ def _like_escape(s: str) -> str:
 
 
 def filter_to_sql(f: Filter) -> str | None:
-    """One Catalyst Filter -> SQL predicate text, or None if untranslatable."""
+    """One Catalyst Filter -> SQL predicate text, or None if
+    untranslatable (unknown filter class, or a value with no safe
+    portable literal)."""
+    try:
+        return _filter_to_sql(f)
+    except SourceError:
+        return None
+
+
+def _filter_to_sql(f: Filter) -> str | None:
     if isinstance(f, EqualTo):
         return f"{_col(f)} = {sql_literal(f.value)}"
     if isinstance(f, EqualNullSafe):

@@ -54,6 +54,35 @@ class TestDiscovery:
         names = [c["name"] for c in d["columns"]]
         assert "o_orderkey" in names and d["table"] == "s_orders"
 
+    def test_information_schema_views(self, surf_engine):
+        views = surf_engine.register_information_schema()
+        assert views == ["information_schema_tables", "information_schema_columns"]
+        tabs = {
+            r.table_name
+            for r in surf_engine.sql(
+                "SELECT table_name FROM information_schema_tables"
+            ).collect()
+        }
+        assert {"s_customer", "s_orders"} <= tabs
+        cols = surf_engine.sql(
+            "SELECT column_name, data_type FROM information_schema_columns "
+            "WHERE table_name = 's_orders' ORDER BY ordinal_position"
+        ).collect()
+        assert cols[0].column_name == "o_orderkey" and cols[0].data_type == "bigint"
+
+    def test_explain_tree_marks_remote_pushdown(self, spark, tmp_path):
+        import duckdb
+
+        dbpath = str(tmp_path / "ex.duckdb")
+        con = duckdb.connect(dbpath)
+        con.execute("CREATE TABLE t AS SELECT 1 AS x")
+        con.close()
+        eng = ss.connect(
+            {"sources": [{"name": "ex", "type": "duckdb", "url": dbpath}]}, spark=spark
+        )
+        tree = eng.explain_tree("SELECT x FROM ex_t WHERE x > 0")
+        assert "RemoteQuery [PUSHED]" in tree and "dialect=duckdb" in tree
+
 
 class TestSandbox:
     def test_basic_execution(self):
