@@ -45,31 +45,13 @@ from strake_spark.sources.registry import REMOTE_TABLES, RemoteTable
 
 log = logging.getLogger("strake_spark.federation")
 
-# Post-unparse textual fixes per target dialect — the pragmatic core of
-# the reference's FunctionMapper layer (crates/sql/src/dialects/
-# function_mapper.rs:21-117: declarative rename/transform rules). The
-# unparsed SQL comes out of DuckDB's deserializer in DuckDB dialect;
-# these map DuckDB-isms back to each target's spelling. Anything the
-# target still rejects falls back to local execution.
-_DIALECT_FIXES: dict[str, list[tuple[str, str]]] = {
-    "duckdb": [],
-    "sqlite": [
-        ("count_star()", "count(*)"),
-        ("string_agg(", "group_concat("),
-    ],
-    "postgres": [("count_star()", "count(*)")],
-    "postgresql": [("count_star()", "count(*)")],
-    "mysql": [("count_star()", "count(*)"), ('"', "`")],
-    "mariadb": [("count_star()", "count(*)"), ('"', "`")],
-    "clickhouse": [("count_star()", "count(*)")],
-    "jdbc": [("count_star()", "count(*)")],
-}
-
-
 def apply_dialect_fixes(sql: str, dialect: str) -> str:
-    for old, new in _DIALECT_FIXES.get(dialect, [("count_star()", "count(*)")]):
-        sql = sql.replace(old, new)
-    return sql
+    """Post-unparse textual fixes (count_star(), quoting style, the
+    COALESCE-family spellings) — see plans/dialects.py, the reference's
+    FunctionMapper layer."""
+    from strake_spark.plans.dialects import rules_for
+
+    return rules_for(dialect).fix_text(sql)
 
 
 def _serialize(sql: str) -> dict | None:
@@ -185,6 +167,10 @@ def analyze(sql: str) -> PushdownPlan | None:
         # drop any schema qualifier that named our view namespace
         if node.get("schema_name"):
             node["schema_name"] = ""
+    # dialect function mapping happens on the AST (nesting/literal-safe)
+    from strake_spark.plans.dialects import rename_functions, rules_for
+
+    rename_functions(ast, rules_for(rep.dialect))
     pushed_sql = _deserialize(ast)
     if pushed_sql is None:
         return None
