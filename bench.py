@@ -30,6 +30,16 @@ BENCH_QUERIES = (
     "tpch_q10_returned_items",
 )
 
+# Training-pipeline operators benched alongside (reported separately;
+# the headline "value" stays the TPC-H total for round-over-round
+# comparability).
+PIPELINE_QUERIES = (
+    "dedup_minhash_lsh_candidates",
+    "dedup_exact",
+    "ann_cosine_topk_bruteforce",
+    "text_quality_score",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,6 +65,19 @@ def main() -> None:
         times[name] = round(best, 4)
         print(f"# {name}: {times[name]:.3f}s rows={n}", file=sys.stderr)
 
+    pipeline: dict[str, float] = {}
+    for name in PIPELINE_QUERIES:
+        spec = inventory.REGISTRY.get(name)
+        if spec is None:
+            continue
+        best = float("inf")
+        for _ in range(max(1, iters)):
+            t = time.perf_counter()
+            n = spec.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t)
+        pipeline[name] = round(best, 4)
+        print(f"# {name}: {pipeline[name]:.3f}s rows={n}", file=sys.stderr)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -63,6 +86,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
+                "pipeline": pipeline,
+                "pipeline_total": round(sum(pipeline.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "startup_sec": round(startup, 2),
             }

@@ -214,10 +214,12 @@ class StrakeEngine:
         """Plan + stats report (reference crates/runtime/src/query/trace.rs:7-72)."""
         df = self.sql(query)
         rows, size = plan_stats(df)
+        pushed = self._last_pushdown
         return {
             "query": query,
             "estimated_rows": rows,
             "estimated_bytes": size,
+            "pushed_remote_sql": pushed.rewritten_sql if pushed else None,
             "analyzed": df._jdf.queryExecution().analyzed().toString(),
             "optimized": df._jdf.queryExecution().optimizedPlan().toString(),
             "physical": df._jdf.queryExecution().executedPlan().toString(),

@@ -60,9 +60,30 @@ def view_name(source: str, table: str) -> str:
     return f"{sanitize_identifier(source)}_{sanitize_identifier(table)}"
 
 
+# config option -> hadoop conf key (object-store credentials;
+# file.rs:124-207 routes these through OpenDAL — Spark routes through
+# the Hadoop FS connectors, configured here per source)
+_HADOOP_CONF = {
+    "s3_access_key": "fs.s3a.access.key",
+    "s3_secret_key": "fs.s3a.secret.key",
+    "s3_endpoint": "fs.s3a.endpoint",
+    "s3_path_style": "fs.s3a.path.style.access",
+    "gcs_keyfile": "google.cloud.auth.service.account.json.keyfile",
+    "azure_account_key": "fs.azure.account.key",
+}
+
+
+def _configure_object_store(spark: SparkSession, cfg: SourceConfig) -> None:
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for opt, key in _HADOOP_CONF.items():
+        if opt in cfg.options:
+            hconf.set(key, str(cfg.options[opt]))
+
+
 @source_type("parquet", "csv", "json", "ndjson", "file")
 def register_file_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
     fmt = cfg.type if cfg.type in _FORMATS else str(cfg.options.get("format", "parquet"))
+    _configure_object_store(spark, cfg)
     base = cfg.url or ""
     registered: list[str] = []
     if not cfg.tables:
