@@ -1,0 +1,171 @@
+"""File-source coverage: CSV (declared schema + inference), NDJSON,
+per-table path override, engine-level concurrency stress."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+
+import strake_spark as ss
+from strake_spark.config import parse_config
+from strake_spark.errors import SourceError
+from strake_spark.sources.registry import register_source
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def csv_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("csvsrc")
+    (out / "people.csv").write_text(
+        "id,name,score\n1,ann,3.5\n2,bob,4.0\n3,cyd,\n"
+    )
+    with open(out / "logs.ndjson", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"seq": i, "msg": f"m{i}", "meta": {"k": i * 2}}) + "\n")
+    return str(out)
+
+
+class TestCsv:
+    def test_declared_schema(self, spark, csv_dir):
+        cfg = parse_config(
+            {
+                "sources": [
+                    {
+                        "name": "cs",
+                        "type": "csv",
+                        "url": csv_dir,
+                        "tables": [
+                            {
+                                "name": "people",
+                                "columns": [
+                                    {"name": "id", "type": "bigint"},
+                                    {"name": "name", "type": "string"},
+                                    {"name": "score", "type": "double"},
+                                ],
+                            }
+                        ],
+                    }
+                ]
+            }
+        )
+        views = register_source(spark, cfg.sources[0])
+        assert views == ["cs_people"]
+        df = spark.table("cs_people")
+        assert df.schema["id"].dataType.simpleString() == "bigint"
+        rows = {r.id: r for r in df.collect()}
+        assert rows[1].name == "ann" and rows[3].score is None
+
+    def test_inferred_schema(self, spark, csv_dir):
+        cfg = parse_config(
+            {"sources": [{"name": "ci", "type": "csv", "url": csv_dir,
+                          "tables": [{"name": "people"}]}]}
+        )
+        register_source(spark, cfg.sources[0])
+        df = spark.table("ci_people")
+        assert df.count() == 3
+        assert df.schema["id"].dataType.simpleString() in ("int", "bigint")
+
+
+class TestJson:
+    def test_ndjson_nested(self, spark, csv_dir):
+        cfg = parse_config(
+            {"sources": [{"name": "js", "type": "ndjson", "url": csv_dir,
+                          "tables": [{"name": "logs"}]}]}
+        )
+        register_source(spark, cfg.sources[0])
+        df = spark.table("js_logs")
+        assert df.count() == 5
+        # nested object preserved as struct
+        r = df.filter("seq = 2").collect()[0]
+        assert r.meta.k == 4
+
+    def test_per_table_path_override(self, spark, csv_dir):
+        cfg = parse_config(
+            {
+                "sources": [
+                    {
+                        "name": "ov",
+                        "type": "ndjson",
+                        "url": "/nonexistent",
+                        "tables": [{"name": "alt", "path": f"{csv_dir}/logs.ndjson"}],
+                    }
+                ]
+            }
+        )
+        views = register_source(spark, cfg.sources[0])
+        assert spark.table(views[0]).count() == 5
+
+    def test_missing_tables_rejected(self, spark, csv_dir):
+        cfg = parse_config(
+            {"sources": [{"name": "nt", "type": "csv", "url": csv_dir}]}
+        )
+        with pytest.raises(SourceError, match="declares no tables"):
+            register_source(spark, cfg.sources[0])
+
+
+class TestConcurrentEngine:
+    def test_parallel_queries_through_governor(self, spark):
+        eng = ss.connect(
+            {
+                "sources": [
+                    {"name": "cc", "type": "parquet", "url": SF_DIR,
+                     "tables": [{"name": "nation"}, {"name": "region"}]}
+                ],
+                "global_connection_budget": 4,
+            },
+            spark=spark,
+        )
+        results: list = []
+        errors: list = []
+
+        def worker(i):
+            try:
+                t = eng.execute(
+                    f"SELECT count(*) AS n FROM cc_nation WHERE n_regionkey = {i % 5}"
+                )
+                results.append(t.to_pylist()[0]["n"])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert len(results) == 12 and all(n == 5 for n in results)
+
+
+class TestMcpQueryRoundtrip:
+    def test_run_python_with_engine_queries(self, spark):
+        import io
+
+        from strake_spark.mcp import McpServer
+
+        eng = ss.connect(
+            {"sources": [{"name": "mq", "type": "parquet", "url": SF_DIR,
+                          "tables": [{"name": "region"}]}]},
+            spark=spark,
+        )
+        srv = McpServer(eng)
+        out = io.StringIO()
+        msg = {
+            "jsonrpc": "2.0", "id": 1, "method": "tools/call",
+            "params": {
+                "name": "run_python",
+                "arguments": {
+                    "script": (
+                        "df = strake.sql('SELECT r_name FROM mq_region ORDER BY r_name')\n"
+                        "print(','.join(df.r_name))"
+                    ),
+                    "queries": ["SELECT r_name FROM mq_region ORDER BY r_name"],
+                },
+            },
+        }
+        srv.serve_stdio(infile=io.StringIO(json.dumps(msg) + "\n"), outfile=out)
+        resp = json.loads(out.getvalue())
+        payload = json.loads(resp["result"]["content"][0]["text"])
+        assert payload["ok"], payload
+        assert payload["stdout"].strip() == "AFRICA,AMERICA,ASIA,EUROPE,MIDDLE EAST"
