@@ -11,8 +11,11 @@ Scale notes (100 TB stance):
 - Aggregations are expressed as groupBy().agg() → Spark plans partial
   (map-side) aggregation before the shuffle; the shuffle carries only
   group keys + partial states.
-- Dimension sides of joins (region/nation/customer/supplier at TPC-H
-  ratios) are broadcast — no shuffle of the fact table for the join.
+- Join strategy: explicit broadcast hints ONLY for the fixed-size dims
+  (region: 5 rows, nation: 25). Everything that grows with SF (orders,
+  customer, supplier, part) is left unhinted — Catalyst broadcasts it
+  while it fits autoBroadcastJoinThreshold and AQE re-plans to a
+  shuffle join at the scale where a broadcast would OOM an executor.
 - Top-k with total order → TakeOrderedAndProject (per-partition heap,
   driver merge of k rows), never a global sort.
 """
@@ -106,8 +109,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_orderpriority")
         .agg(dsum(_revenue(), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -146,10 +149,10 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -214,8 +217,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = table(spark, sf_dir, "nation")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(_revenue(), "revenue"))

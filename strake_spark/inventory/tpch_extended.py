@@ -9,7 +9,7 @@ EXISTS, scalar subqueries, IN subqueries, left-join-count distributions,
 CTE + scalar-max selection, conditional aggregation over joins,
 count-distinct grouping, and multi-level boolean scan predicates.
 
-Scale stance mirrors tpch.py: dims broadcast, facts shuffle once on
+Scale stance mirrors tpch.py: fixed-size dims broadcast, facts shuffle once on
 their join key, aggregates are partial (map-side) by construction, and
 every correlated predicate the TPC spec writes as a per-row subquery is
 re-expressed as one aggregate + join (the decorrelated plan Catalyst
@@ -115,9 +115,9 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_nation") == "NATION_2"
     ) & (F.col("cust_nation") == "NATION_1")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(pair)
@@ -173,10 +173,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     zero = F.lit(0).cast("decimal(19,4)")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
         .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
@@ -228,9 +228,9 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(9,6)"
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -295,7 +295,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(19,4)")
     rev = _revenue()
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (
                 F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
@@ -365,7 +365,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = table(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -397,7 +397,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(agg, l.l_partkey == F.col("agg_partkey"))
         .filter(dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg((F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
@@ -435,8 +435,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(big, l.l_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_name",
             "c_custkey",
@@ -475,7 +475,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 50) & q.between(20, 50))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(clause)
         .agg(dsum(_revenue(), "revenue"))
     )
@@ -513,7 +513,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     late = (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .select(
             "l_orderkey",
             "l_suppkey",
@@ -527,7 +527,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.join(per_order, "l_orderkey")
         .filter(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
