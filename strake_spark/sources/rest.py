@@ -241,8 +241,13 @@ def _records_to_batch(records: list[dict], schema: StructType):
     )
 
 
-class _SinglePartition(InputPartition):
-    pass
+@dataclass
+class _PageRange(InputPartition):
+    """Offset window [start, end) one executor fetches; end None =
+    sequential mode (whole stream in one partition)."""
+
+    start: int | None
+    end: int | None
 
 
 class RestReader(DataSourceReader):
@@ -251,9 +256,60 @@ class RestReader(DataSourceReader):
         self.schema = schema
 
     def partitions(self):
-        return [_SinglePartition(0)]
+        """Offset pagination is random-access: when the caller declares
+        the collection size (``total`` option, or ``total_field`` naming
+        a count field in the first page's body), the offset space splits
+        into ``num_partitions`` ranges fetched by different executors in
+        parallel. Cursor-style styles (token/link/body_url) are
+        inherently sequential — each page names the next."""
+        style = (self.options.get("pagination") or "none").lower()
+        n = int(self.options.get("num_partitions", "1"))
+        if style != "offset" or n <= 1:
+            return [_PageRange(None, None)]
+        total = self.options.get("total")
+        if total is None and self.options.get("total_field"):
+            import requests
 
-    def read(self, partition):
+            headers = dict(json.loads(self.options.get("headers", "{}")))
+            headers.update(_Auth(self.options).headers())
+            params = dict(json.loads(self.options.get("params", "{}")))
+            params[self.options.get("offset_param", "offset")] = "0"
+            params[self.options.get("limit_param", "limit")] = "1"
+            resp = requests.get(
+                self.options["url"], params=params, headers=headers,
+                timeout=float(self.options.get("timeout", "30")),
+            )
+            resp.raise_for_status()
+            total = _dig(resp.json(), self.options["total_field"])
+        if not total:
+            return [_PageRange(None, None)]
+        total = int(total)
+        page = int(self.options.get("page_size", "100"))
+        per = -(-total // n)  # ceil
+        per = -(-per // page) * page  # align to page_size
+        return [
+            _PageRange(s, min(s + per, total)) for s in range(0, total, per)
+        ]
+
+    def read(self, partition: _PageRange):
+        opts = dict(self.options)
+        if partition.start is not None:
+            # bounded window: sequential page loop within [start, end)
+            opts["pagination"] = "offset"
+            page = int(opts.get("page_size", "100"))
+            offset_param = opts.get("offset_param", "offset")
+            limit_param = opts.get("limit_param", "limit")
+            base_params = dict(json.loads(opts.get("params", "{}")))
+            for off in range(partition.start, partition.end, page):
+                win = dict(base_params)
+                win[offset_param] = str(off)
+                win[limit_param] = str(min(page, partition.end - off))
+                one = dict(opts)
+                one["params"] = json.dumps(win)
+                one["pagination"] = "none"
+                for records in _fetch_pages(one):
+                    yield _records_to_batch(records, self.schema)
+            return
         for records in _fetch_pages(self.options):
             yield _records_to_batch(records, self.schema)
 

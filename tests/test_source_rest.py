@@ -57,6 +57,9 @@ class _Handler(BaseHTTPRequestHandler):
         if path == "/offset":
             off, lim = int(q.get("offset", 0)), int(q.get("limit", 10))
             return self._json({"data": ROWS[off : off + lim]})
+        if path == "/offset_counted":
+            off, lim = int(q.get("offset", 0)), int(q.get("limit", 10))
+            return self._json({"data": ROWS[off : off + lim], "total": len(ROWS)})
         if path == "/paged":
             page, lim = int(q.get("page", 1)), int(q.get("limit", 10))
             start = (page - 1) * lim
@@ -136,6 +139,24 @@ class TestPagination:
             spark, f"{server}/offset",
             pagination="offset", page_size="10", records_path="data",
         )
+        _check_all_rows(df)
+
+    def test_offset_parallel_with_declared_total(self, spark, server):
+        df = _load(
+            spark, f"{server}/offset",
+            pagination="offset", page_size="5", records_path="data",
+            total=str(len(ROWS)), num_partitions="3",
+        )
+        assert df.rdd.getNumPartitions() == 3
+        _check_all_rows(df)
+
+    def test_offset_parallel_with_total_field(self, spark, server):
+        df = _load(
+            spark, f"{server}/offset_counted",
+            pagination="offset", page_size="10", records_path="data",
+            total_field="total", num_partitions="2",
+        )
+        assert df.rdd.getNumPartitions() == 2
         _check_all_rows(df)
 
     def test_page_number(self, spark, server):
