@@ -91,6 +91,11 @@ def register_file_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
     for tbl in cfg.tables:
         path = tbl.path or os.path.join(base, f"{tbl.name}.{ 'parquet' if fmt == 'parquet' else fmt }")
         df = _read_one(spark, fmt, path, tbl)
+        if cfg.default_limit:
+            # per-source row cap (models.rs SourceConfig.default_limit):
+            # every view over this source is bounded — a blunt guard for
+            # sources whose full scan would be pathological
+            df = df.limit(cfg.default_limit)
         name = view_name(cfg.name, tbl.name)
         df.createOrReplaceTempView(name)
         registered.append(name)
