@@ -1,0 +1,108 @@
+"""Arrow Flight server façade — network clients for the engine.
+
+Reference: crates/server/src/flight_sql.rs — Flight SQL service in
+front of FederationEngine (get_flight_info_statement:244 returns a
+ticket; do_get_statement:234 -> execute_and_stream:126-215 streams
+batches), with API-key auth (auth.rs:24-66) and catalog introspection
+(do_get_catalogs/schemas/tables, flight_sql.rs:321-531).
+
+This façade keeps the same wire shape on the generic Flight RPCs
+(pyarrow has no Flight SQL server helper):
+- descriptor command = SQL text; get_flight_info validates + plans it
+  and returns schema + a ticket
+- do_get(ticket=SQL) executes through the GOVERNED engine path (gate,
+  limits, cost, timeout, cache, policies via the header-passed user)
+- do_get(ticket=b"catalog:tables") lists registered views (the
+  introspection surface)
+- optional static bearer-token auth via middleware
+
+Queries execute driver-side on the engine's SparkSession and stream out
+as record batches; scale-out of the compute itself is Spark's job — the
+server is a thin door, exactly like the reference's stateless replicas
+(docs/architecture.md:74-92).
+"""
+
+from __future__ import annotations
+
+import json
+
+
+def make_server(engine, location: str = "grpc://127.0.0.1:0", token: str | None = None):
+    """Build (not start) a Flight server bound to ``location``.
+    Returns the server object; ``server.port`` gives the bound port."""
+    import pyarrow as pa
+    import pyarrow.flight as fl
+
+    class _TokenMiddleware(fl.ServerMiddlewareFactory):
+        def start_call(self, info, headers):
+            vals = headers.get("authorization") or headers.get(b"authorization") or []
+            tok = vals[0] if vals else ""
+            if isinstance(tok, bytes):
+                tok = tok.decode()
+            if tok != f"Bearer {token}":
+                raise fl.FlightUnauthenticatedError("invalid token")
+            return None
+
+    class StrakeFlightServer(fl.FlightServerBase):
+        def __init__(self):
+            middleware = {}
+            if token:
+                middleware["auth"] = _TokenMiddleware()
+            super().__init__(location, middleware=middleware)
+            self.engine = engine
+
+        # -------------------------------------------------- introspection
+        def _tables_batch(self) -> pa.Table:
+            rows = []
+            for source, views in self.engine.list_sources().items():
+                for v in views:
+                    rows.append({"source": source, "table": v})
+            return pa.Table.from_pylist(rows or [{"source": "", "table": ""}])
+
+        # ------------------------------------------------------- planning
+        def get_flight_info(self, context, descriptor):
+            sql = descriptor.command.decode()
+            df = self.engine.sql(sql)  # gate + plan; no execution yet
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            schema = to_arrow_schema(df.schema)
+            endpoint = fl.FlightEndpoint(sql.encode(), [])
+            return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+
+        # ------------------------------------------------------ execution
+        def do_get(self, context, ticket):
+            t = ticket.ticket
+            if t == b"catalog:tables":
+                return fl.RecordBatchStream(self._tables_batch())
+            payload = t.decode()
+            user = None
+            if payload.startswith("{"):
+                req = json.loads(payload)
+                payload, user = req["sql"], req.get("user")
+            table = self.engine.execute(payload, user=user)
+            return fl.RecordBatchStream(table)
+
+    return StrakeFlightServer()
+
+
+def main(argv=None) -> None:  # pragma: no cover - manual entry point
+    import argparse
+    import threading
+
+    import strake_spark as ss
+
+    p = argparse.ArgumentParser(prog="strake-spark-server")
+    p.add_argument("--config", default=None)
+    p.add_argument("--port", type=int, default=8815)
+    p.add_argument("--token", default=None)
+    args = p.parse_args(argv)
+    engine = ss.connect(args.config)
+    srv = make_server(engine, f"grpc://0.0.0.0:{args.port}", token=args.token)
+    print(f"strake-spark flight server on port {srv.port}")
+    t = threading.Thread(target=srv.serve)
+    t.start()
+    t.join()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -122,6 +122,36 @@ class TestEnforcement:
         )
         assert got.collect()[0].n == 1
 
+    def test_rls_not_bypassed_by_federation_pushdown(self, spark, tmp_path):
+        """A policied user's query over a remote SQL source must route
+        through the secured view (local plan), never push the raw table
+        reference into the remote engine."""
+        import duckdb as ddb
+
+        dbpath = str(tmp_path / "sec.duckdb")
+        con = ddb.connect(dbpath)
+        con.execute("CREATE TABLE accounts AS SELECT range AS id, range * 10 AS bal "
+                    "FROM range(100)")
+        con.close()
+        eng = ss.connect(
+            {
+                "sources": [{"name": "rdb", "type": "duckdb", "url": dbpath}],
+                "policies": {
+                    "roles": {"low": {"tables": {"rdb_accounts": {
+                        "rls_filter": "id < 10"}}}},
+                    "users": {"zed": ["low"]},
+                },
+            },
+            spark=spark,
+        )
+        # ungoverned query IS pushed to duckdb
+        assert eng.sql("SELECT count(*) AS n FROM rdb_accounts").collect()[0].n == 100
+        assert eng._last_pushdown is not None
+        # governed query: secured view forces local plan; rows filtered
+        n = eng.sql("SELECT count(*) AS n FROM rdb_accounts", user="zed").collect()[0].n
+        assert n == 10
+        assert eng._last_pushdown is None
+
     def test_parse_shape(self):
         p = parse_policies(
             {

@@ -1,0 +1,88 @@
+"""Flight server façade: schema planning, governed execution, per-user
+policies over the wire, catalog introspection, token auth."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pyarrow.flight as fl
+import pytest
+
+import strake_spark as ss
+from strake_spark.server import make_server
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def served(spark):
+    eng = ss.connect(
+        {
+            "sources": [
+                {"name": "sv", "type": "parquet", "url": SF_DIR,
+                 "tables": [{"name": "nation"}, {"name": "region"}]}
+            ],
+            "policies": {
+                "roles": {"r0": {"tables": {"sv_nation": {
+                    "rls_filter": "n_regionkey = 0"}}}},
+                "users": {"pat": ["r0"]},
+            },
+        },
+        spark=spark,
+    )
+    srv = make_server(eng)
+    t = threading.Thread(target=srv.serve, daemon=True)
+    t.start()
+    yield fl.FlightClient(f"grpc://127.0.0.1:{srv.port}")
+    srv.shutdown()
+
+
+class TestFlightServer:
+    def test_get_flight_info_plans_schema(self, served):
+        info = served.get_flight_info(
+            fl.FlightDescriptor.for_command(b"SELECT n_name, n_regionkey FROM sv_nation")
+        )
+        assert [f.name for f in info.schema] == ["n_name", "n_regionkey"]
+
+    def test_do_get_executes_governed(self, served):
+        reader = served.do_get(fl.Ticket(b"SELECT count(*) AS n FROM sv_nation"))
+        assert reader.read_all().to_pylist() == [{"n": 25}]
+
+    def test_user_header_applies_policies(self, served):
+        req = json.dumps({"sql": "SELECT count(*) AS n FROM sv_nation", "user": "pat"})
+        reader = served.do_get(fl.Ticket(req.encode()))
+        assert reader.read_all().to_pylist() == [{"n": 5}]
+
+    def test_injection_rejected_over_wire(self, served):
+        with pytest.raises(Exception, match="(?i)read-only|rejected|SELECT"):
+            served.get_flight_info(
+                fl.FlightDescriptor.for_command(b"DROP TABLE sv_nation")
+            )
+
+    def test_catalog_introspection(self, served):
+        reader = served.do_get(fl.Ticket(b"catalog:tables"))
+        tables = {r["table"] for r in reader.read_all().to_pylist()}
+        assert {"sv_nation", "sv_region"} <= tables
+
+
+class TestAuth:
+    def test_token_required(self, spark):
+        eng = ss.connect(
+            {"sources": [{"name": "au", "type": "parquet", "url": SF_DIR,
+                          "tables": [{"name": "region"}]}]},
+            spark=spark,
+        )
+        srv = make_server(eng, token="s3cr3t")
+        t = threading.Thread(target=srv.serve, daemon=True)
+        t.start()
+        try:
+            client = fl.FlightClient(f"grpc://127.0.0.1:{srv.port}")
+            with pytest.raises(Exception, match="(?i)unauthenticated|invalid token"):
+                client.do_get(fl.Ticket(b"SELECT 1 AS x"))
+            opts = fl.FlightCallOptions(headers=[(b"authorization", b"Bearer s3cr3t")])
+            out = client.do_get(
+                fl.Ticket(b"SELECT count(*) AS n FROM au_region"), opts
+            ).read_all()
+            assert out.to_pylist() == [{"n": 5}]
+        finally:
+            srv.shutdown()
