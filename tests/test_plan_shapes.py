@@ -82,6 +82,16 @@ class TestScanPushdown:
         assert "l_shipdate" not in schema  # unused column never read
 
 
+class TestBucketedRangeJoin:
+    def test_no_nested_loop_join(self, spark):
+        """The bucketed rewrite must plan as an equi (hash/SMJ) join —
+        a raw inequality join would be BroadcastNestedLoop, the O(n*m)
+        plan the operator exists to avoid."""
+        plan = _plan(spark, "range_join_events_after_purchase")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 class TestNoDriverLoops:
     @pytest.mark.parametrize(
         "name",
