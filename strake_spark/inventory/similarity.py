@@ -56,7 +56,16 @@ def ann_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_lsh_bucketed_topk",
     tags=("rows_only",),
-    notes="LSH-bucketed ANN: driver records rows-only (anchor collection makes a single-statement oracle impractical); recall vs exact baseline asserted in tests/test_operators.py",
+    notes="LSH-bucketed ANN: driver records rows-only (anchor collection makes a single-statement oracle impractical); recall vs exact baseline asserted in tests/test_ann_recall.py",
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(table(spark, sf_dir, "embeddings"), k=3, n_queries=20)
+
+
+@query(
+    "ann_ivf_topk",
+    tags=("rows_only",),
+    notes="IVF ANN: KMeans cells + n_probe nearest-cell scan (iterative training is not SQL-expressible -> rows-only); recall vs exact baseline asserted in tests",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_topk(table(spark, sf_dir, "embeddings"), k=3, n_queries=20)

@@ -89,11 +89,15 @@ def lsh_topk(
     emb: DataFrame,
     k: int = 3,
     n_queries: int = 20,
-    n_anchor_bits: int = 4,
+    n_anchor_bits: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, plus (multi-probe) every bucket one sign-bit away — the
+    standard recall fix: a true neighbor differing on one hyperplane is
+    still found, at (bits+1)x candidate cost instead of 2^bits.
 
     Anchors are the ``n_anchor_bits`` lowest-id corpus vectors (excluded
     from queries/corpus pairing they anchor) — a deterministic choice
@@ -122,6 +126,15 @@ def lsh_topk(
         F.col("nrm").alias("q_norm"),
         F.col("bucket").alias("q_bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("q_bucket"),
+            *[
+                F.col("q_bucket").bitwiseXOR(F.lit(1 << b).cast("long"))
+                for b in range(n_anchor_bits)
+            ],
+        )
+        queries = queries.withColumn("q_bucket", F.explode(probes))
     scored = (
         corpus.join(F.broadcast(queries), F.col("bucket") == F.col("q_bucket"))
         .filter(F.col("query_id") != F.col("nbr_id"))
@@ -171,4 +184,90 @@ def embedding_dup_pairs(
             (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second scale path
+    next to LSH.
+
+    1. KMeans (Spark ML, fixed seed) partitions the corpus into
+       ``n_clusters`` cells; each corpus vector is assigned once.
+    2. Each query probes only its ``n_probe`` nearest cells, so the
+       scoring join touches ~n_probe/n_clusters of the corpus instead
+       of all of it — at 10^9 vectors that is the difference between a
+       full-corpus cross join and a targeted cell scan.
+    3. Exact cosine within the probed cells, per-query top-k.
+
+    Iterative training is driver-coordinated (MLlib) — inherently not
+    SQL-expressible, so the inventory entry is a rows-only check; the
+    recall-vs-exact property is asserted in tests instead.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dataset = emb.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(dataset)
+    assigned = model.transform(dataset).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        F.col("prediction").alias("cell"),
+    )
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+
+    def _dist2(vec: Column, center: list[float]) -> Column:
+        arr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cell_dists = F.array(
+        *[F.struct(_dist2(F.col(vec_col), c).alias("d"), F.lit(i).alias("cell"))
+          for i, c in centers]
+    )
+    queries = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.slice(F.array_sort(cell_dists), 1, n_probe).alias("probed"),
+        )
+        .select(
+            "query_id", "q_vec",
+            F.explode(F.transform("probed", lambda s: s.cell)).alias("cell"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(queries), "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (
+                _dot(F.col("q_vec"), F.col("nbr_vec"))
+                / (F.sqrt(_norm2(F.col("q_vec"))) * F.sqrt(_norm2(F.col("nbr_vec"))))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "nbr_id", "cosine")
+        .orderBy("query_id", F.col("cosine").desc(), "nbr_id")
     )

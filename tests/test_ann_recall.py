@@ -1,0 +1,46 @@
+"""ANN quality: LSH-bucketed and IVF approximate top-k must recover a
+meaningful fraction of the exact brute-force neighbors (the property
+the rows-only inventory entries defer to)."""
+
+from __future__ import annotations
+
+import pytest
+
+from strake_spark.data import table
+from strake_spark.operators import similarity as S
+from tests.conftest import SF_DIR
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.nbr_id)
+    return out
+
+
+@pytest.fixture(scope="module")
+def exact(spark):
+    emb = table(spark, SF_DIR, "embeddings")
+    return _topk_sets(S.cosine_topk(emb, k=3, n_queries=20))
+
+
+class TestRecall:
+    def test_lsh_recall(self, spark, exact):
+        emb = table(spark, SF_DIR, "embeddings")
+        approx = _topk_sets(S.lsh_topk(emb, k=3, n_queries=20))
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        assert hits / total >= 0.5, f"LSH recall {hits}/{total}"
+
+    def test_ivf_recall(self, spark, exact):
+        emb = table(spark, SF_DIR, "embeddings")
+        approx = _topk_sets(S.ivf_topk(emb, k=3, n_queries=20))
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
+
+    def test_ivf_deterministic(self, spark):
+        emb = table(spark, SF_DIR, "embeddings")
+        a = S.ivf_topk(emb, k=3, n_queries=5).collect()
+        b = S.ivf_topk(emb, k=3, n_queries=5).collect()
+        assert a == b  # fixed seed -> stable cells -> stable results
