@@ -74,7 +74,7 @@ _SUBMODULES: list[str] = []
 for _mod in ("tpch", "tpch_extended", "relational", "window", "setops", "expressions",
              "subqueries", "events", "dedup", "similarity", "text", "multimodal",
              "streaming_entries", "advanced", "asof_entries", "interval_entries",
-             "pii_entries"):
+             "pii_entries", "pipeline_extras"):
     _path = f"strake_spark.inventory.{_mod}"
     try:
         __import__(_path)

@@ -1,0 +1,118 @@
+"""Training-pipeline utilities: sampling, interleaving, vocabulary and
+distribution statistics — the data-curation verbs around dedup/quality.
+
+All deterministic (hash-based where randomness is conventional) so each
+has an exact DuckDB oracle:
+- hash sampling: md5-derived bucket per doc — reproducible split
+  selection across engines/runs, the pattern for train/eval splits
+  (RNG sampling can't be oracle-checked; hash sampling is also what a
+  100 TB pipeline wants for resumability).
+- deterministic shuffle: ORDER BY content hash — stable interleaving of
+  documents for training order, no RNG state.
+- vocabulary: corpus-wide token counts, top-N with total tie-break.
+- exact percentiles of document length per language (Spark
+  ``percentile`` == DuckDB ``quantile_cont``, both exact
+  interpolation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strake_spark.data import table
+from strake_spark.inventory import query
+from strake_spark.operators.hashing import normalize_text
+
+
+@query(
+    "sample_hash_bucket",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 2
+    ORDER BY doc_id
+    """,
+    notes="deterministic ~20% sample: md5(doc_id) bucket — reproducible train/eval splits without RNG state",
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10
+    return d.filter(bucket < 2).select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "sample_shuffle_deterministic",
+    oracle="""
+    SELECT doc_id FROM documents
+    ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+    notes="deterministic shuffle: order by content hash — stable training-order interleaving, no RNG",
+)
+def sample_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.concat("text", F.col("doc_id").cast("string"))).alias("h"))
+        .orderBy("h", "doc_id")
+        .select("doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "text_vocabulary_topn",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (
+      SELECT unnest(string_split(
+        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 50
+    """,
+    notes="corpus vocabulary: normalized token counts, top-50 with total tie-break",
+)
+def vocabulary_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+    )
+
+
+@query(
+    "agg_length_percentiles_by_lang",
+    oracle="""
+    SELECT lang,
+           quantile_cont(n_chars, 0.5)  AS p50,
+           quantile_cont(n_chars, 0.9)  AS p90,
+           quantile_cont(n_chars, 0.99) AS p99,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    notes="exact interpolated percentiles of document length per language (Spark percentile == DuckDB quantile_cont)",
+)
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.percentile("n_chars", 0.5).alias("p50"),
+            F.percentile("n_chars", 0.9).alias("p90"),
+            F.percentile("n_chars", 0.99).alias("p99"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
