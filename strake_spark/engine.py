@@ -50,6 +50,9 @@ class StrakeEngine:
         self._view_source: dict[str, str] = {}
         self._query_log: list[dict[str, Any]] = []
         self._last_pushdown = None  # PushdownPlan of the most recent sql()
+        from collections import Counter
+
+        self._metrics: Counter = Counter()
         self._cache = None
         if self.config.cache.enabled:
             from strake_spark.cache import ResultCache
@@ -122,12 +125,24 @@ class StrakeEngine:
         ]
 
     # ------------------------------------------------------------- queries
-    def sql(self, query: str, user: str | None = None) -> DataFrame:
+    def sql(
+        self,
+        query: str,
+        user: str | None = None,
+        params: dict[str, Any] | None = None,
+    ) -> DataFrame:
         """Gate + plan a read-only SQL query; returns a governed DataFrame.
+
+        ``params`` binds named parameters (``:name`` placeholders) — the
+        prepared-statement surface (reference flight_sql.rs:533-600);
+        binding happens in Spark's parser, never by string interpolation,
+        so values cannot inject syntax.
 
         Same-source federation runs first: when every referenced table
         lives in one remote SQL engine, the whole statement is pushed
         there (plans/federation.py) and Spark only scans the result.
+        Parameterized queries skip pushdown (the remote engine never
+        sees unbound text).
 
         Lazily planned: call .collect()/.toPandas() yourself, or use
         ``execute`` for timeout + cache + output-row enforcement.
@@ -135,15 +150,25 @@ class StrakeEngine:
         ensure_select(query)
         if self._policies is not None:
             query = self._policies.rewrite(query, user)
-        from strake_spark.plans.federation import plan_sql
+        if params:
+            self._last_pushdown = None
+            df = self.spark.sql(query, args=params)
+        else:
+            from strake_spark.plans.federation import plan_sql
 
-        df, pushed = plan_sql(self.spark, query)
-        self._last_pushdown = pushed
+            df, pushed = plan_sql(self.spark, query)
+            self._last_pushdown = pushed
         df = apply_defensive_limit(df, self.config.query_limits)
         check_cost(df, self.config.query_limits)
+        self._metrics["queries_planned"] += 1
         return df
 
-    def execute(self, query: str, user: str | None = None):
+    def execute(
+        self,
+        query: str,
+        user: str | None = None,
+        params: dict[str, Any] | None = None,
+    ):
         """Full governed execution -> pyarrow.Table (zero-copy boundary,
         like reference docs/python-api.md:110-122).
 
@@ -159,7 +184,7 @@ class StrakeEngine:
             for b in breakers:
                 b.acquire()
             try:
-                df = self.sql(query, user=user)
+                df = self.sql(query, user=user, params=params)
                 hit = self._cache.get(df, user) if self._cache is not None else None
                 if hit is not None:
                     table = hit
@@ -228,7 +253,21 @@ class StrakeEngine:
     def query_log(self) -> list[dict[str, Any]]:
         return list(self._query_log)
 
+    def metrics(self) -> dict[str, Any]:
+        """Operational counters (reference telemetry surface,
+        crates/common/src/telemetry.rs — re-expressed as a plain dict a
+        Prometheus exporter can scrape)."""
+        out = dict(self._metrics)
+        out["sources_registered"] = len(self._views)
+        out["breaker_states"] = {n: b.state for n, b in self._breakers.items()}
+        return out
+
     def _log_query(self, query: str, user: str | None, started: float, cached: bool) -> None:
+        self._metrics["queries_executed"] += 1
+        if cached:
+            self._metrics["cache_hits"] += 1
+        if self._last_pushdown is not None:
+            self._metrics["pushdown_queries"] += 1
         self._query_log.append(
             {
                 "query": query,

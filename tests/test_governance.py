@@ -97,6 +97,47 @@ class TestSourceDefaultLimit:
         assert eng.spark.table("sl_orders").count() == 3
 
 
+class TestParameterizedQueries:
+    @pytest.fixture(scope="class")
+    def peng(self, spark):
+        return ss.connect(
+            {
+                "sources": [
+                    {"name": "pq", "type": "parquet", "url": SF_DIR,
+                     "tables": [{"name": "nation"}, {"name": "customer"}]}
+                ]
+            },
+            spark=spark,
+        )
+
+    def test_named_params_bind(self, peng):
+        t = peng.execute(
+            "SELECT count(*) AS n FROM pq_nation WHERE n_regionkey = :rk",
+            params={"rk": 2},
+        )
+        assert t.to_pylist() == [{"n": 5}]
+
+    def test_params_cannot_inject(self, peng):
+        # the classic payload arrives as a VALUE, not syntax
+        t = peng.execute(
+            "SELECT count(*) AS n FROM pq_customer WHERE c_name = :name",
+            params={"name": "' OR '1'='1"},
+        )
+        assert t.to_pylist() == [{"n": 0}]
+
+    def test_gate_precedes_binding(self, peng):
+        from strake_spark.errors import QueryRejected
+
+        with pytest.raises(QueryRejected):
+            peng.sql("DROP TABLE pq_nation", params={"x": 1})
+
+    def test_metrics_counters(self, peng):
+        m = peng.metrics()
+        assert m["queries_executed"] >= 2
+        assert m["sources_registered"] == 1
+        assert "breaker_states" in m
+
+
 class TestFullLifecycle:
     def test_everything_on_one_engine(self, spark, tmp_path):
         eng = ss.connect(
