@@ -65,6 +65,10 @@ def build_session(
         # whole-statement federation pushdown (plans/federation.py).
         # --- local-mode hygiene ---
         "spark.ui.enabled": "true" if enable_ui else "false",
+        # managed tables (bucketed layouts) land in tmp, not the repo
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/strake-spark-warehouse"
+        ),
         "spark.sql.parquet.filterPushdown": "true",
         # Parquet TIMESTAMP(NANOS) columns (events.ts) are read as raw
         # int64 nanos; data.table() converts them to micros timestamps.
