@@ -116,3 +116,26 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    """,
+    notes="salted join (hot-key spreading) must be result-identical to the plain equi-join it replaces",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.operators.skew import salted_join
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return (
+        salted_join(o, c, on="o_custkey", num_salts=8)
+        .select("o_orderkey", "o_custkey", "c_name")
+        .orderBy("o_orderkey")
+    )
