@@ -139,3 +139,49 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "c_name")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           (p.user_id IS NOT NULL) AS converted
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ORDER BY s.user_id
+    """,
+    notes="funnel analysis: signup -> first subsequent purchase per user (two keyed aggregates + one left join; no per-user iteration)",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        s.join(p.withColumnRenamed("user_id", "p_user"), s.user_id == F.col("p_user"), "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "first_purchase_ts",
+            F.col("p_user").isNotNull().alias("converted"),
+        )
+        .orderBy("user_id")
+    )

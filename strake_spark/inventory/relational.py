@@ -36,7 +36,9 @@ from strake_spark.inventory._util import dec, dsum, sql_dec
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     c = table(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+    # customer grows with SF: no explicit broadcast hint — Catalyst/AQE
+    # broadcasts while it fits the threshold, shuffles beyond
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
 

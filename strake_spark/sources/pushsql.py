@@ -68,9 +68,11 @@ def sql_literal(value) -> str:
     if isinstance(value, int):
         return repr(value)
     if isinstance(value, float):
-        # bare decimal text parses as DECIMAL in some engines (DuckDB),
-        # silently changing comparison semantics — force binary float
-        return f"CAST({value!r} AS DOUBLE PRECISION)"
+        # quoted-string route: a bare decimal literal parses as DECIMAL
+        # in some engines, and DECIMAL->DOUBLE casts are not always
+        # correctly rounded (hypothesis-found ULP drift in DuckDB);
+        # string->double parsing is correctly rounded everywhere
+        return f"CAST('{value!r}' AS DOUBLE PRECISION)"
     if isinstance(value, _dt.datetime):
         return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
     if isinstance(value, _dt.date):
