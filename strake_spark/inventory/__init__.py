@@ -58,12 +58,69 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
     return deco
 
 
+# The driver verifies entries in `queries()` iteration order, and its
+# per-round window is finite (round 1 covered exactly the first 50).
+# Entries named here are emitted FIRST, in this order; everything else
+# follows in registration order. Round 2 front-loads the 49 entries that
+# had no CORRECTNESS_r01 row (expressions, subqueries/CTEs, the whole
+# LLM-pipeline family, asof/range joins, events, sampling) plus the two
+# TPC-H queries whose round-1 pass was a meaningless 0-row match (q9,
+# q22 — predicates retuned this round to return rows). The 48 entries
+# verified green in round 1 keep their pytest oracle backstop
+# (tests/test_inventory.py runs every entry at sf0.001 and sf0.01).
+_PRIORITY: tuple[str, ...] = (
+    # relational stragglers
+    "empty_relation", "limit_offset_page", "sort_multi_key_nulls", "pivot_status_by_flag",
+    # expression matrix
+    "expr_string_functions", "expr_math_functions", "expr_datetime_functions",
+    "expr_conditional_null", "expr_cast_matrix", "expr_array_higher_order",
+    # subqueries + CTEs
+    "subquery_scalar_above_avg", "subquery_in_european_customers",
+    "subquery_exists_correlated", "subquery_correlated_scalar_select",
+    "cte_reused", "cte_recursive_series",
+    # events / sessionization
+    "events_tumbling_window", "events_sessionization", "events_json_props",
+    "events_top_users_per_type", "events_funnel_conversion",
+    # dedup family
+    "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh_candidates",
+    "dedup_simhash_signatures", "dedup_simhash_near_pairs", "dedup_ngram_jaccard",
+    # similarity / ANN
+    "ann_cosine_topk_bruteforce", "ann_embedding_dup_pairs",
+    "ann_lsh_bucketed_topk", "ann_ivf_topk",
+    # text analysis
+    "text_language_id", "text_quality_score", "text_token_count", "text_fingerprint",
+    "text_vocabulary_topn", "agg_length_percentiles_by_lang",
+    # multimodal
+    "multimodal_binary_meta", "multimodal_decode_features",
+    # temporal joins + skew
+    "asof_join_backward", "asof_join_forward", "range_join_events_after_purchase",
+    "join_salted_skew",
+    # pii / sampling / window emulation / streaming
+    "pii_detect_and_scrub", "sample_hash_bucket", "sample_shuffle_deterministic",
+    "window_groups_frame_emulated", "stream_tumbling_event_counts",
+    # round-1 0-row matches, predicates retuned this round
+    "tpch_q9_product_profit", "tpch_q22_global_sales_opportunity",
+)
+
+
+def _ordered_names() -> list[str]:
+    for n in _PRIORITY:
+        if n not in REGISTRY:  # pragma: no cover - guards against renames
+            raise KeyError(f"_PRIORITY names unknown entry: {n}")
+    rest = [n for n in REGISTRY if n not in set(_PRIORITY)]
+    return list(_PRIORITY) + rest
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 # Import submodules for their registration side effects. Modules land

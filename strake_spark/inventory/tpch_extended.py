@@ -211,15 +211,17 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
       JOIN nation n   ON s.s_nationkey = n.n_nationkey
-      WHERE p.p_name LIKE '%5%'
+      WHERE p.p_name LIKE '%gear%'
     ) profit
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
     """,
-    notes="TPC-H Q9; supply cost proxied as 10% of p_retailprice*quantity (no partsupp table)",
+    notes="TPC-H Q9; supply cost proxied as 10% of p_retailprice*quantity (no partsupp "
+    "table); pattern '%gear%' matches the synthetic part-name vocabulary (round-1 "
+    "'%5%' matched nothing, making the hash check vacuous)",
 )
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
@@ -550,13 +552,17 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c.c_nationkey % 5 IN (0, 1, 2)
         AND {sql_dec('c_acctbal')} * pos.cnt > pos.sum_bal
         AND NOT EXISTS (
-          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
         )
     ) custsale
     GROUP BY cntrycode
     ORDER BY cntrycode
     """,
-    notes="TPC-H Q22 adapted: country code = c_nationkey % 5 (no phone column); above-average test rewritten multiplicatively (bal*cnt > sum)",
+    notes="TPC-H Q22 adapted: country code = c_nationkey % 5 (no phone column); "
+    "above-average test rewritten multiplicatively (bal*cnt > sum); 'never placed an "
+    "order' became 'never placed an URGENT order' because every synthetic customer "
+    "has orders (round-1 predicate matched nothing, making the hash check vacuous)",
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").filter((F.col("c_nationkey") % 5).isin(0, 1, 2))
@@ -569,7 +575,11 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(pos))
         .filter(dec("c_acctbal") * F.col("cnt") > F.col("sum_bal"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
         .select(
             (F.col("c_nationkey") % 5).cast("bigint").alias("cntrycode"),
             F.col("c_acctbal"),
