@@ -23,7 +23,7 @@ any engine reproduces the results bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from strake_spark.operators.hashing import (
@@ -97,12 +97,22 @@ def minhash_candidates(
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
     threshold: float = 0.5,
+    max_bucket_size: int = 50_000,
 ) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard >= threshold.
 
     Bands the signature, self-joins on (band, band-key). Distinct pairs
     may collide in several bands — dedup before scoring. Estimated
     Jaccard = fraction of agreeing signature components.
+
+    Buckets with more than ``max_bucket_size`` members are dropped
+    before the self-join: a single boilerplate bucket (every page
+    sharing a template) would otherwise produce size^2/2 candidate pairs
+    and one straggler task. Docs inside a dropped bucket still pair up
+    through their other bands unless they collide everywhere — the
+    standard production tradeoff (near-identical boilerplate is handled
+    by exact dedup upstream). The default cap is far above any test
+    bucket, so oracle results are unchanged at test scale.
     """
     sig = minhash_signatures(docs, id_col, text_col, num_hashes).cache()
     rows_per_band = num_hashes // num_bands
@@ -114,6 +124,11 @@ def minhash_candidates(
             F.col(id_col), F.lit(band).alias("band"), key.alias("band_key")
         )
         banded = part if banded is None else banded.unionAll(part)
+
+    bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "band_key"))
+    banded = banded.withColumn("bucket_n", bucket_n).filter(
+        F.col("bucket_n") <= max_bucket_size
+    ).drop("bucket_n")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -246,10 +261,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
 ) -> DataFrame:
-    """Exact word n-gram Jaccard via inverted-index join.
+    """Exact word n-gram Jaccard with prefix + length filtering (the
+    PPJoin-style similarity join).
 
-    Explode distinct n-grams, join on the n-gram (the inverted list),
-    count shared grams per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+    Candidate generation never joins the full inverted index: each
+    doc's grams are globally ordered by (document frequency, gram), and
+    only the first |g| - ceil(t*|g|) + 1 grams (the "prefix") are
+    indexed — any pair with Jaccard >= t provably shares a prefix gram,
+    so recall is exact while stop-word-like grams (high DF, ordered
+    last) stay out of the index join entirely. A length filter
+    (min_size >= t*max_size, also implied by J >= t) prunes the
+    remaining candidates before verification. Verification then counts
+    the full intersection only for surviving candidate pairs.
+
+    At 100 TB this bounds the classic blowup: a 3-gram shared by 100k
+    boilerplate docs lands in nobody's prefix (its DF ranks it last),
+    instead of producing 100k^2/2 join rows.
     """
     norm = docs.select(F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("w"))
     grams = (
@@ -266,28 +293,61 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    a, b = grams.alias("a"), grams.alias("b")
-    common = (
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+
+    # Prefix per doc: grams ranked by (global DF asc, gram asc); keep
+    # floor((1-t)*|g| + eps) + 1. The eps guards float representation of
+    # (1-t)*|g| at integer boundaries — one gram too MANY is safe (more
+    # candidates), one too few would lose true pairs.
+    from pyspark.sql import Window as _W
+
+    rn = F.row_number().over(_W.partitionBy(id_col).orderBy("gram_df", "gram"))
+    prefix_len = (
+        F.floor((1.0 - threshold) * F.col("n_grams") + F.lit(1e-9)) + 1
+    )
+    prefix = (
+        grams.join(gram_df, "gram")
+        .withColumn("rn", rn)
+        .join(sizes, id_col)
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col(id_col), F.col("gram"), F.col("n_grams"))
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: J >= t implies min|g| >= t * max|g|
+            & (
+                F.least(F.col("a.n_grams"), F.col("b.n_grams")).cast("double")
+                >= threshold * F.greatest(F.col("a.n_grams"), F.col("b.n_grams")) - 1e-9
+            ),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
         )
+        .distinct()
+    )
+
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    common = (
+        cand.join(ga, cand.id_a == F.col(f"ga.{id_col}"))
+        .join(gb, (cand.id_b == F.col(f"gb.{id_col}")) & (F.col("ga.gram") == F.col("gb.gram")))
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
-        common.join(sa, common.id_a == F.col(f"sa.{id_col}"))
-        .join(sb, common.id_b == F.col(f"sb.{id_col}"))
-        .select(
+        common.select(
             "id_a",
             "id_b",
             (
                 F.col("n_common").cast("double")
-                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common"))
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -159,26 +159,112 @@ def embedding_dup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    num_bands: int = 12,
+    band_bits: int = 3,
+    seed: int = 13,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
-    Brute-force all-pairs here (correctness baseline); the scale path is
-    lsh_topk-style bucketing first — documented rather than forced, so
-    the oracle stays exact.
+    method="lsh" (default, the scale path): banded random-hyperplane
+    signatures. Each vector gets ``num_bands`` band keys (``band_bits``
+    sign bits each, hyperplanes from a seeded Gaussian so every run and
+    every engine derives the same planes); candidate pairs share a full
+    band key in at least one band — a plain (band, key) equi self-join,
+    never an all-pairs nested-loop join. Exact cosine is the
+    post-filter, so no false positives; a true pair at cosine t is
+    missed with probability (1-(1-acos(t)/pi)^bits)^bands — ~2e-4 at
+    t=0.8 with the defaults, and 0 observed on the synthetic tables
+    (asserted against the exact oracle in tests). Buckets larger than
+    ``max_bucket_size`` (degenerate near-constant corpora) are dropped
+    with the same rationale as minhash's hot-bucket cap: a single
+    boilerplate bucket would otherwise go quadratic.
+
+    method="exact": the brute-force all-pairs baseline (|C|^2/2 — only
+    for small corpora / recall measurement).
     """
-    lhs = emb.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("na"),
+    if method == "exact":
+        lhs = emb.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.sqrt(_norm2(F.col(vec_col))).alias("na"),
+        )
+        rhs = emb.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.sqrt(_norm2(F.col(vec_col))).alias("nb"),
+        )
+        return (
+            lhs.join(rhs, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    import numpy as np
+
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, cosine double"
+        )
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bands * band_bits, dim))
+
+    def _band_key(vec: Column, band: int) -> Column:
+        key = F.lit(0).cast("long")
+        for j in range(band_bits):
+            p = planes[band * band_bits + j]
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            key = key + F.when(
+                _dot(vec, arr) > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return key
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _band_key(F.col(vec_col), b).alias("key"))
+            for b in range(num_bands)
+        ]
     )
-    rhs = emb.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("nb"),
+    tagged = (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.sqrt(_norm2(F.col(vec_col))).alias("nrm"),
+            F.explode(bands).alias("bk"),
+        )
+        .select(id_col, vec_col, "nrm", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "key"))
+    tagged = tagged.withColumn("bucket_n", bucket_n).filter(
+        F.col("bucket_n") <= max_bucket_size
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        lhs.join(rhs, F.col("id_a") < F.col("id_b"))
-        .select(
+        cand.select(
             "id_a",
             "id_b",
             (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
