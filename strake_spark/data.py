@@ -28,13 +28,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which a vanilla Spark
+        # session refuses to read (PARQUET_TYPE_ILLEGAL). The legacy conf
+        # is runtime-settable, so set it here rather than relying on the
+        # session having been built by session.build_session — any caller
+        # (including a driver harness with its own session) can read the
+        # table. Spark then surfaces ts as raw int64 nanos; integer-divide
+        # to micros (floor — same truncation DuckDB applies when casting
+        # nanos to its us timestamps) and restore a proper timestamp column.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark reads as raw
-        # int64 nanos under spark.sql.legacy.parquet.nanosAsLong (set by
-        # session.build_session). Integer-divide to micros (floor — same
-        # truncation DuckDB applies when casting nanos to its us
-        # timestamps) and restore a proper timestamp column.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 

@@ -21,10 +21,14 @@ from strake_spark.inventory import query
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.75 * (
         SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) / COUNT(*) FROM orders)
     """,
-    notes="uncorrelated scalar subquery; avg via decimal sum/count for determinism",
+    notes=(
+        "uncorrelated scalar subquery; avg via decimal sum/count for "
+        "determinism; 1.75x multiplier chosen so rows exist at every SF "
+        "(2x exceeded max(o_totalprice) -> vacuous 0=0 match in r2)"
+    ),
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "orders")
@@ -32,8 +36,8 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (
-            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*) FROM orders)
+        WHERE o_totalprice > 1.75 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) / COUNT(*) FROM orders)
         """
     )
 

@@ -164,6 +164,7 @@ def embedding_dup_pairs(
     band_bits: int = 3,
     seed: int = 13,
     max_bucket_size: int = 100_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
@@ -174,15 +175,19 @@ def embedding_dup_pairs(
     band key in at least one band — a plain (band, key) equi self-join,
     never an all-pairs nested-loop join. Exact cosine is the
     post-filter, so no false positives; a true pair at cosine t is
-    missed with probability (1-(1-acos(t)/pi)^bits)^bands — ~2e-4 at
-    t=0.8 with the defaults, and 0 observed on the synthetic tables
-    (asserted against the exact oracle in tests). Buckets larger than
+    missed with probability (1-(1-acos(t)/pi)^bits)^bands. On a planted
+    near-duplicate corpus and on the synthetic embeddings at t=0.4 /
+    num_bands=24 the LSH set equals the exact all-pairs set
+    (tests/test_plan_shapes.py). Buckets larger than
     ``max_bucket_size`` (degenerate near-constant corpora) are dropped
     with the same rationale as minhash's hot-bucket cap: a single
     boilerplate bucket would otherwise go quadratic.
 
     method="exact": the brute-force all-pairs baseline (|C|^2/2 — only
     for small corpora / recall measurement).
+
+    ``dim`` (embedding dimensionality) is read from the first row when
+    not given — pass it explicitly to keep plan construction fully lazy.
     """
     if method == "exact":
         lhs = emb.select(
@@ -207,12 +212,24 @@ def embedding_dup_pairs(
 
     import numpy as np
 
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
-        return emb.sparkSession.createDataFrame(
-            [], "id_a bigint, id_b bigint, cosine double"
+    if dim is None:
+        # Eager one-row probe; callers that need a fully lazy plan pass
+        # dim explicitly. Skip null embeddings when probing.
+        first = (
+            emb.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
         )
-    dim = first["d"]
+        if first is None:
+            return emb.sparkSession.createDataFrame(
+                [], "id_a bigint, id_b bigint, cosine double"
+            )
+        dim = first["d"]
+    if dim is None or dim < 1:
+        raise ValueError(
+            f"embedding_dup_pairs: could not determine embedding dimensionality "
+            f"(got {dim!r}); pass dim= explicitly"
+        )
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_bands * band_bits, dim))
 

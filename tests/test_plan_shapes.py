@@ -102,20 +102,55 @@ class TestEmbeddingDupPairsScalePath:
         assert "CartesianProduct" not in plan
         assert "HashJoin" in plan or "SortMergeJoin" in plan
 
-    def test_lsh_matches_exact_on_test_corpus(self, spark):
-        """Full recall on the synthetic corpus: LSH candidates + exact
-        post-filter reproduce the brute-force pair set."""
+    def test_lsh_matches_exact_on_planted_near_dups(self, spark):
+        """Non-vacuous recall check: a constructed corpus with genuine
+        near-duplicate vectors (base vectors + tiny perturbations, cosine
+        > 0.99) plus unrelated fillers. LSH must reproduce the exact
+        brute-force pair set, and that set must be non-empty."""
+        import math
+
+        from strake_spark.operators import similarity as S
+
+        dim = 8
+        rows = []
+        # 5 base vectors, each with 2 planted near-duplicates
+        for b in range(5):
+            base = [math.sin(0.7 * b * (j + 1)) + 1.5 for j in range(dim)]
+            rows.append((b * 10, base))
+            rows.append((b * 10 + 1, [x * 1.001 for x in base]))
+            rows.append((b * 10 + 2, [x + 0.001 * ((j % 3) - 1) for j, x in enumerate(base)]))
+        # fillers: alternating-sign vectors far from every base
+        for i in range(60, 100):
+            rows.append((i, [((-1.0) ** (i + j)) * (1.0 + 0.01 * j) for j in range(dim)]))
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in S.embedding_dup_pairs(emb, threshold=0.99, num_bands=24).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b)
+            for r in S.embedding_dup_pairs(emb, threshold=0.99, method="exact").collect()
+        }
+        assert len(exact) >= 15  # 3 pairs per planted triple x 5
+        assert lsh == exact
+
+    def test_lsh_matches_exact_on_synthetic_corpus(self, spark):
+        """Recall on the driver's synthetic embeddings at the inventory
+        entry's own settings (t=0.4, 24 bands): LSH == exact, non-empty.
+        Deterministic (seeded hyperplanes), so this also pins the driver
+        row to a non-vacuous match."""
         from strake_spark.data import table
         from strake_spark.operators import similarity as S
 
         emb = table(spark, SF_DIR, "embeddings")
         lsh = {
             (r.id_a, r.id_b)
-            for r in S.embedding_dup_pairs(emb, threshold=0.8).collect()
+            for r in S.embedding_dup_pairs(emb, threshold=0.4, num_bands=24).collect()
         }
         exact = {
             (r.id_a, r.id_b)
-            for r in S.embedding_dup_pairs(emb, threshold=0.8, method="exact").collect()
+            for r in S.embedding_dup_pairs(emb, threshold=0.4, method="exact").collect()
         }
         assert lsh == exact and len(exact) > 0
 
@@ -150,14 +185,11 @@ class TestSkewGuards:
         ]
         docs = spark.createDataFrame(rows, "doc_id bigint, text string")
         out = D.ngram_jaccard_pairs(docs, threshold=0.6)
-        # every pair shares the 6-gram header; tails differ -> jaccard
-        # is identical across pairs and high enough to keep
         rows_out = out.collect()
         assert all(r.jaccard >= 0.6 for r in rows_out)
-        # spot-check one pair against a hand computation:
-        # grams per doc = 9 (11 words, n=3), shared = header-only = 6
-        # (positions fully inside the common prefix), jaccard = 6/12
-        # -> below 0.6, so actually no pairs survive at t=0.6
+        # hand computation: grams per doc = 9 (11 words, n=3), shared =
+        # header-only = 6 (positions fully inside the common prefix),
+        # jaccard = 6/12 = 0.5 < 0.6 -> no pairs survive at t=0.6
         assert len(rows_out) == 0
         out_low = D.ngram_jaccard_pairs(docs, threshold=0.4)
         assert out_low.count() == 50 * 49 // 2
