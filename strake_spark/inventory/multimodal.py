@@ -47,3 +47,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "n_bytes", F.round(F.element_at("features", 1), 9).alias("f0")
     )
+
+
+@query(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    notes=(
+        "driver-checkable companion to multimodal_decode_features: the "
+        "metadata columns the mapInPandas decoder emits (doc_id, byte "
+        "length), hashable by the SQL oracle — verifies the Arrow batch "
+        "round-trip preserves every row and the payload length"
+    ),
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = MM.attach_binary(table(spark, sf_dir, "documents"))
+    return MM.decode_features(docs).select("doc_id", "n_bytes")

@@ -358,3 +358,26 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+@query(
+    "agg_approx_count_distinct_bound",
+    oracle="SELECT true AS within_bound",
+    notes=(
+        "driver-checkable companion to agg_approx_count_distinct: "
+        "|approx - exact| / exact <= 0.05 on l_orderkey as a 1-row "
+        "boolean (HLL rsd=0.02, so the 5% bound has wide margin; the "
+        "sketch is deterministic for a frozen dataset)"
+    ),
+)
+def agg_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = l.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    rel_err = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders")).cast("double")
+        / F.col("exact_orders")
+    )
+    return s.select((rel_err <= 0.05).alias("within_bound"))

@@ -48,11 +48,16 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.vec_id < b.vec_id AND {_COS} >= 0.4
     """,
     notes=(
-        "embedding-cosine near-duplicate pairs via banded LSH; threshold 0.4 "
-        "sits below the synthetic corpus's max pairwise cosine (~0.48 sf0.001, "
-        "~0.51 sf0.01) so the entry returns rows (59-66), and num_bands=24 "
-        "gives measured-full recall vs the exact all-pairs oracle at both SFs "
-        "(deterministic: seeded hyperplanes)"
+        "embedding-cosine near-duplicate pairs via banded LSH; 0.4 is a "
+        "row-count-tuned similarity threshold (not a semantic near-dup "
+        "cutoff): it sits below the synthetic corpus's max pairwise cosine "
+        "so the entry returns rows (66 sf0.001 / 59 sf0.01 / 920 sf0.1), "
+        "and num_bands=24 gives measured-full recall vs the exact "
+        "all-pairs oracle at ALL THREE SFs (0 misses, re-measured "
+        "2026-08-13). The exact-equality holds for the frozen testdata + "
+        "seed=13 + 24 bands; per-pair miss probability at the boundary is "
+        "~1e-3, so regenerating testdata or changing seed/bands may "
+        "reintroduce a benign mismatch — retune, don't assume a bug"
     ),
 )
 def ann_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,3 +82,59 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(table(spark, sf_dir, "embeddings"), k=3, n_queries=20)
+
+
+def _recall_row(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+    """1-row (n_queries, recall_ok): fraction of exact top-k pairs the
+    approximate method recovered, compared against a measured floor.
+    Both methods are deterministic (seeded planes / fixed KMeans seed),
+    so the boolean is stable for a frozen dataset."""
+    from pyspark.sql import functions as F
+
+    hit = approx.select("query_id", "nbr_id").withColumn("hit", F.lit(1))
+    joined = exact.select("query_id", "nbr_id").join(
+        hit, ["query_id", "nbr_id"], "left"
+    )
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+            >= floor
+        ).alias("recall_ok"),
+    )
+
+
+@query(
+    "ann_lsh_recall_vs_exact",
+    oracle="SELECT CAST(20 AS BIGINT) AS n_queries, true AS recall_ok",
+    notes=(
+        "driver-checkable companion to ann_lsh_bucketed_topk: recall@3 of "
+        "multi-probe LSH vs the exact baseline, >= 0.5 as a boolean. "
+        "Measured 0.683 (sf0.001), 0.683 (sf0.01), 0.667 (sf0.1) — "
+        "deterministic (anchors are lowest-id corpus vectors)"
+    ),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, k=3, n_queries=20)
+    approx = S.lsh_topk(emb, k=3, n_queries=20)
+    return _recall_row(exact, approx, floor=0.5)
+
+
+@query(
+    "ann_ivf_recall_vs_exact",
+    oracle="SELECT CAST(20 AS BIGINT) AS n_queries, true AS recall_ok",
+    notes=(
+        "driver-checkable companion to ann_ivf_topk: recall@3 of IVF with "
+        "n_probe=4 vs the exact baseline, >= 0.5 as a boolean. Measured "
+        "0.733 at sf0.1 with n_probe=4 (default n_probe=2 degrades to "
+        "0.383 there as the corpus grows past 8 fixed cells — n_probe is "
+        "the documented scale knob); deterministic (KMeans seed=7)"
+    ),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, k=3, n_queries=20)
+    approx = S.ivf_topk(emb, k=3, n_queries=20, n_probe=4)
+    return _recall_row(exact, approx, floor=0.5)

@@ -23,7 +23,7 @@ any engine reproduces the results bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from strake_spark.operators.hashing import (
@@ -125,10 +125,19 @@ def minhash_candidates(
         )
         banded = part if banded is None else banded.unionAll(part)
 
-    bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "band_key"))
-    banded = banded.withColumn("bucket_n", bucket_n).filter(
-        F.col("bucket_n") <= max_bucket_size
-    ).drop("bucket_n")
+    # Hot-bucket cap via aggregate + broadcast anti-join, NOT a window:
+    # a count().over(partitionBy(band, band_key)) would sort-shuffle the
+    # whole num_bands-times-exploded relation just to compute per-bucket
+    # counts. groupBy gets the same counts with map-side partials (the
+    # shuffle carries one row per distinct bucket, not per doc), and the
+    # over-cap key set is tiny by construction, so it broadcasts.
+    hot = (
+        banded.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+        .select("band", "band_key")
+    )
+    banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
 
     a = banded.alias("a")
     b = banded.alias("b")

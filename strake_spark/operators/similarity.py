@@ -258,10 +258,16 @@ def embedding_dup_pairs(
         )
         .select(id_col, vec_col, "nrm", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
-    bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "key"))
-    tagged = tagged.withColumn("bucket_n", bucket_n).filter(
-        F.col("bucket_n") <= max_bucket_size
+    # Hot-bucket cap as aggregate + broadcast anti-join (mirrors
+    # operators/dedup.py): a window count would sort-shuffle the whole
+    # banded relation; the over-cap key set is tiny and broadcasts.
+    hot = (
+        tagged.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+        .select("band", "key")
     )
+    tagged = tagged.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a, b = tagged.alias("a"), tagged.alias("b")
     cand = (
         a.join(
