@@ -116,14 +116,21 @@ def minhash_candidates(
     """
     sig = minhash_signatures(docs, id_col, text_col, num_hashes).cache()
     rows_per_band = num_hashes // num_bands
-    banded = None
+    # Band via a single explode, NOT a num_bands-way union: a union
+    # multiplies the partition count by num_bands (tiny tasks whose
+    # scheduling overhead swamps the aggregate locally, and num_bands
+    # times the task count on a cluster); explode is one narrow pass
+    # that preserves the upstream partitioning.
+    band_structs = []
     for band in range(num_bands):
         cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
         key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-        part = sig.select(
-            F.col(id_col), F.lit(band).alias("band"), key.alias("band_key")
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), key.alias("band_key"))
         )
-        banded = part if banded is None else banded.unionAll(part)
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
     # Hot-bucket cap via aggregate + broadcast anti-join, NOT a window:
     # a count().over(partitionBy(band, band_key)) would sort-shuffle the
