@@ -28,7 +28,16 @@ from strake_spark.errors import (
     SourceError,
 )
 
+
+def make_rest_server(engine, **kw):
+    """REST HTTP API façade (lazy import; see strake_spark.rest_api)."""
+    from strake_spark.rest_api import make_rest_server as _make
+
+    return _make(engine, **kw)
+
+
 __all__ = [
+    "make_rest_server",
     "__version__",
     "build_session",
     "default_parallelism",

@@ -1,0 +1,279 @@
+"""REST HTTP API façade over the governed engine.
+
+Mirrors the reference server's axum router (crates/server/src/api.rs:
+22-60 — /api/v1/sources, /api/v1/query, /api/v1/validate,
+/api/v1/introspect/{domain}/{source}) plus the unauthenticated health
+plane (crates/server/src/lib.rs:299-304 — /health, /ready, /metrics).
+
+Response shapes follow crates/common/src/models.rs:
+- QueryResponse  {status, data, message}
+- ValidationResponse {valid, errors}
+- TableDiscovery {name, schema}
+
+stdlib-only (`http.server.ThreadingHTTPServer`): the server is a thin
+door — queries execute on the engine's SparkSession through the full
+governed path (gate -> limit -> cost -> timeout -> cache), and compute
+scale-out is Spark's job, matching the reference's stateless-replica
+architecture (docs/architecture.md:74-92). Auth: optional static bearer
+token or an OIDC-style validator (strake_spark.jwtauth.OidcValidator);
+the health plane stays open, as in the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from strake_spark.errors import StrakeError
+from strake_spark.jwtauth import AuthError
+
+_INTROSPECT_TABLE = re.compile(r"^/api/v1/introspect/([A-Za-z_][A-Za-z0-9_]*)$")
+_INTROSPECT_SOURCE = re.compile(
+    r"^/api/v1/introspect/([A-Za-z_][A-Za-z0-9_]*)/([A-Za-z_][A-Za-z0-9_]*)$"
+)
+
+
+def _json_default(o: Any) -> str:
+    return str(o)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "strake-spark-rest/1"
+
+    # Populated via functools.partial-like class attribute on the server.
+    @property
+    def engine(self):
+        return self.server.engine  # type: ignore[attr-defined]
+
+    def log_message(self, fmt, *args):  # noqa: A003 - quiet by default
+        pass
+
+    # ------------------------------------------------------------ plumbing
+    def _send(self, code: int, payload: Any, content_type: str = "application/json") -> None:
+        body = (
+            payload
+            if isinstance(payload, bytes)
+            else json.dumps(payload, default=_json_default).encode()
+        )
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if n == 0:
+            return {}
+        raw = self.rfile.read(n)
+        try:
+            out = json.loads(raw)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"invalid JSON body: {e}") from None
+        if not isinstance(out, dict):
+            raise ValueError("JSON body must be an object")
+        return out
+
+    def _authorized(self) -> dict | None:
+        """Returns claims (or {}) when authorized, None after sending 401.
+        The health plane (/health, /ready, /metrics) is always open."""
+        srv = self.server
+        auth_header = self.headers.get("Authorization")
+        if srv.validator is not None:  # type: ignore[attr-defined]
+            try:
+                return srv.validator.validate(auth_header)  # type: ignore[attr-defined]
+            except AuthError as e:
+                self._send(401, {"status": "error", "data": None, "message": str(e)})
+                return None
+        if srv.token is not None:  # type: ignore[attr-defined]
+            if auth_header != f"Bearer {srv.token}":  # type: ignore[attr-defined]
+                self._send(401, {"status": "error", "data": None, "message": "invalid token"})
+                return None
+        return {}
+
+    # ------------------------------------------------------------- routes
+    def do_GET(self) -> None:  # noqa: N802 - http.server API
+        path = self.path.split("?", 1)[0].rstrip("/") or "/"
+        if path == "/health":
+            return self._send(200, {"status": "ok"})
+        if path == "/ready":
+            return self._send(200, {"status": "ready"})
+        if path == "/metrics":
+            return self._metrics()
+        claims = self._authorized()
+        if claims is None:
+            return None
+        if path == "/api/v1/sources":
+            return self._sources()
+        m = _INTROSPECT_SOURCE.match(path)
+        if m:
+            return self._list_tables(m.group(1), m.group(2))
+        m = _INTROSPECT_TABLE.match(path)
+        if m:
+            return self._introspect_table(m.group(1))
+        return self._send(404, {"status": "error", "data": None, "message": f"no route {path}"})
+
+    def do_POST(self) -> None:  # noqa: N802
+        path = self.path.split("?", 1)[0].rstrip("/")
+        claims = self._authorized()
+        if claims is None:
+            return None
+        try:
+            body = self._body()
+        except ValueError as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+        if path == "/api/v1/query":
+            return self._query(body, claims)
+        if path == "/api/v1/validate":
+            return self._validate(body)
+        return self._send(404, {"status": "error", "data": None, "message": f"no route {path}"})
+
+    # ------------------------------------------------------------ handlers
+    def _metrics(self) -> None:
+        """Prometheus text exposition of the engine counters."""
+        lines = []
+        for k, v in sorted(self.engine.metrics().items()):
+            if isinstance(v, (int, float)):
+                lines.append(f"strake_{k} {v}")
+            elif isinstance(v, dict):  # e.g. breaker_states
+                for sub, state in sorted(v.items()):
+                    lines.append(f'strake_{k}{{source="{sub}"}} "{state}"')
+        self._send(200, ("\n".join(lines) + "\n").encode(), content_type="text/plain")
+
+    def _sources(self) -> None:
+        out = []
+        views = self.engine.list_sources()
+        for cfg in self.engine.config.sources:
+            out.append(
+                {
+                    "name": cfg.name,
+                    "type": cfg.type,
+                    "url": cfg.url,
+                    "tables": views.get(cfg.name, []),
+                }
+            )
+        self._send(200, {"domain": None, "sources": out})
+
+    def _list_tables(self, _domain: str, source: str) -> None:
+        views = self.engine.list_sources()
+        if source not in views:
+            return self._send(
+                404, {"status": "error", "data": None, "message": f"unknown source {source}"}
+            )
+        self._send(200, [{"name": v, "schema": source} for v in views[source]])
+
+    def _introspect_table(self, view: str) -> None:
+        try:
+            cols = self.engine.describe(view)
+        except StrakeError as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+        except Exception as e:  # unknown view -> Spark AnalysisException
+            return self._send(404, {"status": "error", "data": None, "message": str(e)[:300]})
+        self._send(200, {"table": view, "columns": cols})
+
+    def _query(self, body: dict, claims: dict) -> None:
+        sql = body.get("sql")
+        if not sql:
+            return self._send(
+                400, {"status": "error", "data": None, "message": "missing 'sql'"}
+            )
+        user = body.get("user") or claims.get("sub")
+        try:
+            table = self.engine.execute(sql, user=user, params=body.get("params"))
+        except StrakeError as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+        except Exception as e:  # analysis errors etc.
+            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+        self._send(
+            200, {"status": "success", "data": table.to_pylist(), "message": None}
+        )
+
+    def _validate(self, body: dict) -> None:
+        """Two validation modes, both reference behaviors:
+        - {"sql": ...} — read-only gate + Catalyst analysis without
+          execution (rejects non-SELECT / multi-statement / unknown
+          columns) — the probe the driver e2e exercises;
+        - {"sources_yaml": ...} — structural config validation
+          (api.rs:64-88 parses SourcesConfig YAML)."""
+        errors: list[str] = []
+        if "sql" in body:
+            try:
+                self.engine.sql(body["sql"])
+            except StrakeError as e:
+                errors.append(str(e))
+            except Exception as e:
+                errors.append(str(e)[:500])
+        elif "sources_yaml" in body:
+            try:
+                import yaml
+
+                from strake_spark.config import parse_config
+
+                parsed = yaml.safe_load(body["sources_yaml"]) or {}
+                if not isinstance(parsed, dict):
+                    errors.append("YAML Parsing Error: top level must be a mapping")
+                else:
+                    parse_config(parsed)
+            except Exception as e:
+                errors.append(f"YAML Parsing Error: {e}")
+        else:
+            errors.append("provide 'sql' or 'sources_yaml'")
+        self._send(200, {"valid": not errors, "errors": errors})
+
+
+class RestServer:
+    """Bound-but-not-started HTTP server; ``serve()`` blocks,
+    ``start()`` runs it on a daemon thread (tests), ``port`` is live
+    after construction."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
+                 token: str | None = None, validator=None) -> None:
+        self.httpd = ThreadingHTTPServer((host, port), _Handler)
+        self.httpd.engine = engine  # type: ignore[attr-defined]
+        self.httpd.token = token  # type: ignore[attr-defined]
+        self.httpd.validator = validator  # type: ignore[attr-defined]
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def serve(self) -> None:  # pragma: no cover - manual entry point
+        self.httpd.serve_forever()
+
+    def start(self) -> "RestServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+
+def make_rest_server(engine, host: str = "127.0.0.1", port: int = 0,
+                     token: str | None = None, validator=None) -> RestServer:
+    return RestServer(engine, host=host, port=port, token=token, validator=validator)
+
+
+def main(argv=None) -> None:  # pragma: no cover - manual entry point
+    import argparse
+
+    import strake_spark as ss
+
+    p = argparse.ArgumentParser(prog="strake-spark-rest")
+    p.add_argument("--config", default=None)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--token", default=None)
+    args = p.parse_args(argv)
+    engine = ss.connect(args.config)
+    srv = make_rest_server(engine, host=args.host, port=args.port, token=args.token)
+    print(f"strake-spark REST API on port {srv.port}")
+    srv.serve()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -27,9 +27,20 @@ from __future__ import annotations
 import json
 
 
-def make_server(engine, location: str = "grpc://127.0.0.1:0", token: str | None = None):
+def make_server(
+    engine,
+    location: str = "grpc://127.0.0.1:0",
+    token: str | None = None,
+    validator=None,
+):
     """Build (not start) a Flight server bound to ``location``.
-    Returns the server object; ``server.port`` gives the bound port."""
+    Returns the server object; ``server.port`` gives the bound port.
+
+    Auth is either a static bearer ``token`` (reference auth.rs:24-66
+    API-key path) or an OIDC-style ``validator``
+    (strake_spark.jwtauth.OidcValidator — issuer/audience/exp checks,
+    reference auth.rs:154-215 shape); ``validator`` wins when both are
+    given."""
     import pyarrow as pa
     import pyarrow.flight as fl
 
@@ -39,6 +50,14 @@ def make_server(engine, location: str = "grpc://127.0.0.1:0", token: str | None 
             tok = vals[0] if vals else ""
             if isinstance(tok, bytes):
                 tok = tok.decode()
+            if validator is not None:
+                from strake_spark.jwtauth import AuthError
+
+                try:
+                    validator.validate(tok)
+                except AuthError as e:
+                    raise fl.FlightUnauthenticatedError(str(e)) from None
+                return None
             if tok != f"Bearer {token}":
                 raise fl.FlightUnauthenticatedError("invalid token")
             return None
@@ -46,7 +65,7 @@ def make_server(engine, location: str = "grpc://127.0.0.1:0", token: str | None 
     class StrakeFlightServer(fl.FlightServerBase):
         def __init__(self):
             middleware = {}
-            if token:
+            if token or validator is not None:
                 middleware["auth"] = _TokenMiddleware()
             super().__init__(location, middleware=middleware)
             self.engine = engine

@@ -82,11 +82,39 @@ class _Auth:
         if self.kind == "oauth2":
             return {"Authorization": f"Bearer {self._oauth2_token()}"}
         if self.kind == "jwt":
-            raise NotImplementedError(
-                "JWT-assertion auth needs a JWS signer (config: jwt_key, "
-                "jwt_audience, jwt_issuer); no crypto library is vendored"
-            )
+            return {"Authorization": f"Bearer {self._jwt_assertion()}"}
         raise SourceError(f"unknown auth_type {self.kind!r}")
+
+    def _jwt_assertion(self) -> str:
+        """Self-signed service-account JWT (reference rest.rs:45-79 /
+        rest_auth.rs:207-261): iss/aud/iat/exp claims signed with the
+        configured key, refreshed before expiry. HS256 runs stdlib-side;
+        RS256/ES256 (the reference default for Google/GitHub-style
+        service accounts) raise with the documented deploy gate since no
+        asymmetric-crypto library is vendored in this container."""
+        if self._token is not None and time.time() < self._token_expiry - 30:
+            return self._token
+        from strake_spark.jwtauth import build_assertion
+
+        o = self.options
+        expiry = int(o.get("jwt_expiry_secs", 3600))
+        custom = o.get("jwt_claims")
+        if isinstance(custom, str):
+            import json as _json
+
+            custom = _json.loads(custom)
+        self._token = build_assertion(
+            o.get("jwt_issuer", ""),
+            o.get("jwt_audience", ""),
+            algorithm=o.get("jwt_algorithm", "HS256"),
+            secret=o.get("jwt_key"),
+            private_key_pem=o.get("jwt_private_key_pem"),
+            expiry_secs=expiry,
+            subject=o.get("jwt_subject"),
+            claims=custom,
+        )
+        self._token_expiry = time.time() + expiry
+        return self._token
 
     def _oauth2_token(self) -> str:
         if self._token is not None and time.time() < self._token_expiry - 30:

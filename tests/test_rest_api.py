@@ -1,0 +1,294 @@
+"""REST HTTP API façade + JWT auth end-to-end (reference
+crates/server/src/api.rs routes, crates/server/src/auth.rs OIDC shape,
+crates/connectors/src/sources/rest_auth.rs assertion claims)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+import strake_spark as ss
+from strake_spark.jwtauth import (
+    AuthError,
+    OidcValidator,
+    build_assertion,
+    sign_hs256,
+    verify_hs256,
+)
+from strake_spark.rest_api import make_rest_server
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return ss.connect(
+        {
+            "sources": [
+                {
+                    "name": "t",
+                    "type": "parquet",
+                    "url": SF_DIR,
+                    "tables": [{"name": "nation"}, {"name": "region"}],
+                }
+            ]
+        },
+        spark=spark,
+    )
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = make_rest_server(engine).start()
+    yield srv
+    srv.stop()
+
+
+def _req(port, path, payload=None, token=None, method=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data, method=method or ("POST" if data else "GET"))
+    req.add_header("Content-Type", "application/json")
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def _jreq(port, path, payload=None, token=None):
+    code, body = _req(port, path, payload, token)
+    return code, json.loads(body)
+
+
+class TestHealthPlane:
+    def test_health_ready(self, server):
+        assert _jreq(server.port, "/health")[1] == {"status": "ok"}
+        assert _jreq(server.port, "/ready")[1] == {"status": "ready"}
+
+    def test_metrics_prometheus_text(self, server):
+        code, body = _req(server.port, "/metrics")
+        assert code == 200
+        assert b"strake_sources_registered 1" in body
+
+
+class TestApi:
+    def test_sources(self, server):
+        code, body = _jreq(server.port, "/api/v1/sources")
+        assert code == 200
+        (src,) = body["sources"]
+        assert src["name"] == "t" and set(src["tables"]) == {"t_nation", "t_region"}
+
+    def test_query_governed(self, server):
+        code, body = _jreq(
+            server.port,
+            "/api/v1/query",
+            {"sql": "SELECT n_name FROM t_nation WHERE n_regionkey = 0 ORDER BY n_name"},
+        )
+        assert code == 200 and body["status"] == "success"
+        names = [r["n_name"] for r in body["data"]]
+        assert names == sorted(names) and len(names) == 5
+
+    def test_query_rejects_non_select(self, server):
+        code, body = _jreq(server.port, "/api/v1/query", {"sql": "DROP TABLE t_nation"})
+        assert code == 400 and body["status"] == "error"
+
+    def test_query_params_bound(self, server):
+        code, body = _jreq(
+            server.port,
+            "/api/v1/query",
+            {"sql": "SELECT n_name FROM t_nation WHERE n_nationkey = :k", "params": {"k": 3}},
+        )
+        assert code == 200 and len(body["data"]) == 1
+
+    def test_validate_sql(self, server):
+        assert _jreq(server.port, "/api/v1/validate", {"sql": "SELECT 1 AS one"})[1] == {
+            "valid": True,
+            "errors": [],
+        }
+        code, body = _jreq(server.port, "/api/v1/validate", {"sql": "DELETE FROM t_nation"})
+        assert body["valid"] is False and body["errors"]
+
+    def test_validate_yaml(self, server):
+        ok = _jreq(
+            server.port,
+            "/api/v1/validate",
+            {"sources_yaml": "sources:\n  - name: x\n    type: parquet\n"},
+        )[1]
+        assert ok["valid"] is True
+        bad = _jreq(server.port, "/api/v1/validate", {"sources_yaml": "sources: ["})[1]
+        assert bad["valid"] is False and "YAML" in bad["errors"][0]
+
+    def test_introspect_matches_spark_schema(self, server, engine):
+        code, body = _jreq(server.port, "/api/v1/introspect/t_nation")
+        assert code == 200
+        expect = [
+            {"column": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+            for f in engine.spark.table("t_nation").schema.fields
+        ]
+        assert body["columns"] == expect
+
+    def test_introspect_source_listing(self, server):
+        code, body = _jreq(server.port, "/api/v1/introspect/default/t")
+        assert code == 200
+        assert {d["name"] for d in body} == {"t_nation", "t_region"}
+        assert all(d["schema"] == "t" for d in body)
+
+    def test_unknown_routes_404(self, server):
+        assert _req(server.port, "/api/v1/nope")[0] == 404
+        assert _req(server.port, "/api/v1/introspect/no_such_view")[0] == 404
+
+
+class TestStaticTokenAuth:
+    def test_token_enforced(self, engine):
+        srv = make_rest_server(engine, token="sekrit").start()
+        try:
+            assert _req(srv.port, "/api/v1/sources")[0] == 401
+            assert _req(srv.port, "/api/v1/sources", token="wrong")[0] == 401
+            assert _req(srv.port, "/api/v1/sources", token="sekrit")[0] == 200
+            # health plane stays open
+            assert _req(srv.port, "/health")[0] == 200
+        finally:
+            srv.stop()
+
+
+class TestJwt:
+    def test_sign_verify_roundtrip(self):
+        tok = sign_hs256({"sub": "alice", "iss": "me", "aud": "you"}, "k1")
+        claims = verify_hs256(tok, "k1", issuer="me", audience="you")
+        assert claims["sub"] == "alice"
+
+    def test_forged_signature_rejected(self):
+        tok = sign_hs256({"sub": "alice"}, "k1")
+        with pytest.raises(AuthError, match="signature"):
+            verify_hs256(tok, "other-key")
+
+    def test_expired_rejected(self):
+        tok = sign_hs256({"exp": time.time() - 3600}, "k1")
+        with pytest.raises(AuthError, match="expired"):
+            verify_hs256(tok, "k1")
+
+    def test_wrong_issuer_audience(self):
+        tok = sign_hs256({"iss": "a", "aud": "b", "exp": time.time() + 60}, "k1")
+        with pytest.raises(AuthError, match="issuer"):
+            verify_hs256(tok, "k1", issuer="not-a")
+        with pytest.raises(AuthError, match="audience"):
+            verify_hs256(tok, "k1", issuer="a", audience="not-b")
+
+    def test_alg_confusion_rejected(self):
+        tok = sign_hs256({"sub": "x"}, "k1", headers={"alg": "none"})
+        with pytest.raises(AuthError, match="alg"):
+            verify_hs256(tok, "k1")
+
+    def test_assertion_claim_shape(self):
+        tok = build_assertion(
+            "svc@example", "https://api", secret="k", subject="svc",
+            claims={"scope": "read"}, expiry_secs=120, now=1_000_000,
+        )
+        claims = verify_hs256(tok, "k", now=1_000_000)
+        assert claims == {
+            "iss": "svc@example", "aud": "https://api", "iat": 1_000_000,
+            "exp": 1_000_120, "sub": "svc", "scope": "read",
+        }
+
+    def test_rs256_deploy_gated(self):
+        with pytest.raises(NotImplementedError, match="RS256"):
+            build_assertion("i", "a", algorithm="RS256", private_key_pem="fake")
+
+
+class TestOidcRest:
+    def test_oidc_on_rest(self, engine):
+        v = OidcValidator("topsecret", issuer="https://idp", audience="strake")
+        srv = make_rest_server(engine, validator=v).start()
+        try:
+            good = sign_hs256(
+                {"iss": "https://idp", "aud": "strake", "sub": "u1",
+                 "exp": time.time() + 300},
+                "topsecret",
+            )
+            forged = sign_hs256(
+                {"iss": "https://idp", "aud": "strake", "sub": "u1",
+                 "exp": time.time() + 300},
+                "wrongkey",
+            )
+            wrong_aud = sign_hs256(
+                {"iss": "https://idp", "aud": "other", "exp": time.time() + 300},
+                "topsecret",
+            )
+            assert _req(srv.port, "/api/v1/sources")[0] == 401
+            assert _req(srv.port, "/api/v1/sources", token=forged)[0] == 401
+            assert _req(srv.port, "/api/v1/sources", token=wrong_aud)[0] == 401
+            assert _req(srv.port, "/api/v1/sources", token=good)[0] == 200
+        finally:
+            srv.stop()
+
+
+class TestOidcFlight:
+    def test_oidc_on_flight(self, engine):
+        fl = pytest.importorskip("pyarrow.flight")
+        from strake_spark.server import make_server
+
+        v = OidcValidator("fsecret", issuer="https://idp", audience="flight")
+        srv = make_server(engine, validator=v)
+        import threading
+
+        t = threading.Thread(target=srv.serve, daemon=True)
+        t.start()
+        try:
+            good = sign_hs256(
+                {"iss": "https://idp", "aud": "flight", "exp": time.time() + 300},
+                "fsecret",
+            )
+            forged = sign_hs256(
+                {"iss": "https://idp", "aud": "flight", "exp": time.time() + 300},
+                "badkey",
+            )
+            loc = f"grpc://127.0.0.1:{srv.port}"
+
+            def fetch(tok):
+                client = fl.connect(loc)
+                opts = fl.FlightCallOptions(headers=[(b"authorization", f"Bearer {tok}".encode())])
+                reader = client.do_get(fl.Ticket(b"catalog:tables"), options=opts)
+                return reader.read_all()
+
+            with pytest.raises(fl.FlightUnauthenticatedError):
+                fetch(forged)
+            tbl = fetch(good)
+            assert tbl.num_rows >= 2
+        finally:
+            srv.shutdown()
+
+
+class TestRestSourceJwtAuth:
+    def test_jwt_assertion_header(self):
+        from strake_spark.sources.rest import _Auth
+
+        auth = _Auth(
+            {
+                "auth_type": "jwt",
+                "jwt_key": "svc-secret",
+                "jwt_issuer": "svc@proj",
+                "jwt_audience": "https://api.example",
+                "jwt_subject": "svc",
+            }
+        )
+        hdrs = auth.headers()
+        tok = hdrs["Authorization"].removeprefix("Bearer ")
+        claims = verify_hs256(tok, "svc-secret", issuer="svc@proj", audience="https://api.example")
+        assert claims["sub"] == "svc" and claims["exp"] > time.time()
+        # cached until expiry
+        assert auth.headers()["Authorization"] == hdrs["Authorization"]
+
+    def test_rs256_still_gated(self):
+        from strake_spark.sources.rest import _Auth
+
+        auth = _Auth({"auth_type": "jwt", "jwt_algorithm": "RS256",
+                      "jwt_issuer": "i", "jwt_audience": "a",
+                      "jwt_private_key_pem": "----"})
+        with pytest.raises(NotImplementedError):
+            auth.headers()
