@@ -1,11 +1,11 @@
 """CLI — config lifecycle + introspection.
 
-Reference: crates/cli/src/main.rs (342 LoC) + docs/cli-reference.md:
-init / validate / describe / search / test-connection / query. The
-GitOps metadata-store commands (diff/apply/domain history/rollback)
-depend on a deployment database; here `validate` + `describe` +
-`test-connection` cover the operational core, and `query` gives a
-one-shot governed execution.
+Reference: crates/cli/src/main.rs + docs/cli-reference.md:18-231:
+init / validate / describe / search / introspect / add /
+test-connection / query, plus the GitOps metadata-store lifecycle —
+diff / apply (--force, --dry-run, --expected-version) and
+domain {list,history,rollback} — backed by the SQLite store in
+strake_spark.metadata (reference crates/cli/src/metadata/sqlite.rs).
 
 Usage: python -m strake_spark.cli <command> [...]
 """
@@ -137,6 +137,159 @@ def cmd_query(args) -> int:
     return 0
 
 
+def _store(args):
+    import os
+
+    from strake_spark.metadata import MetadataStore
+
+    path = args.store
+    if path is None:
+        base = os.path.dirname(os.path.abspath(getattr(args, "config", "sources.yaml")))
+        path = os.path.join(base, "strake-metadata.db")
+    return MetadataStore(path)
+
+
+def _load_cfg_and_yaml(path: str):
+    from strake_spark.config import load_config
+
+    cfg = load_config(path)
+    with open(path) as f:
+        raw = f.read()
+    return cfg, raw
+
+
+def cmd_diff(args) -> int:
+    cfg, _raw = _load_cfg_and_yaml(args.config)
+    store = _store(args)
+    try:
+        d = store.diff(args.domain, cfg)
+        for line in d.lines():
+            print(line)
+        return 0 if d.empty else 2  # git-diff convention: 2 = differences
+    finally:
+        store.close()
+
+
+def cmd_apply(args) -> int:
+    from strake_spark.metadata import DestructiveChange, VersionConflict
+
+    cfg, raw = _load_cfg_and_yaml(args.config)
+    store = _store(args)
+    try:
+        if args.dry_run:
+            for line in store.diff(args.domain, cfg).lines():
+                print(line)
+            print("dry-run: nothing persisted")
+            return 0
+        try:
+            out = store.apply(
+                args.domain,
+                cfg,
+                config_yaml=raw,
+                user=args.user,
+                force=args.force,
+                expected_version=args.expected_version,
+            )
+        except (DestructiveChange, VersionConflict) as e:
+            print(f"REFUSED: {e}", file=sys.stderr)
+            return 1
+        for line in out["diff"]:
+            print(line)
+        print(f"applied {args.domain} -> version {out['version']}")
+        return 0
+    finally:
+        store.close()
+
+
+def cmd_add(args) -> int:
+    """Introspect `table` in `source` and append it (with columns) to
+    the config file (docs/cli-reference.md `add`)."""
+    import yaml
+
+    from strake_spark.config import load_config
+
+    cfg = load_config(args.config)
+    src = next((s for s in cfg.sources if s.name == args.source), None)
+    if src is None:
+        print(f"INVALID: unknown source {args.source!r}", file=sys.stderr)
+        return 1
+    if any(t.name == args.table for t in src.tables):
+        print(f"OK: {args.source}.{args.table} already configured")
+        return 0
+    import strake_spark as ss
+    from strake_spark.config import SourceConfig, TableConfig
+
+    eng = ss.StrakeEngine(config=None)
+    probe = SourceConfig(
+        name=src.name, type=src.type, url=src.url, username=src.username,
+        password=src.password, options=dict(src.options),
+        tables=[TableConfig(name=args.table)],
+    )
+    views = eng.register(probe)
+    fields = eng.spark.table(views[0]).schema.fields
+    with open(args.config) as f:
+        doc = yaml.safe_load(f) or {}
+    for s in doc.get("sources", []):
+        if s.get("name") == args.source:
+            s.setdefault("tables", []).append(
+                {
+                    "name": args.table,
+                    "columns": [
+                        {"name": f.name, "type": f.dataType.simpleString()}
+                        for f in fields
+                    ],
+                }
+            )
+            break
+    with open(args.config, "w") as f:
+        yaml.safe_dump(doc, f, sort_keys=False)
+    print(f"added {args.source}.{args.table} ({len(fields)} columns) to {args.config}")
+    return 0
+
+
+def cmd_introspect(args) -> int:
+    """List tables visible in a registered source (reference `search`/
+    `introspect` over the upstream catalog)."""
+    eng = _engine(args.config)
+    views = eng.list_sources().get(args.source)
+    if views is None:
+        print(f"INVALID: unknown source {args.source!r}", file=sys.stderr)
+        return 1
+    for v in views:
+        cols = eng.describe(v)
+        print(f"{v}\t{len(cols)} columns")
+        if args.verbose:
+            for c in cols:
+                print(f"  {c['column']}\t{c['type']}")
+    return 0
+
+
+def cmd_domain(args) -> int:
+    store = _store(args)
+    try:
+        if args.domain_cmd == "list":
+            for d in store.list_domains():
+                print(f"{d['name']}\tv{d['version']}\t{d['created_at']}")
+            return 0
+        if args.domain_cmd == "history":
+            for e in store.history(args.name):
+                print(
+                    f"v{e['version']}\t{e['timestamp']}\tuser={e['user'] or '-'}\t"
+                    f"+{e['sources_added']}/-{e['sources_deleted']} sources\t"
+                    f"~{e['tables_modified']} tables\t{e['config_hash']}"
+                )
+            return 0
+        if args.domain_cmd == "rollback":
+            out = store.rollback(args.name, args.to_version)
+            print(f"rolled back {args.name} to config of v{args.to_version} "
+                  f"(new version {out['version']})")
+            return 0
+        print("INVALID: domain subcommand required", file=sys.stderr)
+        return 1
+    finally:
+        store.close()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="strake-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -170,6 +323,49 @@ def main(argv=None) -> int:
     sp.add_argument("sql")
     sp.add_argument("--format", choices=["table", "json"], default="table")
     sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("diff", help="preview config vs metadata store")
+    sp.add_argument("config", nargs="?", default="sources.yaml")
+    sp.add_argument("--domain", default="default")
+    sp.add_argument("--store", default=None)
+    sp.set_defaults(fn=cmd_diff)
+
+    sp = sub.add_parser("apply", help="deploy config to the metadata store")
+    sp.add_argument("config", nargs="?", default="sources.yaml")
+    sp.add_argument("--domain", default="default")
+    sp.add_argument("--store", default=None)
+    sp.add_argument("--force", action="store_true")
+    sp.add_argument("--dry-run", action="store_true", dest="dry_run")
+    sp.add_argument("--expected-version", type=int, default=None, dest="expected_version")
+    sp.add_argument("--user", default=None)
+    sp.set_defaults(fn=cmd_apply)
+
+    sp = sub.add_parser("add", help="introspect a table and add it to the config")
+    sp.add_argument("source")
+    sp.add_argument("table")
+    sp.add_argument("config", nargs="?", default="sources.yaml")
+    sp.set_defaults(fn=cmd_add)
+
+    sp = sub.add_parser("introspect", help="list tables + schemas of a source")
+    sp.add_argument("source")
+    sp.add_argument("config", nargs="?", default="sources.yaml")
+    sp.add_argument("-v", "--verbose", action="store_true")
+    sp.set_defaults(fn=cmd_introspect)
+
+    sp = sub.add_parser("domain", help="metadata-store domain management")
+    dsub = sp.add_subparsers(dest="domain_cmd", required=True)
+    dp = dsub.add_parser("list")
+    dp.add_argument("--store", default=None)
+    dp.set_defaults(fn=cmd_domain)
+    dp = dsub.add_parser("history")
+    dp.add_argument("name", nargs="?", default="default")
+    dp.add_argument("--store", default=None)
+    dp.set_defaults(fn=cmd_domain)
+    dp = dsub.add_parser("rollback")
+    dp.add_argument("name", nargs="?", default="default")
+    dp.add_argument("--to-version", type=int, required=True, dest="to_version")
+    dp.add_argument("--store", default=None)
+    dp.set_defaults(fn=cmd_domain)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,172 @@
+"""GitOps metadata-store lifecycle: diff -> apply -> history ->
+rollback, with optimistic locking and destructive-change guards
+(reference crates/cli/src/metadata/sqlite.rs + docs/cli-reference.md)."""
+
+from __future__ import annotations
+
+import pytest
+
+from strake_spark.cli import main
+from strake_spark.config import load_config
+from strake_spark.metadata import DestructiveChange, MetadataStore, VersionConflict
+from tests.conftest import SF_DIR
+
+_V1 = """\
+sources:
+  - name: c
+    type: parquet
+    url: {sf}
+    tables:
+      - name: region
+        columns:
+          - {{name: r_regionkey, type: bigint}}
+          - {{name: r_name, type: string}}
+"""
+
+_V2 = """\
+sources:
+  - name: c
+    type: parquet
+    url: {sf}
+    tables:
+      - name: region
+        columns:
+          - {{name: r_regionkey, type: bigint}}
+          - {{name: r_name, type: string}}
+      - name: nation
+  - name: d
+    type: parquet
+    url: {sf}
+    tables:
+      - name: orders
+"""
+
+
+@pytest.fixture
+def store(tmp_path):
+    s = MetadataStore(str(tmp_path / "meta.db"))
+    yield s
+    s.close()
+
+
+def _cfg(text, tmp_path, name="sources.yaml"):
+    p = tmp_path / name
+    p.write_text(text.format(sf=SF_DIR))
+    return str(p)
+
+
+class TestStore:
+    def test_apply_then_diff_clean(self, store, tmp_path):
+        path = _cfg(_V1, tmp_path)
+        cfg = load_config(path)
+        out = store.apply("default", cfg, config_yaml=open(path).read(), user="ci")
+        assert out["version"] == 2  # fresh domain starts at 1; change bumps
+        assert store.diff("default", cfg).empty
+        stored = store.get_sources("default")
+        assert stored["c"]["tables"]["region"]["columns"] == [
+            ("r_regionkey", "bigint"), ("r_name", "string"),
+        ]
+
+    def test_diff_detects_adds(self, store, tmp_path):
+        store.apply("default", load_config(_cfg(_V1, tmp_path)))
+        d = store.diff("default", load_config(_cfg(_V2, tmp_path, "v2.yaml")))
+        assert d.sources_added == ["d"]
+        assert d.tables_added == ["c.nation"]
+        assert not d.sources_removed
+
+    def test_destructive_requires_force(self, store, tmp_path):
+        store.apply("default", load_config(_cfg(_V2, tmp_path)))
+        v1 = load_config(_cfg(_V1, tmp_path, "v1.yaml"))
+        with pytest.raises(DestructiveChange):
+            store.apply("default", v1)
+        out = store.apply("default", v1, force=True)
+        assert "d" not in store.get_sources("default")
+        assert out["version"] == 3
+
+    def test_optimistic_locking(self, store, tmp_path):
+        cfg = load_config(_cfg(_V1, tmp_path))
+        store.apply("default", cfg)
+        with pytest.raises(VersionConflict):
+            store.apply("default", cfg, expected_version=1)
+        # correct expected version passes (no-op apply keeps version)
+        out = store.apply("default", cfg, expected_version=2)
+        assert out["version"] == 2
+
+    def test_history_and_rollback(self, store, tmp_path):
+        p1 = _cfg(_V1, tmp_path, "a.yaml")
+        p2 = _cfg(_V2, tmp_path, "b.yaml")
+        store.apply("default", load_config(p1), config_yaml=open(p1).read())
+        store.apply("default", load_config(p2), config_yaml=open(p2).read())
+        hist = store.history("default")
+        assert [h["version"] for h in hist] == [3, 2]
+        out = store.rollback("default", 2)
+        assert out["version"] == 4  # append-only audit trail
+        assert "d" not in store.get_sources("default")
+        assert sorted(store.get_sources("default")["c"]["tables"]) == ["region"]
+
+    def test_domain_listing(self, store, tmp_path):
+        store.apply("alpha", load_config(_cfg(_V1, tmp_path)))
+        store.apply("beta", load_config(_cfg(_V1, tmp_path)))
+        assert [d["name"] for d in store.list_domains()] == ["alpha", "beta"]
+
+
+class TestCliLifecycle:
+    def test_diff_apply_roundtrip(self, tmp_path, capsys):
+        cfg = _cfg(_V1, tmp_path)
+        db = str(tmp_path / "meta.db")
+        assert main(["diff", cfg, "--store", db]) == 2
+        assert "+ source c" in capsys.readouterr().out
+        assert main(["apply", cfg, "--store", db, "--user", "ci"]) == 0
+        assert "version 2" in capsys.readouterr().out
+        assert main(["diff", cfg, "--store", db]) == 0
+        assert "no changes" in capsys.readouterr().out
+
+    def test_apply_dry_run_persists_nothing(self, tmp_path, capsys):
+        cfg = _cfg(_V1, tmp_path)
+        db = str(tmp_path / "meta.db")
+        assert main(["apply", cfg, "--store", db, "--dry-run"]) == 0
+        assert "dry-run" in capsys.readouterr().out
+        assert main(["diff", cfg, "--store", db]) == 2  # still unapplied
+
+    def test_apply_refuses_destructive(self, tmp_path, capsys):
+        v2 = _cfg(_V2, tmp_path, "v2.yaml")
+        v1 = _cfg(_V1, tmp_path, "v1.yaml")
+        db = str(tmp_path / "meta.db")
+        assert main(["apply", v2, "--store", db]) == 0
+        capsys.readouterr()
+        assert main(["apply", v1, "--store", db]) == 1
+        assert "REFUSED" in capsys.readouterr().err
+        assert main(["apply", v1, "--store", db, "--force"]) == 0
+
+    def test_domain_history_and_rollback(self, tmp_path, capsys):
+        v1 = _cfg(_V1, tmp_path, "v1.yaml")
+        v2 = _cfg(_V2, tmp_path, "v2.yaml")
+        db = str(tmp_path / "meta.db")
+        main(["apply", v1, "--store", db])
+        main(["apply", v2, "--store", db])
+        capsys.readouterr()
+        assert main(["domain", "list", "--store", db]) == 0
+        assert "default\tv3" in capsys.readouterr().out
+        assert main(["domain", "history", "--store", db]) == 0
+        out = capsys.readouterr().out
+        assert "v3" in out and "v2" in out
+        assert main(["domain", "rollback", "--store", db, "--to-version", "2"]) == 0
+        assert "new version 4" in capsys.readouterr().out
+
+    def test_introspect_lists_source_tables(self, tmp_path, capsys):
+        cfg = _cfg(_V1, tmp_path)
+        assert main(["introspect", "c", cfg, "-v"]) == 0
+        out = capsys.readouterr().out
+        assert "c_region" in out and "r_regionkey" in out
+
+    def test_add_introspects_and_appends(self, tmp_path, capsys):
+        cfg = _cfg(_V1, tmp_path)
+        assert main(["add", "c", "nation", cfg]) == 0
+        assert "added c.nation" in capsys.readouterr().out
+        new = load_config(cfg)
+        (src,) = new.sources
+        nation = next(t for t in src.tables if t.name == "nation")
+        assert {c.name for c in nation.columns} >= {"n_nationkey", "n_name"}
+        # idempotent
+        assert main(["add", "c", "nation", cfg]) == 0
+        assert "already configured" in capsys.readouterr().out
