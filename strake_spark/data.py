@@ -27,8 +27,33 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# parquet files confirmed (by footer probe) to carry TIMESTAMP(NANOS)
+_NANOS_FILES: dict[str, bool] = {}
+
+
+def _has_nanos_ts(path: str) -> bool:
+    """Driver-side pyarrow footer probe: does any column store
+    TIMESTAMP(NANOS)? Cheap (no Spark job, one footer read), cached."""
+    hit = _NANOS_FILES.get(path)
+    if hit is None:
+        try:
+            import pyarrow.parquet as pq
+            import pyarrow as pa
+
+            schema = pq.read_schema(path)
+            hit = any(
+                pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+                for f in schema
+            )
+        except Exception:
+            hit = False
+        _NANOS_FILES[path] = hit
+    return hit
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events" and _has_nanos_ts(path):
         # events.ts is parquet TIMESTAMP(NANOS), which a vanilla Spark
         # session refuses to read (PARQUET_TYPE_ILLEGAL). The legacy conf
         # is runtime-settable, so set it here rather than relying on the
@@ -37,8 +62,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # table. Spark then surfaces ts as raw int64 nanos; integer-divide
         # to micros (floor — same truncation DuckDB applies when casting
         # nanos to its us timestamps) and restore a proper timestamp column.
+        #
+        # Scope: the conf is session-global and stays set for the session
+        # (restoring it after the lazy read would flip the plan's own
+        # execution); the footer probe above means it is only ever touched
+        # when a nanos file is actually being read. Limitation documented
+        # in README.md: other nanos parquet read in the same session will
+        # also surface as int64.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql import types as T

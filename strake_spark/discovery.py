@@ -27,6 +27,55 @@ class ColumnHit:
     type: str
     source: str
     score: float
+    comment: str = ""
+
+
+def _duckdb_comments(url: str) -> dict[tuple[str, str | None], str]:
+    """Table + column comments from a DuckDB catalog
+    (COMMENT ON TABLE/COLUMN — duckdb_tables()/duckdb_columns() expose
+    them; reference metadata.py dialect-strategy equivalent)."""
+    import duckdb
+
+    con = duckdb.connect(url, read_only=True)
+    try:
+        out: dict[tuple[str, str | None], str] = {}
+        for tname, comment in con.execute(
+            "SELECT table_name, comment FROM duckdb_tables() WHERE comment IS NOT NULL"
+        ).fetchall():
+            out[(tname, None)] = comment
+        for tname, cname, comment in con.execute(
+            "SELECT table_name, column_name, comment FROM duckdb_columns() "
+            "WHERE comment IS NOT NULL"
+        ).fetchall():
+            out[(tname, cname)] = comment
+        return out
+    finally:
+        con.close()
+
+
+def _sqlite_comments(url: str) -> dict[tuple[str, str | None], str]:
+    """Best-effort inline `-- comment` parse from CREATE TABLE DDL
+    (SQLite has no first-class comments; reference metadata.py:212-240
+    does the same sqlite_master regex walk)."""
+    import re
+
+    path = url[len("sqlite://"):] if url.startswith("sqlite://") else url
+    con = sqlite3.connect(path)
+    try:
+        out: dict[tuple[str, str | None], str] = {}
+        for tname, ddl in con.execute(
+            "SELECT name, sql FROM sqlite_master WHERE type='table' AND sql IS NOT NULL"
+        ).fetchall():
+            for line in ddl.splitlines():
+                m = re.search(r"([A-Za-z0-9_]+)\s+[^,]*,?\s*--\s*(.+)$", line.strip())
+                if m:
+                    out[(tname, m.group(1))] = m.group(2).strip()
+        return out
+    finally:
+        con.close()
+
+
+_COMMENT_FETCHERS = {"duckdb": _duckdb_comments, "sqlite": _sqlite_comments}
 
 
 class SchemaIndex:
@@ -36,13 +85,22 @@ class SchemaIndex:
 
     def rebuild(self) -> int:
         """(Re)index every temp view / table in the session catalog.
-        Returns the number of column documents indexed."""
+        Returns the number of column documents indexed.
+
+        Comment enrichment (reference python/strake/metadata.py:42-260):
+        column/table comments are pulled per source — Spark StructField
+        metadata for local views, duckdb_tables()/duckdb_columns() for
+        DuckDB, DDL-parsed `--` comments for SQLite — and indexed as an
+        FTS field, so a search on business terms ('customer segment')
+        ranks the commented column even when the physical name
+        ('c_mktsegment') shares no token with the query."""
         from strake_spark.sources.registry import REMOTE_TABLES
 
         con = sqlite3.connect(":memory:")
         con.execute(
-            "CREATE VIRTUAL TABLE cols USING fts5(tbl, col, typ, src)"
+            "CREATE VIRTUAL TABLE cols USING fts5(tbl, col, typ, src, doc)"
         )
+        comment_cache: dict[str, dict[tuple[str, str | None], str]] = {}
         n = 0
         for t in self.spark.catalog.listTables():
             name = t.name
@@ -52,10 +110,24 @@ class SchemaIndex:
                 continue
             remote = REMOTE_TABLES.get(name)
             src = remote.context() if remote else (t.tableType or "view")
+            comments: dict[tuple[str, str | None], str] = {}
+            if remote is not None and remote.dialect in _COMMENT_FETCHERS:
+                key = f"{remote.dialect}:{remote.url}"
+                if key not in comment_cache:
+                    try:
+                        comment_cache[key] = _COMMENT_FETCHERS[remote.dialect](remote.url)
+                    except Exception:
+                        comment_cache[key] = {}  # unreachable source: index names only
+                comments = comment_cache[key]
+            table_comment = comments.get((remote.table, None), "") if remote else ""
             for f in schema.fields:
+                col_comment = (
+                    comments.get((remote.table, f.name), "") if remote else ""
+                ) or str(f.metadata.get("comment", "") if f.metadata else "")
+                doc = " ".join(x for x in (col_comment, table_comment) if x)
                 con.execute(
-                    "INSERT INTO cols VALUES (?,?,?,?)",
-                    (name, f.name, f.dataType.simpleString(), src),
+                    "INSERT INTO cols VALUES (?,?,?,?,?)",
+                    (name, f.name, f.dataType.simpleString(), src, doc),
                 )
                 n += 1
         con.commit()
@@ -66,7 +138,8 @@ class SchemaIndex:
 
     def search(self, query: str, limit: int = 20) -> list[ColumnHit]:
         """BM25-ranked column search; '*' suffix expansion applied to
-        bare terms so 'cust' finds 'c_custkey'."""
+        bare terms so 'cust' finds 'c_custkey'. Comment text ('doc')
+        participates in matching and ranking."""
         if self._con is None:
             self.rebuild()
         terms = [t for t in query.replace("'", " ").split() if t]
@@ -74,11 +147,13 @@ class SchemaIndex:
             return []
         fts = " OR ".join(f'"{t}"*' for t in terms)
         rows = self._con.execute(
-            "SELECT tbl, col, typ, src, rank FROM cols "
+            "SELECT tbl, col, typ, src, doc, rank FROM cols "
             "WHERE cols MATCH ? ORDER BY rank LIMIT ?",
             (fts, limit),
         ).fetchall()
-        return [ColumnHit(r[0], r[1], r[2], r[3], -float(r[4])) for r in rows]
+        return [
+            ColumnHit(r[0], r[1], r[2], r[3], -float(r[5]), comment=r[4]) for r in rows
+        ]
 
 
 def register_information_schema(spark: SparkSession) -> list[str]:

@@ -119,9 +119,22 @@ class TestEmbeddingDupPairsScalePath:
             rows.append((b * 10, base))
             rows.append((b * 10 + 1, [x * 1.001 for x in base]))
             rows.append((b * 10 + 2, [x + 0.001 * ((j % 3) - 1) for j, x in enumerate(base)]))
-        # fillers: alternating-sign vectors far from every base
+        # fillers: deterministic md5-derived pseudo-random vectors in
+        # [-1,1]^8 — pairwise-dissimilar (verified: no filler pair and no
+        # filler-base pair reaches cosine 0.99; sinusoid-family fillers
+        # kept aliasing into accidental near-pairs), so the exact set is
+        # EXACTLY the planted pairs and the equality below is undiluted.
+        import hashlib
+
+        def _filler(i: int) -> list[float]:
+            return [
+                (int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16) / 0x7FFFFFFF)
+                - 1.0
+                for j in range(dim)
+            ]
+
         for i in range(60, 100):
-            rows.append((i, [((-1.0) ** (i + j)) * (1.0 + 0.01 * j) for j in range(dim)]))
+            rows.append((i, _filler(i)))
         emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
 
         lsh = {
@@ -132,7 +145,7 @@ class TestEmbeddingDupPairsScalePath:
             (r.id_a, r.id_b)
             for r in S.embedding_dup_pairs(emb, threshold=0.99, method="exact").collect()
         }
-        assert len(exact) >= 15  # 3 pairs per planted triple x 5
+        assert len(exact) == 15  # 3 pairs per planted triple x 5, nothing else
         assert lsh == exact
 
     def test_lsh_matches_exact_on_synthetic_corpus(self, spark):

@@ -210,11 +210,15 @@ class TestAuth:
             # schema inference fetches the sample page -> auth error here
             _load(spark, f"{server}/secure/bearer", auth_type="bearer", token="WRONG")
 
-    def test_jwt_stubbed(self, spark, server):
+    def test_jwt_requires_key_and_gates_rs256(self, spark, server):
         from strake_spark.sources.rest import _Auth
 
-        with pytest.raises(NotImplementedError):
+        # HS256 (the implemented in-container algorithm) needs jwt_key
+        with pytest.raises(ValueError, match="secret"):
             _Auth({"auth_type": "jwt"}).headers()
+        # asymmetric algorithms stay deploy-gated (no crypto lib vendored)
+        with pytest.raises(NotImplementedError, match="RS256"):
+            _Auth({"auth_type": "jwt", "jwt_algorithm": "RS256"}).headers()
 
 
 class TestRegistration:

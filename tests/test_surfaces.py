@@ -70,6 +70,57 @@ class TestDiscovery:
         ).collect()
         assert cols[0].column_name == "o_orderkey" and cols[0].data_type == "bigint"
 
+    def test_comment_enrichment_duckdb(self, spark, tmp_path):
+        """A search on business vocabulary that shares no token with the
+        physical column name must hit via the indexed comment
+        (reference python/strake/metadata.py enrichment)."""
+        import duckdb
+
+        dbpath = str(tmp_path / "comments.duckdb")
+        con = duckdb.connect(dbpath)
+        con.execute("CREATE TABLE users (id BIGINT, seg VARCHAR)")
+        con.execute("COMMENT ON COLUMN users.seg IS 'marketing audience tier'")
+        con.execute("COMMENT ON TABLE users IS 'registered account holders'")
+        con.close()
+        eng = ss.connect(
+            {"sources": [{"name": "du", "type": "duckdb", "url": dbpath,
+                          "tables": [{"name": "users"}]}]},
+            spark=spark,
+        )
+        idx = SchemaIndex(eng.spark)
+        idx.rebuild()
+        hits = idx.search("marketing audience")
+        assert any(h.table == "du_users" and h.column == "seg" for h in hits)
+        top = hits[0]
+        assert "marketing audience tier" in top.comment
+        # table-level comment also searchable
+        assert any(h.table == "du_users" for h in idx.search("account holders"))
+
+    def test_comment_enrichment_sqlite_ddl(self, spark, tmp_path):
+        import sqlite3 as sq
+
+        dbpath = str(tmp_path / "comments.db")
+        con = sq.connect(dbpath)
+        con.execute(
+            "CREATE TABLE orders (\n"
+            "  oid INTEGER PRIMARY KEY,\n"
+            "  amt REAL, -- gross merchandise value\n"
+            "  st TEXT -- fulfillment stage\n"
+            ")"
+        )
+        con.execute("INSERT INTO orders VALUES (1, 9.5, 'new')")
+        con.commit()
+        con.close()
+        eng = ss.connect(
+            {"sources": [{"name": "sq", "type": "sqlite", "url": dbpath,
+                          "tables": [{"name": "orders"}]}]},
+            spark=spark,
+        )
+        idx = SchemaIndex(eng.spark)
+        idx.rebuild()
+        hits = idx.search("merchandise value")
+        assert any(h.table == "sq_orders" and h.column == "amt" for h in hits)
+
     def test_explain_tree_marks_remote_pushdown(self, spark, tmp_path):
         import duckdb
 
