@@ -2,9 +2,10 @@
 drains a Structured Streaming query (availableNow trigger) over the
 events table and returns the final result as a batch DataFrame.
 
-The tumbling-window aggregate has an exact DuckDB oracle
-(time_bucket); sessionization has no ANSI equivalent (session_window
-is data-driven) and is a rows-only check.
+Both entries carry exact DuckDB oracles: tumbling windows via
+time_bucket, sessionization via the gaps-and-islands rewrite (a data-
+driven session_window equals "new session when gap >= timeout" over
+the final drained result).
 """
 
 from __future__ import annotations
@@ -57,8 +58,34 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_sessionization",
-    tags=("rows_only",),
-    notes="session_window (data-driven gaps) has no ANSI-SQL equivalent; driver records a rows-only check",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch_ns(ts) - epoch_ns(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                         >= 1800000000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM ordered
+    )
+    SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, seq
+    """,
+    notes=(
+        "session_window IS SQL-expressible batch-side as gaps-and-islands: "
+        "a new session opens when the gap is >= the 30-min timeout (Spark "
+        "merges windows that strictly overlap, so >= not >), session_end = "
+        "last event + gap. Verified hash-exact vs the drained stream at "
+        "sf0.001 (946 sessions) and sf0.01 (9549)"
+    ),
 )
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strake_spark.streaming import read_event_stream, session_counts

@@ -81,11 +81,17 @@ def make_server(
         # ------------------------------------------------------- planning
         def get_flight_info(self, context, descriptor):
             sql = descriptor.command.decode()
-            df = self.engine.sql(sql)  # gate + plan; no execution yet
+            params = None
+            if sql.startswith("{"):
+                req = json.loads(sql)
+                sql, params = req["sql"], req.get("params")
+            df = self.engine.sql(sql, params=params)  # gate + plan; no execution yet
             from pyspark.sql.pandas.types import to_arrow_schema
 
             schema = to_arrow_schema(df.schema)
-            endpoint = fl.FlightEndpoint(sql.encode(), [])
+            # ticket = the ORIGINAL command (JSON kept intact so do_get
+            # re-binds the same parameters)
+            endpoint = fl.FlightEndpoint(descriptor.command, [])
             return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
         # ------------------------------------------------------ execution
@@ -95,10 +101,15 @@ def make_server(
                 return fl.RecordBatchStream(self._tables_batch())
             payload = t.decode()
             user = None
+            params = None
             if payload.startswith("{"):
+                # Prepared-statement shape (reference flight_sql.rs:533-600):
+                # named :params bind in Spark's parser, never by string
+                # interpolation, so values cannot inject syntax.
                 req = json.loads(payload)
                 payload, user = req["sql"], req.get("user")
-            table = self.engine.execute(payload, user=user)
+                params = req.get("params")
+            table = self.engine.execute(payload, user=user, params=params)
             return fl.RecordBatchStream(table)
 
     return StrakeFlightServer()

@@ -11,7 +11,10 @@ at 100 TB — always declare in production).
 Object stores (file.rs:124-207 routes s3/gs/az/http/ftp/sftp through
 OpenDAL): s3a:// gs:// abfss:// resolve through Hadoop FS connectors
 when their jars are on the classpath; http(s) is handled by a
-driver-side fetch in sources/rest.py; ftp/sftp are not supported in v1.
+driver-side fetch in sources/rest.py; ftp:// spools through the driver
+(stdlib ftplib — the documented small-file path, matching the
+reference's whole-object OpenDAL fetch); sftp:// is gated on an SSH
+transport (paramiko) being installed.
 
 Each table registers a temp view named ``<source>_<table>`` wrapped with
 schema-drift reconciliation when a declared schema exists (see
@@ -80,6 +83,61 @@ def _configure_object_store(spark: SparkSession, cfg: SourceConfig) -> None:
             hconf.set(key, str(cfg.options[opt]))
 
 
+def _spool_ftp(url: str, options: dict) -> str:
+    """Fetch ftp:// files to a local spool dir (stdlib ftplib) and
+    return the local path Spark reads.
+
+    Reference file.rs:124-207 routes ftp/ftps through OpenDAL — also a
+    whole-object fetch; there is no split-capable FTP reader anywhere.
+    This is therefore explicitly the SMALL-FILE path (config refresh,
+    dimension drops): bytes move through the driver once per
+    registration, then Spark scans the local spool. Large-scale data
+    belongs on a splittable store (s3a/gs/abfss route straight to
+    executor-side Hadoop FS connectors above).
+
+    sftp:// additionally needs an SSH transport (paramiko) on the
+    driver — not vendored here; the spool shape is identical.
+    """
+    import tempfile
+    from ftplib import FTP, error_perm
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(url)
+    if u.scheme == "sftp":
+        raise SourceError(
+            "sftp:// needs an SSH transport (install paramiko and extend "
+            "_spool_ftp — the spool flow is identical to ftp://)"
+        )
+    spool = tempfile.mkdtemp(prefix="strake-ftp-")
+    ftp = FTP()
+    ftp.connect(u.hostname or "", u.port or 21, timeout=float(options.get("timeout", 30)))
+    ftp.login(unquote(u.username or "anonymous"), unquote(u.password or ""))
+    try:
+        path = u.path or "/"
+        try:
+            names = ftp.nlst(path)  # directory listing (or [path] for a file)
+        except error_perm:
+            names = [path]
+        fetched = 0
+        for remote in names:
+            base = os.path.basename(remote.rstrip("/"))
+            if not base or "." not in base:
+                continue  # sub-dirs / oddities: flat listing only, like OpenDAL's
+            local = os.path.join(spool, base)
+            try:
+                with open(local, "wb") as f:
+                    ftp.retrbinary(f"RETR {remote}", f.write)
+            except Exception as e:  # noqa: BLE001 - surface with context
+                os.unlink(local)
+                raise SourceError(f"ftp fetch failed for {remote!r}: {e}") from e
+            fetched += 1
+        if fetched == 0:
+            raise SourceError(f"ftp source fetched no files from {path!r}")
+        return spool if len(names) > 1 else os.path.join(spool, os.path.basename(names[0]))
+    finally:
+        ftp.quit()
+
+
 @source_type("parquet", "csv", "json", "ndjson", "file")
 def register_file_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
     fmt = cfg.type if cfg.type in _FORMATS else str(cfg.options.get("format", "parquet"))
@@ -90,6 +148,8 @@ def register_file_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
         raise SourceError(f"file source {cfg.name!r} declares no tables")
     for tbl in cfg.tables:
         path = tbl.path or os.path.join(base, f"{tbl.name}.{ 'parquet' if fmt == 'parquet' else fmt }")
+        if path.startswith(("ftp://", "ftps://", "sftp://")):
+            path = _spool_ftp(path, cfg.options)
         df = _read_one(spark, fmt, path, tbl)
         if cfg.default_limit:
             # per-source row cap (models.rs SourceConfig.default_limit):

@@ -53,6 +53,28 @@ class TestFlightServer:
         reader = served.do_get(fl.Ticket(req.encode()))
         assert reader.read_all().to_pylist() == [{"n": 5}]
 
+    def test_prepared_statement_params_bind(self, served):
+        """Prepared-statement surface (reference flight_sql.rs:533-600):
+        named params ride the command JSON, bind in Spark's parser, and
+        the FlightInfo ticket round-trips them intact."""
+        cmd = json.dumps(
+            {"sql": "SELECT n_name FROM sv_nation WHERE n_nationkey = :k",
+             "params": {"k": 3}}
+        ).encode()
+        info = served.get_flight_info(fl.FlightDescriptor.for_command(cmd))
+        assert [f.name for f in info.schema] == ["n_name"]
+        reader = served.do_get(info.endpoints[0].ticket)
+        rows = reader.read_all().to_pylist()
+        assert len(rows) == 1
+
+    def test_params_cannot_inject(self, served):
+        cmd = json.dumps(
+            {"sql": "SELECT n_name FROM sv_nation WHERE n_name = :v",
+             "params": {"v": "x' OR '1'='1"}}
+        ).encode()
+        reader = served.do_get(fl.Ticket(cmd))
+        assert reader.read_all().num_rows == 0  # bound as a literal, not spliced
+
     def test_injection_rejected_over_wire(self, served):
         with pytest.raises(Exception, match="(?i)read-only|rejected|SELECT"):
             served.get_flight_info(

@@ -169,3 +169,71 @@ class TestMcpQueryRoundtrip:
         payload = json.loads(resp["result"]["content"][0]["text"])
         assert payload["ok"], payload
         assert payload["stdout"].strip() == "AFRICA,AMERICA,ASIA,EUROPE,MIDDLE EAST"
+
+
+class TestFtpScheme:
+    """ftp:// spool path (stdlib ftplib faked at the socket boundary:
+    connect/login/nlst/retrbinary against real parquet bytes)."""
+
+    class _FakeFTP:
+        store: dict[str, bytes] = {}
+        logins: list[tuple[str, str]] = []
+
+        def connect(self, host, port, timeout=None):
+            self.host, self.port = host, port
+
+        def login(self, user, password):
+            type(self).logins.append((user, password))
+
+        def nlst(self, path):
+            hits = [p for p in self.store if p == path or p.startswith(path.rstrip("/") + "/")]
+            if not hits:
+                from ftplib import error_perm
+
+                raise error_perm("550 no such file")
+            return hits
+
+        def retrbinary(self, cmd, callback):
+            path = cmd.removeprefix("RETR ")
+            callback(self.store[path])
+
+        def quit(self):
+            pass
+
+    @pytest.fixture
+    def fake_ftp(self, monkeypatch):
+        import strake_spark.sources.file as fmod
+
+        self._FakeFTP.store = {}
+        self._FakeFTP.logins = []
+        monkeypatch.setattr("ftplib.FTP", self._FakeFTP)
+        return self._FakeFTP
+
+    def test_ftp_single_file(self, spark, fake_ftp):
+        with open(f"{SF_DIR}/region.parquet", "rb") as f:
+            fake_ftp.store["/data/region.parquet"] = f.read()
+        eng = ss.connect(
+            {"sources": [{"name": "fx", "type": "parquet", "url": "ftp://bob:pw@files.example:2121/data",
+                          "tables": [{"name": "region"}]}]},
+            spark=spark,
+        )
+        assert eng.spark.table("fx_region").count() == 5
+        assert fake_ftp.logins == [("bob", "pw")]
+
+    def test_sftp_gated(self, spark, fake_ftp):
+        with pytest.raises(Exception, match="paramiko"):
+            ss.connect(
+                {"sources": [{"name": "sf2", "type": "parquet",
+                              "url": "sftp://h/data", "tables": [{"name": "region"}]}]},
+                spark=spark,
+            )
+
+    def test_ftp_missing_file_errors(self, spark, fake_ftp):
+        from strake_spark.errors import SourceError
+
+        with pytest.raises(SourceError, match="no files|fetch failed"):
+            ss.connect(
+                {"sources": [{"name": "fe", "type": "parquet",
+                              "url": "ftp://h/empty", "tables": [{"name": "region"}]}]},
+                spark=spark,
+            )
