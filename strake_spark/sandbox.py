@@ -8,12 +8,14 @@ MCP ``run_python`` tool executes agent scripts against the engine
 
 This re-expression keeps the architecture (subprocess isolation, rlimit
 resource caps, captured stdout, wall-clock timeout, result-size cap)
-with portable primitives only: ``resource.setrlimit`` for CPU/memory/
-file-size/process caps and a scrubbed environment. Linux namespace /
-seccomp / microVM layers are environment-dependent privileges this
-container doesn't have — the hook points are marked and the guard
-degrades gracefully, mirroring the reference's fallback ladder
-(native sandbox when Firecracker is unavailable, native.py:202).
+with portable primitives: ``resource.setrlimit`` for CPU/memory/
+file-size/process caps, a scrubbed environment, and — on Linux with
+CAP_NET_ADMIN — an empty network namespace per child
+(unshare(CLONE_NEWNET) between fork and exec, the reference's
+native.py:546-557 isolation). seccomp / microVM layers remain
+privilege-dependent hook points; everything degrades gracefully,
+mirroring the reference's fallback ladder (native sandbox when
+Firecracker is unavailable, native.py:202).
 
 The executed script gets a ``strake`` shim whose ``sql(query)`` runs
 against the parent engine via a result file – scripts never hold the
@@ -40,6 +42,52 @@ class SandboxLimits:
     max_processes: int = 8
     wall_seconds: float = 30.0
     max_output_bytes: int = 1_000_000
+    # Linux: drop the child into an empty network namespace
+    # (unshare(CLONE_NEWNET), reference native.py:546-557). Needs
+    # CAP_NET_ADMIN; degrades silently to env-scrub-only elsewhere.
+    isolate_network: bool = True
+
+
+_CLONE_NEWNET = 0x40000000
+
+
+def _load_libc():
+    if sys.platform != "linux":
+        return None
+    try:
+        import ctypes
+
+        return ctypes.CDLL(None, use_errno=True)
+    except Exception:  # noqa: BLE001 - no libc -> no isolation
+        return None
+
+
+# Resolved at import: the post-fork pre-exec hook must not allocate or
+# take locks (CDLL loading does both), only issue the raw syscall.
+_LIBC = _load_libc()
+
+
+def _unshare_network() -> bool:
+    """unshare(CLONE_NEWNET) via libc (portable across CPython versions;
+    os.unshare only exists on 3.12+). Returns True when the calling
+    process is now in an empty netns."""
+    if _LIBC is None:
+        return False
+    try:
+        return _LIBC.unshare(_CLONE_NEWNET) == 0
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def network_isolation_available() -> bool:
+    """Probe (in a throwaway fork) whether netns isolation will apply."""
+    if sys.platform != "linux":
+        return False
+    pid = os.fork()
+    if pid == 0:  # pragma: no cover - child
+        os._exit(0 if _unshare_network() else 1)
+    _, status = os.waitpid(pid, 0)
+    return os.waitstatus_to_exitcode(status) == 0
 
 
 @dataclass
@@ -63,7 +111,8 @@ _cap(resource.RLIMIT_CPU, {cpu})
 _cap(resource.RLIMIT_AS, {mem} * 1024 * 1024)
 _cap(resource.RLIMIT_FSIZE, {fsize} * 1024 * 1024)
 _cap(resource.RLIMIT_NPROC, {nproc})
-# hook point: unshare(CLONE_NEWNET) / seccomp would go here with privileges
+# network isolation happens pre-exec (unshare(CLONE_NEWNET), see
+# run_python); remaining hook point: seccomp BPF filter with privileges
 
 import types
 
@@ -116,6 +165,7 @@ def run_python(
             "MKL_NUM_THREADS": "1",
             "NUMEXPR_NUM_THREADS": "1",
         }
+        preexec = _unshare_network if limits.isolate_network else None
         try:
             proc = subprocess.run(
                 [sys.executable, "-I", path],  # -I: isolated mode
@@ -123,6 +173,9 @@ def run_python(
                 timeout=limits.wall_seconds,
                 env=env,
                 cwd=tmp,
+                # runs in the child between fork and exec: netns applies
+                # to the sandboxed interpreter only
+                preexec_fn=preexec,
             )
         except subprocess.TimeoutExpired:
             return SandboxResult(

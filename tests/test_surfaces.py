@@ -158,6 +158,23 @@ class TestSandbox:
         )
         assert not r.ok
 
+    def test_network_isolated(self):
+        """With netns isolation the sandboxed child has no routes: any
+        connect attempt fails instantly (reference native.py:546-557)."""
+        from strake_spark.sandbox import network_isolation_available
+
+        if not network_isolation_available():
+            pytest.skip("needs Linux + CAP_NET_ADMIN")
+        r = run_python(
+            "import socket\n"
+            "try:\n"
+            "    socket.create_connection(('127.0.0.1', 9), timeout=2)\n"
+            "    print('CONNECTED')\n"
+            "except OSError as e:\n"
+            "    print('BLOCKED', e.errno)\n"
+        )
+        assert r.ok and "BLOCKED" in r.stdout and "CONNECTED" not in r.stdout
+
     def test_env_scrubbed(self):
         r = run_python("import os; print(sorted(os.environ))")
         assert r.ok
