@@ -138,13 +138,17 @@ def cmd_query(args) -> int:
 
 
 def _store(args):
+    """Resolve the metadata DB: --store wins; otherwise it lives next to
+    the config file. `domain` subcommands carry a --config flag with the
+    same default, so every command resolves the SAME store path for the
+    same project (history/rollback must see apply's database)."""
     import os
 
     from strake_spark.metadata import MetadataStore
 
     path = args.store
     if path is None:
-        base = os.path.dirname(os.path.abspath(getattr(args, "config", "sources.yaml")))
+        base = os.path.dirname(os.path.abspath(getattr(args, "config", None) or "sources.yaml"))
         path = os.path.join(base, "strake-metadata.db")
     return MetadataStore(path)
 
@@ -356,15 +360,18 @@ def main(argv=None) -> int:
     dsub = sp.add_subparsers(dest="domain_cmd", required=True)
     dp = dsub.add_parser("list")
     dp.add_argument("--store", default=None)
+    dp.add_argument("--config", default="sources.yaml")
     dp.set_defaults(fn=cmd_domain)
     dp = dsub.add_parser("history")
     dp.add_argument("name", nargs="?", default="default")
     dp.add_argument("--store", default=None)
+    dp.add_argument("--config", default="sources.yaml")
     dp.set_defaults(fn=cmd_domain)
     dp = dsub.add_parser("rollback")
     dp.add_argument("name", nargs="?", default="default")
     dp.add_argument("--to-version", type=int, required=True, dest="to_version")
     dp.add_argument("--store", default=None)
+    dp.add_argument("--config", default="sources.yaml")
     dp.set_defaults(fn=cmd_domain)
 
     args = p.parse_args(argv)

@@ -45,9 +45,12 @@ def _has_nanos_ts(path: str) -> bool:
                 pa.types.is_timestamp(f.type) and f.type.unit == "ns"
                 for f in schema
             )
+            _NANOS_FILES[path] = hit  # only successful probes are cached:
+            # a transient failure (file not yet written, import hiccup)
+            # must not pin False for the process lifetime — the next call
+            # re-probes.
         except Exception:
-            hit = False
-        _NANOS_FILES[path] = hit
+            return False
     return hit
 
 

@@ -16,6 +16,7 @@ since you last read it), destructive changes (source deletion) require
 from __future__ import annotations
 
 import hashlib
+import json
 import sqlite3
 from dataclasses import dataclass, field
 from typing import Any
@@ -40,6 +41,7 @@ CREATE TABLE IF NOT EXISTS sources (
     type TEXT NOT NULL,
     url TEXT,
     username TEXT,
+    fingerprint TEXT,
     UNIQUE (domain_name, name)
 );
 CREATE TABLE IF NOT EXISTS tables (
@@ -48,6 +50,7 @@ CREATE TABLE IF NOT EXISTS tables (
     name TEXT NOT NULL,
     schema_name TEXT,
     partition_column TEXT,
+    path TEXT,
     UNIQUE (source_id, name)
 );
 CREATE TABLE IF NOT EXISTS columns (
@@ -85,6 +88,7 @@ class DestructiveChange(StrakeError):
 class DiffResult:
     sources_added: list[str] = field(default_factory=list)
     sources_removed: list[str] = field(default_factory=list)
+    sources_changed: list[str] = field(default_factory=list)
     tables_added: list[str] = field(default_factory=list)
     tables_removed: list[str] = field(default_factory=list)
     columns_changed: list[str] = field(default_factory=list)
@@ -92,7 +96,7 @@ class DiffResult:
     @property
     def empty(self) -> bool:
         return not (
-            self.sources_added or self.sources_removed
+            self.sources_added or self.sources_removed or self.sources_changed
             or self.tables_added or self.tables_removed or self.columns_changed
         )
 
@@ -100,10 +104,30 @@ class DiffResult:
         out = []
         out += [f"+ source {s}" for s in self.sources_added]
         out += [f"- source {s}" for s in self.sources_removed]
+        out += [f"~ source {s}" for s in self.sources_changed]
         out += [f"+ table {t}" for t in self.tables_added]
         out += [f"- table {t}" for t in self.tables_removed]
         out += [f"~ columns {t}" for t in self.columns_changed]
         return out or ["no changes"]
+
+
+def _source_fingerprint(s) -> str:
+    """Hash of every source-level field that isn't structurally stored
+    (options, credentials identity, limits): a change to any of them
+    must surface in diff and bump the version, or applies become silent
+    no-ops with ambiguous history rows."""
+    blob = json.dumps(
+        {
+            "url": s.url,
+            "username": s.username,
+            "default_limit": s.default_limit,
+            "cache": s.cache,
+            "max_concurrent_queries": s.max_concurrent_queries,
+            "options": {k: str(v) for k, v in sorted(s.options.items())},
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
 def _config_shape(cfg: EngineConfig) -> dict[str, dict]:
@@ -115,9 +139,16 @@ def _config_shape(cfg: EngineConfig) -> dict[str, dict]:
             tables[t.name] = {
                 "schema": t.schema,
                 "partition_column": t.partition_column,
+                "path": t.path,
                 "columns": [(c.name, c.type) for c in t.columns],
             }
-        out[s.name] = {"type": s.type, "url": s.url, "tables": tables}
+        out[s.name] = {
+            "type": s.type,
+            "url": s.url,
+            "username": s.username,
+            "fingerprint": _source_fingerprint(s),
+            "tables": tables,
+        }
     return out
 
 
@@ -159,13 +190,14 @@ class MetadataStore:
     def get_sources(self, domain: str) -> dict[str, dict]:
         """Stored config in the same comparison shape as _config_shape."""
         out: dict[str, dict] = {}
-        for sid, name, stype, url in self.con.execute(
-            "SELECT id, name, type, url FROM sources WHERE domain_name = ? ORDER BY name",
+        for sid, name, stype, url, username, fp in self.con.execute(
+            "SELECT id, name, type, url, username, fingerprint FROM sources "
+            "WHERE domain_name = ? ORDER BY name",
             (domain,),
         ).fetchall():
             tables: dict[str, dict] = {}
-            for tid, tname, schema_name, part in self.con.execute(
-                "SELECT id, name, schema_name, partition_column FROM tables "
+            for tid, tname, schema_name, part, tpath in self.con.execute(
+                "SELECT id, name, schema_name, partition_column, path FROM tables "
                 "WHERE source_id = ? ORDER BY name",
                 (sid,),
             ).fetchall():
@@ -176,9 +208,13 @@ class MetadataStore:
                 tables[tname] = {
                     "schema": schema_name,
                     "partition_column": part,
+                    "path": tpath,
                     "columns": [(c, d) for c, d in cols],
                 }
-            out[name] = {"type": stype, "url": url, "tables": tables}
+            out[name] = {
+                "type": stype, "url": url, "username": username,
+                "fingerprint": fp, "tables": tables,
+            }
         return out
 
     # ---------------------------------------------------------------- diff
@@ -189,11 +225,16 @@ class MetadataStore:
         d.sources_added = sorted(set(local) - set(stored))
         d.sources_removed = sorted(set(stored) - set(local))
         for sname in sorted(set(local) & set(stored)):
-            lt, st = local[sname]["tables"], stored[sname]["tables"]
+            ls, ss = local[sname], stored[sname]
+            if (ls["type"], ls["url"], ls["username"], ls["fingerprint"]) != (
+                ss["type"], ss["url"], ss["username"], ss["fingerprint"]
+            ):
+                d.sources_changed.append(sname)
+            lt, st = ls["tables"], ss["tables"]
             d.tables_added += [f"{sname}.{t}" for t in sorted(set(lt) - set(st))]
             d.tables_removed += [f"{sname}.{t}" for t in sorted(set(st) - set(lt))]
             for tname in sorted(set(lt) & set(st)):
-                if lt[tname]["columns"] != st[tname]["columns"]:
+                if {k: v for k, v in lt[tname].items()} != {k: v for k, v in st[tname].items()}:
                     d.columns_changed.append(f"{sname}.{tname}")
         return d
 
@@ -219,6 +260,10 @@ class MetadataStore:
                 f"apply would remove sources={d.sources_removed} "
                 f"tables={d.tables_removed}; re-run with force"
             )
+        if d.empty:
+            # No-op apply: nothing persisted, no history row — a second
+            # row on the same version would make rollback ambiguous.
+            return {"domain": domain, "version": current, "diff": d.lines()}
         local = _config_shape(cfg)
         con = self.con
         try:
@@ -232,9 +277,12 @@ class MetadataStore:
                 con.execute("DELETE FROM sources WHERE id = ?", (sid,))
             for sname, s in local.items():
                 con.execute(
-                    "INSERT INTO sources (domain_name, name, type, url) VALUES (?,?,?,?) "
-                    "ON CONFLICT(domain_name, name) DO UPDATE SET type=excluded.type, url=excluded.url",
-                    (domain, sname, s["type"], s["url"]),
+                    "INSERT INTO sources (domain_name, name, type, url, username, fingerprint) "
+                    "VALUES (?,?,?,?,?,?) "
+                    "ON CONFLICT(domain_name, name) DO UPDATE SET type=excluded.type, "
+                    "url=excluded.url, username=excluded.username, "
+                    "fingerprint=excluded.fingerprint",
+                    (domain, sname, s["type"], s["url"], s["username"], s["fingerprint"]),
                 )
                 sid = con.execute(
                     "SELECT id FROM sources WHERE domain_name = ? AND name = ?",
@@ -248,10 +296,11 @@ class MetadataStore:
                         con.execute("DELETE FROM tables WHERE id = ?", (tid,))
                 for tname, t in s["tables"].items():
                     con.execute(
-                        "INSERT INTO tables (source_id, name, schema_name, partition_column) "
-                        "VALUES (?,?,?,?) ON CONFLICT(source_id, name) DO UPDATE SET "
-                        "schema_name=excluded.schema_name, partition_column=excluded.partition_column",
-                        (sid, tname, t["schema"], t["partition_column"]),
+                        "INSERT INTO tables (source_id, name, schema_name, partition_column, path) "
+                        "VALUES (?,?,?,?,?) ON CONFLICT(source_id, name) DO UPDATE SET "
+                        "schema_name=excluded.schema_name, "
+                        "partition_column=excluded.partition_column, path=excluded.path",
+                        (sid, tname, t["schema"], t["partition_column"], t["path"]),
                     )
                     tid = con.execute(
                         "SELECT id FROM tables WHERE source_id = ? AND name = ?",
@@ -264,7 +313,7 @@ class MetadataStore:
                             "VALUES (?,?,?,?)",
                             (tid, cname, ctype, pos),
                         )
-            new_version = current + (0 if d.empty else 1)
+            new_version = current + 1
             con.execute(
                 "UPDATE domains SET version = ? WHERE name = ?", (new_version, domain)
             )

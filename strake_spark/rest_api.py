@@ -89,7 +89,10 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(401, {"status": "error", "data": None, "message": str(e)})
                 return None
         if srv.token is not None:  # type: ignore[attr-defined]
-            if auth_header != f"Bearer {srv.token}":  # type: ignore[attr-defined]
+            import hmac as _hmac
+
+            expect = f"Bearer {srv.token}"  # type: ignore[attr-defined]
+            if not _hmac.compare_digest(auth_header or "", expect):
                 self._send(401, {"status": "error", "data": None, "message": "invalid token"})
                 return None
         return {}
@@ -133,14 +136,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ------------------------------------------------------------ handlers
     def _metrics(self) -> None:
-        """Prometheus text exposition of the engine counters."""
+        """Prometheus text exposition of the engine counters. Values
+        must be numeric (a single malformed sample fails the whole
+        scrape), so enum-ish state maps become labeled 1-valued gauges."""
         lines = []
         for k, v in sorted(self.engine.metrics().items()):
-            if isinstance(v, (int, float)):
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
                 lines.append(f"strake_{k} {v}")
             elif isinstance(v, dict):  # e.g. breaker_states
+                metric = f"strake_{k.rstrip('s')}"  # breaker_states -> breaker_state
                 for sub, state in sorted(v.items()):
-                    lines.append(f'strake_{k}{{source="{sub}"}} "{state}"')
+                    lines.append(f'{metric}{{source="{sub}",state="{state}"}} 1')
         self._send(200, ("\n".join(lines) + "\n").encode(), content_type="text/plain")
 
     def _sources(self) -> None:
@@ -180,7 +186,11 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(
                 400, {"status": "error", "data": None, "message": "missing 'sql'"}
             )
-        user = body.get("user") or claims.get("sub")
+        # The AUTHENTICATED principal wins: letting the body override the
+        # OIDC sub would allow any caller to borrow another user's
+        # row-level-security / masking profile. The body field only
+        # applies on unauthenticated/static-token deployments.
+        user = claims.get("sub") or body.get("user")
         try:
             table = self.engine.execute(sql, user=user, params=body.get("params"))
         except StrakeError as e:

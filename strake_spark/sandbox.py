@@ -79,6 +79,17 @@ def _unshare_network() -> bool:
         return False
 
 
+# Exec chain for netns isolation: unshare(CLONE_NEWNET) best-effort
+# (EPERM without CAP_NET_ADMIN -> falls through with isolation absent,
+# the reference's degrade ladder), then exec the real sandboxed script
+# under -I. Runs in its own fresh interpreter, so no post-fork hazards.
+_NET_BOOTSTRAP = (
+    "import ctypes, os, sys\n"
+    "ctypes.CDLL(None, use_errno=True).unshare(0x40000000)\n"
+    "os.execv(sys.executable, [sys.executable, '-I', sys.argv[1]])\n"
+)
+
+
 def network_isolation_available() -> bool:
     """Probe (in a throwaway fork) whether netns isolation will apply."""
     if sys.platform != "linux":
@@ -165,17 +176,23 @@ def run_python(
             "MKL_NUM_THREADS": "1",
             "NUMEXPR_NUM_THREADS": "1",
         }
-        preexec = _unshare_network if limits.isolate_network else None
+        if limits.isolate_network and sys.platform == "linux":
+            # A fresh single-threaded bootstrap interpreter unshares the
+            # netns and execs the real script. Deliberately NOT a
+            # preexec_fn: the Spark driver is multi-threaded, and any
+            # interpreter work between fork and exec (ctypes argument
+            # marshalling included) can deadlock on locks held by other
+            # threads at fork time.
+            cmd = [sys.executable, "-c", _NET_BOOTSTRAP, path]
+        else:
+            cmd = [sys.executable, "-I", path]  # -I: isolated mode
         try:
             proc = subprocess.run(
-                [sys.executable, "-I", path],  # -I: isolated mode
+                cmd,
                 capture_output=True,
                 timeout=limits.wall_seconds,
                 env=env,
                 cwd=tmp,
-                # runs in the child between fork and exec: netns applies
-                # to the sandboxed interpreter only
-                preexec_fn=preexec,
             )
         except subprocess.TimeoutExpired:
             return SandboxResult(

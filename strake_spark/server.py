@@ -58,7 +58,9 @@ def make_server(
                 except AuthError as e:
                     raise fl.FlightUnauthenticatedError(str(e)) from None
                 return None
-            if tok != f"Bearer {token}":
+            import hmac as _hmac
+
+            if not _hmac.compare_digest(tok, f"Bearer {token}"):
                 raise fl.FlightUnauthenticatedError("invalid token")
             return None
 

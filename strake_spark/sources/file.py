@@ -118,24 +118,38 @@ def _spool_ftp(url: str, options: dict) -> str:
             names = ftp.nlst(path)  # directory listing (or [path] for a file)
         except error_perm:
             names = [path]
-        fetched = 0
+        single = len(names) == 1
+        fetched: list[str] = []
         for remote in names:
             base = os.path.basename(remote.rstrip("/"))
-            if not base or "." not in base:
-                continue  # sub-dirs / oddities: flat listing only, like OpenDAL's
+            if not base:
+                continue
             local = os.path.join(spool, base)
             try:
                 with open(local, "wb") as f:
                     ftp.retrbinary(f"RETR {remote}", f.write)
-            except Exception as e:  # noqa: BLE001 - surface with context
-                os.unlink(local)
+            except error_perm:
+                # RETR refused: a sub-directory in the listing (flat
+                # fetch only, like OpenDAL's) — skip it. For a single
+                # explicit path this IS the requested file: surface it.
+                if os.path.exists(local):
+                    os.unlink(local)
+                if single:
+                    raise SourceError(f"ftp fetch failed for {remote!r}")
+                continue
+            except Exception as e:  # noqa: BLE001 - transport error: surface with context
+                if os.path.exists(local):
+                    os.unlink(local)
                 raise SourceError(f"ftp fetch failed for {remote!r}: {e}") from e
-            fetched += 1
-        if fetched == 0:
+            fetched.append(local)
+        if not fetched:
             raise SourceError(f"ftp source fetched no files from {path!r}")
-        return spool if len(names) > 1 else os.path.join(spool, os.path.basename(names[0]))
+        return fetched[0] if len(fetched) == 1 else spool
     finally:
-        ftp.quit()
+        try:
+            ftp.quit()
+        except Exception:  # noqa: BLE001 - broken control socket must not
+            ftp.close()    # mask the real (already-raised) error
 
 
 @source_type("parquet", "csv", "json", "ndjson", "file")

@@ -104,6 +104,27 @@ class TestStore:
         assert "d" not in store.get_sources("default")
         assert sorted(store.get_sources("default")["c"]["tables"]) == ["region"]
 
+    def test_source_option_change_bumps_version(self, store, tmp_path):
+        """Source-level fields with no structural rows (options,
+        default_limit, credentials identity) must still diff and bump —
+        otherwise credential/endpoint changes are silent no-ops."""
+        p = _cfg(_V1, tmp_path)
+        store.apply("default", load_config(p), config_yaml=open(p).read())
+        changed = _cfg(
+            _V1.replace("type: parquet", "type: parquet\n    default_limit: 99"),
+            tmp_path, "changed.yaml",
+        )
+        cfg2 = load_config(changed)
+        d = store.diff("default", cfg2)
+        assert d.sources_changed == ["c"] and not d.empty
+        out = store.apply("default", cfg2, config_yaml=open(changed).read())
+        assert out["version"] == 3
+        # and a true no-op apply writes NO history row
+        hist_before = len(store.history("default"))
+        out2 = store.apply("default", cfg2)
+        assert out2["version"] == 3
+        assert len(store.history("default")) == hist_before
+
     def test_domain_listing(self, store, tmp_path):
         store.apply("alpha", load_config(_cfg(_V1, tmp_path)))
         store.apply("beta", load_config(_cfg(_V1, tmp_path)))

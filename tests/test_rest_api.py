@@ -75,6 +75,11 @@ class TestHealthPlane:
         code, body = _req(server.port, "/metrics")
         assert code == 200
         assert b"strake_sources_registered 1" in body
+        # every sample value must be numeric (one bad sample fails the
+        # whole scrape): breaker states are labeled 1-valued gauges
+        assert b'strake_breaker_state{source="t",state="closed"} 1' in body.lower()
+        for line in body.decode().strip().splitlines():
+            float(line.rsplit(" ", 1)[1])  # parseable value on every line
 
 
 class TestApi:
@@ -224,6 +229,14 @@ class TestOidcRest:
             assert _req(srv.port, "/api/v1/sources", token=forged)[0] == 401
             assert _req(srv.port, "/api/v1/sources", token=wrong_aud)[0] == 401
             assert _req(srv.port, "/api/v1/sources", token=good)[0] == 200
+            # body-supplied user must NOT override the authenticated sub
+            # (impersonation would borrow another user's RLS profile)
+            code, _ = _req(
+                srv.port, "/api/v1/query",
+                {"sql": "SELECT 1 AS one", "user": "somebody-else"}, token=good,
+            )
+            assert code == 200
+            assert engine.query_log()[-1]["user"] == "u1"
         finally:
             srv.stop()
 
