@@ -34,6 +34,9 @@ _INTROSPECT_TABLE = re.compile(r"^/api/v1/introspect/([A-Za-z_][A-Za-z0-9_]*)$")
 _INTROSPECT_SOURCE = re.compile(
     r"^/api/v1/introspect/([A-Za-z_][A-Za-z0-9_]*)/([A-Za-z_][A-Za-z0-9_]*)$"
 )
+_INTROSPECT_TABLES_POST = re.compile(
+    r"^/api/v1/introspect/([A-Za-z_][A-Za-z0-9_]*)/([A-Za-z_][A-Za-z0-9_]*)/tables$"
+)
 
 
 def _json_default(o: Any) -> str:
@@ -64,7 +67,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _body(self) -> dict:
+    def _body(self):
         n = int(self.headers.get("Content-Length") or 0)
         if n == 0:
             return {}
@@ -73,8 +76,8 @@ class _Handler(BaseHTTPRequestHandler):
             out = json.loads(raw)
         except json.JSONDecodeError as e:
             raise ValueError(f"invalid JSON body: {e}") from None
-        if not isinstance(out, dict):
-            raise ValueError("JSON body must be an object")
+        if not isinstance(out, (dict, list)):
+            raise ValueError("JSON body must be an object or array")
         return out
 
     def _authorized(self) -> dict | None:
@@ -128,6 +131,13 @@ class _Handler(BaseHTTPRequestHandler):
             body = self._body()
         except ValueError as e:
             return self._send(400, {"status": "error", "data": None, "message": str(e)})
+        m = _INTROSPECT_TABLES_POST.match(path)
+        if m:
+            return self._introspect_tables(m.group(1), m.group(2), body)
+        if not isinstance(body, dict):
+            return self._send(
+                400, {"status": "error", "data": None, "message": "JSON body must be an object"}
+            )
         if path == "/api/v1/query":
             return self._query(body, claims)
         if path == "/api/v1/validate":
@@ -179,6 +189,45 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # unknown view -> Spark AnalysisException
             return self._send(404, {"status": "error", "data": None, "message": str(e)[:300]})
         self._send(200, {"table": view, "columns": cols})
+
+    def _introspect_tables(self, domain: str, source: str, body) -> None:
+        """Config-shaped introspection (reference api.rs:106-198
+        introspect_tables): POST a list of table names (bare array or
+        {"tables": [...]}) -> a SourcesConfig fragment with live column
+        schemas, ready to paste into sources.yaml."""
+        names = body if isinstance(body, list) else body.get("tables", [])
+        if not isinstance(names, list) or not all(isinstance(n, str) for n in names):
+            return self._send(
+                400, {"status": "error", "data": None, "message": "expected a list of table names"}
+            )
+        cfg = next((s for s in self.engine.config.sources if s.name == source), None)
+        out = {
+            "domain": domain,
+            "sources": [{
+                "name": source,
+                "type": cfg.type if cfg else "sql",
+                "url": cfg.url if cfg else None,
+                "tables": [],
+            }],
+        }
+        views = self.engine.list_sources().get(source, [])
+        for full in names:
+            tname = full.split(".")[-1]
+            view = f"{source}_{tname}"
+            if view not in views:
+                continue
+            cols = self.engine.describe(view)
+            out["sources"][0]["tables"].append(
+                {
+                    "name": tname,
+                    "columns": [
+                        {"name": c["column"], "data_type": c["type"],
+                         "not_null": not c["nullable"]}
+                        for c in cols
+                    ],
+                }
+            )
+        self._send(200, out)
 
     def _query(self, body: dict, claims: dict) -> None:
         sql = body.get("sql")

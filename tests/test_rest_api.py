@@ -144,6 +144,23 @@ class TestApi:
         assert {d["name"] for d in body} == {"t_nation", "t_region"}
         assert all(d["schema"] == "t" for d in body)
 
+    def test_introspect_tables_post(self, server, engine):
+        """Config-shaped introspection: POST table names, get a
+        SourcesConfig fragment with live column schemas."""
+        code, body = _jreq(server.port, "/api/v1/introspect/default/t/tables", ["nation"])
+        assert code == 200
+        (src,) = body["sources"]
+        (tbl,) = src["tables"]
+        assert tbl["name"] == "nation"
+        live = {f.name: f for f in engine.spark.table("t_nation").schema.fields}
+        for c in tbl["columns"]:
+            assert c["data_type"] == live[c["name"]].dataType.simpleString()
+        # dict shape also accepted; unknown tables skipped
+        code, body = _jreq(server.port, "/api/v1/introspect/default/t/tables",
+                           {"tables": ["region", "nope"]})
+        assert code == 200
+        assert [t["name"] for t in body["sources"][0]["tables"]] == ["region"]
+
     def test_unknown_routes_404(self, server):
         assert _req(server.port, "/api/v1/nope")[0] == 404
         assert _req(server.port, "/api/v1/introspect/no_such_view")[0] == 404
