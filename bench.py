@@ -54,6 +54,7 @@ PIPELINE_QUERIES = (
     "dedup_minhash_lsh_candidates",
     "dedup_exact",
     "ann_cosine_topk_bruteforce",
+    "ann_embedding_dup_pairs",
     "text_quality_score",
 )
 

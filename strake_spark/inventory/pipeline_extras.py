@@ -44,6 +44,30 @@ def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_stratified_by_lang",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+    ORDER BY doc_id
+    """,
+    notes=(
+        "stratified deterministic sampling: per-stratum rates (50% en, "
+        "10% other) via md5 bucket — the language-rebalancing primitive "
+        "for training mixes; reproducible and resumable, no RNG state"
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    return d.filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
     "sample_shuffle_deterministic",
     oracle="""
     SELECT doc_id FROM documents

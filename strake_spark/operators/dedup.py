@@ -270,6 +270,56 @@ def simhash_near_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def duplicate_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: every doc
+    gets a cluster_id = the minimum doc id reachable through the
+    near-dup graph (SimHash edges). The keeper-per-cluster policy
+    (keep min id) then falls out as ``doc_id == cluster_id``.
+
+    Connected components by iterative min-label propagation — the
+    driver coordinates rounds, each round entirely DataFrame ops
+    (symmetric edge join + groupBy min), converging in O(component
+    diameter) rounds. Near-dup clusters are shallow (boilerplate
+    families, version chains), so this converges in a handful of
+    rounds; production graph dedup at 10^9+ edges upgrades to the
+    alternating large-star/small-star algorithm with the same
+    per-round join shape. Labels are localCheckpoint'ed per round so
+    lineage doesn't grow with iterations.
+    """
+    edges = simhash_near_pairs(docs, id_col, text_col, max_hamming=max_hamming)
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)  # edges reused every round
+
+    labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionAll(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

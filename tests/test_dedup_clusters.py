@@ -1,0 +1,36 @@
+"""duplicate_clusters: connected components over the near-dup graph —
+transitivity, singletons, and keeper policy on a constructed corpus."""
+
+from __future__ import annotations
+
+from strake_spark.operators.dedup import duplicate_clusters
+
+
+def test_transitive_chain_one_cluster(spark):
+    # A~B and B~C near-duplicates (1-word edits of a 40-word doc) but A
+    # and C differ by 2 words — the pair set alone misses A-C;
+    # clustering must put all three together transitively.
+    base = " ".join(f"word{i}" for i in range(40))
+    b = base.replace("word7", "seven")
+    c = b.replace("word23", "twentythree")
+    unrelated = " ".join(f"other{i} thing{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, b), (3, c), (9, unrelated)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.cluster_id for r in duplicate_clusters(docs).collect()}
+    assert out[1] == out[2] == out[3] == 1  # min id in the component
+    assert out[9] == 9  # singleton keeps its own id
+    # keeper policy: exactly one doc per cluster has doc_id == cluster_id
+    keepers = [d for d, cl in out.items() if d == cl]
+    assert sorted(keepers) == [1, 9]
+
+
+def test_all_docs_present(spark):
+    docs = spark.createDataFrame(
+        [(i, f"completely distinct text number {i} " * 10) for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    out = duplicate_clusters(docs).collect()
+    assert len(out) == 8
+    assert all(r.cluster_id == r.doc_id for r in out)  # no accidental merges
