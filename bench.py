@@ -54,9 +54,28 @@ PIPELINE_QUERIES = (
     "dedup_minhash_lsh_candidates",
     "dedup_exact",
     "ann_cosine_topk_bruteforce",
-    "ann_embedding_dup_pairs",
     "text_quality_score",
 )
+
+
+def _neardup_t09(spark, sf_dir):
+    """Embedding near-dup at the PRODUCTION regime (t=0.9, 8-bit bands,
+    small buckets). The registered ann_embedding_dup_pairs entry keeps
+    t=0.4 so the driver's correctness row is non-vacuous on the
+    synthetic corpus, but t=0.4 makes nearly every pair a candidate
+    (banding cannot prune below the similarity floor) — benching it
+    would measure an intentionally-degenerate configuration."""
+    from strake_spark.data import table
+    from strake_spark.operators import similarity as S
+
+    return S.embedding_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.9, num_bands=16, band_bits=8
+    )
+
+
+# Bench-only callables (not inventory entries — their sf0.1 row counts
+# can be legitimately 0, which would read as a vacuous driver row).
+CUSTOM_PIPELINE = {"ann_embedding_neardup_t09": _neardup_t09}
 
 
 def _run(spec, spark, sf_dir: str, iters: int) -> tuple[dict, int]:
@@ -85,7 +104,16 @@ def main() -> None:
     from strake_spark.session import build_session
     from strake_spark import inventory
 
-    spark = build_session(app_name="strake-spark-bench")
+    spark = build_session(
+        app_name="strake-spark-bench",
+        # Spark local defaults to a 1 GiB driver heap — the whole bench
+        # (12 queries, cached LSH signatures) runs in one JVM, so size
+        # the heap for the workload, not the default.
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # JVM unified-logging warnings (gc,alloc) print to STDOUT and
+        # would corrupt the single-JSON-line contract below.
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+    )
     # Touch the JVM + read one footer so session startup isn't billed to q1.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     startup = time.perf_counter() - t0
@@ -104,6 +132,16 @@ def main() -> None:
         if spec is None:
             continue
         d, n = _run(spec, spark, sf_dir, iters)
+        detail[name] = d
+        pipeline[name] = d["med"]
+        print(f"# {name}: med={d['med']:.3f}s runs={d['runs']} rows={n}", file=sys.stderr)
+
+    class _Spec:
+        def __init__(self, fn):
+            self.fn = fn
+
+    for name, fn in CUSTOM_PIPELINE.items():
+        d, n = _run(_Spec(fn), spark, sf_dir, iters)
         detail[name] = d
         pipeline[name] = d["med"]
         print(f"# {name}: med={d['med']:.3f}s runs={d['runs']} rows={n}", file=sys.stderr)

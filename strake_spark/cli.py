@@ -41,10 +41,66 @@ cache:
 """
 
 
+_TEMPLATES = {
+    "file": _INIT_TEMPLATE,
+    "sql": """\
+# strake-spark sources configuration (SQL source template)
+sources:
+  - name: warehouse
+    type: postgres            # postgres | mysql | clickhouse | sqlite | duckdb
+    url: postgresql://host:5432/db
+    username: user
+    password: ${DB_PASSWORD}
+    max_concurrent_queries: 8
+    tables:
+      - name: users
+        partition_column: id   # enables parallel range scans
+query_limits:
+  default_limit: 1000
+  max_output_rows: 10000
+  query_timeout_seconds: 300
+""",
+    "rest": """\
+# strake-spark sources configuration (REST source template)
+sources:
+  - name: api
+    type: rest
+    url: https://api.example.com/v1
+    options:
+      auth_type: bearer        # none | basic | bearer | oauth2 | jwt
+      token: ${API_TOKEN}
+      pagination: page         # none | offset | page | token | link | body_url
+      records_path: data
+    tables:
+      - name: items
+        options: {path: /items}
+query_limits:
+  default_limit: 1000
+""",
+    "grpc": """\
+# strake-spark sources configuration (gRPC source template)
+sources:
+  - name: svc
+    type: grpc
+    url: grpc://host:50051
+    options:
+      method: pkg.Service/List
+    tables:
+      - name: records
+        columns:
+          - {name: id, type: bigint}
+          - {name: payload, type: string}
+query_limits:
+  default_limit: 1000
+""",
+}
+
+
 def cmd_init(args) -> int:
+    template = _TEMPLATES[args.template]
     with open(args.path, "w") as f:
-        f.write(_INIT_TEMPLATE)
-    print(f"wrote {args.path}")
+        f.write(template)
+    print(f"wrote {args.path} ({args.template} template)")
     return 0
 
 
@@ -300,6 +356,7 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("init", help="write a starter sources.yaml")
     sp.add_argument("path", nargs="?", default="sources.yaml")
+    sp.add_argument("--template", choices=sorted(_TEMPLATES), default="file")
     sp.set_defaults(fn=cmd_init)
 
     sp = sub.add_parser("validate", help="validate a config file")

@@ -17,6 +17,8 @@ a SQL oracle reproduces scores bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -233,30 +235,33 @@ def embedding_dup_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_bands * band_bits, dim))
 
-    def _band_key(vec: Column, band: int) -> Column:
-        key = F.lit(0).cast("long")
-        for j in range(band_bits):
-            p = planes[band * band_bits + j]
-            arr = F.array(*[F.lit(float(x)) for x in p])
-            key = key + F.when(
-                _dot(vec, arr) > 0, F.lit(1 << j).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        return key
+    # Band keys via ONE Arrow-batched numpy matmul per batch — NOT
+    # per-plane Catalyst aggregate(zip_with(...)) expressions: those are
+    # interpreted higher-order functions costing num_bands*band_bits*dim
+    # scalar ops per row (tens of seconds for a few thousand vectors);
+    # sign(V @ P^T) bit-packed per band is the vectorized equivalent and
+    # is deterministic for the seeded planes. The exact-cosine
+    # post-filter below stays in the JVM left-fold path so scores remain
+    # bit-identical to the SQL oracle.
+    from pyspark.sql.functions import pandas_udf
 
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), _band_key(F.col(vec_col), b).alias("key"))
-            for b in range(num_bands)
-        ]
-    )
+    planes_t = planes.T.copy()  # dim × (bands*bits)
+    bit_weights = (1 << np.arange(band_bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _band_keys(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # B × dim
+        signs = (mat @ planes_t) > 0  # B × (bands*bits)
+        keys = signs.reshape(len(mat), -1, band_bits) @ bit_weights  # B × bands
+        return pd.Series(list(keys.astype(np.int64)))
+
     tagged = (
         emb.select(
             F.col(id_col),
             F.col(vec_col),
             F.sqrt(_norm2(F.col(vec_col))).alias("nrm"),
-            F.explode(bands).alias("bk"),
+            F.posexplode(_band_keys(F.col(vec_col))).alias("band", "key"),
         )
-        .select(id_col, vec_col, "nrm", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
     # Hot-bucket cap as aggregate + broadcast anti-join (mirrors
     # operators/dedup.py): a window count would sort-shuffle the whole

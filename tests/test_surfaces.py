@@ -280,6 +280,17 @@ class TestCli:
         out = capsys.readouterr().out
         assert "OK" in out
 
+    def test_init_templates_validate(self, tmp_path, capsys):
+        from strake_spark.cli import _TEMPLATES, main
+        from strake_spark.config import load_config
+
+        for tpl in sorted(_TEMPLATES):
+            cfg = str(tmp_path / f"{tpl}.yaml")
+            assert main(["init", cfg, "--template", tpl]) == 0
+            parsed = load_config(cfg)  # every template parses to a valid config
+            assert parsed.sources
+        capsys.readouterr()
+
     def test_validate_rejects_unknown_type(self, tmp_path, capsys):
         from strake_spark.cli import main
 
