@@ -19,15 +19,15 @@ from strake_spark.inventory import query
 from strake_spark.inventory._util import sql_dec
 
 
-def _stream_dir(sf_dir: str) -> str:
-    """File-stream sources read directories; expose the single
-    events.parquet through a temp dir symlink (testdata stays
-    untouched)."""
+def _stream_dir(sf_dir: str, copies: int = 1) -> str:
+    """File-stream sources read directories; expose events.parquet
+    through temp-dir symlinks (testdata stays untouched). ``copies>1``
+    symlinks the same file multiple times — a deterministic way to
+    manufacture duplicate events for the streaming-dedup entry."""
     d = tempfile.mkdtemp(prefix="strake-stream-src-")
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(d, "events.parquet"),
-    )
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    for i in range(copies):
+        os.symlink(src, os.path.join(d, f"events_{i}.parquet"))
     return d
 
 
@@ -96,3 +96,59 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_completion(stream, tempfile.mkdtemp(prefix="strake-inv-sess-"))
     return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY event_id
+    """,
+    notes=(
+        "dropDuplicatesWithinWatermark over a stream carrying every "
+        "event TWICE (the source dir symlinks the parquet twice); the "
+        "drained result must equal the distinct event set — exercises "
+        "streaming state dedup with an exact oracle"
+    ),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.streaming import read_event_stream
+    from strake_spark.streaming.ops import dedup_stream, run_to_completion
+
+    stream = dedup_stream(
+        read_event_stream(spark, _stream_dir(sf_dir, copies=2), nanos_ts=True)
+    )
+    out = run_to_completion(stream, tempfile.mkdtemp(prefix="strake-inv-dedupstr-"))
+    return out.select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+@query(
+    "stream_user_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 3) AS total
+    FROM events GROUP BY user_id
+    """,
+    notes=(
+        "applyInPandasWithState custom stateful operator (per-user "
+        "GroupState running count+sum) drained with availableNow; with "
+        "the single-batch source the final update per user equals the "
+        "batch aggregate. totals rounded to 3 decimals on both sides "
+        "(float accumulation order differs between engines)"
+    ),
+)
+def stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from strake_spark.streaming import read_event_stream
+    from strake_spark.streaming.ops import run_to_completion, user_running_totals
+
+    stream = user_running_totals(
+        read_event_stream(spark, _stream_dir(sf_dir), nanos_ts=True)
+    )
+    out = run_to_completion(
+        stream, tempfile.mkdtemp(prefix="strake-inv-totals-"), output_mode="update"
+    )
+    return out.select("user_id", "n", F.round("total", 3).alias("total"))
