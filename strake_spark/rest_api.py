@@ -142,7 +142,25 @@ class _Handler(BaseHTTPRequestHandler):
             return self._query(body, claims)
         if path == "/api/v1/validate":
             return self._validate(body)
+        if path == "/api/v1/explain":
+            return self._explain(body)
         return self._send(404, {"status": "error", "data": None, "message": f"no route {path}"})
+
+    def _explain(self, body: dict) -> None:
+        """Plan tree with pushdown markers, no execution (the engine's
+        explain_tree / trace surface over HTTP)."""
+        sql = body.get("sql")
+        if not sql:
+            return self._send(
+                400, {"status": "error", "data": None, "message": "missing 'sql'"}
+            )
+        try:
+            tree = self.engine.explain_tree(sql)
+        except StrakeError as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+        except Exception as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+        self._send(200, {"status": "success", "data": {"plan": tree}, "message": None})
 
     # ------------------------------------------------------------ handlers
     def _metrics(self) -> None:

@@ -144,6 +144,17 @@ class TestApi:
         assert {d["name"] for d in body} == {"t_nation", "t_region"}
         assert all(d["schema"] == "t" for d in body)
 
+    def test_explain_returns_plan_tree(self, server):
+        code, body = _jreq(
+            server.port, "/api/v1/explain",
+            {"sql": "SELECT n_name FROM t_nation WHERE n_regionkey = 0"},
+        )
+        assert code == 200
+        assert "Scan" in body["data"]["plan"]
+        # gated like every other surface
+        code, _ = _jreq(server.port, "/api/v1/explain", {"sql": "DROP TABLE t_nation"})
+        assert code == 400
+
     def test_introspect_tables_post(self, server, engine):
         """Config-shaped introspection: POST table names, get a
         SourcesConfig fragment with live column schemas."""
