@@ -172,6 +172,22 @@ class TestApi:
         assert code == 200
         assert [t["name"] for t in body["sources"][0]["tables"]] == ["region"]
 
+    def test_concurrent_queries(self, server):
+        """ThreadingHTTPServer drives the engine from many threads at
+        once — admission control and py4j must hold up."""
+        import concurrent.futures as cf
+
+        def one(k):
+            return _jreq(
+                server.port, "/api/v1/query",
+                {"sql": "SELECT count(*) AS n FROM t_nation WHERE n_regionkey = :k",
+                 "params": {"k": k % 5}},
+            )
+
+        with cf.ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(one, range(16)))
+        assert all(code == 200 and body["data"][0]["n"] == 5 for code, body in results)
+
     def test_unknown_routes_404(self, server):
         assert _req(server.port, "/api/v1/nope")[0] == 404
         assert _req(server.port, "/api/v1/introspect/no_such_view")[0] == 404
