@@ -221,11 +221,18 @@ class StrakeEngine:
         same-source federation applies, the remote statement is shown
         first — everything under it executed inside the source."""
         from strake_spark.plans.federation import plan_sql
+        from strake_spark.plans.partial import PartialPlan
         from strake_spark.plans.tree import format_plan_tree
 
         ensure_select(query)
         df, pushed = plan_sql(self.spark, query)
         tree = format_plan_tree(df)
+        if isinstance(pushed, PartialPlan):
+            lines = "\n".join(
+                f"  {s.view} -> [PUSHED to {s.context}] {s.remote_sql}"
+                for s in pushed.scans
+            )
+            return f"PartialPushdown [{len(pushed.scans)} remote scans]\n{lines}\n" + tree
         if pushed is not None:
             header = (
                 f"RemoteQuery [PUSHED] source={pushed.remote.source} "

@@ -208,9 +208,12 @@ def plan_sql(
 ) -> tuple[DataFrame, PushdownPlan | None]:
     """Main entry: returns (DataFrame, pushdown-plan-or-None).
 
-    Pushdown failures (remote parse/execute errors from dialect drift)
-    fall back to local Spark execution, mirroring the reference's
-    LocalExecution dialect-router arm.
+    Planning ladder, mirroring the reference's dialect router: whole-
+    statement pushdown (one remote owns everything) -> partial per-table
+    pushdown (mixed statement; each remote scan ships its filtered
+    projection, plans/partial.py) -> fully local. Pushdown failures
+    (remote parse/execute errors from dialect drift) fall back to the
+    next rung.
     """
     plan = analyze(sql)
     if plan is not None:
@@ -227,4 +230,17 @@ def plan_sql(
                 plan.remote.context(),
                 e,
             )
+    try:
+        from strake_spark.plans.partial import analyze_partial, execute_partial
+
+        partial = analyze_partial(spark, sql)
+        if partial is not None:
+            rewritten, pplan = partial
+            df = execute_partial(spark, rewritten, pplan)
+            df.schema
+            return df, pplan
+    except Exception as e:  # noqa: BLE001 - any partial failure -> local
+        if not allow_fallback:
+            raise
+        log.warning("partial pushdown failed (%s); executing locally", e)
     return spark.sql(sql), None
