@@ -113,6 +113,28 @@ class TestPartialPushdown:
             mixed.spark, "SELECT count(*) FROM rm_orders WHERE o_custkey = 7"
         ) is None
 
+    PREDICATES = [
+        "c.c_acctbal > 1234.56",
+        "c.c_acctbal <= -100",
+        "c.c_nationkey IN (0, 3, 7) AND c.c_acctbal >= 0",
+        "c.c_mktsegment = 'BUILDING' OR c.c_mktsegment = 'MACHINERY'",
+        "c.c_name LIKE '%00042%'",
+        "NOT (c.c_nationkey = 5)",
+        "c.c_name IS NOT NULL AND c.c_acctbal <> 0",
+        "c.c_name = 'it''s'",  # quote escaping (matches nothing, must not break)
+        "c.c_acctbal > 0 AND c.c_nationkey = n.n_nationkey",  # cross-table conjunct stays local
+    ]
+
+    @pytest.mark.parametrize("pred", PREDICATES)
+    def test_pushed_equals_local_matrix(self, mixed, pred):
+        sql = f"""SELECT c.c_custkey, c.c_acctbal, n.n_name
+                  FROM rm_customer c JOIN lc_nation n ON c.c_nationkey = n.n_nationkey
+                  WHERE {pred}"""
+        df, plan = plan_sql(mixed.spark, sql)
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
+        if plan is not None:
+            assert isinstance(plan, PartialPlan)
+
     def test_explain_tree_shows_partial(self, mixed):
         tree = mixed.explain_tree(
             """SELECT c.c_name FROM rm_customer c
