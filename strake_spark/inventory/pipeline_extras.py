@@ -209,3 +209,65 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "dedup_corpus_keep_first",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+    ORDER BY doc_id
+    """,
+    notes=(
+        "the dedup END PRODUCT: the corpus with exactly one keeper (min "
+        "doc_id) per content digest. Digest-only groupBy + left-semi "
+        "join — the 32-byte digest shuffles, never the text"
+    ),
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    keepers = d.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        d.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _curation_oracle() -> str:
+    from strake_spark.operators import text as TX
+
+    return f"""
+    WITH q AS ({TX.sql_quality_score()})
+    SELECT d.doc_id, d.lang, q.quality
+    FROM documents d JOIN q ON d.doc_id = q.doc_id
+    WHERE q.quality >= 0.5 AND d.lang = 'en'
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "pipeline_curation_filter",
+    oracle=_curation_oracle(),
+    notes=(
+        "the curation END PRODUCT: quality gate (composite score >= "
+        "0.5) + language gate (en) composed into one plan — the "
+        "training-mix admission filter; oracle composes the "
+        "quality-score SQL so the two sides cannot drift"
+    ),
+)
+def curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.operators import text as TX
+
+    d = table(spark, sf_dir, "documents")
+    q = TX.quality_score(d).select("doc_id", "quality")
+    return (
+        d.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )
