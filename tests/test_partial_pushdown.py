@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 import strake_spark as ss
 from strake_spark.plans.federation import plan_sql
@@ -134,6 +136,48 @@ class TestPartialPushdown:
         assert _rows(df) == _rows(mixed.spark.sql(sql))
         if plan is not None:
             assert isinstance(plan, PartialPlan)
+
+    # -------- generative equivalence: random predicate trees ----------
+
+    _LEAVES = st.sampled_from([
+        "c.c_acctbal > {n}", "c.c_acctbal <= {n}", "c.c_acctbal = {n}",
+        "c.c_nationkey IN ({k}, {k2})", "c.c_nationkey <> {k}",
+        "c.c_mktsegment = '{seg}'", "c.c_name LIKE '%{frag}%'",
+        "c.c_name IS NOT NULL", "c.c_acctbal IS NULL",
+        "n.n_regionkey = {k}",           # local-table leaf: must stay local
+        "c.c_nationkey = n.n_nationkey",  # cross-table leaf: must stay local
+    ])
+
+    @st.composite
+    def _predicates(draw, leaves=_LEAVES):
+        def leaf():
+            tpl = draw(leaves)
+            return tpl.format(
+                n=draw(st.integers(min_value=-2000, max_value=10000)),
+                k=draw(st.integers(min_value=0, max_value=24)),
+                k2=draw(st.integers(min_value=0, max_value=24)),
+                seg=draw(st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"])),
+                frag=draw(st.sampled_from(["000", "42", "Customer"])),
+            )
+        depth = draw(st.integers(min_value=1, max_value=3))
+        expr = leaf()
+        for _ in range(depth - 1):
+            op = draw(st.sampled_from(["AND", "OR"]))
+            neg = draw(st.booleans())
+            nxt = leaf()
+            if neg:
+                nxt = f"NOT ({nxt})"
+            expr = f"({expr}) {op} ({nxt})"
+        return expr
+
+    @settings(max_examples=40, deadline=None)
+    @given(pred=_predicates())
+    def test_fuzzed_predicates_pushed_equals_local(self, mixed, pred):
+        sql = f"""SELECT c.c_custkey, c.c_acctbal, n.n_name
+                  FROM rm_customer c JOIN lc_nation n ON c.c_nationkey = n.n_nationkey
+                  WHERE {pred}"""
+        df, _plan = plan_sql(mixed.spark, sql)
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
 
     def test_explain_tree_shows_partial(self, mixed):
         tree = mixed.explain_tree(
