@@ -38,12 +38,16 @@ def _has_nanos_ts(path: str) -> bool:
     if hit is None:
         try:
             import pyarrow.parquet as pq
-            import pyarrow as pa
 
-            schema = pq.read_schema(path)
+            # Probe the PARQUET schema, not the arrow view of it: pyarrow
+            # surfaces legacy INT96 timestamps as timestamp[ns] too, but
+            # INT96 is readable as TimestampType directly — only physical
+            # INT64 + logical TIMESTAMP(NANOS) needs the nanosAsLong path.
+            sch = pq.read_metadata(path).schema
             hit = any(
-                pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-                for f in schema
+                sch.column(i).physical_type == "INT64"
+                and "timeUnit=nanoseconds" in str(sch.column(i).logical_type)
+                for i in range(len(sch))
             )
             _NANOS_FILES[path] = hit  # only successful probes are cached:
             # a transient failure (file not yet written, import hiccup)
@@ -78,8 +82,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Micros parquet (no isAdjustedToUTC) infers as TIMESTAMP_NTZ
+            # under inferTimestampNTZ. Normalize to TIMESTAMP once here so
+            # downstream arithmetic (cast-to-long gap math, window frames)
+            # works uniformly; session tz is pinned UTC (session.py:57) so
+            # the wall-clock values are preserved bit-for-bit.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

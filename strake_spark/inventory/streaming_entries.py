@@ -50,7 +50,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strake_spark.streaming.ops import run_to_completion
 
     stream = tumbling_counts(
-        read_event_stream(spark, _stream_dir(sf_dir), nanos_ts=True), window="1 hour"
+        read_event_stream(spark, _stream_dir(sf_dir)), window="1 hour"
     )
     out = run_to_completion(stream, tempfile.mkdtemp(prefix="strake-inv-stream-"))
     return out.orderBy("window_start", "event_type")
@@ -92,7 +92,7 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strake_spark.streaming.ops import run_to_completion
 
     stream = session_counts(
-        read_event_stream(spark, _stream_dir(sf_dir), nanos_ts=True), gap="30 minutes"
+        read_event_stream(spark, _stream_dir(sf_dir)), gap="30 minutes"
     )
     out = run_to_completion(stream, tempfile.mkdtemp(prefix="strake-inv-sess-"))
     return out.orderBy("user_id", "session_start")
@@ -117,7 +117,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strake_spark.streaming.ops import dedup_stream, run_to_completion
 
     stream = dedup_stream(
-        read_event_stream(spark, _stream_dir(sf_dir, copies=2), nanos_ts=True)
+        read_event_stream(spark, _stream_dir(sf_dir, copies=2))
     )
     out = run_to_completion(stream, tempfile.mkdtemp(prefix="strake-inv-dedupstr-"))
     return out.select("event_id", "user_id", "event_type").orderBy("event_id")
@@ -146,7 +146,7 @@ def stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strake_spark.streaming.ops import run_to_completion, user_running_totals
 
     stream = user_running_totals(
-        read_event_stream(spark, _stream_dir(sf_dir), nanos_ts=True)
+        read_event_stream(spark, _stream_dir(sf_dir))
     )
     out = run_to_completion(
         stream, tempfile.mkdtemp(prefix="strake-inv-totals-"), output_mode="update"
