@@ -21,11 +21,17 @@ Safety model — three rules that make this correct-by-construction:
    over-inclusively (e.g. SQLite's case-insensitive LIKE) only ships
    extra rows that Spark then filters out. Only UNDER-inclusive remote
    evaluation could corrupt results, hence rule 2.
-2. **No string inequalities.** ``<``/``>`` on strings ride collation
-   order, which differs across engines in both directions; only
-   ``=``, ``IN``, ``LIKE``, ``IS [NOT] NULL`` (over-inclusive-or-equal
-   under common collations) plus numeric/date/bool comparisons are
-   pushable.
+2. **No string inequalities, no negated string predicates.** ``<``/``>``
+   on strings ride collation order, which differs across engines in
+   both directions. Negation is worse: it turns over-inclusion into
+   UNDER-inclusion — ``name <> 'foo'`` / ``NOT LIKE`` / ``NOT IN`` on a
+   case-insensitive remote (MySQL's default collation) drops rows the
+   local re-filter can never restore. Only ``=``, ``IN``, ``LIKE``,
+   ``IS [NOT] NULL`` (over-inclusive-or-equal under common collations)
+   plus numeric/date/bool comparisons — including their negations —
+   are pushable. String-typedness is decided from the table's Spark
+   schema (column dtypes) plus constant/cast types; unknown counts as
+   string.
 3. **Whitelist, not blacklist.** A conjunct is pushable only if every
    node in its subtree is a known-deterministic class (column ref,
    constant, constant CAST, comparison, AND/OR/NOT, IN-list, IS NULL,
@@ -101,23 +107,13 @@ def _const_info(node: dict) -> tuple[str, str]:
     raise _NotPushable(f"constant type {tid}")
 
 
-def _is_string_typed(node: dict) -> bool:
-    """Best-effort: does this operand carry a string constant? Used to
-    veto inequality comparisons whose collation order may differ."""
-    if node.get("class") == "CONSTANT":
-        v = node.get("value") or {}
-        return ((v.get("type") or {}).get("id") or "").upper() == "VARCHAR"
-    if node.get("class") == "CAST":
-        return (node.get("cast_type") or {}).get("id", "").upper() == "VARCHAR"
-    return False
-
-
 @dataclass
 class _TableCtx:
     view: str
     alias: str  # effective alias in the statement (alias or view name)
     remote: RemoteTable
     columns: set[str]
+    string_cols: set[str]  # columns with string dtype in the Spark schema
     node: dict  # mutable BASE_TABLE node in the AST
 
 
@@ -129,6 +125,45 @@ class _ConjunctSql:
         self.t = t
         self.others = others_cols  # columns owned by other tables (bare-name ambiguity)
 
+    def _no_strings(self, node) -> bool:
+        """True iff the subtree provably involves NO string-typed operand
+        (no VARCHAR constant/cast, no string-dtype column from this
+        table's Spark schema, no LIKE). Anything unknown counts as a
+        string — whitelist stance.
+
+        Why this matters: the safety model tolerates over-inclusive
+        remote evaluation (Spark re-filters), but NEGATED string
+        predicates invert over- into UNDER-inclusion — ``name <> 'foo'``
+        on a case-insensitive MySQL collation drops 'FOO' rows remotely
+        that Spark would keep, and the local re-filter cannot restore
+        rows that were never shipped. Same for string inequalities,
+        whose collation order differs across engines in both directions
+        (reference keeps the same conservative whitelist,
+        crates/sql/src/sql_generator/translator/mod.rs:76-145)."""
+        if not isinstance(node, dict):
+            return True  # scalars inside value nodes carry no type
+        cls = node.get("class")
+        if cls == "CONSTANT":
+            v = node.get("value") or {}
+            return ((v.get("type") or {}).get("id") or "").upper() != "VARCHAR"
+        if cls == "CAST":
+            if (node.get("cast_type") or {}).get("id", "").upper() == "VARCHAR":
+                return False
+            return self._no_strings(node.get("child"))
+        if cls == "COLUMN_REF":
+            names = node.get("column_names", [])
+            return bool(names) and names[-1] not in self.t.string_cols
+        if cls == "FUNCTION" and node.get("function_name") in ("~~", "!~~"):
+            return False
+        for key in ("children", "left", "right", "child"):
+            v = node.get(key)
+            if isinstance(v, list):
+                if not all(self._no_strings(c) for c in v):
+                    return False
+            elif isinstance(v, dict) and not self._no_strings(v):
+                return False
+        return True
+
     def render(self, node) -> str:
         if not isinstance(node, dict):
             raise _NotPushable("non-dict node")
@@ -138,12 +173,22 @@ class _ConjunctSql:
             return "(" + op.join(self.render(c) for c in node.get("children", [])) + ")"
         if cls == "COMPARISON" and typ in _COMPARE_OPS:
             left, right = node["left"], node["right"]
-            if typ in _INEQUALITY and (_is_string_typed(left) or _is_string_typed(right)):
+            if typ in _INEQUALITY and not (
+                self._no_strings(left) and self._no_strings(right)
+            ):
                 raise _NotPushable("string inequality (collation drift)")
+            if typ == "COMPARE_NOTEQUAL" and not (
+                self._no_strings(left) and self._no_strings(right)
+            ):
+                raise _NotPushable("string <> (negation under-includes)")
             return f"({self.render(left)} {_COMPARE_OPS[typ]} {self.render(right)})"
         if cls == "OPERATOR":
             ch = node.get("children", [])
             if typ in ("COMPARE_IN", "COMPARE_NOT_IN") and len(ch) >= 2:
+                if typ == "COMPARE_NOT_IN" and not all(
+                    self._no_strings(c) for c in ch
+                ):
+                    raise _NotPushable("string NOT IN (negation under-includes)")
                 head = self.render(ch[0])
                 items = ", ".join(self.render(c) for c in ch[1:])
                 neg = "NOT " if typ == "COMPARE_NOT_IN" else ""
@@ -152,14 +197,17 @@ class _ConjunctSql:
                 suffix = "IS NULL" if typ == "OPERATOR_IS_NULL" else "IS NOT NULL"
                 return f"({self.render(ch[0])} {suffix})"
             if typ == "OPERATOR_NOT" and len(ch) == 1:
+                if not self._no_strings(ch[0]):
+                    raise _NotPushable("NOT over string predicate (under-includes)")
                 return f"(NOT {self.render(ch[0])})"
             raise _NotPushable(f"operator {typ}")
         if cls == "FUNCTION" and node.get("function_name") in ("~~", "!~~"):
             ch = node.get("children", [])
             if len(ch) != 2:
                 raise _NotPushable("LIKE arity")
-            neg = "NOT " if node["function_name"] == "!~~" else ""
-            return f"({self.render(ch[0])} {neg}LIKE {self.render(ch[1])})"
+            if node["function_name"] == "!~~":
+                raise _NotPushable("NOT LIKE (negation under-includes)")
+            return f"({self.render(ch[0])} LIKE {self.render(ch[1])})"
         if cls == "COLUMN_REF":
             names = [n for n in node.get("column_names", [])]
             if not names:
@@ -317,11 +365,16 @@ def analyze_partial(spark: SparkSession, sql: str):
             any_local = True
             continue
         try:
-            cols = set(spark.table(name).columns)
+            dtypes = spark.table(name).dtypes
         except Exception:
             return None
+        cols = {c for c, _ in dtypes}
+        string_cols = {
+            c for c, dt in dtypes
+            if dt == "string" or dt.startswith(("varchar", "char"))
+        }
         alias = node.get("alias") or name
-        tables.append(_TableCtx(name, alias, remote, cols, node))
+        tables.append(_TableCtx(name, alias, remote, cols, string_cols, node))
         contexts.add(remote.context())
     if not tables:
         return None

@@ -115,6 +115,47 @@ class TestPartialPushdown:
             mixed.spark, "SELECT count(*) FROM rm_orders WHERE o_custkey = 7"
         ) is None
 
+    # Negated string predicates must NOT be pushed: a case-insensitive
+    # remote collation (MySQL default) makes them UNDER-inclusive, and
+    # the local re-filter cannot restore rows that were never shipped.
+    NEGATED_STRING_PREDS = [
+        "c.c_mktsegment <> 'BUILDING'",
+        "c.c_name NOT LIKE 'Customer#00000%'",
+        "c.c_mktsegment NOT IN ('BUILDING', 'MACHINERY')",
+        "NOT (c.c_mktsegment = 'BUILDING')",
+        "NOT (c.c_name LIKE '%42%')",
+        "c.c_name > c.c_mktsegment",  # col-to-col string inequality
+    ]
+
+    @pytest.mark.parametrize("pred", NEGATED_STRING_PREDS)
+    def test_negated_string_predicates_stay_local(self, mixed, pred):
+        sql = f"""SELECT c.c_custkey, n.n_name
+                  FROM rm_customer c JOIN lc_nation n ON c.c_nationkey = n.n_nationkey
+                  WHERE ({pred}) AND c.c_acctbal >= 0"""
+        df, plan = plan_sql(mixed.spark, sql)
+        assert isinstance(plan, PartialPlan)
+        (scan,) = plan.scans
+        # the safe numeric conjunct is pushed, the negated string one is not
+        assert '"c_acctbal" >= 0' in scan.remote_sql
+        for marker in ("<> '", "NOT LIKE", "NOT IN", "NOT (", "c_mktsegment\" <>",
+                       'c_name" >'):
+            assert marker not in scan.remote_sql, (marker, scan.remote_sql)
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+    def test_negated_numeric_predicates_still_push(self, mixed):
+        sql = """SELECT c.c_custkey, n.n_name
+                 FROM rm_customer c JOIN lc_nation n ON c.c_nationkey = n.n_nationkey
+                 WHERE c.c_acctbal <> 0 AND NOT (c.c_nationkey = 5)
+                   AND c.c_nationkey NOT IN (7, 9)"""
+        df, plan = plan_sql(mixed.spark, sql)
+        assert isinstance(plan, PartialPlan)
+        (scan,) = plan.scans
+        assert '"c_acctbal" <> 0' in scan.remote_sql
+        # the parser normalizes NOT (x = 5) to x <> 5 before rendering
+        assert '"c_nationkey" <> 5' in scan.remote_sql
+        assert 'NOT IN (7, 9)' in scan.remote_sql
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
+
     PREDICATES = [
         "c.c_acctbal > 1234.56",
         "c.c_acctbal <= -100",
