@@ -44,6 +44,15 @@ def make_server(
     import pyarrow as pa
     import pyarrow.flight as fl
 
+    class _AuthContext(fl.ServerMiddleware):
+        """Carries the VALIDATED token claims into call handlers
+        (context.get_middleware), so the governance principal comes from
+        the cryptographically-verified token, never from client-supplied
+        request bodies."""
+
+        def __init__(self, claims: dict):
+            self.claims = claims
+
     class _TokenMiddleware(fl.ServerMiddlewareFactory):
         def start_call(self, info, headers):
             vals = headers.get("authorization") or headers.get(b"authorization") or []
@@ -54,15 +63,15 @@ def make_server(
                 from strake_spark.jwtauth import AuthError
 
                 try:
-                    validator.validate(tok)
+                    claims = validator.validate(tok)
                 except AuthError as e:
                     raise fl.FlightUnauthenticatedError(str(e)) from None
-                return None
+                return _AuthContext(claims or {})
             import hmac as _hmac
 
             if not _hmac.compare_digest(tok, f"Bearer {token}"):
                 raise fl.FlightUnauthenticatedError("invalid token")
-            return None
+            return _AuthContext({})
 
     class StrakeFlightServer(fl.FlightServerBase):
         def __init__(self):
@@ -111,6 +120,17 @@ def make_server(
                 req = json.loads(payload)
                 payload, user = req["sql"], req.get("user")
                 params = req.get("params")
+            # The governance principal: a validated OIDC `sub` ALWAYS
+            # overrides the ticket's client-supplied `user` — otherwise
+            # any authenticated token holder could claim another user's
+            # RLS/masking profile in the ticket JSON (rest_api._query
+            # applies the same rule).
+            try:
+                mw = context.get_middleware("auth")
+            except Exception:
+                mw = None
+            claims = getattr(mw, "claims", None) or {}
+            user = claims.get("sub") or user
             table = self.engine.execute(payload, user=user, params=params)
             return fl.RecordBatchStream(table)
 

@@ -88,6 +88,49 @@ class TestFlightServer:
 
 
 class TestAuth:
+    def test_oidc_sub_overrides_ticket_user(self, spark):
+        """A validated token's sub is the governance principal: a token
+        for 'pat' (RLS: n_regionkey = 0) with a ticket claiming 'bob'
+        (unrestricted) must get PAT's profile — the ticket JSON is
+        client-controlled and cannot escalate."""
+        import time
+
+        from strake_spark.jwtauth import OidcValidator, sign_hs256
+
+        eng = ss.connect(
+            {
+                "sources": [{"name": "oi", "type": "parquet", "url": SF_DIR,
+                             "tables": [{"name": "nation"}]}],
+                "policies": {
+                    "roles": {"r0": {"tables": {"oi_nation": {
+                        "rls_filter": "n_regionkey = 0"}}}},
+                    "users": {"pat": ["r0"]},
+                },
+            },
+            spark=spark,
+        )
+        validator = OidcValidator("topsecret", issuer="iss", audience="aud")
+        srv = make_server(eng, validator=validator)
+        t = threading.Thread(target=srv.serve, daemon=True)
+        t.start()
+        try:
+            client = fl.FlightClient(f"grpc://127.0.0.1:{srv.port}")
+            tok = sign_hs256(
+                {"sub": "pat", "iss": "iss", "aud": "aud",
+                 "exp": time.time() + 60},
+                "topsecret",
+            )
+            opts = fl.FlightCallOptions(
+                headers=[(b"authorization", f"Bearer {tok}".encode())]
+            )
+            req = json.dumps(
+                {"sql": "SELECT count(*) AS n FROM oi_nation", "user": "bob"}
+            )
+            out = client.do_get(fl.Ticket(req.encode()), opts).read_all()
+            assert out.to_pylist() == [{"n": 5}]  # pat's RLS, not bob's 25
+        finally:
+            srv.shutdown()
+
     def test_token_required(self, spark):
         eng = ss.connect(
             {"sources": [{"name": "au", "type": "parquet", "url": SF_DIR,
