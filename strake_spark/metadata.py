@@ -249,25 +249,42 @@ class MetadataStore:
         force: bool = False,
         expected_version: int | None = None,
     ) -> dict[str, Any]:
-        current = self.get_domain_version(domain)
-        if expected_version is not None and current != expected_version:
-            raise VersionConflict(
-                f"domain {domain!r} is at version {current}, expected {expected_version}"
-            )
-        d = self.diff(domain, cfg)
-        if (d.sources_removed or d.tables_removed) and not force:
-            raise DestructiveChange(
-                f"apply would remove sources={d.sources_removed} "
-                f"tables={d.tables_removed}; re-run with force"
-            )
-        if d.empty:
-            # No-op apply: nothing persisted, no history row — a second
-            # row on the same version would make rollback ambiguous.
-            return {"domain": domain, "version": current, "diff": d.lines()}
         local = _config_shape(cfg)
         con = self.con
         try:
-            con.execute("BEGIN")
+            # BEGIN IMMEDIATE takes the write lock BEFORE the version
+            # read, serializing concurrent applies across connections/
+            # processes. A plain check-then-BEGIN lets two writers both
+            # read version N and both commit N+1 with duplicate history
+            # rows (TOCTOU on the optimistic lock).
+            con.execute("BEGIN IMMEDIATE")
+            con.execute(
+                "INSERT OR IGNORE INTO domains (name, version) VALUES (?, 1)",
+                (domain,),
+            )
+            current = int(
+                con.execute(
+                    "SELECT version FROM domains WHERE name = ?", (domain,)
+                ).fetchone()[0]
+            )
+            if expected_version is not None and current != expected_version:
+                raise VersionConflict(
+                    f"domain {domain!r} is at version {current}, "
+                    f"expected {expected_version}"
+                )
+            d = self.diff(domain, cfg)
+            if (d.sources_removed or d.tables_removed) and not force:
+                raise DestructiveChange(
+                    f"apply would remove sources={d.sources_removed} "
+                    f"tables={d.tables_removed}; re-run with force"
+                )
+            if d.empty:
+                # No-op apply: nothing persisted, no history row — a
+                # second row on the same version would make rollback
+                # ambiguous. Commit (not rollback) so a domain row
+                # created above for a brand-new empty domain persists.
+                con.commit()
+                return {"domain": domain, "version": current, "diff": d.lines()}
             # full declarative sync: upsert declared, delete undeclared
             for sname in d.sources_removed:
                 sid = con.execute(
@@ -314,9 +331,14 @@ class MetadataStore:
                             (tid, cname, ctype, pos),
                         )
             new_version = current + 1
-            con.execute(
-                "UPDATE domains SET version = ? WHERE name = ?", (new_version, domain)
+            cur = con.execute(
+                "UPDATE domains SET version = ? WHERE name = ? AND version = ?",
+                (new_version, domain, current),
             )
+            if cur.rowcount != 1:  # belt-and-braces under the write lock
+                raise VersionConflict(
+                    f"domain {domain!r} moved past version {current} during apply"
+                )
             con.execute(
                 "INSERT INTO apply_history (domain_name, version, user_id, sources_added, "
                 "sources_deleted, tables_modified, config_hash, config_yaml) "

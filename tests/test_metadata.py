@@ -92,6 +92,70 @@ class TestStore:
         out = store.apply("default", cfg, expected_version=2)
         assert out["version"] == 2
 
+    def test_two_writer_race_single_bump(self, tmp_path):
+        """TOCTOU guard: writer A holds the write lock (BEGIN IMMEDIATE)
+        through its version read; writer B, started while A is mid-apply,
+        must serialize after it — one version bump and one history row
+        per apply, never two writers both committing the same version."""
+        import threading
+
+        db = str(tmp_path / "race.db")
+        cfg_a = load_config(_cfg(_V1, tmp_path, "a.yaml"))
+        cfg_b = load_config(_cfg(_V2, tmp_path, "b.yaml"))
+        a_inside = threading.Event()
+        release_a = threading.Event()
+        errors: list[Exception] = []
+
+        orig_diff = MetadataStore.diff
+
+        def slow_diff(self, domain, cfg):
+            # diff runs inside the apply transaction, after the version
+            # read — pausing here holds the race window open
+            a_inside.set()
+            release_a.wait(timeout=10)
+            return orig_diff(self, domain, cfg)
+
+        def writer_a():
+            s = MetadataStore(db)
+            try:
+                MetadataStore.diff = slow_diff
+                s.apply("default", cfg_a, user="a")
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+            finally:
+                MetadataStore.diff = orig_diff
+                s.close()
+
+        def writer_b():
+            s = MetadataStore(db)
+            try:
+                s.apply("default", cfg_b, user="b")
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+            finally:
+                s.close()
+
+        ta = threading.Thread(target=writer_a)
+        ta.start()
+        assert a_inside.wait(timeout=10)
+        tb = threading.Thread(target=writer_b)
+        tb.start()
+        tb.join(timeout=0.5)
+        assert tb.is_alive()  # B is blocked behind A's write lock
+        release_a.set()
+        ta.join(timeout=10)
+        tb.join(timeout=10)
+        assert not errors, errors
+
+        check = MetadataStore(db)
+        try:
+            assert check.get_domain_version("default") == 3  # 1 -> 2 -> 3
+            hist = check.history("default")
+            versions = [h["version"] for h in hist]
+            assert sorted(versions) == [2, 3]  # exactly one row per bump
+        finally:
+            check.close()
+
     def test_history_and_rollback(self, store, tmp_path):
         p1 = _cfg(_V1, tmp_path, "a.yaml")
         p2 = _cfg(_V2, tmp_path, "b.yaml")
