@@ -40,9 +40,47 @@ class DialectRules:
     supports_distinct_on: bool = False
 
     def fix_text(self, sql: str) -> str:
-        for old, new in (("count_star()", "count(*)"),) + self.text_fixes:
-            sql = sql.replace(old, new)
-        return sql
+        """Apply textual fixes OUTSIDE string literals only. A naive
+        whole-text replace corrupts pushed literals — e.g. MySQL's
+        " -> ` identifier-quoting fix rewriting quotes inside a pushed
+        constant makes the remote filter under-inclusive (silent wrong
+        results under the partial-pushdown safety model)."""
+        fixes = (("count_star()", "count(*)"),) + self.text_fixes
+        out = []
+        for seg, is_literal in _split_literals(sql):
+            if not is_literal:
+                for old, new in fixes:
+                    seg = seg.replace(old, new)
+            out.append(seg)
+        return "".join(out)
+
+
+def _split_literals(sql: str):
+    """Split SQL text into alternating (segment, is_literal) pieces.
+    Literals are single-quoted with '' escaping (the only literal form
+    our unparser emits); they are yielded verbatim including quotes. An
+    unterminated literal swallows the rest of the text as literal —
+    conservative for a rewriter."""
+    i, n, start = 0, len(sql), 0
+    while i < n:
+        if sql[i] != "'":
+            i += 1
+            continue
+        if i > start:
+            yield sql[start:i], False
+        j = i + 1
+        while j < n:
+            if sql[j] == "'":
+                if j + 1 < n and sql[j + 1] == "'":
+                    j += 2  # escaped quote stays inside the literal
+                    continue
+                break
+            j += 1
+        end = min(j, n - 1)
+        yield sql[i:end + 1], True
+        i = start = end + 1
+    if start < n:
+        yield sql[start:], False
 
 
 # Oracle rule set per dialects/oracle.rs:60-270

@@ -51,6 +51,41 @@ class TestOracleGoldens:
         assert "'coalesce(x,y)'" in out and "NVL(a" in out
 
 
+class TestMysqlGoldens:
+    def test_identifier_quotes_become_backticks(self):
+        from strake_spark.plans.dialects import MYSQL
+
+        out = MYSQL.fix_text('SELECT "a", "b" FROM "t" WHERE "a" = 1')
+        assert out == "SELECT `a`, `b` FROM `t` WHERE `a` = 1"
+
+    def test_double_quote_inside_literal_preserved(self):
+        """The " -> ` quoting fix must never rewrite quotes inside a
+        pushed string literal — a corrupted literal makes the remote
+        filter under-inclusive (silent wrong results)."""
+        from strake_spark.plans.dialects import MYSQL
+
+        out = MYSQL.fix_text("SELECT \"name\" FROM \"t\" WHERE \"c\" = 'say \"hi\"'")
+        assert out == "SELECT `name` FROM `t` WHERE `c` = 'say \"hi\"'"
+
+    def test_escaped_single_quote_stays_one_literal(self):
+        from strake_spark.plans.dialects import MYSQL
+
+        out = MYSQL.fix_text("SELECT \"x\" FROM \"t\" WHERE \"c\" = 'it''s \"q\"' AND \"d\" = 2")
+        assert "'it''s \"q\"'" in out and '`d` = 2' in out
+
+    def test_count_star_fix_skips_literals(self):
+        from strake_spark.plans.dialects import DUCKDB
+
+        out = DUCKDB.fix_text("SELECT count_star() FROM t WHERE c = 'count_star()'")
+        assert out == "SELECT count(*) FROM t WHERE c = 'count_star()'"
+
+    def test_coalesce_fix_skips_literals(self):
+        from strake_spark.plans.dialects import ORACLE
+
+        out = ORACLE.fix_text("SELECT COALESCE(a, 'COALESCE(') FROM t")
+        assert out == "SELECT NVL(a, 'COALESCE(') FROM t"
+
+
 class TestSnowflakeGoldens:
     def test_string_agg_to_listagg(self):
         out = _roundtrip("SELECT string_agg(x, ';') FROM t", SNOWFLAKE)
