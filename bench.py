@@ -9,12 +9,15 @@ local[$SPARK_GRAFT_CPUS], and print ONE JSON line:
     {"metric": "tpch_total", "value": <sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "startup_sec": ...}
 
-Per-query value = MEDIAN of N iterations (default 3). The first three
-rounds used best-of-2, which left a uniform sandbox-load slowdown in
-round 3 indistinguishable from a plan regression; medians with the full
-run arrays in "queries_detail" make that call falsifiable. "value" is
-the median total across all 7 queries; "tpch_total_5q" preserves the
-round-1-comparable subtotal (q1/q3/q5/q6/q10).
+Per-query value = MEDIAN of N timed iterations (default 4) after ONE
+UNTIMED warmup execution. Rounds 1-5 billed the warmup into the run
+array, which put the run-to-run spread at 9-26% on unchanged code
+(r5 verdict) — a real 20% regression would have been invisible. The
+warmup absorbs codegen/JIT + first-touch scan costs; the full timed
+run arrays stay in "queries_detail" so any residual spread is
+inspectable. "value" is the median total across all 7 queries;
+"tpch_total_5q" preserves the round-1-comparable subtotal
+(q1/q3/q5/q6/q10).
 
 Session startup is reported separately, never billed to q1.
 """
@@ -79,6 +82,11 @@ CUSTOM_PIPELINE = {"ann_embedding_neardup_t09": _neardup_t09}
 
 
 def _run(spec, spark, sf_dir: str, iters: int) -> tuple[dict, int]:
+    # One untimed warmup per query: whole-stage codegen compilation, JIT,
+    # and first-touch scan/page-cache costs land here, not in the stats.
+    t = time.perf_counter()
+    spec.fn(spark, sf_dir).count()
+    warmup = round(time.perf_counter() - t, 4)
     runs = []
     n = 0
     for _ in range(max(1, iters)):
@@ -91,6 +99,7 @@ def _run(spec, spark, sf_dir: str, iters: int) -> tuple[dict, int]:
             "med": round(statistics.median(runs), 4),
             "max": max(runs),
             "runs": runs,
+            "warmup": warmup,
         },
         n,
     )
@@ -98,7 +107,7 @@ def _run(spec, spark, sf_dir: str, iters: int) -> tuple[dict, int]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "4"))
 
     t0 = time.perf_counter()
     from strake_spark.session import build_session
@@ -159,6 +168,7 @@ def main() -> None:
                 "pipeline": pipeline,
                 "pipeline_total": round(sum(pipeline.values()), 4),
                 "iterations": max(1, iters),
+                "warmup_discarded": True,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "startup_sec": round(startup, 2),
             }
