@@ -291,6 +291,11 @@ def duplicate_clusters(
     alternating large-star/small-star algorithm with the same
     per-round join shape. Labels are localCheckpoint'ed per round so
     lineage doesn't grow with iterations.
+
+    Raises ``RuntimeError`` if ``max_iterations`` rounds pass without
+    convergence — partial labels would silently split clusters (docs
+    that ARE duplicates get different cluster_ids and both survive a
+    keep-min-id dedup), which is corrupt output, not a degraded answer.
     """
     edges = simhash_near_pairs(docs, id_col, text_col, max_hamming=max_hamming)
     sym = edges.select(
@@ -300,6 +305,7 @@ def duplicate_clusters(
 
     labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         nbr = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), F.col("label")
@@ -316,7 +322,14 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds; "
+            "labels are partial (clusters would silently split). Raise "
+            "max_iterations — rounds needed = graph component diameter."
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -171,7 +171,11 @@ def run_to_completion(
 ) -> DataFrame:
     """Drain a stream with the availableNow trigger into an in-memory
     table and return the final batch result (test/utility path)."""
-    name = f"strake_stream_{abs(hash(tmp_dir)) % 10**8}"
+    import hashlib
+
+    # md5 of the tmp dir, not hash(): PYTHONHASHSEED salting would make
+    # the sink name differ between runs of the same debugging session
+    name = f"strake_stream_{hashlib.md5(tmp_dir.encode()).hexdigest()[:10]}"
     if output_mode is None:
         output_mode = "complete" if _has_aggregation(stream_df) else "append"
     q = (

@@ -3,6 +3,8 @@ transitivity, singletons, and keeper policy on a constructed corpus."""
 
 from __future__ import annotations
 
+import pytest
+
 from strake_spark.operators.dedup import duplicate_clusters
 
 
@@ -24,6 +26,21 @@ def test_transitive_chain_one_cluster(spark):
     # keeper policy: exactly one doc per cluster has doc_id == cluster_id
     keepers = [d for d, cl in out.items() if d == cl]
     assert sorted(keepers) == [1, 9]
+
+
+def test_non_convergence_raises(spark):
+    """Partial labels are corrupt output (clusters silently split), so
+    exhausting max_iterations must raise, never return."""
+    base = " ".join(f"word{i}" for i in range(40))
+    b = base.replace("word7", "seven")
+    c = b.replace("word23", "twentythree")
+    docs = spark.createDataFrame(
+        [(1, base), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    # a 3-node chain needs 2 propagation rounds + 1 no-change round;
+    # max_iterations=1 cannot converge
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(docs, max_iterations=1)
 
 
 def test_all_docs_present(spark):
