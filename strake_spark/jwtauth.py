@@ -1,21 +1,25 @@
-"""Stdlib JWT (HS256) signing + OIDC-style bearer validation.
+"""Stdlib JWT (HS256 + RS256) signing + OIDC-style bearer validation.
 
 Two consumers, both mirroring reference behaviors:
 
 - REST-source JWT-assertion auth (crates/connectors/src/sources/
   rest_auth.rs:207-261): a self-signed assertion with iss/aud/iat/exp,
   optional sub, and caller-merged custom claims, sent as a Bearer
-  header. The reference defaults to RS256 with a private-key PEM; this
-  container vendors no crypto library, so HS256 (pure stdlib
-  hmac/hashlib) is the implemented algorithm and RS256/ES256 raise with
-  the documented deploy gate (install `cryptography` or `PyJWT` on the
-  cluster and route through the same claim builder).
+  header. The reference defaults to RS256 with a private-key PEM;
+  both HS256 (stdlib hmac) and RS256 are implemented here — RSASSA-
+  PKCS1-v1_5 is just modular exponentiation over a fixed digest
+  encoding, no crypto library needed (RFC 8017 §8.2). PEM private keys
+  (PKCS#1 and PKCS#8) are parsed with a minimal DER reader. ES256
+  (EC point math) stays deploy-gated.
 
 - Server-side OIDC bearer validation (crates/server/src/auth.rs shape):
   signature + exp/nbf + issuer + audience checks on inbound tokens for
-  the Flight and REST facades. A real OIDC deployment fetches RS256
-  JWKS from the issuer; the shared-secret HS256 validator exercises the
-  identical claim logic and is what the sandbox can test end-to-end.
+  the Flight and REST facades. RS256 keys come JWKS-shaped
+  ({"keys": [{"kty": "RSA", "n": ..., "e": ..., "kid": ...}]}, the
+  form every OIDC issuer publishes); HS256 uses the shared secret.
+  The validator routes strictly by configured key material per alg —
+  an RS256 token is never checked against the HS256 secret or vice
+  versa (alg-confusion hardening).
 """
 
 from __future__ import annotations
@@ -29,8 +33,8 @@ from typing import Any
 
 from strake_spark.errors import StrakeError
 
-_SUPPORTED = ("HS256",)
-_DEPLOY_GATED = ("RS256", "RS384", "RS512", "ES256", "ES384")
+_SUPPORTED = ("HS256", "RS256")
+_DEPLOY_GATED = ("ES256", "ES384")
 
 
 class AuthError(StrakeError):
@@ -90,6 +94,18 @@ def verify_hs256(
     expect = hmac.new(key, f"{parts[0]}.{parts[1]}".encode("ascii"), hashlib.sha256).digest()
     if not hmac.compare_digest(sig, expect):
         raise AuthError("signature mismatch")
+    _check_claims(claims, issuer=issuer, audience=audience, leeway=leeway, now=now)
+    return claims
+
+
+def _check_claims(
+    claims: dict[str, Any],
+    *,
+    issuer: str | None,
+    audience: str | None,
+    leeway: float,
+    now: float | None,
+) -> None:
     t = time.time() if now is None else now
     exp = claims.get("exp")
     if exp is not None and t > float(exp) + leeway:
@@ -104,6 +120,165 @@ def verify_hs256(
         auds = aud if isinstance(aud, list) else [aud]
         if audience not in auds:
             raise AuthError(f"audience mismatch: {aud!r}")
+
+
+# --------------------------------------------------------------- RS256
+# RSASSA-PKCS1-v1_5 with SHA-256 (RFC 8017 §8.2). Verification is
+# pow(sig, e, n) compared against the deterministic EMSA-PKCS1-v1_5
+# encoding; signing is pow(em, d, n). Pure integer math — no library.
+
+# DER DigestInfo prefix for SHA-256 (RFC 8017 §9.2 notes)
+_SHA256_DIGESTINFO = bytes.fromhex("3031300d060960864801650304020105000420")
+
+
+def _emsa_pkcs1_v15_sha256(message: bytes, em_len: int) -> bytes:
+    t = _SHA256_DIGESTINFO + hashlib.sha256(message).digest()
+    if em_len < len(t) + 11:
+        raise AuthError("RSA modulus too small for SHA-256 signature")
+    return b"\x00\x01" + b"\xff" * (em_len - len(t) - 3) + b"\x00" + t
+
+
+def _rsa_verify_sha256(n: int, e: int, message: bytes, sig: bytes) -> bool:
+    k = (n.bit_length() + 7) // 8
+    if len(sig) != k:
+        return False
+    m = pow(int.from_bytes(sig, "big"), e, n)
+    em = m.to_bytes(k, "big")
+    return hmac.compare_digest(em, _emsa_pkcs1_v15_sha256(message, k))
+
+
+def _rsa_sign_sha256(n: int, d: int, message: bytes) -> bytes:
+    k = (n.bit_length() + 7) // 8
+    em = int.from_bytes(_emsa_pkcs1_v15_sha256(message, k), "big")
+    return pow(em, d, n).to_bytes(k, "big")
+
+
+def _jwk_int(v: str) -> int:
+    return int.from_bytes(_b64url_decode(v), "big")
+
+
+# ------------------------------------------------------- DER / PEM keys
+
+
+def _der_read(buf: bytes, pos: int) -> tuple[int, bytes, int]:
+    """One TLV: returns (tag, value, next_pos)."""
+    if pos + 2 > len(buf):
+        raise AuthError("truncated DER")
+    tag = buf[pos]
+    length = buf[pos + 1]
+    pos += 2
+    if length & 0x80:
+        nbytes = length & 0x7F
+        if nbytes == 0 or pos + nbytes > len(buf):
+            raise AuthError("bad DER length")
+        length = int.from_bytes(buf[pos:pos + nbytes], "big")
+        pos += nbytes
+    if pos + length > len(buf):
+        raise AuthError("truncated DER value")
+    return tag, buf[pos:pos + length], pos + length
+
+
+def _der_seq_ints(body: bytes, count: int) -> list[int]:
+    out, pos = [], 0
+    while len(out) < count:
+        tag, val, pos = _der_read(body, pos)
+        if tag != 0x02:
+            raise AuthError(f"expected DER INTEGER, got tag {tag:#x}")
+        out.append(int.from_bytes(val, "big"))
+    return out
+
+
+def parse_rsa_private_key_pem(pem: str) -> dict[str, int]:
+    """PEM (PKCS#1 'RSA PRIVATE KEY' or PKCS#8 'PRIVATE KEY') ->
+    {'n': ..., 'e': ..., 'd': ...}. Minimal DER walk — enough for the
+    RSAPrivateKey layout (RFC 8017 A.1.2); encrypted keys rejected."""
+    if "ENCRYPTED" in pem:
+        raise AuthError("encrypted private keys not supported")
+    lines = [ln.strip() for ln in pem.strip().splitlines()
+             if ln.strip() and not ln.startswith("-----")]
+    try:
+        der = base64.b64decode("".join(lines))
+    except Exception:
+        raise AuthError("undecodable PEM body") from None
+    tag, body, _ = _der_read(der, 0)
+    if tag != 0x30:
+        raise AuthError("expected DER SEQUENCE")
+    if "BEGIN RSA PRIVATE KEY" not in pem:
+        # PKCS#8: version INT, AlgorithmIdentifier SEQ, OCTET STRING(PKCS#1)
+        pos = 0
+        tag, _, pos = _der_read(body, pos)  # version
+        tag, _, pos = _der_read(body, pos)  # algorithm identifier
+        tag, inner, _ = _der_read(body, pos)
+        if tag != 0x04:
+            raise AuthError("expected OCTET STRING in PKCS#8")
+        tag, body, _ = _der_read(inner, 0)
+        if tag != 0x30:
+            raise AuthError("expected inner SEQUENCE")
+    version, n, e, d = _der_seq_ints(body, 4)
+    if version != 0:
+        raise AuthError(f"unsupported RSAPrivateKey version {version}")
+    return {"n": n, "e": e, "d": d}
+
+
+def sign_rs256(
+    claims: dict[str, Any],
+    key: dict[str, Any] | str,
+    headers: dict | None = None,
+) -> str:
+    """Compact JWS over ``claims`` with RSASSA-PKCS1-v1_5/SHA-256.
+    ``key`` is a PEM string or a dict with int (or JWK base64url)
+    'n'/'d' members."""
+    if isinstance(key, str):
+        key = parse_rsa_private_key_pem(key)
+    n = key["n"] if isinstance(key["n"], int) else _jwk_int(key["n"])
+    d = key["d"] if isinstance(key["d"], int) else _jwk_int(key["d"])
+    header = {"alg": "RS256", "typ": "JWT", **(headers or {})}
+    signing_input = (
+        _b64url(json.dumps(header, separators=(",", ":"), sort_keys=True).encode())
+        + "."
+        + _b64url(json.dumps(claims, separators=(",", ":"), sort_keys=True).encode())
+    )
+    sig = _rsa_sign_sha256(n, d, signing_input.encode("ascii"))
+    return signing_input + "." + _b64url(sig)
+
+
+def verify_rs256(
+    token: str,
+    jwks: dict[str, Any],
+    *,
+    issuer: str | None = None,
+    audience: str | None = None,
+    leeway: float = 30.0,
+    now: float | None = None,
+) -> dict[str, Any]:
+    """Validate an RS256 token against a JWKS document
+    ({"keys": [{"kty": "RSA", "n": ..., "e": ..., "kid": ...}]}).
+    Key selection: header kid when present, else every RSA key is
+    tried. Claim checks identical to verify_hs256."""
+    parts = token.split(".")
+    if len(parts) != 3:
+        raise AuthError("malformed token (expected 3 dot-separated segments)")
+    try:
+        header = json.loads(_b64url_decode(parts[0]))
+        claims = json.loads(_b64url_decode(parts[1]))
+        sig = _b64url_decode(parts[2])
+    except Exception as e:  # noqa: BLE001 - any decode failure is a bad token
+        raise AuthError(f"undecodable token: {e}") from None
+    if header.get("alg") != "RS256":
+        raise AuthError(f"unsupported alg {header.get('alg')!r} (RS256 expected)")
+    keys = [k for k in jwks.get("keys", []) if k.get("kty") == "RSA"]
+    kid = header.get("kid")
+    if kid is not None:
+        keys = [k for k in keys if k.get("kid") == kid]
+    if not keys:
+        raise AuthError(f"no RSA key in JWKS for kid={kid!r}")
+    msg = f"{parts[0]}.{parts[1]}".encode("ascii")
+    if not any(
+        _rsa_verify_sha256(_jwk_int(k["n"]), _jwk_int(k["e"]), msg, sig)
+        for k in keys
+    ):
+        raise AuthError("signature mismatch")
+    _check_claims(claims, issuer=issuer, audience=audience, leeway=leeway, now=now)
     return claims
 
 
@@ -120,19 +295,22 @@ def build_assertion(
     now: float | None = None,
 ) -> str:
     """Self-signed service-account assertion (rest_auth.rs:207-261 claim
-    shape: iss/aud/iat/exp, optional sub, custom claims merged last)."""
+    shape: iss/aud/iat/exp, optional sub, custom claims merged last).
+    RS256 (the reference's default) takes ``private_key_pem`` (PKCS#1
+    or PKCS#8); HS256 takes ``secret``."""
     if algorithm in _DEPLOY_GATED:
         raise NotImplementedError(
-            f"{algorithm} assertions need an asymmetric signer; install "
+            f"{algorithm} assertions need an EC signer; install "
             "`cryptography` (or PyJWT) on the cluster and extend "
             "build_assertion — claim construction below is algorithm-"
             f"agnostic. In-container supported: {_SUPPORTED}"
         )
     if algorithm not in _SUPPORTED:
         raise ValueError(f"unsupported JWT algorithm {algorithm!r}")
-    if secret is None:
+    if algorithm == "HS256" and secret is None:
         raise ValueError("HS256 assertion requires `secret`")
-    del private_key_pem  # only used by the deploy-gated asymmetric path
+    if algorithm == "RS256" and private_key_pem is None:
+        raise ValueError("RS256 assertion requires `private_key_pem`")
     t = int(time.time() if now is None else now)
     body: dict[str, Any] = {
         "iss": issuer,
@@ -143,6 +321,8 @@ def build_assertion(
     if subject is not None:
         body["sub"] = subject
     body.update(claims or {})
+    if algorithm == "RS256":
+        return sign_rs256(body, private_key_pem)
     return sign_hs256(body, secret)
 
 
@@ -155,19 +335,46 @@ class OidcValidator:
     authenticated principal (``sub`` claim) or raising AuthError.
     """
 
-    def __init__(self, secret: str | bytes, issuer: str, audience: str, leeway: float = 30.0):
+    def __init__(
+        self,
+        secret: str | bytes | None = None,
+        issuer: str = "",
+        audience: str = "",
+        leeway: float = 30.0,
+        jwks: dict[str, Any] | None = None,
+    ):
+        if secret is None and jwks is None:
+            raise ValueError("OidcValidator needs `secret` (HS256) or `jwks` (RS256)")
         self.secret = secret
         self.issuer = issuer
         self.audience = audience
         self.leeway = leeway
+        self.jwks = jwks
 
     def validate(self, authorization: str | None) -> dict[str, Any]:
         if not authorization or not authorization.startswith("Bearer "):
             raise AuthError("missing bearer token")
-        return verify_hs256(
-            authorization[len("Bearer "):],
-            self.secret,
-            issuer=self.issuer,
-            audience=self.audience,
-            leeway=self.leeway,
-        )
+        token = authorization[len("Bearer "):]
+        # Route STRICTLY by configured key material for the token's alg:
+        # an RS256 token must never be checked with the HS256 secret (or
+        # vice versa) — the classic alg-confusion forgery.
+        try:
+            head = json.loads(_b64url_decode(token.split(".")[0]))
+        except Exception:
+            raise AuthError("undecodable token header") from None
+        alg = head.get("alg")
+        if alg == "RS256":
+            if self.jwks is None:
+                raise AuthError("RS256 token but no JWKS configured")
+            return verify_rs256(
+                token, self.jwks,
+                issuer=self.issuer, audience=self.audience, leeway=self.leeway,
+            )
+        if alg == "HS256":
+            if self.secret is None:
+                raise AuthError("HS256 token but no shared secret configured")
+            return verify_hs256(
+                token, self.secret,
+                issuer=self.issuer, audience=self.audience, leeway=self.leeway,
+            )
+        raise AuthError(f"unsupported alg {alg!r}")

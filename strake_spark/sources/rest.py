@@ -89,9 +89,10 @@ class _Auth:
         """Self-signed service-account JWT (reference rest.rs:45-79 /
         rest_auth.rs:207-261): iss/aud/iat/exp claims signed with the
         configured key, refreshed before expiry. HS256 runs stdlib-side;
-        RS256/ES256 (the reference default for Google/GitHub-style
-        service accounts) raise with the documented deploy gate since no
-        asymmetric-crypto library is vendored in this container."""
+        RS256 (the reference default for Google/GitHub-style service
+        accounts) signs via the pure-integer RSASSA path in jwtauth with
+        a PKCS#1/PKCS#8 PEM private key; ES256 raises with the
+        documented deploy gate (EC point math not vendored)."""
         if self._token is not None and time.time() < self._token_expiry - 30:
             return self._token
         from strake_spark.jwtauth import build_assertion

@@ -245,9 +245,14 @@ class TestJwt:
             "exp": 1_000_120, "sub": "svc", "scope": "read",
         }
 
-    def test_rs256_deploy_gated(self):
-        with pytest.raises(NotImplementedError, match="RS256"):
-            build_assertion("i", "a", algorithm="RS256", private_key_pem="fake")
+    def test_rs256_roundtrips_es256_gated(self):
+        from strake_spark.jwtauth import verify_rs256
+        from tests.test_jwtauth import JWKS, PEM8
+
+        tok = build_assertion("i", "a", algorithm="RS256", private_key_pem=PEM8)
+        assert verify_rs256(tok, JWKS, issuer="i", audience="a")["aud"] == "a"
+        with pytest.raises(NotImplementedError, match="ES256"):
+            build_assertion("i", "a", algorithm="ES256", private_key_pem="fake")
 
 
 class TestOidcRest:
@@ -341,10 +346,27 @@ class TestRestSourceJwtAuth:
         # cached until expiry
         assert auth.headers()["Authorization"] == hdrs["Authorization"]
 
-    def test_rs256_still_gated(self):
+    def test_rs256_assertion_implemented(self):
+        """RS256 (the reference's default assertion algorithm,
+        rest_auth.rs:207-261) signs with a private-key PEM — pure-integer
+        RSASSA-PKCS1-v1_5, no crypto lib. ES256 stays deploy-gated."""
+        from strake_spark.jwtauth import verify_rs256
         from strake_spark.sources.rest import _Auth
+        from tests.test_jwtauth import JWKS, PEM1
 
         auth = _Auth({"auth_type": "jwt", "jwt_algorithm": "RS256",
+                      "jwt_issuer": "i", "jwt_audience": "a",
+                      "jwt_private_key_pem": PEM1})
+        hdr = auth.headers()["Authorization"]
+        assert hdr.startswith("Bearer ")
+        claims = verify_rs256(hdr[len("Bearer "):], JWKS,
+                              issuer="i", audience="a")
+        assert claims["iss"] == "i"
+
+    def test_es256_still_gated(self):
+        from strake_spark.sources.rest import _Auth
+
+        auth = _Auth({"auth_type": "jwt", "jwt_algorithm": "ES256",
                       "jwt_issuer": "i", "jwt_audience": "a",
                       "jwt_private_key_pem": "----"})
         with pytest.raises(NotImplementedError):
