@@ -109,11 +109,21 @@ class RetryConfig:
 
 
 @dataclass
+class TelemetryConfig:
+    # OTLP/HTTP collector base URL (spans POST to <endpoint>/v1/traces);
+    # None = record spans in-process only (engine.spans()), no export
+    otlp_endpoint: str | None = None
+    service_name: str = "strake-spark"
+    max_spans: int = 512
+
+
+@dataclass
 class EngineConfig:
     sources: list[SourceConfig] = field(default_factory=list)
     query_limits: QueryLimits = field(default_factory=QueryLimits)
     cache: CacheConfig = field(default_factory=CacheConfig)
     retry: RetryConfig = field(default_factory=RetryConfig)
+    telemetry: TelemetryConfig = field(default_factory=TelemetryConfig)
     global_connection_budget: int = 100
     policies: Any = None  # governance.policies.PolicyConfig when set
 
@@ -156,7 +166,13 @@ def parse_config(raw: dict[str, Any]) -> EngineConfig:
     ql = raw.get("query_limits") or {}
     ca = raw.get("cache") or {}
     re_ = raw.get("retry") or {}
+    te = raw.get("telemetry") or {}
     return EngineConfig(
+        telemetry=TelemetryConfig(
+            otlp_endpoint=te.get("otlp_endpoint"),
+            service_name=str(te.get("service_name", "strake-spark")),
+            max_spans=int(te.get("max_spans", 512)),
+        ),
         policies=parse_policies(raw.get("policies")),
         sources=[_source(s) for s in raw.get("sources") or []],
         query_limits=QueryLimits(

@@ -69,6 +69,15 @@ class StrakeEngine:
             from strake_spark.governance.policies import PolicyEnforcer
 
             self._policies = PolicyEnforcer(self.spark, self.config.policies)
+        from strake_spark.telemetry import OtlpJsonExporter, Tracer
+
+        tcfg = self.config.telemetry
+        exporter = (
+            OtlpJsonExporter(tcfg.otlp_endpoint, tcfg.service_name)
+            if tcfg.otlp_endpoint
+            else None
+        )
+        self.tracer = Tracer(max_spans=tcfg.max_spans, exporter=exporter)
 
     # ------------------------------------------------------------- sources
     def register(self, source_cfg) -> list[str]:
@@ -168,6 +177,7 @@ class StrakeEngine:
         query: str,
         user: str | None = None,
         params: dict[str, Any] | None = None,
+        traceparent: str | None = None,
     ):
         """Full governed execution -> pyarrow.Table (zero-copy boundary,
         like reference docs/python-api.md:110-122).
@@ -175,23 +185,42 @@ class StrakeEngine:
         Admission (global budget + per-source caps) and per-source
         circuit breakers wrap the whole query, the reference's
         granularity (it wraps each source's TableProvider; one grant
-        per query per source)."""
+        per query per source).
+
+        ``traceparent`` (W3C trace-context header) joins the caller's
+        distributed trace; the query span + plan/run children land in
+        the tracer (reference telemetry.rs wraps queries the same way).
+        """
+        with self.tracer.span(
+            "query.execute",
+            {"db.statement.length": len(query), "enduser.id": user or ""},
+            traceparent=traceparent,
+        ) as root:
+            table, cached = self._execute_traced(query, user, params, root)
+            root.set_attribute("strake.cache_hit", cached)
+            root.set_attribute("strake.rows", table.num_rows)
+            return table
+
+    def _execute_traced(self, query, user, params, root):
         limits = self.config.query_limits
         started = time.time()
         sources = self._touched_sources(query)
+        root.set_attribute("strake.sources", ",".join(sources))
         breakers = [self._breakers[s] for s in sources if s in self._breakers]
         with self._governor.admit(sources):
             for b in breakers:
                 b.acquire()
             try:
-                df = self.sql(query, user=user, params=params)
+                with self.tracer.span("query.plan"):
+                    df = self.sql(query, user=user, params=params)
                 hit = self._cache.get(df, user) if self._cache is not None else None
                 if hit is not None:
                     table = hit
                 else:
-                    table = run_with_timeout(
-                        df, lambda d: d.toArrow(), limits.query_timeout_seconds
-                    )
+                    with self.tracer.span("query.run"):
+                        table = run_with_timeout(
+                            df, lambda d: d.toArrow(), limits.query_timeout_seconds
+                        )
             except QueryRejected:
                 for b in breakers:
                     b.release()  # governance rejection, not a source fault
@@ -204,7 +233,7 @@ class StrakeEngine:
                 b.record(True)
         if hit is not None:
             self._log_query(query, user, started, cached=True)
-            return hit
+            return hit, True
         if limits.max_output_rows and table.num_rows > limits.max_output_rows:
             raise QueryRejected(
                 f"result has {table.num_rows} rows > max_output_rows {limits.max_output_rows}"
@@ -212,7 +241,7 @@ class StrakeEngine:
         if self._cache is not None:
             self._cache.put(df, user, table)
         self._log_query(query, user, started, cached=False)
-        return table
+        return table, False
 
     # ---------------------------------------------------------- inspection
     def explain_tree(self, query: str) -> str:
@@ -260,12 +289,25 @@ class StrakeEngine:
     def query_log(self) -> list[dict[str, Any]]:
         return list(self._query_log)
 
+    def spans(self) -> list[dict[str, Any]]:
+        """Finished trace spans, newest last (reference telemetry.rs
+        span surface; exported OTLP-shaped when telemetry.otlp_endpoint
+        is configured)."""
+        return [s.to_dict() for s in self.tracer.finished_spans()]
+
     def metrics(self) -> dict[str, Any]:
         """Operational counters (reference telemetry surface,
         crates/common/src/telemetry.rs — re-expressed as a plain dict a
         Prometheus exporter can scrape)."""
         out = dict(self._metrics)
+        # counters exist from zero (a scrape that first sees a counter
+        # at N cannot compute the rate over the gap)
+        for k in ("queries_planned", "queries_executed", "cache_hits",
+                  "pushdown_queries"):
+            out.setdefault(k, 0)
         out["sources_registered"] = len(self._views)
+        out["spans_recorded"] = len(self.tracer.finished_spans())
+        out["span_export_errors"] = self.tracer.export_errors
         out["breaker_states"] = {n: b.state for n, b in self._breakers.items()}
         return out
 

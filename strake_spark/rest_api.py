@@ -163,18 +163,47 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, {"status": "success", "data": {"plan": tree}, "message": None})
 
     # ------------------------------------------------------------ handlers
+    # counters grow monotonically; everything else is a point-in-time gauge
+    _COUNTER_METRICS = frozenset(
+        {"queries_planned", "queries_executed", "cache_hits",
+         "pushdown_queries", "span_export_errors"}
+    )
+    _METRIC_HELP = {
+        "queries_planned": "Queries that passed the gate and were planned",
+        "queries_executed": "Queries executed to completion",
+        "cache_hits": "Queries served from the result cache",
+        "pushdown_queries": "Queries with a remote pushdown plan",
+        "sources_registered": "Registered source connectors",
+        "spans_recorded": "Trace spans in the in-process ring buffer",
+        "span_export_errors": "OTLP span export failures (best-effort)",
+        "breaker_state": "Circuit-breaker state per source (1 = in this state)",
+    }
+
     def _metrics(self) -> None:
-        """Prometheus text exposition of the engine counters. Values
-        must be numeric (a single malformed sample fails the whole
-        scrape), so enum-ish state maps become labeled 1-valued gauges."""
+        """Prometheus text exposition of the engine counters, with
+        HELP/TYPE metadata per the exposition format spec. Values must
+        be numeric (a single malformed sample fails the whole scrape),
+        so enum-ish state maps become labeled 1-valued gauges."""
         lines = []
+
+        def meta(key: str) -> None:
+            help_ = self._METRIC_HELP.get(key)
+            if help_:
+                lines.append(f"# HELP strake_{key} {help_}")
+            kind = "counter" if key in self._COUNTER_METRICS else "gauge"
+            lines.append(f"# TYPE strake_{key} {kind}")
+
         for k, v in sorted(self.engine.metrics().items()):
             if isinstance(v, (int, float)) and not isinstance(v, bool):
+                meta(k)
                 lines.append(f"strake_{k} {v}")
             elif isinstance(v, dict):  # e.g. breaker_states
-                metric = f"strake_{k.rstrip('s')}"  # breaker_states -> breaker_state
+                key = k.rstrip("s")  # breaker_states -> breaker_state
+                meta(key)
                 for sub, state in sorted(v.items()):
-                    lines.append(f'{metric}{{source="{sub}",state="{state}"}} 1')
+                    lines.append(
+                        f'strake_{key}{{source="{sub}",state="{state}"}} 1'
+                    )
         self._send(200, ("\n".join(lines) + "\n").encode(), content_type="text/plain")
 
     def _sources(self) -> None:
@@ -258,8 +287,13 @@ class _Handler(BaseHTTPRequestHandler):
         # row-level-security / masking profile. The body field only
         # applies on unauthenticated/static-token deployments.
         user = claims.get("sub") or body.get("user")
+        # W3C trace-context propagation: a caller-supplied traceparent
+        # joins the query span to the caller's distributed trace
+        traceparent = self.headers.get("traceparent")
         try:
-            table = self.engine.execute(sql, user=user, params=body.get("params"))
+            table = self.engine.execute(
+                sql, user=user, params=body.get("params"), traceparent=traceparent
+            )
         except StrakeError as e:
             return self._send(400, {"status": "error", "data": None, "message": str(e)})
         except Exception as e:  # analysis errors etc.

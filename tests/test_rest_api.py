@@ -78,8 +78,13 @@ class TestHealthPlane:
         # every sample value must be numeric (one bad sample fails the
         # whole scrape): breaker states are labeled 1-valued gauges
         assert b'strake_breaker_state{source="t",state="closed"} 1' in body.lower()
+        # HELP/TYPE metadata per the exposition format
+        assert b"# TYPE strake_queries_executed counter" in body
+        assert b"# TYPE strake_sources_registered gauge" in body
         for line in body.decode().strip().splitlines():
-            float(line.rsplit(" ", 1)[1])  # parseable value on every line
+            if line.startswith("#"):
+                continue
+            float(line.rsplit(" ", 1)[1])  # parseable value on every sample
 
 
 class TestApi:
