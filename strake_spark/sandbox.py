@@ -9,13 +9,16 @@ MCP ``run_python`` tool executes agent scripts against the engine
 This re-expression keeps the architecture (subprocess isolation, rlimit
 resource caps, captured stdout, wall-clock timeout, result-size cap)
 with portable primitives: ``resource.setrlimit`` for CPU/memory/
-file-size/process caps, a scrubbed environment, and — on Linux with
-CAP_NET_ADMIN — an empty network namespace per child
+file-size/process caps, a scrubbed environment, on Linux with
+CAP_NET_ADMIN an empty network namespace per child
 (unshare(CLONE_NEWNET) between fork and exec, the reference's
-native.py:546-557 isolation). seccomp / microVM layers remain
-privilege-dependent hook points; everything degrades gracefully,
-mirroring the reference's fallback ladder (native sandbox when
-Firecracker is unavailable, native.py:202).
+native.py:546-557 isolation), and a seccomp-BPF syscall deny-list
+(strake_spark.seccomp — socket/ptrace/mount/module syscalls return
+EPERM) installed in the prelude before the user script. The
+Firecracker microVM layer remains a privilege-dependent hook point;
+everything degrades gracefully, mirroring the reference's fallback
+ladder (native sandbox when Firecracker is unavailable,
+native.py:202).
 
 The executed script gets a ``strake`` shim whose ``sql(query)`` runs
 against the parent engine via a result file – scripts never hold the
@@ -46,6 +49,11 @@ class SandboxLimits:
     # (unshare(CLONE_NEWNET), reference native.py:546-557). Needs
     # CAP_NET_ADMIN; degrades silently to env-scrub-only elsewhere.
     isolate_network: bool = True
+    # Linux: install the seccomp-BPF deny-list (strake_spark.seccomp)
+    # before the user script runs — blocks socket creation (even
+    # AF_UNIX), ptrace, mount, module loading with EPERM. Best-effort:
+    # unknown arch or refused prctl degrades to rlimits+netns.
+    seccomp: bool = True
 
 
 _CLONE_NEWNET = 0x40000000
@@ -123,7 +131,10 @@ _cap(resource.RLIMIT_AS, {mem} * 1024 * 1024)
 _cap(resource.RLIMIT_FSIZE, {fsize} * 1024 * 1024)
 _cap(resource.RLIMIT_NPROC, {nproc})
 # network isolation happens pre-exec (unshare(CLONE_NEWNET), see
-# run_python); remaining hook point: seccomp BPF filter with privileges
+# run_python); the seccomp snippet below (when enabled) is the last
+# hardening layer before the user script; remaining hook point:
+# Firecracker microVM with privileges
+{seccomp_src}
 
 import types
 
@@ -153,12 +164,18 @@ def run_python(
     result (the parent engine runs the queries; the child gets data,
     never the engine)."""
     limits = limits or SandboxLimits()
+    seccomp_src = ""
+    if limits.seccomp and sys.platform == "linux":
+        from strake_spark.seccomp import apply_source
+
+        seccomp_src = apply_source()
     prelude = _PRELUDE.format(
         cpu=limits.cpu_seconds,
         mem=limits.memory_mb,
         fsize=limits.file_size_mb,
         nproc=limits.max_processes,
         queries=query_results or {},
+        seccomp_src=seccomp_src,
     )
     with tempfile.TemporaryDirectory(prefix="strake-sbx-") as tmp:
         path = os.path.join(tmp, "script.py")

@@ -175,6 +175,65 @@ class TestSandbox:
         )
         assert r.ok and "BLOCKED" in r.stdout and "CONNECTED" not in r.stdout
 
+    def test_seccomp_blocks_socket_creation(self):
+        """seccomp layer (reference policy.py:76-230): socket() itself —
+        even AF_UNIX, which netns does not stop — returns EPERM."""
+        from strake_spark.seccomp import seccomp_available
+
+        if not seccomp_available():
+            pytest.skip("seccomp filter not installable here")
+        r = run_python(
+            "import socket\n"
+            "for fam in (socket.AF_INET, socket.AF_UNIX):\n"
+            "    try:\n"
+            "        socket.socket(fam)\n"
+            "        print('OPENED', fam)\n"
+            "    except PermissionError:\n"
+            "        print('EPERM', int(fam))\n"
+        )
+        assert r.ok, r.stderr
+        assert r.stdout.count("EPERM") == 2 and "OPENED" not in r.stdout
+
+    def test_seccomp_off_allows_socket(self):
+        r = run_python(
+            "import socket; s = socket.socket(socket.AF_UNIX); print('OPENED')",
+            SandboxLimits(seccomp=False),
+        )
+        assert r.ok and "OPENED" in r.stdout
+
+    def test_seccomp_still_runs_pandas(self):
+        from strake_spark.seccomp import seccomp_available
+
+        if not seccomp_available():
+            pytest.skip("seccomp filter not installable here")
+        r = run_python(
+            "import pandas as pd\n"
+            "print(int(pd.DataFrame({'a': [1, 2, 3]})['a'].sum()))\n"
+        )
+        assert r.ok, r.stderr
+        assert r.stdout.strip() == "6"
+
+    def test_seccomp_filter_shape(self):
+        import struct
+
+        from strake_spark.seccomp import _DENY_SYSCALLS, build_filter
+
+        # both arch tables deny the same named syscalls
+        assert set(_DENY_SYSCALLS["x86_64"]) == set(_DENY_SYSCALLS["aarch64"])
+        for arch in ("x86_64", "aarch64"):
+            filt = build_filter(arch)
+            assert len(filt) % 8 == 0
+            insns = [struct.unpack("<HBBI", filt[i:i + 8]) for i in range(0, len(filt), 8)]
+            # last two instructions: RET ALLOW then RET ERRNO|EPERM
+            assert insns[-2] == (0x06, 0, 0, 0x7FFF0000)
+            assert insns[-1] == (0x06, 0, 0, 0x00050000 | 1)
+            # every JEQ jump target lands inside the program
+            for idx, (code, jt, jf, _k) in enumerate(insns):
+                if code == 0x15:
+                    assert idx + 1 + jt < len(insns)
+                    assert idx + 1 + jf < len(insns)
+        assert build_filter("riscv64") is None  # unknown arch degrades
+
     def test_env_scrubbed(self):
         r = run_python("import os; print(sorted(os.environ))")
         assert r.ok
