@@ -237,6 +237,88 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECONTAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS gram_h
+  FROM tok, UNNEST(range(1, len(toks) - 6)) AS t(i)
+  WHERE len(toks) >= 8
+)
+SELECT DISTINCT doc_id
+FROM grams
+WHERE NOT (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 2)
+  AND gram_h IN (
+    SELECT gram_h FROM grams
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 2)
+ORDER BY doc_id
+"""
+
+
+@query(
+    "pipeline_decontaminate_ngram",
+    oracle=_DECONTAM_ORACLE,
+    notes=(
+        "test-set decontamination: training docs sharing any "
+        "8-word-gram with the held-out eval split (the same md5 "
+        "hash-bucket rule as sample_hash_bucket, ~20%) are flagged. "
+        "md5 gram digests shuffle, never gram text; distinct eval "
+        "grams are the semi-join build side (broadcastable at "
+        "benchmark size)"
+    ),
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.operators.decontam import contaminated_ids
+
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10
+    train = d.filter(~(bucket < 2))
+    eval_docs = d.filter(bucket < 2)
+    return contaminated_ids(train, eval_docs).orderBy("doc_id")
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM t
+)
+SELECT CAST(FLOOR((running - n_tok) / 4096.0) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM r GROUP BY 1 ORDER BY pack_id
+"""
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=_PACK_ORACLE,
+    notes=(
+        "sequence packing preview: prefix-sum token counts -> "
+        "pack_id = floor((running - own)/4096) -> per-pack doc count + "
+        "token fill. One window pass + one aggregate, no driver loop"
+    ),
+)
+def pack_sequences_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.operators.decontam import pack_sequences
+
+    d = table(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=4096).orderBy("pack_id")
+
+
 def _curation_oracle() -> str:
     from strake_spark.operators import text as TX
 

@@ -1,0 +1,98 @@
+"""Test-set decontamination + sequence packing — training-data hygiene
+operators beyond the reference's surface (it has no pipeline verbs;
+SURVEY §6 marks the LLM-pipeline family as deliberate additions).
+
+Decontamination is the standard n-gram overlap check every serious
+training pipeline runs before training: a training document that shares
+any n-word-gram (n=8 here, a common contamination window) with an
+evaluation/benchmark document is flagged and dropped, otherwise eval
+scores measure memorization. Scale shape: both sides tokenize once,
+emit md5 digests of their n-grams (the 16-byte digest shuffles, never
+the gram text), and meet in a LEFT SEMI join against the distinct eval
+gram set — no text comparison, no cross join, and the eval side (always
+the small side: benchmarks are thousands of docs, corpora billions) can
+be broadcast by AQE.
+
+Sequence packing previews training-batch construction: documents in a
+deterministic order are greedily packed into fixed token budgets
+(floor(running_tokens / budget) — the prefix-sum formulation makes it a
+single window pass, no driver loop), and the per-pack stats (doc count,
+token fill) tell you the padding waste a context window will see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from strake_spark.operators.hashing import normalize_text
+
+
+def ngram_hashes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, gram_h) — md5 of every n-word-gram of the normalized text.
+    Documents shorter than n tokens emit nothing (they cannot carry a
+    full contamination window)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.col(id_col), F.explode(grams).alias("gram_h"))
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Distinct train ids sharing >=1 n-gram with any eval doc. The
+    distinct eval gram set is the join's build side — broadcastable
+    whenever the benchmark suite is benchmark-sized."""
+    train_grams = ngram_hashes(train, id_col, text_col, n)
+    eval_grams = ngram_hashes(eval_docs, id_col, text_col, n).select(
+        "gram_h"
+    ).distinct()
+    return (
+        train_grams.join(eval_grams, "gram_h", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 4096,
+) -> DataFrame:
+    """Greedy prefix-sum packing: docs ordered by id accumulate
+    whitespace-token counts; pack_id = floor((running - own)/budget).
+    Returns per-pack (pack_id, n_docs, total_tokens). One window pass +
+    one aggregate — the whole corpus packs without a driver loop.
+
+    Note the window is unpartitioned by design (packing is a global
+    order); at 100 TB you partition by shard key first and pack within
+    shards, which is the same plan with a partitionBy added."""
+    n_tok = F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long")
+    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = docs.select(F.col(id_col), n_tok.alias("n_tok"))
+    t = t.withColumn("running", F.sum("n_tok").over(w))
+    pack = F.floor((F.col("running") - F.col("n_tok")) / budget)
+    return (
+        t.select(pack.alias("pack_id"), "n_tok")
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )

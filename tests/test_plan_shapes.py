@@ -234,3 +234,45 @@ class TestNoDriverLoops:
             plan = _plan(spark, name)
             assert "BatchEvalPython" not in plan, f"{name} uses row-wise Python"
             assert "PythonUDF" not in plan, f"{name} uses Python UDF"
+
+
+class TestDecontamination:
+    def test_no_cartesian_and_semi_join(self, spark):
+        """Contamination check must be a gram-digest semi-join, never a
+        doc-by-doc cross comparison."""
+        plan = _plan(spark, "pipeline_decontaminate_ngram")
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+        assert "LeftSemi" in plan
+
+    def test_flags_known_contamination(self, spark):
+        from strake_spark.operators.decontam import contaminated_ids
+
+        shared = " ".join(f"tok{i}" for i in range(8))  # exactly one 8-gram
+        train = spark.createDataFrame(
+            [(1, f"prefix words here {shared} and a tail"),
+             (2, "completely different content with many distinct words okay"),
+             (3, "short doc")],  # < 8 tokens: can't carry a window
+            "doc_id bigint, text string",
+        )
+        eval_docs = spark.createDataFrame(
+            [(100, f"the benchmark question mentions {shared} verbatim")],
+            "doc_id bigint, text string",
+        )
+        out = [r.doc_id for r in contaminated_ids(train, eval_docs).collect()]
+        assert out == [1]
+
+    def test_packing_conserves_tokens(self, spark):
+        from pyspark.sql import functions as F
+
+        from strake_spark.operators.decontam import pack_sequences
+        from strake_spark.operators.hashing import normalize_text
+
+        from strake_spark.data import table
+
+        docs = table(spark, SF_DIR, "documents")
+        packs = pack_sequences(docs, budget=4096)
+        total = packs.agg(F.sum("total_tokens").alias("t")).collect()[0].t
+        expect = docs.select(
+            F.sum(F.size(F.split(normalize_text(F.col("text")), " "))).alias("t")
+        ).collect()[0].t
+        assert total == expect  # every token lands in exactly one pack
