@@ -108,16 +108,18 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal
     "multimodal_binary_meta", "multimodal_decode_features",
     # advanced relational + temporal joins + pipeline ops
-    "window_groups_frame_emulated", "expr_array_higher_order",
-    "asof_join_backward", "asof_join_forward",
-    "range_join_events_after_purchase", "pii_detect_and_scrub",
-    "sample_shuffle_deterministic", "join_salted_skew",
+    "window_groups_frame_emulated", "asof_join_backward",
+    "asof_join_forward", "range_join_events_after_purchase",
+    "pii_detect_and_scrub", "join_salted_skew",
+    # new this round — never driver-checked
+    "pipeline_decontaminate_ngram", "pipeline_pack_sequences",
     # --- 50-entry window boundary ---
     # deferred to the round-7 window (r3-green, change-stable)
     "empty_relation", "limit_offset_page", "sort_multi_key_nulls",
     "pivot_status_by_flag", "expr_string_functions", "expr_math_functions",
     "expr_datetime_functions", "expr_conditional_null", "expr_cast_matrix",
-    "sample_hash_bucket",
+    "sample_hash_bucket", "sample_shuffle_deterministic",
+    "expr_array_higher_order",
 )
 
 
