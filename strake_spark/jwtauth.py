@@ -10,7 +10,8 @@ Two consumers, both mirroring reference behaviors:
   PKCS1-v1_5 is just modular exponentiation over a fixed digest
   encoding, no crypto library needed (RFC 8017 §8.2). PEM private keys
   (PKCS#1 and PKCS#8) are parsed with a minimal DER reader. ES256
-  (EC point math) stays deploy-gated.
+  rides the `cryptography` package (EC point math is not reasonably
+  inlined) and raises NotImplementedError where that is absent.
 
 - Server-side OIDC bearer validation (crates/server/src/auth.rs shape):
   signature + exp/nbf + issuer + audience checks on inbound tokens for
@@ -33,8 +34,20 @@ from typing import Any
 
 from strake_spark.errors import StrakeError
 
-_SUPPORTED = ("HS256", "RS256")
-_DEPLOY_GATED = ("ES256", "ES384")
+_SUPPORTED = ("HS256", "RS256", "ES256")
+# ES256 needs EC point math — implemented via the `cryptography` package
+# when present (it is in this container), NotImplementedError otherwise.
+_DEPLOY_GATED = ("ES384", "ES512")
+
+
+def _ec_backend():
+    try:
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import ec, utils
+
+        return hashes, serialization, ec, utils
+    except ImportError:  # pragma: no cover - present in this container
+        return None
 
 
 class AuthError(StrakeError):
@@ -282,6 +295,98 @@ def verify_rs256(
     return claims
 
 
+# --------------------------------------------------------------- ES256
+# ECDSA P-256 / SHA-256 (JWS raw r||s signatures, RFC 7518 §3.4) via the
+# `cryptography` package — unlike RSA, EC point math is not reasonably
+# re-implementable inline, so this path is import-gated.
+
+
+def sign_es256(
+    claims: dict[str, Any],
+    private_key_pem: str,
+    headers: dict | None = None,
+) -> str:
+    be = _ec_backend()
+    if be is None:
+        raise NotImplementedError(
+            "ES256 needs the `cryptography` package for EC point math"
+        )
+    hashes, serialization, ec, utils = be
+    key = serialization.load_pem_private_key(
+        private_key_pem.encode(), password=None
+    )
+    header = {"alg": "ES256", "typ": "JWT", **(headers or {})}
+    signing_input = (
+        _b64url(json.dumps(header, separators=(",", ":"), sort_keys=True).encode())
+        + "."
+        + _b64url(json.dumps(claims, separators=(",", ":"), sort_keys=True).encode())
+    )
+    der_sig = key.sign(signing_input.encode("ascii"), ec.ECDSA(hashes.SHA256()))
+    r, s = utils.decode_dss_signature(der_sig)  # JWS wants raw r||s, not DER
+    sig = r.to_bytes(32, "big") + s.to_bytes(32, "big")
+    return signing_input + "." + _b64url(sig)
+
+
+def verify_es256(
+    token: str,
+    jwks: dict[str, Any],
+    *,
+    issuer: str | None = None,
+    audience: str | None = None,
+    leeway: float = 30.0,
+    now: float | None = None,
+) -> dict[str, Any]:
+    """Validate an ES256 token against JWKS EC keys
+    ({"kty": "EC", "crv": "P-256", "x": ..., "y": ...})."""
+    be = _ec_backend()
+    if be is None:
+        raise NotImplementedError(
+            "ES256 needs the `cryptography` package for EC point math"
+        )
+    hashes, _serialization, ec, utils = be
+    parts = token.split(".")
+    if len(parts) != 3:
+        raise AuthError("malformed token (expected 3 dot-separated segments)")
+    try:
+        header = json.loads(_b64url_decode(parts[0]))
+        claims = json.loads(_b64url_decode(parts[1]))
+        sig = _b64url_decode(parts[2])
+    except Exception as e:  # noqa: BLE001
+        raise AuthError(f"undecodable token: {e}") from None
+    if header.get("alg") != "ES256":
+        raise AuthError(f"unsupported alg {header.get('alg')!r} (ES256 expected)")
+    if len(sig) != 64:
+        raise AuthError("ES256 signature must be 64 raw bytes (r||s)")
+    keys = [
+        k for k in jwks.get("keys", [])
+        if k.get("kty") == "EC" and k.get("crv") in (None, "P-256")
+    ]
+    kid = header.get("kid")
+    if kid is not None:
+        keys = [k for k in keys if k.get("kid") == kid]
+    if not keys:
+        raise AuthError(f"no P-256 key in JWKS for kid={kid!r}")
+    der = utils.encode_dss_signature(
+        int.from_bytes(sig[:32], "big"), int.from_bytes(sig[32:], "big")
+    )
+    msg = f"{parts[0]}.{parts[1]}".encode("ascii")
+    ok = False
+    for k in keys:
+        pub = ec.EllipticCurvePublicNumbers(
+            _jwk_int(k["x"]), _jwk_int(k["y"]), ec.SECP256R1()
+        ).public_key()
+        try:
+            pub.verify(der, msg, ec.ECDSA(hashes.SHA256()))
+            ok = True
+            break
+        except Exception:  # noqa: BLE001 - InvalidSignature et al.
+            continue
+    if not ok:
+        raise AuthError("signature mismatch")
+    _check_claims(claims, issuer=issuer, audience=audience, leeway=leeway, now=now)
+    return claims
+
+
 def build_assertion(
     issuer: str,
     audience: str,
@@ -309,8 +414,8 @@ def build_assertion(
         raise ValueError(f"unsupported JWT algorithm {algorithm!r}")
     if algorithm == "HS256" and secret is None:
         raise ValueError("HS256 assertion requires `secret`")
-    if algorithm == "RS256" and private_key_pem is None:
-        raise ValueError("RS256 assertion requires `private_key_pem`")
+    if algorithm in ("RS256", "ES256") and private_key_pem is None:
+        raise ValueError(f"{algorithm} assertion requires `private_key_pem`")
     t = int(time.time() if now is None else now)
     body: dict[str, Any] = {
         "iss": issuer,
@@ -323,6 +428,8 @@ def build_assertion(
     body.update(claims or {})
     if algorithm == "RS256":
         return sign_rs256(body, private_key_pem)
+    if algorithm == "ES256":
+        return sign_es256(body, private_key_pem)
     return sign_hs256(body, secret)
 
 
@@ -367,6 +474,13 @@ class OidcValidator:
             if self.jwks is None:
                 raise AuthError("RS256 token but no JWKS configured")
             return verify_rs256(
+                token, self.jwks,
+                issuer=self.issuer, audience=self.audience, leeway=self.leeway,
+            )
+        if alg == "ES256":
+            if self.jwks is None:
+                raise AuthError("ES256 token but no JWKS configured")
+            return verify_es256(
                 token, self.jwks,
                 issuer=self.issuer, audience=self.audience, leeway=self.leeway,
             )

@@ -91,8 +91,8 @@ class _Auth:
         configured key, refreshed before expiry. HS256 runs stdlib-side;
         RS256 (the reference default for Google/GitHub-style service
         accounts) signs via the pure-integer RSASSA path in jwtauth with
-        a PKCS#1/PKCS#8 PEM private key; ES256 raises with the
-        documented deploy gate (EC point math not vendored)."""
+        a PKCS#1/PKCS#8 PEM private key; ES256 rides the `cryptography`
+        package and raises where it is absent."""
         if self._token is not None and time.time() < self._token_expiry - 30:
             return self._token
         from strake_spark.jwtauth import build_assertion

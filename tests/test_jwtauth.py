@@ -173,3 +173,106 @@ class TestValidatorRouting:
     def test_no_key_material_rejected(self):
         with pytest.raises(ValueError):
             OidcValidator(issuer="iss", audience="aud")
+
+
+try:
+    from cryptography.hazmat.primitives import serialization as _ser
+    from cryptography.hazmat.primitives.asymmetric import ec as _ec, padding as _pad
+    from cryptography.hazmat.primitives import hashes as _hashes
+
+    _HAVE_CRYPTO = True
+except ImportError:  # pragma: no cover
+    _HAVE_CRYPTO = False
+
+crypto_only = pytest.mark.skipif(not _HAVE_CRYPTO, reason="needs cryptography")
+
+
+@crypto_only
+class TestRs256CrossValidation:
+    """Our pure-integer RSASSA must interoperate with an independent
+    implementation, not just round-trip with itself."""
+
+    def test_our_signature_verifies_under_cryptography(self):
+        tok = sign_rs256(_claims(), PEM1)
+        h, p, s = tok.split(".")
+        import base64
+
+        key = _ser.load_pem_private_key(PEM1.encode(), password=None).public_key()
+        sig = base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+        key.verify(  # raises on mismatch
+            sig, f"{h}.{p}".encode(), _pad.PKCS1v15(), _hashes.SHA256()
+        )
+
+    def test_cryptography_signature_verifies_under_ours(self):
+        import base64 as b64
+        import json as js
+
+        key = _ser.load_pem_private_key(PEM1.encode(), password=None)
+        header = b64.urlsafe_b64encode(
+            js.dumps({"alg": "RS256", "typ": "JWT"}).encode()).rstrip(b"=").decode()
+        payload = b64.urlsafe_b64encode(
+            js.dumps(_claims()).encode()).rstrip(b"=").decode()
+        sig = key.sign(
+            f"{header}.{payload}".encode(), _pad.PKCS1v15(), _hashes.SHA256()
+        )
+        tok = f"{header}.{payload}." + b64.urlsafe_b64encode(sig).rstrip(b"=").decode()
+        assert verify_rs256(tok, JWKS, issuer="iss", audience="aud")["sub"] == "svc"
+
+
+@crypto_only
+class TestEs256:
+    @pytest.fixture(scope="class")
+    def ec_key(self):
+        key = _ec.generate_private_key(_ec.SECP256R1())
+        pem = key.private_bytes(
+            _ser.Encoding.PEM,
+            _ser.PrivateFormat.PKCS8,
+            _ser.NoEncryption(),
+        ).decode()
+        nums = key.public_key().public_numbers()
+        jwks = {"keys": [{
+            "kty": "EC", "crv": "P-256", "kid": "e1",
+            "x": _b64url_uint(nums.x), "y": _b64url_uint(nums.y),
+        }]}
+        return pem, jwks
+
+    def test_sign_verify_roundtrip(self, ec_key):
+        from strake_spark.jwtauth import sign_es256, verify_es256
+
+        pem, jwks = ec_key
+        tok = sign_es256(_claims(), pem, headers={"kid": "e1"})
+        assert verify_es256(tok, jwks, issuer="iss", audience="aud")["sub"] == "svc"
+
+    def test_tampered_rejected(self, ec_key):
+        from strake_spark.jwtauth import sign_es256, verify_es256
+
+        pem, jwks = ec_key
+        tok = sign_es256(_claims(), pem)
+        h, p, s = tok.split(".")
+        with pytest.raises(AuthError):
+            verify_es256(f"{h}.{p[:-2]}xx.{s}", jwks)
+
+    def test_validator_routes_es256(self, ec_key):
+        from strake_spark.jwtauth import sign_es256
+
+        pem, jwks = ec_key
+        v = OidcValidator(issuer="iss", audience="aud", jwks=jwks)
+        tok = sign_es256(_claims(), pem)
+        assert v.validate(f"Bearer {tok}")["sub"] == "svc"
+
+    def test_build_assertion_es256(self, ec_key):
+        from strake_spark.jwtauth import verify_es256
+
+        pem, jwks = ec_key
+        tok = build_assertion("iss", "aud", algorithm="ES256",
+                              private_key_pem=pem, subject="svc")
+        assert verify_es256(tok, jwks, issuer="iss", audience="aud")["sub"] == "svc"
+
+    def test_rs256_key_cannot_satisfy_es256(self, ec_key):
+        """An RS256 token must not pass an ES256-keyed validator (and
+        the JWKS kty filter must not mix key families)."""
+        _pem, jwks = ec_key
+        v = OidcValidator(issuer="iss", audience="aud", jwks=jwks)
+        tok = sign_rs256(_claims(), PEM1)
+        with pytest.raises(AuthError, match="no RSA key"):
+            v.validate(f"Bearer {tok}")

@@ -250,14 +250,14 @@ class TestJwt:
             "exp": 1_000_120, "sub": "svc", "scope": "read",
         }
 
-    def test_rs256_roundtrips_es256_gated(self):
+    def test_rs256_roundtrips_es384_gated(self):
         from strake_spark.jwtauth import verify_rs256
         from tests.test_jwtauth import JWKS, PEM8
 
         tok = build_assertion("i", "a", algorithm="RS256", private_key_pem=PEM8)
         assert verify_rs256(tok, JWKS, issuer="i", audience="a")["aud"] == "a"
-        with pytest.raises(NotImplementedError, match="ES256"):
-            build_assertion("i", "a", algorithm="ES256", private_key_pem="fake")
+        with pytest.raises(NotImplementedError, match="ES384"):
+            build_assertion("i", "a", algorithm="ES384", private_key_pem="fake")
 
 
 class TestOidcRest:
@@ -368,11 +368,29 @@ class TestRestSourceJwtAuth:
                               issuer="i", audience="a")
         assert claims["iss"] == "i"
 
-    def test_es256_still_gated(self):
-        from strake_spark.sources.rest import _Auth
+    def test_es256_assertion_roundtrips(self):
+        """ES256 assertions ride the cryptography package (present in
+        this container); ES384+ stay deploy-gated."""
+        pytest.importorskip("cryptography")
+        from cryptography.hazmat.primitives import serialization
+        from cryptography.hazmat.primitives.asymmetric import ec
 
+        from strake_spark.jwtauth import verify_es256
+        from strake_spark.sources.rest import _Auth
+        from tests.test_jwtauth import _b64url_uint
+
+        key = ec.generate_private_key(ec.SECP256R1())
+        pem = key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
+        ).decode()
+        nums = key.public_key().public_numbers()
+        jwks = {"keys": [{"kty": "EC", "crv": "P-256",
+                          "x": _b64url_uint(nums.x), "y": _b64url_uint(nums.y)}]}
         auth = _Auth({"auth_type": "jwt", "jwt_algorithm": "ES256",
                       "jwt_issuer": "i", "jwt_audience": "a",
-                      "jwt_private_key_pem": "----"})
-        with pytest.raises(NotImplementedError):
-            auth.headers()
+                      "jwt_private_key_pem": pem})
+        hdr = auth.headers()["Authorization"]
+        claims = verify_es256(hdr[len("Bearer "):], jwks, issuer="i", audience="a")
+        assert claims["iss"] == "i"

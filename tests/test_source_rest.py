@@ -213,14 +213,17 @@ class TestAuth:
     def test_jwt_requires_key_and_gates_rs256(self, spark, server):
         from strake_spark.sources.rest import _Auth
 
-        # HS256 needs jwt_key, RS256 needs jwt_private_key_pem
+        # HS256 needs jwt_key, RS256/ES256 need jwt_private_key_pem
         with pytest.raises(ValueError, match="secret"):
             _Auth({"auth_type": "jwt"}).headers()
         with pytest.raises(ValueError, match="private_key_pem"):
             _Auth({"auth_type": "jwt", "jwt_algorithm": "RS256"}).headers()
-        # EC algorithms stay deploy-gated (EC point math not vendored)
-        with pytest.raises(NotImplementedError, match="ES256"):
+        with pytest.raises(ValueError, match="private_key_pem"):
             _Auth({"auth_type": "jwt", "jwt_algorithm": "ES256"}).headers()
+        # longer EC variants stay deploy-gated
+        with pytest.raises(NotImplementedError, match="ES384"):
+            _Auth({"auth_type": "jwt", "jwt_algorithm": "ES384",
+                   "jwt_private_key_pem": "x"}).headers()
 
 
 class TestRegistration:
