@@ -319,6 +319,59 @@ def pack_sequences_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget=4096).orderBy("pack_id")
 
 
+_MIXTURE_ORACLE = """
+WITH e AS (
+  SELECT doc_id, source,
+         CASE WHEN source IN ('src0', 'src1') THEN 2.5 ELSE 1.0 END AS w,
+         unnest(range(1, CAST(ceil(CASE WHEN source IN ('src0', 'src1')
+                                        THEN 2.5 ELSE 1.0 END) AS BIGINT) + 1)) AS epoch
+  FROM documents
+)
+SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, source
+FROM e
+WHERE epoch <= floor(w)
+   OR CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' ||
+            CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < (w - floor(w)) * 100
+ORDER BY doc_id, epoch
+"""
+
+
+@query(
+    "pipeline_mixture_upsample",
+    oracle=_MIXTURE_ORACLE,
+    notes=(
+        "training-mix construction with per-source weights > 1: docs "
+        "from up-weighted sources (2.5x for src0/src1) repeat across "
+        "epochs — whole epochs for floor(w), the fractional remainder "
+        "by deterministic md5(doc,epoch) bucket. No RNG state, "
+        "reproducible and resumable; stratified sampling covers only "
+        "w <= 1, this covers the up-sampling half of mix building"
+    ),
+)
+def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.when(F.col("source").isin("src0", "src1"), F.lit(2.5)).otherwise(F.lit(1.0))
+    t = d.select("doc_id", "source", w.alias("w"))
+    t = t.select(
+        "doc_id", "source", "w",
+        F.explode(F.sequence(F.lit(1), F.ceil("w").cast("int"))).alias("epoch_i"),
+    ).withColumn("epoch", F.col("epoch_i").cast("long")).drop("epoch_i")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-"),
+                           F.col("epoch").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long") % 100
+    keep = (F.col("epoch") <= F.floor("w")) | (
+        bucket < (F.col("w") - F.floor("w")) * 100
+    )
+    return (
+        t.filter(keep)
+        .select("doc_id", "epoch", "source")
+        .orderBy("doc_id", "epoch")
+    )
+
+
 def _curation_oracle() -> str:
     from strake_spark.operators import text as TX
 
