@@ -114,6 +114,13 @@ class _Handler(BaseHTTPRequestHandler):
             return None
         if path == "/api/v1/sources":
             return self._sources()
+        if path == "/api/v1/spans":
+            # trace introspection (reference telemetry surface): the
+            # in-process ring buffer, newest last
+            return self._send(
+                200,
+                {"status": "success", "data": self.engine.spans(), "message": None},
+            )
         m = _INTROSPECT_SOURCE.match(path)
         if m:
             return self._list_tables(m.group(1), m.group(2))

@@ -108,6 +108,29 @@ class TestApi:
         code, body = _jreq(server.port, "/api/v1/query", {"sql": "DROP TABLE t_nation"})
         assert code == 400 and body["status"] == "error"
 
+    def test_spans_surface_and_traceparent_propagation(self, server):
+        """A query with a W3C traceparent header lands its span tree in
+        /api/v1/spans under the caller's trace id."""
+        tid = "ab" * 16
+        url = f"http://127.0.0.1:{server.port}/api/v1/query"
+        req = urllib.request.Request(
+            url,
+            data=json.dumps({"sql": "SELECT count(*) AS n FROM t_region"}).encode(),
+            method="POST",
+        )
+        req.add_header("Content-Type", "application/json")
+        req.add_header("traceparent", f"00-{tid}-{'cd' * 8}-01")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+        code, body = _jreq(server.port, "/api/v1/spans")
+        assert code == 200
+        roots = [s for s in body["data"] if s["name"] == "query.execute"]
+        assert roots and roots[-1]["trace_id"] == tid
+        assert roots[-1]["parent_span_id"] == "cd" * 8
+        children = [s for s in body["data"]
+                    if s["parent_span_id"] == roots[-1]["span_id"]]
+        assert {c["name"] for c in children} >= {"query.plan"}
+
     def test_query_params_bound(self, server):
         code, body = _jreq(
             server.port,
