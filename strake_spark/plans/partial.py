@@ -292,12 +292,21 @@ def _collect_column_refs(node, out: list[list[str]], stars: list[dict]) -> None:
 
 def _fix_for_spark(sql: str) -> str:
     """DuckDB-isms in json_deserialize_sql output that Spark's parser
-    rejects (the local-dialect mirror of plans/dialects.fix_text)."""
-    return (
-        sql.replace("count_star()", "count(*)")
-        .replace(" !~~ ", " NOT LIKE ")
-        .replace(" ~~ ", " LIKE ")
-    )
+    rejects (the local-dialect mirror of plans/dialects.fix_text).
+    Literal-aware for the same reason as fix_text: a user string
+    containing ' ~~ ' or 'count_star()' must survive verbatim."""
+    from strake_spark.plans.dialects import _split_literals
+
+    out = []
+    for seg, is_literal in _split_literals(sql):
+        if not is_literal:
+            seg = (
+                seg.replace("count_star()", "count(*)")
+                .replace(" !~~ ", " NOT LIKE ")
+                .replace(" ~~ ", " LIKE ")
+            )
+        out.append(seg)
+    return "".join(out)
 
 
 # -------------------------------------------------------------- planning

@@ -165,6 +165,8 @@ class TestPartialPushdown:
         "NOT (c.c_nationkey = 5)",
         "c.c_name IS NOT NULL AND c.c_acctbal <> 0",
         "c.c_name = 'it''s'",  # quote escaping (matches nothing, must not break)
+        "c.c_name = 'a ~~ b'",  # LIKE-spelling inside a literal must survive
+        "c.c_name = 'count_star()'",  # function-spelling inside a literal
         "c.c_acctbal > 0 AND c.c_nationkey = n.n_nationkey",  # cross-table conjunct stays local
     ]
 
