@@ -124,6 +124,42 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_view_purchase_join",
+    oracle="""
+    SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY view_id, purchase_id
+    """,
+    notes=(
+        "stream-STREAM interval join (view -> same-user purchase within "
+        "1h) drained with availableNow — the hardest stateful streaming "
+        "shape; the watermark + range bound is what makes both sides' "
+        "state evictable. Equals the batch range join exactly"
+    ),
+)
+def stream_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from strake_spark.streaming import read_event_stream, view_purchase_join
+    from strake_spark.streaming.ops import run_to_completion
+
+    src = _stream_dir(sf_dir)
+    views = read_event_stream(spark, src).filter(F.col("event_type") == "view")
+    purchases = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    stream = view_purchase_join(views, purchases, window="1 hour")
+    out = run_to_completion(
+        stream, tempfile.mkdtemp(prefix="strake-inv-ssj-"), output_mode="append"
+    )
+    return out.orderBy("view_id", "purchase_id")
+
+
+@query(
     "stream_user_running_totals",
     oracle="""
     SELECT user_id,

@@ -19,4 +19,5 @@ from strake_spark.streaming.ops import (  # noqa: F401
     session_counts,
     tumbling_counts,
     user_running_totals,
+    view_purchase_join,
 )

@@ -166,6 +166,43 @@ def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def view_purchase_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM interval join: each view event pairs with the same
+    user's purchase events landing within ``window`` after it. The
+    hardest stateful shape Structured Streaming offers — both sides
+    buffer state, and the watermark + time-range bound is what lets the
+    engine evict it (without the range condition the state grows
+    unboundedly; Spark refuses the plan)."""
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select("view_id", "user_id", "view_ts", "purchase_id", "purchase_ts")
+
+
 def run_to_completion(
     stream_df: DataFrame, tmp_dir: str, output_mode: str | None = None
 ) -> DataFrame:

@@ -109,3 +109,38 @@ class TestCustomStateful:
         merged = final.merge(exp, on="user_id", suffixes=("_got", "_exp"))
         assert len(merged) == len(exp) > 0
         assert (merged["n_got"] == merged["n_exp"]).all()
+
+
+class TestStreamStreamJoin:
+    def test_symmetric_hash_join_planned(self, spark, events_dir, tmp_path):
+        """The interval join must plan as StreamingSymmetricHashJoin
+        (both sides stateful, watermark-evicted) and match the batch
+        range join exactly."""
+        from strake_spark.streaming.ops import view_purchase_join
+
+        views = read_event_stream(spark, events_dir).filter(
+            F.col("event_type") == "view"
+        )
+        purchases = read_event_stream(spark, events_dir).filter(
+            F.col("event_type") == "purchase"
+        )
+        stream = view_purchase_join(views, purchases, window="1 hour")
+        got = run_to_completion(
+            stream, str(tmp_path / "chk"), output_mode="append"
+        )
+        e = _batch(spark, events_dir)
+        v = e.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+        )
+        p = e.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        exp = v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        assert got.count() == exp.count() > 0
