@@ -10,11 +10,10 @@ at 100 TB — always declare in production).
 
 Object stores (file.rs:124-207 routes s3/gs/az/http/ftp/sftp through
 OpenDAL): s3a:// gs:// abfss:// resolve through Hadoop FS connectors
-when their jars are on the classpath; http(s) is handled by a
-driver-side fetch in sources/rest.py; ftp:// spools through the driver
-(stdlib ftplib — the documented small-file path, matching the
-reference's whole-object OpenDAL fetch); sftp:// is gated on an SSH
-transport (paramiko) being installed.
+when their jars are on the classpath; http(s):// and ftp:// spool
+through the driver (stdlib urllib/ftplib — the documented small-file
+path, matching the reference's whole-object OpenDAL fetch); sftp:// is
+gated on an SSH transport (paramiko) being installed.
 
 Each table registers a temp view named ``<source>_<table>`` wrapped with
 schema-drift reconciliation when a declared schema exists (see
@@ -152,6 +151,36 @@ def _spool_ftp(url: str, options: dict) -> str:
             ftp.close()    # mask the real (already-raised) error
 
 
+def _spool_http(url: str, options: dict) -> str:
+    """Fetch an http(s) object to a local spool file (stdlib urllib)
+    and return the local path Spark reads. Like the ftp spool this is
+    the whole-object small-file path (reference file.rs:124-207 routes
+    http through OpenDAL the same way — HTTP has no directory listing
+    or splittable reads); big data belongs on s3a/gs/abfss."""
+    import tempfile
+    import urllib.request
+    from urllib.parse import urlparse
+
+    name = os.path.basename(urlparse(url).path) or "object"
+    spool = tempfile.mkdtemp(prefix="strake-http-")
+    local = os.path.join(spool, name)
+    req = urllib.request.Request(url)
+    for k, v in (options.get("http_headers") or {}).items():
+        req.add_header(str(k), str(v))
+    try:
+        with urllib.request.urlopen(
+            req, timeout=float(options.get("timeout", 30))
+        ) as resp, open(local, "wb") as f:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+    except Exception as e:  # noqa: BLE001 - transport error: surface with context
+        raise SourceError(f"http fetch failed for {url!r}: {e}") from e
+    return local
+
+
 @source_type("parquet", "csv", "json", "ndjson", "file")
 def register_file_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
     fmt = cfg.type if cfg.type in _FORMATS else str(cfg.options.get("format", "parquet"))
@@ -164,6 +193,8 @@ def register_file_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
         path = tbl.path or os.path.join(base, f"{tbl.name}.{ 'parquet' if fmt == 'parquet' else fmt }")
         if path.startswith(("ftp://", "ftps://", "sftp://")):
             path = _spool_ftp(path, cfg.options)
+        elif path.startswith(("http://", "https://")):
+            path = _spool_http(path, cfg.options)
         df = _read_one(spark, fmt, path, tbl)
         if cfg.default_limit:
             # per-source row cap (models.rs SourceConfig.default_limit):

@@ -237,3 +237,64 @@ class TestFtpScheme:
                               "url": "ftp://h/empty", "tables": [{"name": "region"}]}]},
                 spark=spark,
             )
+
+
+class TestHttpScheme:
+    """http(s):// spool path against a LIVE in-process HTTP server —
+    the whole-object small-file fetch (reference file.rs:124-207 routes
+    http through OpenDAL the same way)."""
+
+    @pytest.fixture()
+    def http_server(self, tmp_path):
+        import shutil
+        import threading
+        from functools import partial
+        from http.server import HTTPServer, SimpleHTTPRequestHandler
+
+        shutil.copy(f"{SF_DIR}/region.parquet", tmp_path / "region.parquet")
+        (tmp_path / "dims.csv").write_text("k,v\n1,a\n2,b\n")
+
+        class Quiet(SimpleHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+        srv = HTTPServer(("127.0.0.1", 0), partial(Quiet, directory=str(tmp_path)))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        yield f"http://127.0.0.1:{srv.server_port}"
+        srv.shutdown()
+
+    def test_http_parquet(self, spark, http_server):
+        import strake_spark as ss
+
+        eng = ss.connect(
+            {"sources": [{"name": "hx", "type": "parquet",
+                          "tables": [{"name": "region",
+                                      "path": f"{http_server}/region.parquet"}]}]},
+            spark=spark,
+        )
+        out = eng.execute("SELECT count(*) AS n FROM hx_region")
+        assert out.to_pylist() == [{"n": 5}]
+
+    def test_http_csv(self, spark, http_server):
+        import strake_spark as ss
+
+        eng = ss.connect(
+            {"sources": [{"name": "hc", "type": "csv",
+                          "tables": [{"name": "dims",
+                                      "path": f"{http_server}/dims.csv"}]}]},
+            spark=spark,
+        )
+        out = eng.execute("SELECT k, v FROM hc_dims ORDER BY k")
+        assert out.to_pylist() == [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]
+
+    def test_http_404_surfaces(self, spark, http_server):
+        import strake_spark as ss
+        from strake_spark.errors import SourceError
+
+        with pytest.raises(SourceError, match="http fetch failed"):
+            ss.connect(
+                {"sources": [{"name": "h4", "type": "parquet",
+                              "tables": [{"name": "missing",
+                                          "path": f"{http_server}/nope.parquet"}]}]},
+                spark=spark,
+            )
