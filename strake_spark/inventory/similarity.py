@@ -138,3 +138,53 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.cosine_topk(emb, k=3, n_queries=20)
     approx = S.ivf_topk(emb, k=3, n_queries=20, n_probe=4)
     return _recall_row(exact, approx, floor=0.5)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT e.vec_id, s.scale,
+             list_transform(CAST(e.embedding AS DOUBLE[]),
+                            x -> CAST(floor(x / s.scale * 127.0) AS BIGINT)) AS qv
+      FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+    )
+    SELECT vec_id, scale,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(len(list_filter(qv, v -> v = 0)) AS BIGINT) AS n_zero
+    FROM q ORDER BY vec_id
+    """,
+    notes=(
+        "int8 embedding quantization (per-vector max-abs scale, "
+        "floor(x/scale*127)) — the storage-compression step before "
+        "shipping embeddings to an ANN index; floor (not round) so both "
+        "engines' IEEE doubles agree bit-for-bit. Returns per-vector "
+        "scale + quantized range + zero count"
+    ),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    scale = F.array_max(xs)
+    t = emb.select("vec_id", "embedding", scale.alias("scale"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("scale") * 127.0).cast("long"),
+    )
+    t = t.select("vec_id", "scale", qv.alias("qv"))
+    return t.select(
+        "vec_id",
+        "scale",
+        F.array_min("qv").cast("long").alias("q_min"),
+        F.array_max("qv").cast("long").alias("q_max"),
+        F.size(F.filter("qv", lambda v: v == 0)).cast("long").alias("n_zero"),
+    ).orderBy("vec_id")
