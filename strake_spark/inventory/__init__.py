@@ -68,14 +68,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # the r5 rotation never happened); (b) the three entries broken by the
 # testdata timestamp-unit flip and fixed this round — the driver must
 # re-verify the fix; (c) the three entries whose only driver evidence
-# is round 1; (d) 38 of the 48 remaining entries last checked in
-# round 3 — three rounds of code churn ago. That is exactly 50.
-# Immediately after the boundary: the ten r3-green entries deferred to
-# the round-7 window (pure expression matrices and small relational
-# trivia — the most change-stable family, each still pytest-oracled at
-# sf0.001 and sf0.01 by tests/test_inventory.py). The r4/r5-green
-# TPC-H/join/agg/window/setops block drops to registration order at
-# the back.
+# is round 1; (d) 36 of the 48 remaining entries last checked in
+# round 3 — three rounds of code churn ago; (e) the two pipeline
+# entries added this round (decontamination, packing), which have no
+# driver evidence at all. That is exactly 50. Immediately after the
+# boundary: the twelve r3-green entries deferred to the round-7 window
+# (pure expression matrices and small relational/sampling trivia — the
+# most change-stable families, each still pytest-oracled at sf0.001
+# and sf0.01 by tests/test_inventory.py). The r4/r5-green
+# TPC-H/join/agg/window/setops block and the other round-6 additions
+# (stream-stream join, mixture upsampling, int8 quantization) follow
+# in registration order.
 _PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked (added r4, window never rotated in r5)
     "dedup_duplicate_clusters", "dedup_corpus_keep_first",

@@ -138,3 +138,36 @@ class TestSqliteEndToEnd:
         rows = df.collect()
         assert [r.owner for r in rows] == ["ann", "bob"]
         assert rows[0].pets == "cat,dog" and rows[1].pets == "fish"
+
+
+class TestLiteralSplitter:
+    """_split_literals underpins every textual rewrite: its invariants
+    must hold for arbitrary input, not just goldens."""
+
+    def test_roundtrip_and_classification(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.plans.dialects import _split_literals
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet="ab' \"`~x()_,=", max_size=60))
+        def check(sql):
+            segs = list(_split_literals(sql))
+            # lossless: concatenation reproduces the input exactly
+            assert "".join(s for s, _ in segs) == sql
+            for seg, is_literal in segs:
+                if is_literal:
+                    assert seg.startswith("'")
+                else:
+                    assert "'" not in seg
+
+        check()
+
+    def test_adjacent_literals(self):
+        from strake_spark.plans.dialects import _split_literals
+
+        segs = list(_split_literals("'a''b' x 'c'"))
+        assert "".join(s for s, _ in segs) == "'a''b' x 'c'"
+        # 'a''b' is ONE literal (escaped quote), not two
+        assert [s for s, lit in segs if lit] == ["'a''b'", "'c'"]
