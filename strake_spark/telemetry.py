@@ -126,11 +126,13 @@ class Tracer:
     spans in one thread parent correctly while concurrent queries in
     other threads stay independent)."""
 
-    def __init__(self, max_spans: int = 512, exporter=None):
+    def __init__(self, max_spans: int = 512, exporter=None, batch_size: int = 20):
         self._spans: deque[Span] = deque(maxlen=max_spans)
         self._lock = threading.Lock()
         self._local = threading.local()
         self._exporter = exporter
+        self._batch_size = max(1, batch_size)
+        self._pending: list[Span] = []
         self.export_errors = 0
 
     # ------------------------------------------------------------- stack
@@ -176,13 +178,31 @@ class Tracer:
         return _SpanHandle(self, span)
 
     def _record(self, span: Span) -> None:
+        batch = None
         with self._lock:
             self._spans.append(span)
-        if self._exporter is not None:
-            try:
-                self._exporter.export([span])
-            except Exception:  # noqa: BLE001 - export must never fail a query
-                self.export_errors += 1
+            if self._exporter is not None:
+                self._pending.append(span)
+                # A root span closing means its whole tree is finished —
+                # flush then (and on batch overflow) so a collector sees
+                # complete traces without per-span POST chatter.
+                if span.parent_span_id is None or len(self._pending) >= self._batch_size:
+                    batch, self._pending = self._pending, []
+        if batch:
+            self._export(batch)
+
+    def _export(self, batch: list[Span]) -> None:
+        try:
+            self._exporter.export(batch)
+        except Exception:  # noqa: BLE001 - export must never fail a query
+            self.export_errors += 1
+
+    def flush(self) -> None:
+        """Export any buffered spans now (shutdown / test hook)."""
+        with self._lock:
+            batch, self._pending = self._pending, []
+        if batch and self._exporter is not None:
+            self._export(batch)
 
     def finished_spans(self) -> list[Span]:
         with self._lock:

@@ -117,12 +117,18 @@ class TestOtlpShape:
                 exporter=OtlpJsonExporter(f"http://127.0.0.1:{srv.server_port}")
             )
             with t.span("exported"):
-                pass
+                with t.span("child"):
+                    pass
             assert t.export_errors == 0
+            # one POST for the whole finished trace, not one per span
+            assert len(received) == 1
             (path, body) = received[0]
             assert path == "/v1/traces"
-            name = body["resourceSpans"][0]["scopeSpans"][0]["spans"][0]["name"]
-            assert name == "exported"
+            names = {
+                s["name"]
+                for s in body["resourceSpans"][0]["scopeSpans"][0]["spans"]
+            }
+            assert names == {"exported", "child"}
         finally:
             srv.shutdown()
 
