@@ -286,6 +286,29 @@ class StrakeEngine:
             "physical": df._jdf.queryExecution().executedPlan().toString(),
         }
 
+    def profile(self, query: str, user: str | None = None) -> dict[str, Any]:
+        """EXPLAIN ANALYZE: execute the query (governed) and report the
+        EXECUTED plan with per-node runtime SQLMetrics — actual row
+        counts, spills, shuffle bytes, scan times (reference
+        crates/runtime/src/query/trace.rs:7-72). AQE wrappers are
+        unwrapped so the report shows the plan that actually ran."""
+        from strake_spark.plans.tree import format_runtime_profile, runtime_profile
+
+        with self.tracer.span("query.profile"):
+            df = self.sql(query, user=user)
+            # collect() runs THIS DataFrame's own QueryExecution — a
+            # count() would build a separate plan and leave the profiled
+            # plan's metrics at zero. Result size is bounded by the
+            # defensive limit the governed sql() already applied.
+            n = len(df.collect())
+            prof = runtime_profile(df)
+        return {
+            "query": query,
+            "rows": n,
+            "nodes": prof,
+            "formatted": format_runtime_profile(prof),
+        }
+
     def query_log(self) -> list[dict[str, Any]]:
         return list(self._query_log)
 

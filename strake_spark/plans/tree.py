@@ -45,3 +45,58 @@ def scan_pushdown_report(df: DataFrame) -> dict[str, list[str]]:
         elif s.startswith("ReadSchema:"):
             report["read_schema"].append(s.removeprefix("ReadSchema:").strip())
     return report
+
+
+def runtime_profile(df: DataFrame) -> list[dict]:
+    """EXPLAIN ANALYZE-style report: walk the EXECUTED physical plan
+    (after an action has run) collecting each node's SQLMetrics —
+    actual row counts, spill sizes, shuffle bytes, scan times
+    (reference crates/runtime/src/query/trace.rs:7-72 reports the same
+    post-execution view from DataFusion's collect_metrics).
+
+    AQE wrapping is unwrapped (AdaptiveSparkPlan -> final plan, each
+    QueryStage -> its materialized subtree), so the report shows the
+    plan that actually ran, not the pre-AQE sketch. Call AFTER an
+    action; metrics on an unexecuted plan read 0.
+    """
+    out: list[dict] = []
+
+    def walk(node, depth: int) -> None:
+        metrics = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[kv._1()] = kv._2().value()
+        out.append(
+            {"node": node.nodeName(), "depth": depth, "metrics": metrics}
+        )
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan(), depth + 1)
+            return
+        if "QueryStage" in name:
+            walk(node.plan(), depth + 1)
+            return
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next(), depth + 1)
+
+    walk(df._jdf.queryExecution().executedPlan(), 0)
+    return out
+
+
+def format_runtime_profile(profile: list[dict]) -> str:
+    """Human-readable EXPLAIN ANALYZE tree (a few headline metrics per
+    node; the full dict stays in the structured report)."""
+    headline = ("numOutputRows", "numFiles", "scanTime", "spillSize",
+                "shuffleBytesWritten", "dataSize", "pipelineTime")
+    lines = []
+    for row in profile:
+        shown = {k: row["metrics"][k] for k in headline if k in row["metrics"]}
+        suffix = (
+            " [" + ", ".join(f"{k}={v}" for k, v in shown.items()) + "]"
+            if shown
+            else ""
+        )
+        lines.append("  " * row["depth"] + row["node"] + suffix)
+    return "\n".join(lines)

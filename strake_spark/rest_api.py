@@ -151,6 +151,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._validate(body)
         if path == "/api/v1/explain":
             return self._explain(body)
+        if path == "/api/v1/profile":
+            return self._profile(body, claims)
         return self._send(404, {"status": "error", "data": None, "message": f"no route {path}"})
 
     def _explain(self, body: dict) -> None:
@@ -168,6 +170,23 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:
             return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
         self._send(200, {"status": "success", "data": {"plan": tree}, "message": None})
+
+    def _profile(self, body: dict, claims: dict) -> None:
+        """EXPLAIN ANALYZE over HTTP: executes (governed, same principal
+        rule as _query) and returns the runtime-metric plan report."""
+        sql = body.get("sql")
+        if not sql:
+            return self._send(
+                400, {"status": "error", "data": None, "message": "missing 'sql'"}
+            )
+        user = claims.get("sub") or body.get("user")
+        try:
+            report = self.engine.profile(sql, user=user)
+        except StrakeError as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+        except Exception as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+        self._send(200, {"status": "success", "data": report, "message": None})
 
     # ------------------------------------------------------------ handlers
     # counters grow monotonically; everything else is a point-in-time gauge

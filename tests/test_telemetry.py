@@ -169,3 +169,60 @@ class TestEngineSpans:
         m = engine.metrics()
         assert m["spans_recorded"] >= 3
         assert m["span_export_errors"] == 0
+
+
+class TestProfile:
+    @pytest.fixture(scope="class")
+    def engine(self, spark):
+        import strake_spark as ss
+
+        return ss.connect(
+            {"sources": [{"name": "pr", "type": "parquet", "url": SF_DIR,
+                          "tables": [{"name": "orders"}]}]},
+            spark=spark,
+        )
+
+    def test_runtime_metrics_reported(self, engine):
+        rep = engine.profile(
+            "SELECT o_orderstatus, count(*) AS n FROM pr_orders GROUP BY o_orderstatus"
+        )
+        assert rep["rows"] == 3
+        nodes = {n["node"]: n for n in rep["nodes"]}
+        scan = next(n for name, n in nodes.items() if name.startswith("Scan parquet"))
+        # ACTUAL runtime metrics, not estimates
+        assert scan["metrics"]["numOutputRows"] == 1500
+        assert scan["metrics"]["numFiles"] == 1
+        agg = [n for name, n in nodes.items() if name == "HashAggregate"]
+        assert agg and any(a["metrics"].get("numOutputRows") == 3 for a in agg)
+        assert "Scan parquet" in rep["formatted"]
+        assert "numOutputRows=1500" in rep["formatted"]
+
+    def test_profile_is_governed(self, engine):
+        from strake_spark.errors import QueryRejected
+
+        with pytest.raises(QueryRejected):
+            engine.profile("DROP TABLE pr_orders")
+
+    def test_profile_over_rest(self, engine):
+        import json as js
+        import urllib.request
+
+        from strake_spark.rest_api import make_rest_server
+
+        srv = make_rest_server(engine).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/api/v1/profile",
+                data=js.dumps({"sql": "SELECT count(*) AS n FROM pr_orders"}).encode(),
+                method="POST",
+            )
+            req.add_header("Content-Type", "application/json")
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                body = js.loads(resp.read())
+            assert body["status"] == "success"
+            assert body["data"]["rows"] == 1
+            assert any(
+                n["node"].startswith("Scan parquet") for n in body["data"]["nodes"]
+            )
+        finally:
+            srv.stop()
