@@ -82,20 +82,60 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     budget: int = 4096,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Greedy prefix-sum packing: docs ordered by id accumulate
     whitespace-token counts; pack_id = floor((running - own)/budget).
-    Returns per-pack (pack_id, n_docs, total_tokens). One window pass +
-    one aggregate — the whole corpus packs without a driver loop.
+    Returns per-pack (pack_id, n_docs, total_tokens).
 
-    Note the window is unpartitioned by design (packing is a global
-    order); at 100 TB you partition by shard key first and pack within
-    shards, which is the same plan with a partitionBy added."""
+    The global prefix sum is TWO-LEVEL, not one unpartitioned window
+    (which funnels the whole corpus through a single task — the classic
+    WindowExec scale-killer): bucket ids into P contiguous value ranges
+    (bucket computed from the id value itself, so both passes agree —
+    range-partitioner sampling would not be re-execution-stable), run
+    the running sum WITHIN each bucket, then add per-bucket offsets.
+    The offsets come from a P-row aggregate collected on the driver
+    (P = partitions, a few thousand at 100 TB — centroid-sized, like
+    IVF training) and rejoined via broadcast. Every heavy stage stays
+    distributed."""
     n_tok = F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long")
-    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
-    t = docs.select(F.col(id_col), n_tok.alias("n_tok"))
-    t = t.withColumn("running", F.sum("n_tok").over(w))
-    pack = F.floor((F.col("running") - F.col("n_tok")) / budget)
+    t = docs.select(F.col(id_col).alias("id"), n_tok.alias("n_tok"))
+    P = num_partitions or t.sparkSession.sparkContext.defaultParallelism
+    # Derive the range bucket from the id VALUE, not repartitionByRange:
+    # the bucket must be identical in the offsets pass and the final
+    # pass, and range-partitioner sampling is not re-execution-stable.
+    lo, hi = t.agg(F.min("id"), F.max("id")).first()
+    if lo is None:
+        return t.select(
+            F.lit(0).cast("bigint").alias("pack_id"),
+            F.lit(0).cast("bigint").alias("n_docs"),
+            F.lit(0).cast("bigint").alias("total_tokens"),
+        ).limit(0)
+    width = max(1, (int(hi) - int(lo) + P) // P)
+    t = t.withColumn("part", F.floor((F.col("id") - lo) / width).cast("int"))
+
+    within = W.partitionBy("part").orderBy("id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    t = t.withColumn("running_local", F.sum("n_tok").over(within))
+
+    # P rows: total tokens per partition -> exclusive prefix offsets.
+    # Driver-side cumsum over P values, then broadcast back.
+    totals = sorted(
+        (r["part"], r["total"])
+        for r in t.groupBy("part").agg(F.sum("n_tok").alias("total")).collect()
+    )
+    offsets, acc = [], 0
+    for part, total in totals:
+        offsets.append((part, acc))
+        acc += total
+    spark = t.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "part int, offset long")
+    )
+    t = t.join(off, "part")
+    running = F.col("running_local") + F.col("offset")
+    pack = F.floor((running - F.col("n_tok")) / budget)
     return (
         t.select(pack.alias("pack_id"), "n_tok")
         .groupBy("pack_id")
