@@ -211,8 +211,15 @@ class StrakeEngine:
             for b in breakers:
                 b.acquire()
             try:
-                with self.tracer.span("query.plan"):
+                with self.tracer.span("query.plan") as plan_span:
                     df = self.sql(query, user=user, params=params)
+                    pushed = self._last_pushdown
+                    plan_span.set_attribute("strake.pushdown", pushed is not None)
+                    if pushed is not None:
+                        plan_span.set_attribute(
+                            "strake.pushdown.summary",
+                            str(getattr(pushed, "rewritten_sql", ""))[:500],
+                        )
                 hit = self._cache.get(df, user) if self._cache is not None else None
                 if hit is not None:
                     table = hit
