@@ -261,6 +261,42 @@ class TestDecontamination:
         out = [r.doc_id for r in contaminated_ids(train, eval_docs).collect()]
         assert out == [1]
 
+    def test_ngram_hashes_match_python_reference(self, spark):
+        """The codegen-friendly element_at formulation must produce
+        exactly the grams a plain-Python sliding window produces —
+        including short docs (no grams), repeated tokens, and
+        punctuation normalization."""
+        import hashlib
+        import random
+        import re
+
+        rng = random.Random(20260813)
+        words = ["alpha", "Beta", "g4mma", "x", "", "d-e", "Ff"]
+        docs = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 14))))
+            for i in range(30)
+        ]
+
+        def py_grams(text, n=8):
+            norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip()
+            toks = norm.split(" ")
+            if len(toks) < n:
+                return []
+            return [
+                hashlib.md5(" ".join(toks[i:i + n]).encode()).hexdigest()
+                for i in range(len(toks) - n + 1)
+            ]
+
+        expected = sorted(
+            (i, g) for i, text in docs for g in py_grams(text)
+        )
+        from strake_spark.operators.decontam import ngram_hashes
+
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = sorted((r.doc_id, r.gram_h) for r in ngram_hashes(df).collect())
+        assert got == expected
+        assert len(expected) > 0  # non-vacuous: some docs reach 8 tokens
+
     def test_packing_conserves_tokens(self, spark):
         from pyspark.sql import functions as F
 
