@@ -1,0 +1,416 @@
+"""Postgres source over the raw wire protocol — no JDBC jar, no driver
+package, stdlib sockets only.
+
+Reference: crates/connectors/src/sources/sql/postgres.rs (native
+connector pool + executor-side scans). The primary Spark path for
+Postgres remains sources/jdbc.py (JVM JDBC DSv2 with full pushdown) —
+but that needs a driver jar on the classpath, which plenty of
+restricted deployments (and this sandbox) don't have. This module
+implements the v3 wire protocol directly (startup/auth/simple-query,
+https://www.postgresql.org/docs/current/protocol-message-formats.html):
+~the same layer the reference's rust-postgres crate speaks.
+
+Scan architecture mirrors sources/sqlite.py: a Spark 4 Python
+DataSource whose partitions each open their OWN socket executor-side
+(numeric range splits on a partition column), so a 32-partition scan is
+32 concurrent server cursors — connections-per-scan is the same knob
+the reference's pool exposes. Whole-statement federation pushdown works
+through ``push_query`` with the postgres dialect.
+
+Auth: cleartext and md5 password messages (the in-process protocol
+tests exercise both). SCRAM-SHA-256 is NOT implemented — scram needs a
+channel-binding handshake; deployments that require it should use the
+JDBC path. Values arrive in text format and decode per type OID.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import socket
+import struct
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from strake_spark.config import SourceConfig
+from strake_spark.errors import SourceError
+from strake_spark.sources import pushsql
+from strake_spark.sources.registry import RemoteTable, remember_remote, source_type
+
+FORMAT_NAME = "strake_pgwire"
+
+_PROTOCOL_V3 = 196608  # 3.0
+
+
+# ------------------------------------------------------------ type OIDs
+_OID_BOOL = 16
+_OID_INT8 = 20
+_OID_INT2 = 21
+_OID_INT4 = 23
+_OID_TEXT = 25
+_OID_FLOAT4 = 700
+_OID_FLOAT8 = 701
+_OID_VARCHAR = 1043
+_OID_BPCHAR = 1042
+_OID_DATE = 1082
+_OID_TIMESTAMP = 1114
+_OID_TIMESTAMPTZ = 1184
+_OID_NUMERIC = 1700
+
+_OID_TO_SPARK: dict[int, T.DataType] = {
+    _OID_BOOL: T.BooleanType(),
+    _OID_INT2: T.IntegerType(),
+    _OID_INT4: T.IntegerType(),
+    _OID_INT8: T.LongType(),
+    _OID_FLOAT4: T.DoubleType(),
+    _OID_FLOAT8: T.DoubleType(),
+    _OID_NUMERIC: T.DoubleType(),
+    _OID_TEXT: T.StringType(),
+    _OID_VARCHAR: T.StringType(),
+    _OID_BPCHAR: T.StringType(),
+    _OID_DATE: T.DateType(),
+    _OID_TIMESTAMP: T.TimestampNTZType(),
+    _OID_TIMESTAMPTZ: T.TimestampType(),
+}
+
+
+def _decode_value(oid: int, raw: bytes):
+    s = raw.decode()
+    if oid == _OID_BOOL:
+        return s == "t"
+    if oid in (_OID_INT2, _OID_INT4, _OID_INT8):
+        return int(s)
+    if oid in (_OID_FLOAT4, _OID_FLOAT8, _OID_NUMERIC):
+        return float(s)
+    if oid == _OID_DATE:
+        import datetime
+
+        return datetime.date.fromisoformat(s)
+    if oid in (_OID_TIMESTAMP, _OID_TIMESTAMPTZ):
+        import datetime
+
+        # PG text format: 'YYYY-MM-DD HH:MM:SS[.ffffff][+TZ]'
+        return datetime.datetime.fromisoformat(s)
+    return s
+
+
+@dataclass
+class _Field:
+    name: str
+    type_oid: int
+
+
+class PgWireConnection:
+    """Minimal v3-protocol client: startup, cleartext/md5 auth, simple
+    query. One query at a time per connection (matching the scan's
+    one-cursor-per-partition use)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int = 5432,
+        user: str = "postgres",
+        password: str = "",
+        database: str = "postgres",
+        timeout: float = 30.0,
+    ):
+        self.user = user
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._buf = b""
+        params = f"user\0{user}\0database\0{database}\0\0".encode()
+        pkt = struct.pack(">ii", len(params) + 8, _PROTOCOL_V3) + params
+        self._sock.sendall(pkt)
+        self._auth(password)
+
+    # --------------------------------------------------------- transport
+    def _recv_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise SourceError("postgres connection closed mid-message")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _read_message(self) -> tuple[bytes, bytes]:
+        head = self._recv_exact(5)
+        mtype = head[:1]
+        (length,) = struct.unpack(">i", head[1:5])
+        payload = self._recv_exact(length - 4)
+        return mtype, payload
+
+    def _send(self, mtype: bytes, payload: bytes) -> None:
+        self._sock.sendall(mtype + struct.pack(">i", len(payload) + 4) + payload)
+
+    @staticmethod
+    def _error_text(payload: bytes) -> str:
+        fields = {}
+        for part in payload.split(b"\0"):
+            if len(part) >= 2:
+                fields[chr(part[0])] = part[1:].decode(errors="replace")
+        return fields.get("M", "unknown error") + (
+            f" (code {fields['C']})" if "C" in fields else ""
+        )
+
+    # -------------------------------------------------------------- auth
+    def _auth(self, password: str) -> None:
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"E":
+                raise SourceError(f"postgres auth failed: {self._error_text(payload)}")
+            if mtype != b"R":
+                raise SourceError(f"unexpected message {mtype!r} during auth")
+            (code,) = struct.unpack(">i", payload[:4])
+            if code == 0:  # AuthenticationOk
+                break
+            if code == 3:  # cleartext
+                self._send(b"p", password.encode() + b"\0")
+            elif code == 5:  # md5
+                salt = payload[4:8]
+                inner = hashlib.md5(
+                    password.encode() + self.user.encode()
+                ).hexdigest()
+                digest = hashlib.md5(inner.encode() + salt).hexdigest()
+                self._send(b"p", b"md5" + digest.encode() + b"\0")
+            else:
+                raise SourceError(
+                    f"unsupported postgres auth method {code} "
+                    "(SCRAM needs the JDBC path)"
+                )
+        # drain ParameterStatus/BackendKeyData until ReadyForQuery
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"Z":
+                return
+            if mtype == b"E":
+                raise SourceError(f"postgres startup error: {self._error_text(payload)}")
+
+    # ------------------------------------------------------------- query
+    def query(self, sql: str) -> tuple[list[_Field], list[tuple]]:
+        if "\0" in sql:
+            raise SourceError("NUL in SQL")
+        self._send(b"Q", sql.encode() + b"\0")
+        fields: list[_Field] = []
+        rows: list[tuple] = []
+        error: str | None = None
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"T":
+                fields = self._parse_row_description(payload)
+            elif mtype == b"D":
+                rows.append(self._parse_data_row(payload, fields))
+            elif mtype == b"E":
+                error = self._error_text(payload)
+            elif mtype in (b"C", b"I", b"N", b"S"):
+                continue  # complete / empty / notice / parameter
+            elif mtype == b"Z":
+                break
+        if error is not None:
+            raise SourceError(f"postgres query failed: {error}")
+        return fields, rows
+
+    @staticmethod
+    def _parse_row_description(payload: bytes) -> list[_Field]:
+        (n,) = struct.unpack(">h", payload[:2])
+        pos = 2
+        out = []
+        for _ in range(n):
+            end = payload.index(b"\0", pos)
+            name = payload[pos:end].decode()
+            pos = end + 1
+            _table_oid, _attnum, type_oid, _typlen, _typmod, _fmt = struct.unpack(
+                ">ihihih", payload[pos:pos + 18]
+            )
+            pos += 18
+            out.append(_Field(name, type_oid))
+        return out
+
+    @staticmethod
+    def _parse_data_row(payload: bytes, fields: list[_Field]) -> tuple:
+        (n,) = struct.unpack(">h", payload[:2])
+        pos = 2
+        vals = []
+        for i in range(n):
+            (length,) = struct.unpack(">i", payload[pos:pos + 4])
+            pos += 4
+            if length == -1:
+                vals.append(None)
+            else:
+                raw = payload[pos:pos + length]
+                pos += length
+                vals.append(_decode_value(fields[i].type_oid, raw))
+        return tuple(vals)
+
+    def close(self) -> None:
+        try:
+            self._send(b"X", b"")  # Terminate
+        except Exception:  # noqa: BLE001 - best-effort goodbye
+            pass
+        self._sock.close()
+
+
+# ------------------------------------------------------------- DataSource
+
+
+def _conn_from_options(options) -> PgWireConnection:
+    return PgWireConnection(
+        host=options.get("host", "127.0.0.1"),
+        port=int(options.get("port", "5432")),
+        user=options.get("user", "postgres"),
+        password=options.get("password", ""),
+        database=options.get("database", "postgres"),
+        timeout=float(options.get("timeout", "30")),
+    )
+
+
+def _fields_to_schema(fields: list[_Field]) -> StructType:
+    return StructType(
+        [
+            T.StructField(f.name, _OID_TO_SPARK.get(f.type_oid, T.StringType()), True)
+            for f in fields
+        ]
+    )
+
+
+@dataclass
+class _Slice(InputPartition):
+    predicate: str | None
+
+
+class PgWireReader(DataSourceReader):
+    def __init__(self, options, schema: StructType) -> None:
+        self.options = options
+        self.schema = schema
+
+    def partitions(self):
+        n = int(self.options.get("num_partitions", "1"))
+        table = self.options.get("table")
+        col = self.options.get("partition_column")
+        if n <= 1 or not table or not col:
+            return [_Slice(None)]
+        con = _conn_from_options(self.options)
+        try:
+            qc = pushsql.quote_ident(col)
+            _f, rows = con.query(
+                f"SELECT min({qc}), max({qc}) FROM {pushsql.quote_ident(table)}"
+            )
+        finally:
+            con.close()
+        lo, hi = rows[0] if rows else (None, None)
+        return [_Slice(r.predicate()) for r in pushsql.plan_ranges(col, lo, hi, n)]
+
+    def read(self, partition: _Slice):
+        table = self.options.get("table")
+        query = self.options.get("query")
+        table_sql = f"({query}) AS q" if query else pushsql.quote_ident(table)
+        where = self.options.get("where")
+        sql = pushsql.build_select(
+            table_sql,
+            list(self.schema.fieldNames()),
+            [where] if where else [],
+            extra_predicate=partition.predicate,
+        )
+        con = _conn_from_options(self.options)
+        try:
+            _fields, rows = con.query(sql)
+            yield from rows
+        finally:
+            con.close()
+
+
+class PgWireDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        table = self.options.get("table")
+        query = self.options.get("query")
+        if not table and not query:
+            raise SourceError("postgres_wire source needs 'table' or 'query'")
+        inner = f"({query}) AS q" if query else pushsql.quote_ident(table)
+        con = _conn_from_options(self.options)
+        try:
+            fields, _rows = con.query(f"SELECT * FROM {inner} LIMIT 0")
+        finally:
+            con.close()
+        if not fields:
+            raise SourceError(f"postgres relation has no columns: {table or query!r}")
+        return _fields_to_schema(fields)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return PgWireReader(self.options, schema)
+
+
+_REGISTERED: set[int] = set()
+
+
+def ensure_format(spark: SparkSession) -> None:
+    key = id(spark.sparkContext)
+    if key not in _REGISTERED:
+        spark.dataSource.register(PgWireDataSource)
+        _REGISTERED.add(key)
+
+
+@source_type("postgres_wire")
+def register_pgwire_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
+    """postgres:// via the wire protocol. URL: postgresql://host:port/db
+    (credentials from cfg.username/password or options)."""
+    from urllib.parse import urlparse
+
+    from strake_spark.sources.file import view_name
+
+    if not cfg.url:
+        raise SourceError(f"postgres_wire source {cfg.name!r} needs url")
+    u = urlparse(cfg.url)
+    base = {
+        "host": u.hostname or "127.0.0.1",
+        "port": str(u.port or 5432),
+        "user": cfg.username or (u.username or "postgres"),
+        "password": cfg.password or (u.password or ""),
+        "database": (u.path or "/postgres").lstrip("/") or "postgres",
+    }
+    if not cfg.tables:
+        raise SourceError(f"postgres_wire source {cfg.name!r} declares no tables")
+    registered: list[str] = []
+    for tbl in cfg.tables:
+        options = dict(base)
+        options["table"] = tbl.name
+        if tbl.partition_column:
+            options["partition_column"] = tbl.partition_column
+        n_parts = cfg.options.get("num_partitions")
+        if n_parts:
+            options["num_partitions"] = str(n_parts)
+        ensure_format(spark)
+        view = view_name(cfg.name, tbl.name)
+        df = spark.read.format(FORMAT_NAME).options(**options).load()
+        declared = tbl.struct_type()
+        if declared is not None:
+            from strake_spark.sources.drift import reconcile
+
+            df = reconcile(df, declared, context=tbl.name)
+        df.createOrReplaceTempView(view)
+
+        def push_query(spark: SparkSession, sql: str, _base=dict(base)):
+            return (
+                spark.read.format(FORMAT_NAME)
+                .options(**_base)
+                .option("query", sql)
+                .load()
+            )
+
+        remember_remote(
+            view,
+            RemoteTable(
+                cfg.name,
+                "postgres",
+                cfg.url,
+                tbl.name,
+                push_query=push_query,
+            ),
+        )
+        registered.append(view)
+    return registered

@@ -95,7 +95,8 @@ def register_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
 # Populate the registry.
 from strake_spark.sources import file as _file  # noqa: E402,F401
 
-for _mod in ("duck", "sqlite", "jdbc", "rest", "flight", "iceberg", "grpc_source"):
+for _mod in ("duck", "sqlite", "jdbc", "rest", "flight", "iceberg", "grpc_source",
+             "pgwire"):
     try:
         __import__(f"strake_spark.sources.{_mod}")
     except ModuleNotFoundError as e:  # pragma: no cover

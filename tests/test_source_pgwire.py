@@ -1,0 +1,263 @@
+"""Postgres wire-protocol source, tested against a LIVE in-process
+server speaking the v3 protocol (startup, cleartext + md5 auth, simple
+query) backed by DuckDB — so every statement, including federation-
+pushed SQL, actually executes over the wire. The fake lives at the
+SOCKET boundary: the client code under test is byte-for-byte the code
+a real Postgres would see."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import socketserver
+import struct
+import threading
+
+import duckdb
+import pytest
+
+import strake_spark as ss
+from strake_spark.errors import SourceError
+from strake_spark.sources.pgwire import PgWireConnection
+from tests.conftest import SF_DIR
+
+_DUCK_TO_OID = {
+    "BOOLEAN": 16, "BIGINT": 20, "SMALLINT": 21, "INTEGER": 23,
+    "FLOAT": 700, "DOUBLE": 701, "DECIMAL": 1700, "HUGEINT": 20,
+    "VARCHAR": 1043, "DATE": 1082, "TIMESTAMP": 1114,
+    "TIMESTAMP WITH TIME ZONE": 1184,
+}
+
+
+def _encode_text(v) -> bytes:
+    import datetime
+
+    if isinstance(v, bool):
+        return b"t" if v else b"f"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ").encode()
+    return str(v).encode()
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def setup(self):
+        self._buf = b""
+
+    def _recv_exact(self, n):
+        while len(self._buf) < n:
+            chunk = self.request.recv(65536)
+            if not chunk:
+                raise ConnectionError("client gone")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _send(self, mtype: bytes, payload: bytes):
+        self.request.sendall(mtype + struct.pack(">i", len(payload) + 4) + payload)
+
+    def _ready(self):
+        self._send(b"Z", b"I")
+
+    def _error(self, msg: str):
+        fields = b"SERROR\0C42000\0M" + msg.encode() + b"\0\0"
+        self._send(b"E", fields)
+
+    def handle(self):
+        srv = self.server
+        # ---- startup
+        (length,) = struct.unpack(">i", self._recv_exact(4))
+        payload = self._recv_exact(length - 4)
+        (proto,) = struct.unpack(">i", payload[:4])
+        if proto != 196608:
+            self._error("unsupported protocol")
+            return
+        kv = payload[4:].split(b"\0")
+        params = dict(zip(kv[::2], kv[1::2]))
+        user = params.get(b"user", b"").decode()
+        # ---- auth
+        if srv.auth_mode == "md5":
+            salt = b"ab12"
+            self._send(b"R", struct.pack(">i", 5) + salt)
+            mtype = self._recv_exact(1)
+            (ln,) = struct.unpack(">i", self._recv_exact(4))
+            pw = self._recv_exact(ln - 4).rstrip(b"\0").decode()
+            inner = hashlib.md5(
+                (srv.users.get(user, "") + user).encode()
+            ).hexdigest()
+            expect = "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
+            if mtype != b"p" or pw != expect:
+                self._error("password authentication failed")
+                return
+        else:  # cleartext
+            self._send(b"R", struct.pack(">i", 3))
+            mtype = self._recv_exact(1)
+            (ln,) = struct.unpack(">i", self._recv_exact(4))
+            pw = self._recv_exact(ln - 4).rstrip(b"\0").decode()
+            if mtype != b"p" or pw != srv.users.get(user):
+                self._error("password authentication failed")
+                return
+        self._send(b"R", struct.pack(">i", 0))  # AuthenticationOk
+        self._send(b"S", b"server_version\0testpg\0")
+        self._ready()
+        # ---- query loop
+        con = duckdb.connect(srv.duck_path, read_only=True)
+        try:
+            while True:
+                mtype = self._recv_exact(1)
+                (ln,) = struct.unpack(">i", self._recv_exact(4))
+                body = self._recv_exact(ln - 4)
+                if mtype == b"X":
+                    return
+                if mtype != b"Q":
+                    self._error(f"unsupported message {mtype!r}")
+                    self._ready()
+                    continue
+                sql = body.rstrip(b"\0").decode()
+                srv.queries.append(sql)
+                try:
+                    rel = con.sql(sql)
+                    names = rel.columns
+                    types = [str(t).upper() for t in rel.types]
+                    rows = rel.fetchall()
+                except Exception as e:  # noqa: BLE001 - surfaced as ErrorResponse
+                    self._error(str(e)[:300])
+                    self._ready()
+                    continue
+                # RowDescription (DECIMAL(p,s) etc. -> base name)
+                fields = b"".join(
+                    name.encode() + b"\0"
+                    + struct.pack(">ihihih", 0, 0,
+                                  _DUCK_TO_OID.get(t.split("(")[0], 1043),
+                                  -1, -1, 0)
+                    for name, t in zip(names, types)
+                )
+                self._send(b"T", struct.pack(">h", len(names)) + fields)
+                for row in rows:
+                    parts = [struct.pack(">h", len(row))]
+                    for v in row:
+                        if v is None:
+                            parts.append(struct.pack(">i", -1))
+                        else:
+                            enc = _encode_text(v)
+                            parts.append(struct.pack(">i", len(enc)) + enc)
+                    self._send(b"D", b"".join(parts))
+                self._send(b"C", f"SELECT {len(rows)}\0".encode())
+                self._ready()
+        finally:
+            con.close()
+
+
+class FakePg(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, duck_path, users, auth_mode="md5"):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.duck_path = duck_path
+        self.users = users
+        self.auth_mode = auth_mode
+        self.queries: list[str] = []
+
+
+@pytest.fixture(scope="module")
+def pg(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pgwire")
+    duck_path = str(tmp / "backing.duckdb")
+    con = duckdb.connect(duck_path)
+    con.execute(
+        f"CREATE TABLE customer AS SELECT * FROM read_parquet('{SF_DIR}/customer.parquet')"
+    )
+    con.execute(
+        f"CREATE TABLE orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    con.execute("""
+        CREATE TABLE typed AS SELECT * FROM (VALUES
+          (1, true,  1.5, DATE '2024-03-01', TIMESTAMP '2024-03-01 10:30:00.123456', 'ok'),
+          (2, false, -0.25, DATE '2024-03-02', TIMESTAMP '2024-03-02 00:00:00', NULL)
+        ) t(id, flag, x, d, ts, note)
+    """)
+    con.close()
+    srv = FakePg(duck_path, users={"alice": "s3cret"})
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv
+    srv.shutdown()
+
+
+class TestWireClient:
+    def test_md5_auth_and_query(self, pg):
+        c = PgWireConnection("127.0.0.1", pg.server_address[1],
+                             user="alice", password="s3cret", database="db")
+        fields, rows = c.query("SELECT 1 AS one, 'x' AS s")
+        c.close()
+        assert [f.name for f in fields] == ["one", "s"]
+        assert rows == [(1, "x")]
+
+    def test_wrong_password_rejected(self, pg):
+        with pytest.raises(SourceError, match="auth"):
+            PgWireConnection("127.0.0.1", pg.server_address[1],
+                             user="alice", password="wrong")
+
+    def test_sql_error_surfaces(self, pg):
+        c = PgWireConnection("127.0.0.1", pg.server_address[1],
+                             user="alice", password="s3cret")
+        with pytest.raises(SourceError, match="query failed"):
+            c.query("SELECT * FROM no_such_table")
+        # connection stays usable after an error (ReadyForQuery resync)
+        _f, rows = c.query("SELECT 42 AS v")
+        assert rows == [(42,)]
+        c.close()
+
+
+class TestSparkSource:
+    @pytest.fixture(scope="class")
+    def engine(self, spark, pg):
+        return ss.connect(
+            {
+                "sources": [{
+                    "name": "pw",
+                    "type": "postgres_wire",
+                    "url": f"postgresql://127.0.0.1:{pg.server_address[1]}/db",
+                    "username": "alice",
+                    "password": "s3cret",
+                    "options": {"num_partitions": 3},
+                    "tables": [
+                        {"name": "customer", "partition_column": "c_custkey"},
+                        {"name": "typed"},
+                    ],
+                }]
+            },
+            spark=spark,
+        )
+
+    def test_full_scan_matches_parquet(self, spark, engine):
+        got = engine.execute("SELECT count(*) AS n, sum(c_custkey) AS s FROM pw_customer")
+        exp = spark.read.parquet(f"{SF_DIR}/customer.parquet").selectExpr(
+            "count(*) AS n", "sum(c_custkey) AS s"
+        ).collect()[0]
+        assert got.to_pylist() == [{"n": exp.n, "s": exp.s}]
+
+    def test_partitioned_read_is_parallel_and_complete(self, spark, engine):
+        df = spark.table("pw_customer")
+        assert df.rdd.getNumPartitions() == 3  # one socket per partition
+        assert df.count() == 150
+
+    def test_typed_columns_roundtrip(self, spark, engine):
+        rows = spark.table("pw_typed").orderBy("id").collect()
+        import datetime
+
+        assert rows[0].flag is True and rows[1].flag is False
+        assert rows[0].x == 1.5 and rows[1].x == -0.25
+        assert rows[0].d == datetime.date(2024, 3, 1)
+        assert rows[0].ts == datetime.datetime(2024, 3, 1, 10, 30, 0, 123456)
+        assert rows[1].note is None
+
+    def test_federation_pushdown_over_the_wire(self, engine, pg):
+        """A statement touching only pg tables pushes whole-statement:
+        the aggregate must appear in the server's query log."""
+        before = len(pg.queries)
+        out = engine.execute(
+            "SELECT count(*) AS n FROM pw_customer WHERE c_nationkey = 7"
+        )
+        pushed = [q for q in pg.queries[before:] if "count" in q.lower()]
+        assert pushed, f"no pushed aggregate in {pg.queries[before:]}"
+        assert out.to_pylist()[0]["n"] > 0
