@@ -251,6 +251,33 @@ class TestSparkSource:
         assert rows[0].ts == datetime.datetime(2024, 3, 1, 10, 30, 0, 123456)
         assert rows[1].note is None
 
+    def test_partial_pushdown_over_the_wire(self, spark, pg):
+        """A MIXED statement (remote pg table + local parquet) pushes the
+        pg scan as a filtered projection — observed in the server log."""
+        eng = ss.connect(
+            {
+                "sources": [
+                    {"name": "pp", "type": "postgres_wire",
+                     "url": f"postgresql://127.0.0.1:{pg.server_address[1]}/db",
+                     "username": "alice", "password": "s3cret",
+                     "tables": [{"name": "customer"}]},
+                    {"name": "lk", "type": "parquet", "url": SF_DIR,
+                     "tables": [{"name": "nation"}]},
+                ]
+            },
+            spark=spark,
+        )
+        before = len(pg.queries)
+        out = eng.execute(
+            "SELECT c.c_name, n.n_name FROM pp_customer c "
+            "JOIN lk_nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE c.c_acctbal > 9000"
+        )
+        pushed = [q for q in pg.queries[before:] if "c_acctbal" in q and "9000" in q]
+        assert pushed, f"no pushed filtered scan in {pg.queries[before:]}"
+        assert '"c_name"' in pushed[0]  # projection pruned
+        assert out.num_rows > 0
+
     def test_federation_pushdown_over_the_wire(self, engine, pg):
         """A statement touching only pg tables pushes whole-statement:
         the aggregate must appear in the server's query log."""
