@@ -1,0 +1,277 @@
+"""MySQL classic-protocol source, tested against a LIVE in-process
+server speaking handshake v10 + mysql_native_password + COM_QUERY text
+resultsets at the socket boundary (DuckDB-backed, so pushed SQL
+executes for real — including the mysql dialect's backtick respelling,
+which DuckDB accepts as identifier quotes)."""
+
+from __future__ import annotations
+
+import hashlib
+import socketserver
+import struct
+import threading
+
+import duckdb
+import pytest
+
+import strake_spark as ss
+from strake_spark.errors import SourceError
+from strake_spark.sources.mysqlwire import MySqlWireConnection, _native_password_token
+from tests.conftest import SF_DIR
+
+_DUCK_TO_MYSQL_TYPE = {
+    "BOOLEAN": 0x01, "TINYINT": 0x01, "SMALLINT": 0x02, "INTEGER": 0x03,
+    "BIGINT": 0x08, "HUGEINT": 0x08, "FLOAT": 0x04, "DOUBLE": 0x05,
+    "DECIMAL": 0xF6, "VARCHAR": 0xFD, "DATE": 0x0A, "TIMESTAMP": 0x0C,
+}
+
+_SCRAMBLE = b"abcdefgh" + b"ijklmnopqrst"  # 20 bytes
+
+
+def _lenenc(n: int) -> bytes:
+    if n < 0xFB:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 1 << 24:
+        return b"\xfd" + n.to_bytes(3, "little")
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def _lenenc_str(b: bytes) -> bytes:
+    return _lenenc(len(b)) + b
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def setup(self):
+        self._buf = b""
+        self._seq = 0
+
+    def _recv_exact(self, n):
+        while len(self._buf) < n:
+            chunk = self.request.recv(65536)
+            if not chunk:
+                raise ConnectionError("client gone")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _read_packet(self):
+        head = self._recv_exact(4)
+        length = int.from_bytes(head[:3], "little")
+        self._seq = (head[3] + 1) & 0xFF
+        return self._recv_exact(length)
+
+    def _send_packet(self, payload: bytes):
+        head = len(payload).to_bytes(3, "little") + bytes([self._seq])
+        self._seq = (self._seq + 1) & 0xFF
+        self.request.sendall(head + payload)
+
+    def _err(self, code: int, msg: str):
+        self._send_packet(
+            b"\xff" + struct.pack("<H", code) + b"#42000" + msg.encode()
+        )
+
+    def _ok(self):
+        self._send_packet(b"\x00\x00\x00\x02\x00\x00\x00")
+
+    def _eof(self):
+        self._send_packet(b"\xfe\x00\x00\x02\x00")
+
+    def handle(self):
+        srv = self.server
+        # ---- handshake v10
+        greeting = (
+            b"\x0a" + b"8.0.fake\0" + struct.pack("<I", 1)
+            + _SCRAMBLE[:8] + b"\0"
+            + struct.pack("<H", 0xFFFF)  # cap low
+            + bytes([33]) + struct.pack("<H", 2)  # charset, status
+            + struct.pack("<H", 0x000F)  # cap high (incl PLUGIN_AUTH bit 0x8)
+            + bytes([21]) + b"\0" * 10
+            + _SCRAMBLE[8:] + b"\0"
+            + b"mysql_native_password\0"
+        )
+        self._send_packet(greeting)
+        resp = self._read_packet()
+        # parse HandshakeResponse41: caps(4) maxpkt(4) charset(1) 23x user\0
+        pos = 4 + 4 + 1 + 23
+        end = resp.index(b"\0", pos)
+        user = resp[pos:end].decode()
+        pos = end + 1
+        alen = resp[pos]
+        token = resp[pos + 1:pos + 1 + alen]
+        expect = _native_password_token(srv.users.get(user, ""), _SCRAMBLE)
+        if user not in srv.users or token != expect:
+            self._err(1045, f"Access denied for user '{user}'")
+            return
+        self._ok()
+        # ---- command loop
+        con = duckdb.connect(srv.duck_path, read_only=True)
+        try:
+            while True:
+                self._seq = 1  # responses continue the command's sequence
+                pkt = self._read_packet()
+                if not pkt or pkt[:1] == b"\x01":  # COM_QUIT
+                    return
+                if pkt[:1] != b"\x03":
+                    self._err(1047, "unsupported command")
+                    continue
+                sql = pkt[1:].decode()
+                srv.queries.append(sql)
+                try:
+                    # the DuckDB backend doesn't parse MySQL backtick
+                    # quoting; translate at the emulation boundary (no
+                    # test statement carries backticks inside literals)
+                    rel = con.sql(sql.replace("`", '"'))
+                    names = rel.columns
+                    types = [
+                        _DUCK_TO_MYSQL_TYPE.get(
+                            str(t).upper().split("(")[0], 0xFD)
+                        for t in rel.types
+                    ]
+                    rows = rel.fetchall()
+                except Exception as e:  # noqa: BLE001 - surfaced as ERR packet
+                    self._err(1064, str(e)[:200])
+                    continue
+                self._send_packet(_lenenc(len(names)))
+                for name, tb in zip(names, types):
+                    cd = (
+                        _lenenc_str(b"def") + _lenenc_str(b"") + _lenenc_str(b"t")
+                        + _lenenc_str(b"t") + _lenenc_str(name.encode())
+                        + _lenenc_str(name.encode())
+                        + b"\x0c" + struct.pack("<H", 33)
+                        + struct.pack("<I", 255) + bytes([tb])
+                        + struct.pack("<H", 0) + b"\x00" + b"\x00\x00"
+                    )
+                    self._send_packet(cd)
+                self._eof()
+                import datetime
+
+                for row in rows:
+                    out = b""
+                    for v in row:
+                        if v is None:
+                            out += b"\xfb"
+                        else:
+                            if isinstance(v, bool):
+                                s = b"1" if v else b"0"
+                            elif isinstance(v, datetime.datetime):
+                                s = v.isoformat(sep=" ").encode()
+                            else:
+                                s = str(v).encode()
+                            out += _lenenc_str(s)
+                    self._send_packet(out)
+                self._eof()
+        finally:
+            con.close()
+
+
+class FakeMySql(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, duck_path, users):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.duck_path = duck_path
+        self.users = users
+        self.queries: list[str] = []
+
+
+@pytest.fixture(scope="module")
+def my(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mysqlwire")
+    duck_path = str(tmp / "backing.duckdb")
+    con = duckdb.connect(duck_path)
+    con.execute(
+        f"CREATE TABLE supplier AS SELECT * FROM read_parquet('{SF_DIR}/supplier.parquet')"
+    )
+    con.execute("""
+        CREATE TABLE typed AS SELECT * FROM (VALUES
+          (1, 2.5, DATE '2024-06-01', TIMESTAMP '2024-06-01 08:15:00', 'a'),
+          (2, NULL, NULL, NULL, NULL)
+        ) t(id, x, d, ts, s)
+    """)
+    con.close()
+    srv = FakeMySql(duck_path, users={"svc": "hunter2"})
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv
+    srv.shutdown()
+
+
+class TestWireClient:
+    def test_auth_and_query(self, my):
+        c = MySqlWireConnection("127.0.0.1", my.server_address[1],
+                                user="svc", password="hunter2")
+        fields, rows = c.query("SELECT 7 AS n, 'y' AS s")
+        c.close()
+        assert [f.name for f in fields] == ["n", "s"]
+        assert rows == [(7, "y")]
+
+    def test_wrong_password_rejected(self, my):
+        with pytest.raises(SourceError, match="auth failed|Access denied"):
+            MySqlWireConnection("127.0.0.1", my.server_address[1],
+                                user="svc", password="nope")
+
+    def test_error_then_resync(self, my):
+        c = MySqlWireConnection("127.0.0.1", my.server_address[1],
+                                user="svc", password="hunter2")
+        with pytest.raises(SourceError, match="query failed"):
+            c.query("SELECT * FROM missing")
+        _f, rows = c.query("SELECT 1 AS ok")
+        assert rows == [(1,)]
+        c.close()
+
+
+class TestSparkSource:
+    @pytest.fixture(scope="class")
+    def engine(self, spark, my):
+        return ss.connect(
+            {
+                "sources": [{
+                    "name": "my",
+                    "type": "mysql_wire",
+                    "url": f"mysql://127.0.0.1:{my.server_address[1]}/db",
+                    "username": "svc",
+                    "password": "hunter2",
+                    "options": {"num_partitions": 2},
+                    "tables": [
+                        {"name": "supplier", "partition_column": "s_suppkey"},
+                        {"name": "typed"},
+                    ],
+                }]
+            },
+            spark=spark,
+        )
+
+    def test_partitioned_scan_matches_parquet(self, spark, engine):
+        df = spark.table("my_supplier")
+        assert df.rdd.getNumPartitions() == 2
+        got = engine.execute("SELECT count(*) AS n FROM my_supplier").to_pylist()
+        exp = spark.read.parquet(f"{SF_DIR}/supplier.parquet").count()
+        assert got == [{"n": exp}]
+
+    def test_typed_and_null_roundtrip(self, spark, engine):
+        import datetime
+
+        rows = {r.id: r for r in spark.table("my_typed").collect()}
+        assert rows[1].x == 2.5 and rows[2].x is None
+        assert rows[1].d == datetime.date(2024, 6, 1) and rows[2].d is None
+        assert rows[1].ts == datetime.datetime(2024, 6, 1, 8, 15) and rows[2].ts is None
+        assert rows[1].s == "a" and rows[2].s is None
+
+    def test_federation_pushdown_respells_backticks(self, engine, my):
+        """Whole-statement pushdown through the mysql dialect: the
+        pushed text must quote identifiers with backticks (fix_text
+        outside literals) and execute remotely."""
+        before = len(my.queries)
+        out = engine.execute(
+            "SELECT s_nationkey, count(*) AS n FROM my_supplier "
+            "WHERE s_acctbal > 0 GROUP BY s_nationkey"
+        )
+        pushed = [q for q in my.queries[before:] if "group by" in q.lower()]
+        assert pushed, f"no pushed aggregate in {my.queries[before:]}"
+        # mysql dialect: never double-quoted identifiers (bare names are
+        # fine; quoting, when needed, is backticked — dialect goldens
+        # cover the respelling itself)
+        assert '"' not in pushed[0]
+        assert out.num_rows > 0
