@@ -17,10 +17,12 @@ DataSource whose partitions each open their OWN socket executor-side
 the reference's pool exposes. Whole-statement federation pushdown works
 through ``push_query`` with the postgres dialect.
 
-Auth: cleartext and md5 password messages (the in-process protocol
-tests exercise both). SCRAM-SHA-256 is NOT implemented — scram needs a
-channel-binding handshake; deployments that require it should use the
-JDBC path. Values arrive in text format and decode per type OID.
+Auth: cleartext, md5, and SCRAM-SHA-256 (the PG 10+ default) — SCRAM
+is PBKDF2/HMAC math over the SASL exchange (RFC 7677/5802), all stdlib.
+Channel binding (SCRAM-SHA-256-PLUS) needs TLS and is not offered; the
+client advertises no-channel-binding ("n,,"), which every stock server
+accepts on non-TLS connections. Values arrive in text format and
+decode per type OID.
 """
 
 from __future__ import annotations
@@ -103,6 +105,71 @@ class _Field:
     type_oid: int
 
 
+class _ScramClient:
+    """SCRAM-SHA-256 client side (RFC 5802/7677), no channel binding
+    (gs2 header "n,,"). Pure hashlib/hmac."""
+
+    def __init__(self, password: str):
+        import base64
+        import os
+
+        self._password = password.encode()
+        self._nonce = base64.b64encode(os.urandom(18)).decode()
+        self._client_first_bare = f"n=,r={self._nonce}"
+        self._auth_message: bytes | None = None
+        self._server_signature: bytes | None = None
+
+    def client_first(self) -> bytes:
+        return ("n,," + self._client_first_bare).encode()
+
+    def client_final(self, server_first: bytes) -> bytes:
+        import base64
+        import hmac as _hmac
+
+        attrs = dict(
+            kv.split("=", 1) for kv in server_first.decode().split(",")
+        )
+        r, s, i = attrs["r"], attrs["s"], int(attrs["i"])
+        if not r.startswith(self._nonce):
+            raise SourceError("SCRAM server nonce does not extend client nonce")
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self._password, base64.b64decode(s), i
+        )
+        client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = f"c=biws,r={r}"  # biws = base64("n,,")
+        self._auth_message = ",".join(
+            [self._client_first_bare, server_first.decode(), without_proof]
+        ).encode()
+        client_sig = _hmac.new(
+            stored_key, self._auth_message, hashlib.sha256
+        ).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        server_key = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        self._server_signature = _hmac.new(
+            server_key, self._auth_message, hashlib.sha256
+        ).digest()
+        return (
+            without_proof + ",p=" + base64.b64encode(proof).decode()
+        ).encode()
+
+    def verify_server_final(self, server_final: bytes) -> None:
+        import base64
+        import hmac as _hmac
+
+        attrs = dict(
+            kv.split("=", 1) for kv in server_final.decode().split(",")
+        )
+        if "e" in attrs:
+            raise SourceError(f"SCRAM auth failed: {attrs['e']}")
+        expect = self._server_signature or b""
+        if not _hmac.compare_digest(base64.b64decode(attrs.get("v", "")), expect):
+            raise SourceError(
+                "SCRAM server signature mismatch (server does not know the "
+                "password — possible MITM)"
+            )
+
+
 class PgWireConnection:
     """Minimal v3-protocol client: startup, cleartext/md5 auth, simple
     query. One query at a time per connection (matching the scan's
@@ -157,6 +224,7 @@ class PgWireConnection:
 
     # -------------------------------------------------------------- auth
     def _auth(self, password: str) -> None:
+        scram = None
         while True:
             mtype, payload = self._read_message()
             if mtype == b"E":
@@ -175,11 +243,29 @@ class PgWireConnection:
                 ).hexdigest()
                 digest = hashlib.md5(inner.encode() + salt).hexdigest()
                 self._send(b"p", b"md5" + digest.encode() + b"\0")
-            else:
-                raise SourceError(
-                    f"unsupported postgres auth method {code} "
-                    "(SCRAM needs the JDBC path)"
+            elif code == 10:  # AuthenticationSASL: mechanism list
+                mechs = [m for m in payload[4:].split(b"\0") if m]
+                if b"SCRAM-SHA-256" not in mechs:
+                    raise SourceError(
+                        f"no supported SASL mechanism in {mechs!r} "
+                        "(SCRAM-SHA-256-PLUS needs TLS channel binding)"
+                    )
+                scram = _ScramClient(password)
+                first = scram.client_first()
+                self._send(
+                    b"p",
+                    b"SCRAM-SHA-256\0" + struct.pack(">i", len(first)) + first,
                 )
+            elif code == 11:  # AuthenticationSASLContinue
+                if scram is None:
+                    raise SourceError("SASLContinue without SASL start")
+                self._send(b"p", scram.client_final(payload[4:]))
+            elif code == 12:  # AuthenticationSASLFinal
+                if scram is None:
+                    raise SourceError("SASLFinal without SASL start")
+                scram.verify_server_final(payload[4:])
+            else:
+                raise SourceError(f"unsupported postgres auth method {code}")
         # drain ParameterStatus/BackendKeyData until ReadyForQuery
         while True:
             mtype, payload = self._read_message()

@@ -75,7 +75,55 @@ class _Handler(socketserver.BaseRequestHandler):
         params = dict(zip(kv[::2], kv[1::2]))
         user = params.get(b"user", b"").decode()
         # ---- auth
-        if srv.auth_mode == "md5":
+        if srv.auth_mode == "scram":
+            import base64
+            import hmac as _hmac
+            import os
+
+            self._send(b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\0\0")
+            mtype = self._recv_exact(1)
+            (ln,) = struct.unpack(">i", self._recv_exact(4))
+            body = self._recv_exact(ln - 4)
+            mech, rest = body.split(b"\0", 1)
+            (flen,) = struct.unpack(">i", rest[:4])
+            client_first = rest[4:4 + flen].decode()
+            if mtype != b"p" or mech != b"SCRAM-SHA-256":
+                self._error("bad SASL start")
+                return
+            bare = client_first.split(",", 2)[2]
+            cnonce = dict(kv.split("=", 1) for kv in bare.split(","))["r"]
+            snonce = cnonce + base64.b64encode(os.urandom(9)).decode()
+            salt = os.urandom(12)
+            iters = 4096
+            server_first = (
+                f"r={snonce},s={base64.b64encode(salt).decode()},i={iters}"
+            )
+            self._send(b"R", struct.pack(">i", 11) + server_first.encode())
+            mtype = self._recv_exact(1)
+            (ln,) = struct.unpack(">i", self._recv_exact(4))
+            client_final = self._recv_exact(ln - 4).decode()
+            attrs = dict(kv.split("=", 1) for kv in client_final.split(","))
+            salted = hashlib.pbkdf2_hmac(
+                "sha256", srv.users.get(user, "").encode(), salt, iters
+            )
+            client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+            stored_key = hashlib.sha256(client_key).digest()
+            without_proof = client_final.rsplit(",p=", 1)[0]
+            auth_message = ",".join([bare, server_first, without_proof]).encode()
+            client_sig = _hmac.new(stored_key, auth_message, hashlib.sha256).digest()
+            expect = bytes(a ^ b for a, b in zip(client_key, client_sig))
+            if (mtype != b"p" or attrs.get("r") != snonce
+                    or base64.b64decode(attrs.get("p", "")) != expect):
+                self._error("password authentication failed")
+                return
+            server_key = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+            server_sig = _hmac.new(server_key, auth_message, hashlib.sha256).digest()
+            self._send(
+                b"R",
+                struct.pack(">i", 12)
+                + b"v=" + base64.b64encode(server_sig),
+            )
+        elif srv.auth_mode == "md5":
             salt = b"ab12"
             self._send(b"R", struct.pack(">i", 5) + salt)
             mtype = self._recv_exact(1)
@@ -181,6 +229,41 @@ def pg(tmp_path_factory):
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     yield srv
     srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def pg_scram(tmp_path_factory, pg):
+    srv = FakePg(pg.duck_path, users={"alice": "s3cret"}, auth_mode="scram")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv
+    srv.shutdown()
+
+
+class TestScramAuth:
+    def test_scram_sha256_roundtrip(self, pg_scram):
+        c = PgWireConnection("127.0.0.1", pg_scram.server_address[1],
+                             user="alice", password="s3cret")
+        _f, rows = c.query("SELECT 5 AS v")
+        c.close()
+        assert rows == [(5,)]
+
+    def test_scram_wrong_password(self, pg_scram):
+        with pytest.raises(SourceError, match="auth"):
+            PgWireConnection("127.0.0.1", pg_scram.server_address[1],
+                             user="alice", password="wrong")
+
+    def test_scram_through_spark(self, spark, pg_scram):
+        eng = ss.connect(
+            {"sources": [{
+                "name": "sc", "type": "postgres_wire",
+                "url": f"postgresql://127.0.0.1:{pg_scram.server_address[1]}/db",
+                "username": "alice", "password": "s3cret",
+                "tables": [{"name": "customer"}],
+            }]},
+            spark=spark,
+        )
+        out = eng.execute("SELECT count(*) AS n FROM sc_customer")
+        assert out.to_pylist() == [{"n": 150}]
 
 
 class TestWireClient:
