@@ -183,10 +183,36 @@ class PgWireConnection:
         password: str = "",
         database: str = "postgres",
         timeout: float = 30.0,
+        sslmode: str = "disable",
+        ssl_ca: str | None = None,
     ):
+        """``sslmode`` follows libpq semantics for the modes that make
+        sense without client certs: ``disable`` (plain TCP),
+        ``require`` (encrypt, no cert verification) and ``verify-full``
+        (CA + hostname verification; ``ssl_ca`` or system CAs)."""
         self.user = user
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
+        if sslmode not in ("disable", "require", "verify-full"):
+            raise SourceError(f"unsupported sslmode {sslmode!r}")
+        if sslmode != "disable":
+            import ssl
+
+            # SSLRequest (length 8, magic 80877103); 'S' = proceed with TLS
+            self._sock.sendall(struct.pack(">ii", 8, 80877103))
+            resp = self._sock.recv(1)
+            if resp != b"S":
+                raise SourceError(
+                    "server refused TLS (SSLRequest answered "
+                    f"{resp!r}); use sslmode=disable for plain TCP"
+                )
+            if sslmode == "verify-full":
+                ctx = ssl.create_default_context(cafile=ssl_ca)
+            else:  # require: encrypt without cert verification
+                ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
         params = f"user\0{user}\0database\0{database}\0\0".encode()
         pkt = struct.pack(">ii", len(params) + 8, _PROTOCOL_V3) + params
         self._sock.sendall(pkt)
@@ -349,6 +375,8 @@ def _conn_from_options(options) -> PgWireConnection:
         password=options.get("password", ""),
         database=options.get("database", "postgres"),
         timeout=float(options.get("timeout", "30")),
+        sslmode=options.get("sslmode", "disable"),
+        ssl_ca=options.get("ssl_ca"),
     )
 
 
@@ -458,7 +486,10 @@ def register_pgwire_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
         "user": cfg.username or (u.username or "postgres"),
         "password": cfg.password or (u.password or ""),
         "database": (u.path or "/postgres").lstrip("/") or "postgres",
+        "sslmode": str(cfg.options.get("sslmode", "disable")),
     }
+    if cfg.options.get("ssl_ca"):
+        base["ssl_ca"] = str(cfg.options["ssl_ca"])
     if not cfg.tables:
         raise SourceError(f"postgres_wire source {cfg.name!r} declares no tables")
     registered: list[str] = []

@@ -64,6 +64,16 @@ class _Handler(socketserver.BaseRequestHandler):
 
     def handle(self):
         srv = self.server
+        if getattr(srv, "ssl_context", None) is not None:
+            # SSLRequest: 8-byte packet with magic 80877103 -> 'S' -> TLS
+            (ln,) = struct.unpack(">i", self._recv_exact(4))
+            (magic,) = struct.unpack(">i", self._recv_exact(4))
+            assert ln == 8 and magic == 80877103, "expected SSLRequest first"
+            self.request.sendall(b"S")
+            self.request = srv.ssl_context.wrap_socket(
+                self.request, server_side=True
+            )
+            self._buf = b""
         # ---- startup
         (length,) = struct.unpack(">i", self._recv_exact(4))
         payload = self._recv_exact(length - 4)
@@ -199,11 +209,12 @@ class FakePg(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, duck_path, users, auth_mode="md5"):
+    def __init__(self, duck_path, users, auth_mode="md5", ssl_context=None):
         super().__init__(("127.0.0.1", 0), _Handler)
         self.duck_path = duck_path
         self.users = users
         self.auth_mode = auth_mode
+        self.ssl_context = ssl_context
         self.queries: list[str] = []
 
 
@@ -264,6 +275,82 @@ class TestScramAuth:
         )
         out = eng.execute("SELECT count(*) AS n FROM sc_customer")
         assert out.to_pylist() == [{"n": 150}]
+
+
+@pytest.fixture(scope="module")
+def pg_tls(tmp_path_factory, pg):
+    """TLS-wrapped fake: self-signed cert minted with cryptography."""
+    import datetime
+    import ssl
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    tmp = tmp_path_factory.mktemp("pgtls")
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.IPAddress(__import__("ipaddress").ip_address("127.0.0.1"))]),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_pem = tmp / "server.pem"
+    key_pem = tmp / "server.key"
+    cert_pem.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    key_pem.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption(),
+    ))
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(str(cert_pem), str(key_pem))
+    srv = FakePg(pg.duck_path, users={"alice": "s3cret"}, ssl_context=ctx)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    srv.ca_path = str(cert_pem)  # type: ignore[attr-defined]
+    yield srv
+    srv.shutdown()
+
+
+class TestTls:
+    def test_sslmode_require_encrypts(self, pg_tls):
+        c = PgWireConnection("127.0.0.1", pg_tls.server_address[1],
+                             user="alice", password="s3cret", sslmode="require")
+        _f, rows = c.query("SELECT 9 AS v")
+        c.close()
+        assert rows == [(9,)]
+
+    def test_verify_full_with_ca(self, pg_tls):
+        c = PgWireConnection("127.0.0.1", pg_tls.server_address[1],
+                             user="alice", password="s3cret",
+                             sslmode="verify-full", ssl_ca=pg_tls.ca_path)
+        _f, rows = c.query("SELECT 10 AS v")
+        c.close()
+        assert rows == [(10,)]
+
+    def test_verify_full_rejects_unknown_ca(self, pg_tls):
+        import ssl
+
+        with pytest.raises(ssl.SSLError):
+            PgWireConnection("127.0.0.1", pg_tls.server_address[1],
+                             user="alice", password="s3cret",
+                             sslmode="verify-full")  # system CAs only
+
+    def test_plain_server_refuses_tls(self, pg):
+        with pytest.raises(SourceError, match="refused TLS"):
+            PgWireConnection("127.0.0.1", pg.server_address[1],
+                             user="alice", password="s3cret",
+                             sslmode="require")
 
 
 class TestWireClient:
