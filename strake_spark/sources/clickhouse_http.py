@@ -109,14 +109,27 @@ def _unescape_field(raw: bytes) -> str | None:
 
 
 class ClickHouseHttp:
-    """One-call-per-query HTTP client for TSVWithNamesAndTypes."""
+    """One-call-per-query HTTP client for TSVWithNamesAndTypes.
+    ``ssl_ca`` pins a custom CA for https endpoints (system CAs used
+    otherwise); ``insecure=True`` skips verification (lab clusters)."""
 
     def __init__(self, url: str, user: str = "default", password: str = "",
-                 timeout: float = 60.0):
+                 timeout: float = 60.0, ssl_ca: str | None = None,
+                 insecure: bool = False):
         self.base = url.rstrip("/")
         self.user = user
         self.password = password
         self.timeout = timeout
+        self._ctx = None
+        if self.base.startswith("https://"):
+            import ssl
+
+            if insecure:
+                self._ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+                self._ctx.check_hostname = False
+                self._ctx.verify_mode = ssl.CERT_NONE
+            else:
+                self._ctx = ssl.create_default_context(cafile=ssl_ca)
 
     def query(self, sql: str) -> tuple[list[str], list[str], list[list[str | None]]]:
         """-> (names, ch_types, rows-as-text). Raises SourceError with
@@ -133,7 +146,9 @@ class ClickHouseHttp:
             method="POST",
         )
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            with urllib.request.urlopen(
+                req, timeout=self.timeout, context=self._ctx
+            ) as resp:
                 body = resp.read()
         except urllib.error.HTTPError as e:
             detail = e.read().decode(errors="replace")[:300]
@@ -162,6 +177,8 @@ def _client_from_options(options) -> ClickHouseHttp:
         user=options.get("user", "default"),
         password=options.get("password", ""),
         timeout=float(options.get("timeout", "60")),
+        ssl_ca=options.get("ssl_ca"),
+        insecure=str(options.get("insecure", "")).lower() == "true",
     )
 
 
@@ -258,6 +275,9 @@ def register_clickhouse_source(spark: SparkSession, cfg: SourceConfig) -> list[s
         "user": cfg.username or "default",
         "password": cfg.password or "",
     }
+    for opt in ("ssl_ca", "insecure"):
+        if cfg.options.get(opt):
+            base[opt] = str(cfg.options[opt])
     registered: list[str] = []
     for tbl in cfg.tables:
         options = dict(base)

@@ -44,6 +44,7 @@ FORMAT_NAME = "strake_mysql"
 # capability flags
 _CLIENT_LONG_PASSWORD = 0x1
 _CLIENT_PROTOCOL_41 = 0x200
+_CLIENT_SSL = 0x800
 _CLIENT_SECURE_CONNECTION = 0x8000
 _CLIENT_PLUGIN_AUTH = 0x80000
 _CLIENT_CONNECT_WITH_DB = 0x8
@@ -106,10 +107,19 @@ class MySqlWireConnection:
     COM_QUERY text resultsets."""
 
     def __init__(self, host: str, port: int = 3306, user: str = "root",
-                 password: str = "", database: str = "", timeout: float = 30.0):
+                 password: str = "", database: str = "", timeout: float = 30.0,
+                 sslmode: str = "disable", ssl_ca: str | None = None):
+        """``sslmode``: disable | require (encrypt, no verification) |
+        verify-full (CA + hostname; ``ssl_ca`` or system CAs) — same
+        semantics as the pgwire client."""
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
         self._seq = 0
+        if sslmode not in ("disable", "require", "verify-full"):
+            raise SourceError(f"unsupported sslmode {sslmode!r}")
+        self._sslmode = sslmode
+        self._ssl_ca = ssl_ca
+        self._host = host
         self._handshake(user, password, database)
 
     # --------------------------------------------------------- transport
@@ -169,6 +179,24 @@ class MySqlWireConnection:
                 | _CLIENT_SECURE_CONNECTION | _CLIENT_PLUGIN_AUTH)
         if database:
             caps |= _CLIENT_CONNECT_WITH_DB
+        if self._sslmode != "disable":
+            import ssl
+
+            caps |= _CLIENT_SSL
+            # SSLRequest = the fixed 32-byte head of HandshakeResponse41;
+            # after it the whole stream (including the real response)
+            # switches to TLS
+            self._send_packet(struct.pack("<IIB23x", caps, 1 << 24, 33))
+            if self._sslmode == "verify-full":
+                ctx = ssl.create_default_context(cafile=self._ssl_ca)
+            else:
+                ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            self._sock = ctx.wrap_socket(
+                self._sock, server_hostname=self._host
+            )
+            self._buf = b""
         resp = struct.pack("<IIB23x", caps, 1 << 24, 33)  # utf8 charset
         resp += user.encode() + b"\0"
         resp += bytes([len(token)]) + token
@@ -260,6 +288,8 @@ def _conn_from_options(options) -> MySqlWireConnection:
         password=options.get("password", ""),
         database=options.get("database", ""),
         timeout=float(options.get("timeout", "30")),
+        sslmode=options.get("sslmode", "disable"),
+        ssl_ca=options.get("ssl_ca"),
     )
 
 
@@ -380,7 +410,10 @@ def register_mysql_wire_source(spark: SparkSession, cfg: SourceConfig) -> list[s
         "user": cfg.username or (u.username or "root"),
         "password": cfg.password or (u.password or ""),
         "database": (u.path or "/").lstrip("/"),
+        "sslmode": str(cfg.options.get("sslmode", "disable")),
     }
+    if cfg.options.get("ssl_ca"):
+        base["ssl_ca"] = str(cfg.options["ssl_ca"])
     if not cfg.tables:
         raise SourceError(f"mysql_wire source {cfg.name!r} declares no tables")
     registered: list[str] = []

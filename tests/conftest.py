@@ -91,6 +91,48 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol: floa
             pd.testing.assert_series_equal(a[c], b[c], check_names=False, obj=f"column {c}")
 
 
+def make_self_signed_cert(tmp_dir) -> tuple[str, str]:
+    """(cert_pem_path, key_pem_path) for 127.0.0.1 — shared by the
+    TLS-wrapped protocol fakes (pgwire, mysql, clickhouse https)."""
+    import datetime
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.IPAddress(ipaddress.ip_address("127.0.0.1"))]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_path = str(tmp_dir / "server.pem")
+    key_path = str(tmp_dir / "server.key")
+    with open(cert_path, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(key_path, "wb") as f:
+        f.write(key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        ))
+    return cert_path, key_path
+
+
 def run_and_compare(spark, name: str, sf_dir: str = SF_DIR):
     """Execute one inventory entry on Spark and on the DuckDB oracle."""
     from strake_spark import inventory

@@ -88,6 +88,7 @@ def make_fake_ch(duck_path: str, users: dict[str, str]):
 
     srv = HTTPServer(("127.0.0.1", 0), Handler)
     srv.queries = queries  # type: ignore[attr-defined]
+    srv.duck_path = duck_path  # type: ignore[attr-defined]
     return srv
 
 
@@ -142,6 +143,44 @@ class TestHttpClient:
         assert _ch_to_spark("DateTime64(6)") == T.TimestampNTZType()
         assert _ch_to_spark("Decimal(18, 4)") == T.DoubleType()
         assert _ch_to_spark("UInt64") == T.StringType()  # may exceed long
+
+
+class TestHttps:
+    @pytest.fixture(scope="class")
+    def ch_tls(self, tmp_path_factory, ch):
+        import ssl
+
+        from tests.conftest import make_self_signed_cert
+
+        tmp = tmp_path_factory.mktemp("chtls")
+        cert_pem, key_pem = make_self_signed_cert(tmp)
+        srv = make_fake_ch(ch.duck_path, users={"analyst": "k3y"})
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(cert_pem, key_pem)
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        srv.ca_path = cert_pem  # type: ignore[attr-defined]
+        yield srv
+        srv.shutdown()
+
+    def test_https_with_pinned_ca(self, ch_tls):
+        c = ClickHouseHttp(f"https://127.0.0.1:{ch_tls.server_port}",
+                           user="analyst", password="k3y",
+                           ssl_ca=ch_tls.ca_path)
+        _n, _t, rows = c.query("SELECT 11 AS v")
+        assert rows == [["11"]]
+
+    def test_https_unknown_ca_rejected(self, ch_tls):
+        c = ClickHouseHttp(f"https://127.0.0.1:{ch_tls.server_port}",
+                           user="analyst", password="k3y")
+        with pytest.raises(SourceError, match="unreachable"):
+            c.query("SELECT 1")
+
+    def test_https_insecure_mode(self, ch_tls):
+        c = ClickHouseHttp(f"https://127.0.0.1:{ch_tls.server_port}",
+                           user="analyst", password="k3y", insecure=True)
+        _n, _t, rows = c.query("SELECT 12 AS v")
+        assert rows == [["12"]]
 
 
 class TestSparkSource:

@@ -93,6 +93,16 @@ class _Handler(socketserver.BaseRequestHandler):
         )
         self._send_packet(greeting)
         resp = self._read_packet()
+        if getattr(srv, "ssl_context", None) is not None and len(resp) == 32:
+            # 32-byte SSLRequest head (CLIENT_SSL set) -> switch to TLS,
+            # then the real HandshakeResponse41 arrives encrypted
+            (caps,) = struct.unpack("<I", resp[:4])
+            assert caps & 0x800, "expected CLIENT_SSL in SSLRequest"
+            self.request = srv.ssl_context.wrap_socket(
+                self.request, server_side=True
+            )
+            self._buf = b""
+            resp = self._read_packet()
         # parse HandshakeResponse41: caps(4) maxpkt(4) charset(1) 23x user\0
         pos = 4 + 4 + 1 + 23
         end = resp.index(b"\0", pos)
@@ -170,10 +180,11 @@ class FakeMySql(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, duck_path, users):
+    def __init__(self, duck_path, users, ssl_context=None):
         super().__init__(("127.0.0.1", 0), _Handler)
         self.duck_path = duck_path
         self.users = users
+        self.ssl_context = ssl_context
         self.queries: list[str] = []
 
 
@@ -196,6 +207,49 @@ def my(tmp_path_factory):
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     yield srv
     srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def my_tls(tmp_path_factory, my):
+    import ssl
+
+    from tests.conftest import make_self_signed_cert
+
+    tmp = tmp_path_factory.mktemp("mytls")
+    cert_pem, key_pem = make_self_signed_cert(tmp)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(cert_pem, key_pem)
+    srv = FakeMySql(my.duck_path, users={"svc": "hunter2"}, ssl_context=ctx)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    srv.ca_path = cert_pem  # type: ignore[attr-defined]
+    yield srv
+    srv.shutdown()
+
+
+class TestTls:
+    def test_sslmode_require(self, my_tls):
+        c = MySqlWireConnection("127.0.0.1", my_tls.server_address[1],
+                                user="svc", password="hunter2",
+                                sslmode="require")
+        _f, rows = c.query("SELECT 3 AS v")
+        c.close()
+        assert rows == [(3,)]
+
+    def test_verify_full_with_ca(self, my_tls):
+        c = MySqlWireConnection("127.0.0.1", my_tls.server_address[1],
+                                user="svc", password="hunter2",
+                                sslmode="verify-full", ssl_ca=my_tls.ca_path)
+        _f, rows = c.query("SELECT 4 AS v")
+        c.close()
+        assert rows == [(4,)]
+
+    def test_verify_full_rejects_unknown_ca(self, my_tls):
+        import ssl
+
+        with pytest.raises(ssl.SSLError):
+            MySqlWireConnection("127.0.0.1", my_tls.server_address[1],
+                                user="svc", password="hunter2",
+                                sslmode="verify-full")
 
 
 class TestWireClient:

@@ -280,44 +280,17 @@ class TestScramAuth:
 @pytest.fixture(scope="module")
 def pg_tls(tmp_path_factory, pg):
     """TLS-wrapped fake: self-signed cert minted with cryptography."""
-    import datetime
     import ssl
 
-    from cryptography import x509
-    from cryptography.hazmat.primitives import hashes, serialization
-    from cryptography.hazmat.primitives.asymmetric import rsa
-    from cryptography.x509.oid import NameOID
+    from tests.conftest import make_self_signed_cert
 
     tmp = tmp_path_factory.mktemp("pgtls")
-    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
-    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
-    now = datetime.datetime.now(datetime.timezone.utc)
-    cert = (
-        x509.CertificateBuilder()
-        .subject_name(name).issuer_name(name)
-        .public_key(key.public_key())
-        .serial_number(x509.random_serial_number())
-        .not_valid_before(now - datetime.timedelta(minutes=5))
-        .not_valid_after(now + datetime.timedelta(days=1))
-        .add_extension(
-            x509.SubjectAlternativeName([x509.IPAddress(__import__("ipaddress").ip_address("127.0.0.1"))]),
-            critical=False,
-        )
-        .sign(key, hashes.SHA256())
-    )
-    cert_pem = tmp / "server.pem"
-    key_pem = tmp / "server.key"
-    cert_pem.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
-    key_pem.write_bytes(key.private_bytes(
-        serialization.Encoding.PEM,
-        serialization.PrivateFormat.TraditionalOpenSSL,
-        serialization.NoEncryption(),
-    ))
+    cert_pem, key_pem = make_self_signed_cert(tmp)
     ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
-    ctx.load_cert_chain(str(cert_pem), str(key_pem))
+    ctx.load_cert_chain(cert_pem, key_pem)
     srv = FakePg(pg.duck_path, users={"alice": "s3cret"}, ssl_context=ctx)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
-    srv.ca_path = str(cert_pem)  # type: ignore[attr-defined]
+    srv.ca_path = cert_pem  # type: ignore[attr-defined]
     yield srv
     srv.shutdown()
 
