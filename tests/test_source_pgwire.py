@@ -431,3 +431,40 @@ class TestSparkSource:
         pushed = [q for q in pg.queries[before:] if "count" in q.lower()]
         assert pushed, f"no pushed aggregate in {pg.queries[before:]}"
         assert out.to_pylist()[0]["n"] > 0
+
+
+class TestMalformedServer:
+    """A hostile/broken server must produce a clean SourceError, never a
+    hang or an unbounded read."""
+
+    @staticmethod
+    def _serve_bytes(payload: bytes):
+        import socketserver
+
+        class H(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    self.request.recv(65536)  # swallow startup
+                    self.request.sendall(payload)
+                finally:
+                    self.request.close()
+
+        srv = socketserver.TCPServer(("127.0.0.1", 0), H)
+        srv.allow_reuse_address = True
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    @pytest.mark.parametrize("payload", [
+        b"",                                   # immediate close
+        b"garbage-not-a-message",              # non-protocol bytes
+        b"R" + (5000).to_bytes(4, "big"),      # truncated huge message
+        b"R" + (8).to_bytes(4, "big") + (99).to_bytes(4, "big"),  # unknown auth
+    ])
+    def test_malformed_fails_cleanly(self, payload):
+        srv = self._serve_bytes(payload)
+        try:
+            with pytest.raises(SourceError):
+                PgWireConnection("127.0.0.1", srv.server_address[1],
+                                 user="u", password="p", timeout=3.0)
+        finally:
+            srv.shutdown()
