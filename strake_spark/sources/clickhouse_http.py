@@ -131,9 +131,11 @@ class ClickHouseHttp:
             else:
                 self._ctx = ssl.create_default_context(cafile=ssl_ca)
 
-    def query(self, sql: str) -> tuple[list[str], list[str], list[list[str | None]]]:
-        """-> (names, ch_types, rows-as-text). Raises SourceError with
-        the server's message on any non-200."""
+    def query_iter(self, sql: str, header_out: list | None = None):
+        """Stream rows line-by-line from the HTTP response (TSV escapes
+        literal newlines as \\n inside fields, so line framing is
+        exact). Appends [names, types] to ``header_out`` when given.
+        Consume fully or the response stays open."""
         q = urllib.parse.urlencode({"default_format": "TSVWithNamesAndTypes"})
         req = urllib.request.Request(
             f"{self.base}/?{q}",
@@ -146,26 +148,39 @@ class ClickHouseHttp:
             method="POST",
         )
         try:
-            with urllib.request.urlopen(
+            resp = urllib.request.urlopen(
                 req, timeout=self.timeout, context=self._ctx
-            ) as resp:
-                body = resp.read()
+            )
         except urllib.error.HTTPError as e:
             detail = e.read().decode(errors="replace")[:300]
             raise SourceError(f"clickhouse query failed: {detail}") from None
         except Exception as e:  # noqa: BLE001 - transport error with context
             raise SourceError(f"clickhouse unreachable: {e}") from e
-        lines = body.split(b"\n")
-        if lines and lines[-1] == b"":
-            lines.pop()
-        if len(lines) < 2:
+        with resp:
+            names_line = resp.readline()
+            types_line = resp.readline()
+            if not types_line:
+                raise SourceError("clickhouse response missing names/types header")
+            if header_out is not None:
+                header_out.append(
+                    [f.decode() for f in names_line.rstrip(b"\n").split(b"\t")]
+                )
+                header_out.append(
+                    [f.decode() for f in types_line.rstrip(b"\n").split(b"\t")]
+                )
+            for ln in resp:
+                ln = ln.rstrip(b"\n")
+                if ln:
+                    yield [_unescape_field(f) for f in ln.split(b"\t")]
+
+    def query(self, sql: str) -> tuple[list[str], list[str], list[list[str | None]]]:
+        """-> (names, ch_types, rows-as-text). Raises SourceError with
+        the server's message on any non-200."""
+        header: list = []
+        rows = list(self.query_iter(sql, header_out=header))
+        if len(header) < 2:
             raise SourceError("clickhouse response missing names/types header")
-        names = [f.decode() for f in lines[0].split(b"\t")]
-        types = [f.decode() for f in lines[1].split(b"\t")]
-        rows = [
-            [_unescape_field(f) for f in ln.split(b"\t")] for ln in lines[2:]
-        ]
-        return names, types, rows
+        return header[0], header[1], rows
 
 
 # ------------------------------------------------------------- DataSource
@@ -219,9 +234,10 @@ class ClickHouseReader(DataSourceReader):
             extra_predicate=partition.predicate,
         )
         client = _client_from_options(self.options)
-        _names, _types, rows = client.query(sql)
         dtypes = [f.dataType for f in self.schema.fields]
-        for row in rows:
+        # streamed: rows flow straight from the HTTP response to Spark's
+        # consumer, never buffered whole in a Python list
+        for row in client.query_iter(sql):
             yield tuple(_decode(v, dt) for v, dt in zip(row, dtypes))
 
 

@@ -212,14 +212,16 @@ class MySqlWireConnection:
         # else OK packet: connected
 
     # ------------------------------------------------------------- query
-    def query(self, sql: str) -> tuple[list[_Field], list[tuple]]:
+    def query_iter(self, sql: str, fields_out: list | None = None):
+        """Stream decoded rows as row packets arrive (see pgwire's
+        query_iter — same contract: consume fully or close)."""
         self._seq = 0
         self._send_packet(b"\x03" + sql.encode())
         pkt = self._read_packet()
         if pkt[:1] == b"\xff":
             raise SourceError(f"mysql query failed: {self._err_text(pkt)}")
         if pkt[:1] == b"\x00":
-            return [], []  # OK without resultset
+            return  # OK without resultset
         ncols, _ = _read_lenenc_int(pkt, 0)
         fields: list[_Field] = []
         for _ in range(ncols):
@@ -232,10 +234,11 @@ class MySqlWireConnection:
             pos += 1 + 2 + 4  # fixed-len marker, charset, column length
             type_byte = cd[pos]
             fields.append(_Field(name.decode(), type_byte))
+        if fields_out is not None:
+            fields_out.extend(fields)
         pkt = self._read_packet()  # EOF after column definitions
         if pkt[:1] != b"\xfe":
             raise SourceError("mysql protocol error: expected EOF after columns")
-        rows: list[tuple] = []
         while True:
             pkt = self._read_packet()
             if pkt[:1] == b"\xfe" and len(pkt) < 9:
@@ -247,7 +250,11 @@ class MySqlWireConnection:
             for f in fields:
                 raw, pos = _read_lenenc_str(pkt, pos)
                 vals.append(None if raw is None else _decode(f.type_byte, raw))
-            rows.append(tuple(vals))
+            yield tuple(vals)
+
+    def query(self, sql: str) -> tuple[list[_Field], list[tuple]]:
+        fields: list[_Field] = []
+        rows = list(self.query_iter(sql, fields_out=fields))
         return fields, rows
 
     def close(self) -> None:
@@ -347,8 +354,9 @@ class MySqlReader(DataSourceReader):
             sql += " WHERE " + " AND ".join(f"({p})" for p in preds)
         con = _conn_from_options(self.options)
         try:
-            _fields, rows = con.query(sql)
-            yield from rows
+            # streamed: rows flow straight from the socket to Spark's
+            # consumer, never buffered whole in a Python list
+            yield from con.query_iter(sql)
         finally:
             con.close()
 

@@ -301,19 +301,27 @@ class PgWireConnection:
                 raise SourceError(f"postgres startup error: {self._error_text(payload)}")
 
     # ------------------------------------------------------------- query
-    def query(self, sql: str) -> tuple[list[_Field], list[tuple]]:
+    def query_iter(self, sql: str, fields_out: list | None = None):
+        """Stream decoded rows as DataRow messages arrive — a partition
+        slice never materializes in a Python list (the executor's
+        consumer is itself an iterator). RowDescription fields are
+        appended to ``fields_out`` when given. The generator must be
+        consumed fully (or the connection closed) — an abandoned stream
+        leaves protocol messages in flight."""
         if "\0" in sql:
             raise SourceError("NUL in SQL")
         self._send(b"Q", sql.encode() + b"\0")
         fields: list[_Field] = []
-        rows: list[tuple] = []
         error: str | None = None
         while True:
             mtype, payload = self._read_message()
             if mtype == b"T":
                 fields = self._parse_row_description(payload)
+                if fields_out is not None:
+                    fields_out.extend(fields)
             elif mtype == b"D":
-                rows.append(self._parse_data_row(payload, fields))
+                if error is None:
+                    yield self._parse_data_row(payload, fields)
             elif mtype == b"E":
                 error = self._error_text(payload)
             elif mtype in (b"C", b"I", b"N", b"S"):
@@ -322,6 +330,10 @@ class PgWireConnection:
                 break
         if error is not None:
             raise SourceError(f"postgres query failed: {error}")
+
+    def query(self, sql: str) -> tuple[list[_Field], list[tuple]]:
+        fields: list[_Field] = []
+        rows = list(self.query_iter(sql, fields_out=fields))
         return fields, rows
 
     @staticmethod
@@ -429,8 +441,9 @@ class PgWireReader(DataSourceReader):
         )
         con = _conn_from_options(self.options)
         try:
-            _fields, rows = con.query(sql)
-            yield from rows
+            # streamed: rows flow straight from the socket to Spark's
+            # consumer, never buffered whole in a Python list
+            yield from con.query_iter(sql)
         finally:
             con.close()
 
