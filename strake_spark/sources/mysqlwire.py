@@ -125,7 +125,10 @@ class MySqlWireConnection:
     # --------------------------------------------------------- transport
     def _recv_exact(self, n: int) -> bytes:
         while len(self._buf) < n:
-            chunk = self._sock.recv(65536)
+            try:
+                chunk = self._sock.recv(65536)
+            except OSError as e:  # timeout / reset -> one error type for callers
+                raise SourceError(f"mysql connection failed mid-packet: {e}") from e
             if not chunk:
                 raise SourceError("mysql connection closed mid-packet")
             self._buf += chunk

@@ -221,7 +221,10 @@ class PgWireConnection:
     # --------------------------------------------------------- transport
     def _recv_exact(self, n: int) -> bytes:
         while len(self._buf) < n:
-            chunk = self._sock.recv(65536)
+            try:
+                chunk = self._sock.recv(65536)
+            except OSError as e:  # timeout / reset -> one error type for callers
+                raise SourceError(f"postgres connection failed mid-message: {e}") from e
             if not chunk:
                 raise SourceError("postgres connection closed mid-message")
             self._buf += chunk

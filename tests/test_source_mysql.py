@@ -329,3 +329,43 @@ class TestSparkSource:
         # cover the respelling itself)
         assert '"' not in pushed[0]
         assert out.num_rows > 0
+
+
+class TestMalformedServer:
+    @staticmethod
+    def _serve_bytes(payload: bytes):
+        import socketserver
+
+        class H(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    self.request.settimeout(5.0)  # never wedge serve_forever
+                    self.request.sendall(payload)
+                    self.request.recv(65536)
+                except OSError:
+                    pass
+                finally:
+                    self.request.close()
+
+        class Srv(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        srv = Srv(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    @pytest.mark.parametrize("payload", [
+        b"",                                          # immediate close
+        b"\x05\x00\x00\x00\xff\x15\x04",              # ERR greeting (refused)
+        b"\x02\x00\x00\x00\x09\x00",                  # protocol version 9
+        b"\x30\x00\x00\x00" + b"\x0a" + b"x\0" + b"\x00" * 20,  # truncated v10
+    ])
+    def test_malformed_fails_cleanly(self, payload):
+        srv = self._serve_bytes(payload)
+        try:
+            with pytest.raises(SourceError):
+                MySqlWireConnection("127.0.0.1", srv.server_address[1],
+                                    user="u", password="p", timeout=3.0)
+        finally:
+            srv.shutdown()
