@@ -63,66 +63,63 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Entries named here are emitted FIRST, in this order; everything else
 # follows in registration order.
 #
-# Round-6 rotation (per the r5 verdict): front-load (a) the six
-# entries that have NEVER been inside a driver window (added round 4;
-# the r5 rotation never happened); (b) the three entries broken by the
-# testdata timestamp-unit flip and fixed this round — the driver must
-# re-verify the fix; (c) the three entries whose only driver evidence
-# is round 1; (d) 36 of the 48 remaining entries last checked in
-# round 3 — three rounds of code churn ago; (e) the two pipeline
-# entries added this round (decontamination, packing), which have no
-# driver evidence at all. That is exactly 50. Immediately after the
-# boundary: the twelve r3-green entries deferred to the round-7 window
-# (pure expression matrices and small relational/sampling trivia — the
-# most change-stable families, each still pytest-oracled at sf0.001
-# and sf0.01 by tests/test_inventory.py). The r4/r5-green
-# TPC-H/join/agg/window/setops block and the other round-6 additions
-# (stream-stream join, mixture upsampling, int8 quantization) follow
-# in registration order.
+# Round-7 rotation (per the r6 verdict): front-load (a) the four
+# round-6 additions that have NEVER been inside a driver window; (b)
+# the twelve r3-green entries deferred from the r6 window — with these
+# sixteen checked, all-time driver coverage reaches 115/115; (c) the
+# four rows-only (no-oracle-by-design) entries RE-paired adjacently
+# with their driver-checkable green companions, so the window shows
+# each weak row next to the strong row that justifies it; (d) 26 of
+# the 45 remaining r5-evidence entries — the full TPC-H block and the
+# join matrix (the families most exposed to perf churn), plus two
+# aggregates. That is exactly 50. Immediately after the boundary: the
+# 19 r5-green entries deferred to the round-8 window (agg variants,
+# window functions, set ops — the most change-stable families, each
+# still pytest-oracled at sf0.001 and sf0.01 by
+# tests/test_inventory.py every round). Everything r6-green follows in
+# registration order.
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked (added r4, window never rotated in r5)
-    "dedup_duplicate_clusters", "dedup_corpus_keep_first",
-    "pipeline_curation_filter", "sample_stratified_by_lang",
-    "stream_dedup_events", "stream_user_running_totals",
-    # (b) broken by the nanos->micros testdata flip, fixed this round
-    "stream_sessionization", "stream_tumbling_event_counts",
-    "events_sessionization",
-    # (c) r1-only evidence
-    "distinct_simple", "values_inline", "agg_approx_count_distinct",
-    # (d) last checked round 3 — TPC-H stragglers + subqueries/CTE
-    "tpch_q9_product_profit", "tpch_q22_global_sales_opportunity",
-    "subquery_scalar_above_avg", "subquery_in_european_customers",
-    "subquery_exists_correlated", "subquery_correlated_scalar_select",
-    "cte_reused", "cte_recursive_series",
-    # events analytics
-    "events_tumbling_window", "events_json_props",
-    "events_top_users_per_type", "events_funnel_conversion",
-    # dedup family
-    "dedup_exact", "dedup_minhash_signatures",
-    "dedup_minhash_lsh_candidates", "dedup_simhash_signatures",
-    "dedup_simhash_near_pairs", "dedup_ngram_jaccard",
-    # ANN family
-    "ann_cosine_topk_bruteforce", "ann_embedding_dup_pairs",
-    "ann_lsh_bucketed_topk", "ann_ivf_topk",
-    # text analysis
-    "text_language_id", "text_quality_score", "text_token_count",
-    "text_fingerprint", "text_vocabulary_topn",
-    "agg_length_percentiles_by_lang",
-    # multimodal
-    "multimodal_binary_meta", "multimodal_decode_features",
-    # advanced relational + temporal joins + pipeline ops
-    "window_groups_frame_emulated", "asof_join_backward",
-    "asof_join_forward", "range_join_events_after_purchase",
-    "pii_detect_and_scrub", "join_salted_skew",
-    # new this round — never driver-checked
-    "pipeline_decontaminate_ngram", "pipeline_pack_sequences",
-    # --- 50-entry window boundary ---
-    # deferred to the round-7 window (r3-green, change-stable)
+    # (a) never driver-checked (added late in round 6)
+    "embedding_quantize_int8", "pipeline_mixture_upsample",
+    "stream_view_purchase_join", "text_repetition_score",
+    # (b) r3-green entries deferred from the r6 window
     "empty_relation", "limit_offset_page", "sort_multi_key_nulls",
     "pivot_status_by_flag", "expr_string_functions", "expr_math_functions",
     "expr_datetime_functions", "expr_conditional_null", "expr_cast_matrix",
     "sample_hash_bucket", "sample_shuffle_deterministic",
     "expr_array_higher_order",
+    # (c) rows-only entries paired with their green companions
+    "agg_approx_count_distinct", "agg_approx_count_distinct_bound",
+    "ann_lsh_bucketed_topk", "ann_lsh_recall_vs_exact",
+    "ann_ivf_topk", "ann_ivf_recall_vs_exact",
+    "multimodal_decode_features", "multimodal_decode_meta",
+    # (d) r5-evidence: full TPC-H block
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue", "tpch_q21_waiting_suppliers",
+    # (d) r5-evidence: join matrix
+    "join_inner_orders_customer", "join_left_customer_orders",
+    "join_right_orders_customer", "join_full_outer_nation_coverage",
+    "join_semi_customers_with_urgent_orders",
+    "join_anti_customers_without_urgent_orders",
+    "join_cross_region_status", "join_non_equi_price_over_size",
+    # (d) r5-evidence: aggregates
+    "agg_global_stats", "agg_grouping_sets",
+    # --- 50-entry window boundary ---
+    # deferred to the round-8 window (r5-green, change-stable)
+    "agg_rollup_status_priority", "agg_cube_flag_status",
+    "agg_having_big_customers", "agg_variance_by_nation",
+    "agg_string_agg_priorities", "agg_filtered_conditional",
+    "window_row_number_topk", "window_rank_family", "window_running_sum",
+    "window_sliding_rows_frame", "window_range_frame", "window_lag_lead",
+    "window_ntile_first_last",
+    "set_union_all", "set_union_distinct", "set_intersect",
+    "set_except", "set_except_all", "distinct_on_latest_order",
 )
 
 
