@@ -55,7 +55,24 @@ def _ch_to_spark(ch_type: str) -> T.DataType:
         return T.DoubleType()
     if base == "Bool":
         return T.BooleanType()
-    if base == "Decimal":
+    if base.startswith("Decimal"):
+        # Decimal(P, S) / Decimal32(S) p=9 / Decimal64(S) p=18 /
+        # Decimal128(S) p=38 map to the exact DecimalType; Decimal256
+        # (p=76) exceeds Spark's 38-digit ceiling -> Double fallback
+        args = [a.strip() for a in t[t.index("(") + 1:t.rindex(")")].split(",")] \
+            if "(" in t else []
+        try:
+            if base == "Decimal" and len(args) == 2:
+                p, s = int(args[0]), int(args[1])
+            elif base in ("Decimal32", "Decimal64", "Decimal128") and len(args) == 1:
+                p = {"Decimal32": 9, "Decimal64": 18, "Decimal128": 38}[base]
+                s = int(args[0])
+            else:
+                return T.DoubleType()
+        except ValueError:
+            return T.DoubleType()
+        if 1 <= p <= 38 and 0 <= s <= p:
+            return T.DecimalType(p, s)
         return T.DoubleType()
     if base == "Date" or base == "Date32":
         return T.DateType()
@@ -69,6 +86,10 @@ def _decode(value: str | None, dtype: T.DataType):
         return None
     if isinstance(dtype, T.IntegerType) or isinstance(dtype, T.LongType):
         return int(value)
+    if isinstance(dtype, T.DecimalType):
+        import decimal
+
+        return decimal.Decimal(value)
     if isinstance(dtype, T.DoubleType):
         return float(value)
     if isinstance(dtype, T.BooleanType):
@@ -168,10 +189,13 @@ class ClickHouseHttp:
                 header_out.append(
                     [f.decode() for f in types_line.rstrip(b"\n").split(b"\t")]
                 )
+            # every line is a row — a single-column row whose value is
+            # the empty string serializes as a bare newline, so lines
+            # must NOT be skipped when empty (iteration ends at EOF;
+            # there is no trailing blank line to filter)
             for ln in resp:
                 ln = ln.rstrip(b"\n")
-                if ln:
-                    yield [_unescape_field(f) for f in ln.split(b"\t")]
+                yield [_unescape_field(f) for f in ln.split(b"\t")]
 
     def query(self, sql: str) -> tuple[list[str], list[str], list[list[str | None]]]:
         """-> (names, ch_types, rows-as-text). Raises SourceError with
@@ -234,11 +258,20 @@ class ClickHouseReader(DataSourceReader):
             extra_predicate=partition.predicate,
         )
         client = _client_from_options(self.options)
-        dtypes = [f.dataType for f in self.schema.fields]
-        # streamed: rows flow straight from the HTTP response to Spark's
-        # consumer, never buffered whole in a Python list
-        for row in client.query_iter(sql):
-            yield tuple(_decode(v, dt) for v, dt in zip(row, dtypes))
+        # streamed + columnar: text cells parse inside Arrow's cast
+        # kernels per chunk (see sources/textbatch.py); Spark ingests
+        # the RecordBatches without per-row pickling. ClickHouse bool
+        # text is 'true'/'false'.
+        from strake_spark.sources.textbatch import TextBatchBuilder
+
+        builder = TextBatchBuilder(self.schema, bool_style="word")
+        for cells in client.query_iter(sql):
+            batch = builder.add_row(cells)
+            if batch is not None:
+                yield batch
+        tail = builder.flush()
+        if tail is not None:
+            yield tail
 
 
 class ClickHouseDataSource(DataSource):
@@ -300,7 +333,12 @@ def register_clickhouse_source(spark: SparkSession, cfg: SourceConfig) -> list[s
         options["table"] = tbl.name
         if tbl.partition_column:
             options["partition_column"] = tbl.partition_column
-        n_parts = cfg.options.get("num_partitions")
+        # explicit num_partitions wins; otherwise a declared partition
+        # column defaults to the source's concurrency budget (same
+        # shape as the reference pool's max_concurrent_queries)
+        n_parts = cfg.options.get("num_partitions") or (
+            cfg.max_concurrent_queries if tbl.partition_column else None
+        )
         if n_parts:
             options["num_partitions"] = str(n_parts)
         ensure_format(spark)

@@ -49,7 +49,12 @@ _CLIENT_SECURE_CONNECTION = 0x8000
 _CLIENT_PLUGIN_AUTH = 0x80000
 _CLIENT_CONNECT_WITH_DB = 0x8
 
-# column type bytes -> Spark types
+# column type bytes -> Spark types (NEWDECIMAL 0xF6 is handled
+# separately: its column-definition length/decimals bytes carry the
+# exact precision/scale)
+_TYPE_NEWDECIMAL = 0xF6
+_UNSIGNED_FLAG = 0x20
+
 _MYSQL_TYPE_TO_SPARK: dict[int, T.DataType] = {
     0x01: T.IntegerType(),   # TINY
     0x02: T.IntegerType(),   # SHORT
@@ -57,7 +62,6 @@ _MYSQL_TYPE_TO_SPARK: dict[int, T.DataType] = {
     0x08: T.LongType(),      # LONGLONG
     0x04: T.DoubleType(),    # FLOAT
     0x05: T.DoubleType(),    # DOUBLE
-    0xF6: T.DoubleType(),    # NEWDECIMAL
     0x0A: T.DateType(),      # DATE
     0x0C: T.TimestampNTZType(),  # DATETIME
     0x07: T.TimestampNTZType(),  # TIMESTAMP
@@ -100,6 +104,24 @@ def _read_lenenc_str(buf: bytes, pos: int) -> tuple[bytes | None, int]:
 class _Field:
     name: str
     type_byte: int
+    column_length: int = 0
+    decimals: int = 0
+    unsigned: bool = False
+
+    def spark_type(self) -> T.DataType:
+        """NEWDECIMAL maps to the exact DecimalType(p, s): the wire's
+        column_length counts display chars (digits + sign + point), so
+        p = length - (1 if s > 0) - (1 if signed) — the same decode the
+        reference's Decimal128 builders do (crates/connectors/src/
+        sources/sql/mysql.rs). MySQL allows p up to 65; above Spark's
+        38-digit ceiling falls back to Double."""
+        if self.type_byte == _TYPE_NEWDECIMAL:
+            s = self.decimals
+            p = self.column_length - (1 if s > 0 else 0) - (0 if self.unsigned else 1)
+            if 1 <= p <= 38 and 0 <= s <= p:
+                return T.DecimalType(p, s)
+            return T.DoubleType()
+        return _MYSQL_TYPE_TO_SPARK.get(self.type_byte, T.StringType())
 
 
 class MySqlWireConnection:
@@ -139,7 +161,16 @@ class MySqlWireConnection:
         head = self._recv_exact(4)
         length = int.from_bytes(head[:3], "little")
         self._seq = (head[3] + 1) & 0xFF
-        return self._recv_exact(length)
+        payload = self._recv_exact(length)
+        # protocol packet splitting: a payload of exactly 0xffffff bytes
+        # continues in the next packet(s) until one arrives under the
+        # limit (a 16MB+ row would otherwise be mis-framed)
+        while length == 0xFFFFFF:
+            head = self._recv_exact(4)
+            length = int.from_bytes(head[:3], "little")
+            self._seq = (head[3] + 1) & 0xFF
+            payload += self._recv_exact(length)
+        return payload
 
     def _send_packet(self, payload: bytes) -> None:
         head = len(payload).to_bytes(3, "little") + bytes([self._seq])
@@ -215,9 +246,12 @@ class MySqlWireConnection:
         # else OK packet: connected
 
     # ------------------------------------------------------------- query
-    def query_iter(self, sql: str, fields_out: list | None = None):
-        """Stream decoded rows as row packets arrive (see pgwire's
-        query_iter — same contract: consume fully or close)."""
+    def query_iter(self, sql: str, fields_out: list | None = None, *,
+                   raw: bool = False):
+        """Stream rows as row packets arrive (see pgwire's query_iter —
+        same contract: consume fully or close). ``raw=True`` yields
+        lists of undecoded ``bytes | None`` cells for the Arrow scan
+        path (sources/textbatch.py)."""
         self._seq = 0
         self._send_packet(b"\x03" + sql.encode())
         pkt = self._read_packet()
@@ -234,9 +268,18 @@ class MySqlWireConnection:
                 _s, pos = _read_lenenc_str(cd, pos)
             name, pos = _read_lenenc_str(cd, pos)
             _org, pos = _read_lenenc_str(cd, pos)
-            pos += 1 + 2 + 4  # fixed-len marker, charset, column length
+            pos += 1 + 2  # fixed-len marker (0x0c), charset
+            (col_len,) = struct.unpack("<I", cd[pos:pos + 4])
+            pos += 4
             type_byte = cd[pos]
-            fields.append(_Field(name.decode(), type_byte))
+            pos += 1
+            (flags,) = struct.unpack("<H", cd[pos:pos + 2])
+            pos += 2
+            decimals = cd[pos]
+            fields.append(_Field(
+                name.decode(), type_byte, col_len, decimals,
+                bool(flags & _UNSIGNED_FLAG),
+            ))
         if fields_out is not None:
             fields_out.extend(fields)
         pkt = self._read_packet()  # EOF after column definitions
@@ -251,9 +294,12 @@ class MySqlWireConnection:
             pos = 0
             vals = []
             for f in fields:
-                raw, pos = _read_lenenc_str(pkt, pos)
-                vals.append(None if raw is None else _decode(f.type_byte, raw))
-            yield tuple(vals)
+                cell, pos = _read_lenenc_str(pkt, pos)
+                if raw:
+                    vals.append(cell)
+                else:
+                    vals.append(None if cell is None else _decode(f, cell))
+            yield vals if raw else tuple(vals)
 
     def query(self, sql: str) -> tuple[list[_Field], list[tuple]]:
         fields: list[_Field] = []
@@ -269,11 +315,15 @@ class MySqlWireConnection:
         self._sock.close()
 
 
-def _decode(type_byte: int, raw: bytes):
+def _decode(field: _Field, raw: bytes):
     s = raw.decode()
-    dt = _MYSQL_TYPE_TO_SPARK.get(type_byte)
+    dt = field.spark_type()
     if isinstance(dt, (T.IntegerType, T.LongType)):
         return int(s)
+    if isinstance(dt, T.DecimalType):
+        import decimal
+
+        return decimal.Decimal(s)
     if isinstance(dt, T.DoubleType):
         return float(s)
     if isinstance(dt, T.DateType):
@@ -357,9 +407,19 @@ class MySqlReader(DataSourceReader):
             sql += " WHERE " + " AND ".join(f"({p})" for p in preds)
         con = _conn_from_options(self.options)
         try:
-            # streamed: rows flow straight from the socket to Spark's
-            # consumer, never buffered whole in a Python list
-            yield from con.query_iter(sql)
+            # streamed + columnar: raw text cells parse inside Arrow's
+            # cast kernels per chunk (see sources/textbatch.py); Spark
+            # ingests the RecordBatches without per-row pickling
+            from strake_spark.sources.textbatch import TextBatchBuilder
+
+            builder = TextBatchBuilder(self.schema, bool_style="word")
+            for cells in con.query_iter(sql, raw=True):
+                batch = builder.add_row(cells)
+                if batch is not None:
+                    yield batch
+            tail = builder.flush()
+            if tail is not None:
+                yield tail
         finally:
             con.close()
 
@@ -383,12 +443,7 @@ class MySqlDataSource(DataSource):
         if not fields:
             raise SourceError(f"mysql relation has no columns: {table or query!r}")
         return StructType(
-            [
-                T.StructField(
-                    f.name, _MYSQL_TYPE_TO_SPARK.get(f.type_byte, T.StringType()), True
-                )
-                for f in fields
-            ]
+            [T.StructField(f.name, f.spark_type(), True) for f in fields]
         )
 
     def reader(self, schema: StructType) -> DataSourceReader:
@@ -433,7 +488,12 @@ def register_mysql_wire_source(spark: SparkSession, cfg: SourceConfig) -> list[s
         options["table"] = tbl.name
         if tbl.partition_column:
             options["partition_column"] = tbl.partition_column
-        n_parts = cfg.options.get("num_partitions")
+        # explicit num_partitions wins; otherwise a declared partition
+        # column defaults to the source's concurrency budget (same
+        # shape as the reference pool's max_concurrent_queries)
+        n_parts = cfg.options.get("num_partitions") or (
+            cfg.max_concurrent_queries if tbl.partition_column else None
+        )
         if n_parts:
             options["num_partitions"] = str(n_parts)
         ensure_format(spark)

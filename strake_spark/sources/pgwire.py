@@ -69,7 +69,6 @@ _OID_TO_SPARK: dict[int, T.DataType] = {
     _OID_INT8: T.LongType(),
     _OID_FLOAT4: T.DoubleType(),
     _OID_FLOAT8: T.DoubleType(),
-    _OID_NUMERIC: T.DoubleType(),
     _OID_TEXT: T.StringType(),
     _OID_VARCHAR: T.StringType(),
     _OID_BPCHAR: T.StringType(),
@@ -79,13 +78,40 @@ _OID_TO_SPARK: dict[int, T.DataType] = {
 }
 
 
-def _decode_value(oid: int, raw: bytes):
+def _numeric_spark_type(typmod: int) -> T.DataType:
+    """NUMERIC with a declared typmod maps to the exact DecimalType —
+    atttypmod packs ((precision << 16) | scale) + 4. Matches the
+    reference's Decimal128 decode (crates/connectors/src/sources/sql/
+    postgres_federation.rs:7-10). Unconstrained ``numeric`` (typmod -1)
+    and precisions above Spark's 38-digit ceiling fall back to Double —
+    the one case the wire gives us no bounded type to target."""
+    if typmod >= 4:
+        precision = ((typmod - 4) >> 16) & 0xFFFF
+        scale = (typmod - 4) & 0xFFFF
+        if 1 <= precision <= 38 and 0 <= scale <= precision:
+            return T.DecimalType(precision, scale)
+    return T.DoubleType()
+
+
+def _spark_type(oid: int, typmod: int = -1) -> T.DataType:
+    if oid == _OID_NUMERIC:
+        return _numeric_spark_type(typmod)
+    return _OID_TO_SPARK.get(oid, T.StringType())
+
+
+def _decode_value(oid: int, raw: bytes, typmod: int = -1):
     s = raw.decode()
     if oid == _OID_BOOL:
         return s == "t"
     if oid in (_OID_INT2, _OID_INT4, _OID_INT8):
         return int(s)
-    if oid in (_OID_FLOAT4, _OID_FLOAT8, _OID_NUMERIC):
+    if oid in (_OID_FLOAT4, _OID_FLOAT8):
+        return float(s)
+    if oid == _OID_NUMERIC:
+        if isinstance(_numeric_spark_type(typmod), T.DecimalType):
+            import decimal
+
+            return decimal.Decimal(s)
         return float(s)
     if oid == _OID_DATE:
         import datetime
@@ -103,6 +129,7 @@ def _decode_value(oid: int, raw: bytes):
 class _Field:
     name: str
     type_oid: int
+    typmod: int = -1
 
 
 class _ScramClient:
@@ -304,11 +331,15 @@ class PgWireConnection:
                 raise SourceError(f"postgres startup error: {self._error_text(payload)}")
 
     # ------------------------------------------------------------- query
-    def query_iter(self, sql: str, fields_out: list | None = None):
-        """Stream decoded rows as DataRow messages arrive — a partition
-        slice never materializes in a Python list (the executor's
-        consumer is itself an iterator). RowDescription fields are
-        appended to ``fields_out`` when given. The generator must be
+    def query_iter(self, sql: str, fields_out: list | None = None, *,
+                   raw: bool = False):
+        """Stream rows as DataRow messages arrive — a partition slice
+        never materializes in a Python list (the executor's consumer is
+        itself an iterator). RowDescription fields are appended to
+        ``fields_out`` when given. With ``raw=True`` each row is a list
+        of undecoded ``bytes | None`` cells (the Arrow scan path parses
+        them column-wise in C — see sources/textbatch.py); the default
+        decodes per type OID into Python values. The generator must be
         consumed fully (or the connection closed) — an abandoned stream
         leaves protocol messages in flight."""
         if "\0" in sql:
@@ -324,7 +355,15 @@ class PgWireConnection:
                     fields_out.extend(fields)
             elif mtype == b"D":
                 if error is None:
-                    yield self._parse_data_row(payload, fields)
+                    cells = self._parse_raw_row(payload)
+                    if raw:
+                        yield cells
+                    else:
+                        yield tuple(
+                            None if c is None
+                            else _decode_value(f.type_oid, c, f.typmod)
+                            for f, c in zip(fields, cells)
+                        )
             elif mtype == b"E":
                 error = self._error_text(payload)
             elif mtype in (b"C", b"I", b"N", b"S"):
@@ -348,28 +387,27 @@ class PgWireConnection:
             end = payload.index(b"\0", pos)
             name = payload[pos:end].decode()
             pos = end + 1
-            _table_oid, _attnum, type_oid, _typlen, _typmod, _fmt = struct.unpack(
+            _table_oid, _attnum, type_oid, _typlen, typmod, _fmt = struct.unpack(
                 ">ihihih", payload[pos:pos + 18]
             )
             pos += 18
-            out.append(_Field(name, type_oid))
+            out.append(_Field(name, type_oid, typmod))
         return out
 
     @staticmethod
-    def _parse_data_row(payload: bytes, fields: list[_Field]) -> tuple:
+    def _parse_raw_row(payload: bytes) -> list[bytes | None]:
         (n,) = struct.unpack(">h", payload[:2])
         pos = 2
-        vals = []
-        for i in range(n):
+        vals: list[bytes | None] = []
+        for _ in range(n):
             (length,) = struct.unpack(">i", payload[pos:pos + 4])
             pos += 4
             if length == -1:
                 vals.append(None)
             else:
-                raw = payload[pos:pos + length]
+                vals.append(payload[pos:pos + length])
                 pos += length
-                vals.append(_decode_value(fields[i].type_oid, raw))
-        return tuple(vals)
+        return vals
 
     def close(self) -> None:
         try:
@@ -398,7 +436,7 @@ def _conn_from_options(options) -> PgWireConnection:
 def _fields_to_schema(fields: list[_Field]) -> StructType:
     return StructType(
         [
-            T.StructField(f.name, _OID_TO_SPARK.get(f.type_oid, T.StringType()), True)
+            T.StructField(f.name, _spark_type(f.type_oid, f.typmod), True)
             for f in fields
         ]
     )
@@ -444,9 +482,20 @@ class PgWireReader(DataSourceReader):
         )
         con = _conn_from_options(self.options)
         try:
-            # streamed: rows flow straight from the socket to Spark's
-            # consumer, never buffered whole in a Python list
-            yield from con.query_iter(sql)
+            # streamed + columnar: raw text cells accumulate per chunk
+            # and parse inside Arrow's C++ cast kernels; Spark ingests
+            # the RecordBatches directly (no per-row pickling). PG bool
+            # text is 't'/'f'.
+            from strake_spark.sources.textbatch import TextBatchBuilder
+
+            builder = TextBatchBuilder(self.schema, bool_style="tf")
+            for cells in con.query_iter(sql, raw=True):
+                batch = builder.add_row(cells)
+                if batch is not None:
+                    yield batch
+            tail = builder.flush()
+            if tail is not None:
+                yield tail
         finally:
             con.close()
 
@@ -514,7 +563,13 @@ def register_pgwire_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
         options["table"] = tbl.name
         if tbl.partition_column:
             options["partition_column"] = tbl.partition_column
-        n_parts = cfg.options.get("num_partitions")
+        # explicit num_partitions wins; otherwise a declared partition
+        # column defaults to the source's concurrency budget — the same
+        # connections-per-scan shape the reference pool exposes
+        # (max_concurrent_queries, crates/common/src/config.rs:20-23)
+        n_parts = cfg.options.get("num_partitions") or (
+            cfg.max_concurrent_queries if tbl.partition_column else None
+        )
         if n_parts:
             options["num_partitions"] = str(n_parts)
         ensure_format(spark)

@@ -63,10 +63,15 @@ def make_fake_ch(duck_path: str, users: dict[str, str]):
             try:
                 rel = con.sql(sql)
                 names = rel.columns
-                types = [
-                    _DUCK_TO_CH.get(str(t).upper().split("(")[0], "String")
-                    for t in rel.types
-                ]
+
+                def chtype(t) -> str:
+                    u = str(t).upper()
+                    if u.startswith("DECIMAL("):
+                        # DECIMAL(38,6) -> Decimal(38, 6)
+                        return "Decimal" + str(t)[len("DECIMAL"):]
+                    return _DUCK_TO_CH.get(u.split("(")[0], "String")
+
+                types = [chtype(t) for t in rel.types]
                 rows = rel.fetchall()
             except Exception as e:  # noqa: BLE001 - surfaced as CH error body
                 self.send_response(400)
@@ -108,6 +113,12 @@ break', NULL),
           (3, 'back\\slash', TIMESTAMP '2024-05-03 00:00:00')
         ) t(id, s, ts)
     """)
+    con.execute("""
+        CREATE TABLE money AS SELECT * FROM (VALUES
+          (1, CAST('9876543210987654321098765432.0123456789' AS DECIMAL(38,10))),
+          (2, CAST(NULL AS DECIMAL(38,10)))
+        ) t(id, bal)
+    """)
     con.close()
     srv = make_fake_ch(duck_path, users={"analyst": "k3y"})
     threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -141,8 +152,28 @@ class TestHttpClient:
         assert _ch_to_spark("Nullable(Int64)") == T.LongType()
         assert _ch_to_spark("LowCardinality(String)") == T.StringType()
         assert _ch_to_spark("DateTime64(6)") == T.TimestampNTZType()
-        assert _ch_to_spark("Decimal(18, 4)") == T.DoubleType()
         assert _ch_to_spark("UInt64") == T.StringType()  # may exceed long
+
+    def test_decimal_mapping(self):
+        from pyspark.sql import types as T
+
+        assert _ch_to_spark("Decimal(18, 4)") == T.DecimalType(18, 4)
+        assert _ch_to_spark("Nullable(Decimal(38, 10))") == T.DecimalType(38, 10)
+        assert _ch_to_spark("Decimal32(3)") == T.DecimalType(9, 3)
+        assert _ch_to_spark("Decimal64(8)") == T.DecimalType(18, 8)
+        assert _ch_to_spark("Decimal128(20)") == T.DecimalType(38, 20)
+        # Decimal256 (p=76) exceeds Spark's ceiling
+        assert _ch_to_spark("Decimal256(10)") == T.DoubleType()
+
+    def test_empty_string_single_column_rows_not_dropped(self, ch):
+        """A single-column resultset whose value is '' serializes as a
+        bare newline — those rows must still be yielded."""
+        c = ClickHouseHttp(f"http://127.0.0.1:{ch.server_port}",
+                           user="analyst", password="k3y")
+        _n, _t, rows = c.query(
+            "SELECT * FROM (VALUES ('a'), (''), ('b')) t(s) ORDER BY s"
+        )
+        assert rows == [[""], ["a"], ["b"]]
 
 
 class TestHttps:
@@ -225,6 +256,46 @@ class TestSparkSource:
         assert rows[3].s == "back\\slash"
         assert rows[2].ts is None
         assert rows[1].ts == datetime.datetime(2024, 5, 1, 12, 0, 0, 500000)
+
+    def test_decimal_schema_and_values_exact(self, spark, ch):
+        import decimal
+
+        ss.connect(
+            {"sources": [{
+                "name": "cdec", "type": "clickhouse",
+                "url": f"http://127.0.0.1:{ch.server_port}",
+                "username": "analyst", "password": "k3y",
+                "tables": [{"name": "money"}],
+            }]},
+            spark=spark,
+        )
+        df = spark.table("cdec_money")
+        assert df.schema["bal"].dataType.simpleString() == "decimal(38,10)"
+        rows = {r.id: r.bal for r in df.collect()}
+        assert rows[1] == decimal.Decimal(
+            "9876543210987654321098765432.0123456789"
+        )
+        assert rows[2] is None
+
+    def test_empty_string_rows_roundtrip_through_spark(self, spark, ch):
+        ss.connect(
+            {"sources": [{
+                "name": "emp", "type": "clickhouse",
+                "url": f"http://127.0.0.1:{ch.server_port}",
+                "username": "analyst", "password": "k3y",
+                "tables": [{"name": "orders"}],
+            }]},
+            spark=spark,
+        )
+        from strake_spark.sources.clickhouse_http import FORMAT_NAME
+
+        df = (spark.read.format(FORMAT_NAME)
+              .option("url", f"http://127.0.0.1:{ch.server_port}")
+              .option("user", "analyst").option("password", "k3y")
+              .option("query",
+                      "SELECT * FROM (VALUES ('a'), (''), ('b')) t(s)")
+              .load())
+        assert sorted(r.s for r in df.collect()) == ["", "a", "b"]
 
     def test_federation_pushdown_over_http(self, engine, ch):
         before = len(ch.queries)

@@ -134,24 +134,30 @@ class _Handler(socketserver.BaseRequestHandler):
                     # test statement carries backticks inside literals)
                     rel = con.sql(sql.replace("`", '"'))
                     names = rel.columns
-                    types = [
-                        _DUCK_TO_MYSQL_TYPE.get(
-                            str(t).upper().split("(")[0], 0xFD)
-                        for t in rel.types
-                    ]
+
+                    def colmeta(t) -> tuple[int, int, int]:
+                        u = str(t).upper()
+                        tb = _DUCK_TO_MYSQL_TYPE.get(u.split("(")[0], 0xFD)
+                        if u.startswith("DECIMAL("):
+                            p, s = (int(x) for x in u[8:-1].split(","))
+                            # display width: digits + point + sign
+                            return tb, p + (1 if s > 0 else 0) + 1, s
+                        return tb, 255, 0
+
+                    types = [colmeta(t) for t in rel.types]
                     rows = rel.fetchall()
                 except Exception as e:  # noqa: BLE001 - surfaced as ERR packet
                     self._err(1064, str(e)[:200])
                     continue
                 self._send_packet(_lenenc(len(names)))
-                for name, tb in zip(names, types):
+                for name, (tb, col_len, dec) in zip(names, types):
                     cd = (
                         _lenenc_str(b"def") + _lenenc_str(b"") + _lenenc_str(b"t")
                         + _lenenc_str(b"t") + _lenenc_str(name.encode())
                         + _lenenc_str(name.encode())
                         + b"\x0c" + struct.pack("<H", 33)
-                        + struct.pack("<I", 255) + bytes([tb])
-                        + struct.pack("<H", 0) + b"\x00" + b"\x00\x00"
+                        + struct.pack("<I", col_len) + bytes([tb])
+                        + struct.pack("<H", 0) + bytes([dec]) + b"\x00\x00"
                     )
                     self._send_packet(cd)
                 self._eof()
@@ -201,6 +207,13 @@ def my(tmp_path_factory):
           (1, 2.5, DATE '2024-06-01', TIMESTAMP '2024-06-01 08:15:00', 'a'),
           (2, NULL, NULL, NULL, NULL)
         ) t(id, x, d, ts, s)
+    """)
+    con.execute("""
+        CREATE TABLE money AS SELECT * FROM (VALUES
+          (1, CAST('12345678901234567890123456789012.345678' AS DECIMAL(38,6))),
+          (2, CAST('-0.000001' AS DECIMAL(38,6))),
+          (3, CAST(NULL AS DECIMAL(38,6)))
+        ) t(id, bal)
     """)
     con.close()
     srv = FakeMySql(duck_path, users={"svc": "hunter2"})
@@ -274,6 +287,117 @@ class TestWireClient:
         _f, rows = c.query("SELECT 1 AS ok")
         assert rows == [(1,)]
         c.close()
+
+
+class TestDecimalFidelity:
+    """NEWDECIMAL must round-trip exactly as DecimalType(p, s) derived
+    from the column definition's length/decimals bytes — not collapse
+    to float64."""
+
+    def test_wire_client_decodes_decimal_exact(self, my):
+        import decimal
+
+        c = MySqlWireConnection("127.0.0.1", my.server_address[1],
+                                user="svc", password="hunter2")
+        fields, rows = c.query("SELECT id, bal FROM money ORDER BY id")
+        c.close()
+        from pyspark.sql import types as T
+
+        assert fields[1].spark_type() == T.DecimalType(38, 6)
+        assert rows[0][1] == decimal.Decimal(
+            "12345678901234567890123456789012.345678"
+        )
+        assert isinstance(rows[0][1], decimal.Decimal)
+        assert rows[1][1] == decimal.Decimal("-0.000001")
+        assert rows[2][1] is None
+
+    def test_spark_schema_and_values_exact(self, spark, my):
+        import decimal
+
+        ss.connect(
+            {"sources": [{
+                "name": "mdec", "type": "mysql_wire",
+                "url": f"mysql://127.0.0.1:{my.server_address[1]}/db",
+                "username": "svc", "password": "hunter2",
+                "tables": [{"name": "money"}],
+            }]},
+            spark=spark,
+        )
+        df = spark.table("mdec_money")
+        assert df.schema["bal"].dataType.simpleString() == "decimal(38,6)"
+        rows = {r.id: r.bal for r in df.collect()}
+        assert rows[1] == decimal.Decimal(
+            "12345678901234567890123456789012.345678"
+        )
+        assert rows[3] is None
+
+    def test_precision_above_38_falls_back_to_double(self):
+        from pyspark.sql import types as T
+
+        from strake_spark.sources.mysqlwire import _Field
+
+        # mysql allows DECIMAL up to p=65; 65 digits + sign + point
+        f = _Field("big", 0xF6, column_length=67, decimals=10)
+        assert f.spark_type() == T.DoubleType()
+        f = _Field("ok", 0xF6, column_length=40, decimals=10)
+        assert f.spark_type() == T.DecimalType(38, 10)
+        # unsigned has no sign char in the display width
+        f = _Field("u", 0xF6, column_length=39, decimals=10, unsigned=True)
+        assert f.spark_type() == T.DecimalType(38, 10)
+
+
+class TestPacketSplitting:
+    def test_16mb_packet_continuation(self):
+        """A payload of exactly 0xffffff bytes continues in follow-up
+        packets; the client must concatenate until one arrives under
+        the limit."""
+        import socket
+
+        a, b = socket.socketpair()
+        conn = object.__new__(MySqlWireConnection)
+        conn._sock = a
+        conn._buf = b""
+        conn._seq = 0
+        payload = bytes(range(256)) * ((0xFFFFFF + 10) // 256 + 1)
+        payload = payload[:0xFFFFFF + 10]
+
+        def send():
+            b.sendall((0xFFFFFF).to_bytes(3, "little") + b"\x00"
+                      + payload[:0xFFFFFF])
+            b.sendall((10).to_bytes(3, "little") + b"\x01"
+                      + payload[0xFFFFFF:])
+
+        t = threading.Thread(target=send, daemon=True)
+        t.start()
+        got = conn._read_packet()
+        t.join()
+        a.close()
+        b.close()
+        assert got == payload
+
+    def test_exact_boundary_followed_by_empty_packet(self):
+        """A payload of exactly 0xffffff bytes is terminated by an
+        empty continuation packet per the protocol."""
+        import socket
+
+        a, b = socket.socketpair()
+        conn = object.__new__(MySqlWireConnection)
+        conn._sock = a
+        conn._buf = b""
+        conn._seq = 0
+        payload = b"z" * 0xFFFFFF
+
+        def send():
+            b.sendall((0xFFFFFF).to_bytes(3, "little") + b"\x00" + payload)
+            b.sendall((0).to_bytes(3, "little") + b"\x01")
+
+        t = threading.Thread(target=send, daemon=True)
+        t.start()
+        got = conn._read_packet()
+        t.join()
+        a.close()
+        b.close()
+        assert got == payload
 
 
 class TestSparkSource:

@@ -181,12 +181,19 @@ class _Handler(socketserver.BaseRequestHandler):
                     self._error(str(e)[:300])
                     self._ready()
                     continue
-                # RowDescription (DECIMAL(p,s) etc. -> base name)
+                # RowDescription; DECIMAL(p,s) carries the real
+                # atttypmod = ((p << 16) | s) + 4 like live postgres
+                def typmod(t: str) -> int:
+                    if t.startswith("DECIMAL("):
+                        p, s = t[8:-1].split(",")
+                        return ((int(p) << 16) | int(s)) + 4
+                    return -1
+
                 fields = b"".join(
                     name.encode() + b"\0"
                     + struct.pack(">ihihih", 0, 0,
                                   _DUCK_TO_OID.get(t.split("(")[0], 1043),
-                                  -1, -1, 0)
+                                  -1, typmod(t), 0)
                     for name, t in zip(names, types)
                 )
                 self._send(b"T", struct.pack(">h", len(names)) + fields)
@@ -234,6 +241,13 @@ def pg(tmp_path_factory):
           (1, true,  1.5, DATE '2024-03-01', TIMESTAMP '2024-03-01 10:30:00.123456', 'ok'),
           (2, false, -0.25, DATE '2024-03-02', TIMESTAMP '2024-03-02 00:00:00', NULL)
         ) t(id, flag, x, d, ts, note)
+    """)
+    con.execute("""
+        CREATE TABLE money AS SELECT * FROM (VALUES
+          (1, CAST('1234567890123456789012345678.0123456789' AS DECIMAL(38,10))),
+          (2, CAST('-0.0000000001' AS DECIMAL(38,10))),
+          (3, CAST(NULL AS DECIMAL(38,10)))
+        ) t(id, bal)
     """)
     con.close()
     srv = FakePg(duck_path, users={"alice": "s3cret"})
@@ -431,6 +445,65 @@ class TestSparkSource:
         pushed = [q for q in pg.queries[before:] if "count" in q.lower()]
         assert pushed, f"no pushed aggregate in {pg.queries[before:]}"
         assert out.to_pylist()[0]["n"] > 0
+
+
+class TestDecimalFidelity:
+    """NUMERIC must round-trip exactly as DecimalType(p, s) — the
+    reference decodes Postgres numeric into Arrow Decimal128
+    (crates/connectors/src/sources/sql/postgres_federation.rs:7-10);
+    collapsing a 38-digit balance to float64 is silent wrongness."""
+
+    def test_wire_client_decodes_decimal_exact(self, pg):
+        import decimal
+
+        c = PgWireConnection("127.0.0.1", pg.server_address[1],
+                             user="alice", password="s3cret")
+        fields, rows = c.query("SELECT id, bal FROM money ORDER BY id")
+        c.close()
+        assert fields[1].typmod == ((38 << 16) | 10) + 4
+        assert rows[0][1] == decimal.Decimal(
+            "1234567890123456789012345678.0123456789"
+        )
+        assert isinstance(rows[0][1], decimal.Decimal)
+        assert rows[1][1] == decimal.Decimal("-0.0000000001")
+        assert rows[2][1] is None
+
+    def test_spark_schema_and_values_exact(self, spark, pg):
+        import decimal
+
+        eng = ss.connect(
+            {"sources": [{
+                "name": "dec", "type": "postgres_wire",
+                "url": f"postgresql://127.0.0.1:{pg.server_address[1]}/db",
+                "username": "alice", "password": "s3cret",
+                "tables": [{"name": "money"}],
+            }]},
+            spark=spark,
+        )
+        df = spark.table("dec_money")
+        assert df.schema["bal"].dataType.simpleString() == "decimal(38,10)"
+        rows = {r.id: r.bal for r in df.collect()}
+        assert rows[1] == decimal.Decimal(
+            "1234567890123456789012345678.0123456789"
+        )
+        assert rows[2] == decimal.Decimal("-0.0000000001")
+        assert rows[3] is None
+        out = eng.execute(
+            "SELECT sum(bal) AS total FROM dec_money"
+        ).to_pylist()
+        assert out[0]["total"] == decimal.Decimal(
+            "1234567890123456789012345678.0123456788"
+        )
+
+    def test_unconstrained_numeric_falls_back_to_double(self):
+        from pyspark.sql import types as T
+
+        from strake_spark.sources.pgwire import _numeric_spark_type
+
+        assert _numeric_spark_type(-1) == T.DoubleType()
+        # precision beyond Spark's 38-digit ceiling also falls back
+        assert _numeric_spark_type(((40 << 16) | 2) + 4) == T.DoubleType()
+        assert _numeric_spark_type(((38 << 16) | 10) + 4) == T.DecimalType(38, 10)
 
 
 class TestMalformedServer:

@@ -1,0 +1,114 @@
+"""Columnar text->Arrow decoding shared by the jar-free wire sources."""
+
+from __future__ import annotations
+
+import decimal
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import types as T
+from pyspark.sql.types import StructType
+
+from strake_spark.errors import SourceError
+from strake_spark.sources.textbatch import TextBatchBuilder, arrow_type
+
+
+def _schema(*fields) -> StructType:
+    return StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+class TestArrowTypeMapping:
+    def test_full_matrix(self):
+        assert arrow_type(T.IntegerType()) == pa.int32()
+        assert arrow_type(T.LongType()) == pa.int64()
+        assert arrow_type(T.DoubleType()) == pa.float64()
+        assert arrow_type(T.DecimalType(38, 10)) == pa.decimal128(38, 10)
+        assert arrow_type(T.BooleanType()) == pa.bool_()
+        assert arrow_type(T.DateType()) == pa.date32()
+        assert arrow_type(T.TimestampNTZType()) == pa.timestamp("us")
+        assert arrow_type(T.TimestampType()) == pa.timestamp("us", tz="UTC")
+        assert arrow_type(T.StringType()) == pa.string()
+
+    def test_unsupported_type_raises(self):
+        with pytest.raises(SourceError, match="cannot decode"):
+            arrow_type(T.ArrayType(T.IntegerType()))
+
+
+class TestBuilder:
+    def test_bytes_and_str_cells_parse_identically(self):
+        b = TextBatchBuilder(_schema(("i", T.LongType()), ("s", T.StringType())))
+        b.add_row([b"7", b"x"])
+        b.add_row(["8", "y"])
+        b.add_row([None, None])
+        batch = b.flush()
+        assert batch.column(0).to_pylist() == [7, 8, None]
+        assert batch.column(1).to_pylist() == ["x", "y", None]
+
+    def test_decimal_38_digits_exact(self):
+        b = TextBatchBuilder(_schema(("d", T.DecimalType(38, 10))))
+        b.add_row([b"1234567890123456789012345678.0123456789"])
+        batch = b.flush()
+        assert batch.column(0).to_pylist() == [
+            decimal.Decimal("1234567890123456789012345678.0123456789")
+        ]
+
+    def test_decimal_overflow_guard_raises_not_corrupts(self):
+        # pyarrow 16's string->decimal cast silently wraps on overflow;
+        # the builder's width guard must turn that into a loud error
+        b = TextBatchBuilder(_schema(("d", T.DecimalType(10, 2))))
+        b.add_row([b"123456789012345678901234567890123456789012345"])
+        with pytest.raises(SourceError, match="wider than declared"):
+            b.flush()
+
+    def test_bool_styles(self):
+        tf = TextBatchBuilder(_schema(("b", T.BooleanType())), bool_style="tf")
+        tf.add_row([b"t"])
+        tf.add_row([b"f"])
+        tf.add_row([None])
+        assert tf.flush().column(0).to_pylist() == [True, False, None]
+        word = TextBatchBuilder(_schema(("b", T.BooleanType())), bool_style="word")
+        word.add_row([b"true"])
+        word.add_row([b"0"])
+        assert word.flush().column(0).to_pylist() == [True, False]
+
+    def test_timestamps_and_dates(self):
+        import datetime
+
+        b = TextBatchBuilder(_schema(
+            ("d", T.DateType()), ("ts", T.TimestampNTZType()),
+            ("tz", T.TimestampType()),
+        ))
+        b.add_row([b"2024-03-01", b"2024-03-01 10:30:00.123456",
+                   b"2024-03-01 10:30:00+00"])
+        batch = b.flush()
+        assert batch.column(0).to_pylist() == [datetime.date(2024, 3, 1)]
+        assert batch.column(1).to_pylist() == [
+            datetime.datetime(2024, 3, 1, 10, 30, 0, 123456)
+        ]
+        assert batch.column(2).to_pylist()[0].timestamp() == datetime.datetime(
+            2024, 3, 1, 10, 30, tzinfo=datetime.timezone.utc
+        ).timestamp()
+
+    def test_chunking_emits_at_batch_rows(self):
+        b = TextBatchBuilder(_schema(("i", T.IntegerType())), batch_rows=3)
+        out = []
+        for i in range(7):
+            got = b.add_row([str(i)])
+            if got is not None:
+                out.append(got)
+        tail = b.flush()
+        assert [x.num_rows for x in out] == [3, 3]
+        assert tail.num_rows == 1
+        assert b.flush() is None  # drained
+
+    def test_width_mismatch_raises(self):
+        b = TextBatchBuilder(_schema(("a", T.IntegerType()), ("b", T.IntegerType())))
+        b.add_row([b"1"])
+        with pytest.raises(SourceError, match="width mismatch"):
+            b.flush()
+
+    def test_garbage_numeric_text_raises_with_column_name(self):
+        b = TextBatchBuilder(_schema(("n", T.LongType())))
+        b.add_row([b"not-a-number"])
+        with pytest.raises(SourceError, match="'n'"):
+            b.flush()
