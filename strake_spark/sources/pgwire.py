@@ -482,6 +482,14 @@ class PgWireReader(DataSourceReader):
         )
         con = _conn_from_options(self.options)
         try:
+            if str(self.options.get("arrow", "true")).lower() == "false":
+                # row-tuple escape hatch (and the A/B baseline for
+                # tools/bench_wire_scan.py): per-cell Python decode,
+                # per-row pickling — measured 1.4x slower than the
+                # Arrow path at 1M rows x 6 cols (the residual cost
+                # both paths share is v3 message framing in Python)
+                yield from con.query_iter(sql)
+                return
             # streamed + columnar: raw text cells accumulate per chunk
             # and parse inside Arrow's C++ cast kernels; Spark ingests
             # the RecordBatches directly (no per-row pickling). PG bool

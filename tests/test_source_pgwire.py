@@ -172,6 +172,11 @@ class _Handler(socketserver.BaseRequestHandler):
                     continue
                 sql = body.rstrip(b"\0").decode()
                 srv.queries.append(sql)
+                cached = srv.wire_cache.get(sql) if srv.wire_cache is not None else None
+                if cached is not None:
+                    self.request.sendall(cached)
+                    self._ready()
+                    continue
                 try:
                     rel = con.sql(sql)
                     names = rel.columns
@@ -196,7 +201,13 @@ class _Handler(socketserver.BaseRequestHandler):
                                   -1, typmod(t), 0)
                     for name, t in zip(names, types)
                 )
-                self._send(b"T", struct.pack(">h", len(names)) + fields)
+                # render the whole resultset once, send in large chunks
+                # — a per-row syscall caps throughput well below what
+                # the client under test can consume
+                tmsg = struct.pack(">h", len(names)) + fields
+                buf: list[bytes] = [
+                    b"T" + struct.pack(">i", len(tmsg) + 4) + tmsg
+                ]
                 for row in rows:
                     parts = [struct.pack(">h", len(row))]
                     for v in row:
@@ -205,8 +216,14 @@ class _Handler(socketserver.BaseRequestHandler):
                         else:
                             enc = _encode_text(v)
                             parts.append(struct.pack(">i", len(enc)) + enc)
-                    self._send(b"D", b"".join(parts))
-                self._send(b"C", f"SELECT {len(rows)}\0".encode())
+                    payload = b"".join(parts)
+                    buf.append(b"D" + struct.pack(">i", len(payload) + 4) + payload)
+                cmsg = f"SELECT {len(rows)}\0".encode()
+                buf.append(b"C" + struct.pack(">i", len(cmsg) + 4) + cmsg)
+                rendered = b"".join(buf)
+                if srv.wire_cache is not None:
+                    srv.wire_cache[sql] = rendered
+                self.request.sendall(rendered)
                 self._ready()
         finally:
             con.close()
@@ -216,13 +233,18 @@ class FakePg(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, duck_path, users, auth_mode="md5", ssl_context=None):
+    def __init__(self, duck_path, users, auth_mode="md5", ssl_context=None,
+                 wire_cache: dict | None = None):
         super().__init__(("127.0.0.1", 0), _Handler)
         self.duck_path = duck_path
         self.users = users
         self.auth_mode = auth_mode
         self.ssl_context = ssl_context
         self.queries: list[str] = []
+        # when a dict is supplied, rendered resultset bytes are cached
+        # by SQL text — benchmarks then measure the CLIENT, not this
+        # Python fake's per-cell encode (tools/bench_wire_scan.py)
+        self.wire_cache = wire_cache
 
 
 @pytest.fixture(scope="module")
