@@ -23,9 +23,21 @@ time travel = pick the snapshot (by id, or newest whose timestamp-ms
 <= the requested point), read its manifest list, keep manifest entries
 whose status != DELETED (2), and scan the listed parquet files.
 
+File-level partition pruning (reference: provider.rs:526-540): a
+``partition_filter`` — WHERE-style ``[[col, op, literal], ...]``
+predicates — skips whole manifests via the manifest list's per-field
+partition summaries (lower/upper bounds), then skips individual data
+files via each entry's ``partition`` struct, for identity-transform
+partition fields. The same filter is re-applied to the resulting
+DataFrame, so results are correct regardless of how much pruning the
+metadata allowed — pruning is purely a scan-size optimization, which is
+what makes a partition-filtered query on a 100 TB table plan a scan
+over only its partitions' files instead of every live file.
+
 Limitations (documented, enforced): format v1/v2 append-style tables;
 positional/equality delete files are rejected loudly rather than
-silently mis-read; hidden-partition transform pruning is not applied
+silently mis-read; hidden-partition TRANSFORMS (bucket/truncate/
+day/...) do not participate in pruning — only identity fields do
 (Spark still prunes columns/rows inside the parquet scan).
 """
 
@@ -33,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import struct as _struct
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,9 +76,11 @@ def _jrecord_to_py(obj):
     if cls == "java.util.HashMap":
         return {str(k): _jrecord_to_py(obj.get(k)) for k in obj.keySet()}
     if cls == "java.nio.HeapByteBuffer":
-        arr = bytearray(obj.remaining())
-        obj.get(arr)
-        return bytes(arr)
+        # NB: obj.get(bytearray) would fill a COPY on the JVM side —
+        # py4j passes arrays by value — so read via the backing array
+        jarr = obj.array()
+        start = obj.arrayOffset() + obj.position()
+        return bytes(jarr[start:start + obj.remaining()])
     return obj
 
 
@@ -152,7 +167,194 @@ def select_snapshot(
     raise SourceError(f"current snapshot {current!r} missing from snapshot list")
 
 
-def data_files_for_snapshot(spark: SparkSession, snapshot: dict) -> list[str]:
+# ------------------------------------------------- partition pruning
+_OPS = ("=", "==", "!=", "<", "<=", ">", ">=", "in")
+
+
+def _normalize_filter(partition_filter) -> list[tuple[str, str, object]]:
+    """Accepts ``{col: value}`` (equalities) or ``[[col, op, value],...]``
+    (op from =, !=, <, <=, >, >=, in); returns triples."""
+    if partition_filter is None:
+        return []
+    if isinstance(partition_filter, str):
+        partition_filter = json.loads(partition_filter)
+    if isinstance(partition_filter, dict):
+        return [(c, "==", v) for c, v in partition_filter.items()]
+    out = []
+    for item in partition_filter:
+        col, op, val = item
+        if op not in _OPS:
+            raise SourceError(f"unsupported partition_filter op {op!r}")
+        out.append((str(col), "==" if op == "=" else op, val))
+    return out
+
+
+def _current_schema_fields(meta: dict) -> dict[int, tuple[str, str]]:
+    """field-id -> (name, iceberg type string) from the current schema."""
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        schema = next(
+            (s for s in meta["schemas"] if s.get("schema-id") == sid),
+            meta["schemas"][0] if meta["schemas"] else {},
+        )
+    else:
+        schema = meta.get("schema", {})
+    out = {}
+    for f in schema.get("fields", []):
+        t = f.get("type")
+        out[int(f["id"])] = (f["name"], t if isinstance(t, str) else "")
+    return out
+
+
+def _identity_partition_fields(meta: dict, spec_id: int) -> list[dict]:
+    """Spec fields in order, each annotated with the source column name
+    and type for identity transforms (source_name=None otherwise)."""
+    if "partition-specs" in meta:
+        spec = next(
+            (s for s in meta["partition-specs"] if s.get("spec-id") == spec_id),
+            None,
+        )
+        fields = (spec or {}).get("fields", [])
+    else:
+        fields = meta.get("partition-spec", [])
+    by_id = _current_schema_fields(meta)
+    out = []
+    for f in fields:
+        src = by_id.get(int(f.get("source-id", -1)))
+        identity = str(f.get("transform", "")) == "identity"
+        out.append({
+            "name": f["name"],
+            "source_name": src[0] if (src and identity) else None,
+            "type": src[1] if src else "",
+        })
+    return out
+
+
+def _coerce_literal(val, ice_type: str):
+    """Align a filter literal with the representation partition values
+    take in manifests: dates are stored as int days since epoch, so ISO
+    strings convert; everything else compares as-is."""
+    if ice_type == "date" and isinstance(val, str):
+        import datetime
+
+        return (datetime.date.fromisoformat(val)
+                - datetime.date(1970, 1, 1)).days
+    return val
+
+
+def _cmp(op: str, a, b) -> bool:
+    if op == "==":
+        return a == b
+    if op == "!=":
+        return a != b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    if op == ">=":
+        return a >= b
+    if op == "in":
+        return a in b
+    raise SourceError(f"unsupported op {op!r}")  # pragma: no cover
+
+
+def _entry_matches(partition: dict, preds, spec_fields) -> bool:
+    """False only when a predicate on an identity field definitely
+    excludes every row of the file. A null partition value means the
+    column is null for all rows, which no comparison predicate keeps
+    (SQL WHERE discards unknown)."""
+    by_source = {f["source_name"]: f for f in spec_fields if f["source_name"]}
+    for col, op, val in preds:
+        f = by_source.get(col)
+        if f is None or f["name"] not in partition:
+            continue  # not prunable by this predicate
+        pv = partition[f["name"]]
+        if pv is None:
+            return False
+        if op == "in":
+            lit = [_coerce_literal(v, f["type"]) for v in val]
+        else:
+            lit = _coerce_literal(val, f["type"])
+        try:
+            if not _cmp(op, pv, lit):
+                return False
+        except TypeError:
+            continue  # incomparable literal: keep the file
+    return True
+
+
+# Iceberg single-value binary serialization for bound bytes
+def _decode_bound(raw: bytes | None, ice_type: str):
+    if raw is None:
+        return None
+    try:
+        if ice_type == "int" or ice_type == "date":
+            return _struct.unpack("<i", raw)[0]
+        if ice_type == "long" or ice_type.startswith("timestamp"):
+            return _struct.unpack("<q", raw)[0]
+        if ice_type == "float":
+            return _struct.unpack("<f", raw)[0]
+        if ice_type == "double":
+            return _struct.unpack("<d", raw)[0]
+        if ice_type == "string":
+            return raw.decode()
+    except (_struct.error, UnicodeDecodeError):
+        return None
+    return None  # unsupported type: no summary pruning
+
+
+def _manifest_may_match(summaries, preds, spec_fields) -> bool:
+    """Interval test against the manifest list's per-field partition
+    summaries; True (keep) whenever bounds are absent/undecodable."""
+    if not summaries:
+        return True
+    by_source = {}
+    for i, f in enumerate(spec_fields):
+        if f["source_name"] and i < len(summaries):
+            by_source[f["source_name"]] = (f, summaries[i])
+    for col, op, val in preds:
+        hit = by_source.get(col)
+        if hit is None:
+            continue
+        f, summ = hit
+        lo = _decode_bound(summ.get("lower_bound"), f["type"])
+        hi = _decode_bound(summ.get("upper_bound"), f["type"])
+        if lo is None or hi is None:
+            continue
+        if op == "in":
+            lits = [_coerce_literal(v, f["type"]) for v in val]
+            try:
+                if all(v < lo or v > hi for v in lits):
+                    return False
+            except TypeError:
+                continue
+        else:
+            lit = _coerce_literal(val, f["type"])
+            try:
+                excluded = (
+                    (op == "==" and (lit < lo or lit > hi))
+                    or (op == "<" and lo >= lit)
+                    or (op == "<=" and lo > lit)
+                    or (op == ">" and hi <= lit)
+                    or (op == ">=" and hi < lit)
+                    or (op == "!=" and lo == hi == lit)
+                )
+            except TypeError:
+                continue
+            if excluded:
+                return False
+    return True
+
+
+def data_files_for_snapshot(
+    spark: SparkSession,
+    snapshot: dict,
+    meta: dict | None = None,
+    partition_filter=None,
+) -> list[str]:
+    preds = _normalize_filter(partition_filter)
     mlist_path = _strip_file_uri(snapshot["manifest-list"])
     manifests = read_avro_records(spark, mlist_path)
     files: list[str] = []
@@ -164,6 +366,14 @@ def data_files_for_snapshot(spark: SparkSession, snapshot: dict) -> list[str]:
                 "Iceberg DELETE manifests present - merge-on-read tables "
                 "need the iceberg-spark-runtime path"
             )
+        spec_fields = (
+            _identity_partition_fields(meta, int(m.get("partition_spec_id", 0)))
+            if (meta is not None and preds) else []
+        )
+        if preds and spec_fields and not _manifest_may_match(
+            m.get("partitions"), preds, spec_fields
+        ):
+            continue  # whole manifest outside the filter: never opened
         for entry in read_avro_records(spark, mpath):
             if entry.get("status") == _DELETED:
                 continue
@@ -177,6 +387,12 @@ def data_files_for_snapshot(spark: SparkSession, snapshot: dict) -> list[str]:
             fmt = str(df_rec.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise SourceError(f"unsupported Iceberg data file format {fmt!r}")
+            if preds and spec_fields:
+                part = df_rec.get("partition")
+                if isinstance(part, dict) and not _entry_matches(
+                    part, preds, spec_fields
+                ):
+                    continue
             files.append(_strip_file_uri(df_rec["file_path"]))
     return files
 
@@ -186,25 +402,55 @@ def read_iceberg_table(
     table_path: str,
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
+    partition_filter=None,
 ) -> DataFrame:
     """Iceberg table -> DataFrame over exactly the snapshot's parquet
-    files. Empty snapshot -> empty DataFrame with the table schema
-    unavailable (raises instead; a table with data never hits it)."""
+    files. ``partition_filter`` ([[col, op, value], ...] or {col: value})
+    prunes data files via partition metadata AND is applied to the
+    DataFrame, so it has plain WHERE semantics whatever the metadata
+    allowed. Empty snapshot -> raises (a table with data never hits it);
+    a filter that prunes everything returns an empty DataFrame with the
+    table schema when file listing is non-empty pre-filter."""
     meta = load_table_metadata(table_path)
     snap = select_snapshot(meta, snapshot_id, as_of_timestamp_ms)
-    files = data_files_for_snapshot(spark, snap)
+    files = data_files_for_snapshot(spark, snap, meta, partition_filter)
+    preds = _normalize_filter(partition_filter)
     if not files:
+        if preds:
+            # all files pruned: empty result with the right schema
+            all_files = data_files_for_snapshot(spark, snap, meta, None)
+            if all_files:
+                df = spark.read.parquet(*all_files).limit(0)
+                return _apply_filter(df, preds)
         raise SourceError(
             f"Iceberg snapshot {snap['snapshot-id']} lists no data files"
         )
-    return spark.read.parquet(*files)
+    return _apply_filter(spark.read.parquet(*files), preds)
+
+
+def _apply_filter(df: DataFrame, preds) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for col, op, val in preds:
+        c = F.col(col)
+        if op == "in":
+            df = df.filter(c.isin(list(val)))
+        else:
+            df = df.filter({
+                "==": c == F.lit(val), "!=": c != F.lit(val),
+                "<": c < F.lit(val), "<=": c <= F.lit(val),
+                ">": c > F.lit(val), ">=": c >= F.lit(val),
+            }[op])
+    return df
 
 
 @source_type("iceberg_native")
 def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]:
     """Filesystem Iceberg tables (url = warehouse dir; each table's
     path is <url>/<name> or an explicit per-table path). Per-table
-    options: snapshot_id, as_of_timestamp_ms (time travel)."""
+    options: snapshot_id, as_of_timestamp_ms (time travel),
+    partition_filter ([[col, op, value], ...] — prunes data files via
+    partition metadata and applies as a WHERE)."""
     from strake_spark.sources.file import view_name
 
     if not cfg.tables:
@@ -220,6 +466,7 @@ def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]
             table_path,
             snapshot_id=int(snap_id) if snap_id is not None else None,
             as_of_timestamp_ms=int(as_of) if as_of is not None else None,
+            partition_filter=opts.get("partition_filter"),
         )
         declared = tbl.struct_type()
         if declared is not None:

@@ -66,6 +66,14 @@ def _write_avro(spark, path, schema_json, rows):
                 )
             if isinstance(v, dict):
                 rec.put(f.name(), build(ftype, v))
+            elif isinstance(v, list):
+                arr = jvm.java.util.ArrayList()
+                elem = ftype.getElementType()
+                for item in v:
+                    arr.add(build(elem, item) if isinstance(item, dict) else item)
+                rec.put(f.name(), arr)
+            elif isinstance(v, (bytes, bytearray)):
+                rec.put(f.name(), jvm.java.nio.ByteBuffer.wrap(bytes(v)))
             else:
                 rec.put(f.name(), v)
         return rec
@@ -129,6 +137,226 @@ def iceberg_table(spark, tmp_path_factory):
     (meta / "v2.metadata.json").write_text(json.dumps(metadata))
     (meta / "version-hint.text").write_text("2")
     return str(root)
+
+
+# --------------------------------------------- partitioned table fixture
+_PART_MANIFEST_SCHEMA = json.dumps({
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": "long"},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "data_file", "fields": [
+                {"name": "content", "type": "int", "default": 0},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "partition", "type": {
+                    "type": "record", "name": "r102", "fields": [
+                        {"name": "region", "type": ["null", "string"]},
+                        {"name": "event_date", "type": ["null", "int"]},
+                    ]}},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+            ]}},
+    ]})
+
+_PART_MLIST_SCHEMA = json.dumps({
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int", "default": 0},
+        {"name": "content", "type": "int", "default": 0},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "partitions", "type": ["null", {
+            "type": "array", "items": {
+                "type": "record", "name": "r508", "fields": [
+                    {"name": "contains_null", "type": "boolean"},
+                    {"name": "lower_bound", "type": ["null", "bytes"]},
+                    {"name": "upper_bound", "type": ["null", "bytes"]},
+                ]}}]},
+    ]})
+
+_EPOCH_D1 = 19815  # 2024-04-02
+_EPOCH_D2 = 19816  # 2024-04-03
+
+
+@pytest.fixture(scope="module")
+def part_table(spark, tmp_path_factory):
+    """Identity-partitioned table: region (string) x event_date (date),
+    2x2 partitions, one parquet file each, one manifest per region with
+    real lower/upper bound summaries in the manifest list."""
+    import struct as st
+
+    root = tmp_path_factory.mktemp("iceberg_part") / "events_part"
+    data, meta = root / "data", root / "metadata"
+    data.mkdir(parents=True)
+    meta.mkdir()
+
+    def dfile(region, day, ids):
+        p = str(data / f"{region}-{day}.parquet")
+        pq.write_table(pa.table({
+            "id": ids,
+            "region": [region] * len(ids),
+            "event_date": pa.array([day] * len(ids), pa.date32()),
+        }), p)
+        return p, {
+            "status": 1, "snapshot_id": 1,
+            "data_file": {
+                "content": 0, "file_path": p, "file_format": "PARQUET",
+                "partition": {"region": region, "event_date": day},
+                "record_count": len(ids),
+                "file_size_in_bytes": os.path.getsize(p),
+            },
+        }
+    f_eu1, e_eu1 = dfile("eu", _EPOCH_D1, [1, 2])
+    f_eu2, e_eu2 = dfile("eu", _EPOCH_D2, [3, 4])
+    f_us1, e_us1 = dfile("us", _EPOCH_D1, [5, 6])
+    f_us2, e_us2 = dfile("us", _EPOCH_D2, [7, 8])
+
+    m_eu, m_us = str(meta / "m-eu.avro"), str(meta / "m-us.avro")
+    _write_avro(spark, m_eu, _PART_MANIFEST_SCHEMA, [e_eu1, e_eu2])
+    _write_avro(spark, m_us, _PART_MANIFEST_SCHEMA, [e_us1, e_us2])
+
+    def summaries(region, d_lo, d_hi):
+        return [
+            {"contains_null": False, "lower_bound": region.encode(),
+             "upper_bound": region.encode()},
+            {"contains_null": False, "lower_bound": st.pack("<i", d_lo),
+             "upper_bound": st.pack("<i", d_hi)},
+        ]
+
+    slist = str(meta / "snap-1.avro")
+    _write_avro(spark, slist, _PART_MLIST_SCHEMA, [
+        {"manifest_path": m_eu, "manifest_length": os.path.getsize(m_eu),
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1,
+         "partitions": summaries("eu", _EPOCH_D1, _EPOCH_D2)},
+        {"manifest_path": m_us, "manifest_length": os.path.getsize(m_us),
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1,
+         "partitions": summaries("us", _EPOCH_D1, _EPOCH_D2)},
+    ])
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000002",
+        "location": str(root),
+        "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "id", "type": "long", "required": False},
+                {"id": 2, "name": "region", "type": "string", "required": False},
+                {"id": 3, "name": "event_date", "type": "date", "required": False},
+            ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{
+            "spec-id": 0, "fields": [
+                {"name": "region", "transform": "identity",
+                 "source-id": 2, "field-id": 1000},
+                {"name": "event_date", "transform": "identity",
+                 "source-id": 3, "field-id": 1001},
+            ]}],
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1_700_000_000_000,
+             "manifest-list": slist},
+        ],
+    }
+    (meta / "v1.metadata.json").write_text(json.dumps(metadata))
+    (meta / "version-hint.text").write_text("1")
+    return str(root)
+
+
+class TestPartitionPruning:
+    def test_filter_lists_strictly_fewer_files(self, spark, part_table):
+        from strake_spark.sources.iceberg_native import (
+            data_files_for_snapshot,
+            load_table_metadata,
+            select_snapshot,
+        )
+
+        meta = load_table_metadata(part_table)
+        snap = select_snapshot(meta)
+        all_files = data_files_for_snapshot(spark, snap, meta, None)
+        eu_files = data_files_for_snapshot(
+            spark, snap, meta, [["region", "=", "eu"]]
+        )
+        assert len(all_files) == 4
+        assert len(eu_files) == 2
+        assert all("eu-" in os.path.basename(f) for f in eu_files)
+
+    def test_summary_pruning_never_opens_excluded_manifest(
+        self, spark, part_table, monkeypatch
+    ):
+        """The us manifest's string bounds exclude region='eu', so the
+        manifest FILE itself must not be read — that is the difference
+        between touching 2 manifests and 20k at 100 TB."""
+        import strake_spark.sources.iceberg_native as mod
+
+        opened: list[str] = []
+        real = mod.read_avro_records
+
+        def spy(spark_, path):
+            opened.append(os.path.basename(path))
+            return real(spark_, path)
+
+        monkeypatch.setattr(mod, "read_avro_records", spy)
+        meta = mod.load_table_metadata(part_table)
+        snap = mod.select_snapshot(meta)
+        files = mod.data_files_for_snapshot(
+            spark, snap, meta, [["region", "=", "eu"]]
+        )
+        assert len(files) == 2
+        assert "m-eu.avro" in opened
+        assert "m-us.avro" not in opened
+
+    def test_filtered_values_match_full_scan(self, spark, part_table):
+        full = read_iceberg_table(spark, part_table)
+        pruned = read_iceberg_table(
+            spark, part_table, partition_filter=[["region", "=", "eu"]]
+        )
+        exp = sorted(r.id for r in full.filter("region = 'eu'").collect())
+        got = sorted(r.id for r in pruned.collect())
+        assert got == exp == [1, 2, 3, 4]
+
+    def test_date_filter_with_iso_literal(self, spark, part_table):
+        df = read_iceberg_table(
+            spark, part_table,
+            partition_filter=[["event_date", ">=", "2024-04-03"]],
+        )
+        assert sorted(r.id for r in df.collect()) == [3, 4, 7, 8]
+        # and the listing side pruned to one file per region
+        from strake_spark.sources.iceberg_native import (
+            data_files_for_snapshot,
+            load_table_metadata,
+            select_snapshot,
+        )
+
+        meta = load_table_metadata(part_table)
+        files = data_files_for_snapshot(
+            spark, select_snapshot(meta), meta,
+            [["event_date", ">=", "2024-04-03"]],
+        )
+        assert len(files) == 2
+
+    def test_filter_pruning_everything_returns_empty_with_schema(
+        self, spark, part_table
+    ):
+        df = read_iceberg_table(
+            spark, part_table, partition_filter=[["region", "=", "apac"]]
+        )
+        assert df.count() == 0
+        assert set(df.columns) == {"id", "region", "event_date"}
+
+    def test_in_and_range_ops(self, spark, part_table):
+        df = read_iceberg_table(
+            spark, part_table,
+            partition_filter=[["region", "in", ["us", "apac"]]],
+        )
+        assert sorted(r.id for r in df.collect()) == [5, 6, 7, 8]
+
+    def test_dict_equality_shorthand(self, spark, part_table):
+        df = read_iceberg_table(
+            spark, part_table, partition_filter={"region": "us"}
+        )
+        assert sorted(r.id for r in df.collect()) == [5, 6, 7, 8]
 
 
 class TestIcebergNative:
@@ -208,6 +436,21 @@ class TestIcebergNative:
         (alt / "metadata" / "version-hint.text").write_text("1")
         with pytest.raises(SourceError, match="delete files"):
             read_iceberg_table(spark, str(alt))
+
+    def test_engine_integration_with_partition_filter(self, spark, part_table):
+        eng = ss.connect(
+            {"sources": [{
+                "name": "icep", "type": "iceberg_native",
+                "url": os.path.dirname(part_table),
+                "tables": [
+                    {"name": "events_eu", "path": part_table,
+                     "options": {"partition_filter": [["region", "=", "eu"]]}},
+                ],
+            }]},
+            spark=spark,
+        )
+        out = eng.execute("SELECT count(*) AS n FROM icep_events_eu")
+        assert out.to_pylist() == [{"n": 4}]
 
     def test_engine_integration_with_time_travel(self, spark, iceberg_table):
         eng = ss.connect(
