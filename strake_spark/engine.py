@@ -293,22 +293,66 @@ class StrakeEngine:
             "physical": df._jdf.queryExecution().executedPlan().toString(),
         }
 
-    def profile(self, query: str, user: str | None = None) -> dict[str, Any]:
-        """EXPLAIN ANALYZE: execute the query (governed) and report the
-        EXECUTED plan with per-node runtime SQLMetrics — actual row
-        counts, spills, shuffle bytes, scan times (reference
+    def profile(
+        self,
+        query: str,
+        user: str | None = None,
+        traceparent: str | None = None,
+    ) -> dict[str, Any]:
+        """EXPLAIN ANALYZE: execute the query and report the EXECUTED
+        plan with per-node runtime SQLMetrics — actual row counts,
+        spills, shuffle bytes, scan times (reference
         crates/runtime/src/query/trace.rs:7-72). AQE wrappers are
-        unwrapped so the report shows the plan that actually ran."""
-        from strake_spark.plans.tree import format_runtime_profile, runtime_profile
+        unwrapped so the report shows the plan that actually ran.
 
-        with self.tracer.span("query.profile"):
-            df = self.sql(query, user=user)
-            # collect() runs THIS DataFrame's own QueryExecution — a
-            # count() would build a separate plan and leave the profiled
-            # plan's metrics at zero. Result size is bounded by the
-            # defensive limit the governed sql() already applied.
-            n = len(df.collect())
+        Runs inside the SAME envelope as execute(): concurrency-governor
+        admission, per-source circuit breakers, and the query timeout.
+        The plan is driven by a JVM-side count over the executed plan's
+        own RDD (plans/tree.py execute_plan_only), so no result rows are
+        ever materialized on the driver; the counted cardinality is
+        still checked against max_output_rows for parity with execute().
+        """
+        from strake_spark.plans.tree import (
+            execute_plan_only,
+            format_runtime_profile,
+            runtime_profile,
+        )
+
+        limits = self.config.query_limits
+        sources = self._touched_sources(query)
+        breakers = [self._breakers[s] for s in sources if s in self._breakers]
+        with self.tracer.span(
+            "query.profile",
+            {"db.statement.length": len(query), "enduser.id": user or ""},
+            traceparent=traceparent,
+        ) as root:
+            root.set_attribute("strake.sources", ",".join(sources))
+            with self._governor.admit(sources):
+                for b in breakers:
+                    b.acquire()
+                try:
+                    with self.tracer.span("query.plan"):
+                        df = self.sql(query, user=user)
+                    with self.tracer.span("query.run"):
+                        n = run_with_timeout(
+                            df, execute_plan_only, limits.query_timeout_seconds
+                        )
+                except QueryRejected:
+                    for b in breakers:
+                        b.release()  # governance rejection, not a source fault
+                    raise
+                except Exception:
+                    for b in breakers:
+                        b.record(False)
+                    raise
+                for b in breakers:
+                    b.record(True)
+            if limits.max_output_rows and n > limits.max_output_rows:
+                raise QueryRejected(
+                    f"result has {n} rows > max_output_rows {limits.max_output_rows}"
+                )
             prof = runtime_profile(df)
+            root.set_attribute("strake.rows", n)
         return {
             "query": query,
             "rows": n,

@@ -1,4 +1,4 @@
-"""Stdlib JWT (HS256 + RS256) signing + OIDC-style bearer validation.
+"""Stdlib JWT (HS256 + RS256 + ES256/384/512) signing + OIDC validation.
 
 Two consumers, both mirroring reference behaviors:
 
@@ -9,9 +9,10 @@ Two consumers, both mirroring reference behaviors:
   both HS256 (stdlib hmac) and RS256 are implemented here — RSASSA-
   PKCS1-v1_5 is just modular exponentiation over a fixed digest
   encoding, no crypto library needed (RFC 8017 §8.2). PEM private keys
-  (PKCS#1 and PKCS#8) are parsed with a minimal DER reader. ES256
-  rides the `cryptography` package (EC point math is not reasonably
-  inlined) and raises NotImplementedError where that is absent.
+  (PKCS#1 and PKCS#8) are parsed with a minimal DER reader.
+  ES256/ES384/ES512 ride the `cryptography` package (EC point math is
+  not reasonably inlined) and raise NotImplementedError where absent;
+  curve and hash are pinned per alg (RFC 7518 §3.1).
 
 - Server-side OIDC bearer validation (crates/server/src/auth.rs shape):
   signature + exp/nbf + issuer + audience checks on inbound tokens for
@@ -34,10 +35,10 @@ from typing import Any
 
 from strake_spark.errors import StrakeError
 
-_SUPPORTED = ("HS256", "RS256", "ES256")
-# ES256 needs EC point math — implemented via the `cryptography` package
+_SUPPORTED = ("HS256", "RS256", "ES256", "ES384", "ES512")
+# ES* needs EC point math — implemented via the `cryptography` package
 # when present (it is in this container), NotImplementedError otherwise.
-_DEPLOY_GATED = ("ES384", "ES512")
+_DEPLOY_GATED: tuple[str, ...] = ()
 
 
 def _ec_backend():
@@ -295,55 +296,77 @@ def verify_rs256(
     return claims
 
 
-# --------------------------------------------------------------- ES256
-# ECDSA P-256 / SHA-256 (JWS raw r||s signatures, RFC 7518 §3.4) via the
-# `cryptography` package — unlike RSA, EC point math is not reasonably
-# re-implementable inline, so this path is import-gated.
+# ----------------------------------------------------------- ES256/384/512
+# ECDSA (JWS raw r||s signatures, RFC 7518 §3.4) via the `cryptography`
+# package — unlike RSA, EC point math is not reasonably re-implementable
+# inline, so this path is import-gated. Per RFC 7518 §3.1 the curve and
+# hash are pinned per alg (mixed pairs like P-256+SHA-384 are invalid):
+#   ES256 -> P-256 / SHA-256, 32-byte coords (64-byte signature)
+#   ES384 -> P-384 / SHA-384, 48-byte coords (96-byte signature)
+#   ES512 -> P-521 / SHA-512, 66-byte coords (132-byte signature;
+#            521 bits rounds up to 66 bytes)
 
 
-def sign_es256(
-    claims: dict[str, Any],
-    private_key_pem: str,
-    headers: dict | None = None,
-) -> str:
+def _ec_params(alg: str):
+    """(curve_name, curve_factory, hash_factory, coord_bytes) for an ES alg."""
     be = _ec_backend()
     if be is None:
         raise NotImplementedError(
-            "ES256 needs the `cryptography` package for EC point math"
+            f"{alg} needs the `cryptography` package for EC point math"
         )
     hashes, serialization, ec, utils = be
+    table = {
+        "ES256": ("P-256", ec.SECP256R1, hashes.SHA256, 32),
+        "ES384": ("P-384", ec.SECP384R1, hashes.SHA384, 48),
+        "ES512": ("P-521", ec.SECP521R1, hashes.SHA512, 66),
+    }
+    if alg not in table:
+        raise ValueError(f"not an ECDSA JWS alg: {alg!r}")
+    crv, curve, hash_f, width = table[alg]
+    return be, crv, curve, hash_f, width
+
+
+def sign_ecdsa(
+    claims: dict[str, Any],
+    private_key_pem: str,
+    alg: str = "ES256",
+    headers: dict | None = None,
+) -> str:
+    (hashes, serialization, ec, utils), _crv, curve, hash_f, width = _ec_params(alg)
     key = serialization.load_pem_private_key(
         private_key_pem.encode(), password=None
     )
-    header = {"alg": "ES256", "typ": "JWT", **(headers or {})}
+    if not isinstance(key.curve, curve):
+        raise ValueError(
+            f"{alg} requires a {curve.name} key, got {key.curve.name} "
+            "(RFC 7518 pins curve to alg)"
+        )
+    header = {"alg": alg, "typ": "JWT", **(headers or {})}
     signing_input = (
         _b64url(json.dumps(header, separators=(",", ":"), sort_keys=True).encode())
         + "."
         + _b64url(json.dumps(claims, separators=(",", ":"), sort_keys=True).encode())
     )
-    der_sig = key.sign(signing_input.encode("ascii"), ec.ECDSA(hashes.SHA256()))
+    der_sig = key.sign(signing_input.encode("ascii"), ec.ECDSA(hash_f()))
     r, s = utils.decode_dss_signature(der_sig)  # JWS wants raw r||s, not DER
-    sig = r.to_bytes(32, "big") + s.to_bytes(32, "big")
+    sig = r.to_bytes(width, "big") + s.to_bytes(width, "big")
     return signing_input + "." + _b64url(sig)
 
 
-def verify_es256(
+def verify_ecdsa(
     token: str,
     jwks: dict[str, Any],
+    alg: str = "ES256",
     *,
     issuer: str | None = None,
     audience: str | None = None,
     leeway: float = 30.0,
     now: float | None = None,
 ) -> dict[str, Any]:
-    """Validate an ES256 token against JWKS EC keys
-    ({"kty": "EC", "crv": "P-256", "x": ..., "y": ...})."""
-    be = _ec_backend()
-    if be is None:
-        raise NotImplementedError(
-            "ES256 needs the `cryptography` package for EC point math"
-        )
-    hashes, _serialization, ec, utils = be
+    """Validate an ES256/ES384/ES512 token against JWKS EC keys
+    ({"kty": "EC", "crv": "P-256"|"P-384"|"P-521", "x": ..., "y": ...});
+    only keys on the alg's pinned curve are considered."""
+    (hashes, _serialization, ec, utils), crv, curve, hash_f, width = _ec_params(alg)
     parts = token.split(".")
     if len(parts) != 3:
         raise AuthError("malformed token (expected 3 dot-separated segments)")
@@ -353,30 +376,30 @@ def verify_es256(
         sig = _b64url_decode(parts[2])
     except Exception as e:  # noqa: BLE001
         raise AuthError(f"undecodable token: {e}") from None
-    if header.get("alg") != "ES256":
-        raise AuthError(f"unsupported alg {header.get('alg')!r} (ES256 expected)")
-    if len(sig) != 64:
-        raise AuthError("ES256 signature must be 64 raw bytes (r||s)")
+    if header.get("alg") != alg:
+        raise AuthError(f"unsupported alg {header.get('alg')!r} ({alg} expected)")
+    if len(sig) != 2 * width:
+        raise AuthError(f"{alg} signature must be {2 * width} raw bytes (r||s)")
     keys = [
         k for k in jwks.get("keys", [])
-        if k.get("kty") == "EC" and k.get("crv") in (None, "P-256")
+        if k.get("kty") == "EC" and k.get("crv") in (None, crv)
     ]
     kid = header.get("kid")
     if kid is not None:
         keys = [k for k in keys if k.get("kid") == kid]
     if not keys:
-        raise AuthError(f"no P-256 key in JWKS for kid={kid!r}")
+        raise AuthError(f"no {crv} key in JWKS for kid={kid!r}")
     der = utils.encode_dss_signature(
-        int.from_bytes(sig[:32], "big"), int.from_bytes(sig[32:], "big")
+        int.from_bytes(sig[:width], "big"), int.from_bytes(sig[width:], "big")
     )
     msg = f"{parts[0]}.{parts[1]}".encode("ascii")
     ok = False
     for k in keys:
         pub = ec.EllipticCurvePublicNumbers(
-            _jwk_int(k["x"]), _jwk_int(k["y"]), ec.SECP256R1()
+            _jwk_int(k["x"]), _jwk_int(k["y"]), curve()
         ).public_key()
         try:
-            pub.verify(der, msg, ec.ECDSA(hashes.SHA256()))
+            pub.verify(der, msg, ec.ECDSA(hash_f()))
             ok = True
             break
         except Exception:  # noqa: BLE001 - InvalidSignature et al.
@@ -385,6 +408,16 @@ def verify_es256(
         raise AuthError("signature mismatch")
     _check_claims(claims, issuer=issuer, audience=audience, leeway=leeway, now=now)
     return claims
+
+
+def sign_es256(
+    claims: dict[str, Any], private_key_pem: str, headers: dict | None = None
+) -> str:
+    return sign_ecdsa(claims, private_key_pem, "ES256", headers)
+
+
+def verify_es256(token: str, jwks: dict[str, Any], **kw) -> dict[str, Any]:
+    return verify_ecdsa(token, jwks, "ES256", **kw)
 
 
 def build_assertion(
@@ -403,18 +436,11 @@ def build_assertion(
     shape: iss/aud/iat/exp, optional sub, custom claims merged last).
     RS256 (the reference's default) takes ``private_key_pem`` (PKCS#1
     or PKCS#8); HS256 takes ``secret``."""
-    if algorithm in _DEPLOY_GATED:
-        raise NotImplementedError(
-            f"{algorithm} assertions need an EC signer; install "
-            "`cryptography` (or PyJWT) on the cluster and extend "
-            "build_assertion — claim construction below is algorithm-"
-            f"agnostic. In-container supported: {_SUPPORTED}"
-        )
     if algorithm not in _SUPPORTED:
         raise ValueError(f"unsupported JWT algorithm {algorithm!r}")
     if algorithm == "HS256" and secret is None:
         raise ValueError("HS256 assertion requires `secret`")
-    if algorithm in ("RS256", "ES256") and private_key_pem is None:
+    if algorithm != "HS256" and private_key_pem is None:
         raise ValueError(f"{algorithm} assertion requires `private_key_pem`")
     t = int(time.time() if now is None else now)
     body: dict[str, Any] = {
@@ -428,8 +454,8 @@ def build_assertion(
     body.update(claims or {})
     if algorithm == "RS256":
         return sign_rs256(body, private_key_pem)
-    if algorithm == "ES256":
-        return sign_es256(body, private_key_pem)
+    if algorithm.startswith("ES"):
+        return sign_ecdsa(body, private_key_pem, algorithm)
     return sign_hs256(body, secret)
 
 
@@ -477,11 +503,11 @@ class OidcValidator:
                 token, self.jwks,
                 issuer=self.issuer, audience=self.audience, leeway=self.leeway,
             )
-        if alg == "ES256":
+        if alg in ("ES256", "ES384", "ES512"):
             if self.jwks is None:
-                raise AuthError("ES256 token but no JWKS configured")
-            return verify_es256(
-                token, self.jwks,
+                raise AuthError(f"{alg} token but no JWKS configured")
+            return verify_ecdsa(
+                token, self.jwks, alg,
                 issuer=self.issuer, audience=self.audience, leeway=self.leeway,
             )
         if alg == "HS256":

@@ -85,6 +85,20 @@ def runtime_profile(df: DataFrame) -> list[dict]:
     return out
 
 
+def execute_plan_only(df: DataFrame) -> int:
+    """Drive the DataFrame's OWN executed plan to completion without
+    materializing any rows on the driver, returning the result row
+    count. ``executedPlan().execute()`` is the physical plan's
+    InternalRow RDD; ``count()`` on it is a JVM-side action (only
+    per-partition longs travel to the driver — rows never leave the
+    executors). Because it runs the same QueryExecution instance, every
+    node's SQLMetrics populate for runtime_profile(); a separate
+    ``df.count()`` would build a different plan and leave this plan's
+    metrics at zero (reference crates/runtime/src/query/trace.rs:7-72
+    likewise collects metrics, not rows)."""
+    return int(df._jdf.queryExecution().executedPlan().execute().count())
+
+
 def format_runtime_profile(profile: list[dict]) -> str:
     """Human-readable EXPLAIN ANALYZE tree (a few headline metrics per
     node; the full dict stays in the structured report)."""

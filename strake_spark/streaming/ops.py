@@ -66,11 +66,34 @@ def read_event_stream(
     parquet TIMESTAMP(NANOS) is read as raw int64 under
     spark.sql.legacy.parquet.nanosAsLong and floor-divided to micros
     (same truncation as data.table()); micros layouts read directly as
-    TimestampType via the declared schema."""
+    TimestampType via the declared schema.
+
+    SESSION-WIDE SIDE EFFECT (nanos layouts only): the nanosAsLong conf
+    cannot be scoped to one lazy stream — micro-batches consult the live
+    session conf at every trigger, so restoring it after definition
+    would corrupt the stream's own reads. When the probe (or an explicit
+    ``nanos_ts=True``) flips the flag, EVERY later parquet read in this
+    session surfaces TIMESTAMP(NANOS) columns as raw int64 instead of
+    failing with PARQUET_TYPE_ILLEGAL. data.table() applies the same
+    policy for batch reads (see its in-line scope note); a
+    ``UserWarning`` is emitted the first time the flag is flipped so the
+    change is visible, and callers who must avoid it can pass
+    ``nanos_ts=False`` and pre-convert their files to micros."""
     if nanos_ts is None:
         nanos_ts = _dir_has_nanos_ts(path)
     schema = EVENT_SCHEMA
     if nanos_ts:
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            import warnings
+
+            warnings.warn(
+                "read_event_stream: setting spark.sql.legacy.parquet."
+                "nanosAsLong=true session-wide for a TIMESTAMP(NANOS) "
+                "stream source; later parquet reads of nanos columns in "
+                "this session will surface them as int64 "
+                "(see read_event_stream docstring)",
+                stacklevel=2,
+            )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = T.StructType(
             [

@@ -50,6 +50,11 @@ class Span:
     end_ns: int | None = None
     attributes: dict[str, Any] = field(default_factory=dict)
     status: str = "OK"  # OK | ERROR
+    # True when this span opened with an empty thread-local stack — the
+    # top of the LOCAL tree even if traceparent joined a remote trace
+    # (parent_span_id is then the caller's span, so it can't signal
+    # tree-completeness for batching).
+    is_local_root: bool = False
 
     @property
     def duration_ms(self) -> float | None:
@@ -174,6 +179,7 @@ class Tracer:
             parent_span_id=parent_id,
             start_ns=time.time_ns(),
             attributes=dict(attributes or {}),
+            is_local_root=not stack,
         )
         return _SpanHandle(self, span)
 
@@ -183,10 +189,14 @@ class Tracer:
             self._spans.append(span)
             if self._exporter is not None:
                 self._pending.append(span)
-                # A root span closing means its whole tree is finished —
-                # flush then (and on batch overflow) so a collector sees
-                # complete traces without per-span POST chatter.
-                if span.parent_span_id is None or len(self._pending) >= self._batch_size:
+                # A local-root span closing means its whole tree is
+                # finished — flush then (and on batch overflow) so a
+                # collector sees complete traces without per-span POST
+                # chatter. Local-root-ness is tracked explicitly: a span
+                # that joined a caller's trace via traceparent has a
+                # non-None parent_span_id yet still completes its local
+                # tree when it closes.
+                if span.is_local_root or len(self._pending) >= self._batch_size:
                     batch, self._pending = self._pending, []
         if batch:
             self._export(batch)

@@ -268,6 +268,43 @@ class TestEs256:
                               private_key_pem=pem, subject="svc")
         assert verify_es256(tok, jwks, issuer="iss", audience="aud")["sub"] == "svc"
 
+    @pytest.mark.parametrize("alg,curve,crv", [
+        ("ES384", "SECP384R1", "P-384"),
+        ("ES512", "SECP521R1", "P-521"),
+    ])
+    def test_es384_es512_roundtrip(self, alg, curve, crv):
+        from strake_spark.jwtauth import sign_ecdsa, verify_ecdsa
+
+        key = _ec.generate_private_key(getattr(_ec, curve)())
+        pem = key.private_bytes(
+            _ser.Encoding.PEM, _ser.PrivateFormat.PKCS8, _ser.NoEncryption()
+        ).decode()
+        nums = key.public_key().public_numbers()
+        jwks = {"keys": [{"kty": "EC", "crv": crv,
+                          "x": _b64url_uint(nums.x), "y": _b64url_uint(nums.y)}]}
+        tok = sign_ecdsa(_claims(), pem, alg)
+        assert verify_ecdsa(tok, jwks, alg, issuer="iss", audience="aud")["sub"] == "svc"
+        # validator routes by header alg
+        v = OidcValidator(issuer="iss", audience="aud", jwks=jwks)
+        assert v.validate(f"Bearer {tok}")["sub"] == "svc"
+        # tamper detection
+        h, p, s = tok.split(".")
+        with pytest.raises(AuthError):
+            verify_ecdsa(f"{h}.{p[:-2]}xx.{s}", jwks, alg)
+        # build_assertion plumbs the alg through
+        tok2 = build_assertion("iss", "aud", algorithm=alg,
+                               private_key_pem=pem, subject="svc")
+        assert verify_ecdsa(tok2, jwks, alg, issuer="iss", audience="aud")["sub"] == "svc"
+
+    def test_curve_alg_mismatch_rejected(self, ec_key):
+        """RFC 7518 pins curve to alg: a P-256 key must not sign ES384,
+        and an ES384 token finds no usable key in a P-256-only JWKS."""
+        from strake_spark.jwtauth import sign_ecdsa
+
+        pem, _jwks = ec_key
+        with pytest.raises(ValueError, match="secp384r1|SECP384R1|P-384"):
+            sign_ecdsa(_claims(), pem, "ES384")
+
     def test_rs256_key_cannot_satisfy_es256(self, ec_key):
         """An RS256 token must not pass an ES256-keyed validator (and
         the JWKS kty filter must not mix key families)."""

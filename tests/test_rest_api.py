@@ -273,14 +273,14 @@ class TestJwt:
             "exp": 1_000_120, "sub": "svc", "scope": "read",
         }
 
-    def test_rs256_roundtrips_es384_gated(self):
+    def test_rs256_roundtrips_unknown_alg_rejected(self):
         from strake_spark.jwtauth import verify_rs256
         from tests.test_jwtauth import JWKS, PEM8
 
         tok = build_assertion("i", "a", algorithm="RS256", private_key_pem=PEM8)
         assert verify_rs256(tok, JWKS, issuer="i", audience="a")["aud"] == "a"
-        with pytest.raises(NotImplementedError, match="ES384"):
-            build_assertion("i", "a", algorithm="ES384", private_key_pem="fake")
+        with pytest.raises(ValueError, match="unsupported"):
+            build_assertion("i", "a", algorithm="PS256", private_key_pem="fake")
 
 
 class TestOidcRest:
@@ -393,7 +393,7 @@ class TestRestSourceJwtAuth:
 
     def test_es256_assertion_roundtrips(self):
         """ES256 assertions ride the cryptography package (present in
-        this container); ES384+ stay deploy-gated."""
+        this container); ES384/512 share the same path (test_jwtauth)."""
         pytest.importorskip("cryptography")
         from cryptography.hazmat.primitives import serialization
         from cryptography.hazmat.primitives.asymmetric import ec

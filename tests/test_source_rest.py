@@ -220,10 +220,9 @@ class TestAuth:
             _Auth({"auth_type": "jwt", "jwt_algorithm": "RS256"}).headers()
         with pytest.raises(ValueError, match="private_key_pem"):
             _Auth({"auth_type": "jwt", "jwt_algorithm": "ES256"}).headers()
-        # longer EC variants stay deploy-gated
-        with pytest.raises(NotImplementedError, match="ES384"):
-            _Auth({"auth_type": "jwt", "jwt_algorithm": "ES384",
-                   "jwt_private_key_pem": "x"}).headers()
+        # longer EC variants need key material too
+        with pytest.raises(ValueError, match="private_key_pem"):
+            _Auth({"auth_type": "jwt", "jwt_algorithm": "ES384"}).headers()
 
 
 class TestRegistration:

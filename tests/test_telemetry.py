@@ -70,6 +70,26 @@ class TestTracer:
                 pass
         assert [s.name for s in t.finished_spans()] == ["s7", "s8", "s9"]
 
+    def test_traceparent_root_still_flushes_on_close(self):
+        """A span that joined a caller's trace (parent_span_id set from
+        traceparent) is still the LOCAL tree root — its close must
+        trigger the tree-complete flush, not wait for batch overflow."""
+        exported = []
+
+        class Fake:
+            def export(self, batch):
+                exported.append(list(batch))
+
+        t = Tracer(exporter=Fake(), batch_size=1000)
+        hdr = f"00-{'ab' * 16}-{'cd' * 8}-01"
+        with t.span("query.execute", traceparent=hdr) as h:
+            assert h.span.parent_span_id == "cd" * 8
+            with t.span("query.plan"):
+                pass
+            assert exported == []  # child close alone must not flush
+        assert len(exported) == 1 and len(exported[0]) == 2
+        assert {s.name for s in exported[0]} == {"query.execute", "query.plan"}
+
     def test_dead_exporter_never_raises(self):
         t = Tracer(exporter=OtlpJsonExporter("http://127.0.0.1:1", timeout=0.2))
         with t.span("q"):
@@ -202,6 +222,50 @@ class TestProfile:
 
         with pytest.raises(QueryRejected):
             engine.profile("DROP TABLE pr_orders")
+
+    def test_profile_no_driver_materialization(self, engine, monkeypatch):
+        """profile() must never ship result rows to the driver: the plan
+        is driven JVM-side (execute_plan_only), so DataFrame.collect /
+        toPandas / toArrow are never reached."""
+        from pyspark.sql import DataFrame
+
+        def boom(self, *a, **k):  # pragma: no cover - failure path
+            raise AssertionError("profile materialized rows on the driver")
+
+        monkeypatch.setattr(DataFrame, "collect", boom)
+        monkeypatch.setattr(DataFrame, "toPandas", boom)
+        monkeypatch.setattr(DataFrame, "toArrow", boom, raising=False)
+        rep = engine.profile(
+            "SELECT o_orderstatus, count(*) AS n FROM pr_orders GROUP BY o_orderstatus"
+        )
+        assert rep["rows"] == 3
+        assert any(n["node"].startswith("Scan parquet") for n in rep["nodes"])
+
+    def test_profile_runs_inside_admission_and_breakers(self, engine):
+        """profile() shares execute()'s envelope: the touched source's
+        breaker records the outcome and admission accounting balances."""
+        br = engine._breakers["pr"]
+        before = len(br._outcomes)
+        engine.profile("SELECT count(*) AS n FROM pr_orders")
+        assert len(br._outcomes) == before + 1 and br._outcomes[-1] is True
+        # semaphores fully released: another query admits instantly
+        engine.profile("SELECT count(*) AS n FROM pr_orders")
+        assert br.state == "closed"
+
+    def test_profile_enforces_max_output_rows(self, spark):
+        import strake_spark as ss
+        from strake_spark.errors import QueryRejected
+
+        eng = ss.connect(
+            {
+                "sources": [{"name": "pr", "type": "parquet", "url": SF_DIR,
+                             "tables": [{"name": "orders"}]}],
+                "query_limits": {"default_limit": 0, "max_output_rows": 100},
+            },
+            spark=spark,
+        )
+        with pytest.raises(QueryRejected, match="max_output_rows"):
+            eng.profile("SELECT o_orderkey FROM pr_orders")
 
     def test_profile_over_rest(self, engine):
         import json as js
