@@ -34,11 +34,37 @@ metadata allowed — pruning is purely a scan-size optimization, which is
 what makes a partition-filtered query on a 100 TB table plan a scan
 over only its partitions' files instead of every live file.
 
-Limitations (documented, enforced): format v1/v2 append-style tables;
-positional/equality delete files are rejected loudly rather than
-silently mis-read; hidden-partition TRANSFORMS (bucket/truncate/
-day/...) do not participate in pruning — only identity fields do
-(Spark still prunes columns/rows inside the parquet scan).
+Merge-on-read (reference: provider.rs:229-420): v2 positional and
+equality delete files are applied Spark-side —
+
+- positional deletes (content=1: parquet of (file_path, pos)) anti-join
+  against the data scan on (``_metadata.file_path``,
+  ``_metadata.row_index``), Spark's native per-file row-position
+  metadata columns, after dropping delete rows whose sequence number is
+  below their target file's (a position delete applies to data written
+  at the same or an earlier sequence);
+- equality deletes (content=2: parquet of the equality columns, field
+  ids in ``equality_ids``) anti-join on null-safe equality of those
+  columns plus ``data_seq < delete_seq`` (an equality delete applies
+  only to data written at a STRICTLY earlier sequence — a row inserted
+  in the same commit as the delete survives).
+
+Both run as ordinary joins: the delete side is usually tiny (AQE
+broadcasts it), the data side never leaves the executors, and the whole
+pipeline stays in codegen — the same shape Iceberg's own Spark reader
+produces for MoR scans.
+
+Hidden-partition transforms participate in file pruning:
+identity (all ops), the monotonic transforms year/month/day/hour and
+truncate[W] (equality + range ops against the transformed literal), and
+bucket[N] (equality/IN via the spec's murmur3_x86_32 bucket hash).
+Pruning is always conservative — a transform/op pair that cannot prove
+exclusion keeps the file, and the original predicate is re-applied to
+the DataFrame regardless.
+
+Limitations (documented, enforced): format v1/v2; parquet data files
+only (ORC/Avro data rejected loudly); delete files must themselves be
+parquet.
 """
 
 from __future__ import annotations
@@ -206,9 +232,13 @@ def _current_schema_fields(meta: dict) -> dict[int, tuple[str, str]]:
     return out
 
 
-def _identity_partition_fields(meta: dict, spec_id: int) -> list[dict]:
-    """Spec fields in order, each annotated with the source column name
-    and type for identity transforms (source_name=None otherwise)."""
+def _partition_spec_fields(meta: dict, spec_id: int) -> list[dict]:
+    """Spec fields in order, each annotated with the source column name,
+    source type, and parsed transform: ``identity``, ``bucket`` (param N),
+    ``truncate`` (param W), ``year``/``month``/``day``/``hour``, or
+    ``void`` (never prunes). Unknown transforms degrade to ``void``."""
+    import re
+
     if "partition-specs" in meta:
         spec = next(
             (s for s in meta["partition-specs"] if s.get("spec-id") == spec_id),
@@ -221,13 +251,151 @@ def _identity_partition_fields(meta: dict, spec_id: int) -> list[dict]:
     out = []
     for f in fields:
         src = by_id.get(int(f.get("source-id", -1)))
-        identity = str(f.get("transform", "")) == "identity"
+        raw = str(f.get("transform", "void"))
+        m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", raw)
+        if m:
+            tf, param = m.group(1), int(m.group(2))
+        elif raw in ("identity", "year", "month", "day", "hour"):
+            tf, param = raw, None
+        else:
+            tf, param = "void", None
         out.append({
             "name": f["name"],
-            "source_name": src[0] if (src and identity) else None,
+            "source_name": src[0] if (src and tf != "void") else None,
             "type": src[1] if src else "",
+            "transform": tf,
+            "param": param,
         })
     return out
+
+
+# ----------------------------------------------- partition transforms
+# Iceberg spec "Partition Transforms" + Appendix B (bucket hashing via
+# murmur3_x86_32 of the value's single-value serialization).
+
+_SKIP = object()  # sentinel: literal not transformable -> keep the file
+_MONOTONIC = ("identity", "truncate", "year", "month", "day", "hour")
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (Austin Appleby, public domain) — the
+    hash Iceberg's bucket transform specifies. Returns unsigned 32-bit."""
+    c1, c2, mask = 0xCC9E2D51, 0x1B873593, 0xFFFFFFFF
+    h = seed & mask
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & mask
+        k = ((k << 15) | (k >> 17)) & mask
+        k = (k * c2) & mask
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & mask
+        h = (h * 5 + 0xE6546B64) & mask
+    tail = data[n - n % 4:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & mask
+        k = ((k << 15) | (k >> 17)) & mask
+        k = (k * c2) & mask
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & mask
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & mask
+    h ^= h >> 16
+    return h
+
+
+def _bucket_value(val, n: int, ice_type: str):
+    """bucket[N](v) = (murmur3_x86_32(serialize(v)) & Int.MAX) % N.
+    Serialization per spec Appendix B: int/long/date/time/timestamp as
+    8-byte little-endian long; string as UTF-8 bytes."""
+    if isinstance(val, bool) or val is None:
+        return _SKIP
+    if isinstance(val, int):
+        data = _struct.pack("<q", val)
+    elif isinstance(val, str) and not ice_type.startswith(("int", "long", "date", "time")):
+        data = val.encode()
+    else:
+        return _SKIP
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def _truncate_value(val, width: int):
+    if isinstance(val, bool) or val is None:
+        return _SKIP
+    if isinstance(val, int):
+        return val - (val % width)  # Python % is floor-mod, per spec
+    if isinstance(val, str):
+        return val[:width]
+    return _SKIP
+
+
+def _days_to_date(days: int):
+    import datetime
+
+    return datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
+
+
+def _time_transform_value(tf: str, val, ice_type: str):
+    """year/month/day/hour of a date (int days) or timestamp (int
+    micros) literal, matching the transformed partition encoding:
+    year -> years from 1970, month -> months from 1970-01,
+    day -> days from epoch, hour -> hours from epoch."""
+    is_ts = ice_type.startswith("timestamp")
+    if is_ts:
+        if isinstance(val, str):
+            import datetime
+
+            try:
+                dt = datetime.datetime.fromisoformat(val)
+            except ValueError:
+                return _SKIP
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            micros = int(
+                (dt - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+            )
+        elif isinstance(val, int):
+            micros = val
+        else:
+            return _SKIP
+        if tf == "hour":
+            return micros // 3_600_000_000
+        days = micros // 86_400_000_000
+    elif ice_type == "date":
+        if not isinstance(val, int):
+            return _SKIP  # ISO strings already coerced to days upstream
+        if tf == "hour":
+            return _SKIP  # hour of a date is not defined
+        days = val
+    else:
+        return _SKIP
+    if tf == "day":
+        return days
+    d = _days_to_date(days)
+    if tf == "year":
+        return d.year - 1970
+    if tf == "month":
+        return (d.year - 1970) * 12 + (d.month - 1)
+    return _SKIP
+
+
+def _transform_literal(field: dict, val):
+    """Filter literal -> the partition-value space of ``field``'s
+    transform; _SKIP when the pair can't be evaluated (keeps the file)."""
+    tf = field["transform"]
+    val = _coerce_literal(val, field["type"])
+    if tf == "identity":
+        return val
+    if tf == "bucket":
+        return _bucket_value(val, field["param"], field["type"])
+    if tf == "truncate":
+        return _truncate_value(val, field["param"])
+    if tf in ("year", "month", "day", "hour"):
+        return _time_transform_value(tf, val, field["type"])
+    return _SKIP  # void / unknown
 
 
 def _coerce_literal(val, ice_type: str):
@@ -260,28 +428,64 @@ def _cmp(op: str, a, b) -> bool:
     raise SourceError(f"unsupported op {op!r}")  # pragma: no cover
 
 
-def _entry_matches(partition: dict, preds, spec_fields) -> bool:
-    """False only when a predicate on an identity field definitely
-    excludes every row of the file. A null partition value means the
-    column is null for all rows, which no comparison predicate keeps
-    (SQL WHERE discards unknown)."""
-    by_source = {f["source_name"]: f for f in spec_fields if f["source_name"]}
-    for col, op, val in preds:
-        f = by_source.get(col)
-        if f is None or f["name"] not in partition:
-            continue  # not prunable by this predicate
-        pv = partition[f["name"]]
-        if pv is None:
+def _by_source(spec_fields) -> dict[str, list[dict]]:
+    """source column -> spec fields derived from it (a column can feed
+    several transforms, e.g. day(ts) + identity(ts))."""
+    out: dict[str, list[dict]] = {}
+    for f in spec_fields:
+        if f["source_name"]:
+            out.setdefault(f["source_name"], []).append(f)
+    return out
+
+
+def _field_excludes(field: dict, op: str, val, pv) -> bool:
+    """True when predicate ``source OP val`` provably excludes every row
+    of a file whose partition value for ``field`` is ``pv``. Transforms:
+    equality/IN prune for every transform (v == lit requires
+    t(v) == t(lit)); range ops prune exactly for identity and loosely
+    for the monotonic transforms (v < lit implies t(v) <= t(lit));
+    != prunes only for identity (many-to-one transforms can't)."""
+    tf = field["transform"]
+    if op == "in":
+        lits = [_transform_literal(field, v) for v in val]
+        if any(l is _SKIP for l in lits):
             return False
-        if op == "in":
-            lit = [_coerce_literal(v, f["type"]) for v in val]
-        else:
-            lit = _coerce_literal(val, f["type"])
         try:
-            if not _cmp(op, pv, lit):
-                return False
+            return pv not in lits
         except TypeError:
-            continue  # incomparable literal: keep the file
+            return False
+    lit = _transform_literal(field, val)
+    if lit is _SKIP:
+        return False
+    try:
+        if op == "==":
+            return pv != lit
+        if tf == "identity":
+            return not _cmp(op, pv, lit)
+        if tf in _MONOTONIC and op in ("<", "<="):
+            return pv > lit
+        if tf in _MONOTONIC and op in (">", ">="):
+            return pv < lit
+    except TypeError:
+        return False
+    return False  # != on non-identity, range on bucket: not prunable
+
+
+def _entry_matches(partition: dict, preds, spec_fields) -> bool:
+    """False only when a predicate definitely excludes every row of the
+    file. A null partition value means the source column is null for all
+    rows (null stays null through every transform), which no comparison
+    predicate keeps (SQL WHERE discards unknown)."""
+    by_source = _by_source(spec_fields)
+    for col, op, val in preds:
+        for f in by_source.get(col, []):
+            if f["name"] not in partition:
+                continue  # not prunable by this predicate
+            pv = partition[f["name"]]
+            if pv is None:
+                return False
+            if _field_excludes(f, op, val, pv):
+                return False
     return True
 
 
@@ -305,41 +509,55 @@ def _decode_bound(raw: bytes | None, ice_type: str):
     return None  # unsupported type: no summary pruning
 
 
+def _bound_storage_type(field: dict) -> str:
+    """The type partition BOUNDS are serialized as: bucket/year/month/
+    day/hour store int; identity/truncate keep the source type."""
+    if field["transform"] in ("bucket", "year", "month", "day", "hour"):
+        return "int"
+    return field["type"]
+
+
 def _manifest_may_match(summaries, preds, spec_fields) -> bool:
     """Interval test against the manifest list's per-field partition
-    summaries; True (keep) whenever bounds are absent/undecodable."""
+    summaries (bounds live in the TRANSFORMED value space); True (keep)
+    whenever bounds are absent/undecodable or the transform/op pair
+    can't prove exclusion."""
     if not summaries:
         return True
-    by_source = {}
+    hits: dict[str, list] = {}
     for i, f in enumerate(spec_fields):
         if f["source_name"] and i < len(summaries):
-            by_source[f["source_name"]] = (f, summaries[i])
+            hits.setdefault(f["source_name"], []).append((f, summaries[i]))
     for col, op, val in preds:
-        hit = by_source.get(col)
-        if hit is None:
-            continue
-        f, summ = hit
-        lo = _decode_bound(summ.get("lower_bound"), f["type"])
-        hi = _decode_bound(summ.get("upper_bound"), f["type"])
-        if lo is None or hi is None:
-            continue
-        if op == "in":
-            lits = [_coerce_literal(v, f["type"]) for v in val]
-            try:
-                if all(v < lo or v > hi for v in lits):
-                    return False
-            except TypeError:
+        for f, summ in hits.get(col, []):
+            tf = f["transform"]
+            lo = _decode_bound(summ.get("lower_bound"), _bound_storage_type(f))
+            hi = _decode_bound(summ.get("upper_bound"), _bound_storage_type(f))
+            if lo is None or hi is None:
                 continue
-        else:
-            lit = _coerce_literal(val, f["type"])
+            if op == "in":
+                lits = [_transform_literal(f, v) for v in val]
+                if any(l is _SKIP for l in lits):
+                    continue
+                try:
+                    if all(v < lo or v > hi for v in lits):
+                        return False
+                except TypeError:
+                    continue
+                continue
+            lit = _transform_literal(f, val)
+            if lit is _SKIP:
+                continue
+            exact = tf == "identity"
+            monotonic = tf in _MONOTONIC
             try:
                 excluded = (
                     (op == "==" and (lit < lo or lit > hi))
-                    or (op == "<" and lo >= lit)
-                    or (op == "<=" and lo > lit)
-                    or (op == ">" and hi <= lit)
-                    or (op == ">=" and hi < lit)
-                    or (op == "!=" and lo == hi == lit)
+                    or (op == "<" and monotonic and (lo >= lit if exact else lo > lit))
+                    or (op == "<=" and monotonic and lo > lit)
+                    or (op == ">" and monotonic and (hi <= lit if exact else hi < lit))
+                    or (op == ">=" and monotonic and hi < lit)
+                    or (op == "!=" and exact and lo == hi == lit)
                 )
             except TypeError:
                 continue
@@ -348,26 +566,32 @@ def _manifest_may_match(summaries, preds, spec_fields) -> bool:
     return True
 
 
-def data_files_for_snapshot(
+def scan_plan(
     spark: SparkSession,
     snapshot: dict,
     meta: dict | None = None,
     partition_filter=None,
-) -> list[str]:
+) -> dict:
+    """Walk the snapshot's manifest list into a scan plan:
+    ``{"data": [...], "pos_deletes": [...], "eq_deletes": [...]}`` —
+    each item ``{"path", "seq"}``, equality deletes additionally
+    ``{"equality_ids"}``. Sequence numbers follow v2 inheritance (a null
+    entry sequence inherits the manifest's, default 0 for v1).
+
+    Partition pruning applies to data AND delete files — spec v2
+    requires delete files to be written into the partition of the rows
+    they delete, so a delete file in an excluded partition cannot affect
+    any surviving data row."""
     preds = _normalize_filter(partition_filter)
     mlist_path = _strip_file_uri(snapshot["manifest-list"])
     manifests = read_avro_records(spark, mlist_path)
-    files: list[str] = []
+    plan: dict = {"data": [], "pos_deletes": [], "eq_deletes": []}
     for m in manifests:
         # v2 manifest-list field is manifest_path; tolerate v1 spellings
         mpath = _strip_file_uri(m.get("manifest_path") or m.get("manifest-path"))
-        if m.get("content", 0) not in (0, None):
-            raise SourceError(
-                "Iceberg DELETE manifests present - merge-on-read tables "
-                "need the iceberg-spark-runtime path"
-            )
+        m_seq = m.get("sequence_number") or 0
         spec_fields = (
-            _identity_partition_fields(meta, int(m.get("partition_spec_id", 0)))
+            _partition_spec_fields(meta, int(m.get("partition_spec_id", 0)))
             if (meta is not None and preds) else []
         )
         if preds and spec_fields and not _manifest_may_match(
@@ -378,23 +602,53 @@ def data_files_for_snapshot(
             if entry.get("status") == _DELETED:
                 continue
             df_rec = entry.get("data_file") or {}
-            content = df_rec.get("content", 0)
-            if content not in (0, None):  # 1=position deletes, 2=equality
-                raise SourceError(
-                    "Iceberg delete files present - merge-on-read tables "
-                    "need the iceberg-spark-runtime path"
-                )
+            content = df_rec.get("content") or 0
             fmt = str(df_rec.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
-                raise SourceError(f"unsupported Iceberg data file format {fmt!r}")
+                kind = "delete" if content else "data"
+                raise SourceError(f"unsupported Iceberg {kind} file format {fmt!r}")
             if preds and spec_fields:
                 part = df_rec.get("partition")
                 if isinstance(part, dict) and not _entry_matches(
                     part, preds, spec_fields
                 ):
                     continue
-            files.append(_strip_file_uri(df_rec["file_path"]))
-    return files
+            seq = entry.get("sequence_number")
+            item = {
+                "path": _strip_file_uri(df_rec["file_path"]),
+                "seq": int(seq if seq is not None else m_seq),
+            }
+            if content == 0:
+                plan["data"].append(item)
+            elif content == 1:
+                plan["pos_deletes"].append(item)
+            elif content == 2:
+                ids = df_rec.get("equality_ids") or []
+                if not ids:
+                    raise SourceError(
+                        "Iceberg equality delete file without equality_ids: "
+                        + item["path"]
+                    )
+                item["equality_ids"] = [int(i) for i in ids]
+                plan["eq_deletes"].append(item)
+            else:
+                raise SourceError(f"unknown Iceberg file content {content!r}")
+    return plan
+
+
+def data_files_for_snapshot(
+    spark: SparkSession,
+    snapshot: dict,
+    meta: dict | None = None,
+    partition_filter=None,
+) -> list[str]:
+    """DATA file paths only (no delete application) — the file-listing
+    surface tests and tooling assert pruning against. Use scan_plan /
+    read_iceberg_table for delete-aware reads."""
+    return [
+        d["path"]
+        for d in scan_plan(spark, snapshot, meta, partition_filter)["data"]
+    ]
 
 
 def read_iceberg_table(
@@ -405,16 +659,19 @@ def read_iceberg_table(
     partition_filter=None,
 ) -> DataFrame:
     """Iceberg table -> DataFrame over exactly the snapshot's parquet
-    files. ``partition_filter`` ([[col, op, value], ...] or {col: value})
-    prunes data files via partition metadata AND is applied to the
-    DataFrame, so it has plain WHERE semantics whatever the metadata
-    allowed. Empty snapshot -> raises (a table with data never hits it);
-    a filter that prunes everything returns an empty DataFrame with the
-    table schema when file listing is non-empty pre-filter."""
+    files, with v2 positional/equality delete files applied (see module
+    docstring). ``partition_filter`` ([[col, op, value], ...] or
+    {col: value}) prunes data files via partition metadata AND is
+    applied to the DataFrame, so it has plain WHERE semantics whatever
+    the metadata allowed. Empty snapshot -> raises (a table with data
+    never hits it); a filter that prunes everything returns an empty
+    DataFrame with the table schema when file listing is non-empty
+    pre-filter."""
     meta = load_table_metadata(table_path)
     snap = select_snapshot(meta, snapshot_id, as_of_timestamp_ms)
-    files = data_files_for_snapshot(spark, snap, meta, partition_filter)
+    plan = scan_plan(spark, snap, meta, partition_filter)
     preds = _normalize_filter(partition_filter)
+    files = [d["path"] for d in plan["data"]]
     if not files:
         if preds:
             # all files pruned: empty result with the right schema
@@ -425,7 +682,103 @@ def read_iceberg_table(
         raise SourceError(
             f"Iceberg snapshot {snap['snapshot-id']} lists no data files"
         )
-    return _apply_filter(spark.read.parquet(*files), preds)
+    df = spark.read.parquet(*files)
+    if plan["pos_deletes"] or plan["eq_deletes"]:
+        df = _apply_deletes(spark, df, plan, meta)
+    return _apply_filter(df, preds)
+
+
+def _norm_path(col):
+    """file:///x, file:/x and /x all -> /x (delete files may record the
+    target path with or without the scheme the writer used)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
+def _apply_deletes(spark: SparkSession, df: DataFrame, plan: dict, meta: dict) -> DataFrame:
+    """Merge-on-read: anti-join the data scan against the snapshot's
+    delete files. All joins are plain DataFrame joins — the delete side
+    is typically KBs-to-MBs (AQE broadcasts it) and the data side never
+    leaves the executors, so this scales the same way Iceberg's own
+    Spark MoR reader does."""
+    from pyspark.sql import functions as F
+
+    def norm(p: str) -> str:
+        return "/" + p.split(":/", 1)[-1].lstrip("/") if p.startswith("file:") else p
+
+    data = (
+        df.withColumn("__fp", _norm_path(F.col("_metadata.file_path")))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    seq_df = spark.createDataFrame(
+        [(norm(d["path"]), int(d["seq"])) for d in plan["data"]],
+        schema="__fp string, __seq long",
+    )
+    # per-row data sequence number: broadcast map-join on file path
+    # (one row per file; stays in codegen)
+    data = data.join(F.broadcast(seq_df), "__fp", "left").withColumn(
+        "__seq", F.coalesce(F.col("__seq"), F.lit(0))
+    )
+    if plan["pos_deletes"]:
+        dseq = spark.createDataFrame(
+            [(norm(d["path"]), int(d["seq"])) for d in plan["pos_deletes"]],
+            schema="__dfp string, __dseq long",
+        )
+        tgt_seq = seq_df.select(
+            F.col("__fp").alias("__tfp"), F.col("__seq").alias("__tseq")
+        )
+        dels = (
+            spark.read.parquet(*[d["path"] for d in plan["pos_deletes"]])
+            .withColumn("__dfp", _norm_path(F.col("_metadata.file_path")))
+            .join(F.broadcast(dseq), "__dfp")
+            .select(
+                _norm_path(F.col("file_path")).alias("__tfp"),
+                F.col("pos").alias("__tpos"),
+                "__dseq",
+            )
+            # a position delete applies to data written at the same or an
+            # earlier sequence; drop rows aimed at files added later
+            .join(F.broadcast(tgt_seq), "__tfp")
+            .filter(F.col("__dseq") >= F.col("__tseq"))
+            .select("__tfp", "__tpos")
+        )
+        data = data.join(
+            dels,
+            (data["__fp"] == dels["__tfp"]) & (data["__pos"] == dels["__tpos"]),
+            "left_anti",
+        )
+    if plan["eq_deletes"]:
+        fields = _current_schema_fields(meta)
+        groups: dict[tuple, list[dict]] = {}
+        for d in plan["eq_deletes"]:
+            groups.setdefault(tuple(d["equality_ids"]), []).append(d)
+        for ids, dfiles in groups.items():
+            try:
+                cols = [fields[int(i)][0] for i in ids]
+            except KeyError as e:
+                raise SourceError(
+                    f"equality delete references unknown field id {e}"
+                ) from None
+            dseq = spark.createDataFrame(
+                [(norm(d["path"]), int(d["seq"])) for d in dfiles],
+                schema="__dfp string, __dseq long",
+            )
+            ed = (
+                spark.read.parquet(*[d["path"] for d in dfiles])
+                .withColumn("__dfp", _norm_path(F.col("_metadata.file_path")))
+                .join(F.broadcast(dseq), "__dfp")
+                .select(
+                    *[F.col(c).alias(f"__d_{c}") for c in cols], "__dseq"
+                )
+            )
+            # null-safe equality (spec: null == null matches) + the
+            # strict sequence rule: deletes only see EARLIER data
+            cond = data["__seq"] < ed["__dseq"]
+            for c in cols:
+                cond = cond & data[c].eqNullSafe(ed[f"__d_{c}"])
+            data = data.join(ed, cond, "left_anti")
+    return data.drop("__fp", "__pos", "__seq")
 
 
 def _apply_filter(df: DataFrame, preds) -> DataFrame:

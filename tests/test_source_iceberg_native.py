@@ -417,10 +417,12 @@ class TestIcebergNative:
         df = read_iceberg_table(spark, str(alt), snapshot_id=3)
         assert sorted(r.id for r in df.collect()) == [1, 2, 3]
 
-    def test_delete_files_rejected_loudly(self, spark, tmp_path, iceberg_table):
+    def test_non_parquet_data_rejected_loudly(self, spark, tmp_path, iceberg_table):
         fa = os.path.join(iceberg_table, "data", "a.parquet")
         m = str(tmp_path / "mdel.avro")
-        _write_avro(spark, m, _MANIFEST_SCHEMA, [_entry(fa, 3, content=1)])
+        entry = _entry(fa, 3)
+        entry["data_file"]["file_format"] = "ORC"
+        _write_avro(spark, m, _MANIFEST_SCHEMA, [entry])
         s = str(tmp_path / "sdel.avro")
         _write_avro(spark, s, _MLIST_SCHEMA,
                     [{"manifest_path": m, "manifest_length": os.path.getsize(m),
@@ -434,8 +436,20 @@ class TestIcebergNative:
                            "manifest-list": s}],
         }))
         (alt / "metadata" / "version-hint.text").write_text("1")
-        with pytest.raises(SourceError, match="delete files"):
+        with pytest.raises(SourceError, match="ORC"):
             read_iceberg_table(spark, str(alt))
+
+    def test_engine_integration_mor(self, spark, mor_table):
+        eng = ss.connect(
+            {"sources": [{
+                "name": "mor", "type": "iceberg_native",
+                "url": os.path.dirname(mor_table),
+                "tables": [{"name": os.path.basename(mor_table)}],
+            }]},
+            spark=spark,
+        )
+        out = eng.execute("SELECT id FROM mor_events_mor ORDER BY id")
+        assert [r["id"] for r in out.to_pylist()] == [1, 3, 4]
 
     def test_engine_integration_with_partition_filter(self, spark, part_table):
         eng = ss.connect(
@@ -470,3 +484,299 @@ class TestIcebergNative:
         old = eng.execute("SELECT count(*) AS n FROM ice_events_v1")
         assert cur.to_pylist() == [{"n": 5}]
         assert old.to_pylist() == [{"n": 3}]
+
+
+# ----------------------------------------------- merge-on-read fixture
+_MOR_MANIFEST_SCHEMA = json.dumps({
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": "long"},
+        # real manifests declare ["null","long"]; py4j passes small ints
+        # as Integer which the JVM writer can't resolve against that
+        # union (same caveat as the module-top NOTE) — plain long here
+        {"name": "sequence_number", "type": "long"},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "data_file", "fields": [
+                {"name": "content", "type": "int", "default": 0},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}],
+                 "default": None},
+            ]}},
+    ]})
+
+_MOR_MLIST_SCHEMA = json.dumps({
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int", "default": 0},
+        {"name": "content", "type": "int", "default": 0},
+        {"name": "sequence_number", "type": "long", "default": 0},
+        {"name": "added_snapshot_id", "type": "long"},
+    ]})
+
+
+@pytest.fixture(scope="module")
+def mor_table(spark, tmp_path_factory):
+    """v2 merge-on-read table: two data files at sequence 1, then
+
+    - pd.parquet     (seq 2): position delete (a.parquet, pos 1) -> id 2
+    - pd_stale.parquet (seq 0): position delete (b.parquet, pos 0) —
+      BELOW the data's sequence, must not apply (id 4 survives)
+    - ed.parquet     (seq 2): equality delete id=5 -> id 5 deleted
+    - ed_same.parquet (seq 1): equality delete id=4 at the SAME sequence
+      as the data — the strictly-earlier rule keeps id 4
+
+    Expected surviving ids: {1, 3, 4}.
+    """
+    root = tmp_path_factory.mktemp("iceberg_mor") / "events_mor"
+    data, meta = root / "data", root / "metadata"
+    data.mkdir(parents=True)
+    meta.mkdir()
+    fa, fb = str(data / "a.parquet"), str(data / "b.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                             "v": ["x", "y", "z"]}), fa)
+    pq.write_table(pa.table({"id": pa.array([4, 5], pa.int64()),
+                             "v": ["p", "q"]}), fb)
+
+    pd_f = str(data / "pd.parquet")
+    pq.write_table(pa.table({"file_path": [fa],
+                             "pos": pa.array([1], pa.int64())}), pd_f)
+    pd_stale = str(data / "pd_stale.parquet")
+    pq.write_table(pa.table({"file_path": [fb],
+                             "pos": pa.array([0], pa.int64())}), pd_stale)
+    ed_f = str(data / "ed.parquet")
+    pq.write_table(pa.table({"id": pa.array([5], pa.int64())}), ed_f)
+    ed_same = str(data / "ed_same.parquet")
+    pq.write_table(pa.table({"id": pa.array([4], pa.int64())}), ed_same)
+
+    def entry(path, content, seq, eq_ids=None):
+        return {
+            "status": 1, "snapshot_id": 1, "sequence_number": seq,
+            "data_file": {
+                "content": content, "file_path": path,
+                "file_format": "PARQUET", "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": eq_ids,
+            },
+        }
+
+    m_data = str(meta / "m-data.avro")
+    _write_avro(spark, m_data, _MOR_MANIFEST_SCHEMA, [
+        entry(fa, 0, 1), entry(fb, 0, 1),
+    ])
+    m_del = str(meta / "m-del.avro")
+    _write_avro(spark, m_del, _MOR_MANIFEST_SCHEMA, [
+        entry(pd_f, 1, 2),
+        entry(pd_stale, 1, 0),
+        entry(ed_f, 2, 2, eq_ids=[1]),
+        entry(ed_same, 2, 1, eq_ids=[1]),
+    ])
+
+    slist = str(meta / "snap-1.avro")
+
+    def mf(p, content, seq):
+        return {"manifest_path": p, "manifest_length": os.path.getsize(p),
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": seq, "added_snapshot_id": 1}
+
+    _write_avro(spark, slist, _MOR_MLIST_SCHEMA,
+                [mf(m_data, 0, 1), mf(m_del, 1, 2)])
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000003",
+        "location": str(root),
+        "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "id", "type": "long", "required": False},
+                {"id": 2, "name": "v", "type": "string", "required": False},
+            ]}],
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1_700_000_000_000,
+             "manifest-list": slist},
+        ],
+    }
+    (meta / "v1.metadata.json").write_text(json.dumps(metadata))
+    (meta / "version-hint.text").write_text("1")
+    return str(root)
+
+
+class TestMergeOnRead:
+    def test_scan_plan_classifies_files(self, spark, mor_table):
+        from strake_spark.sources.iceberg_native import (
+            load_table_metadata,
+            scan_plan,
+            select_snapshot,
+        )
+
+        meta = load_table_metadata(mor_table)
+        plan = scan_plan(spark, select_snapshot(meta), meta)
+        assert len(plan["data"]) == 2
+        assert {d["seq"] for d in plan["data"]} == {1}
+        assert len(plan["pos_deletes"]) == 2
+        assert len(plan["eq_deletes"]) == 2
+        assert all(d["equality_ids"] == [1] for d in plan["eq_deletes"])
+
+    def test_deletes_applied_with_sequence_rules(self, spark, mor_table):
+        df = read_iceberg_table(spark, mor_table)
+        assert sorted(r.id for r in df.collect()) == [1, 3, 4]
+        # surviving rows keep their full payload
+        assert {(r.id, r.v) for r in df.collect()} == {
+            (1, "x"), (3, "z"), (4, "p")}
+
+    def test_no_helper_columns_leak(self, spark, mor_table):
+        df = read_iceberg_table(spark, mor_table)
+        assert df.columns == ["id", "v"]
+
+    def test_equality_delete_unknown_field_id_raises(self, spark, tmp_path, mor_table):
+        """An equality_ids referencing a field id absent from the schema
+        must fail loudly, not silently skip the delete."""
+        from strake_spark.sources.iceberg_native import (
+            _apply_deletes,
+            load_table_metadata,
+            scan_plan,
+            select_snapshot,
+        )
+
+        meta = load_table_metadata(mor_table)
+        plan = scan_plan(spark, select_snapshot(meta), meta)
+        bad = [dict(d, equality_ids=[99]) for d in plan["eq_deletes"]]
+        plan2 = {"data": plan["data"], "pos_deletes": [], "eq_deletes": bad}
+        df = spark.read.parquet(*[d["path"] for d in plan["data"]])
+        with pytest.raises(SourceError, match="unknown field id"):
+            _apply_deletes(spark, df, plan2, meta).collect()
+
+
+# -------------------------------------- hidden-partition transforms
+class TestTransformHash:
+    def test_murmur3_spec_vectors(self):
+        """Iceberg spec Appendix B reference values (signed int32)."""
+        from strake_spark.sources.iceberg_native import _murmur3_32
+        import struct
+
+        def signed(x):
+            return x - (1 << 32) if x >= (1 << 31) else x
+
+        assert signed(_murmur3_32(struct.pack("<q", 34))) == 2017239379
+        assert signed(_murmur3_32("iceberg".encode())) == 1210000089
+        assert signed(_murmur3_32(struct.pack("<q", 17486))) == -653330422
+
+    def test_bucket_value(self):
+        from strake_spark.sources.iceberg_native import _bucket_value
+
+        # (2017239379 & Int.MAX) % 16
+        assert _bucket_value(34, 16, "long") == 2017239379 % 16
+        assert _bucket_value("iceberg", 16, "string") == 1210000089 % 16
+
+
+class TestTransformPruning:
+    @staticmethod
+    def _field(name, source, typ, transform, param=None):
+        return {"name": name, "source_name": source, "type": typ,
+                "transform": transform, "param": param}
+
+    def test_bucket_equality_prunes(self):
+        from strake_spark.sources.iceberg_native import (
+            _bucket_value,
+            _entry_matches,
+        )
+
+        f = self._field("id_bucket", "id", "long", "bucket", 16)
+        b34 = _bucket_value(34, 16, "long")
+        keep = _entry_matches({"id_bucket": b34}, [("id", "==", 34)], [f])
+        assert keep is True
+        drop = _entry_matches(
+            {"id_bucket": (b34 + 1) % 16}, [("id", "==", 34)], [f]
+        )
+        assert drop is False
+        # range predicates never prune a bucket field
+        assert _entry_matches(
+            {"id_bucket": (b34 + 1) % 16}, [("id", ">", 34)], [f]
+        ) is True
+
+    def test_truncate_prunes(self):
+        from strake_spark.sources.iceberg_native import _entry_matches
+
+        f = self._field("x_trunc", "x", "long", "truncate", 10)
+        part = {"x_trunc": 10}  # file holds x in [10, 20)
+        assert _entry_matches(part, [("x", "==", 13)], [f]) is True
+        assert _entry_matches(part, [("x", "==", 25)], [f]) is False
+        assert _entry_matches(part, [("x", "<", 5)], [f]) is False
+        assert _entry_matches(part, [("x", "<", 100)], [f]) is True
+        assert _entry_matches(part, [("x", ">", 25)], [f]) is False
+        # != on a many-to-one transform can never prune
+        assert _entry_matches(part, [("x", "!=", 13)], [f]) is True
+
+    def test_truncate_string_prefix(self):
+        from strake_spark.sources.iceberg_native import _entry_matches
+
+        f = self._field("s_trunc", "s", "string", "truncate", 3)
+        assert _entry_matches({"s_trunc": "abc"}, [("s", "==", "abcdef")], [f]) is True
+        assert _entry_matches({"s_trunc": "abc"}, [("s", "==", "abd")], [f]) is False
+
+    def test_day_month_year_transforms(self):
+        from strake_spark.sources.iceberg_native import _transform_literal
+
+        # 2024-04-02 = epoch day 19815
+        f_day = self._field("d", "ts", "date", "day")
+        assert _transform_literal(f_day, "2024-04-02") == 19815
+        f_year = self._field("y", "ts", "date", "year")
+        assert _transform_literal(f_year, "2024-04-02") == 54
+        f_month = self._field("m", "ts", "date", "month")
+        assert _transform_literal(f_month, "2024-04-02") == 54 * 12 + 3
+        # timestamps: micros -> hour/day
+        f_hour = self._field("h", "ts", "timestamp", "hour")
+        micros = 19815 * 86_400_000_000 + 7 * 3_600_000_000
+        assert _transform_literal(f_hour, micros) == 19815 * 24 + 7
+        f_tsday = self._field("d", "ts", "timestamp", "day")
+        assert _transform_literal(f_tsday, "2024-04-02T07:30:00") == 19815
+
+    def test_day_partition_entry_pruning(self):
+        from strake_spark.sources.iceberg_native import _entry_matches
+
+        f = self._field("ts_day", "ts", "timestamp", "day")
+        d1 = {"ts_day": 19815}
+        d2 = {"ts_day": 19816}
+        pred = [("ts", ">=", "2024-04-03T00:00:00")]  # day 19816
+        assert _entry_matches(d1, pred, [f]) is False
+        assert _entry_matches(d2, pred, [f]) is True
+        # equality within the day keeps only that day's file
+        pred_eq = [("ts", "==", "2024-04-02T10:00:00")]
+        assert _entry_matches(d1, pred_eq, [f]) is True
+        assert _entry_matches(d2, pred_eq, [f]) is False
+
+    def test_manifest_summary_transform_bounds(self):
+        from strake_spark.sources.iceberg_native import _manifest_may_match
+        import struct
+
+        f = self._field("ts_day", "ts", "timestamp", "day")
+        summ = [{"contains_null": False,
+                 "lower_bound": struct.pack("<i", 19815),
+                 "upper_bound": struct.pack("<i", 19815)}]
+        pred_out = [("ts", ">=", "2024-04-03T00:00:00")]  # day 19816
+        assert _manifest_may_match(summ, pred_out, [f]) is False
+        pred_in = [("ts", ">=", "2024-04-02T05:00:00")]  # same day: keep
+        assert _manifest_may_match(summ, pred_in, [f]) is True
+
+    def test_void_and_unknown_transforms_never_prune(self):
+        from strake_spark.sources.iceberg_native import (
+            _partition_spec_fields,
+        )
+
+        meta = {
+            "schemas": [{"schema-id": 0, "fields": [
+                {"id": 1, "name": "id", "type": "long"}]}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": "p1", "transform": "void", "source-id": 1},
+                {"name": "p2", "transform": "zorder[2]", "source-id": 1},
+            ]}],
+        }
+        fields = _partition_spec_fields(meta, 0)
+        assert all(f["source_name"] is None for f in fields)
