@@ -69,15 +69,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # sixteen checked, all-time driver coverage reaches 115/115; (c) the
 # four rows-only (no-oracle-by-design) entries RE-paired adjacently
 # with their driver-checkable green companions, so the window shows
-# each weak row next to the strong row that justifies it; (d) 26 of
-# the 45 remaining r5-evidence entries — the full TPC-H block and the
-# join matrix (the families most exposed to perf churn), plus two
-# aggregates. That is exactly 50. Immediately after the boundary: the
-# 19 r5-green entries deferred to the round-8 window (agg variants,
-# window functions, set ops — the most change-stable families, each
-# still pytest-oracled at sf0.001 and sf0.01 by
-# tests/test_inventory.py every round). Everything r6-green follows in
-# registration order.
+# each weak row next to the strong row that justifies it; (c2) the
+# three entries ADDED in round 7 (source quota, shard manifest,
+# context chunking — never driver-checked); (d) 23 of the remaining
+# r5-evidence entries — the full TPC-H block and the join matrix (the
+# families most exposed to perf churn). That is exactly 50.
+# Immediately after the boundary: the 22 r5-green entries deferred to
+# the round-8 window (one non-equi join, agg variants, window
+# functions, set ops — the most change-stable families, each still
+# pytest-oracled at sf0.001 and sf0.01 by tests/test_inventory.py
+# every round). Everything r6-green follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked (added late in round 6)
     "embedding_quantize_int8", "pipeline_mixture_upsample",
@@ -93,6 +94,9 @@ _PRIORITY: tuple[str, ...] = (
     "ann_lsh_bucketed_topk", "ann_lsh_recall_vs_exact",
     "ann_ivf_topk", "ann_ivf_recall_vs_exact",
     "multimodal_decode_features", "multimodal_decode_meta",
+    # (c2) new in round 7 — never driver-checked
+    "pipeline_source_quota", "pipeline_shard_manifest",
+    "pipeline_chunk_documents",
     # (d) r5-evidence: full TPC-H block
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
@@ -107,11 +111,11 @@ _PRIORITY: tuple[str, ...] = (
     "join_right_orders_customer", "join_full_outer_nation_coverage",
     "join_semi_customers_with_urgent_orders",
     "join_anti_customers_without_urgent_orders",
-    "join_cross_region_status", "join_non_equi_price_over_size",
-    # (d) r5-evidence: aggregates
-    "agg_global_stats", "agg_grouping_sets",
+    "join_cross_region_status",
     # --- 50-entry window boundary ---
     # deferred to the round-8 window (r5-green, change-stable)
+    "join_non_equi_price_over_size",
+    "agg_global_stats", "agg_grouping_sets",
     "agg_rollup_status_priority", "agg_cube_flag_status",
     "agg_having_big_customers", "agg_variance_by_nation",
     "agg_string_agg_priorities", "agg_filtered_conditional",

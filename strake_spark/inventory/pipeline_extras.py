@@ -406,3 +406,126 @@ def curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "quality")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "pipeline_source_quota",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id
+    """,
+    notes=(
+        "per-source document quota (cap 20, keep-first by doc_id) — the "
+        "domain-capping step of web-corpus curation (no single site may "
+        "dominate the mix). One window pass partitioned by source; at "
+        "100 TB the partition count is the domain count (millions), so "
+        "state per partition stays tiny; a pathological mega-domain is "
+        "bounded by the quota itself"
+    ),
+)
+def source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pipeline_shard_manifest",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+               AS shard_id
+      FROM documents
+    )
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY shard_id ORDER BY shard_id
+    """,
+    notes=(
+        "deterministic output sharding (md5 bucket, 8 shards) + the "
+        "per-shard manifest a writer publishes (doc count, char volume, "
+        "id range) — the repartition-by-shard + manifest step before "
+        "writing training shards; hash sharding balances volume without "
+        "RNG state and the manifest is one map-side-combinable aggregate"
+    ),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 8
+    )
+    return (
+        d.select(shard.alias("shard_id"), "doc_id", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@query(
+    "pipeline_chunk_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 16, 1), 48)) AS start
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_id,
+           CAST(least(64, len(toks) - start) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(list_slice(toks, start + 1, start + 64), ' '))
+             AS chunk_md5
+    FROM starts ORDER BY doc_id, chunk_id
+    """,
+    notes=(
+        "context-window chunking: split each document's token stream "
+        "into 64-token training chunks with 16-token overlap (stride "
+        "48) — the doc->sample step before packing. Pure built-ins "
+        "(split/sequence/explode/slice), no UDF; chunk content is "
+        "verified by md5 so the oracle compares text without shipping "
+        "it. At 100 TB this is map-only: chunks never shuffle"
+    ),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"), " +", " ")), " ")
+    t = d.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    # DuckDB range(0, stop, 48) excludes stop; Spark sequence includes:
+    # sequence(0, greatest(n-17, 0), 48) yields the identical start set
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n") - 17, F.lit(0)), F.lit(48)
+    )
+    t = t.select("doc_id", "toks", "n", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, 64)
+    return t.select(
+        "doc_id",
+        (F.col("start") / 48).cast("long").alias("chunk_id"),
+        F.least(F.lit(64), F.col("n") - F.col("start")).cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
