@@ -257,12 +257,22 @@ class StrakeEngine:
         same-source federation applies, the remote statement is shown
         first — everything under it executed inside the source."""
         from strake_spark.plans.federation import plan_sql
+        from strake_spark.plans.iceberg_prune import IcebergPrunePlan
         from strake_spark.plans.partial import PartialPlan
         from strake_spark.plans.tree import format_plan_tree
 
         ensure_select(query)
         df, pushed = plan_sql(self.spark, query)
         tree = format_plan_tree(df)
+        if isinstance(pushed, IcebergPrunePlan):
+            lines = "\n".join(
+                f"  {s.view} -> [PRUNED] {s.files_after}/{s.files_before} files"
+                for s in pushed.scans
+            )
+            return (
+                f"IcebergPartitionPruning [{len(pushed.scans)} scans]\n{lines}\n"
+                + tree
+            )
         if isinstance(pushed, PartialPlan):
             lines = "\n".join(
                 f"  {s.view} -> [PUSHED to {s.context}] {s.remote_sql}"

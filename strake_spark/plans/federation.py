@@ -209,11 +209,15 @@ def plan_sql(
     """Main entry: returns (DataFrame, pushdown-plan-or-None).
 
     Planning ladder, mirroring the reference's dialect router: whole-
-    statement pushdown (one remote owns everything) -> partial per-table
+    statement pushdown (one remote owns everything) -> iceberg_native
+    query-time partition pruning (local scan re-planned over only the
+    matching files, plans/iceberg_prune.py) -> partial per-table
     pushdown (mixed statement; each remote scan ships its filtered
     projection, plans/partial.py) -> fully local. Pushdown failures
     (remote parse/execute errors from dialect drift) fall back to the
-    next rung.
+    next rung. When both iceberg pruning and partial pushdown fire, the
+    partial plan is reported (the pruning is embedded in the statement
+    it rewrote).
     """
     plan = analyze(sql)
     if plan is not None:
@@ -230,6 +234,15 @@ def plan_sql(
                 plan.remote.context(),
                 e,
             )
+    ice_plan = None
+    try:
+        from strake_spark.plans.iceberg_prune import analyze_iceberg_prune
+
+        ice = analyze_iceberg_prune(spark, sql)
+        if ice is not None:
+            sql, ice_plan = ice  # pruned statement feeds the rest of the ladder
+    except Exception as e:  # noqa: BLE001 - pruning is optional
+        log.warning("iceberg partition-prune analysis failed (%s); original plan", e)
     try:
         from strake_spark.plans.partial import analyze_partial, execute_partial
 
@@ -243,4 +256,4 @@ def plan_sql(
         if not allow_fallback:
             raise
         log.warning("partial pushdown failed (%s); executing locally", e)
-    return spark.sql(sql), None
+    return spark.sql(sql), ice_plan

@@ -797,13 +797,74 @@ def _apply_filter(df: DataFrame, preds) -> DataFrame:
     return df
 
 
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class IcebergView:
+    """Registration record for query-time partition pruning
+    (plans/iceberg_prune.py): enough to re-plan the scan with extra
+    partition predicates derived from a statement's WHERE clause."""
+
+    view: str
+    table_path: str
+    snapshot_id: int | None
+    as_of_timestamp_ms: int | None
+    base_filter: object  # registration-time partition_filter (or None)
+    partition_cols: frozenset  # source column names across all specs
+
+
+ICEBERG_VIEWS: dict[str, IcebergView] = {}
+
+
+def _all_partition_source_cols(meta: dict) -> frozenset:
+    spec_ids = [
+        int(s.get("spec-id", 0)) for s in meta.get("partition-specs", [])
+    ] or [0]
+    cols: set[str] = set()
+    for sid in spec_ids:
+        for f in _partition_spec_fields(meta, sid):
+            if f["source_name"]:
+                cols.add(f["source_name"])
+    return frozenset(cols)
+
+
+def pruned_files_and_df(
+    spark: SparkSession, info: IcebergView, extra_preds
+) -> tuple[int, int, DataFrame] | None:
+    """Re-plan an iceberg_native view's scan with extra partition
+    predicates. Returns (files_before, files_after, DataFrame) when the
+    extra predicates strictly shrink the file list, else None. The
+    extra predicates are NOT removed from the caller's statement, so
+    this is purely a scan-size optimization."""
+    base = _normalize_filter(info.base_filter) if info.base_filter else []
+    combined = base + [list(p) for p in extra_preds]
+    meta = load_table_metadata(info.table_path)
+    snap = select_snapshot(meta, info.snapshot_id, info.as_of_timestamp_ms)
+    before = len(data_files_for_snapshot(spark, snap, meta, base or None))
+    after = len(data_files_for_snapshot(spark, snap, meta, combined))
+    if after >= before:
+        return None
+    df = read_iceberg_table(
+        spark,
+        info.table_path,
+        snapshot_id=info.snapshot_id,
+        as_of_timestamp_ms=info.as_of_timestamp_ms,
+        partition_filter=combined,
+    )
+    return before, after, df
+
+
 @source_type("iceberg_native")
 def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]:
     """Filesystem Iceberg tables (url = warehouse dir; each table's
     path is <url>/<name> or an explicit per-table path). Per-table
     options: snapshot_id, as_of_timestamp_ms (time travel),
     partition_filter ([[col, op, value], ...] — prunes data files via
-    partition metadata and applies as a WHERE)."""
+    partition metadata and applies as a WHERE). Registered views also
+    get QUERY-TIME pruning: engine.sql statements whose WHERE touches a
+    partition source column re-plan the scan over only the matching
+    files (plans/iceberg_prune.py)."""
     from strake_spark.sources.file import view_name
 
     if not cfg.tables:
@@ -829,4 +890,16 @@ def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]
         view = view_name(cfg.name, tbl.name)
         df.createOrReplaceTempView(view)
         registered.append(view)
+        try:
+            meta = load_table_metadata(table_path)
+            ICEBERG_VIEWS[view] = IcebergView(
+                view=view,
+                table_path=table_path,
+                snapshot_id=int(snap_id) if snap_id is not None else None,
+                as_of_timestamp_ms=int(as_of) if as_of is not None else None,
+                base_filter=opts.get("partition_filter"),
+                partition_cols=_all_partition_source_cols(meta),
+            )
+        except Exception:  # noqa: BLE001 - pruning is optional; view works
+            pass
     return registered

@@ -780,3 +780,98 @@ class TestTransformPruning:
         }
         fields = _partition_spec_fields(meta, 0)
         assert all(f["source_name"] is None for f in fields)
+
+
+class TestQueryTimePruning:
+    """engine.sql WHERE clauses on partition source columns re-plan the
+    iceberg_native scan over only the matching files (the reference's
+    provider-level pushdown, provider.rs:526-540, for ad-hoc SQL)."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark, part_table):
+        return ss.connect(
+            {"sources": [{
+                "name": "iceq", "type": "iceberg_native",
+                "url": os.path.dirname(part_table),
+                "tables": [{"name": "events_part", "path": part_table}],
+            }]},
+            spark=spark,
+        )
+
+    def test_equality_prunes_files(self, eng):
+        from strake_spark.plans.iceberg_prune import IcebergPrunePlan
+
+        df = eng.sql("SELECT id FROM iceq_events_part WHERE region = 'eu' ORDER BY id")
+        assert [r.id for r in df.collect()] == [1, 2, 3, 4]
+        plan = eng._last_pushdown
+        assert isinstance(plan, IcebergPrunePlan)
+        (s,) = plan.scans
+        assert (s.files_before, s.files_after) == (4, 2)
+
+    def test_date_range_prunes(self, eng):
+        df = eng.sql(
+            "SELECT id FROM iceq_events_part "
+            "WHERE event_date >= DATE '2024-04-03' ORDER BY id"
+        )
+        assert [r.id for r in df.collect()] == [3, 4, 7, 8]
+        (s,) = eng._last_pushdown.scans
+        assert (s.files_before, s.files_after) == (4, 2)
+
+    def test_combined_predicates_prune_to_one_file(self, eng):
+        df = eng.sql(
+            "SELECT id FROM iceq_events_part "
+            "WHERE region = 'eu' AND event_date >= DATE '2024-04-03' ORDER BY id"
+        )
+        assert [r.id for r in df.collect()] == [3, 4]
+        (s,) = eng._last_pushdown.scans
+        assert (s.files_before, s.files_after) == (4, 1)
+
+    def test_in_list_and_reversed_literal(self, eng):
+        df = eng.sql(
+            "SELECT id FROM iceq_events_part "
+            "WHERE region IN ('us', 'apac') ORDER BY id"
+        )
+        assert [r.id for r in df.collect()] == [5, 6, 7, 8]
+        assert eng._last_pushdown.scans[0].files_after == 2
+        df2 = eng.sql(
+            "SELECT id FROM iceq_events_part WHERE 'us' = region ORDER BY id"
+        )
+        assert [r.id for r in df2.collect()] == [5, 6, 7, 8]
+        assert eng._last_pushdown.scans[0].files_after == 2
+
+    def test_alias_qualified_column(self, eng):
+        df = eng.sql(
+            "SELECT t.id FROM iceq_events_part t WHERE t.region = 'us' ORDER BY t.id"
+        )
+        assert [r.id for r in df.collect()] == [5, 6, 7, 8]
+        assert eng._last_pushdown.scans[0].files_after == 2
+
+    def test_non_partition_predicate_does_not_prune(self, eng):
+        df = eng.sql("SELECT id FROM iceq_events_part WHERE id > 6 ORDER BY id")
+        assert [r.id for r in df.collect()] == [7, 8]
+        assert eng._last_pushdown is None
+
+    def test_results_match_unpruned(self, eng):
+        pruned = eng.sql(
+            "SELECT id, region, event_date FROM iceq_events_part "
+            "WHERE region = 'eu' ORDER BY id"
+        ).collect()
+        full = eng.sql("SELECT id, region, event_date FROM iceq_events_part") \
+            .collect()
+        assert [r.id for r in pruned] == sorted(
+            r.id for r in full if r.region == "eu"
+        )
+
+    def test_explain_tree_reports_pruning(self, eng):
+        tree = eng.explain_tree(
+            "SELECT count(*) AS n FROM iceq_events_part WHERE region = 'eu'"
+        )
+        assert "IcebergPartitionPruning" in tree
+        assert "[PRUNED] 2/4 files" in tree
+
+    def test_governed_execute_path(self, eng):
+        out = eng.execute(
+            "SELECT count(*) AS n FROM iceq_events_part "
+            "WHERE region = 'eu' AND event_date = DATE '2024-04-02'"
+        )
+        assert out.to_pylist() == [{"n": 2}]
