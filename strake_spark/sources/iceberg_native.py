@@ -110,9 +110,32 @@ def _jrecord_to_py(obj):
     return obj
 
 
+from collections import OrderedDict as _OrderedDict
+
+# Decoded-manifest cache. Iceberg metadata files are immutable once
+# written (snapshots reference them by content-unique path; they are
+# never rewritten in place), so (path, size, mtime) is a sound key.
+# Bounded LRU: query-time pruning walks the manifest list up to three
+# times per statement (before-count, after-count, scan build) and every
+# engine.sql over the same table repeats the walk — without this each
+# walk pays py4j round-trips per record.
+_AVRO_CACHE: _OrderedDict = _OrderedDict()
+_AVRO_CACHE_MAX = 256
+
+
 def read_avro_records(spark: SparkSession, path: str) -> list[dict]:
     """Decode an Avro container file into dicts using the JVM's avro
-    jar (driver-side; Iceberg manifests are small metadata files)."""
+    jar (driver-side; Iceberg manifests are small metadata files).
+    Results are cached per (path, size, mtime) — callers must treat the
+    returned records as read-only."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = None
+    if key is not None and key in _AVRO_CACHE:
+        _AVRO_CACHE.move_to_end(key)
+        return _AVRO_CACHE[key]
     jvm = spark._jvm
     try:
         reader = jvm.org.apache.avro.file.DataFileReader(
@@ -127,6 +150,10 @@ def read_avro_records(spark: SparkSession, path: str) -> list[dict]:
             out.append(_jrecord_to_py(reader.next()))
     finally:
         reader.close()
+    if key is not None:
+        _AVRO_CACHE[key] = out
+        while len(_AVRO_CACHE) > _AVRO_CACHE_MAX:
+            _AVRO_CACHE.popitem(last=False)
     return out
 
 

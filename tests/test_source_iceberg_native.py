@@ -368,6 +368,15 @@ class TestIcebergNative:
         assert recs[0]["data_file"]["file_format"] == "PARQUET"
         assert recs[0]["data_file"]["record_count"] == 3
 
+    def test_avro_decode_cached_for_immutable_manifests(self, spark, iceberg_table):
+        """Iceberg metadata files are immutable; repeated walks (the
+        query-time pruner does up to three per statement) must not pay
+        py4j decode again — same object comes back from the LRU."""
+        p = os.path.join(iceberg_table, "metadata", "m1.avro")
+        a = read_avro_records(spark, p)
+        b = read_avro_records(spark, p)
+        assert a is b
+
     def test_current_snapshot_reads_all_files(self, spark, iceberg_table):
         df = read_iceberg_table(spark, iceberg_table)
         assert sorted(r.id for r in df.collect()) == [1, 2, 3, 4, 5]
