@@ -180,8 +180,11 @@ class _Handler(BaseHTTPRequestHandler):
                 400, {"status": "error", "data": None, "message": "missing 'sql'"}
             )
         user = claims.get("sub") or body.get("user")
+        # same W3C trace-context propagation as _query: a profile run
+        # joins the caller's distributed trace
+        traceparent = self.headers.get("traceparent")
         try:
-            report = self.engine.profile(sql, user=user)
+            report = self.engine.profile(sql, user=user, traceparent=traceparent)
         except StrakeError as e:
             return self._send(400, {"status": "error", "data": None, "message": str(e)})
         except Exception as e:

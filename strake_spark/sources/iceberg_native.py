@@ -695,6 +695,24 @@ def read_iceberg_table(
     DataFrame with the table schema when file listing is non-empty
     pre-filter."""
     meta = load_table_metadata(table_path)
+    return read_iceberg_table_from_metadata(
+        spark, meta,
+        snapshot_id=snapshot_id,
+        as_of_timestamp_ms=as_of_timestamp_ms,
+        partition_filter=partition_filter,
+    )
+
+
+def read_iceberg_table_from_metadata(
+    spark: SparkSession,
+    meta: dict,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+    partition_filter=None,
+) -> DataFrame:
+    """Same as read_iceberg_table but from an already-loaded table
+    metadata dict — the shape a REST catalog's LoadTableResult carries
+    (sources/iceberg_rest_native.py) and the FS path loads from disk."""
     snap = select_snapshot(meta, snapshot_id, as_of_timestamp_ms)
     plan = scan_plan(spark, snap, meta, partition_filter)
     preds = _normalize_filter(partition_filter)
@@ -831,10 +849,13 @@ from dataclasses import dataclass as _dataclass
 class IcebergView:
     """Registration record for query-time partition pruning
     (plans/iceberg_prune.py): enough to re-plan the scan with extra
-    partition predicates derived from a statement's WHERE clause."""
+    partition predicates derived from a statement's WHERE clause.
+    ``load_meta`` re-reads table metadata — from disk for filesystem
+    tables, over HTTP for REST-catalog tables — so pruning always plans
+    against current metadata."""
 
     view: str
-    table_path: str
+    load_meta: object  # () -> metadata dict
     snapshot_id: int | None
     as_of_timestamp_ms: int | None
     base_filter: object  # registration-time partition_filter (or None)
@@ -866,15 +887,15 @@ def pruned_files_and_df(
     this is purely a scan-size optimization."""
     base = _normalize_filter(info.base_filter) if info.base_filter else []
     combined = base + [list(p) for p in extra_preds]
-    meta = load_table_metadata(info.table_path)
+    meta = info.load_meta()
     snap = select_snapshot(meta, info.snapshot_id, info.as_of_timestamp_ms)
     before = len(data_files_for_snapshot(spark, snap, meta, base or None))
     after = len(data_files_for_snapshot(spark, snap, meta, combined))
     if after >= before:
         return None
-    df = read_iceberg_table(
+    df = read_iceberg_table_from_metadata(
         spark,
-        info.table_path,
+        meta,
         snapshot_id=info.snapshot_id,
         as_of_timestamp_ms=info.as_of_timestamp_ms,
         partition_filter=combined,
@@ -884,9 +905,18 @@ def pruned_files_and_df(
 
 @source_type("iceberg_native")
 def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]:
-    """Filesystem Iceberg tables (url = warehouse dir; each table's
-    path is <url>/<name> or an explicit per-table path). Per-table
-    options: snapshot_id, as_of_timestamp_ms (time travel),
+    """Jar-free Iceberg tables.
+
+    - Filesystem: url = warehouse dir; each table's path is
+      <url>/<name> or an explicit per-table path.
+    - REST catalog: url = http(s) catalog URI (the public Iceberg REST
+      spec) — table metadata comes from the catalog's LoadTableResult
+      (sources/iceberg_rest_native.py); source options: ``token``
+      (static bearer) OR ``credential`` ("client_id:client_secret") +
+      optional ``oauth2_server_uri`` (client-credentials grant),
+      ``warehouse``; per-table ``schema`` is the namespace.
+
+    Per-table options: snapshot_id, as_of_timestamp_ms (time travel),
     partition_filter ([[col, op, value], ...] — prunes data files via
     partition metadata and applies as a WHERE). Registered views also
     get QUERY-TIME pruning: engine.sql statements whose WHERE touches a
@@ -896,15 +926,30 @@ def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]
 
     if not cfg.tables:
         raise SourceError(f"iceberg_native source {cfg.name!r} declares no tables")
+    catalog = None
+    if (cfg.url or "").startswith(("http://", "https://")):
+        from strake_spark.sources.iceberg_rest_native import RestCatalog
+
+        catalog = RestCatalog(cfg.url, options=cfg.options)
     registered: list[str] = []
     for tbl in cfg.tables:
-        table_path = tbl.path or os.path.join(cfg.url or "", tbl.name)
         opts = dict(tbl.options)
         snap_id = opts.get("snapshot_id")
         as_of = opts.get("as_of_timestamp_ms")
-        df = read_iceberg_table(
+        if catalog is not None:
+            ns = tbl.schema or "default"
+
+            def load_meta(ns=ns, name=tbl.name):
+                return catalog.load_table(ns, name)
+        else:
+            table_path = tbl.path or os.path.join(cfg.url or "", tbl.name)
+
+            def load_meta(table_path=table_path):
+                return load_table_metadata(table_path)
+
+        df = read_iceberg_table_from_metadata(
             spark,
-            table_path,
+            load_meta(),
             snapshot_id=int(snap_id) if snap_id is not None else None,
             as_of_timestamp_ms=int(as_of) if as_of is not None else None,
             partition_filter=opts.get("partition_filter"),
@@ -918,14 +963,13 @@ def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]
         df.createOrReplaceTempView(view)
         registered.append(view)
         try:
-            meta = load_table_metadata(table_path)
             ICEBERG_VIEWS[view] = IcebergView(
                 view=view,
-                table_path=table_path,
+                load_meta=load_meta,
                 snapshot_id=int(snap_id) if snap_id is not None else None,
                 as_of_timestamp_ms=int(as_of) if as_of is not None else None,
                 base_filter=opts.get("partition_filter"),
-                partition_cols=_all_partition_source_cols(meta),
+                partition_cols=_all_partition_source_cols(load_meta()),
             )
         except Exception:  # noqa: BLE001 - pruning is optional; view works
             pass
