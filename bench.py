@@ -59,6 +59,7 @@ PIPELINE_QUERIES = (
     "ann_cosine_topk_bruteforce",
     "text_quality_score",
     "pipeline_decontaminate_ngram",
+    "pipeline_chunk_documents",  # added r7: map-only chunking throughput
 )
 
 
