@@ -703,6 +703,78 @@ def read_iceberg_table(
     )
 
 
+def _ice_primitive_type(name: str):
+    from pyspark.sql import types as T
+
+    return {
+        "boolean": T.BooleanType(), "int": T.IntegerType(),
+        "long": T.LongType(), "float": T.FloatType(),
+        "double": T.DoubleType(), "date": T.DateType(),
+        "string": T.StringType(), "uuid": T.StringType(),
+        "binary": T.BinaryType(),
+        "timestamp": T.TimestampNTZType(), "timestamptz": T.TimestampType(),
+    }.get(name)
+
+
+def _spark_schema_from_iceberg(meta: dict):
+    """Current Iceberg schema -> Spark StructType with parquet.field.id
+    metadata per column, enabling FIELD-ID column resolution (the
+    Iceberg spec's schema-evolution rule: columns are identified by id,
+    so renames are safe and dropped/added columns resolve correctly).
+    None when any field's type can't be mapped (nested types) — the
+    caller then reads by name."""
+    import re
+
+    from pyspark.sql import types as T
+
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        schema = next(
+            (s for s in meta["schemas"] if s.get("schema-id") == sid),
+            meta["schemas"][0] if meta["schemas"] else {},
+        )
+    else:
+        schema = meta.get("schema", {})
+    fields = []
+    for f in schema.get("fields", []):
+        t = f.get("type")
+        if not isinstance(t, str):
+            return None  # nested struct/list/map: fall back to by-name
+        dt = _ice_primitive_type(t)
+        if dt is None:
+            m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+            if m:
+                dt = T.DecimalType(int(m.group(1)), int(m.group(2)))
+            elif re.fullmatch(r"fixed\[\d+\]", t):
+                dt = T.BinaryType()
+            else:
+                return None
+        fields.append(
+            T.StructField(
+                f["name"], dt, not f.get("required", False),
+                {"parquet.field.id": int(f["id"])},
+            )
+        )
+    return T.StructType(fields) if fields else None
+
+
+def _file_has_field_ids(path: str) -> bool:
+    """Footer probe: does the parquet file carry field ids (Iceberg
+    writers always do; plain pyarrow/Spark writers usually don't)?
+    Field-id resolution is only engaged when the data actually has ids —
+    an id-less file under an id'd read schema would otherwise resolve
+    every column to null (or error), never by name."""
+    try:
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(path)
+        return any(
+            f.metadata and b"PARQUET:field_id" in f.metadata for f in sch
+        )
+    except Exception:  # noqa: BLE001 - unreadable: let Spark surface it
+        return False
+
+
 def read_iceberg_table_from_metadata(
     spark: SparkSession,
     meta: dict,
@@ -712,7 +784,14 @@ def read_iceberg_table_from_metadata(
 ) -> DataFrame:
     """Same as read_iceberg_table but from an already-loaded table
     metadata dict — the shape a REST catalog's LoadTableResult carries
-    (sources/iceberg_rest_native.py) and the FS path loads from disk."""
+    (sources/iceberg_rest_native.py) and the FS path loads from disk.
+
+    Column resolution: when the data files carry parquet field ids
+    (footer-probed on the first file) and the table schema maps to
+    Spark primitives, columns resolve BY FIELD ID — renamed columns
+    read their data under the current name, added columns fill null —
+    matching Iceberg's schema-evolution semantics. Id-less files (e.g.
+    imported plain parquet) read by name as before."""
     snap = select_snapshot(meta, snapshot_id, as_of_timestamp_ms)
     plan = scan_plan(spark, snap, meta, partition_filter)
     preds = _normalize_filter(partition_filter)
@@ -722,15 +801,27 @@ def read_iceberg_table_from_metadata(
             # all files pruned: empty result with the right schema
             all_files = data_files_for_snapshot(spark, snap, meta, None)
             if all_files:
-                df = spark.read.parquet(*all_files).limit(0)
+                df = _read_data_files(spark, meta, all_files).limit(0)
                 return _apply_filter(df, preds)
         raise SourceError(
             f"Iceberg snapshot {snap['snapshot-id']} lists no data files"
         )
-    df = spark.read.parquet(*files)
+    df = _read_data_files(spark, meta, files)
     if plan["pos_deletes"] or plan["eq_deletes"]:
         df = _apply_deletes(spark, df, plan, meta)
     return _apply_filter(df, preds)
+
+
+def _read_data_files(spark: SparkSession, meta: dict, files: list[str]) -> DataFrame:
+    """Parquet scan with field-id column resolution when both sides
+    support it (see read_iceberg_table_from_metadata docstring). The
+    fieldId conf is session-settable and inert for read schemas without
+    field-id metadata, so flipping it on cannot affect other reads."""
+    st = _spark_schema_from_iceberg(meta)
+    if st is not None and files and _file_has_field_ids(files[0]):
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        return spark.read.schema(st).parquet(*files)
+    return spark.read.parquet(*files)
 
 
 def _norm_path(col):

@@ -884,3 +884,68 @@ class TestQueryTimePruning:
             "WHERE region = 'eu' AND event_date = DATE '2024-04-02'"
         )
         assert out.to_pylist() == [{"n": 2}]
+
+
+class TestSchemaEvolution:
+    """Field-id column resolution: Iceberg identifies columns by id, so
+    a renamed column keeps its data and an added column fills null —
+    by-name reading would break both."""
+
+    @pytest.fixture(scope="class")
+    def renamed_table(self, spark, tmp_path_factory):
+        root = tmp_path_factory.mktemp("iceberg_evo") / "evo_tbl"
+        data, meta = root / "data", root / "metadata"
+        data.mkdir(parents=True)
+        meta.mkdir()
+        # file written BEFORE the rename: column 'old_name' with id 1,
+        # 'dropped' with id 2 (later removed from the schema)
+        fsch = pa.schema([
+            pa.field("old_name", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("dropped", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ])
+        fa = str(data / "a.parquet")
+        pq.write_table(
+            pa.table({"old_name": [10, 20], "dropped": ["x", "y"]},
+                     schema=fsch), fa)
+        m1 = str(meta / "m1.avro")
+        _write_avro(spark, m1, _MANIFEST_SCHEMA, [_entry(fa, 2)])
+        s1 = str(meta / "snap-1.avro")
+        _write_avro(spark, s1, _MLIST_SCHEMA,
+                    [{"manifest_path": m1, "manifest_length": os.path.getsize(m1),
+                      "partition_spec_id": 0, "content": 0,
+                      "added_snapshot_id": 1}])
+        metadata = {
+            "format-version": 2,
+            "location": str(root),
+            "current-snapshot-id": 1,
+            "current-schema-id": 1,
+            # current schema AFTER evolution: id 1 renamed, id 2 dropped,
+            # id 3 added (not present in the old file)
+            "schemas": [{
+                "schema-id": 1, "type": "struct", "fields": [
+                    {"id": 1, "name": "new_name", "type": "long",
+                     "required": False},
+                    {"id": 3, "name": "added_col", "type": "double",
+                     "required": False},
+                ]}],
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                           "manifest-list": s1}],
+        }
+        (meta / "v1.metadata.json").write_text(json.dumps(metadata))
+        (meta / "version-hint.text").write_text("1")
+        return str(root)
+
+    def test_rename_drop_add_resolved_by_field_id(self, spark, renamed_table):
+        df = read_iceberg_table(spark, renamed_table)
+        assert df.columns == ["new_name", "added_col"]
+        rows = sorted(df.collect(), key=lambda r: r.new_name)
+        assert [r.new_name for r in rows] == [10, 20]
+        assert all(r.added_col is None for r in rows)
+
+    def test_idless_files_still_read_by_name(self, spark, iceberg_table):
+        """Plain pyarrow files without field ids keep the by-name path
+        (engaging id resolution would null every column)."""
+        df = read_iceberg_table(spark, iceberg_table)
+        assert sorted(r.id for r in df.collect()) == [1, 2, 3, 4, 5]
