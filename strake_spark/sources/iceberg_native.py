@@ -900,8 +900,22 @@ def _apply_deletes(spark: SparkSession, df: DataFrame, plan: dict, meta: dict) -
                 [(norm(d["path"]), int(d["seq"])) for d in dfiles],
                 schema="__dfp string, __dseq long",
             )
+            # delete files written before a column rename carry the OLD
+            # name + the same field id — resolve by id when possible,
+            # exactly like the data side (_read_data_files)
+            reader = spark.read
+            st = _spark_schema_from_iceberg(meta)
+            if st is not None and _file_has_field_ids(dfiles[0]["path"]):
+                sub = [f for f in st.fields if f.name in cols]
+                if len(sub) == len(cols):
+                    from pyspark.sql import types as T
+
+                    spark.conf.set(
+                        "spark.sql.parquet.fieldId.read.enabled", "true"
+                    )
+                    reader = reader.schema(T.StructType(sub))
             ed = (
-                spark.read.parquet(*[d["path"] for d in dfiles])
+                reader.parquet(*[d["path"] for d in dfiles])
                 .withColumn("__dfp", _norm_path(F.col("_metadata.file_path")))
                 .join(F.broadcast(dseq), "__dfp")
                 .select(

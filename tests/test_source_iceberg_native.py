@@ -949,3 +949,51 @@ class TestSchemaEvolution:
         (engaging id resolution would null every column)."""
         df = read_iceberg_table(spark, iceberg_table)
         assert sorted(r.id for r in df.collect()) == [1, 2, 3, 4, 5]
+
+    def test_equality_delete_resolves_renamed_column(self, spark, tmp_path_factory):
+        """An equality delete written BEFORE a rename (old column name,
+        same field id) must still delete matching rows afterwards."""
+        root = tmp_path_factory.mktemp("iceberg_evo_del") / "evo_del"
+        data, meta = root / "data", root / "metadata"
+        data.mkdir(parents=True)
+        meta.mkdir()
+        fid = {b"PARQUET:field_id": b"1"}
+        fa = str(data / "a.parquet")
+        pq.write_table(pa.table(
+            {"old_name": [10, 20, 30]},
+            schema=pa.schema([pa.field("old_name", pa.int64(), metadata=fid)])
+        ), fa)
+        ed = str(data / "ed.parquet")
+        pq.write_table(pa.table(
+            {"old_name": [20]},
+            schema=pa.schema([pa.field("old_name", pa.int64(), metadata=fid)])
+        ), ed)
+
+        def entry(path, content, seq, eq_ids=None):
+            return {"status": 1, "snapshot_id": 1, "sequence_number": seq,
+                    "data_file": {"content": content, "file_path": path,
+                                  "file_format": "PARQUET", "record_count": 1,
+                                  "file_size_in_bytes": os.path.getsize(path),
+                                  "equality_ids": eq_ids}}
+
+        m1 = str(meta / "m1.avro")
+        _write_avro(spark, m1, _MOR_MANIFEST_SCHEMA,
+                    [entry(fa, 0, 1), entry(ed, 2, 2, eq_ids=[1])])
+        s1 = str(meta / "snap-1.avro")
+        _write_avro(spark, s1, _MOR_MLIST_SCHEMA,
+                    [{"manifest_path": m1, "manifest_length": os.path.getsize(m1),
+                      "partition_spec_id": 0, "content": 0,
+                      "sequence_number": 1, "added_snapshot_id": 1}])
+        (meta / "v1.metadata.json").write_text(json.dumps({
+            "format-version": 2, "location": str(root),
+            "current-snapshot-id": 1, "current-schema-id": 1,
+            "schemas": [{"schema-id": 1, "type": "struct", "fields": [
+                {"id": 1, "name": "renamed", "type": "long",
+                 "required": False}]}],
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                           "manifest-list": s1}],
+        }))
+        (meta / "version-hint.text").write_text("1")
+        df = read_iceberg_table(spark, str(root))
+        assert df.columns == ["renamed"]
+        assert sorted(r.renamed for r in df.collect()) == [10, 30]
