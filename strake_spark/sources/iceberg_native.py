@@ -1008,6 +1008,39 @@ def pruned_files_and_df(
     return before, after, df
 
 
+def snapshots_df(spark: SparkSession, meta: dict) -> DataFrame:
+    """The table's snapshot history as a DataFrame — the inspection
+    surface Iceberg exposes as the ``$snapshots`` metadata table
+    (public Iceberg spec; reference lists snapshots for time travel,
+    provider.rs:361-420). Columns: snapshot_id, timestamp (UTC),
+    manifest_list, operation (from the summary, '' when absent),
+    is_current."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    current = meta.get("current-snapshot-id")
+    rows = [
+        Row(
+            snapshot_id=int(s["snapshot-id"]),
+            timestamp_ms=int(s["timestamp-ms"]),
+            manifest_list=str(s.get("manifest-list", "")),
+            operation=str((s.get("summary") or {}).get("operation", "")),
+            is_current=int(s["snapshot-id"]) == current,
+        )
+        for s in meta.get("snapshots") or []
+    ]
+    schema = (
+        "snapshot_id long, timestamp_ms long, manifest_list string, "
+        "operation string, is_current boolean"
+    )
+    df = spark.createDataFrame(rows, schema=schema)
+    return df.select(
+        "snapshot_id",
+        F.timestamp_millis(F.col("timestamp_ms")).alias("committed_at"),
+        "manifest_list", "operation", "is_current",
+    )
+
+
 @source_type("iceberg_native")
 def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]:
     """Jar-free Iceberg tables.
@@ -1052,9 +1085,10 @@ def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]
             def load_meta(table_path=table_path):
                 return load_table_metadata(table_path)
 
+        meta0 = load_meta()  # one load serves scan + snapshots + spec cols
         df = read_iceberg_table_from_metadata(
             spark,
-            load_meta(),
+            meta0,
             snapshot_id=int(snap_id) if snap_id is not None else None,
             as_of_timestamp_ms=int(as_of) if as_of is not None else None,
             partition_filter=opts.get("partition_filter"),
@@ -1067,6 +1101,12 @@ def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]
         view = view_name(cfg.name, tbl.name)
         df.createOrReplaceTempView(view)
         registered.append(view)
+        # snapshot-history inspection view (Iceberg's $snapshots
+        # metadata table shape) — <view>__snapshots
+        snapshots_df(spark, meta0).createOrReplaceTempView(
+            f"{view}__snapshots"
+        )
+        registered.append(f"{view}__snapshots")
         try:
             ICEBERG_VIEWS[view] = IcebergView(
                 view=view,
@@ -1074,7 +1114,7 @@ def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]
                 snapshot_id=int(snap_id) if snap_id is not None else None,
                 as_of_timestamp_ms=int(as_of) if as_of is not None else None,
                 base_filter=opts.get("partition_filter"),
-                partition_cols=_all_partition_source_cols(load_meta()),
+                partition_cols=_all_partition_source_cols(meta0),
             )
         except Exception:  # noqa: BLE001 - pruning is optional; view works
             pass

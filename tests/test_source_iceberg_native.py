@@ -997,3 +997,28 @@ class TestSchemaEvolution:
         df = read_iceberg_table(spark, str(root))
         assert df.columns == ["renamed"]
         assert sorted(r.renamed for r in df.collect()) == [10, 30]
+
+
+class TestSnapshotInspection:
+    def test_snapshots_view_registered(self, spark, iceberg_table):
+        eng = ss.connect(
+            {"sources": [{
+                "name": "snap", "type": "iceberg_native",
+                "url": os.path.dirname(iceberg_table),
+                "tables": [{"name": os.path.basename(iceberg_table)}],
+            }]},
+            spark=spark,
+        )
+        out = eng.execute(
+            "SELECT snapshot_id, operation, is_current "
+            "FROM snap_events_tbl__snapshots ORDER BY snapshot_id"
+        )
+        rows = out.to_pylist()
+        assert [r["snapshot_id"] for r in rows] == [1, 2]
+        assert [r["is_current"] for r in rows] == [False, True]
+        # committed_at is a real timestamp derived from timestamp-ms
+        df = eng.sql(
+            "SELECT CAST(committed_at AS STRING) AS t "
+            "FROM snap_events_tbl__snapshots WHERE snapshot_id = 1"
+        )
+        assert df.collect()[0].t.startswith("2023-11-")
