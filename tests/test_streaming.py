@@ -144,3 +144,88 @@ class TestStreamStreamJoin:
             & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
         )
         assert got.count() == exp.count() > 0
+
+
+class TestShardedSink:
+    """Exactly-once sharded parquet sink (streaming/sink.py)."""
+
+    def _run(self, spark, events_dir, out, ckpt):
+        from strake_spark.streaming.ops import read_event_stream
+        from strake_spark.streaming.sink import write_stream_sharded
+
+        q = write_stream_sharded(
+            read_event_stream(spark, events_dir, max_files_per_trigger=2),
+            out, ckpt, key_col="event_id", n_shards=4,
+        )
+        q.awaitTermination(120)
+        return q
+
+    def test_all_rows_land_once_across_epochs(self, spark, events_dir, tmp_path):
+        from strake_spark.streaming.sink import committed_epochs
+
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._run(spark, events_dir, out, ckpt)
+        epochs = committed_epochs(out)
+        assert len(epochs) >= 2  # maxFilesPerTrigger=2 over 4 files
+        total = sum(m["n_rows"] for m in epochs.values())
+        expected = spark.read.parquet(events_dir).count()
+        assert total == expected
+        # data readable with epoch/shard partition columns; counts match
+        df = spark.read.option("basePath", out).parquet(out + "/epoch=*")
+        assert df.count() == expected
+        assert set(df.select("shard_id").distinct().toPandas()["shard_id"]) <= {0, 1, 2, 3}
+        # manifests agree with the files
+        per_shard = {
+            (int(r["epoch"]), int(r["shard_id"])): int(r["n"])
+            for r in df.groupBy("epoch", "shard_id").count()
+                       .withColumnRenamed("count", "n").collect()
+        }
+        for e, man in epochs.items():
+            for sid, n in man["shards"].items():
+                assert per_shard[(e, int(sid))] == n
+
+    def test_replay_is_idempotent(self, spark, events_dir, tmp_path):
+        """Re-delivering a batchId (the post-failure contract) rewrites
+        the epoch identically — no duplicates, manifest unchanged."""
+        from strake_spark.streaming.sink import committed_epochs, shard_sink
+
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._run(spark, events_dir, out, ckpt)
+        before = committed_epochs(out)
+        replay_epoch = min(before)
+        # replay: same rows, same batch id
+        # reconstruct the delivered rows by reading the committed epoch
+        # back; localCheckpoint detaches lineage from the very files the
+        # replay overwrites (a real replay re-delivers source rows)
+        batch = (
+            spark.read.option("basePath", out)
+            .parquet(f"{out}/epoch={replay_epoch}")
+            .drop("epoch", "shard_id")
+            .localCheckpoint()
+        )
+        shard_sink(out, "event_id", 4)(batch, replay_epoch)
+        after = committed_epochs(out)
+        assert after == before
+
+    def test_restart_with_same_checkpoint_writes_nothing_new(
+        self, spark, events_dir, tmp_path
+    ):
+        from strake_spark.streaming.sink import committed_epochs
+
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._run(spark, events_dir, out, ckpt)
+        first = committed_epochs(out)
+        self._run(spark, events_dir, out, ckpt)  # same checkpoint: no-op
+        assert committed_epochs(out) == first
+
+    def test_uncommitted_epoch_ignored_by_consumers(self, spark, events_dir, tmp_path):
+        import os as _os
+
+        from strake_spark.streaming.sink import committed_epochs
+
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._run(spark, events_dir, out, ckpt)
+        n = len(committed_epochs(out))
+        # a crashed write: epoch dir without manifest
+        _os.makedirs(_os.path.join(out, "epoch=999", "shard_id=0"))
+        assert len(committed_epochs(out)) == n
