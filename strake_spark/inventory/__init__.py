@@ -70,15 +70,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # four rows-only (no-oracle-by-design) entries RE-paired adjacently
 # with their driver-checkable green companions, so the window shows
 # each weak row next to the strong row that justifies it; (c2) the
-# three entries ADDED in round 7 (source quota, shard manifest,
-# context chunking — never driver-checked); (d) 23 of the remaining
-# r5-evidence entries — the full TPC-H block and the join matrix (the
-# families most exposed to perf churn). That is exactly 50.
-# Immediately after the boundary: the 22 r5-green entries deferred to
-# the round-8 window (one non-equi join, agg variants, window
-# functions, set ops — the most change-stable families, each still
-# pytest-oracled at sf0.001 and sf0.01 by tests/test_inventory.py
-# every round). Everything r6-green follows in registration order.
+# five entries ADDED in round 7 (PQ top-k + recall companion, source
+# quota, shard manifest, context chunking — never driver-checked);
+# (d) 21 of the remaining r5-evidence entries — the full TPC-H block
+# and most of the join matrix (the families most exposed to perf
+# churn). That is exactly 50. Immediately after the boundary: the 24
+# r5-green entries deferred to the round-8 window (three joins, agg
+# variants, window functions, set ops — the most change-stable
+# families, each still pytest-oracled at sf0.001 and sf0.01 by
+# tests/test_inventory.py every round). Everything r6-green follows in
+# registration order.
 _PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked (added late in round 6)
     "embedding_quantize_int8", "pipeline_mixture_upsample",
@@ -93,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_approx_count_distinct", "agg_approx_count_distinct_bound",
     "ann_lsh_bucketed_topk", "ann_lsh_recall_vs_exact",
     "ann_ivf_topk", "ann_ivf_recall_vs_exact",
+    "ann_pq_topk", "ann_pq_recall_vs_exact",
     "multimodal_decode_features", "multimodal_decode_meta",
     # (c2) new in round 7 — never driver-checked
     "pipeline_source_quota", "pipeline_shard_manifest",
@@ -110,10 +112,10 @@ _PRIORITY: tuple[str, ...] = (
     "join_inner_orders_customer", "join_left_customer_orders",
     "join_right_orders_customer", "join_full_outer_nation_coverage",
     "join_semi_customers_with_urgent_orders",
-    "join_anti_customers_without_urgent_orders",
-    "join_cross_region_status",
     # --- 50-entry window boundary ---
     # deferred to the round-8 window (r5-green, change-stable)
+    "join_anti_customers_without_urgent_orders",
+    "join_cross_region_status",
     "join_non_equi_price_over_size",
     "agg_global_stats", "agg_grouping_sets",
     "agg_rollup_status_priority", "agg_cube_flag_status",

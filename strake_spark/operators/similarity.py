@@ -385,3 +385,128 @@ def ivf_topk(
         .select("query_id", "nbr_id", "cosine")
         .orderBy("query_id", F.col("cosine").desc(), "nbr_id")
     )
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 20,
+    m: int = 4,
+    n_codes: int = 16,
+    refine: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Product-quantization ANN: the MEMORY-scale path next to LSH
+    (bucketing) and IVF (scan reduction).
+
+    1. Vectors are L2-normalized (so squared-L2 ranking == cosine
+       ranking) and split into ``m`` contiguous subvectors.
+    2. Per-subspace KMeans (Spark ML, fixed seed) learns ``n_codes``
+       centroids; the codebook (m x n_codes x d/m floats) is tiny and
+       driver-held.
+    3. The corpus encodes as m small codes per vector — at 10^9 x 64
+       float32 embeddings that is 256 GB of vectors compressed to 4 GB
+       of codes, the difference between spilling and RAM-resident.
+       Encoding is pure built-ins (struct array_sort argmin), no UDF.
+    4. Scoring is ASYMMETRIC (faiss IndexPQ shape): each query
+       precomputes an n_codes-entry lookup table per subspace; a
+       corpus vector's approximate distance is m ``element_at`` lookups
+       summed — per-pair cost m lookups instead of a d-dim dot
+       product. Queries broadcast; the corpus side never moves.
+    5. Exact per-query top-k over the approximate distances.
+
+    Iterative codebook training is driver-coordinated MLlib — not
+    SQL-expressible, so the inventory entry is rows-only with a
+    recall-vs-exact companion (same contract as LSH/IVF).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    d = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+
+    inv_norm = F.lit(1.0) / F.sqrt(_norm2(F.col(vec_col)))
+    base = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * inv_norm).alias("nv"),
+    )
+    slices = [F.slice(F.col("nv"), j * sub + 1, sub) for j in range(m)]
+
+    # per-subspace codebooks (m distributed fits; models are tiny)
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        ds = base.select(array_to_vector(slices[j]).alias("features"))
+        model = KMeans(k=n_codes, seed=seed + j, maxIter=10).fit(ds)
+        codebooks.append(
+            [[float(x) for x in c] for c in model.clusterCenters()]
+        )
+
+    def _dist2(vec, center: list[float]):
+        arr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _code(j: int):
+        cands = F.array(*[
+            F.struct(_dist2(slices[j], c).alias("d"), F.lit(ci).alias("c"))
+            for ci, c in enumerate(codebooks[j])
+        ])
+        return F.slice(F.array_sort(cands), 1, 1)[0]["c"]
+
+    codes = base.select(
+        F.col(id_col).alias("nbr_id"),
+        *[_code(j).alias(f"code_{j}") for j in range(m)],
+    )
+
+    # query-side lookup tables: n_codes distances per subspace
+    luts = [
+        F.array(*[_dist2(slices[j], c) for c in codebooks[j]]).alias(f"lut_{j}")
+        for j in range(m)
+    ]
+    queries = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), *luts
+    )
+
+    approx = sum(
+        F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
+        for j in range(m)
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("nbr_id").asc()
+    )
+    shortlist = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", approx.alias("approx_dist"))
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= refine)
+        .select("query_id", "nbr_id")
+    )
+    # exact re-rank of the shortlist only (faiss IndexRefineFlat shape):
+    # full vectors are touched for refine*n_queries pairs, not the whole
+    # corpus — the codes did the heavy scan, the floats stay columnar
+    q_vecs = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("nv").alias("q_vec")
+    )
+    nbr_vecs = base.select(
+        F.col(id_col).alias("nbr_id"), F.col("nv").alias("nbr_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        shortlist.join(nbr_vecs, "nbr_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn("cosine", _dot(F.col("nbr_vec"), F.col("q_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
