@@ -182,8 +182,13 @@ def load_table_metadata(table_path: str) -> dict:
         if not metas:
             raise SourceError(f"no Iceberg metadata under {meta_dir!r}")
         path = os.path.join(meta_dir, metas[-1])
-    with open(path) as f:
-        meta = json.load(f)
+    try:
+        with open(path) as f:
+            meta = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        raise SourceError(f"unreadable Iceberg metadata {path!r}: {e}") from e
+    if not isinstance(meta, dict):
+        raise SourceError(f"Iceberg metadata {path!r} is not a JSON object")
     if meta.get("format-version") not in (1, 2):
         raise SourceError(
             f"unsupported Iceberg format-version {meta.get('format-version')!r}"
@@ -610,12 +615,21 @@ def scan_plan(
     they delete, so a delete file in an excluded partition cannot affect
     any surviving data row."""
     preds = _normalize_filter(partition_filter)
-    mlist_path = _strip_file_uri(snapshot["manifest-list"])
-    manifests = read_avro_records(spark, mlist_path)
+    mlist = snapshot.get("manifest-list")
+    if not mlist:
+        raise SourceError(
+            f"snapshot {snapshot.get('snapshot-id')!r} has no manifest-list"
+        )
+    manifests = read_avro_records(spark, _strip_file_uri(mlist))
     plan: dict = {"data": [], "pos_deletes": [], "eq_deletes": []}
     for m in manifests:
         # v2 manifest-list field is manifest_path; tolerate v1 spellings
-        mpath = _strip_file_uri(m.get("manifest_path") or m.get("manifest-path"))
+        mp = m.get("manifest_path") or m.get("manifest-path")
+        if not mp:
+            raise SourceError(
+                f"manifest list {mlist!r} entry missing manifest_path"
+            )
+        mpath = _strip_file_uri(mp)
         m_seq = m.get("sequence_number") or 0
         spec_fields = (
             _partition_spec_fields(meta, int(m.get("partition_spec_id", 0)))
@@ -641,8 +655,14 @@ def scan_plan(
                 ):
                     continue
             seq = entry.get("sequence_number")
+            fp = df_rec.get("file_path")
+            if not fp:
+                raise SourceError(
+                    f"manifest {mpath!r} entry missing file_path "
+                    "(corrupt or non-spec manifest)"
+                )
             item = {
-                "path": _strip_file_uri(df_rec["file_path"]),
+                "path": _strip_file_uri(fp),
                 "seq": int(seq if seq is not None else m_seq),
             }
             if content == 0:

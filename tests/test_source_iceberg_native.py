@@ -1022,3 +1022,103 @@ class TestSnapshotInspection:
             "FROM snap_events_tbl__snapshots WHERE snapshot_id = 1"
         )
         assert df.collect()[0].t.startswith("2023-11-")
+
+
+class TestCorruptMetadata:
+    """Corrupt/non-spec metadata fails LOUDLY with context — at 100 TB a
+    silent misread is far worse than a refused scan (same stance as the
+    wire-client fuzz suites)."""
+
+    def _table(self, tmp_path, metadata_text: str) -> str:
+        root = tmp_path / "tbl"
+        (root / "metadata").mkdir(parents=True)
+        (root / "metadata" / "v1.metadata.json").write_text(metadata_text)
+        (root / "metadata" / "version-hint.text").write_text("1")
+        return str(root)
+
+    def test_invalid_json(self, spark, tmp_path):
+        t = self._table(tmp_path, "{not json")
+        with pytest.raises(SourceError, match="unreadable Iceberg metadata"):
+            read_iceberg_table(spark, t)
+
+    def test_non_object_json(self, spark, tmp_path):
+        t = self._table(tmp_path, "[1, 2, 3]")
+        with pytest.raises(SourceError, match="not a JSON object"):
+            read_iceberg_table(spark, t)
+
+    def test_future_format_version(self, spark, tmp_path):
+        t = self._table(tmp_path, json.dumps({"format-version": 3}))
+        with pytest.raises(SourceError, match="format-version"):
+            read_iceberg_table(spark, t)
+
+    def test_snapshot_without_manifest_list(self, spark, tmp_path):
+        t = self._table(tmp_path, json.dumps({
+            "format-version": 2, "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1}],
+        }))
+        with pytest.raises(SourceError, match="no manifest-list"):
+            read_iceberg_table(spark, t)
+
+    def test_missing_manifest_list_file(self, spark, tmp_path):
+        t = self._table(tmp_path, json.dumps({
+            "format-version": 2, "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                           "manifest-list": str(tmp_path / "nope.avro")}],
+        }))
+        with pytest.raises(SourceError, match="cannot open avro"):
+            read_iceberg_table(spark, t)
+
+    def test_truncated_avro_manifest_list(self, spark, tmp_path):
+        bad = tmp_path / "trunc.avro"
+        bad.write_bytes(b"Obj\x01\x02garbage-not-a-container")
+        t = self._table(tmp_path, json.dumps({
+            "format-version": 2, "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                           "manifest-list": str(bad)}],
+        }))
+        with pytest.raises(SourceError, match="cannot open avro"):
+            read_iceberg_table(spark, t)
+
+    def test_manifest_entry_without_file_path(self, spark, tmp_path):
+        schema = json.dumps({
+            "type": "record", "name": "manifest_entry", "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": "long"},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "data_file", "fields": [
+                        {"name": "content", "type": "int", "default": 0},
+                        {"name": "file_path", "type": ["null", "string"],
+                         "default": None},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ]}},
+            ]})
+        m = str(tmp_path / "m.avro")
+        _write_avro(spark, m, schema, [{
+            "status": 1, "snapshot_id": 1,
+            "data_file": {"content": 0, "file_path": None,
+                          "file_format": "PARQUET", "record_count": 1,
+                          "file_size_in_bytes": 1},
+        }])
+        s = str(tmp_path / "s.avro")
+        _write_avro(spark, s, _MLIST_SCHEMA,
+                    [{"manifest_path": m, "manifest_length": os.path.getsize(m),
+                      "partition_spec_id": 0, "content": 0,
+                      "added_snapshot_id": 1}])
+        t = self._table(tmp_path, json.dumps({
+            "format-version": 2, "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                           "manifest-list": s}],
+        }))
+        with pytest.raises(SourceError, match="missing file_path"):
+            read_iceberg_table(spark, t)
+
+    def test_current_snapshot_id_dangling(self, spark, tmp_path):
+        t = self._table(tmp_path, json.dumps({
+            "format-version": 2, "current-snapshot-id": 42,
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                           "manifest-list": "x"}],
+        }))
+        with pytest.raises(SourceError, match="current snapshot"):
+            read_iceberg_table(spark, t)
