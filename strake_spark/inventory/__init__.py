@@ -113,7 +113,9 @@ _PRIORITY: tuple[str, ...] = (
     "join_right_orders_customer", "join_full_outer_nation_coverage",
     "join_semi_customers_with_urgent_orders",
     # --- 50-entry window boundary ---
-    # deferred to the round-8 window (r5-green, change-stable)
+    # round-8 window front: the IVF+PQ pair added late in round 7
+    # (never driver-checked), then the deferred r5-green entries
+    "ann_ivfpq_topk", "ann_ivfpq_recall_vs_exact",
     "join_anti_customers_without_urgent_orders",
     "join_cross_region_status",
     "join_non_equi_price_over_size",

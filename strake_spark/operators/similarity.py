@@ -510,3 +510,139 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 20,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    refine: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF + PQ + refine — the full large-scale ANN recipe (faiss
+    IndexIVFPQ + refine): IVF cells bound WHICH codes are scanned
+    (~n_probe/n_clusters of the corpus), PQ codes bound the COST and
+    MEMORY of scanning them (m lookups per pair over 32x-compressed
+    codes), and the exact re-rank touches full vectors only for the
+    shortlist. At 10^9 x 64-dim vectors: scan 1/2 of 4 GB of codes
+    instead of 256 GB of floats, then read ~refine x n_queries vectors.
+
+    Residual encoding (PQ over vector - cell_center, faiss's default)
+    is deliberately skipped: it needs per-cell subtraction before
+    encoding, and on these near-uniform synthetic vectors measured
+    recall was indistinguishable — documented trade, not an oversight.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    d = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    inv_norm = F.lit(1.0) / F.sqrt(_norm2(F.col(vec_col)))
+    base = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * inv_norm).alias("nv"),
+    )
+
+    # ---- IVF coarse quantizer over full normalized vectors
+    ds = base.select("*", array_to_vector(F.col("nv")).alias("features"))
+    coarse = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(ds)
+    assigned = coarse.transform(ds).select(
+        id_col, "nv", F.col("prediction").alias("cell")
+    )
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())
+    ]
+
+    def _dist2(vec, center: list[float]):
+        arr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # ---- PQ codebooks + codes (same construction as pq_topk)
+    slices = [F.slice(F.col("nv"), j * sub + 1, sub) for j in range(m)]
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        dsj = base.select(array_to_vector(slices[j]).alias("features"))
+        model = KMeans(k=n_codes, seed=seed + 100 + j, maxIter=10).fit(dsj)
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+
+    def _code(j: int):
+        cands = F.array(*[
+            F.struct(_dist2(slices[j], c).alias("d"), F.lit(ci).alias("c"))
+            for ci, c in enumerate(codebooks[j])
+        ])
+        return F.slice(F.array_sort(cands), 1, 1)[0]["c"]
+
+    codes = assigned.select(
+        F.col(id_col).alias("nbr_id"), "cell",
+        *[_code(j).alias(f"code_{j}") for j in range(m)],
+    )
+
+    # ---- queries: probed cells + per-subspace lookup tables
+    cell_dists = F.array(
+        *[F.struct(_dist2(F.col("nv"), c).alias("d"), F.lit(i).alias("cell"))
+          for i, c in centers]
+    )
+    luts = [
+        F.array(*[_dist2(slices[j], c) for c in codebooks[j]]).alias(f"lut_{j}")
+        for j in range(m)
+    ]
+    queries = (
+        base.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("nv").alias("q_vec"),
+            F.slice(F.array_sort(cell_dists), 1, n_probe).alias("probed"),
+            *luts,
+        )
+        .select(
+            "query_id", "q_vec",
+            F.explode(F.transform("probed", lambda s: s.cell)).alias("cell"),
+            *[f"lut_{j}" for j in range(m)],
+        )
+    )
+
+    approx = sum(
+        F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
+        for j in range(m)
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("nbr_id").asc()
+    )
+    shortlist = (
+        codes.join(F.broadcast(queries.drop("q_vec")), "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", approx.alias("approx_dist"))
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= refine)
+        .select("query_id", "nbr_id")
+    )
+    q_vecs = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("nv").alias("q_vec")
+    )
+    nbr_vecs = base.select(
+        F.col(id_col).alias("nbr_id"), F.col("nv").alias("nbr_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        shortlist.join(nbr_vecs, "nbr_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn("cosine", _dot(F.col("nbr_vec"), F.col("q_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
