@@ -386,6 +386,87 @@ def ivf_topk(
         .orderBy("query_id", F.col("cosine").desc(), "nbr_id")
     )
 
+# ------------------------------------------------------- PQ building blocks
+# Shared by pq_topk and ivfpq_topk so the distance/tie-break/refine
+# logic exists exactly once.
+
+
+def _dist2_center(vec, center: list[float]):
+    """Squared L2 between an array column and a constant centroid."""
+    arr = F.array(*[F.lit(x) for x in center])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _normalized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, nv): L2-normalized double vectors — squared-L2 ranking over
+    these equals cosine ranking over the originals."""
+    inv_norm = F.lit(1.0) / F.sqrt(_norm2(F.col(vec_col)))
+    return emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * inv_norm).alias("nv"),
+    )
+
+def _pq_train(base: DataFrame, slices, n_codes: int, seed: int) -> list[list[list[float]]]:
+    """Per-subspace KMeans codebooks (m distributed fits; models tiny)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    codebooks = []
+    for j, sl in enumerate(slices):
+        ds = base.select(array_to_vector(sl).alias("features"))
+        model = KMeans(k=n_codes, seed=seed + j, maxIter=10).fit(ds)
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return codebooks
+
+
+def _pq_code_expr(sl, codebook):
+    """argmin centroid index for one subvector — built-in struct
+    array_sort, no UDF."""
+    cands = F.array(*[
+        F.struct(_dist2_center(sl, c).alias("d"), F.lit(ci).alias("c"))
+        for ci, c in enumerate(codebook)
+    ])
+    return F.slice(F.array_sort(cands), 1, 1)[0]["c"]
+
+
+def _pq_approx_dist(m: int):
+    """Sum of m lookup-table entries — the asymmetric PQ distance."""
+    return sum(
+        F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
+        for j in range(m)
+    )
+
+
+def _exact_refine(
+    shortlist: DataFrame, base: DataFrame, n_queries: int, k: int, id_col: str
+) -> DataFrame:
+    """Exact cosine re-rank of (query_id, nbr_id) shortlist pairs (faiss
+    IndexRefineFlat shape): full vectors are touched only for
+    shortlist x query pairs, never the whole corpus."""
+    from pyspark.sql import Window
+
+    q_vecs = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("nv").alias("q_vec")
+    )
+    nbr_vecs = base.select(
+        F.col(id_col).alias("nbr_id"), F.col("nv").alias("nbr_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        shortlist.join(nbr_vecs, "nbr_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn("cosine", _dot(F.col("nbr_vec"), F.col("q_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
 
 def pq_topk(
     emb: DataFrame,
@@ -415,69 +496,35 @@ def pq_topk(
        corpus vector's approximate distance is m ``element_at`` lookups
        summed — per-pair cost m lookups instead of a d-dim dot
        product. Queries broadcast; the corpus side never moves.
-    5. Exact per-query top-k over the approximate distances.
+    5. A ``refine``-candidate shortlist is re-ranked with exact cosine
+       (IndexRefineFlat shape) — without it, quantization error swamps
+       the tiny neighbor gaps of near-uniform vectors.
 
     Iterative codebook training is driver-coordinated MLlib — not
     SQL-expressible, so the inventory entry is rows-only with a
     recall-vs-exact companion (same contract as LSH/IVF).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     d = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
-
-    inv_norm = F.lit(1.0) / F.sqrt(_norm2(F.col(vec_col)))
-    base = emb.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") * inv_norm).alias("nv"),
-    )
+    base = _normalized(emb, id_col, vec_col)
     slices = [F.slice(F.col("nv"), j * sub + 1, sub) for j in range(m)]
-
-    # per-subspace codebooks (m distributed fits; models are tiny)
-    codebooks: list[list[list[float]]] = []
-    for j in range(m):
-        ds = base.select(array_to_vector(slices[j]).alias("features"))
-        model = KMeans(k=n_codes, seed=seed + j, maxIter=10).fit(ds)
-        codebooks.append(
-            [[float(x) for x in c] for c in model.clusterCenters()]
-        )
-
-    def _dist2(vec, center: list[float]):
-        arr = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def _code(j: int):
-        cands = F.array(*[
-            F.struct(_dist2(slices[j], c).alias("d"), F.lit(ci).alias("c"))
-            for ci, c in enumerate(codebooks[j])
-        ])
-        return F.slice(F.array_sort(cands), 1, 1)[0]["c"]
+    codebooks = _pq_train(base, slices, n_codes, seed)
 
     codes = base.select(
         F.col(id_col).alias("nbr_id"),
-        *[_code(j).alias(f"code_{j}") for j in range(m)],
+        *[_pq_code_expr(slices[j], codebooks[j]).alias(f"code_{j}")
+          for j in range(m)],
     )
-
-    # query-side lookup tables: n_codes distances per subspace
     luts = [
-        F.array(*[_dist2(slices[j], c) for c in codebooks[j]]).alias(f"lut_{j}")
+        F.array(*[_dist2_center(slices[j], c) for c in codebooks[j]]).alias(f"lut_{j}")
         for j in range(m)
     ]
     queries = base.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), *luts
-    )
-
-    approx = sum(
-        F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
-        for j in range(m)
     )
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("nbr_id").asc()
@@ -485,31 +532,12 @@ def pq_topk(
     shortlist = (
         codes.crossJoin(F.broadcast(queries))
         .filter(F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "nbr_id", approx.alias("approx_dist"))
+        .select("query_id", "nbr_id", _pq_approx_dist(m).alias("approx_dist"))
         .withColumn("srank", F.row_number().over(w_short))
         .filter(F.col("srank") <= refine)
         .select("query_id", "nbr_id")
     )
-    # exact re-rank of the shortlist only (faiss IndexRefineFlat shape):
-    # full vectors are touched for refine*n_queries pairs, not the whole
-    # corpus — the codes did the heavy scan, the floats stay columnar
-    q_vecs = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("nv").alias("q_vec")
-    )
-    nbr_vecs = base.select(
-        F.col(id_col).alias("nbr_id"), F.col("nv").alias("nbr_vec")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("nbr_id").asc()
-    )
-    return (
-        shortlist.join(nbr_vecs, "nbr_id")
-        .join(F.broadcast(q_vecs), "query_id")
-        .withColumn("cosine", _dot(F.col("nbr_vec"), F.col("q_vec")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine", "rank")
-    )
+    return _exact_refine(shortlist, base, n_queries, k, id_col)
 
 
 def ivfpq_topk(
@@ -546,13 +574,10 @@ def ivfpq_topk(
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
-    inv_norm = F.lit(1.0) / F.sqrt(_norm2(F.col(vec_col)))
-    base = emb.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") * inv_norm).alias("nv"),
-    )
+    base = _normalized(emb, id_col, vec_col)
+    slices = [F.slice(F.col("nv"), j * sub + 1, sub) for j in range(m)]
 
-    # ---- IVF coarse quantizer over full normalized vectors
+    # IVF coarse quantizer over full normalized vectors
     ds = base.select("*", array_to_vector(F.col("nv")).alias("features"))
     coarse = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(ds)
     assigned = coarse.transform(ds).select(
@@ -562,87 +587,43 @@ def ivfpq_topk(
         (i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())
     ]
 
-    def _dist2(vec, center: list[float]):
-        arr = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # ---- PQ codebooks + codes (same construction as pq_topk)
-    slices = [F.slice(F.col("nv"), j * sub + 1, sub) for j in range(m)]
-    codebooks: list[list[list[float]]] = []
-    for j in range(m):
-        dsj = base.select(array_to_vector(slices[j]).alias("features"))
-        model = KMeans(k=n_codes, seed=seed + 100 + j, maxIter=10).fit(dsj)
-        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
-
-    def _code(j: int):
-        cands = F.array(*[
-            F.struct(_dist2(slices[j], c).alias("d"), F.lit(ci).alias("c"))
-            for ci, c in enumerate(codebooks[j])
-        ])
-        return F.slice(F.array_sort(cands), 1, 1)[0]["c"]
-
+    codebooks = _pq_train(base, slices, n_codes, seed + 100)
     codes = assigned.select(
         F.col(id_col).alias("nbr_id"), "cell",
-        *[_code(j).alias(f"code_{j}") for j in range(m)],
+        *[_pq_code_expr(slices[j], codebooks[j]).alias(f"code_{j}")
+          for j in range(m)],
     )
 
-    # ---- queries: probed cells + per-subspace lookup tables
     cell_dists = F.array(
-        *[F.struct(_dist2(F.col("nv"), c).alias("d"), F.lit(i).alias("cell"))
+        *[F.struct(_dist2_center(F.col("nv"), c).alias("d"), F.lit(i).alias("cell"))
           for i, c in centers]
     )
     luts = [
-        F.array(*[_dist2(slices[j], c) for c in codebooks[j]]).alias(f"lut_{j}")
+        F.array(*[_dist2_center(slices[j], c) for c in codebooks[j]]).alias(f"lut_{j}")
         for j in range(m)
     ]
     queries = (
         base.filter(F.col(id_col) < n_queries)
         .select(
             F.col(id_col).alias("query_id"),
-            F.col("nv").alias("q_vec"),
             F.slice(F.array_sort(cell_dists), 1, n_probe).alias("probed"),
             *luts,
         )
         .select(
-            "query_id", "q_vec",
+            "query_id",
             F.explode(F.transform("probed", lambda s: s.cell)).alias("cell"),
             *[f"lut_{j}" for j in range(m)],
         )
-    )
-
-    approx = sum(
-        F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
-        for j in range(m)
     )
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("nbr_id").asc()
     )
     shortlist = (
-        codes.join(F.broadcast(queries.drop("q_vec")), "cell")
+        codes.join(F.broadcast(queries), "cell")
         .filter(F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "nbr_id", approx.alias("approx_dist"))
+        .select("query_id", "nbr_id", _pq_approx_dist(m).alias("approx_dist"))
         .withColumn("srank", F.row_number().over(w_short))
         .filter(F.col("srank") <= refine)
         .select("query_id", "nbr_id")
     )
-    q_vecs = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("nv").alias("q_vec")
-    )
-    nbr_vecs = base.select(
-        F.col(id_col).alias("nbr_id"), F.col("nv").alias("nbr_vec")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("nbr_id").asc()
-    )
-    return (
-        shortlist.join(nbr_vecs, "nbr_id")
-        .join(F.broadcast(q_vecs), "query_id")
-        .withColumn("cosine", _dot(F.col("nbr_vec"), F.col("q_vec")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine", "rank")
-    )
+    return _exact_refine(shortlist, base, n_queries, k, id_col)

@@ -135,6 +135,27 @@ def _extract_pred(node: dict, view_cols, alias: str, others: set[str]):
     raise _Skip
 
 
+# Bounded registry of pruned temp views (a dashboard varying a literal
+# per query would otherwise accumulate one catalog entry + embedded
+# file-list plan per distinct predicate for the session's lifetime).
+# Keyed by temp-view name; evicted views are dropped from the catalog.
+from collections import OrderedDict as _OrderedDict
+
+_PRUNE_VIEWS: _OrderedDict = _OrderedDict()
+_PRUNE_VIEWS_MAX = 64
+
+
+def _remember_prune_view(spark: SparkSession, temp: str) -> None:
+    _PRUNE_VIEWS[temp] = None
+    _PRUNE_VIEWS.move_to_end(temp)
+    while len(_PRUNE_VIEWS) > _PRUNE_VIEWS_MAX:
+        old, _ = _PRUNE_VIEWS.popitem(last=False)
+        try:
+            spark.catalog.dropTempView(old)
+        except Exception:  # noqa: BLE001 - already gone
+            pass
+
+
 @dataclass
 class PrunedScan:
     view: str
@@ -206,7 +227,7 @@ def analyze_iceberg_prune(spark: SparkSession, sql: str):
         info = ICEBERG_VIEWS.get(name) or ICEBERG_VIEWS.get(name.lower())
         resolved.append((node, name, info, cols_of(name)))
 
-    scans: list[PrunedScan] = []
+    scans: list[tuple[PrunedScan, object]] = []  # (scan, its DataFrame)
     for node, name, info, _ in resolved:
         if info is None or not info.partition_cols:
             continue
@@ -235,22 +256,24 @@ def analyze_iceberg_prune(spark: SparkSession, sql: str):
             repr((name, info.snapshot_id, info.as_of_timestamp_ms, preds)).encode()
         ).hexdigest()[:10]
         temp = f"strake_iceprune_{digest}"
-        df.createOrReplaceTempView(temp)
         node["table_name"] = temp
         if not node.get("alias"):
             node["alias"] = name
         if node.get("schema_name"):
             node["schema_name"] = ""
-        scans.append(PrunedScan(name, temp, before, after, tuple(preds)))
+        scans.append((PrunedScan(name, temp, before, after, tuple(preds)), df))
 
     if not scans:
         return None
     rewritten = _deserialize(ast)
     if rewritten is None:
-        return None
+        return None  # no views created yet: nothing leaks on abandon
     from strake_spark.plans.partial import _fix_for_spark
 
     rewritten = _fix_for_spark(rewritten)
-    plan = IcebergPrunePlan(scans=tuple(scans))
+    for s, df in scans:
+        df.createOrReplaceTempView(s.temp_view)
+        _remember_prune_view(spark, s.temp_view)
+    plan = IcebergPrunePlan(scans=tuple(s for s, _ in scans))
     plan.rewritten_sql = plan.summary()
     return rewritten, plan

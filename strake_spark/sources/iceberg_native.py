@@ -345,9 +345,16 @@ def _bucket_value(val, n: int, ice_type: str):
     8-byte little-endian long; string as UTF-8 bytes."""
     if isinstance(val, bool) or val is None:
         return _SKIP
-    if isinstance(val, int):
+    if isinstance(val, int) and (
+        ice_type in ("int", "long", "date") or ice_type.startswith("timestamp")
+        or ice_type.startswith("time")
+    ):
         data = _struct.pack("<q", val)
-    elif isinstance(val, str) and not ice_type.startswith(("int", "long", "date", "time")):
+    elif isinstance(val, str) and ice_type == "string":
+        # ONLY true string columns hash their UTF-8 text; uuid/fixed/
+        # binary/decimal have distinct spec serializations — hashing
+        # their text form would compute a wrong bucket and prune the
+        # right files, so they skip pruning instead
         data = val.encode()
     else:
         return _SKIP
@@ -432,14 +439,39 @@ def _transform_literal(field: dict, val):
 
 def _coerce_literal(val, ice_type: str):
     """Align a filter literal with the representation partition values
-    take in manifests: dates are stored as int days since epoch, so ISO
-    strings convert; everything else compares as-is."""
-    if ice_type == "date" and isinstance(val, str):
-        import datetime
+    take in manifests: dates are stored as int days since epoch and
+    timestamps as int micros, so ISO strings convert; everything else
+    compares as-is."""
+    import datetime
 
+    if ice_type == "date" and isinstance(val, str):
         return (datetime.date.fromisoformat(val)
                 - datetime.date(1970, 1, 1)).days
+    if ice_type.startswith("timestamp") and isinstance(val, str):
+        try:
+            dt = datetime.datetime.fromisoformat(val)
+        except ValueError:
+            return val  # _comparable then vetoes the comparison
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return int((dt - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
     return val
+
+
+def _comparable(a, b) -> bool:
+    """True when ``a == b`` / ``a in [...]`` is a MEANINGFUL comparison
+    for pruning. Python's ``!=`` never raises across types (int vs str
+    is simply unequal), so an unconverted representation mismatch would
+    otherwise prune every file silently — the comparison must be vetoed,
+    not trusted. Numeric cross-compare (int vs float) is fine; bool is
+    excluded from the numeric class (True == 1 is not a partition
+    match)."""
+    num = (int, float)
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return type(a) is type(b)
 
 
 def _cmp(op: str, a, b) -> bool:
@@ -480,14 +512,17 @@ def _field_excludes(field: dict, op: str, val, pv) -> bool:
     tf = field["transform"]
     if op == "in":
         lits = [_transform_literal(field, v) for v in val]
-        if any(l is _SKIP for l in lits):
+        if any(l is _SKIP or not _comparable(pv, l) for l in lits):
             return False
         try:
             return pv not in lits
         except TypeError:
             return False
     lit = _transform_literal(field, val)
-    if lit is _SKIP:
+    if lit is _SKIP or not _comparable(pv, lit):
+        # a representation mismatch (e.g. string literal vs int
+        # partition value) must KEEP the file — `pv != lit` would be
+        # vacuously True across types and prune everything
         return False
     try:
         if op == "==":
@@ -503,12 +538,16 @@ def _field_excludes(field: dict, op: str, val, pv) -> bool:
     return False  # != on non-identity, range on bucket: not prunable
 
 
-def _entry_matches(partition: dict, preds, spec_fields) -> bool:
+def _entry_matches(partition: dict, preds, spec_fields, by_source=None) -> bool:
     """False only when a predicate definitely excludes every row of the
     file. A null partition value means the source column is null for all
     rows (null stays null through every transform), which no comparison
-    predicate keeps (SQL WHERE discards unknown)."""
-    by_source = _by_source(spec_fields)
+    predicate keeps (SQL WHERE discards unknown). Callers iterating many
+    entries pass a precomputed ``by_source`` (it depends only on
+    spec_fields — rebuilding it per data file is pure overhead on the
+    planning hot path)."""
+    if by_source is None:
+        by_source = _by_source(spec_fields)
     for col, op, val in preds:
         for f in by_source.get(col, []):
             if f["name"] not in partition:
@@ -635,6 +674,7 @@ def scan_plan(
             _partition_spec_fields(meta, int(m.get("partition_spec_id", 0)))
             if (meta is not None and preds) else []
         )
+        by_source = _by_source(spec_fields) if spec_fields else {}
         if preds and spec_fields and not _manifest_may_match(
             m.get("partitions"), preds, spec_fields
         ):
@@ -651,7 +691,7 @@ def scan_plan(
             if preds and spec_fields:
                 part = df_rec.get("partition")
                 if isinstance(part, dict) and not _entry_matches(
-                    part, preds, spec_fields
+                    part, preds, spec_fields, by_source
                 ):
                     continue
             seq = entry.get("sequence_number")
@@ -836,9 +876,32 @@ def _read_data_files(spark: SparkSession, meta: dict, files: list[str]) -> DataF
     """Parquet scan with field-id column resolution when both sides
     support it (see read_iceberg_table_from_metadata docstring). The
     fieldId conf is session-settable and inert for read schemas without
-    field-id metadata, so flipping it on cannot affect other reads."""
+    field-id metadata, so flipping it on cannot affect other reads.
+
+    Provenance is probed on a bounded sample (first/last few files —
+    footer reads, driver-side). A MIXED sample (some files with field
+    ids, some without) is refused loudly: resolving them uniformly
+    either nulls the id-less files (id path) or silently mis-binds
+    renamed columns (name path), and which one would win depends on
+    manifest order. If a mixed table slips past the sample, the id path
+    still fails LOUDLY on id-less files (fieldId.read.ignoreMissing
+    stays false) rather than returning wrong data."""
     st = _spark_schema_from_iceberg(meta)
-    if st is not None and files and _file_has_field_ids(files[0]):
+    if st is None or not files:
+        return spark.read.parquet(*files)
+    sample = files[:4] + files[-4:] if len(files) > 8 else files
+    probes = {f: _file_has_field_ids(f) for f in dict.fromkeys(sample)}
+    if len(set(probes.values())) > 1:
+        with_ids = [f for f, p in probes.items() if p]
+        without = [f for f, p in probes.items() if not p]
+        raise SourceError(
+            "Iceberg table mixes parquet files WITH field ids "
+            f"(e.g. {os.path.basename(with_ids[0])}) and WITHOUT "
+            f"(e.g. {os.path.basename(without[0])}); column resolution "
+            "would be ambiguous — rewrite the imported files with field "
+            "ids (or all without) before reading"
+        )
+    if next(iter(probes.values())):
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         return spark.read.schema(st).parquet(*files)
     return spark.read.parquet(*files)
@@ -1128,11 +1191,24 @@ def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]
         )
         registered.append(f"{view}__snapshots")
         try:
+            # PIN the snapshot that was resolved at registration: the
+            # registered view's file list is frozen, so a query-time
+            # re-plan against CURRENT metadata could silently read a
+            # newer snapshot than the unfiltered view does. Pinning
+            # keeps pruning a pure scan-size optimization; re-register
+            # to pick up new snapshots.
+            pinned = int(
+                select_snapshot(
+                    meta0,
+                    int(snap_id) if snap_id is not None else None,
+                    int(as_of) if as_of is not None else None,
+                )["snapshot-id"]
+            )
             ICEBERG_VIEWS[view] = IcebergView(
                 view=view,
                 load_meta=load_meta,
-                snapshot_id=int(snap_id) if snap_id is not None else None,
-                as_of_timestamp_ms=int(as_of) if as_of is not None else None,
+                snapshot_id=pinned,
+                as_of_timestamp_ms=None,
                 base_filter=opts.get("partition_filter"),
                 partition_cols=_all_partition_source_cols(meta0),
             )

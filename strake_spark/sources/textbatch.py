@@ -139,13 +139,20 @@ class TextBatchBuilder:
             # the digits exceed the precision. The server already
             # enforces (p, s) on its side, so in-range is the invariant
             # — this guard turns a protocol/typmod mix-up into a loud
-            # error instead of corrupt values. Width bound: p digits +
-            # sign + point + leading zero.
-            width = pc.max(pc.utf8_length(text)).as_py() or 0
-            if width > typ.precision + 3:
+            # error instead of corrupt values. The real constraint is
+            # SIGNIFICANT INTEGER DIGITS <= p - s (a width bound lets
+            # e.g. '9999.99' slip past decimal(5,2) and wrap); fraction
+            # overflow is rejected by the cast itself.
+            intpart = pc.replace_substring_regex(
+                text, r"^[+-]?0*([0-9]*)([.].*)?$", r"\1"
+            )
+            max_int_digits = pc.max(pc.utf8_length(intpart)).as_py() or 0
+            if max_int_digits > typ.precision - typ.scale:
                 raise SourceError(
-                    f"decimal text wider than declared precision "
-                    f"{typ.precision} (got {width} chars)"
+                    f"decimal text has {max_int_digits} integer digits > "
+                    f"precision-scale {typ.precision - typ.scale} for "
+                    f"decimal({typ.precision},{typ.scale}) — server/"
+                    "declared type mismatch"
                 )
             return text.cast(typ)
         # int/float/date/timestamp all parse inside Arrow's cast

@@ -38,10 +38,14 @@ from pyspark.sql import functions as F
 def shard_assignment(key_col: str, n_shards: int):
     """Deterministic shard id: md5(key) bucket — identical to the
     batch pipeline_shard_manifest entry so batch and streaming writers
-    agree on placement."""
-    return (
+    agree on placement. A NULL key deterministically lands in shard 0
+    (md5(null) is null; without the coalesce such rows would write into
+    a __HIVE_DEFAULT_PARTITION__ directory and poison the manifest
+    build with a null shard id)."""
+    return F.coalesce(
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("long") % n_shards
+        .cast("long") % n_shards,
+        F.lit(0),
     )
 
 
@@ -59,13 +63,28 @@ def shard_sink(
         enriched.write.mode("overwrite").partitionBy("shard_id").parquet(
             epoch_dir
         )
-        # n_shards rows -> driver; the manifest is the commit marker so
-        # it must be written AFTER the data, atomically
-        stats = (
-            enriched.groupBy("shard_id")
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .collect()
-        )
+        # Manifest stats come from the FILES JUST WRITTEN, not from
+        # recomputing the batch: re-running the batch plan would read
+        # the source twice per epoch and — for any nondeterministic
+        # expression upstream — could publish counts that disagree with
+        # the data on disk. The read-back is a cheap metadata-driven
+        # count over one epoch directory; n_shards rows -> driver; the
+        # manifest is the commit marker so it is written AFTER the
+        # data, atomically.
+        spark = batch_df.sparkSession
+        try:
+            stats = (
+                spark.read.parquet(epoch_dir)
+                .groupBy("shard_id")
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .collect()
+            )
+        except Exception as e:  # empty micro-batch: no parquet written
+            from pyspark.errors import AnalysisException
+
+            if not isinstance(e, AnalysisException):
+                raise
+            stats = []
         manifest = {
             "epoch": int(batch_id),
             "n_shards": n_shards,

@@ -229,3 +229,60 @@ def test_bucket_in_range_and_deterministic(v, n):
     b = _bucket_value(v, n, "long")
     assert 0 <= b < n
     assert _bucket_value(v, n, "long") == b
+
+
+class TestTypeMismatchSoundness:
+    """Review-found class: Python's == never raises across types, so an
+    unconverted representation mismatch must VETO the comparison (keep
+    the file), not prune everything."""
+
+    def test_string_literal_vs_int_partition_keeps_file(self):
+        from strake_spark.sources.iceberg_native import _entry_matches
+
+        f = {"name": "p", "source_name": "c", "type": "long",
+             "transform": "identity", "param": None}
+        assert _entry_matches({"p": 42}, [("c", "==", "42")], [f]) is True
+        assert _entry_matches({"p": 42}, [("c", "in", ["42", "x"])], [f]) is True
+
+    def test_timestamp_iso_literal_now_converts_for_identity(self):
+        from strake_spark.sources.iceberg_native import _entry_matches
+
+        f = {"name": "p", "source_name": "c", "type": "timestamp",
+             "transform": "identity", "param": None}
+        micros = 19815 * 86_400_000_000  # 2024-04-02T00:00:00
+        assert _entry_matches(
+            {"p": micros}, [("c", "==", "2024-04-02T00:00:00")], [f]
+        ) is True
+        assert _entry_matches(
+            {"p": micros}, [("c", "==", "2024-04-03T00:00:00")], [f]
+        ) is False
+        # unparseable text: veto, keep the file
+        assert _entry_matches(
+            {"p": micros}, [("c", "==", "not-a-time")], [f]
+        ) is True
+
+    def test_bool_literal_never_matches_int_partition(self):
+        from strake_spark.sources.iceberg_native import _entry_matches
+
+        f = {"name": "p", "source_name": "c", "type": "long",
+             "transform": "identity", "param": None}
+        # True == 1 in Python; partition pruning must not treat a bool
+        # literal as matching an int partition value
+        assert _entry_matches({"p": 1}, [("c", "==", True)], [f]) is True
+
+    def test_bucket_on_uuid_never_prunes(self):
+        from strake_spark.sources.iceberg_native import (
+            _SKIP,
+            _bucket_value,
+            _entry_matches,
+        )
+
+        assert _bucket_value(
+            "550e8400-e29b-41d4-a716-446655440000", 16, "uuid"
+        ) is _SKIP
+        f = {"name": "p", "source_name": "c", "type": "uuid",
+             "transform": "bucket", "param": 16}
+        # spec hashes the 16-byte UUID, not its text — must keep the file
+        assert _entry_matches(
+            {"p": 3}, [("c", "==", "550e8400-e29b-41d4-a716-446655440000")], [f]
+        ) is True

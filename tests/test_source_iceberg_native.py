@@ -1122,3 +1122,146 @@ class TestCorruptMetadata:
         }))
         with pytest.raises(SourceError, match="current snapshot"):
             read_iceberg_table(spark, t)
+
+    def test_mixed_field_id_provenance_refused(self, spark, tmp_path_factory):
+        """One imported id-less file + one id-bearing file: uniform
+        resolution would either null or mis-bind columns depending on
+        manifest order — refuse loudly instead."""
+        root = tmp_path_factory.mktemp("iceberg_mixed") / "mixed_tbl"
+        data, meta = root / "data", root / "metadata"
+        data.mkdir(parents=True)
+        meta.mkdir()
+        fid = {b"PARQUET:field_id": b"1"}
+        fa = str(data / "with_ids.parquet")
+        pq.write_table(pa.table(
+            {"c": [1, 2]},
+            schema=pa.schema([pa.field("c", pa.int64(), metadata=fid)])), fa)
+        fb = str(data / "no_ids.parquet")
+        pq.write_table(pa.table({"c": pa.array([3], pa.int64())}), fb)
+        m1 = str(meta / "m1.avro")
+        _write_avro(spark, m1, _MANIFEST_SCHEMA, [_entry(fa, 2), _entry(fb, 1)])
+        s1 = str(meta / "snap-1.avro")
+        _write_avro(spark, s1, _MLIST_SCHEMA,
+                    [{"manifest_path": m1, "manifest_length": os.path.getsize(m1),
+                      "partition_spec_id": 0, "content": 0,
+                      "added_snapshot_id": 1}])
+        (meta / "v1.metadata.json").write_text(json.dumps({
+            "format-version": 2, "location": str(root),
+            "current-snapshot-id": 1, "current-schema-id": 0,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "c", "type": "long", "required": False}]}],
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                           "manifest-list": s1}],
+        }))
+        (meta / "version-hint.text").write_text("1")
+        with pytest.raises(SourceError, match="mixes parquet files"):
+            read_iceberg_table(spark, str(root))
+
+
+class TestPruningSnapshotPinning:
+    def test_filtered_query_reads_registration_snapshot(
+        self, spark, tmp_path_factory
+    ):
+        """A writer committing a NEW snapshot after registration must not
+        make filtered queries (which re-plan through the pruner) read
+        different data than unfiltered ones — the pruner is pinned to
+        the registration-time snapshot."""
+        import struct as st
+
+        root = tmp_path_factory.mktemp("iceberg_pin") / "pin_tbl"
+        data, meta = root / "data", root / "metadata"
+        data.mkdir(parents=True)
+        meta.mkdir()
+
+        def dfile(name, region, ids):
+            p = str(data / name)
+            pq.write_table(pa.table({
+                "id": pa.array(ids, pa.int64()), "region": [region] * len(ids),
+            }), p)
+            return p
+
+        f1 = dfile("a.parquet", "eu", [1, 2])
+        f2 = dfile("b.parquet", "us", [3, 4])
+        f3 = dfile("c.parquet", "eu", [99])  # only in snapshot 2
+
+        part_schema = json.dumps({
+            "type": "record", "name": "manifest_entry", "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": "long"},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "data_file", "fields": [
+                        {"name": "content", "type": "int", "default": 0},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": {
+                            "type": "record", "name": "rp", "fields": [
+                                {"name": "region", "type": ["null", "string"]},
+                            ]}},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ]}},
+            ]})
+
+        def entry(p, region):
+            return {"status": 1, "snapshot_id": 1,
+                    "data_file": {"content": 0, "file_path": p,
+                                  "file_format": "PARQUET",
+                                  "partition": {"region": region},
+                                  "record_count": 1,
+                                  "file_size_in_bytes": os.path.getsize(p)}}
+
+        m1 = str(meta / "m1.avro")
+        _write_avro(spark, m1, part_schema, [entry(f1, "eu"), entry(f2, "us")])
+        m2 = str(meta / "m2.avro")
+        _write_avro(spark, m2, part_schema,
+                    [entry(f1, "eu"), entry(f2, "us"), entry(f3, "eu")])
+        s1, s2 = str(meta / "s1.avro"), str(meta / "s2.avro")
+        for s, ms in ((s1, [m1]), (s2, [m2])):
+            _write_avro(spark, s, _MLIST_SCHEMA, [
+                {"manifest_path": m, "manifest_length": os.path.getsize(m),
+                 "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1}
+                for m in ms])
+
+        def metadata(cur, snaps):
+            return {
+                "format-version": 2, "location": str(root),
+                "current-snapshot-id": cur, "current-schema-id": 0,
+                "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+                    {"id": 1, "name": "id", "type": "long", "required": False},
+                    {"id": 2, "name": "region", "type": "string",
+                     "required": False}]}],
+                "default-spec-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": [
+                    {"name": "region", "transform": "identity",
+                     "source-id": 2, "field-id": 1000}]}],
+                "snapshots": snaps,
+            }
+
+        snap1 = {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": s1}
+        snap2 = {"snapshot-id": 2, "timestamp-ms": 2, "manifest-list": s2}
+        (meta / "v1.metadata.json").write_text(json.dumps(metadata(1, [snap1])))
+        (meta / "version-hint.text").write_text("1")
+
+        eng = ss.connect(
+            {"sources": [{
+                "name": "pin", "type": "iceberg_native",
+                "url": os.path.dirname(str(root)),
+                "tables": [{"name": "pin_tbl"}],
+            }]},
+            spark=spark,
+        )
+        # writer commits snapshot 2 AFTER registration
+        (meta / "v2.metadata.json").write_text(
+            json.dumps(metadata(2, [snap1, snap2])))
+        (meta / "version-hint.text").write_text("2")
+
+        unfiltered = sorted(
+            r.id for r in eng.sql(
+                "SELECT id FROM pin_pin_tbl").collect() if r.id is not None
+        )
+        filtered = sorted(
+            r.id for r in eng.sql(
+                "SELECT id FROM pin_pin_tbl WHERE region = 'eu'").collect()
+        )
+        assert unfiltered == [1, 2, 3, 4]  # registration-time snapshot
+        assert filtered == [1, 2]          # same snapshot — 99 absent

@@ -229,3 +229,18 @@ class TestShardedSink:
         # a crashed write: epoch dir without manifest
         _os.makedirs(_os.path.join(out, "epoch=999", "shard_id=0"))
         assert len(committed_epochs(out)) == n
+
+    def test_null_shard_key_lands_in_shard_zero(self, spark, tmp_path):
+        """md5(null) is null; without coalesce the row would write into
+        __HIVE_DEFAULT_PARTITION__ and poison the manifest build."""
+        from strake_spark.streaming.sink import committed_epochs, shard_sink
+
+        out = str(tmp_path / "out")
+        df = spark.createDataFrame(
+            [(None, "a"), (7, "b")], "event_id long, v string"
+        )
+        shard_sink(out, "event_id", 4)(df, 0)
+        man = committed_epochs(out)[0]
+        assert man["n_rows"] == 2
+        back = spark.read.option("basePath", out).parquet(out + "/epoch=*")
+        assert back.filter("v = 'a'").select("shard_id").collect()[0][0] == 0

@@ -54,11 +54,31 @@ class TestBuilder:
 
     def test_decimal_overflow_guard_raises_not_corrupts(self):
         # pyarrow 16's string->decimal cast silently wraps on overflow;
-        # the builder's width guard must turn that into a loud error
+        # the builder's digit guard must turn that into a loud error
         b = TextBatchBuilder(_schema(("d", T.DecimalType(10, 2))))
         b.add_row([b"123456789012345678901234567890123456789012345"])
-        with pytest.raises(SourceError, match="wider than declared"):
+        with pytest.raises(SourceError, match="integer digits"):
             b.flush()
+
+    def test_decimal_overflow_within_text_width_still_caught(self):
+        """'9999.99' has 4 integer digits > decimal(5,2)'s 3 but is only
+        7 chars wide — a width-based guard would let it wrap silently."""
+        b = TextBatchBuilder(_schema(("d", T.DecimalType(5, 2))))
+        b.add_row([b"9999.99"])
+        with pytest.raises(SourceError, match="integer digits"):
+            b.flush()
+
+    def test_decimal_leading_zeros_not_counted(self):
+        b = TextBatchBuilder(_schema(("d", T.DecimalType(5, 2))))
+        b.add_row([b"0.50"])
+        b.add_row([b"-007.25"])
+        b.add_row([b"999.99"])
+        import decimal
+
+        assert b.flush().column(0).to_pylist() == [
+            decimal.Decimal("0.50"), decimal.Decimal("-7.25"),
+            decimal.Decimal("999.99"),
+        ]
 
     def test_bool_styles(self):
         tf = TextBatchBuilder(_schema(("b", T.BooleanType())), bool_style="tf")
