@@ -113,9 +113,10 @@ _PRIORITY: tuple[str, ...] = (
     "join_right_orders_customer", "join_full_outer_nation_coverage",
     "join_semi_customers_with_urgent_orders",
     # --- 50-entry window boundary ---
-    # round-8 window front: the IVF+PQ pair added late in round 7
-    # (never driver-checked), then the deferred r5-green entries
+    # round-8 window front: entries added late in round 7 (never
+    # driver-checked), then the deferred r5-green entries
     "ann_ivfpq_topk", "ann_ivfpq_recall_vs_exact",
+    "pipeline_end_to_end_curation",
     "join_anti_customers_without_urgent_orders",
     "join_cross_region_status",
     "join_non_equi_price_over_size",

@@ -529,3 +529,70 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(64), F.col("n") - F.col("start")).cast("long").alias("chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+def _end_to_end_oracle() -> str:
+    from strake_spark.operators import text as TX
+
+    return f"""
+    WITH q AS ({TX.sql_quality_score()}),
+    keep AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d
+      WHERE d.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+    ),
+    qual AS (
+      SELECT k.* FROM keep k JOIN q ON k.doc_id = q.doc_id
+      WHERE q.quality >= 0.5
+    ),
+    quota AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM qual
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM quota WHERE rn <= 15
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "pipeline_end_to_end_curation",
+    oracle=_end_to_end_oracle(),
+    notes=(
+        "the whole curation DAG as ONE Catalyst plan: exact dedup "
+        "(keep-first per content digest) -> quality gate (composite "
+        ">= 0.5) -> per-source quota (first 15) -> per-language "
+        "manifest (doc count + char volume). Each stage is the same "
+        "operator the standalone entries verify; composing them proves "
+        "the stages chain without materialization barriers — one job, "
+        "digest/score/quota all pipelined, only the final aggregate "
+        "shuffles by lang. The oracle composes the SAME quality-score "
+        "SQL so the two sides cannot drift"
+    ),
+)
+def end_to_end_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from strake_spark.operators import text as TX
+
+    d = table(spark, sf_dir, "documents")
+    keepers = d.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = d.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    q = TX.quality_score(d).select("doc_id", "quality")
+    qual = kept.join(q, "doc_id").filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    quota = qual.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 15
+    )
+    return (
+        quota.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
