@@ -44,3 +44,23 @@ class TestRecall:
         a = S.ivf_topk(emb, k=3, n_queries=5).collect()
         b = S.ivf_topk(emb, k=3, n_queries=5).collect()
         assert a == b  # fixed seed -> stable cells -> stable results
+
+    def test_pq_recall(self, spark, exact):
+        emb = table(spark, SF_DIR, "embeddings")
+        approx = _topk_sets(S.pq_topk(emb, k=3, n_queries=20))
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        assert hits / total >= 0.5, f"PQ recall {hits}/{total}"
+
+    def test_ivfpq_recall(self, spark, exact):
+        emb = table(spark, SF_DIR, "embeddings")
+        approx = _topk_sets(S.ivfpq_topk(emb, k=3, n_queries=20))
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        assert hits / total >= 0.5, f"IVFPQ recall {hits}/{total}"
+
+    def test_pq_deterministic(self, spark):
+        emb = table(spark, SF_DIR, "embeddings")
+        a = S.pq_topk(emb, k=3, n_queries=5).collect()
+        b = S.pq_topk(emb, k=3, n_queries=5).collect()
+        assert a == b  # fixed seeds -> stable codebooks -> stable results
