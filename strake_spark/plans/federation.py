@@ -235,12 +235,22 @@ def plan_sql(
                 e,
             )
     ice_plan = None
+    local_sql = sql  # what the final local rung executes (Spark dialect)
     try:
         from strake_spark.plans.iceberg_prune import analyze_iceberg_prune
+        from strake_spark.plans.partial import _fix_for_spark
 
         ice = analyze_iceberg_prune(spark, sql)
         if ice is not None:
-            sql, ice_plan = ice  # pruned statement feeds the rest of the ladder
+            # the pruned statement comes back DuckDB-parseable so the
+            # partial-pushdown rung can re-serialize it; its Spark form
+            # must PARSE AND RESOLVE before it may replace the original
+            # — a deserializer artifact degrades to the unpruned plan,
+            # never fails the query
+            pruned_raw, plan_candidate = ice
+            pruned_spark = _fix_for_spark(pruned_raw)
+            spark.sql(pruned_spark).schema
+            sql, local_sql, ice_plan = pruned_raw, pruned_spark, plan_candidate
     except Exception as e:  # noqa: BLE001 - pruning is optional
         log.warning("iceberg partition-prune analysis failed (%s); original plan", e)
     try:
@@ -256,4 +266,4 @@ def plan_sql(
         if not allow_fallback:
             raise
         log.warning("partial pushdown failed (%s); executing locally", e)
-    return spark.sql(sql), ice_plan
+    return spark.sql(local_sql), ice_plan

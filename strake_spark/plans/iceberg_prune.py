@@ -268,9 +268,10 @@ def analyze_iceberg_prune(spark: SparkSession, sql: str):
     rewritten = _deserialize(ast)
     if rewritten is None:
         return None  # no views created yet: nothing leaks on abandon
-    from strake_spark.plans.partial import _fix_for_spark
-
-    rewritten = _fix_for_spark(rewritten)
+    # NB: returned in DuckDB-parseable form (double-quoted identifiers
+    # et al), NOT Spark form — the planning ladder may feed it back
+    # through the AST machinery (partial pushdown); the caller applies
+    # plans.partial._fix_for_spark before handing it to spark.sql.
     for s, df in scans:
         df.createOrReplaceTempView(s.temp_view)
         _remember_prune_view(spark, s.temp_view)

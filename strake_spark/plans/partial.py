@@ -294,8 +294,22 @@ def _fix_for_spark(sql: str) -> str:
     """DuckDB-isms in json_deserialize_sql output that Spark's parser
     rejects (the local-dialect mirror of plans/dialects.fix_text).
     Literal-aware for the same reason as fix_text: a user string
-    containing ' ~~ ' or 'count_star()' must survive verbatim."""
+    containing ' ~~ ' or 'count_star()' must survive verbatim.
+
+    Also converts double-quoted identifiers to backticks: the
+    deserializer quotes any identifier that is a DuckDB reserved word
+    (e.g. ``d."label"``), which Spark's parser rejects outside ANSI
+    double-quoted-identifier mode. Only non-literal segments are
+    touched, so double quotes inside string literals survive; an
+    escaped ``\"\"`` inside a quoted identifier unescapes to one ``"``
+    (backtick identifiers escape a literal backtick by doubling)."""
+    import re
+
     from strake_spark.plans.dialects import _split_literals
+
+    def _ident_to_backtick(m: re.Match) -> str:
+        inner = m.group(1).replace('""', '"').replace("`", "``")
+        return f"`{inner}`"
 
     out = []
     for seg, is_literal in _split_literals(sql):
@@ -305,6 +319,7 @@ def _fix_for_spark(sql: str) -> str:
                 .replace(" !~~ ", " NOT LIKE ")
                 .replace(" ~~ ", " LIKE ")
             )
+            seg = re.sub(r'"((?:[^"]|"")*)"', _ident_to_backtick, seg)
         out.append(seg)
     return "".join(out)
 

@@ -1265,3 +1265,71 @@ class TestPruningSnapshotPinning:
         )
         assert unfiltered == [1, 2, 3, 4]  # registration-time snapshot
         assert filtered == [1, 2]          # same snapshot — 99 absent
+
+
+class TestLadderComposition:
+    """Mixed statement over an iceberg_native view AND a remote SQL
+    table: the planning ladder must apply BOTH iceberg file pruning and
+    partial remote pushdown — including when the statement references a
+    DuckDB reserved word (the deserializer double-quotes it; the ladder
+    keeps the pruned statement DuckDB-parseable for the partial rung and
+    converts identifier quoting only for Spark execution)."""
+
+    def test_prune_and_partial_pushdown_compose(self, spark, part_table, tmp_path):
+        import duckdb
+
+        dbp = str(tmp_path / "dims.duckdb")
+        con = duckdb.connect(dbp)
+        # 'label' is quoted by DuckDB's SQL serializer (reserved word)
+        con.execute("CREATE TABLE region_dim (region VARCHAR, label VARCHAR)")
+        con.execute(
+            "INSERT INTO region_dim VALUES ('eu','Europe'),('us','United States')"
+        )
+        con.close()
+        eng = ss.connect(
+            {"sources": [
+                {"name": "icx", "type": "iceberg_native",
+                 "url": os.path.dirname(part_table),
+                 "tables": [{"name": "events_part", "path": part_table}]},
+                {"name": "ddx", "type": "duckdb", "url": dbp,
+                 "tables": [{"name": "region_dim"}]},
+            ]},
+            spark=spark,
+        )
+        sql = (
+            "SELECT d.label, count(*) AS n FROM icx_events_part e "
+            "JOIN ddx_region_dim d ON e.region = d.region "
+            "WHERE e.region = 'eu' AND d.label = 'Europe' GROUP BY d.label"
+        )
+        out = eng.execute(sql)
+        assert out.to_pylist() == [{"label": "Europe", "n": 4}]
+        # partial pushdown fired on the remote side (reported plan)...
+        from strake_spark.plans.partial import PartialPlan
+
+        plan = eng._last_pushdown
+        assert isinstance(plan, PartialPlan)
+        assert "region_dim" in plan.rewritten_sql
+        # ...AND the iceberg scan inside the rewritten statement is the
+        # pruned temp view (2 of 4 files), not the full view
+        assert any(
+            v.startswith("strake_iceprune_")
+            for v in [r.name for r in spark.catalog.listTables()]
+        )
+
+    def test_reserved_word_identifier_roundtrip(self, spark, part_table, tmp_path):
+        """Single-table iceberg statement selecting into a reserved-word
+        alias still prunes and parses (backtick conversion)."""
+        eng = ss.connect(
+            {"sources": [{
+                "name": "icy", "type": "iceberg_native",
+                "url": os.path.dirname(part_table),
+                "tables": [{"name": "events_part", "path": part_table}]},
+            ]},
+            spark=spark,
+        )
+        df = eng.sql(
+            'SELECT id AS "label" FROM icy_events_part '
+            "WHERE region = 'us' ORDER BY 1"
+        )
+        assert [r["label"] for r in df.collect()] == [5, 6, 7, 8]
+        assert eng._last_pushdown is not None  # pruning fired
