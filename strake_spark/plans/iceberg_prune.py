@@ -139,17 +139,26 @@ def _extract_pred(node: dict, view_cols, alias: str, others: set[str]):
 # per query would otherwise accumulate one catalog entry + embedded
 # file-list plan per distinct predicate for the session's lifetime).
 # Keyed by temp-view name; evicted views are dropped from the catalog.
+# Lock: plan_sql runs on every REST worker thread — evicting a view no
+# longer breaks in-flight queries (their plans resolved at analysis),
+# but the OrderedDict itself must not be mutated concurrently.
+import threading as _threading
 from collections import OrderedDict as _OrderedDict
 
 _PRUNE_VIEWS: _OrderedDict = _OrderedDict()
 _PRUNE_VIEWS_MAX = 64
+_PRUNE_VIEWS_LOCK = _threading.Lock()
 
 
 def _remember_prune_view(spark: SparkSession, temp: str) -> None:
-    _PRUNE_VIEWS[temp] = None
-    _PRUNE_VIEWS.move_to_end(temp)
-    while len(_PRUNE_VIEWS) > _PRUNE_VIEWS_MAX:
-        old, _ = _PRUNE_VIEWS.popitem(last=False)
+    evicted: list[str] = []
+    with _PRUNE_VIEWS_LOCK:
+        _PRUNE_VIEWS[temp] = None
+        _PRUNE_VIEWS.move_to_end(temp)
+        while len(_PRUNE_VIEWS) > _PRUNE_VIEWS_MAX:
+            old, _ = _PRUNE_VIEWS.popitem(last=False)
+            evicted.append(old)
+    for old in evicted:
         try:
             spark.catalog.dropTempView(old)
         except Exception:  # noqa: BLE001 - already gone
