@@ -126,3 +126,46 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_events"))
     w = W.partitionBy("event_type").orderBy(F.col("n_events").desc(), "user_id")
     return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH uw AS (
+      SELECT user_id, date_trunc('week', ts) AS w
+      FROM events GROUP BY user_id, date_trunc('week', ts)
+    ),
+    c AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id)
+    SELECT c.cw AS cohort_week,
+           CAST(date_diff('day', c.cw, uw.w) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT uw.user_id) AS n_users
+    FROM uw JOIN c ON uw.user_id = c.user_id
+    GROUP BY c.cw, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    notes=(
+        "weekly cohort retention: cohort = first active week per user, "
+        "then distinct active users per (cohort, week offset) — the "
+        "standard retention triangle. Two aggregates + one join; the "
+        "per-user first-week side is small (one row per user) so AQE "
+        "broadcasts it at any realistic scale; offsets are exact "
+        "(Monday-truncated weeks in both engines, day-diff / 7)"
+    ),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    c = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    return (
+        uw.join(c, "user_id")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cw")) / 7).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
