@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     # driver-checked), then the deferred r5-green entries
     "ann_ivfpq_topk", "ann_ivfpq_recall_vs_exact",
     "pipeline_end_to_end_curation", "events_cohort_retention",
+    "events_rolling_active_users", "pipeline_dedup_rate_by_source",
     "join_anti_customers_without_urgent_orders",
     "join_cross_region_status",
     "join_non_equi_price_over_size",

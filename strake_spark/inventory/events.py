@@ -169,3 +169,47 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_rolling_active_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    ue AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS ed
+      FROM events
+    )
+    SELECT days.d AS day,
+           COUNT(DISTINCT ue.user_id) AS active_7d
+    FROM days JOIN ue
+      ON ue.ed <= days.d AND ue.ed > days.d - INTERVAL 7 DAY
+    GROUP BY days.d ORDER BY day
+    """,
+    notes=(
+        "trailing 7-day active users per day — the WAU curve. Distinct "
+        "(user, day) pairs range-join the day spine (each pair lands in "
+        "<= 7 day buckets, a bounded fan-out, never a cross product); "
+        "the day spine is tiny and broadcasts. Exact distinct count per "
+        "day; at 100 TB the pre-dedup to (user, day) is what keeps the "
+        "join input at |users|x|days| instead of |events|"
+    ),
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    ue = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("ed")
+    ).distinct()
+    joined = ue.join(
+        F.broadcast(days),
+        (F.col("ed") <= F.col("d")) & (F.col("ed") > F.date_sub(F.col("d"), 7)),
+    )
+    return (
+        joined.groupBy(F.col("d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .orderBy("day")
+    )

@@ -596,3 +596,33 @@ def end_to_end_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    notes=(
+        "per-source duplication telemetry (docs vs distinct content "
+        "digests) — the data-quality report that decides which sources "
+        "need aggressive dedup before mixing. One aggregate over "
+        "32-byte digests; the text never shuffles"
+    ),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.md5("text").alias("digest"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("digest")).alias("n_dups"),
+        )
+        .orderBy("source")
+    )
