@@ -132,6 +132,12 @@ def _extract_pred(node: dict, view_cols, alias: str, others: set[str]):
         if len(ch) >= 2:
             col = _owned_col(ch[0], view_cols, alias, others)
             return (col, "in", [_const_py(c) for c in ch[1:]])
+    if cls == "OPERATOR" and typ in ("OPERATOR_IS_NULL", "OPERATOR_IS_NOT_NULL"):
+        ch = node.get("children", [])
+        if len(ch) == 1:
+            col = _owned_col(ch[0], view_cols, alias, others)
+            return (col, "is_null" if typ == "OPERATOR_IS_NULL" else "not_null",
+                    None)
     raise _Skip
 
 

@@ -226,7 +226,7 @@ def select_snapshot(
 
 
 # ------------------------------------------------- partition pruning
-_OPS = ("=", "==", "!=", "<", "<=", ">", ">=", "in")
+_OPS = ("=", "==", "!=", "<", "<=", ">", ">=", "in", "is_null", "not_null")
 
 
 def _normalize_filter(partition_filter) -> list[tuple[str, str, object]]:
@@ -510,6 +510,13 @@ def _field_excludes(field: dict, op: str, val, pv) -> bool:
     for the monotonic transforms (v < lit implies t(v) <= t(lit));
     != prunes only for identity (many-to-one transforms can't)."""
     tf = field["transform"]
+    if op == "not_null":
+        return False  # handled via the null-pv branch in _entry_matches
+    if op == "is_null":
+        # a NON-null partition value means every row's source value is
+        # non-null (null maps to null through every transform), so no
+        # row can satisfy IS NULL
+        return pv is not None
     if op == "in":
         lits = [_transform_literal(field, v) for v in val]
         if any(l is _SKIP or not _comparable(pv, l) for l in lits):
@@ -554,6 +561,10 @@ def _entry_matches(partition: dict, preds, spec_fields, by_source=None) -> bool:
                 continue  # not prunable by this predicate
             pv = partition[f["name"]]
             if pv is None:
+                # all-null file: IS NULL keeps it; every comparison and
+                # IS NOT NULL discards unknown/null rows
+                if op == "is_null":
+                    continue
                 return False
             if _field_excludes(f, op, val, pv):
                 return False
@@ -602,6 +613,13 @@ def _manifest_may_match(summaries, preds, spec_fields) -> bool:
     for col, op, val in preds:
         for f, summ in hits.get(col, []):
             tf = f["transform"]
+            if op == "is_null":
+                # the summary's contains_null is exactly this question
+                if summ.get("contains_null") is False:
+                    return False
+                continue
+            if op == "not_null":
+                continue  # summaries don't record all-null manifests
             lo = _decode_bound(summ.get("lower_bound"), _bound_storage_type(f))
             hi = _decode_bound(summ.get("upper_bound"), _bound_storage_type(f))
             if lo is None or hi is None:
@@ -1019,7 +1037,11 @@ def _apply_filter(df: DataFrame, preds) -> DataFrame:
 
     for col, op, val in preds:
         c = F.col(col)
-        if op == "in":
+        if op == "is_null":
+            df = df.filter(c.isNull())
+        elif op == "not_null":
+            df = df.filter(c.isNotNull())
+        elif op == "in":
             df = df.filter(c.isin(list(val)))
         else:
             df = df.filter({

@@ -286,3 +286,35 @@ class TestTypeMismatchSoundness:
         assert _entry_matches(
             {"p": 3}, [("c", "==", "550e8400-e29b-41d4-a716-446655440000")], [f]
         ) is True
+
+
+class TestNullPredicatePruning:
+    _F = {"name": "p", "source_name": "c", "type": "string",
+          "transform": "identity", "param": None}
+
+    def test_entry_level_null_semantics(self):
+        from strake_spark.sources.iceberg_native import _entry_matches
+
+        f = self._F
+        # all-null file
+        assert _entry_matches({"p": None}, [("c", "is_null", None)], [f]) is True
+        assert _entry_matches({"p": None}, [("c", "not_null", None)], [f]) is False
+        assert _entry_matches({"p": None}, [("c", "==", "x")], [f]) is False
+        # non-null file
+        assert _entry_matches({"p": "eu"}, [("c", "is_null", None)], [f]) is False
+        assert _entry_matches({"p": "eu"}, [("c", "not_null", None)], [f]) is True
+        # non-identity transform: non-null pv still implies no null rows
+        fb = dict(f, transform="bucket", param=8)
+        assert _entry_matches({"p": 3}, [("c", "is_null", None)], [fb]) is False
+
+    def test_manifest_level_contains_null(self):
+        from strake_spark.sources.iceberg_native import _manifest_may_match
+
+        f = self._F
+        no_nulls = [{"contains_null": False, "lower_bound": b"a",
+                     "upper_bound": b"z"}]
+        has_nulls = [{"contains_null": True, "lower_bound": b"a",
+                      "upper_bound": b"z"}]
+        assert _manifest_may_match(no_nulls, [("c", "is_null", None)], [f]) is False
+        assert _manifest_may_match(has_nulls, [("c", "is_null", None)], [f]) is True
+        assert _manifest_may_match(no_nulls, [("c", "not_null", None)], [f]) is True

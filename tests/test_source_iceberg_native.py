@@ -1333,3 +1333,103 @@ class TestLadderComposition:
         )
         assert [r["label"] for r in df.collect()] == [5, 6, 7, 8]
         assert eng._last_pushdown is not None  # pruning fired
+
+
+class TestNullPartitionPruning:
+    def test_is_null_prunes_to_null_partition_file(self, spark, tmp_path_factory):
+        root = tmp_path_factory.mktemp("iceberg_null") / "null_tbl"
+        data, meta = root / "data", root / "metadata"
+        data.mkdir(parents=True)
+        meta.mkdir()
+        fa = str(data / "eu.parquet")
+        pq.write_table(pa.table({
+            "id": pa.array([1, 2], pa.int64()), "region": ["eu", "eu"],
+        }), fa)
+        fb = str(data / "null.parquet")
+        pq.write_table(pa.table({
+            "id": pa.array([9], pa.int64()),
+            "region": pa.array([None], pa.string()),
+        }), fb)
+        schema = json.dumps({
+            "type": "record", "name": "manifest_entry", "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": "long"},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "data_file", "fields": [
+                        {"name": "content", "type": "int", "default": 0},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": {
+                            "type": "record", "name": "rn", "fields": [
+                                {"name": "region", "type": ["null", "string"],
+                                 "default": None}]}},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ]}},
+            ]})
+
+        def entry(p, region):
+            return {"status": 1, "snapshot_id": 1,
+                    "data_file": {"content": 0, "file_path": p,
+                                  "file_format": "PARQUET",
+                                  "partition": {"region": region},
+                                  "record_count": 1,
+                                  "file_size_in_bytes": os.path.getsize(p)}}
+
+        m1 = str(meta / "m1.avro")
+        _write_avro(spark, m1, schema, [entry(fa, "eu"), entry(fb, None)])
+        s1 = str(meta / "s1.avro")
+        _write_avro(spark, s1, _MLIST_SCHEMA,
+                    [{"manifest_path": m1, "manifest_length": os.path.getsize(m1),
+                      "partition_spec_id": 0, "content": 0,
+                      "added_snapshot_id": 1}])
+        (meta / "v1.metadata.json").write_text(json.dumps({
+            "format-version": 2, "location": str(root),
+            "current-snapshot-id": 1, "current-schema-id": 0,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "id", "type": "long", "required": False},
+                {"id": 2, "name": "region", "type": "string",
+                 "required": False}]}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": "region", "transform": "identity",
+                 "source-id": 2, "field-id": 1000}]}],
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                           "manifest-list": s1}],
+        }))
+        (meta / "version-hint.text").write_text("1")
+
+        # file-listing level: IS NULL keeps only the null-partition file
+        from strake_spark.sources.iceberg_native import (
+            data_files_for_snapshot,
+            load_table_metadata,
+            select_snapshot,
+        )
+
+        m = load_table_metadata(str(root))
+        snap = select_snapshot(m)
+        assert len(data_files_for_snapshot(spark, snap, m, None)) == 2
+        only_null = data_files_for_snapshot(
+            spark, snap, m, [["region", "is_null", None]])
+        assert [os.path.basename(f) for f in only_null] == ["null.parquet"]
+        only_notnull = data_files_for_snapshot(
+            spark, snap, m, [["region", "not_null", None]])
+        assert [os.path.basename(f) for f in only_notnull] == ["eu.parquet"]
+
+        # engine level: WHERE region IS NULL prunes and answers correctly
+        eng = ss.connect(
+            {"sources": [{
+                "name": "nul", "type": "iceberg_native",
+                "url": os.path.dirname(str(root)),
+                "tables": [{"name": "null_tbl"}],
+            }]},
+            spark=spark,
+        )
+        df = eng.sql("SELECT id FROM nul_null_tbl WHERE region IS NULL")
+        assert [r.id for r in df.collect()] == [9]
+        (s,) = eng._last_pushdown.scans
+        assert (s.files_before, s.files_after) == (2, 1)
+        df2 = eng.sql(
+            "SELECT id FROM nul_null_tbl WHERE region IS NOT NULL ORDER BY id")
+        assert [r.id for r in df2.collect()] == [1, 2]
+        assert eng._last_pushdown.scans[0].files_after == 1
