@@ -1433,3 +1433,100 @@ class TestNullPartitionPruning:
             "SELECT id FROM nul_null_tbl WHERE region IS NOT NULL ORDER BY id")
         assert [r.id for r in df2.collect()] == [1, 2]
         assert eng._last_pushdown.scans[0].files_after == 1
+
+
+class TestTransformPruningEndToEnd:
+    def test_day_transform_prunes_through_engine_sql(
+        self, spark, tmp_path_factory
+    ):
+        """Hidden partitioning end-to-end: table partitioned by
+        day(ts); a WHERE on the SOURCE timestamp column prunes files via
+        the transformed partition values."""
+        root = tmp_path_factory.mktemp("iceberg_day") / "day_tbl"
+        data, meta = root / "data", root / "metadata"
+        data.mkdir(parents=True)
+        meta.mkdir()
+        d1, d2 = 19815, 19816  # 2024-04-02, 2024-04-03
+
+        def dfile(name, day, ids):
+            p = str(data / name)
+            micros = [day * 86_400_000_000 + i * 3_600_000_000 for i in range(len(ids))]
+            pq.write_table(pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "ts": pa.array(micros, pa.timestamp("us")),
+            }), p)
+            return p
+
+        f1 = dfile("d1.parquet", d1, [1, 2])
+        f2 = dfile("d2.parquet", d2, [3, 4])
+        schema = json.dumps({
+            "type": "record", "name": "manifest_entry", "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": "long"},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "data_file", "fields": [
+                        {"name": "content", "type": "int", "default": 0},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": {
+                            "type": "record", "name": "rd", "fields": [
+                                {"name": "ts_day", "type": ["null", "int"],
+                                 "default": None}]}},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ]}},
+            ]})
+
+        def entry(p, day):
+            return {"status": 1, "snapshot_id": 1,
+                    "data_file": {"content": 0, "file_path": p,
+                                  "file_format": "PARQUET",
+                                  "partition": {"ts_day": day},
+                                  "record_count": 2,
+                                  "file_size_in_bytes": os.path.getsize(p)}}
+
+        m1 = str(meta / "m1.avro")
+        _write_avro(spark, m1, schema, [entry(f1, d1), entry(f2, d2)])
+        s1 = str(meta / "s1.avro")
+        _write_avro(spark, s1, _MLIST_SCHEMA,
+                    [{"manifest_path": m1, "manifest_length": os.path.getsize(m1),
+                      "partition_spec_id": 0, "content": 0,
+                      "added_snapshot_id": 1}])
+        (meta / "v1.metadata.json").write_text(json.dumps({
+            "format-version": 2, "location": str(root),
+            "current-snapshot-id": 1, "current-schema-id": 0,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "id", "type": "long", "required": False},
+                {"id": 2, "name": "ts", "type": "timestamp",
+                 "required": False}]}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": "ts_day", "transform": "day",
+                 "source-id": 2, "field-id": 1000}]}],
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                           "manifest-list": s1}],
+        }))
+        (meta / "version-hint.text").write_text("1")
+
+        eng = ss.connect(
+            {"sources": [{
+                "name": "dy", "type": "iceberg_native",
+                "url": os.path.dirname(str(root)),
+                "tables": [{"name": "day_tbl"}],
+            }]},
+            spark=spark,
+        )
+        df = eng.sql(
+            "SELECT id FROM dy_day_tbl "
+            "WHERE ts >= TIMESTAMP '2024-04-03 00:00:00' ORDER BY id"
+        )
+        assert [r.id for r in df.collect()] == [3, 4]
+        (s,) = eng._last_pushdown.scans
+        assert (s.files_before, s.files_after) == (2, 1)
+        # equality inside a day keeps only that day's file
+        df2 = eng.sql(
+            "SELECT id FROM dy_day_tbl "
+            "WHERE ts = TIMESTAMP '2024-04-02 01:00:00'"
+        )
+        assert [r.id for r in df2.collect()] == [2]
+        assert eng._last_pushdown.scans[0].files_after == 1
