@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from strake_spark.data import table
 from strake_spark.inventory import query
 from strake_spark.inventory._util import (
+    MEASURE,
     dec,
     dsum,
     one_minus,
@@ -590,4 +591,221 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dec("c_acctbal"), "totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN({sql_dec('l_extendedprice')}) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    minc AS (
+      SELECT ps.l_partkey, MIN(ps.supplycost) AS min_cost
+      FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey
+      GROUP BY ps.l_partkey
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_brand,
+           CAST(ps.supplycost AS DOUBLE) AS supplycost
+    FROM part p
+    JOIN ps   ON ps.l_partkey = p.p_partkey
+    JOIN eu   ON eu.s_suppkey = ps.l_suppkey
+    JOIN minc ON minc.l_partkey = p.p_partkey AND ps.supplycost = minc.min_cost
+    WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+    ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    notes="TPC-H Q2 adapted: no partsupp, so supply cost = MIN(l_extendedprice) per "
+    "(part, supplier) pair observed in lineitem; the correlated min-cost subquery is "
+    "decorrelated into a per-part aggregate restricted to the region's suppliers, then "
+    "joined back on exact-decimal equality (both engines' MIN over exact casts agree "
+    "bit-for-bit). Reference accepts Q2's shape through DataFusion's frontend "
+    "(SURVEY section 2.1 L1); bench set is crates/bench/src/main.rs:160-167.",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    # one shuffle on (part, supplier); dims broadcast; the min-per-part
+    # aggregate reuses the same partitioning lineage
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice")).alias("supplycost")
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = ps.join(F.broadcast(eu), ps.l_suppkey == F.col("s_suppkey"))
+    minc = ps_eu.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        ps_eu.join(F.broadcast(p), ps_eu.l_partkey == p.p_partkey)
+        .join(
+            minc,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH val AS (
+      SELECT l.l_partkey, SUM({sql_dec('l_extendedprice')}) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3','NATION_7','NATION_11')
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(part_value AS DOUBLE) * 800.0 > (SELECT CAST(SUM(part_value) AS DOUBLE) FROM val)
+    ORDER BY part_value DESC, p_partkey
+    """,
+    notes="TPC-H Q11 adapted: part value = SUM(l_extendedprice) of lineitems sold by "
+    "the nation group's suppliers (no partsupp availqty*supplycost); the scalar "
+    "total-value subquery survives as a broadcast single-row cross join; the fraction "
+    "threshold compares exact-decimal sums cast to DOUBLE (identical bits in both "
+    "engines, so the boundary decision agrees).",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    val = (
+        l.join(F.broadcast(sn), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("part_value"))
+    )
+    tot = val.agg(F.sum("part_value").cast("double").alias("total_value"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value").cast("double") * F.lit(800.0) > F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "tpch_q12_priority_shipping",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01' AND l.l_shipdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    notes="TPC-H Q12 adapted: ship mode stands in as l_returnflag and 'late' = shipped "
+    ">30 days after order date (no shipmode/commit/receipt columns); the "
+    "CASE-conditional dual count over a fact-fact join is the operator under test.",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q20_part_promotion",
+    oracle=f"""
+    WITH psq AS (
+      SELECT l_partkey, l_suppkey,
+             SUM({sql_dec('l_quantity')}) AS total_qty,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01'
+                      THEN {sql_dec('l_quantity')} ELSE {sql_dec('0')} END) AS qty_1997
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN psq    ON psq.l_suppkey = s.s_suppkey
+    JOIN part p ON p.p_partkey = psq.l_partkey
+    WHERE r.r_name = 'ASIA' AND p.p_name LIKE '%widget%'
+      AND CAST(total_qty AS DOUBLE) - CAST(qty_1997 AS DOUBLE) > 4.0 * CAST(qty_1997 AS DOUBLE)
+    ORDER BY s.s_suppkey
+    """,
+    notes="TPC-H Q20 adapted: 'available quantity' = lifetime shipped quantity minus "
+    "the 1997 window (no partsupp availqty); the nested IN-subqueries become "
+    "broadcast joins + DISTINCT; the surplus threshold compares exact-decimal sums "
+    "cast to DOUBLE with the identical IEEE expression on both sides.",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    in_1997 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    psq = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("total_qty"),
+        F.sum(F.when(in_1997, dec("l_quantity")).otherwise(F.lit(0).cast(MEASURE))).alias(
+            "qty_1997"
+        ),
+    )
+    asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    surplus = F.col("total_qty").cast("double") - F.col("qty_1997").cast("double")
+    return (
+        psq.join(F.broadcast(p.select("p_partkey")), psq.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(asia), psq.l_suppkey == F.col("s_suppkey"))
+        .filter(surplus > F.lit(4.0) * F.col("qty_1997").cast("double"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
     )
