@@ -5,6 +5,7 @@ against a DuckDB oracle computing the same double arithmetic."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from strake_spark.data import table
 from strake_spark.inventory import query
@@ -256,3 +257,99 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.cosine_topk(emb, k=3, n_queries=20)
     approx = S.ivfpq_topk(emb, k=3, n_queries=20)
     return _recall_row(exact, approx, floor=0.5)
+
+
+# Shared oracle prefix for the SemDeDup entries: deterministic
+# 2-assignment cosine k-means (k=8, init = ids 0..7). Centroid sums in
+# DECIMAL(18,9) (exact, order-independent) mirror the Spark side's
+# decimal accumulator; every per-row score is a left-to-right double
+# fold in both engines, so assignments agree bit-for-bit.
+_SEMDEDUP_CTE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c0.c) / sqrt(list_dot_product(c0.c, c0.c)) DESC, c0.cid) AS rn
+    FROM e, c0) WHERE rn = 1
+),
+comp AS (
+  SELECT a1.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS pos
+  FROM a1 JOIN e USING (vec_id)
+),
+sums AS (
+  SELECT cid, pos, SUM(CAST(val AS DECIMAL(18,9))) AS s, COUNT(*) AS cnt
+  FROM comp GROUP BY cid, pos
+),
+c1 AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c FROM sums GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c1.c) / sqrt(list_dot_product(c1.c, c1.c)) DESC, c1.cid) AS rn
+    FROM e, c1) WHERE rn = 1
+)
+"""
+
+
+@query(
+    "semdedup_kmeans_assign",
+    oracle=_SEMDEDUP_CTE
+    + """
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2 ORDER BY vec_id
+    """,
+    notes=(
+        "SemDeDup stage 1 (Abbas et al. 2023): deterministic fixed-iteration "
+        "cosine k-means with a FULL value-hash oracle — the generic IVF "
+        "trainer stays rows-only, but pinning init (ids 0..k-1), iteration "
+        "count (2) and DECIMAL-exact centroid sums makes the whole "
+        "clustering SQL-expressible. Scale: per iteration one scan + one "
+        "k*dim-cell partial aggregate; assignment is broadcast-k "
+        "cross-join + struct-max groupBy (no window)"
+    ),
+)
+def semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.operators import semdedup as SD
+
+    return (
+        SD.kmeans_assign(table(spark, sf_dir, "embeddings"), k=8, iters=2)
+        .select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "semdedup_prune_keep",
+    oracle=_SEMDEDUP_CTE
+    + """
+    , pc AS (
+      SELECT y.vec_id AS b,
+             list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+      FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN e ea ON ea.vec_id = x.vec_id
+      JOIN e eb ON eb.vec_id = y.vec_id
+    )
+    SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cluster FROM a2
+    WHERE a2.vec_id NOT IN (SELECT b FROM pc WHERE cosine >= 0.32)
+    ORDER BY a2.vec_id
+    """,
+    notes=(
+        "SemDeDup stage 2: within-cluster keep-first pruning at tau=0.32 "
+        "(drops ~130/500 rows on the synthetic corpus; threshold is "
+        "row-count-tuned like ann_embedding_dup_pairs, not a semantic "
+        "claim). Pairwise cosine runs WITHIN clusters only — O(n^2/k), "
+        "the published scaling argument; k grows with corpus size"
+    ),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.operators import semdedup as SD
+
+    return (
+        SD.semantic_prune(table(spark, sf_dir, "embeddings"), k=8, iters=2, tau=0.32)
+        .select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
+        .orderBy("vec_id")
+    )

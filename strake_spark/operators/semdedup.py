@@ -1,0 +1,152 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+Published technique (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication"): cluster the
+corpus embeddings with k-means, then prune near-duplicate pairs WITHIN
+each cluster only — pairwise work drops from O(n^2) to O(n^2 / k) while
+catching semantically-redundant documents that exact/minhash dedup
+misses. The reference engine has no semantic-dedup operator (its dedup
+surface is hash-based); this extends the repo's training-data pipeline
+family alongside operators/dedup.py and operators/similarity.py.
+
+Engine-exactness design (what makes this ORACLE-able when the generic
+IVF k-means is rows-only):
+
+- Fixed iteration count + deterministic init (centroids = the k
+  smallest ids' vectors) — no RNG, no convergence loop.
+- Assignment scores are double dot-products accumulated left-to-right
+  (zip_with/aggregate fold == DuckDB list_dot_product), so per-row
+  argmax agrees bit-for-bit across engines.
+- Centroid updates sum components in DECIMAL(18,9) — exact and
+  order-independent — so a distributed Spark sum and the
+  single-threaded oracle produce identical doubles after the final
+  cast-and-divide. This is the same decimal discipline the TPC-H
+  entries use for money columns (inventory/_util.py), applied to
+  vector components.
+
+Scale shape (100 TB stance):
+
+- Each k-means iteration is one scan + one (cluster, pos) aggregate of
+  k*dim cells — map-side partial, no window, no driver collect; the
+  centroid table (k rows) broadcasts back.
+- Assignment is a broadcast cross-join against k centroids with a
+  groupBy-argmax (struct max), not a window — partial aggregation
+  applies.
+- Pruning self-joins WITHIN clusters only. k should grow with corpus
+  size (SemDeDup uses ~sqrt(n) clusters; 50k clusters at web scale)
+  so per-cluster pair counts stay bounded; k is a parameter here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from strake_spark.operators.similarity import _dot, _norm2
+
+# exact, order-independent accumulator type for centroid sums:
+# components are |x| < 1 floats; (18,9) summed over <=1e9 rows stays
+# inside DuckDB's and Spark's 38-digit caps after widening.
+_ACC = "decimal(18,9)"
+
+
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """argmax_j dot(v, c_j)/|c_j| per row; ties -> smallest cluster id.
+
+    groupBy struct-max instead of a window: partial (map-side)
+    aggregation applies, and no per-key sort materializes.
+    """
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        F.col("cid"),
+        (_dot(F.col("v"), F.col("c")) / F.sqrt(_norm2(F.col("c")))).alias("score"),
+    )
+    # max of (score, -cid) == highest score, then lowest cluster id
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("score"), (-F.col("cid")).alias("neg_cid"))).alias("b"))
+        .select("vec_id", (-F.col("b.neg_cid")).alias("cluster"))
+    )
+    return best
+
+
+def _update(e: DataFrame, assign: DataFrame) -> DataFrame:
+    """New centroids: per-(cluster, pos) DECIMAL-exact component mean,
+    reassembled into ordered arrays JVM-side (sort_array over structs)."""
+    comp = (
+        assign.join(e, "vec_id")
+        .select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum(F.col("val").cast(_ACC)).alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        comp.select(
+            "cluster",
+            F.struct("pos", (F.col("s").cast("double") / F.col("cnt")).alias("m")).alias("pm"),
+        )
+        .groupBy("cluster")
+        .agg(F.transform(F.sort_array(F.collect_list("pm")), lambda x: x.m).alias("c"))
+        .select(F.col("cluster").alias("cid"), "c")
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic fixed-iteration cosine k-means: (vec_id, cluster).
+
+    ``iters`` counts assignment passes; centroids update between
+    passes. Init centroids are the ``k`` smallest ids' vectors.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    cents = e.filter(F.col("vec_id") < k).select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    assign = None
+    for i in range(iters):
+        assign = _assign(e, cents)
+        if i < iters - 1:
+            cents = _update(e, assign)
+    return assign
+
+
+def semantic_prune(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup keep-list: drop any row whose cosine to a LOWER-id member
+    of its own cluster reaches ``tau`` (one-pass keep-first rule, the
+    same keep-smallest-id convention as operators/dedup.py). Returns
+    (vec_id, cluster) for survivors."""
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    assign = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    av = assign.join(e, "vec_id").select("vec_id", "cluster", "v")
+    left = av.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("a"),
+        F.col("v").alias("va"),
+        F.sqrt(_norm2(F.col("v"))).alias("na"),
+    )
+    right = av.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("b"),
+        F.col("v").alias("vb"),
+        F.sqrt(_norm2(F.col("v"))).alias("nb"),
+    )
+    dropped = (
+        left.join(right, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .filter(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= tau)
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(dropped, "vec_id", "left_anti").select("vec_id", "cluster")

@@ -1,0 +1,58 @@
+"""SemDeDup operator invariants (inventory entries cover oracle
+equality; these cover the operator's own guarantees)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from strake_spark.data import table
+from strake_spark.operators import semdedup as SD
+from tests.conftest import SF_DIR
+
+
+def _emb(spark):
+    return table(spark, SF_DIR, "embeddings")
+
+
+def test_assign_total_and_in_range(spark):
+    emb = _emb(spark)
+    n = emb.count()
+    a = SD.kmeans_assign(emb, k=8, iters=2)
+    rows = a.collect()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    assert {r.cluster for r in rows} <= set(range(8))
+
+
+def test_assign_deterministic_under_repartition(spark):
+    emb = _emb(spark)
+    a = {(r.vec_id, r.cluster) for r in SD.kmeans_assign(emb, k=8, iters=2).collect()}
+    b = {
+        (r.vec_id, r.cluster)
+        for r in SD.kmeans_assign(emb.repartition(7), k=8, iters=2).collect()
+    }
+    assert a == b
+
+
+def test_prune_is_subset_and_keeps_cluster_minimum(spark):
+    emb = _emb(spark)
+    assign = {(r.vec_id, r.cluster) for r in SD.kmeans_assign(emb, k=8, iters=2).collect()}
+    kept = {(r.vec_id, r.cluster) for r in SD.semantic_prune(emb, k=8, iters=2, tau=0.32).collect()}
+    assert kept < assign  # strict: tau=0.32 drops rows on this corpus
+    min_per_cluster = {}
+    for vid, c in assign:
+        min_per_cluster[c] = min(min_per_cluster.get(c, vid), vid)
+    # the smallest id in a cluster has no lower-id member, so it survives
+    for c, vid in min_per_cluster.items():
+        assert (vid, c) in kept
+
+
+def test_prune_tau_above_one_keeps_all(spark):
+    emb = _emb(spark)
+    assert SD.semantic_prune(emb, k=8, iters=2, tau=1.01).count() == emb.count()
+
+
+def test_iters_must_be_positive(spark):
+    with pytest.raises(ValueError):
+        SD.kmeans_assign(_emb(spark), k=8, iters=0)
