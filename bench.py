@@ -60,6 +60,7 @@ PIPELINE_QUERIES = (
     "text_quality_score",
     "pipeline_decontaminate_ngram",
     "pipeline_chunk_documents",  # added r7: map-only chunking throughput
+    "semdedup_prune_keep",  # added r7: k-means + within-cluster prune
 )
 
 

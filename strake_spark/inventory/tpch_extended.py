@@ -685,14 +685,17 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey AS p_partkey, CAST(part_value AS DOUBLE) AS part_value
     FROM val
-    WHERE CAST(part_value AS DOUBLE) * 800.0 > (SELECT CAST(SUM(part_value) AS DOUBLE) FROM val)
+    WHERE CAST(part_value AS DOUBLE) * (SELECT COUNT(*) FROM val)
+          > 3.0 * (SELECT CAST(SUM(part_value) AS DOUBLE) FROM val)
     ORDER BY part_value DESC, p_partkey
     """,
     notes="TPC-H Q11 adapted: part value = SUM(l_extendedprice) of lineitems sold by "
     "the nation group's suppliers (no partsupp availqty*supplycost); the scalar "
-    "total-value subquery survives as a broadcast single-row cross join; the fraction "
-    "threshold compares exact-decimal sums cast to DOUBLE (identical bits in both "
-    "engines, so the boundary decision agrees).",
+    "total-value subquery survives as a broadcast single-row cross join. The spec's "
+    "fraction threshold scales with SF (0.0001/SF), which zeroes out at bigger SFs; "
+    "this uses the scale-invariant form 'value > 3x the mean part share' "
+    "(value*cnt > 3*total), compared in DOUBLE on exact-decimal sums so the "
+    "boundary decision agrees bit-for-bit across engines.",
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
@@ -706,10 +709,16 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice")).alias("part_value"))
     )
-    tot = val.agg(F.sum("part_value").cast("double").alias("total_value"))
+    tot = val.agg(
+        F.sum("part_value").cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         val.crossJoin(F.broadcast(tot))
-        .filter(F.col("part_value").cast("double") * F.lit(800.0) > F.col("total_value"))
+        .filter(
+            F.col("part_value").cast("double") * F.col("n_parts")
+            > F.lit(3.0) * F.col("total_value")
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.col("part_value").cast("double").alias("part_value"),

@@ -128,7 +128,9 @@ def semantic_prune(
     same keep-smallest-id convention as operators/dedup.py). Returns
     (vec_id, cluster) for survivors."""
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
-    assign = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # the assignment feeds three lineages (both self-join sides + the
+    # final anti-join); checkpoint it so k-means runs once, not thrice
+    assign = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col).localCheckpoint()
     av = assign.join(e, "vec_id").select("vec_id", "cluster", "v")
     left = av.select(
         F.col("cluster"),
