@@ -227,3 +227,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_substring_exact_spans",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 40) AS gram
+      FROM documents, LATERAL unnest(range(1, length(text) - 38)) AS t(i)
+      WHERE length(text) >= 40
+    ),
+    gcount AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY gram)
+    SELECT s.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+    FROM sh s JOIN gcount g ON s.gram = g.gram
+    GROUP BY s.doc_id
+    HAVING SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) > 0
+    ORDER BY s.doc_id
+    """,
+    notes=(
+        "exact-substring duplication stats (Lee et al. 2021 family): "
+        "per-doc count of 40-char shingles occurring verbatim in other "
+        "docs — the substring-level dedup signal minhash/Jaccard entries "
+        "do not cover. Inverted-index join, no suffix array needed "
+        "distributed-side"
+    ),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        D.substring_dup_stats(table(spark, sf_dir, "documents"), length=40)
+        .orderBy("doc_id")
+    )

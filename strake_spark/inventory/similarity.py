@@ -353,3 +353,46 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "embedding_truncate_fidelity",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(embedding[1:16] AS DOUBLE[]) AS t
+      FROM embeddings
+    )
+    SELECT vec_id,
+           list_dot_product(v, v) AS norm2_full,
+           list_dot_product(t, t) AS norm2_trunc,
+           list_dot_product(t, v[1:16]) / (sqrt(list_dot_product(t, t)) * sqrt(list_dot_product(v, v)))
+             AS trunc_cosine
+    FROM e
+    ORDER BY vec_id
+    """,
+    notes=(
+        "Matryoshka-style truncation fidelity: cosine between each "
+        "vector and its dim-16 prefix (= sqrt of the energy fraction "
+        "the prefix retains) — the decision metric for serving "
+        "truncated embeddings at lower storage/compute. Map-only, "
+        "left-fold double arithmetic in both engines"
+    ),
+)
+def embedding_truncate_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.operators.similarity import _dot, _norm2
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("t"),
+    )
+    return e.select(
+        "vec_id",
+        _norm2(F.col("v")).alias("norm2_full"),
+        _norm2(F.col("t")).alias("norm2_trunc"),
+        (
+            _dot(F.col("t"), F.slice(F.col("v"), 1, 16))
+            / (F.sqrt(_norm2(F.col("t"))) * F.sqrt(_norm2(F.col("v"))))
+        ).alias("trunc_cosine"),
+    ).orderBy("vec_id")

@@ -431,3 +431,52 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    length: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring statistics (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    EXACT-SUBSTRING family their suffix-array pass implements; the
+    reference engine has no substring-level dedup).
+
+    Per document: how many of its ``length``-char shingles also occur
+    verbatim in at least one OTHER document. Downstream curation drops
+    or trims documents with high ``dup_grams/n_grams``. Only documents
+    with at least one cross-document duplicated shingle are returned.
+
+    Distributed shape (100 TB stance): shingles explode map-side
+    (char-offset sequence, no Python); the per-gram distinct-doc count
+    and the join-back share one hash shuffle on the gram key (exchange
+    reuse), then the per-doc rollup shuffles on ``id_col``. A
+    suffix-array build is inherently sequential — the shingle
+    inverted-index form is the standard distributed equivalent. At
+    extreme scale, join on a fixed-width digest of the gram (md5) to
+    narrow the shuffle; kept as raw grams here to stay bit-identical
+    with the SQL oracle's semantics.
+    """
+    from pyspark.sql import functions as F
+
+    sh = (
+        docs.filter(F.length(text_col) >= length)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(text_col) - (length - 1))).alias("i"),
+            F.col(text_col),
+        )
+        .select(id_col, F.col(text_col).substr(F.col("i"), F.lit(length)).alias("gram"))
+    )
+    gcount = sh.groupBy("gram").agg(F.countDistinct(id_col).alias("nd"))
+    return (
+        sh.join(gcount, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("dup_grams"),
+        )
+        .filter(F.col("dup_grams") > 0)
+    )
