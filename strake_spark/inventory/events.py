@@ -213,3 +213,43 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_7d"))
         .orderBy("day")
     )
+
+
+@query(
+    "events_rollup_incremental",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    ORDER BY day, event_type
+    """,
+    notes=(
+        "continuous-aggregate maintenance (hypertable rollup pattern): the Spark "
+        "side splits events 90/10 by md5(event_id), builds the day-level rollup "
+        "of the 90%, then INCREMENTALLY merges the late 10% touching only their "
+        "days — the oracle is the FULL recompute, so the driver hash proves "
+        "incremental == full, bit-for-bit (decimal partials are associative). "
+        "Cost of a maintenance pass is O(batch + touched rollup rows), "
+        "independent of history size"
+    ),
+)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.operators.hashing import h32
+    from strake_spark.operators.rollup import incremental_rollup
+
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value",
+        (F.pmod(h32(F.col("event_id").cast("string")), F.lit(10)) == 0).alias("__late"),
+    )
+    base = ev.filter(~F.col("__late")).drop("__late")
+    late = ev.filter(F.col("__late")).drop("__late")
+    return (
+        incremental_rollup(base, late, keys=["day", "event_type"])
+        .select(
+            "day", "event_type", "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -1,0 +1,73 @@
+"""Incremental rollup maintenance (continuous-aggregate pattern).
+
+The hypertable/continuous-aggregate idea from time-series engines: a
+day-level rollup of an append-mostly event stream should NOT be
+recomputed from 100 TB of history when a late batch lands — only the
+time buckets the batch touches get refreshed, by merging mergeable
+partial aggregates (sum-of-sums, sum-of-counts; derived metrics like
+avg computed at read time).
+
+Mechanics:
+
+1. aggregate the late batch into the same partial shape (one small
+   shuffle over the batch only);
+2. broadcast-semi/anti-join the existing rollup on the touched bucket
+   keys (the touched set is tiny — days, not rows);
+3. union untouched rollup rows with the re-merged touched rows.
+
+Cost is O(|batch| + |rollup rows in touched buckets|), independent of
+history size. Partials stay exact: counts are longs, sums are DECIMAL
+(associative, order-independent — the repo-wide discipline from
+inventory/_util.py), so an incremental maintenance pass produces
+BIT-IDENTICAL results to a full recompute; the inventory entry's
+oracle exploits exactly that (oracle = full GROUP BY over all events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SUM_T = "decimal(25,6)"
+
+
+def rollup_events(events: DataFrame, keys: Sequence[str], value_col: str = "value") -> DataFrame:
+    """Partial-aggregate shape: (keys..., n_events, total_value[decimal])."""
+    return events.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast(_SUM_T)).cast(_SUM_T).alias("total_value"),
+    )
+
+
+def merge_rollups(base: DataFrame, delta: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge two partial rollups: untouched base rows pass through; rows
+    for keys present in ``delta`` re-merge by summing partials."""
+    touched = delta.select(*keys).distinct()
+    untouched = base.join(F.broadcast(touched), list(keys), "left_anti")
+    merged = (
+        base.join(F.broadcast(touched), list(keys), "left_semi")
+        .unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").cast(_SUM_T).alias("total_value"),
+        )
+    )
+    return untouched.unionByName(merged)
+
+
+def incremental_rollup(
+    base_events: DataFrame,
+    late_events: DataFrame,
+    keys: Sequence[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Rollup of base ∪ late via incremental maintenance (never re-scans
+    base_events beyond the initial rollup build)."""
+    return merge_rollups(
+        rollup_events(base_events, keys, value_col),
+        rollup_events(late_events, keys, value_col),
+        keys,
+    )
