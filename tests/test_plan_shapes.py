@@ -312,3 +312,38 @@ class TestDecontamination:
             F.sum(F.size(F.split(normalize_text(F.col("text")), " "))).alias("t")
         ).collect()[0].t
         assert total == expect  # every token lands in exactly one pack
+
+
+class TestRound7Additions:
+    def test_q2_broadcasts_dims_no_cartesian(self, spark):
+        plan = _plan(spark, "tpch_q2_min_cost_supplier")
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q20_all_joins_broadcast(self, spark):
+        plan = _plan(spark, "tpch_q20_part_promotion")
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan  # psq joins only broadcast sides
+
+    def test_q11_scalar_subquery_is_broadcast_single_row(self, spark):
+        plan = _plan(spark, "tpch_q11_important_stock")
+        # the total-value scalar arrives via a broadcast nested loop of
+        # one row, never a shuffled cross product
+        assert "CartesianProduct" not in plan
+
+    def test_semdedup_assignment_has_no_window(self, spark):
+        plan = _plan(spark, "semdedup_kmeans_assign")
+        # struct-max argmax, not row_number: no per-key sort/Window node
+        assert "Window" not in plan
+        assert "partial_" in plan or plan.count("HashAggregate") >= 2
+
+    def test_substring_dedup_single_gram_shuffle_key(self, spark):
+        plan = _plan(spark, "dedup_substring_exact_spans")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_rollup_merge_broadcasts_touched_keys(self, spark):
+        plan = _plan(spark, "events_rollup_incremental")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # touched-day semi/anti joins
