@@ -234,8 +234,26 @@ def plan_sql(
                 plan.remote.context(),
                 e,
             )
-    ice_plan = None
+    sub_scans: tuple = ()
     local_sql = sql  # what the final local rung executes (Spark dialect)
+    try:
+        from strake_spark.plans.subtree import analyze_subtrees, register_scans
+
+        st = analyze_subtrees(spark, sql)
+        if st is not None:
+            # register first (lazy), then the rewritten outer statement
+            # must PARSE AND RESOLVE before it may replace the original;
+            # any failure degrades to the unrewritten ladder
+            register_scans(spark, st.scans)
+            spark.sql(st.spark_sql).schema
+            sql, local_sql, sub_scans = st.duck_sql, st.spark_sql, st.scans
+            log.info(
+                "subtree pushdown: %s",
+                "; ".join(f"{s.view} -> ({s.remote_sql})" for s in st.scans),
+            )
+    except Exception as e:  # noqa: BLE001 - subtree shipping is optional
+        log.warning("subtree pushdown analysis failed (%s); original plan", e)
+    ice_plan = None
     try:
         from strake_spark.plans.iceberg_prune import analyze_iceberg_prune
         from strake_spark.plans.partial import _fix_for_spark
@@ -261,9 +279,18 @@ def plan_sql(
             rewritten, pplan = partial
             df = execute_partial(spark, rewritten, pplan)
             df.schema
+            if sub_scans:  # report shipped subtrees alongside the scans
+                pplan.scans = tuple(sub_scans) + tuple(pplan.scans)
+                pplan.rewritten_sql = pplan.summary()
             return df, pplan
     except Exception as e:  # noqa: BLE001 - any partial failure -> local
         if not allow_fallback:
             raise
         log.warning("partial pushdown failed (%s); executing locally", e)
+    if sub_scans:
+        from strake_spark.plans.partial import PartialPlan
+
+        pplan = PartialPlan(scans=tuple(sub_scans), local_sql=local_sql)
+        pplan.rewritten_sql = pplan.summary()
+        return spark.sql(local_sql), pplan
     return spark.sql(local_sql), ice_plan

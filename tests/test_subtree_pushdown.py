@@ -1,0 +1,146 @@
+"""Subquery-level federation: a single-source CTE / derived table in a
+mixed statement ships WHOLE to the remote engine (join + aggregate run
+there); results must equal fully-local execution; unsafe shapes must
+degrade, never error."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import strake_spark as ss
+from strake_spark.plans.federation import plan_sql
+from strake_spark.plans.partial import PartialPlan
+from strake_spark.plans.subtree import analyze_subtrees
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def mixed(spark, tmp_path_factory):
+    """DuckDB remote (orders, customer) + local parquet (nation)."""
+    dpath = str(tmp_path_factory.mktemp("sub") / "sub.duckdb")
+    con = duckdb.connect(dpath)
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    con.close()
+    eng = ss.connect(
+        {
+            "sources": [
+                {"name": "rm", "type": "duckdb", "url": dpath},
+                {"name": "lc", "type": "parquet", "url": SF_DIR,
+                 "tables": [{"name": "nation"}]},
+            ]
+        },
+        spark=spark,
+    )
+    return eng
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestSubtreeShipping:
+    def test_cte_with_remote_join_ships_whole(self, mixed):
+        sql = """
+        WITH big AS (
+          SELECT c.c_nationkey, count(*) AS n,
+                 sum(CAST(o.o_totalprice AS DECIMAL(19,4))) AS total
+          FROM rm_orders o JOIN rm_customer c ON o.o_custkey = c.c_custkey
+          WHERE o.o_orderpriority = '1-URGENT'
+          GROUP BY c.c_nationkey
+        )
+        SELECT nt.n_name, big.n, big.total
+        FROM big JOIN lc_nation nt ON big.c_nationkey = nt.n_nationkey
+        """
+        df, plan = plan_sql(mixed.spark, sql)
+        assert isinstance(plan, PartialPlan)
+        ships = [s for s in plan.scans if s.temp_view.startswith("strake_sub_")]
+        assert len(ships) == 1 and ships[0].view == "big"
+        # the REMOTE statement contains the join + aggregate
+        rs = ships[0].remote_sql.lower()
+        assert "join" in rs and "group by" in rs and "sum(" in rs
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+    def test_derived_table_ships(self, mixed):
+        sql = """
+        SELECT nt.n_name, d.cnt
+        FROM (SELECT c_nationkey, count(*) AS cnt
+              FROM rm_customer WHERE c_acctbal > 0 GROUP BY c_nationkey) d
+        JOIN lc_nation nt ON d.c_nationkey = nt.n_nationkey
+        """
+        df, plan = plan_sql(mixed.spark, sql)
+        assert isinstance(plan, PartialPlan)
+        ships = [s for s in plan.scans if s.temp_view.startswith("strake_sub_")]
+        assert len(ships) == 1 and ships[0].view == "d"
+        assert "group by" in ships[0].remote_sql.lower()
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+    def test_mixed_subquery_does_not_ship(self, mixed):
+        # derived table touches BOTH remote and local -> no subtree ship
+        sql = """
+        SELECT d.n_name, d.cnt FROM (
+          SELECT nt.n_name, count(*) AS cnt
+          FROM rm_customer c JOIN lc_nation nt ON c.c_nationkey = nt.n_nationkey
+          GROUP BY nt.n_name
+        ) d
+        """
+        st = analyze_subtrees(mixed.spark, sql)
+        assert st is None
+        df, _ = plan_sql(mixed.spark, sql)
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+    def test_outer_cte_reference_does_not_ship(self, mixed):
+        # the inner derived table references an outer (local) CTE
+        sql = """
+        WITH keys AS (SELECT n_nationkey FROM lc_nation WHERE n_regionkey = 1)
+        SELECT d.c_nationkey, d.cnt FROM (
+          SELECT c_nationkey, count(*) AS cnt FROM rm_customer
+          WHERE c_nationkey IN (SELECT n_nationkey FROM keys)
+          GROUP BY c_nationkey
+        ) d
+        """
+        st = analyze_subtrees(mixed.spark, sql)
+        assert st is None
+        df, _ = plan_sql(mixed.spark, sql)
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+    def test_correlated_shape_degrades_not_errors(self, mixed):
+        # qualified reference to an outer alias inside the subquery:
+        # scope closure must reject the ship; execution stays correct
+        sql = """
+        SELECT nt.n_name,
+               (SELECT count(*) FROM rm_customer c WHERE c.c_nationkey = nt.n_nationkey) AS cnt
+        FROM lc_nation nt
+        """
+        st = analyze_subtrees(mixed.spark, sql)
+        assert st is None  # correlated scalar subquery is not shippable
+        df, _ = plan_sql(mixed.spark, sql)
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+    def test_sibling_cte_chain(self, mixed):
+        # CTE a is pure-remote (ships); CTE b references a (stays local)
+        sql = """
+        WITH a AS (SELECT c_nationkey, count(*) AS cnt FROM rm_customer GROUP BY c_nationkey),
+             b AS (SELECT a.c_nationkey, a.cnt FROM a WHERE a.cnt > 0)
+        SELECT nt.n_name, b.cnt
+        FROM b JOIN lc_nation nt ON b.c_nationkey = nt.n_nationkey
+        """
+        df, plan = plan_sql(mixed.spark, sql)
+        assert isinstance(plan, PartialPlan)
+        ships = [s for s in plan.scans if s.temp_view.startswith("strake_sub_")]
+        assert [s.view for s in ships] == ["a"]
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+    def test_explain_tree_reports_shipped_subtree(self, mixed):
+        sql = """
+        WITH big AS (
+          SELECT c_nationkey, count(*) AS n FROM rm_customer GROUP BY c_nationkey
+        )
+        SELECT nt.n_name, big.n
+        FROM big JOIN lc_nation nt ON big.c_nationkey = nt.n_nationkey
+        """
+        tree = mixed.explain_tree(sql)
+        assert "PUSHED" in tree and "big" in tree
