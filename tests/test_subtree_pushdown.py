@@ -144,3 +144,50 @@ class TestSubtreeShipping:
         """
         tree = mixed.explain_tree(sql)
         assert "PUSHED" in tree and "big" in tree
+
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+_AGGS = st.sampled_from([
+        "count(*)",
+        "count(DISTINCT c_nationkey)",
+        "min(c_custkey)",
+        "max(c_custkey)",
+        "sum(CAST(c_acctbal AS DECIMAL(19,4)))",
+])
+_FILTS = st.sampled_from([
+    "", "WHERE c_acctbal > {n}", "WHERE c_custkey % 7 = {k}",
+    "WHERE c_mktsegment = '{seg}'",
+])
+_HAVS = st.sampled_from(["", "HAVING count(*) > {h}"])
+
+
+@st.composite
+def _subtree_sql(draw):
+    agg = draw(_AGGS)
+    filt = draw(_FILTS).format(
+        n=draw(st.integers(min_value=-5000, max_value=9000)),
+        k=draw(st.integers(min_value=0, max_value=6)),
+        seg=draw(st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"])),
+    )
+    hav = draw(_HAVS).format(h=draw(st.integers(min_value=0, max_value=5)))
+    return (
+        f"(SELECT c_nationkey, {agg} AS m FROM rm_customer {filt} "
+        f"GROUP BY c_nationkey {hav}) d"
+    )
+
+
+class TestSubtreeProperty:
+    """Generated single-source subtrees: shipped execution == local
+    execution for every shape (aggregates, filters, HAVING)."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(sub=_subtree_sql())
+    def test_fuzzed_subtree_pushed_equals_local(self, mixed, sub):
+        sql = f"""SELECT nt.n_name, d.m FROM {sub}
+                  JOIN lc_nation nt ON d.c_nationkey = nt.n_nationkey"""
+        st_result = analyze_subtrees(mixed.spark, sql)
+        assert st_result is not None and len(st_result.scans) == 1
+        df, _ = plan_sql(mixed.spark, sql)
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
