@@ -21,3 +21,8 @@ from strake_spark.streaming.ops import (  # noqa: F401
     user_running_totals,
     view_purchase_join,
 )
+from strake_spark.streaming.rollup_sink import (  # noqa: F401
+    current_rollup,
+    rollup_sink,
+    write_stream_rollup,
+)

@@ -244,3 +244,103 @@ class TestShardedSink:
         assert man["n_rows"] == 2
         back = spark.read.option("basePath", out).parquet(out + "/epoch=*")
         assert back.filter("v = 'a'").select("shard_id").collect()[0][0] == 0
+
+
+class TestRollupSink:
+    """Continuously-maintained rollup state (streaming/rollup_sink.py):
+    after draining the stream, the persisted rollup must equal the
+    batch rollup of all events; replays must not double-count."""
+
+    def _drive(self, spark, events_dir, out, ckpt, max_files=2):
+        from strake_spark.streaming.ops import read_event_stream
+        from strake_spark.streaming.rollup_sink import write_stream_rollup
+
+        stream = read_event_stream(
+            spark, events_dir, max_files_per_trigger=max_files
+        ).withColumn("day", F.to_date("ts"))
+        q = write_stream_rollup(
+            stream, out, ckpt, keys=["day", "event_type"]
+        )
+        q.awaitTermination(120)
+
+    def _expected(self, spark, events_dir):
+        from strake_spark.operators.rollup import rollup_events
+
+        ev = spark.read.parquet(events_dir).withColumn("day", F.to_date("ts"))
+        return {
+            (r.day, r.event_type): (r.n_events, r.total_value)
+            for r in rollup_events(ev, ["day", "event_type"]).collect()
+        }
+
+    def test_final_state_equals_batch_rollup(self, spark, events_dir, tmp_path):
+        from strake_spark.streaming.rollup_sink import current_rollup, read_pointer
+
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._drive(spark, events_dir, out, ckpt)
+        ptr = read_pointer(out)
+        assert ptr is not None and ptr["version"] >= 1  # several merges ran
+        got = {
+            (r.day, r.event_type): (r.n_events, r.total_value)
+            for r in current_rollup(spark, out).collect()
+        }
+        assert got == self._expected(spark, events_dir)
+
+    def test_replay_of_committed_batch_is_idempotent(self, spark, events_dir, tmp_path):
+        from strake_spark.streaming.rollup_sink import (
+            current_rollup,
+            read_pointer,
+            rollup_sink,
+        )
+
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._drive(spark, events_dir, out, ckpt)
+        ptr = read_pointer(out)
+        # replay the LAST batch: approximate its rows as state(version) -
+        # state(prev) cannot be reconstructed, so replay an EMPTY batch
+        # under the same id after pointing the fold at prev — the guard
+        # must read from prev, not from the already-merged version
+        last = ptr["version"]
+        before = self._expected(spark, events_dir)
+        # rebuild the delivered batch exactly: all events not yet merged
+        # at prev cannot be identified generically, so drive a synthetic
+        # one-batch stream instead: state0 = full merge in one batch
+        out2, _ = str(tmp_path / "out2"), None
+        ev = spark.read.parquet(events_dir).withColumn("day", F.to_date("ts"))
+        sink = rollup_sink(out2, ["day", "event_type"])
+        sink(ev, 0)
+        first = {
+            (r.day, r.event_type): (r.n_events, r.total_value)
+            for r in current_rollup(spark, out2).collect()
+        }
+        assert first == before
+        sink(ev.localCheckpoint(), 0)  # replay same batch id
+        again = {
+            (r.day, r.event_type): (r.n_events, r.total_value)
+            for r in current_rollup(spark, out2).collect()
+        }
+        assert again == before  # no double-count
+
+    def test_crash_before_pointer_leaves_previous_state(self, spark, events_dir, tmp_path):
+        from strake_spark.streaming.rollup_sink import current_rollup, rollup_sink
+
+        out = str(tmp_path / "out3")
+        ev = spark.read.parquet(events_dir).withColumn("day", F.to_date("ts"))
+        half = ev.filter(F.col("event_id") % 2 == 0)
+        sink = rollup_sink(out, ["day", "event_type"])
+        sink(half, 0)
+        committed = {
+            (r.day, r.event_type): (r.n_events, r.total_value)
+            for r in current_rollup(spark, out).collect()
+        }
+        # simulate a crash: v=1 written but pointer never updated
+        rest = ev.filter(F.col("event_id") % 2 == 1)
+        from strake_spark.operators.rollup import rollup_events
+
+        rollup_events(rest, ["day", "event_type"]).write.mode("overwrite").parquet(
+            out + "/v=1"
+        )
+        got = {
+            (r.day, r.event_type): (r.n_events, r.total_value)
+            for r in current_rollup(spark, out).collect()
+        }
+        assert got == committed  # orphan v=1 invisible
