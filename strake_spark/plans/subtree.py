@@ -96,11 +96,58 @@ def _inner_table_aliases(node, out: set[str]) -> None:
             _inner_table_aliases(v, out)
 
 
+_AGG_FUNCS = {
+    "count", "count_star", "sum", "avg", "min", "max", "string_agg",
+    "array_agg", "list", "first", "last", "median", "mode", "stddev",
+    "stddev_pop", "stddev_samp", "var_pop", "var_samp", "variance",
+    "bit_and", "bit_or", "bit_xor", "bool_and", "bool_or", "product",
+    "approx_count_distinct", "arg_min", "arg_max", "group_concat",
+}
+
+
+def _reduces(q_node: dict, n_tables: int) -> bool:
+    """Ship only subtrees that REDUCE data remotely: an aggregate,
+    DISTINCT, LIMIT, or a multi-table join. A bare filter/projection is
+    better served by the partial-pushdown rung, whose partitioned scan
+    parallelizes the transfer instead of pulling through the single
+    push_query connection."""
+    if n_tables > 1:
+        return True
+
+    found = {"hit": False}
+
+    def walk(n):
+        if found["hit"]:
+            return
+        if isinstance(n, dict):
+            if n.get("group_expressions") or n.get("group_sets"):
+                found["hit"] = True
+                return
+            for m in n.get("modifiers", []) or []:
+                if m.get("type") in ("DISTINCT_MODIFIER", "LIMIT_MODIFIER"):
+                    found["hit"] = True
+                    return
+            if (
+                n.get("type") == "FUNCTION"
+                and n.get("function_name", "").lower() in _AGG_FUNCS
+            ):
+                found["hit"] = True
+                return
+            for v in n.values():
+                walk(v)
+        elif isinstance(n, list):
+            for v in n:
+                walk(v)
+
+    walk(q_node)
+    return found["hit"]
+
+
 def _try_push_subtree(
     spark: SparkSession, q_node: dict, outer_ctes: set[str]
 ) -> tuple[str, RemoteTable] | None:
-    """If the subtree rooted at ``q_node`` is single-remote-source and
-    scope-closed, return (remote_sql, representative)."""
+    """If the subtree rooted at ``q_node`` is single-remote-source,
+    scope-closed, and REDUCING, return (remote_sql, representative)."""
     from strake_spark.plans.federation import (
         _cte_names,
         _deserialize,
@@ -127,6 +174,8 @@ def _try_push_subtree(
         remotes.append((node, remote))
         contexts.add(remote.context())
     if not remotes or len(contexts) != 1:
+        return None
+    if not _reduces(q_node, len(remotes)):
         return None
 
     # scope closure: qualified refs must use inner qualifiers; unqualified

@@ -191,3 +191,43 @@ class TestSubtreeProperty:
         assert st_result is not None and len(st_result.scans) == 1
         df, _ = plan_sql(mixed.spark, sql)
         assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+
+class TestReductionHeuristic:
+    def test_bare_projection_subquery_not_shipped(self, mixed):
+        # no aggregate/distinct/limit/join: the partial rung's
+        # partitioned scan should own this, not a single-connection pull
+        sql = """
+        SELECT d.c_name, nt.n_name
+        FROM (SELECT c_name, c_nationkey FROM rm_customer WHERE c_acctbal > 0) d
+        JOIN lc_nation nt ON d.c_nationkey = nt.n_nationkey
+        """
+        st_result = analyze_subtrees(mixed.spark, sql)
+        assert st_result is None
+        df, _ = plan_sql(mixed.spark, sql)
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+    def test_limit_subquery_ships(self, mixed):
+        sql = """
+        SELECT d.c_custkey, nt.n_name
+        FROM (SELECT c_custkey, c_nationkey FROM rm_customer
+              ORDER BY c_custkey LIMIT 7) d
+        JOIN lc_nation nt ON d.c_nationkey = nt.n_nationkey
+        """
+        st_result = analyze_subtrees(mixed.spark, sql)
+        assert st_result is not None and len(st_result.scans) == 1
+        df, _ = plan_sql(mixed.spark, sql)
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+    def test_remote_join_subquery_ships_without_aggregate(self, mixed):
+        sql = """
+        SELECT d.c_name, nt.n_name
+        FROM (SELECT c.c_name, c.c_nationkey FROM rm_customer c
+              JOIN rm_orders o ON o.o_custkey = c.c_custkey
+              WHERE o.o_orderpriority = '1-URGENT') d
+        JOIN lc_nation nt ON d.c_nationkey = nt.n_nationkey
+        """
+        st_result = analyze_subtrees(mixed.spark, sql)
+        assert st_result is not None and len(st_result.scans) == 1
+        df, _ = plan_sql(mixed.spark, sql)
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
