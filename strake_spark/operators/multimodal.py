@@ -85,3 +85,56 @@ def decode_image(payload_df: DataFrame) -> DataFrame:  # pragma: no cover - stub
         "image decode requires an imaging library on executors; "
         "wire it into decode_features()'s mapInPandas pattern"
     )
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary, n_frames int"
+
+
+def sample_frames(
+    docs_with_payload: DataFrame,
+    frame_bytes: int = 64,
+    every_k: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic frame sampling over an opaque video-like payload.
+
+    Treats the payload as a sequence of fixed-size frames (real video
+    containers need a demuxer — same integration point as
+    ``decode_image``) and emits every ``every_k``-th frame as its own
+    row: the Spark-side plumbing for clip/frame-level training samples.
+    One payload row fans out to ceil(n_frames / every_k) frame rows
+    inside the same Arrow batch — bytes never cross a row-at-a-time
+    Python boundary, and output order is deterministic (payload order x
+    ascending frame_idx), so downstream shuffles are reproducible.
+    """
+    if frame_bytes <= 0 or every_k <= 0:
+        raise ValueError("frame_bytes and every_k must be positive")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, every_k):
+                    rows.append(
+                        {
+                            id_col: doc_id,
+                            "frame_idx": idx,
+                            "frame": b[idx * frame_bytes : (idx + 1) * frame_bytes],
+                            "n_frames": n_frames,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame", "n_frames"])
+
+    return docs_with_payload.mapInPandas(sample, schema=FRAMES_SCHEMA)
+
+
+def resize_images(payload_df: DataFrame, width: int, height: int) -> DataFrame:  # pragma: no cover - stub
+    """Image resize integration point (same gate as decode_image):
+    requires Pillow/torchvision on executors; wire into the
+    decode_features mapInPandas pattern emitting fixed-shape tensors."""
+    raise NotImplementedError(
+        "image resize requires an imaging library on executors; "
+        "wire it into decode_features()'s mapInPandas pattern"
+    )

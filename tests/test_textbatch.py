@@ -132,3 +132,52 @@ class TestBuilder:
         b.add_row([b"not-a-number"])
         with pytest.raises(SourceError, match="'n'"):
             b.flush()
+
+
+class TestFrameSampling:
+    def test_frame_fanout_and_coverage(self, spark):
+        from strake_spark.data import table
+        from strake_spark.operators.multimodal import attach_binary, sample_frames
+        from tests.conftest import SF_DIR
+
+        docs = table(spark, SF_DIR, "documents").limit(50)
+        payload = attach_binary(docs)
+        frames = sample_frames(payload, frame_bytes=64, every_k=4)
+        pdf = frames.toPandas()
+        sizes = {r.doc_id: len(bytes(r.payload)) for r in payload.collect()}
+        got = pdf.groupby("doc_id").size().to_dict()
+        import math
+        for doc_id, n in got.items():
+            n_frames = math.ceil(sizes[doc_id] / 64)
+            assert n == math.ceil(n_frames / 4)
+        # sampled frames are the every-4th byte slices, byte-exact
+        row = pdf.iloc[0]
+        assert row.frame_idx % 4 == 0
+        assert len(bytes(row.frame)) <= 64
+
+    def test_reassembly_when_every_k_is_one(self, spark):
+        from strake_spark.data import table
+        from strake_spark.operators.multimodal import attach_binary, sample_frames
+        from tests.conftest import SF_DIR
+
+        docs = table(spark, SF_DIR, "documents").limit(5)
+        payload = attach_binary(docs)
+        originals = {r.doc_id: bytes(r.payload) for r in payload.collect()}
+        frames = sample_frames(payload, frame_bytes=32, every_k=1).toPandas()
+        for doc_id, grp in frames.groupby("doc_id"):
+            joined = b"".join(
+                bytes(f) for f in grp.sort_values("frame_idx")["frame"]
+            )
+            assert joined == originals[doc_id]
+
+    def test_validations(self, spark):
+        import pytest
+        from strake_spark.data import table
+        from strake_spark.operators.multimodal import attach_binary, sample_frames
+        from tests.conftest import SF_DIR
+
+        payload = attach_binary(table(spark, SF_DIR, "documents").limit(1))
+        with pytest.raises(ValueError):
+            sample_frames(payload, frame_bytes=0)
+        with pytest.raises(ValueError):
+            sample_frames(payload, every_k=0)
