@@ -65,3 +65,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = MM.attach_binary(table(spark, sf_dir, "documents"))
     return MM.decode_features(docs).select("doc_id", "n_bytes")
+
+
+@query(
+    "multimodal_frame_sample_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS INT) AS n_frames,
+           CAST(ceil(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) / 4) AS BIGINT) AS n_sampled
+    FROM documents
+    ORDER BY doc_id
+    """,
+    notes=(
+        "frame-sampling plumbing through the driver gate: the mapInPandas "
+        "sampler chunks each payload into 64-byte frames and keeps every "
+        "4th; per-doc frame/sample counts are length-derivable, so the SQL "
+        "oracle hash-checks that the Arrow-batched fan-out emits exactly "
+        "the right rows (byte-exactness of the slices is asserted in "
+        "tests/test_textbatch.py::TestFrameSampling)"
+    ),
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = MM.attach_binary(table(spark, sf_dir, "documents"))
+    frames = MM.sample_frames(docs, frame_bytes=64, every_k=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.first("n_frames").alias("n_frames"),
+            F.count(F.lit(1)).alias("n_sampled"),
+        )
+        .orderBy("doc_id")
+    )
