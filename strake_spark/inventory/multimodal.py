@@ -74,6 +74,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS INT) AS n_frames,
            CAST(ceil(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) / 4) AS BIGINT) AS n_sampled
     FROM documents
+    WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
     ORDER BY doc_id
     """,
     notes=(

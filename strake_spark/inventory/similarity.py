@@ -338,8 +338,9 @@ def semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY a2.vec_id
     """,
     notes=(
-        "SemDeDup stage 2: within-cluster keep-first pruning at tau=0.32 "
-        "(drops ~130/500 rows on the synthetic corpus; threshold is "
+        "SemDeDup stage 2: within-cluster one-pass lower-id pruning at tau=0.32 "
+        "(drops ~130/500 rows on the synthetic corpus; a superset of greedy "
+        "keep-first — see operators/semdedup.py; threshold is "
         "row-count-tuned like ann_embedding_dup_pairs, not a semantic "
         "claim). Pairwise cosine runs WITHIN clusters only — O(n^2/k), "
         "the published scaling argument; k grows with corpus size"

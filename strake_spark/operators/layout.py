@@ -76,9 +76,18 @@ def zorder_write(
         if mn is None or mx is None or mx <= mn:
             buckets.append(F.lit(0))
         else:
-            # width_bucket: 1..2^bits inside [mn, mx]; shift to 0-based
+            # width_bucket: 1..2^bits inside [mn, mx], but values AT the
+            # max bound land in overflow bucket 2^bits+1 — clamp, or the
+            # column's maxima interleave with all-zero low bits (i.e. as
+            # minima) and poison every file's footer envelope
             buckets.append(
-                F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(2**bits)) - 1
+                F.least(
+                    F.width_bucket(
+                        F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(2**bits)
+                    )
+                    - 1,
+                    F.lit(2**bits - 1),
+                )
             )
     keyed = df.withColumn("__zkey", zorder_key(buckets, bits=bits))
     (

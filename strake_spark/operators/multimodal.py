@@ -114,6 +114,8 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload -> no frames (not a crash)
                 b = bytes(payload)
                 n_frames = (len(b) + frame_bytes - 1) // frame_bytes
                 for idx in range(0, n_frames, every_k):

@@ -123,10 +123,14 @@ def semantic_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """SemDeDup keep-list: drop any row whose cosine to a LOWER-id member
-    of its own cluster reaches ``tau`` (one-pass keep-first rule, the
-    same keep-smallest-id convention as operators/dedup.py). Returns
-    (vec_id, cluster) for survivors."""
+    """SemDeDup keep-list: drop any row whose cosine to ANY lower-id
+    member of its own cluster (kept or itself dropped) reaches ``tau``.
+    One-pass rule — deliberately a SUPERSET of greedy keep-first
+    pruning: in a similarity chain a<b<c with cos(a,b)>=tau and
+    cos(b,c)>=tau but cos(a,c)<tau, greedy would re-admit c after
+    dropping b; this rule drops both (transitive-neighborhood
+    semantics, single self-join, no iteration). The cluster's smallest
+    id always survives. Returns (vec_id, cluster) for survivors."""
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
     # the assignment feeds three lineages (both self-join sides + the
     # final anti-join); checkpoint it so k-means runs once, not thrice

@@ -244,8 +244,18 @@ def plan_sql(
             # register first (lazy), then the rewritten outer statement
             # must PARSE AND RESOLVE before it may replace the original;
             # any failure degrades to the unrewritten ladder
-            register_scans(spark, st.scans)
-            spark.sql(st.spark_sql).schema
+            try:
+                register_scans(spark, st.scans)
+                spark.sql(st.spark_sql).schema
+            except Exception:
+                # drop the half-registered remote-backed views: a failed
+                # planning attempt must not leak catalog entries
+                for s in st.scans:
+                    try:
+                        spark.catalog.dropTempView(s.temp_view)
+                    except Exception:  # pragma: no cover - best effort
+                        pass
+                raise
             sql, local_sql, sub_scans = st.duck_sql, st.spark_sql, st.scans
             log.info(
                 "subtree pushdown: %s",

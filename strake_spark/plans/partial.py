@@ -327,6 +327,15 @@ def _fix_for_spark(sql: str) -> str:
 # -------------------------------------------------------------- planning
 
 
+def pushed_temp_name(prefix: str, i: int, context: str, remote_sql: str) -> str:
+    """Deterministic temp-view name for a pushed scan/subtree: one
+    naming scheme shared by the partial and subtree rungs."""
+    import hashlib
+
+    digest = hashlib.sha256(f"{context}\x1f{remote_sql}".encode()).hexdigest()[:10]
+    return f"{prefix}_{i}_{digest}"
+
+
 @dataclass(frozen=True)
 class PushedScan:
     view: str  # original Spark view
@@ -450,12 +459,7 @@ def analyze_partial(spark: SparkSession, sql: str):
             remote_sql += " WHERE " + " AND ".join(where_parts)
         remote_sql = apply_dialect_fixes(remote_sql, t.remote.dialect)
 
-        import hashlib
-
-        digest = hashlib.sha256(
-            f"{t.remote.context()}\x1f{remote_sql}".encode()
-        ).hexdigest()[:10]
-        temp = f"strake_pushed_{i}_{digest}"
+        temp = pushed_temp_name("strake_pushed", i, t.remote.context(), remote_sql)
         # rewrite the AST ref: temp view stands in; alias pins the
         # statement's own qualifier so column references keep resolving
         t.node["table_name"] = temp

@@ -37,7 +37,6 @@ same-source join-then-aggregate that reduces 10^9 rows to 10^3 ships
 from __future__ import annotations
 
 import copy
-import hashlib
 import json
 import logging
 from dataclasses import dataclass
@@ -260,7 +259,14 @@ def analyze_subtrees(spark: SparkSession, sql: str) -> SubtreeResult | None:
                             )
                             continue
                         visit(q)
-            if node.get("type") == "SUBQUERY" and isinstance(node.get("subquery"), dict):
+            if (
+                node.get("type") == "SUBQUERY"
+                and isinstance(node.get("subquery"), dict)
+                # tableref subqueries only: expression subqueries
+                # (scalar/IN/EXISTS) carry subquery_type and must NOT
+                # be replaced with a BASE_TABLE in expression position
+                and "subquery_type" not in node
+            ):
                 inner = node["subquery"].get("node")
                 if isinstance(inner, dict):
                     hit = _try_push_subtree(spark, inner, all_ctes)
@@ -311,8 +317,9 @@ def analyze_subtrees(spark: SparkSession, sql: str) -> SubtreeResult | None:
 
 
 def _temp_name(i: int, rep: RemoteTable, remote_sql: str) -> str:
-    digest = hashlib.sha256(f"{rep.context()}\x1f{remote_sql}".encode()).hexdigest()[:10]
-    return f"strake_sub_{i}_{digest}"
+    from strake_spark.plans.partial import pushed_temp_name
+
+    return pushed_temp_name("strake_sub", i, rep.context(), remote_sql)
 
 
 def register_scans(spark: SparkSession, scans, tables: dict[str, RemoteTable] | None = None) -> None:

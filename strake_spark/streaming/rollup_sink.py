@@ -12,12 +12,22 @@ the batch contains. State layout:
 
 Exactly-once under replay: foreachBatch redelivers the SAME batchId
 after a failure. Each version writes only inside its own ``v=<id>``
-directory (overwrite), and the pointer is committed last via atomic
-rename. On redelivery of batch N the sink reads the state from
-``prev`` — never from a half-committed ``v=N`` — so a replayed merge
-is computed from the same base and lands byte-identically; a crash
-before the pointer rename leaves ``_CURRENT`` at the previous
-version, making the orphan ``v=N`` invisible to consumers.
+directory, and the pointer is committed last via atomic rename, so:
+
+- redelivery of a batch the pointer already reflects is a NO-OP (its
+  fold is durably committed; the committed directory is never touched
+  again — no delete-then-rewrite window for readers or a second
+  crash);
+- a crash BEFORE the pointer rename leaves ``_CURRENT`` at the
+  previous version; the orphan ``v=N`` is invisible and is simply
+  overwritten when batch N is redelivered.
+
+Superseded versions are garbage-collected after each commit (only the
+committed version and its replay base are retained), so state storage
+is bounded at ~2x the rollup size, not the stream's lifetime. Batch
+ids are monotonic PER CHECKPOINT: the state dir must always be paired
+with its checkpoint dir (wiping the checkpoint while keeping state
+would re-fold history).
 
 Scale: the persisted state is the ROLLUP (one row per key-bucket), not
 the event history; each commit rewrites it once. At extreme key
@@ -68,12 +78,16 @@ def rollup_sink(
         spark = batch_df.sparkSession
         os.makedirs(out_dir, exist_ok=True)
         ptr = read_pointer(out_dir)
-        if ptr is not None and ptr["version"] == batch_id:
-            # replay of the batch the pointer already reflects: merge
-            # from the PREVIOUS state so the fold is not applied twice
-            base_version = ptr.get("prev")
-        else:
-            base_version = ptr["version"] if ptr is not None else None
+        if ptr is not None and batch_id <= ptr["version"]:
+            # replay of a batch the pointer already reflects: the fold
+            # is durably committed (the pointer renames only AFTER a
+            # complete v= write), so redelivery is a no-op — never
+            # touch the committed directory the pointer points at.
+            # (batch ids are monotonic per checkpoint; a batch id below
+            # the committed version means the state dir is paired with
+            # its checkpoint dir, see module doc.)
+            return
+        base_version = ptr["version"] if ptr is not None else None
         delta = rollup_events(batch_df, keys, value_col)
         if base_version is None:
             state = delta
@@ -87,8 +101,25 @@ def rollup_sink(
         with open(tmp, "w") as fh:
             json.dump({"version": batch_id, "prev": base_version}, fh)
         os.replace(tmp, _pointer_path(out_dir))
+        _gc_versions(out_dir, keep={batch_id, base_version})
 
     return write_batch
+
+
+def _gc_versions(out_dir: str, keep: set) -> None:
+    """Drop superseded v=* directories (best-effort): only the committed
+    version and its replay base are ever needed."""
+    import shutil
+
+    for name in os.listdir(out_dir):
+        if not name.startswith("v="):
+            continue
+        try:
+            vid = int(name[2:])
+        except ValueError:
+            continue
+        if vid not in keep:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
 
 def write_stream_rollup(

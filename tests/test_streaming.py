@@ -344,3 +344,38 @@ class TestRollupSink:
             for r in current_rollup(spark, out).collect()
         }
         assert got == committed  # orphan v=1 invisible
+
+
+class TestRollupSinkDurability:
+    def test_gc_bounds_versions(self, spark, events_dir, tmp_path):
+        import os
+
+        from strake_spark.streaming.ops import read_event_stream
+        from strake_spark.streaming.rollup_sink import write_stream_rollup
+
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        stream = read_event_stream(
+            spark, events_dir, max_files_per_trigger=1
+        ).withColumn("day", F.to_date("ts"))
+        q = write_stream_rollup(stream, out, ckpt, keys=["day", "event_type"])
+        q.awaitTermination(120)
+        versions = [d for d in os.listdir(out) if d.startswith("v=")]
+        assert len(versions) <= 2  # committed + replay base only
+
+    def test_replay_never_touches_committed_dir(self, spark, events_dir, tmp_path):
+        import os
+
+        from strake_spark.streaming.rollup_sink import read_pointer, rollup_sink
+
+        out = str(tmp_path / "out2")
+        ev = spark.read.parquet(events_dir).withColumn("day", F.to_date("ts"))
+        sink = rollup_sink(out, ["day", "event_type"])
+        sink(ev, 3)
+        ptr = read_pointer(out)
+        vdir = os.path.join(out, f"v={ptr['version']}")
+        mtimes = {f: os.path.getmtime(os.path.join(vdir, f)) for f in os.listdir(vdir)}
+        sink(ev.localCheckpoint(), 3)  # replay committed batch: no-op
+        after = {f: os.path.getmtime(os.path.join(vdir, f)) for f in os.listdir(vdir)}
+        assert after == mtimes
+        sink(ev.localCheckpoint(), 1)  # stale batch id: also a no-op
+        assert read_pointer(out)["version"] == 3

@@ -231,3 +231,29 @@ class TestReductionHeuristic:
         assert st_result is not None and len(st_result.scans) == 1
         df, _ = plan_sql(mixed.spark, sql)
         assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+
+class TestExpressionSubqueries:
+    def test_uncorrelated_scalar_subquery_does_not_corrupt(self, mixed):
+        # expression subqueries (scalar/IN/EXISTS) must never be
+        # replaced with a tableref; a shippable CTE in the SAME
+        # statement must still ship
+        sql = """
+        WITH a AS (SELECT c_nationkey, count(*) AS cnt FROM rm_customer GROUP BY c_nationkey)
+        SELECT nt.n_name, a.cnt
+        FROM a JOIN lc_nation nt ON a.c_nationkey = nt.n_nationkey
+        WHERE nt.n_nationkey < (SELECT count(*) FROM lc_nation)
+        """
+        df, plan = plan_sql(mixed.spark, sql)
+        assert isinstance(plan, PartialPlan)
+        ships = [s for s in plan.scans if s.temp_view.startswith("strake_sub_")]
+        assert [s.view for s in ships] == ["a"]
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+    def test_remote_in_subquery_expression_stays_local(self, mixed):
+        sql = """
+        SELECT nt.n_name FROM lc_nation nt
+        WHERE nt.n_nationkey IN (SELECT c_nationkey FROM rm_customer WHERE c_acctbal > 9000)
+        """
+        df, _ = plan_sql(mixed.spark, sql)
+        assert _rows(df) == _rows(mixed.spark.sql(sql))
