@@ -54,39 +54,48 @@ def apply_dialect_fixes(sql: str, dialect: str) -> str:
     return rules_for(dialect).fix_text(sql)
 
 
+_tls = __import__("threading").local()
+
+
+def _ast_con():
+    """Thread-local in-memory DuckDB connection for AST (de)serialization.
+    The planning ladder calls serialize/deserialize several times per
+    statement (whole-statement, subtree, iceberg, partial rungs); a
+    fresh connect() costs ~8 ms, dominating parse time — cache one per
+    thread (DuckDB connections are not shared across threads; the REST
+    path plans on worker threads)."""
+    import duckdb
+
+    con = getattr(_tls, "ast_con", None)
+    if con is None:
+        con = duckdb.connect()
+        _tls.ast_con = con
+    return con
+
+
 def _serialize(sql: str) -> dict | None:
     """Spark-SQL text -> DuckDB JSON AST (None if DuckDB can't parse it —
     that alone disqualifies pushdown, not execution)."""
-    import duckdb
-
     try:
-        con = duckdb.connect()
-        try:
-            raw = con.execute(
-                "SELECT json_serialize_sql(?::VARCHAR)", [sql]
-            ).fetchone()[0]
-        finally:
-            con.close()
+        raw = _ast_con().execute(
+            "SELECT json_serialize_sql(?::VARCHAR)", [sql]
+        ).fetchone()[0]
         ast = json.loads(raw)
         if ast.get("error"):
             return None
         return ast
     except Exception:
+        _tls.ast_con = None  # connection may be poisoned; rebuild lazily
         return None
 
 
 def _deserialize(ast: dict) -> str | None:
-    import duckdb
-
     try:
-        con = duckdb.connect()
-        try:
-            return con.execute(
-                "SELECT json_deserialize_sql(?::JSON)", [json.dumps(ast)]
-            ).fetchone()[0]
-        finally:
-            con.close()
+        return _ast_con().execute(
+            "SELECT json_deserialize_sql(?::JSON)", [json.dumps(ast)]
+        ).fetchone()[0]
     except Exception:
+        _tls.ast_con = None
         return None
 
 
