@@ -197,3 +197,98 @@ def expr_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") > 100000).cast("int").alias("is_big"),
         F.floor("o_totalprice").cast("long").alias("price_floor"),
     )
+
+
+@query(
+    "expr_unpivot_measures",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, measure, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_quantity AS qty, l_extendedprice AS price, l_discount AS disc
+      FROM lineitem WHERE l_orderkey < 200
+    )
+    UNPIVOT (val FOR measure IN (qty, price, disc))
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+    notes=(
+        "UNPIVOT / melt: wide measures to long (Spark stack() == SQL "
+        "UNPIVOT). Map-only — the explode happens inside the projection, "
+        "no shuffle beyond the final presentation sort"
+    ),
+)
+def expr_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "stack(3, 'qty', l_quantity, 'price', l_extendedprice, "
+                "'disc', l_discount) AS (measure, val)"
+            ),
+        )
+        .select("l_orderkey", "l_linenumber", "measure", F.col("val").cast("double").alias("val"))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+@query(
+    "expr_regexp_matrix",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           regexp_matches(text, 'join') AS has_join,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+           CAST(length(text) - length(regexp_replace(text, 'a', '', 'g')) AS BIGINT) AS n_a
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    notes=(
+        "regular-expression surface: extract (group 1), boolean match, "
+        "global replace, occurrence counting via replace-length delta. "
+        "Patterns stay in the Java-regex/RE2 shared subset (the repo's "
+        "normalize_text convention) so both engines agree"
+    ),
+)
+def expr_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.col("text").rlike("join").alias("has_join"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("novowel_len"),
+        (F.length("text") - F.length(F.regexp_replace("text", "a", ""))).cast("bigint").alias("n_a"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "expr_json_matrix",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod,
+           (json_extract(props, '$.missing') IS NULL) AS missing_is_null,
+           (json_extract(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    WHERE event_id < 300
+    ORDER BY event_id
+    """,
+    notes=(
+        "semi-structured JSON column surface (the reference ingests "
+        "nested JSON from REST sources, rest.rs:564): typed path "
+        "extraction, arithmetic on the extracted value, missing-path "
+        "null semantics, key-presence probe"
+    ),
+)
+def expr_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        (k % 7).alias("k_mod"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+    ).orderBy("event_id")
