@@ -61,6 +61,8 @@ PIPELINE_QUERIES = (
     "pipeline_decontaminate_ngram",
     "pipeline_chunk_documents",  # added r7: map-only chunking throughput
     "semdedup_prune_keep",  # added r7: k-means + within-cluster prune
+    "text_bm25_ranking",  # added r7: posting-list BM25
+    "events_rollup_incremental",  # added r7: continuous-aggregate merge
 )
 
 

@@ -252,3 +252,21 @@ def run_to_completion(
 
 def _has_aggregation(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-STATIC join: enrich each event with a broadcast dimension
+    row (user profile, product catalog). The static side re-evaluates
+    per micro-batch — a dim table UPDATE is visible on the next batch
+    without restarting the stream — and stays broadcast, so the stream
+    side never shuffles for the join. The cheap, stateless counterpart
+    to the stream-stream interval join above (no watermark, no state
+    store)."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, how)

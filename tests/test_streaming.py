@@ -379,3 +379,28 @@ class TestRollupSinkDurability:
         assert after == mtimes
         sink(ev.localCheckpoint(), 1)  # stale batch id: also a no-op
         assert read_pointer(out)["version"] == 3
+
+
+class TestStreamStaticEnrichment:
+    def test_enrichment_matches_batch(self, spark, events_dir, tmp_path):
+        from strake_spark.streaming.ops import enrich_with_dim, read_event_stream, run_to_completion
+
+        dim = spark.createDataFrame(
+            [(i, f"segment_{i % 3}") for i in range(200)], "user_id long, segment string"
+        )
+        stream = enrich_with_dim(
+            read_event_stream(spark, events_dir), dim, on="user_id"
+        ).groupBy("segment").count()
+        got = {
+            (r.segment, r["count"])
+            for r in run_to_completion(stream, str(tmp_path), output_mode="complete").collect()
+        }
+        exp = {
+            (r.segment, r["count"])
+            for r in spark.read.parquet(events_dir)
+            .join(dim, "user_id", "left")
+            .groupBy("segment")
+            .count()
+            .collect()
+        }
+        assert got == exp
