@@ -257,3 +257,66 @@ class TestExpressionSubqueries:
         """
         df, _ = plan_sql(mixed.spark, sql)
         assert _rows(df) == _rows(mixed.spark.sql(sql))
+
+
+@pytest.fixture(scope="module")
+def policied(spark, tmp_path_factory):
+    """Remote DuckDB (customer with RLS, orders without) + local nation."""
+    dpath = str(tmp_path_factory.mktemp("subp") / "subp.duckdb")
+    con = duckdb.connect(dpath)
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    con.close()
+    return ss.connect(
+        {
+            "sources": [
+                {"name": "rp", "type": "duckdb", "url": dpath},
+                {"name": "lp", "type": "parquet", "url": SF_DIR,
+                 "tables": [{"name": "nation"}]},
+            ],
+            "policies": {
+                "roles": {
+                    "analyst": {
+                        "tables": {"rp_customer": {"rls_filter": "c_nationkey = 1"}}
+                    }
+                },
+                "users": {"alice": ["analyst"]},
+            },
+        },
+        spark=spark,
+    )
+
+
+class TestPolicyInteraction:
+    """RLS must never be bypassed by shipping a subtree: a policied
+    remote table resolves to a LOCAL secured view, which blocks its
+    subtree from shipping; unpolicied remote tables still ship."""
+
+    SQL = """
+    WITH cust AS (
+      SELECT c_nationkey, count(*) AS cnt FROM rp_customer GROUP BY c_nationkey
+    ),
+    ords AS (
+      SELECT o_custkey % 25 AS nk, count(*) AS n_orders FROM rp_orders GROUP BY o_custkey % 25
+    )
+    SELECT cust.c_nationkey, cust.cnt, ords.n_orders
+    FROM cust JOIN ords ON cust.c_nationkey = ords.nk
+    JOIN lp_nation nt ON nt.n_nationkey = cust.c_nationkey
+    """
+
+    def test_policied_table_stays_local_others_ship(self, policied):
+        rewritten = policied._policies.rewrite(self.SQL, "alice")
+        assert "rp_customer__rls" in rewritten  # secured view substituted
+        st = analyze_subtrees(policied.spark, rewritten)
+        assert st is not None
+        ships = [s.view for s in st.scans]
+        assert ships == ["ords"]  # customer CTE must NOT ship
+
+    def test_rls_enforced_through_governed_path(self, policied):
+        out = policied.execute(self.SQL, user="alice").to_pandas()
+        assert set(out["c_nationkey"]) == {1}
+        # without a user, no policy applies and both CTEs may ship
+        full = policied.execute(self.SQL).to_pandas()
+        assert len(full) > 1
