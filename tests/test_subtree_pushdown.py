@@ -320,3 +320,71 @@ class TestPolicyInteraction:
         # without a user, no policy applies and both CTEs may ship
         full = policied.execute(self.SQL).to_pandas()
         assert len(full) > 1
+
+
+class TestSubtreeDialects:
+    """Shipped-subtree SQL must be respelled for the target dialect
+    (the reference's FunctionMapper applies to every federated subtree,
+    not just whole statements)."""
+
+    def _fake_remote(self, spark, dialect):
+        from strake_spark.sources.registry import REMOTE_TABLES, RemoteTable
+
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, name string"
+        ).createOrReplaceTempView("dx_t")
+        captured = {}
+
+        def push(s, sql):
+            captured["sql"] = sql
+            return s.table("dx_t")
+
+        REMOTE_TABLES["dx_t"] = RemoteTable(
+            source="dx", dialect=dialect, url="fake://x", table="t", push_query=push
+        )
+        return captured
+
+    def _cleanup(self):
+        from strake_spark.sources.registry import REMOTE_TABLES
+
+        REMOTE_TABLES.pop("dx_t", None)
+
+    def test_mysql_respelling(self, spark):
+        from strake_spark.plans.subtree import analyze_subtrees
+
+        captured = self._fake_remote(spark, "mysql")
+        try:
+            st = analyze_subtrees(
+                spark,
+                """SELECT d.k, d.c FROM
+                   (SELECT k, count(*) AS c FROM dx_t GROUP BY k) d
+                   JOIN dx_local l ON l.k = d.k""",
+            ) if spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("dx_local") is None else None
+            assert st is not None and len(st.scans) == 1
+            rs = st.scans[0].remote_sql
+            # remote name substituted, view name gone, no doublequoted
+            # identifiers survive for MySQL
+            assert "dx_t" not in rs and "FROM t" in rs
+            assert '"' not in rs
+            assert "count" in rs.lower()
+        finally:
+            self._cleanup()
+
+    def test_postgres_keeps_double_quotes(self, spark):
+        from strake_spark.plans.subtree import analyze_subtrees
+
+        captured = self._fake_remote(spark, "postgres")
+        try:
+            spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("dx_local")
+            st = analyze_subtrees(
+                spark,
+                """SELECT d.k, d.c FROM
+                   (SELECT k, count(*) AS c FROM dx_t GROUP BY k) d
+                   JOIN dx_local l ON l.k = d.k""",
+            )
+            assert st is not None and len(st.scans) == 1
+            rs = st.scans[0].remote_sql
+            assert "count" in rs.lower() and "group by" in rs.lower()
+            assert "`" not in rs  # postgres: no backticks
+        finally:
+            self._cleanup()
