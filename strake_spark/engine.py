@@ -303,6 +303,17 @@ class StrakeEngine:
             "physical": df._jdf.queryExecution().executedPlan().toString(),
         }
 
+    def lineage(self, query: str) -> dict[str, Any]:
+        """Column-level lineage: output column -> contributing registered
+        view columns (the reference tracks the same provenance inside its
+        SQL generator, crates/sql/src/sql_generator/context.rs; here it
+        is a governance surface — masking audits, impact analysis).
+        SELECT-clause lineage, best-effort; see plans/lineage.py."""
+        from strake_spark.plans.lineage import column_lineage
+
+        ensure_select(query)
+        return column_lineage(self.spark, query)
+
     def profile(
         self,
         query: str,

@@ -1,0 +1,187 @@
+"""Column-level lineage: output column -> contributing base columns.
+
+The reference's SQL generator tracks per-column provenance through
+every scope to unparse federated subtrees correctly
+(crates/sql/src/sql_generator/context.rs: ColumnEntry{name, type,
+source_alias, provenance, unique_id}). This module surfaces the same
+information as a USER-facing governance API: for a SELECT statement,
+which registered view columns feed each output column. Uses:
+
+- masking audit: does any output derive from a column a policy masks?
+- impact analysis: which saved queries break if a source drops a column?
+- data contracts: verify a pipeline only reads the columns it declares.
+
+Resolution walks the DuckDB-serialized AST (the repo's established
+parse layer, plans/federation.py) with a scope chain: base tables
+resolve through ``spark.table(name)`` schemas; derived tables and CTEs
+resolve recursively; set operations merge positionally. SELECT-clause
+lineage only (WHERE/GROUP BY/JOIN predicates influence which ROWS
+appear, not which columns carry values — the standard direct-lineage
+definition); best-effort by design — unresolvable references are
+reported under the ``unresolved`` key rather than guessed silently.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class _Scope:
+    """One FROM-clause relation visible to column resolution."""
+
+    alias: str
+    kind: str  # 'base' | 'derived'
+    table: str = ""  # base: registered view name
+    columns: list[str] = field(default_factory=list)  # base: schema columns
+    outputs: list[tuple[str, set[str]]] = field(default_factory=list)  # derived
+
+
+def _expr_column_refs(node, out: list[list[str]]) -> None:
+    if isinstance(node, dict):
+        if node.get("type") == "COLUMN_REF" and node.get("column_names"):
+            out.append(list(node["column_names"]))
+        # don't descend into nested sub-SELECTs here: expression
+        # subqueries contribute rows/values from their own scopes; we
+        # resolve them separately via their own select resolution
+        for k, v in node.items():
+            if k == "subquery" and isinstance(v, dict):
+                continue
+            _expr_column_refs(v, out)
+    elif isinstance(node, list):
+        for v in node:
+            _expr_column_refs(v, out)
+
+
+class _Resolver:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.unresolved: set[str] = set()
+
+    def _base_columns(self, name: str) -> list[str] | None:
+        try:
+            return list(self.spark.table(name).columns)
+        except Exception:
+            return None
+
+    # ---------------------------------------------------------- scopes
+    def _scopes_from(self, node, ctes: dict[str, list[tuple[str, set[str]]]]) -> list[_Scope]:
+        if not isinstance(node, dict):
+            return []
+        t = node.get("type")
+        if t == "BASE_TABLE":
+            name = node.get("table_name", "")
+            alias = node.get("alias") or name
+            low = name.lower()
+            if low in ctes:
+                return [_Scope(alias=alias.lower(), kind="derived", outputs=ctes[low])]
+            cols = self._base_columns(name)
+            if cols is None:
+                self.unresolved.add(name)
+                cols = []
+            return [_Scope(alias=alias.lower(), kind="base", table=name, columns=cols)]
+        if t == "SUBQUERY":
+            inner = (node.get("subquery") or {}).get("node")
+            outputs = self.resolve(inner, ctes) if isinstance(inner, dict) else []
+            alias = (node.get("alias") or "").lower()
+            return [_Scope(alias=alias, kind="derived", outputs=outputs)]
+        if t == "JOIN":
+            return self._scopes_from(node.get("left"), ctes) + self._scopes_from(
+                node.get("right"), ctes
+            )
+        return []
+
+    # ------------------------------------------------------- resolution
+    def _resolve_ref(self, names: list[str], scopes: list[_Scope]) -> set[str]:
+        col = names[-1]
+        qual = names[-2].lower() if len(names) >= 2 else None
+        hits: set[str] = set()
+        for sc in scopes:
+            if qual is not None and sc.alias != qual:
+                continue
+            if sc.kind == "base":
+                if col in sc.columns or (qual is not None and not sc.columns):
+                    hits |= {f"{sc.table}.{col}"}
+            else:
+                for name, srcs in sc.outputs:
+                    if name.lower() == col.lower():
+                        hits |= srcs
+            if qual is not None and hits:
+                break
+        if not hits:
+            self.unresolved.add(".".join(names))
+        return hits
+
+    def resolve(
+        self, node: dict, outer_ctes: dict[str, list[tuple[str, set[str]]]] | None = None
+    ) -> list[tuple[str, set[str]]]:
+        """Outputs of a select-like node: [(name, contributing base cols)]."""
+        ctes = dict(outer_ctes or {})
+        if not isinstance(node, dict):
+            return []
+        t = node.get("type")
+        if t == "SET_OPERATION_NODE":
+            left = self.resolve(node.get("left"), ctes)
+            right = self.resolve(node.get("right"), ctes)
+            out = []
+            for i, (name, srcs) in enumerate(left):
+                rsrcs = right[i][1] if i < len(right) else set()
+                out.append((name, srcs | rsrcs))
+            return out
+        if t != "SELECT_NODE":
+            return []
+        cm = node.get("cte_map") or {}
+        for entry in cm.get("map", []):
+            q = (entry.get("value") or {}).get("query")
+            if isinstance(q, dict) and isinstance(q.get("node"), dict):
+                ctes[entry["key"].lower()] = self.resolve(q["node"], ctes)
+        scopes = self._scopes_from(node.get("from_table"), ctes)
+        outputs: list[tuple[str, set[str]]] = []
+        for i, item in enumerate(node.get("select_list", [])):
+            if not isinstance(item, dict):
+                continue
+            if item.get("type") == "STAR":
+                rel = (item.get("relation_name") or "").lower()
+                for sc in scopes:
+                    if rel and sc.alias != rel:
+                        continue
+                    if sc.kind == "base":
+                        for c in sc.columns:
+                            outputs.append((c, {f"{sc.table}.{c}"}))
+                    else:
+                        outputs.extend(sc.outputs)
+                continue
+            refs: list[list[str]] = []
+            _expr_column_refs(item, refs)
+            srcs: set[str] = set()
+            for names in refs:
+                srcs |= self._resolve_ref(names, scopes)
+            name = item.get("alias")
+            if not name:
+                if item.get("type") == "COLUMN_REF" and item.get("column_names"):
+                    name = item["column_names"][-1]
+                else:
+                    name = f"col{i}"
+            outputs.append((name, srcs))
+        return outputs
+
+
+def column_lineage(spark: SparkSession, sql: str) -> dict:
+    """{output column -> sorted contributing 'view.column' list} plus an
+    ``unresolved`` list of references lineage could not attribute.
+    Returns {} when the statement doesn't parse."""
+    from strake_spark.plans.federation import _serialize
+
+    ast = _serialize(sql)
+    if ast is None:
+        return {}
+    stmts = ast.get("statements") or []
+    if not stmts:
+        return {}
+    r = _Resolver(spark)
+    outputs = r.resolve(stmts[0].get("node", {}))
+    result: dict = {name: sorted(srcs) for name, srcs in outputs}
+    result["unresolved"] = sorted(r.unresolved)
+    return result

@@ -1,0 +1,95 @@
+"""Column-level lineage (plans/lineage.py): output columns must map to
+the registered view columns that feed them, through aliases, derived
+tables, CTEs, joins, stars, and set operations."""
+
+from __future__ import annotations
+
+import pytest
+
+import strake_spark as ss
+from strake_spark.plans.lineage import column_lineage
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return ss.connect(
+        {
+            "sources": [
+                {
+                    "name": "g",
+                    "type": "parquet",
+                    "url": SF_DIR,
+                    "tables": [{"name": "customer"}, {"name": "orders"}, {"name": "nation"}],
+                }
+            ]
+        },
+        spark=spark,
+    )
+
+
+class TestLineage:
+    def test_simple_projection_and_alias(self, eng):
+        lin = eng.lineage("SELECT c_name AS customer_name, c_acctbal FROM g_customer")
+        assert lin["customer_name"] == ["g_customer.c_name"]
+        assert lin["c_acctbal"] == ["g_customer.c_acctbal"]
+        assert lin["unresolved"] == []
+
+    def test_expression_combines_columns(self, eng):
+        lin = eng.lineage(
+            "SELECT c_acctbal * 2 + c_custkey AS score FROM g_customer"
+        )
+        assert lin["score"] == ["g_customer.c_acctbal", "g_customer.c_custkey"]
+
+    def test_join_with_qualifiers(self, eng):
+        lin = eng.lineage(
+            """SELECT c.c_name, o.o_totalprice
+               FROM g_customer c JOIN g_orders o ON c.c_custkey = o.o_custkey"""
+        )
+        assert lin["c_name"] == ["g_customer.c_name"]
+        assert lin["o_totalprice"] == ["g_orders.o_totalprice"]
+
+    def test_derived_table_and_cte(self, eng):
+        lin = eng.lineage(
+            """WITH big AS (
+                 SELECT o_custkey, sum(o_totalprice) AS total FROM g_orders GROUP BY o_custkey
+               )
+               SELECT d.nk, big.total
+               FROM (SELECT c_nationkey AS nk, c_custkey FROM g_customer) d
+               JOIN big ON big.o_custkey = d.c_custkey"""
+        )
+        assert lin["nk"] == ["g_customer.c_nationkey"]
+        assert lin["total"] == ["g_orders.o_totalprice"]
+
+    def test_star_expansion(self, eng):
+        lin = eng.lineage("SELECT * FROM g_nation")
+        assert lin["n_name"] == ["g_nation.n_name"]
+        assert lin["n_regionkey"] == ["g_nation.n_regionkey"]
+
+    def test_qualified_star(self, eng):
+        lin = eng.lineage(
+            """SELECT n.* FROM g_nation n JOIN g_customer c ON c.c_nationkey = n.n_nationkey"""
+        )
+        assert "n_name" in lin and lin["n_name"] == ["g_nation.n_name"]
+        assert "c_name" not in lin
+
+    def test_set_operation_merges_positionally(self, eng):
+        lin = eng.lineage(
+            """SELECT c_name AS who FROM g_customer
+               UNION ALL SELECT n_name FROM g_nation"""
+        )
+        assert lin["who"] == ["g_customer.c_name", "g_nation.n_name"]
+
+    def test_unresolved_reported_not_guessed(self, eng):
+        lin = eng.lineage("SELECT no_such_col FROM g_customer")
+        assert lin["no_such_col"] == []
+        assert "no_such_col" in lin["unresolved"]
+
+    def test_unparseable_returns_empty(self, eng):
+        assert column_lineage(eng.spark, "SELECT FROM WHERE") == {}
+
+    def test_non_select_rejected(self, eng):
+        from strake_spark.governance.gate import QueryRejected
+
+        with pytest.raises(QueryRejected):
+            eng.lineage("DROP TABLE g_customer")
