@@ -314,6 +314,32 @@ class StrakeEngine:
         ensure_select(query)
         return column_lineage(self.spark, query)
 
+    def masking_audit(self, query: str, user: str) -> dict[str, Any]:
+        """Which output columns of ``query`` derive from a column the
+        active policy masks for ``user``? Combines the lineage surface
+        with the policy model: per output, the list of contributing
+        masked columns (empty list = clean). Lineage runs on the
+        UNREWRITTEN statement so the mapping names the real tables."""
+        lin = self.lineage(query)
+        masked_cols: set[str] = set()
+        if self._policies is not None and self._policies.policy.enabled:
+            from strake_spark.governance.policies import effective_rules
+
+            roles = tuple(sorted(self._policies.policy.users.get(user, ())))
+            for tbl, rules in effective_rules(self._policies.policy, roles).items():
+                for col in rules.masking:
+                    masked_cols.add(f"{tbl}.{col}".lower())
+        report = {
+            out: sorted(c for c in srcs if c.lower() in masked_cols)
+            for out, srcs in lin.items()
+            if out != "unresolved"
+        }
+        return {
+            "outputs": report,
+            "tainted": sorted(o for o, cs in report.items() if cs),
+            "unresolved": lin.get("unresolved", []),
+        }
+
     def profile(
         self,
         query: str,

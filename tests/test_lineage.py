@@ -93,3 +93,44 @@ class TestLineage:
 
         with pytest.raises(QueryRejected):
             eng.lineage("DROP TABLE g_customer")
+
+
+@pytest.fixture(scope="module")
+def policied_eng(spark):
+    return ss.connect(
+        {
+            "sources": [
+                {
+                    "name": "m",
+                    "type": "parquet",
+                    "url": SF_DIR,
+                    "tables": [{"name": "customer"}, {"name": "nation"}],
+                }
+            ],
+            "policies": {
+                "roles": {
+                    "analyst": {
+                        "tables": {"m_customer": {"masking": {"c_name": "'***'"}}}
+                    }
+                },
+                "users": {"alice": ["analyst"], "bob": []},
+            },
+        },
+        spark=spark,
+    )
+
+
+class TestMaskingAudit:
+    SQL = """SELECT c.c_name AS who, upper(c.c_name) AS shout, n.n_name
+             FROM m_customer c JOIN m_nation n ON c.c_nationkey = n.n_nationkey"""
+
+    def test_masked_column_taints_derived_outputs(self, policied_eng):
+        audit = policied_eng.masking_audit(self.SQL, "alice")
+        assert audit["tainted"] == ["shout", "who"]
+        assert audit["outputs"]["who"] == ["m_customer.c_name"]
+        assert audit["outputs"]["shout"] == ["m_customer.c_name"]
+        assert audit["outputs"]["n_name"] == []
+
+    def test_role_without_masking_is_clean(self, policied_eng):
+        audit = policied_eng.masking_audit(self.SQL, "bob")
+        assert audit["tainted"] == []
