@@ -1,7 +1,7 @@
 """REST HTTP API façade over the governed engine.
 
 Mirrors the reference server's axum router (crates/server/src/api.rs:
-22-60 — /api/v1/sources, /api/v1/query, /api/v1/validate,
+22-60 — /api/v1/sources, /api/v1/query, /api/v1/validate, /api/v1/lineage,
 /api/v1/introspect/{domain}/{source}) plus the unauthenticated health
 plane (crates/server/src/lib.rs:299-304 — /health, /ready, /metrics).
 
@@ -153,6 +153,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._explain(body)
         if path == "/api/v1/profile":
             return self._profile(body, claims)
+        if path == "/api/v1/lineage":
+            return self._lineage(body)
         return self._send(404, {"status": "error", "data": None, "message": f"no route {path}"})
 
     def _explain(self, body: dict) -> None:
@@ -170,6 +172,22 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:
             return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
         self._send(200, {"status": "success", "data": {"plan": tree}, "message": None})
+
+    def _lineage(self, body: dict) -> None:
+        """Column-level lineage over HTTP (engine.lineage): no
+        execution, plan-time only."""
+        sql = body.get("sql")
+        if not sql:
+            return self._send(
+                400, {"status": "error", "data": None, "message": "missing 'sql'"}
+            )
+        try:
+            lin = self.engine.lineage(sql)
+        except StrakeError as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+        except Exception as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+        self._send(200, {"status": "success", "data": lin, "message": None})
 
     def _profile(self, body: dict, claims: dict) -> None:
         """EXPLAIN ANALYZE over HTTP: executes (governed, same principal

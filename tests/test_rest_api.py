@@ -417,3 +417,20 @@ class TestRestSourceJwtAuth:
         hdr = auth.headers()["Authorization"]
         claims = verify_es256(hdr[len("Bearer "):], jwks, issuer="i", audience="a")
         assert claims["iss"] == "i"
+
+
+class TestLineageEndpoint:
+    def test_lineage_over_http(self, server):
+        code, body = _jreq(
+            server.port, "/api/v1/lineage",
+            {"sql": "SELECT n_name AS nation FROM t_nation"},
+        )
+        assert code == 200
+        assert body["data"]["nation"] == ["t_nation.n_name"]
+        assert body["data"]["unresolved"] == []
+
+    def test_lineage_gated(self, server):
+        code, _ = _jreq(server.port, "/api/v1/lineage", {"sql": "DROP TABLE t_nation"})
+        assert code == 400
+        code, _ = _jreq(server.port, "/api/v1/lineage", {})
+        assert code == 400
