@@ -126,6 +126,7 @@ class EngineConfig:
     telemetry: TelemetryConfig = field(default_factory=TelemetryConfig)
     global_connection_budget: int = 100
     policies: Any = None  # governance.policies.PolicyConfig when set
+    contracts: Any = None  # governance.contracts.ContractsConfig when set
 
 
 def _column(d: Any) -> ColumnConfig:
@@ -174,6 +175,9 @@ def parse_config(raw: dict[str, Any]) -> EngineConfig:
             max_spans=int(te.get("max_spans", 512)),
         ),
         policies=parse_policies(raw.get("policies")),
+        contracts=__import__(
+            "strake_spark.governance.contracts", fromlist=["parse_contracts"]
+        ).parse_contracts(raw.get("contracts")),
         sources=[_source(s) for s in raw.get("sources") or []],
         query_limits=QueryLimits(
             default_limit=int(ql.get("default_limit", 1000)),

@@ -69,6 +69,15 @@ class StrakeEngine:
             from strake_spark.governance.policies import PolicyEnforcer
 
             self._policies = PolicyEnforcer(self.spark, self.config.policies)
+        if getattr(self.config, "contracts", None) is not None and self.config.contracts.enabled:
+            # strict (closed-schema) contracts bind at registration:
+            # the view becomes a projection of exactly the declared
+            # columns, so unlisted-column queries fail analysis
+            # (contracts.yaml:12 semantics). Schema mismatches surface
+            # via validate_contracts(), not at connect.
+            from strake_spark.governance.contracts import enforce_strict_views
+
+            enforce_strict_views(self.spark, self.config.contracts)
         from strake_spark.telemetry import OtlpJsonExporter, Tracer
 
         tcfg = self.config.telemetry
@@ -313,6 +322,38 @@ class StrakeEngine:
 
         ensure_select(query)
         return column_lineage(self.spark, query)
+
+    def validate_contracts(self, check_data: bool = True) -> dict[str, Any]:
+        """Contract validation report (reference `strake validate`'s
+        contract step, crates/cli/src/commands/validate.rs): schema
+        errors per contract, plus row-rule violation counts (one
+        aggregate scan per contracted table) when ``check_data``."""
+        cfg = getattr(self.config, "contracts", None)
+        if cfg is None or not cfg.enabled:
+            return {"valid": True, "errors": [], "data_violations": {}}
+        from strake_spark.governance.contracts import validate_data, validate_schema
+
+        errors: list[str] = []
+        data: dict[str, dict[str, int]] = {}
+        for contract in cfg.contracts:
+            errors.extend(validate_schema(self.spark, contract))
+            if check_data:
+                try:
+                    counts = validate_data(self.spark, contract)
+                except Exception as e:  # missing view already reported
+                    counts = {"__error__": str(e)[:200]}
+                if counts:
+                    data[contract.table] = counts
+        violated = any(
+            isinstance(v, int) and v > 0
+            for t in data.values()
+            for v in t.values()
+        )
+        return {
+            "valid": not errors and not violated,
+            "errors": errors,
+            "data_violations": data,
+        }
 
     def masking_audit(self, query: str, user: str) -> dict[str, Any]:
         """Which output columns of ``query`` derive from a column the
