@@ -126,9 +126,27 @@ def cmd_validate(args) -> int:
             )
         if s.type in ("parquet", "csv", "json", "file") and not s.url:
             problems.append(f"source {s.name!r}: file source needs url")
+    # static contract sanity (no Spark session): strict contracts must
+    # declare at least one column; constraint types must be known
+    # (reference: validate.rs runs the contract step inside `validate`)
+    if getattr(cfg, "contracts", None) is not None:
+        known = {"gt", "ge", "gte", "lt", "le", "lte", "between", "in",
+                 "not_null", "notnull", "regex", "matches"}
+        for c in cfg.contracts.contracts:
+            if c.strict and not c.columns:
+                problems.append(f"contract {c.table!r}: strict with no columns")
+            for col in c.columns:
+                for k in col.constraints:
+                    if k.type not in known:
+                        problems.append(
+                            f"contract {c.table}.{col.name}: unknown constraint "
+                            f"type {k.type!r}"
+                        )
     for p in problems:
         print(f"INVALID: {p}", file=sys.stderr)
     if not problems:
+        if getattr(cfg, "contracts", None) is not None:
+            print(f"OK: {len(cfg.contracts.contracts)} contracts")
         print(f"OK: {len(cfg.sources)} sources")
     return 1 if problems else 0
 

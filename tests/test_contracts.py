@@ -158,3 +158,41 @@ class TestStrictEnforcement:
             ]}
         ]), spark=spark)
         assert eng.sql("SELECT o_orderpriority FROM k_orders").count() > 0
+
+
+class TestCliValidate:
+    def _write(self, tmp_path, contracts):
+        import json
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps({
+            "sources": [{"name": "k", "type": "parquet", "url": str(SF_DIR),
+                         "tables": [{"name": "orders"}]}],
+            "contracts": {"contracts": contracts},
+        }))
+        return str(p)
+
+    def test_validate_ok(self, tmp_path, capsys):
+        from strake_spark.cli import main
+        cfg = self._write(tmp_path, [
+            {"table": "k.orders", "columns": [{"name": "o_orderkey", "type": "bigint"}]}
+        ])
+        assert main(["validate", cfg]) == 0
+        out = capsys.readouterr().out
+        assert "1 contracts" in out
+
+    def test_validate_flags_bad_constraint(self, tmp_path, capsys):
+        from strake_spark.cli import main
+        cfg = self._write(tmp_path, [
+            {"table": "k.orders", "columns": [
+                {"name": "o_orderkey", "type": "bigint",
+                 "constraints": [{"type": "frobnicate", "value": 1}]}
+            ]}
+        ])
+        assert main(["validate", cfg]) == 1
+        assert "unknown constraint" in capsys.readouterr().err
+
+    def test_validate_flags_empty_strict(self, tmp_path, capsys):
+        from strake_spark.cli import main
+        cfg = self._write(tmp_path, [{"table": "k.orders", "strict": True, "columns": []}])
+        assert main(["validate", cfg]) == 1
+        assert "strict with no columns" in capsys.readouterr().err
