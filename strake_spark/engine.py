@@ -323,7 +323,9 @@ class StrakeEngine:
         ensure_select(query)
         return column_lineage(self.spark, query)
 
-    def validate_contracts(self, check_data: bool = True) -> dict[str, Any]:
+    def validate_contracts(
+        self, check_data: bool = True, sample_fraction: float | None = None
+    ) -> dict[str, Any]:
         """Contract validation report (reference `strake validate`'s
         contract step, crates/cli/src/commands/validate.rs): schema
         errors per contract, plus row-rule violation counts (one
@@ -339,7 +341,7 @@ class StrakeEngine:
             errors.extend(validate_schema(self.spark, contract))
             if check_data:
                 try:
-                    counts = validate_data(self.spark, contract)
+                    counts = validate_data(self.spark, contract, sample_fraction)
                 except Exception as e:  # missing view already reported
                     counts = {"__error__": str(e)[:200]}
                 if counts:

@@ -163,11 +163,27 @@ def _violation_expr(col: ContractColumn, k: Constraint):
     return F.sum(F.when(bad, 1).otherwise(0))
 
 
-def validate_data(spark: SparkSession, contract: Contract) -> dict[str, int]:
+def validate_data(
+    spark: SparkSession, contract: Contract, sample_fraction: float | None = None
+) -> dict[str, int]:
     """Row-rule violation counts, one aggregate scan for the whole
-    table. Keys: 'column/constraint-type'."""
+    table. Keys: 'column/constraint-type'.
+
+    ``sample_fraction`` is the 100 TB knob: validate a DETERMINISTIC
+    md5-bucket sample (same convention as the sampling inventory
+    entries — reproducible, no RNG state) instead of every row. Counts
+    then refer to the sample; a zero stays a strong signal, a non-zero
+    is proof of violation either way."""
     view = resolve_view(contract.table)
     df = spark.table(view)
+    if sample_fraction is not None:
+        if not 0 < sample_fraction <= 1:
+            raise ValueError("sample_fraction must be in (0, 1]")
+        buckets = max(1, int(round(1 / sample_fraction)))
+        key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
+        df = df.filter(
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets == 0
+        )
     live = set(df.columns)
     exprs, keys = [], []
     for col in contract.columns:

@@ -155,6 +155,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._profile(body, claims)
         if path == "/api/v1/lineage":
             return self._lineage(body)
+        if path == "/api/v1/contracts/validate":
+            return self._contracts(body)
         return self._send(404, {"status": "error", "data": None, "message": f"no route {path}"})
 
     def _explain(self, body: dict) -> None:
@@ -188,6 +190,21 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:
             return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
         self._send(200, {"status": "success", "data": lin, "message": None})
+
+    def _contracts(self, body: dict) -> None:
+        """Contract validation over HTTP (engine.validate_contracts):
+        schema errors + row-rule violation counts; optional
+        sample_fraction keeps the scan bounded at scale."""
+        try:
+            rep = self.engine.validate_contracts(
+                check_data=bool(body.get("check_data", True)),
+                sample_fraction=body.get("sample_fraction"),
+            )
+        except StrakeError as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+        except Exception as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+        self._send(200, {"status": "success", "data": rep, "message": None})
 
     def _profile(self, body: dict, claims: dict) -> None:
         """EXPLAIN ANALYZE over HTTP: executes (governed, same principal

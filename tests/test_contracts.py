@@ -196,3 +196,19 @@ class TestCliValidate:
         cfg = self._write(tmp_path, [{"table": "k.orders", "strict": True, "columns": []}])
         assert main(["validate", cfg]) == 1
         assert "strict with no columns" in capsys.readouterr().err
+
+
+class TestSampledValidation:
+    def test_sampled_scan_is_deterministic_and_subsetted(self, spark):
+        ss.connect(_cfg([]), spark=spark)
+        contract = Contract(table="k.lineitem", columns=(
+            ContractColumn(name="l_quantity", data_type="double", constraints=(
+                Constraint(type="ge", value=0),
+            )),
+        ))
+        a = validate_data(spark, contract, sample_fraction=0.25)
+        b = validate_data(spark, contract, sample_fraction=0.25)
+        assert a == b  # md5 sampling: no RNG state
+        assert a["l_quantity/ge"] == 0
+        with pytest.raises(ValueError):
+            validate_data(spark, contract, sample_fraction=1.5)

@@ -434,3 +434,10 @@ class TestLineageEndpoint:
         assert code == 400
         code, _ = _jreq(server.port, "/api/v1/lineage", {})
         assert code == 400
+
+
+class TestContractsEndpoint:
+    def test_validate_over_http(self, server):
+        code, body = _jreq(server.port, "/api/v1/contracts/validate", {"check_data": False})
+        assert code == 200
+        assert body["data"]["valid"] is True  # test engine has no contracts
