@@ -375,11 +375,17 @@ class StrakeEngine:
         report = {
             out: sorted(c for c in srcs if c.lower() in masked_cols)
             for out, srcs in lin.items()
-            if out != "unresolved"
+            if out not in ("unresolved", "filters")
         }
         return {
             "outputs": report,
             "tainted": sorted(o for o, cs in report.items() if cs),
+            # masked columns steering WHERE/HAVING/join conditions: rows
+            # can be selected BY a masked value even when it is never
+            # displayed — the classic masking inference channel
+            "filter_tainted": sorted(
+                c for c in lin.get("filters", []) if c.lower() in masked_cols
+            ),
             "unresolved": lin.get("unresolved", []),
         }
 

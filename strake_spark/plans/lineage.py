@@ -14,11 +14,14 @@ which registered view columns feed each output column. Uses:
 Resolution walks the DuckDB-serialized AST (the repo's established
 parse layer, plans/federation.py) with a scope chain: base tables
 resolve through ``spark.table(name)`` schemas; derived tables and CTEs
-resolve recursively; set operations merge positionally. SELECT-clause
-lineage only (WHERE/GROUP BY/JOIN predicates influence which ROWS
-appear, not which columns carry values — the standard direct-lineage
-definition); best-effort by design — unresolvable references are
-reported under the ``unresolved`` key rather than guessed silently.
+resolve recursively; set operations merge positionally. Output
+lineage is SELECT-clause (direct) lineage; the columns steering which
+ROWS appear (WHERE / HAVING / QUALIFY / join conditions, at every
+nesting level) are reported separately under ``filters`` — that set is
+what a masking audit must ALSO check, since selecting rows BY a masked
+value leaks it without displaying it. Best-effort by design —
+unresolvable references are reported under ``unresolved`` rather than
+guessed silently.
 """
 
 from __future__ import annotations
@@ -59,6 +62,10 @@ class _Resolver:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.unresolved: set[str] = set()
+        # base columns that determine WHICH rows appear (WHERE / HAVING /
+        # QUALIFY / join conditions) — a masked column used here is an
+        # inference channel even when it never reaches the output
+        self.filters: set[str] = set()
 
     def _base_columns(self, name: str) -> list[str] | None:
         try:
@@ -114,6 +121,25 @@ class _Resolver:
             self.unresolved.add(".".join(names))
         return hits
 
+    def _collect_filters(self, node: dict, scopes: list[_Scope]) -> None:
+        parts = [node.get("where_clause"), node.get("having"), node.get("qualify")]
+
+        def join_conditions(n):
+            if isinstance(n, dict):
+                if n.get("type") == "JOIN" and n.get("condition"):
+                    parts.append(n["condition"])
+                for v in (n.get("left"), n.get("right")):
+                    join_conditions(v)
+
+        join_conditions(node.get("from_table"))
+        for part in parts:
+            if part is None:
+                continue
+            refs: list[list[str]] = []
+            _expr_column_refs(part, refs)
+            for names in refs:
+                self.filters |= self._resolve_ref(names, scopes)
+
     def resolve(
         self, node: dict, outer_ctes: dict[str, list[tuple[str, set[str]]]] | None = None
     ) -> list[tuple[str, set[str]]]:
@@ -138,6 +164,7 @@ class _Resolver:
             if isinstance(q, dict) and isinstance(q.get("node"), dict):
                 ctes[entry["key"].lower()] = self.resolve(q["node"], ctes)
         scopes = self._scopes_from(node.get("from_table"), ctes)
+        self._collect_filters(node, scopes)
         outputs: list[tuple[str, set[str]]] = []
         for i, item in enumerate(node.get("select_list", [])):
             if not isinstance(item, dict):
@@ -183,5 +210,6 @@ def column_lineage(spark: SparkSession, sql: str) -> dict:
     r = _Resolver(spark)
     outputs = r.resolve(stmts[0].get("node", {}))
     result: dict = {name: sorted(srcs) for name, srcs in outputs}
+    result["filters"] = sorted(r.filters)
     result["unresolved"] = sorted(r.unresolved)
     return result

@@ -134,3 +134,29 @@ class TestMaskingAudit:
     def test_role_without_masking_is_clean(self, policied_eng):
         audit = policied_eng.masking_audit(self.SQL, "bob")
         assert audit["tainted"] == []
+
+
+class TestFilterLineage:
+    def test_where_and_join_columns_tracked(self, eng):
+        lin = eng.lineage(
+            """SELECT c.c_name FROM g_customer c
+               JOIN g_orders o ON c.c_custkey = o.o_custkey
+               WHERE o.o_totalprice > 100"""
+        )
+        assert "g_orders.o_totalprice" in lin["filters"]
+        assert "g_customer.c_custkey" in lin["filters"]
+        assert "g_orders.o_custkey" in lin["filters"]
+
+    def test_derived_table_filters_trace_to_base(self, eng):
+        lin = eng.lineage(
+            """SELECT d.c_name FROM
+               (SELECT c_name FROM g_customer WHERE c_acctbal > 0) d"""
+        )
+        assert "g_customer.c_acctbal" in lin["filters"]
+
+    def test_filter_tainted_in_masking_audit(self, policied_eng):
+        audit = policied_eng.masking_audit(
+            "SELECT c_custkey FROM m_customer WHERE c_name = 'x'", "alice"
+        )
+        assert audit["tainted"] == []  # output clean
+        assert audit["filter_tainted"] == ["m_customer.c_name"]  # but rows steered by masked col
