@@ -77,7 +77,11 @@ class StrakeEngine:
             # via validate_contracts(), not at connect.
             from strake_spark.governance.contracts import enforce_strict_views
 
-            enforce_strict_views(self.spark, self.config.contracts)
+            _, self._contract_errors = enforce_strict_views(
+                self.spark, self.config.contracts
+            )
+        else:
+            self._contract_errors = []
         from strake_spark.telemetry import OtlpJsonExporter, Tracer
 
         tcfg = self.config.telemetry
@@ -335,15 +339,19 @@ class StrakeEngine:
             return {"valid": True, "errors": [], "data_violations": {}}
         from strake_spark.governance.contracts import validate_data, validate_schema
 
-        errors: list[str] = []
+        errors: list[str] = list(self._contract_errors)
         data: dict[str, dict[str, int]] = {}
         for contract in cfg.contracts:
             errors.extend(validate_schema(self.spark, contract))
             if check_data:
                 try:
                     counts = validate_data(self.spark, contract, sample_fraction)
-                except Exception as e:  # missing view already reported
-                    counts = {"__error__": str(e)[:200]}
+                except Exception as e:
+                    # a failed scan is a FAILED validation, never a pass
+                    errors.append(
+                        f"{contract.table}: data validation failed: {str(e)[:200]}"
+                    )
+                    counts = {}
                 if counts:
                     data[contract.table] = counts
         violated = any(
@@ -363,7 +371,8 @@ class StrakeEngine:
         with the policy model: per output, the list of contributing
         masked columns (empty list = clean). Lineage runs on the
         UNREWRITTEN statement so the mapping names the real tables."""
-        lin = self.lineage(query)
+        lin = self.lineage(query)  # raises on unparseable: audit never
+        # reports all-clear for a statement it could not analyze
         masked_cols: set[str] = set()
         if self._policies is not None and self._policies.policy.enabled:
             from strake_spark.governance.policies import effective_rules
@@ -374,8 +383,7 @@ class StrakeEngine:
                     masked_cols.add(f"{tbl}.{col}".lower())
         report = {
             out: sorted(c for c in srcs if c.lower() in masked_cols)
-            for out, srcs in lin.items()
-            if out not in ("unresolved", "filters")
+            for out, srcs in lin["outputs"].items()
         }
         return {
             "outputs": report,

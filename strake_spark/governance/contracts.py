@@ -203,12 +203,18 @@ def validate_data(
     return {k: int(row[k] or 0) for k in keys}
 
 
-def enforce_strict_views(spark: SparkSession, config: ContractsConfig) -> list[str]:
+def enforce_strict_views(
+    spark: SparkSession, config: ContractsConfig
+) -> tuple[list[str], list[str]]:
     """Closed-schema enforcement: re-register each strict table's view
-    as a projection of exactly the contract columns. Returns the views
-    rewritten. Must run AFTER schema validation (a missing contract
-    column would otherwise fail here with a less helpful error)."""
-    rewritten = []
+    as a projection of exactly the contract columns. Returns
+    (views_rewritten, errors). A contract that cannot bind (declared
+    column missing from the live schema) is reported, NOT raised — one
+    drifted contract must not brick the whole engine; the error
+    resurfaces in validate_contracts() where the operator can see it."""
+    import logging
+
+    rewritten, errors = [], []
     for contract in config.contracts:
         if not contract.strict:
             continue
@@ -217,9 +223,12 @@ def enforce_strict_views(spark: SparkSession, config: ContractsConfig) -> list[s
         try:
             spark.table(view).select(*cols).createOrReplaceTempView(view)
         except Exception as e:
-            raise ValueError(
-                f"strict contract on {contract.table}: cannot project to "
-                f"declared columns ({e})"
-            ) from e
+            msg = (
+                f"strict contract on {contract.table} NOT enforced: cannot "
+                f"project to declared columns ({str(e)[:200]})"
+            )
+            logging.getLogger("strake_spark.contracts").error(msg)
+            errors.append(msg)
+            continue
         rewritten.append(view)
-    return rewritten
+    return rewritten, errors

@@ -73,6 +73,18 @@ def _ast_con():
     return con
 
 
+def _drop_ast_con() -> None:
+    """Close and forget the thread-local connection (it may be
+    poisoned after an error); the next call rebuilds lazily."""
+    con = getattr(_tls, "ast_con", None)
+    _tls.ast_con = None
+    if con is not None:
+        try:
+            con.close()
+        except Exception:
+            pass
+
+
 def _serialize(sql: str) -> dict | None:
     """Spark-SQL text -> DuckDB JSON AST (None if DuckDB can't parse it —
     that alone disqualifies pushdown, not execution)."""
@@ -85,7 +97,7 @@ def _serialize(sql: str) -> dict | None:
             return None
         return ast
     except Exception:
-        _tls.ast_con = None  # connection may be poisoned; rebuild lazily
+        _drop_ast_con()
         return None
 
 
@@ -95,7 +107,7 @@ def _deserialize(ast: dict) -> str | None:
             "SELECT json_deserialize_sql(?::JSON)", [json.dumps(ast)]
         ).fetchone()[0]
     except Exception:
-        _tls.ast_con = None
+        _drop_ast_con()
         return None
 
 

@@ -42,20 +42,25 @@ class _Scope:
     outputs: list[tuple[str, set[str]]] = field(default_factory=list)  # derived
 
 
-def _expr_column_refs(node, out: list[list[str]]) -> None:
+def _expr_column_refs(node, out: list[list[str]], subs: list[dict] | None = None) -> None:
+    """Column refs in an expression tree; expression subqueries
+    (scalar/IN/EXISTS) are NOT descended — they resolve against their
+    own scopes — but are collected into ``subs`` so the caller can
+    recurse with a fresh resolution (their outputs feed the enclosing
+    expression; their internal filters land in the global filter set)."""
     if isinstance(node, dict):
         if node.get("type") == "COLUMN_REF" and node.get("column_names"):
             out.append(list(node["column_names"]))
-        # don't descend into nested sub-SELECTs here: expression
-        # subqueries contribute rows/values from their own scopes; we
-        # resolve them separately via their own select resolution
         for k, v in node.items():
             if k == "subquery" and isinstance(v, dict):
+                inner = v.get("node")
+                if subs is not None and isinstance(inner, dict):
+                    subs.append(inner)
                 continue
-            _expr_column_refs(v, out)
+            _expr_column_refs(v, out, subs)
     elif isinstance(node, list):
         for v in node:
-            _expr_column_refs(v, out)
+            _expr_column_refs(v, out, subs)
 
 
 class _Resolver:
@@ -105,11 +110,15 @@ class _Resolver:
         col = names[-1]
         qual = names[-2].lower() if len(names) >= 2 else None
         hits: set[str] = set()
+        col_l = col.lower()
         for sc in scopes:
             if qual is not None and sc.alias != qual:
                 continue
             if sc.kind == "base":
-                if col in sc.columns or (qual is not None and not sc.columns):
+                canon = next((c for c in sc.columns if c.lower() == col_l), None)
+                if canon is not None:
+                    hits |= {f"{sc.table}.{canon}"}
+                elif qual is not None and not sc.columns:
                     hits |= {f"{sc.table}.{col}"}
             else:
                 for name, srcs in sc.outputs:
@@ -121,7 +130,7 @@ class _Resolver:
             self.unresolved.add(".".join(names))
         return hits
 
-    def _collect_filters(self, node: dict, scopes: list[_Scope]) -> None:
+    def _collect_filters(self, node: dict, scopes: list[_Scope], ctes: dict) -> None:
         parts = [node.get("where_clause"), node.get("having"), node.get("qualify")]
 
         def join_conditions(n):
@@ -136,9 +145,16 @@ class _Resolver:
             if part is None:
                 continue
             refs: list[list[str]] = []
-            _expr_column_refs(part, refs)
+            subs: list[dict] = []
+            _expr_column_refs(part, refs, subs)
             for names in refs:
                 self.filters |= self._resolve_ref(names, scopes)
+            for sub in subs:
+                # a filter-position subquery's VALUE steers rows: its
+                # output sources are filter sources; its internal
+                # filters are recorded by the recursive resolve
+                for _, srcs in self.resolve(sub, ctes):
+                    self.filters |= srcs
 
     def resolve(
         self, node: dict, outer_ctes: dict[str, list[tuple[str, set[str]]]] | None = None
@@ -147,6 +163,13 @@ class _Resolver:
         ctes = dict(outer_ctes or {})
         if not isinstance(node, dict):
             return []
+        # cte_map lives on the QueryNode base class, so a WITH attached
+        # to a set operation carries its CTEs on the SET_OPERATION_NODE
+        cm = node.get("cte_map") or {}
+        for entry in cm.get("map", []):
+            q = (entry.get("value") or {}).get("query")
+            if isinstance(q, dict) and isinstance(q.get("node"), dict):
+                ctes[entry["key"].lower()] = self.resolve(q["node"], ctes)
         t = node.get("type")
         if t == "SET_OPERATION_NODE":
             left = self.resolve(node.get("left"), ctes)
@@ -158,13 +181,8 @@ class _Resolver:
             return out
         if t != "SELECT_NODE":
             return []
-        cm = node.get("cte_map") or {}
-        for entry in cm.get("map", []):
-            q = (entry.get("value") or {}).get("query")
-            if isinstance(q, dict) and isinstance(q.get("node"), dict):
-                ctes[entry["key"].lower()] = self.resolve(q["node"], ctes)
         scopes = self._scopes_from(node.get("from_table"), ctes)
-        self._collect_filters(node, scopes)
+        self._collect_filters(node, scopes, ctes)
         outputs: list[tuple[str, set[str]]] = []
         for i, item in enumerate(node.get("select_list", [])):
             if not isinstance(item, dict):
@@ -181,10 +199,14 @@ class _Resolver:
                         outputs.extend(sc.outputs)
                 continue
             refs: list[list[str]] = []
-            _expr_column_refs(item, refs)
+            subs: list[dict] = []
+            _expr_column_refs(item, refs, subs)
             srcs: set[str] = set()
             for names in refs:
                 srcs |= self._resolve_ref(names, scopes)
+            for sub in subs:  # scalar subquery value feeds this output
+                for _, ssrcs in self.resolve(sub, ctes):
+                    srcs |= ssrcs
             name = item.get("alias")
             if not name:
                 if item.get("type") == "COLUMN_REF" and item.get("column_names"):
@@ -196,20 +218,28 @@ class _Resolver:
 
 
 def column_lineage(spark: SparkSession, sql: str) -> dict:
-    """{output column -> sorted contributing 'view.column' list} plus an
-    ``unresolved`` list of references lineage could not attribute.
-    Returns {} when the statement doesn't parse."""
+    """Namespaced report — a governance surface must never collide a
+    reserved key with a user column alias:
+
+        {"outputs": {name: [view.column, ...]},   # duplicates union
+         "filters": [view.column, ...],           # row-steering columns
+         "unresolved": [ref, ...]}
+
+    Raises ValueError when the statement does not parse: an audit that
+    cannot analyze must FAIL, not report all-clear."""
     from strake_spark.plans.federation import _serialize
 
     ast = _serialize(sql)
-    if ast is None:
-        return {}
-    stmts = ast.get("statements") or []
+    stmts = (ast or {}).get("statements") or []
     if not stmts:
-        return {}
+        raise ValueError("lineage: statement did not parse")
     r = _Resolver(spark)
     outputs = r.resolve(stmts[0].get("node", {}))
-    result: dict = {name: sorted(srcs) for name, srcs in outputs}
-    result["filters"] = sorted(r.filters)
-    result["unresolved"] = sorted(r.unresolved)
-    return result
+    merged: dict[str, set[str]] = {}
+    for name, srcs in outputs:
+        merged.setdefault(name, set()).update(srcs)
+    return {
+        "outputs": {name: sorted(srcs) for name, srcs in merged.items()},
+        "filters": sorted(r.filters),
+        "unresolved": sorted(r.unresolved),
+    }

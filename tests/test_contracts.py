@@ -212,3 +212,28 @@ class TestSampledValidation:
         assert a["l_quantity/ge"] == 0
         with pytest.raises(ValueError):
             validate_data(spark, contract, sample_fraction=1.5)
+
+
+class TestStrictDegrade:
+    def test_unbindable_strict_contract_reports_not_bricks(self, spark):
+        eng = ss.connect(_cfg([
+            {"table": "k.orders", "strict": True, "columns": [
+                {"name": "no_such_col", "type": "bigint"},
+            ]}
+        ]), spark=spark)  # connect must SUCCEED
+        rep = eng.validate_contracts(check_data=False)
+        assert not rep["valid"]
+        assert any("NOT enforced" in e for e in rep["errors"])
+
+
+class TestDataErrorIsInvalid:
+    def test_scan_error_fails_validation(self, spark):
+        eng = ss.connect(_cfg([
+            {"table": "k.lineitem", "columns": [
+                {"name": "l_quantity", "type": "double",
+                 "constraints": [{"type": "ge", "value": 0}]},
+            ]}
+        ]), spark=spark)
+        rep = eng.validate_contracts(sample_fraction=1.5)  # invalid knob
+        assert not rep["valid"]
+        assert any("data validation failed" in e for e in rep["errors"])

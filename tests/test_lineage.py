@@ -31,23 +31,23 @@ def eng(spark):
 class TestLineage:
     def test_simple_projection_and_alias(self, eng):
         lin = eng.lineage("SELECT c_name AS customer_name, c_acctbal FROM g_customer")
-        assert lin["customer_name"] == ["g_customer.c_name"]
-        assert lin["c_acctbal"] == ["g_customer.c_acctbal"]
+        assert lin["outputs"]["customer_name"] == ["g_customer.c_name"]
+        assert lin["outputs"]["c_acctbal"] == ["g_customer.c_acctbal"]
         assert lin["unresolved"] == []
 
     def test_expression_combines_columns(self, eng):
         lin = eng.lineage(
             "SELECT c_acctbal * 2 + c_custkey AS score FROM g_customer"
         )
-        assert lin["score"] == ["g_customer.c_acctbal", "g_customer.c_custkey"]
+        assert lin["outputs"]["score"] == ["g_customer.c_acctbal", "g_customer.c_custkey"]
 
     def test_join_with_qualifiers(self, eng):
         lin = eng.lineage(
             """SELECT c.c_name, o.o_totalprice
                FROM g_customer c JOIN g_orders o ON c.c_custkey = o.o_custkey"""
         )
-        assert lin["c_name"] == ["g_customer.c_name"]
-        assert lin["o_totalprice"] == ["g_orders.o_totalprice"]
+        assert lin["outputs"]["c_name"] == ["g_customer.c_name"]
+        assert lin["outputs"]["o_totalprice"] == ["g_orders.o_totalprice"]
 
     def test_derived_table_and_cte(self, eng):
         lin = eng.lineage(
@@ -58,35 +58,38 @@ class TestLineage:
                FROM (SELECT c_nationkey AS nk, c_custkey FROM g_customer) d
                JOIN big ON big.o_custkey = d.c_custkey"""
         )
-        assert lin["nk"] == ["g_customer.c_nationkey"]
-        assert lin["total"] == ["g_orders.o_totalprice"]
+        assert lin["outputs"]["nk"] == ["g_customer.c_nationkey"]
+        assert lin["outputs"]["total"] == ["g_orders.o_totalprice"]
 
     def test_star_expansion(self, eng):
         lin = eng.lineage("SELECT * FROM g_nation")
-        assert lin["n_name"] == ["g_nation.n_name"]
-        assert lin["n_regionkey"] == ["g_nation.n_regionkey"]
+        assert lin["outputs"]["n_name"] == ["g_nation.n_name"]
+        assert lin["outputs"]["n_regionkey"] == ["g_nation.n_regionkey"]
 
     def test_qualified_star(self, eng):
         lin = eng.lineage(
             """SELECT n.* FROM g_nation n JOIN g_customer c ON c.c_nationkey = n.n_nationkey"""
         )
-        assert "n_name" in lin and lin["n_name"] == ["g_nation.n_name"]
-        assert "c_name" not in lin
+        assert lin["outputs"]["n_name"] == ["g_nation.n_name"]
+        assert "c_name" not in lin["outputs"]
 
     def test_set_operation_merges_positionally(self, eng):
         lin = eng.lineage(
             """SELECT c_name AS who FROM g_customer
                UNION ALL SELECT n_name FROM g_nation"""
         )
-        assert lin["who"] == ["g_customer.c_name", "g_nation.n_name"]
+        assert lin["outputs"]["who"] == ["g_customer.c_name", "g_nation.n_name"]
 
     def test_unresolved_reported_not_guessed(self, eng):
         lin = eng.lineage("SELECT no_such_col FROM g_customer")
-        assert lin["no_such_col"] == []
+        assert lin["outputs"]["no_such_col"] == []
         assert "no_such_col" in lin["unresolved"]
 
-    def test_unparseable_returns_empty(self, eng):
-        assert column_lineage(eng.spark, "SELECT FROM WHERE") == {}
+    def test_unparseable_raises(self, eng):
+        # an audit surface must fail loudly, never report an empty
+        # (all-clear-looking) result for a statement it could not parse
+        with pytest.raises(ValueError, match="did not parse"):
+            column_lineage(eng.spark, "SELECT FROM WHERE")
 
     def test_non_select_rejected(self, eng):
         from strake_spark.governance.gate import QueryRejected
@@ -160,3 +163,35 @@ class TestFilterLineage:
         )
         assert audit["tainted"] == []  # output clean
         assert audit["filter_tainted"] == ["m_customer.c_name"]  # but rows steered by masked col
+
+
+class TestExpressionSubqueryLineage:
+    def test_in_subquery_columns_reach_filters(self, eng):
+        lin = eng.lineage(
+            """SELECT c_custkey FROM g_customer
+               WHERE c_custkey IN (SELECT o_custkey FROM g_orders WHERE o_totalprice > 10)"""
+        )
+        assert "g_orders.o_custkey" in lin["filters"]
+        assert "g_orders.o_totalprice" in lin["filters"]
+
+    def test_scalar_subquery_feeds_output(self, eng):
+        lin = eng.lineage(
+            "SELECT (SELECT max(c_acctbal) FROM g_customer) AS top FROM g_nation"
+        )
+        assert lin["outputs"]["top"] == ["g_customer.c_acctbal"]
+
+    def test_case_insensitive_reference(self, eng):
+        lin = eng.lineage("SELECT C_NAME FROM g_customer")
+        assert lin["outputs"]["C_NAME"] == ["g_customer.c_name"]
+        assert lin["unresolved"] == []
+
+    def test_cte_on_set_operation(self, eng):
+        lin = eng.lineage(
+            """WITH w AS (SELECT c_name FROM g_customer)
+               SELECT c_name FROM w UNION ALL SELECT n_name FROM g_nation"""
+        )
+        assert lin["outputs"]["c_name"] == ["g_customer.c_name", "g_nation.n_name"]
+
+    def test_alias_collision_with_reserved_keys_safe(self, eng):
+        lin = eng.lineage("SELECT c_name AS filters FROM g_customer")
+        assert lin["outputs"]["filters"] == ["g_customer.c_name"]  # not clobbered

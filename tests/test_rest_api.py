@@ -426,7 +426,7 @@ class TestLineageEndpoint:
             {"sql": "SELECT n_name AS nation FROM t_nation"},
         )
         assert code == 200
-        assert body["data"]["nation"] == ["t_nation.n_name"]
+        assert body["data"]["outputs"]["nation"] == ["t_nation.n_name"]
         assert body["data"]["unresolved"] == []
 
     def test_lineage_gated(self, server):
