@@ -184,3 +184,52 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n")
             .agg(F.count("o_orderkey").alias("n_orders"))
         )
+
+
+@query(
+    "engine_sql_end_to_end",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    notes=(
+        "the GOVERNED ENGINE inside the correctness gate: this entry "
+        "routes SQL text through StrakeEngine (read-only gate -> planning "
+        "ladder -> defensive limit -> cost check), not the DataFrame API, "
+        "so the driver hash verifies the whole engine.sql path end-to-end "
+        "(gate skips the limit for aggregates, ladder degrades to local "
+        "for parquet views)"
+    ),
+)
+def engine_sql_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import strake_spark as ss
+
+    eng = ss.connect(
+        {
+            "sources": [
+                {
+                    "name": "e2e",
+                    "type": "parquet",
+                    "url": sf_dir,
+                    "tables": [{"name": "lineitem"}, {"name": "orders"}],
+                }
+            ]
+        },
+        spark=spark,
+    )
+    return eng.sql(
+        """
+        SELECT o.o_orderpriority,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM e2e_lineitem l JOIN e2e_orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )

@@ -150,7 +150,6 @@ def _try_push_subtree(
     from strake_spark.plans.federation import (
         _cte_names,
         _deserialize,
-        _serialize,  # noqa: F401 (doc symmetry)
         _walk_base_tables,
         apply_dialect_fixes,
     )
