@@ -626,3 +626,44 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_grouped_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 10 < 8
+                  THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 10 < 9
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+    notes=(
+        "leakage-safe GROUPED train/val/test split: the md5 bucket is "
+        "keyed on the GROUP (source), not the row, so every document of "
+        "a source lands in the same split — near-duplicate docs within a "
+        "source can never straddle train/test (the leakage row-level "
+        "splits cause). Deterministic, no RNG state, one map-side tag"
+    ),
+)
+def sample_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("long") % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    ).alias("split")
+    return (
+        d.select(split, "source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
