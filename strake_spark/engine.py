@@ -365,6 +365,33 @@ class StrakeEngine:
             "data_violations": data,
         }
 
+    def impact(self, column: str, queries: list[str] | None = None) -> dict[str, Any]:
+        """Reverse lineage / impact analysis: which statements read
+        ``column`` ('view.column'), either in their outputs or to steer
+        rows? Defaults to the engine's own query log — "what breaks if
+        this source column is dropped or re-typed". Statements lineage
+        cannot parse are listed under ``unanalyzable`` (never silently
+        skipped)."""
+        target = column.lower()
+        stmts = queries if queries is not None else [q["query"] for q in self._query_log]
+        hits, unanalyzable = [], []
+        for stmt in stmts:
+            try:
+                lin = self.lineage(stmt)
+            except Exception:
+                unanalyzable.append(stmt)
+                continue
+            out_cols = sorted(
+                o for o, srcs in lin["outputs"].items()
+                if any(s.lower() == target for s in srcs)
+            )
+            in_filters = any(s.lower() == target for s in lin["filters"])
+            if out_cols or in_filters:
+                hits.append(
+                    {"query": stmt, "outputs": out_cols, "filter": in_filters}
+                )
+        return {"column": column, "impacted": hits, "unanalyzable": unanalyzable}
+
     def masking_audit(self, query: str, user: str) -> dict[str, Any]:
         """Which output columns of ``query`` derive from a column the
         active policy masks for ``user``? Combines the lineage surface

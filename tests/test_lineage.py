@@ -195,3 +195,25 @@ class TestExpressionSubqueryLineage:
     def test_alias_collision_with_reserved_keys_safe(self, eng):
         lin = eng.lineage("SELECT c_name AS filters FROM g_customer")
         assert lin["outputs"]["filters"] == ["g_customer.c_name"]  # not clobbered
+
+
+class TestImpactAnalysis:
+    def test_impact_over_explicit_statements(self, eng):
+        report = eng.impact(
+            "g_customer.c_acctbal",
+            queries=[
+                "SELECT c_acctbal * 2 AS x FROM g_customer",        # output hit
+                "SELECT c_name FROM g_customer WHERE c_acctbal > 0",  # filter hit
+                "SELECT n_name FROM g_nation",                        # no hit
+                "SELECT BROKEN FROM",                                 # unanalyzable
+            ],
+        )
+        assert len(report["impacted"]) == 2
+        assert report["impacted"][0]["outputs"] == ["x"]
+        assert report["impacted"][1]["filter"] is True
+        assert report["unanalyzable"] == ["SELECT BROKEN FROM"]
+
+    def test_impact_reads_query_log(self, eng):
+        eng.execute("SELECT c_name FROM g_customer WHERE c_custkey < 5")
+        report = eng.impact("g_customer.c_custkey")
+        assert any(h["filter"] for h in report["impacted"])
