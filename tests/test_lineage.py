@@ -217,3 +217,51 @@ class TestImpactAnalysis:
         eng.execute("SELECT c_name FROM g_customer WHERE c_custkey < 5")
         report = eng.impact("g_customer.c_custkey")
         assert any(h["filter"] for h in report["impacted"])
+
+
+import hypothesis.strategies as hst
+from hypothesis import given, settings
+
+_COLS = {
+    "g_customer": ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    "g_orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+    "g_nation": ["n_nationkey", "n_name"],
+}
+_PROJ = hst.sampled_from([
+    "c.c_name AS a1", "c.c_acctbal * 2 AS a2", "upper(c.c_name) AS a3",
+    "o.o_totalprice AS a4", "c.c_custkey + o.o_orderkey AS a5",
+])
+_FILT = hst.sampled_from([
+    "", "WHERE c.c_acctbal > 0", "WHERE o.o_totalprice < 100 AND c.c_custkey > 3",
+    "WHERE c.c_nationkey IN (SELECT n_nationkey FROM g_nation)",
+])
+
+
+@hst.composite
+def _queries(draw):
+    projs = draw(hst.lists(_PROJ, min_size=1, max_size=3, unique=True))
+    filt = draw(_FILT)
+    wrap = draw(hst.booleans())
+    sql = (
+        f"SELECT {', '.join(projs)} FROM g_customer c "
+        f"JOIN g_orders o ON c.c_custkey = o.o_custkey {filt}"
+    )
+    if wrap:
+        sql = f"SELECT * FROM ({sql}) inner_q"
+    return sql
+
+
+class TestLineageSoundness:
+    """Every reported source must NAME A REAL COLUMN of a real view;
+    nothing may crash; nothing legitimate may land in unresolved."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(sql=_queries())
+    def test_fuzzed_lineage_sound(self, eng, sql):
+        lin = eng.lineage(sql)
+        assert lin["unresolved"] == []
+        assert lin["outputs"]
+        for srcs in list(lin["outputs"].values()) + [lin["filters"]]:
+            for s in srcs:
+                view, col = s.rsplit(".", 1)
+                assert col in _COLS[view], s
