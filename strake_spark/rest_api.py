@@ -157,6 +157,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._lineage(body)
         if path == "/api/v1/contracts/validate":
             return self._contracts(body)
+        if path == "/api/v1/audit/masking":
+            return self._masking_audit(body, claims)
+        if path == "/api/v1/impact":
+            return self._impact(body)
         return self._send(404, {"status": "error", "data": None, "message": f"no route {path}"})
 
     def _explain(self, body: dict) -> None:
@@ -200,6 +204,41 @@ class _Handler(BaseHTTPRequestHandler):
                 check_data=bool(body.get("check_data", True)),
                 sample_fraction=body.get("sample_fraction"),
             )
+        except StrakeError as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+        except Exception as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+        self._send(200, {"status": "success", "data": rep, "message": None})
+
+    def _masking_audit(self, body: dict, claims: dict) -> None:
+        """Masked-column audit for a statement (engine.masking_audit):
+        output + filter (inference) channels. The audited principal is
+        the authenticated subject when present, else body['user']."""
+        sql = body.get("sql")
+        user = claims.get("sub") or body.get("user")
+        if not sql or not user:
+            return self._send(
+                400,
+                {"status": "error", "data": None, "message": "missing 'sql' or 'user'"},
+            )
+        try:
+            rep = self.engine.masking_audit(sql, user)
+        except StrakeError as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+        except Exception as e:
+            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+        self._send(200, {"status": "success", "data": rep, "message": None})
+
+    def _impact(self, body: dict) -> None:
+        """Reverse lineage (engine.impact): which logged statements read
+        a given 'view.column'."""
+        column = body.get("column")
+        if not column:
+            return self._send(
+                400, {"status": "error", "data": None, "message": "missing 'column'"}
+            )
+        try:
+            rep = self.engine.impact(column, queries=body.get("queries"))
         except StrakeError as e:
             return self._send(400, {"status": "error", "data": None, "message": str(e)})
         except Exception as e:

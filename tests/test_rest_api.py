@@ -441,3 +441,27 @@ class TestContractsEndpoint:
         code, body = _jreq(server.port, "/api/v1/contracts/validate", {"check_data": False})
         assert code == 200
         assert body["data"]["valid"] is True  # test engine has no contracts
+
+
+class TestGovernanceAuditEndpoints:
+    def test_impact_over_http(self, server):
+        code, body = _jreq(
+            server.port, "/api/v1/impact",
+            {"column": "t_nation.n_name",
+             "queries": ["SELECT n_name AS x FROM t_nation",
+                         "SELECT n_regionkey FROM t_nation"]},
+        )
+        assert code == 200
+        assert len(body["data"]["impacted"]) == 1
+        assert body["data"]["impacted"][0]["outputs"] == ["x"]
+
+    def test_masking_audit_requires_user(self, server):
+        code, _ = _jreq(server.port, "/api/v1/audit/masking",
+                        {"sql": "SELECT n_name FROM t_nation"})
+        assert code == 400  # no policies engine-side + no user -> reject
+
+    def test_masking_audit_with_user(self, server):
+        code, body = _jreq(server.port, "/api/v1/audit/masking",
+                           {"sql": "SELECT n_name FROM t_nation", "user": "alice"})
+        assert code == 200
+        assert body["data"]["tainted"] == []  # no policies configured
