@@ -48,7 +48,12 @@ class StrakeEngine:
         self.spark = spark or build_session()
         self._views: dict[str, list[str]] = {}
         self._view_source: dict[str, str] = {}
-        self._query_log: list[dict[str, Any]] = []
+        from collections import deque
+
+        # bounded: a long-lived server must not grow its log forever;
+        # 10k entries keeps impact()/query_log() useful while capping
+        # memory (reference keeps a structured log stream, not a list)
+        self._query_log: deque = deque(maxlen=10_000)
         self._last_pushdown = None  # PushdownPlan of the most recent sql()
         from collections import Counter
 
