@@ -48,15 +48,18 @@ class StrakeEngine:
         self.spark = spark or build_session()
         self._views: dict[str, list[str]] = {}
         self._view_source: dict[str, str] = {}
-        from collections import deque
+        import threading
+        from collections import Counter, deque
 
         # bounded: a long-lived server must not grow its log forever;
         # 10k entries keeps impact()/query_log() useful while capping
-        # memory (reference keeps a structured log stream, not a list)
+        # memory (reference keeps a structured log stream, not a list).
+        # deque raises on mutation-during-iteration (list does not), so
+        # every append/snapshot goes through _log_lock — the REST server
+        # is threaded.
         self._query_log: deque = deque(maxlen=10_000)
+        self._log_lock = threading.Lock()
         self._last_pushdown = None  # PushdownPlan of the most recent sql()
-        from collections import Counter
-
         self._metrics: Counter = Counter()
         self._cache = None
         if self.config.cache.enabled:
@@ -378,14 +381,31 @@ class StrakeEngine:
         cannot parse are listed under ``unanalyzable`` (never silently
         skipped)."""
         target = column.lower()
-        stmts = queries if queries is not None else [q["query"] for q in self._query_log]
+        if queries is not None:
+            if isinstance(queries, str) or not all(
+                isinstance(q, str) for q in queries
+            ):
+                raise ValueError("impact: 'queries' must be a list of SQL strings")
+            stmts = list(queries)
+        else:
+            with self._log_lock:
+                stmts = [q["query"] for q in self._query_log]
         hits, unanalyzable = [], []
+        memo: dict[str, dict | None] = {}  # one analysis per DISTINCT text
         for stmt in stmts:
-            try:
-                lin = self.lineage(stmt)
-            except Exception:
-                unanalyzable.append(stmt)
-                continue
+            if stmt in memo:
+                lin = memo[stmt]
+                if lin is None:
+                    unanalyzable.append(stmt)
+                    continue
+            else:
+                try:
+                    lin = self.lineage(stmt)
+                    memo[stmt] = lin
+                except Exception:
+                    memo[stmt] = None
+                    unanalyzable.append(stmt)
+                    continue
             out_cols = sorted(
                 o for o, srcs in lin["outputs"].items()
                 if any(s.lower() == target for s in srcs)
@@ -497,7 +517,8 @@ class StrakeEngine:
         }
 
     def query_log(self) -> list[dict[str, Any]]:
-        return list(self._query_log)
+        with self._log_lock:
+            return list(self._query_log)
 
     def spans(self) -> list[dict[str, Any]]:
         """Finished trace spans, newest last (reference telemetry.rs
@@ -527,15 +548,16 @@ class StrakeEngine:
             self._metrics["cache_hits"] += 1
         if self._last_pushdown is not None:
             self._metrics["pushdown_queries"] += 1
-        self._query_log.append(
-            {
-                "query": query,
-                "user": user,
-                "duration_s": round(time.time() - started, 4),
-                "cached": cached,
-                "ts": started,
-            }
-        )
+        with self._log_lock:
+            self._query_log.append(
+                {
+                    "query": query,
+                    "user": user,
+                    "duration_s": round(time.time() - started, 4),
+                    "cached": cached,
+                    "ts": started,
+                }
+            )
 
 
 def connect(config: EngineConfig | dict | str | None = None, spark: SparkSession | None = None) -> StrakeEngine:

@@ -233,9 +233,17 @@ class _Handler(BaseHTTPRequestHandler):
         """Reverse lineage (engine.impact): which logged statements read
         a given 'view.column'."""
         column = body.get("column")
-        if not column:
+        queries = body.get("queries")
+        if not column or (
+            queries is not None
+            and (isinstance(queries, str)
+                 or not isinstance(queries, list)
+                 or not all(isinstance(q, str) for q in queries))
+        ):
             return self._send(
-                400, {"status": "error", "data": None, "message": "missing 'column'"}
+                400,
+                {"status": "error", "data": None,
+                 "message": "need 'column' (and 'queries' as a list of SQL strings)"},
             )
         try:
             rep = self.engine.impact(column, queries=body.get("queries"))
