@@ -63,61 +63,37 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Entries named here are emitted FIRST, in this order; everything else
 # follows in registration order.
 #
-# Round-7 rotation (per the r6 verdict): front-load (a) the four
-# round-6 additions that have NEVER been inside a driver window; (b)
-# the twelve r3-green entries deferred from the r6 window — with these
-# sixteen checked, all-time driver coverage reaches 115/115; (c) the
-# four rows-only (no-oracle-by-design) entries RE-paired adjacently
-# with their driver-checkable green companions, so the window shows
-# each weak row next to the strong row that justifies it; (c2) the
-# five entries ADDED in round 7 (PQ top-k + recall companion, source
-# quota, shard manifest, context chunking — never driver-checked);
-# (d) 21 of the remaining r5-evidence entries — the full TPC-H block
-# and most of the join matrix (the families most exposed to perf
-# churn). That is exactly 50. Immediately after the boundary: the 24
-# r5-green entries deferred to the round-8 window (three joins, agg
-# variants, window functions, set ops — the most change-stable
-# families, each still pytest-oracled at sf0.001 and sf0.01 by
-# tests/test_inventory.py every round). Everything r6-green follows in
-# registration order.
+# Round-8 rotation (per the r7 verdict): front-load (a) ALL 22 entries
+# that have never had a driver row — added late in round 7 after that
+# window was fixed (TPC-H q2/q11/q12/q20, BM25, SemDeDup pair,
+# events rollup/cohort/rolling, expr json/regexp/unpivot, exact-
+# substring dedup, truncation fidelity, engine SQL e2e, grouped split,
+# frame-sample stats, curation e2e, dedup-rate, and the IVF+PQ pair —
+# `ann_ivfpq_topk` is rows-only-by-design, kept adjacent to its
+# hash-checkable recall companion). With these 22 green, all-time
+# driver coverage reaches 137 green + 5 explained of 142. Then (b)
+# the 28 oldest-evidence rows: the 24 r5-green entries deferred from
+# the r7 window (joins, agg variants, window functions, set ops) and
+# the 4 oldest r6-green entries. That is exactly 50. Everything else
+# (r6/r7-green, all re-verified by tests/test_inventory.py at sf0.001
+# and sf0.01 every round) follows in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked (added late in round 6)
-    "embedding_quantize_int8", "pipeline_mixture_upsample",
-    "stream_view_purchase_join", "text_repetition_score",
-    # (b) r3-green entries deferred from the r6 window
-    "empty_relation", "limit_offset_page", "sort_multi_key_nulls",
-    "pivot_status_by_flag", "expr_string_functions", "expr_math_functions",
-    "expr_datetime_functions", "expr_conditional_null", "expr_cast_matrix",
-    "sample_hash_bucket", "sample_shuffle_deterministic",
-    "expr_array_higher_order",
-    # (c) rows-only entries paired with their green companions
-    "agg_approx_count_distinct", "agg_approx_count_distinct_bound",
-    "ann_lsh_bucketed_topk", "ann_lsh_recall_vs_exact",
-    "ann_ivf_topk", "ann_ivf_recall_vs_exact",
-    "ann_pq_topk", "ann_pq_recall_vs_exact",
-    "multimodal_decode_features", "multimodal_decode_meta",
-    # (c2) new in round 7 — never driver-checked
-    "pipeline_source_quota", "pipeline_shard_manifest",
-    "pipeline_chunk_documents",
-    # (d) r5-evidence: full TPC-H block
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue", "tpch_q21_waiting_suppliers",
-    # (d) r5-evidence: join matrix
-    "join_inner_orders_customer", "join_left_customer_orders",
-    "join_right_orders_customer", "join_full_outer_nation_coverage",
-    "join_semi_customers_with_urgent_orders",
-    # --- 50-entry window boundary ---
-    # round-8 window front: entries added late in round 7 (never
-    # driver-checked), then the deferred r5-green entries
+    # (a) never driver-checked — added late in round 7
+    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping", "tpch_q20_part_promotion",
+    "text_bm25_ranking",
+    "semdedup_kmeans_assign", "semdedup_prune_keep",
+    "events_rollup_incremental", "events_cohort_retention",
+    "events_rolling_active_users",
+    "expr_json_matrix", "expr_regexp_matrix", "expr_unpivot_measures",
+    "dedup_substring_exact_spans",
+    "embedding_truncate_fidelity",
+    "engine_sql_end_to_end",
+    "sample_grouped_split",
+    "multimodal_frame_sample_stats",
+    "pipeline_end_to_end_curation", "pipeline_dedup_rate_by_source",
     "ann_ivfpq_topk", "ann_ivfpq_recall_vs_exact",
-    "pipeline_end_to_end_curation", "events_cohort_retention",
-    "events_rolling_active_users", "pipeline_dedup_rate_by_source",
+    # (b) oldest-evidence rows: 24 r5-green entries deferred from r7
     "join_anti_customers_without_urgent_orders",
     "join_cross_region_status",
     "join_non_equi_price_over_size",
@@ -130,6 +106,12 @@ _PRIORITY: tuple[str, ...] = (
     "window_ntile_first_last",
     "set_union_all", "set_union_distinct", "set_intersect",
     "set_except", "set_except_all", "distinct_on_latest_order",
+    # (b) oldest r6-green entries
+    "tpch_q9_product_profit", "tpch_q22_global_sales_opportunity",
+    "distinct_simple", "values_inline",
+    # --- 50-entry window boundary ---
+    # round-9 window front: next-oldest evidence (r6-green families:
+    # subqueries, CTEs, events, dedup signatures) in registration order.
 )
 
 
