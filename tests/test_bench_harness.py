@@ -1,0 +1,81 @@
+"""Bench harness contracts: chaos injection (reference
+crates/bench/src/main.rs:30-31,113-122 parity) and the reporting-tail
+invariant the grading driver depends on."""
+
+from __future__ import annotations
+
+import json
+
+from bench import BENCH_QUERIES, PIPELINE_QUERIES, ChaosInjector
+
+
+class TestChaosInjector:
+    def test_injects_and_trips_breaker(self):
+        ch = ChaosInjector(prob=1.0, sleep_sec=0.0)
+        results = [ch.maybe_fail("q1", i) for i in range(10)]
+        assert all(results)  # every iteration sacrificed at p=1
+        statuses = {e["status"] for e in ch.events}
+        # first failures are ERROR; once the breaker window trips, the
+        # remainder fail fast as CIRCUIT_OPEN without sleeping
+        assert statuses == {"ERROR", "CIRCUIT_OPEN"}
+        assert any(
+            e.get("error") == "Simulated Source Timeout (Chaos Injection)"
+            for e in ch.events
+        )
+        assert ch.breaker.state == "open"
+
+    def test_zero_prob_never_fires(self):
+        ch = ChaosInjector(prob=0.0)
+        assert not ch.maybe_fail("q1", 0)
+        assert ch.events == []
+
+    def test_deterministic_seed(self):
+        a = ChaosInjector(prob=0.5, seed=1, sleep_sec=0.0)
+        b = ChaosInjector(prob=0.5, seed=1, sleep_sec=0.0)
+        assert [a.maybe_fail("q", i) for i in range(20)] == [
+            b.maybe_fail("q", i) for i in range(20)
+        ]
+
+    def test_survivor_runs_still_produce_medians(self):
+        # _run must compute stats over only the non-chaos'd iterations
+        import bench
+
+        class _FakeDF:
+            def count(self):
+                return 7
+
+        class _FakeSpec:
+            name = "fake"
+
+            def fn(self, spark, sf_dir):
+                return _FakeDF()
+
+        ch = ChaosInjector(prob=1.0, sleep_sec=0.0)
+        d, n = bench._run(_FakeSpec(), None, "x", iters=3, chaos=ch)
+        assert d["med"] is None and d["runs"] == []  # all chaos'd
+        d, n = bench._run(_FakeSpec(), None, "x", iters=3, chaos=None)
+        assert d["med"] is not None and len(d["runs"]) == 3 and n == 7
+
+
+class TestTailContract:
+    def test_final_json_line_fits_driver_tail(self):
+        """The driver keeps the last ~2000 chars of stdout and parses
+        the final JSON line found there (round-7 lesson: a fat line
+        loses the headline medians). Build a worst-case-shaped final
+        dict — every query at a 4-digit median — and assert the line
+        stays under the budget bench.py asserts at runtime."""
+        queries = {q: 12.3456 for q in BENCH_QUERIES}
+        pipeline = {q: 12.3456 for q in PIPELINE_QUERIES}
+        pipeline["ann_embedding_neardup_t09"] = 12.3456
+        rest = {f"q{i}": 12.3456 for i in (2, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 19, 20, 21, 22)}
+        out = {
+            "metric": "tpch_total", "value": 86.4192, "unit": "sec",
+            "tpch_total_5q": 61.728, "queries": queries,
+            "pipeline": pipeline, "pipeline_total": 123.456,
+            "tpch_rest": rest, "tpch_rest_total": 185.184,
+            "tpch22_total": 271.6032, "iterations": 4,
+            "iterations_rest": 2, "warmup_discarded": True,
+            "sf": 0.1, "startup_sec": 10.15,
+            "chaos": {"prob": 0.25, "injected": 9, "circuit_open": 3},
+        }
+        assert len(json.dumps(out)) < 1900
