@@ -203,15 +203,27 @@ def validate_data(
     return {k: int(row[k] or 0) for k in keys}
 
 
+# view name -> declared column order for STRICT (closed-schema) tables,
+# populated by enforce_strict_views. The federation rungs consult this:
+# pushed SQL must reference the remote physical table only through an
+# inline subquery projecting exactly these columns, otherwise pushdown
+# would silently expose columns the local projected view hides (the
+# "querying columns NOT listed will fail" guarantee would hold only
+# when pushdown DIDN'T fire). Process-global like REMOTE_TABLES.
+STRICT_VIEWS: dict[str, tuple[str, ...]] = {}
+
+
 def enforce_strict_views(
     spark: SparkSession, config: ContractsConfig
 ) -> tuple[list[str], list[str]]:
     """Closed-schema enforcement: re-register each strict table's view
-    as a projection of exactly the contract columns. Returns
-    (views_rewritten, errors). A contract that cannot bind (declared
-    column missing from the live schema) is reported, NOT raised — one
-    drifted contract must not brick the whole engine; the error
-    resurfaces in validate_contracts() where the operator can see it."""
+    as a projection of exactly the contract columns, and record the
+    projection in STRICT_VIEWS so every federation rung applies it to
+    pushed SQL too. Returns (views_rewritten, errors). A contract that
+    cannot bind (declared column missing from the live schema) is
+    reported, NOT raised — one drifted contract must not brick the
+    whole engine; the error resurfaces in validate_contracts() where
+    the operator can see it."""
     import logging
 
     rewritten, errors = [], []
@@ -229,6 +241,10 @@ def enforce_strict_views(
             )
             logging.getLogger("strake_spark.contracts").error(msg)
             errors.append(msg)
+            # an unenforceable projection must not leave a stale (or
+            # absent) pushdown guard: drop any previous registration
+            STRICT_VIEWS.pop(view, None)
             continue
+        STRICT_VIEWS[view] = tuple(cols)
         rewritten.append(view)
     return rewritten, errors

@@ -144,6 +144,51 @@ def _cte_names(ast: dict) -> set[str]:
     return names
 
 
+def _rewrite_remote_ref(node: dict, remote: RemoteTable) -> bool:
+    """Point a BASE_TABLE tableref at the remote physical table,
+    IN PLACE. For a strict-contract (closed-schema) view the bare
+    physical table would expose columns the local projected view hides,
+    so the ref becomes an inline subquery projecting exactly the
+    declared columns — `(SELECT a, b FROM physical) AS view` — which
+    keeps the reference's contracts.yaml:12 guarantee ("querying
+    columns NOT listed will fail") intact under pushdown: the remote
+    engine itself rejects unlisted columns, and SELECT * expands to the
+    declared set, matching embedded-mode semantics. Returns False when
+    the guard cannot be built (caller must not push)."""
+    from strake_spark.governance.contracts import STRICT_VIEWS
+
+    name = node["table_name"]
+    strict_cols = STRICT_VIEWS.get(name) or STRICT_VIEWS.get(name.lower())
+    if not strict_cols:
+        node["table_name"] = remote.table
+        # drop any schema qualifier that named our view namespace
+        if node.get("schema_name"):
+            node["schema_name"] = ""
+        return True
+    from strake_spark.sources.pushsql import quote_ident
+
+    inner = (
+        f"SELECT {', '.join(quote_ident(c) for c in strict_cols)} "
+        f"FROM {quote_ident(remote.table)}"
+    )
+    ast = _serialize(inner)
+    if ast is None:  # pragma: no cover - quoted idents always parse
+        return False
+    alias = node.get("alias") or name
+    node.clear()
+    node.update(
+        {
+            "type": "SUBQUERY",
+            "alias": alias,
+            "sample": None,
+            "query_location": 18446744073709551615,
+            "subquery": {"node": ast["statements"][0]["node"]},
+            "column_name_alias": [],
+        }
+    )
+    return True
+
+
 @dataclass(frozen=True)
 class PushdownPlan:
     """A fully-pushable statement: one remote context owns every table."""
@@ -184,10 +229,8 @@ def analyze(sql: str) -> PushdownPlan | None:
         return None
     views = tuple(sorted({node["table_name"] for node, _ in remotes}))
     for node, remote in remotes:
-        node["table_name"] = remote.table
-        # drop any schema qualifier that named our view namespace
-        if node.get("schema_name"):
-            node["schema_name"] = ""
+        if not _rewrite_remote_ref(node, remote):
+            return None  # can't build a strict-contract guard -> local
     # dialect function mapping happens on the AST (nesting/literal-safe)
     from strake_spark.plans.dialects import rename_functions, rules_for
 

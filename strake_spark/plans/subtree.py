@@ -206,9 +206,12 @@ def _try_push_subtree(
         if low in inner_ctes:
             continue
         remote = REMOTE_TABLES.get(node["table_name"]) or REMOTE_TABLES.get(low)
-        node["table_name"] = remote.table
-        if node.get("schema_name"):
-            node["schema_name"] = ""
+        # strict-contract views become inline projected subqueries so
+        # the shipped subtree can't expose undeclared columns
+        from strake_spark.plans.federation import _rewrite_remote_ref
+
+        if not _rewrite_remote_ref(node, remote):
+            return None
     from strake_spark.plans.dialects import rename_functions, rules_for
 
     rename_functions(q_copy, rules_for(rep.dialect))

@@ -160,6 +160,107 @@ class TestStrictEnforcement:
         assert eng.sql("SELECT o_orderpriority FROM k_orders").count() > 0
 
 
+class TestStrictContractFederation:
+    """Strict (closed-schema) contracts must hold when federation
+    pushdown fires: every rung that ships SQL referencing a strict
+    table must reference the remote physical table only through an
+    inline subquery projecting the declared columns (r7 advice, high).
+    Without the guard, pushdown exposed every remote column — the
+    normal case for remote tables like the reference's 'pg.orders'
+    contract example."""
+
+    DECLARED = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+    @pytest.fixture()
+    def fed_strict(self, spark, tmp_path):
+        import duckdb
+
+        dpath = str(tmp_path / "strict.duckdb")
+        con = duckdb.connect(dpath)
+        con.execute(
+            f"CREATE TABLE orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+        )
+        con.close()
+        eng = ss.connect(
+            {
+                "sources": [
+                    {"name": "pg", "type": "duckdb", "url": dpath},
+                    {"name": "loc", "type": "parquet", "url": SF_DIR,
+                     "tables": [{"name": "customer"}]},
+                ],
+                "contracts": {"contracts": [
+                    {"table": "pg.orders", "strict": True, "columns": [
+                        {"name": c, "type": "bigint" if c != "o_totalprice" else "double"}
+                        for c in self.DECLARED
+                    ]}
+                ]},
+            },
+            spark=spark,
+        )
+        yield eng
+        from strake_spark.governance.contracts import STRICT_VIEWS
+        from strake_spark.sources.registry import REMOTE_TABLES
+
+        REMOTE_TABLES.pop("pg_orders", None)
+        STRICT_VIEWS.pop("pg_orders", None)
+
+    def test_pushed_sql_carries_projection_guard(self, fed_strict):
+        from strake_spark.plans import federation
+
+        plan = federation.analyze(
+            "SELECT count(*) AS n, sum(o_totalprice) AS t "
+            "FROM pg_orders WHERE o_orderkey > 100"
+        )
+        assert plan is not None  # declared-column queries still push
+        s = plan.rewritten_sql.lower().replace('"', "")
+        assert "select o_orderkey, o_custkey, o_totalprice from orders" in s
+
+    def test_unlisted_column_fails_even_when_pushed(self, fed_strict):
+        # whole-statement pushdown fires for this shape; the remote
+        # engine must reject the undeclared column (and the local
+        # fallback rejects it too — failure either way is the contract)
+        with pytest.raises(Exception, match="o_comment"):
+            fed_strict.execute(
+                "SELECT o_comment FROM pg_orders WHERE o_orderkey > 0"
+            ).to_pandas()
+
+    def test_select_star_pushed_matches_embedded_shape(self, fed_strict):
+        out = fed_strict.execute(
+            "SELECT * FROM pg_orders WHERE o_orderkey <= 50"
+        ).to_pandas()
+        assert sorted(out.columns) == sorted(self.DECLARED)
+
+    def test_declared_query_values_match_local(self, fed_strict):
+        import duckdb
+
+        out = fed_strict.execute(
+            "SELECT o_custkey, count(*) AS n FROM pg_orders "
+            "GROUP BY o_custkey ORDER BY o_custkey"
+        ).to_pandas()
+        exp = duckdb.connect().execute(
+            f"SELECT o_custkey, CAST(count(*) AS BIGINT) AS n "
+            f"FROM read_parquet('{SF_DIR}/orders.parquet') "
+            "GROUP BY o_custkey ORDER BY o_custkey"
+        ).df()
+        assert out["o_custkey"].astype(int).tolist() == exp["o_custkey"].astype(int).tolist()
+        assert out["n"].astype(int).tolist() == exp["n"].astype(int).tolist()
+
+    def test_subtree_ship_carries_guard(self, fed_strict):
+        from strake_spark.plans.subtree import analyze_subtrees
+
+        st = analyze_subtrees(
+            fed_strict.spark,
+            """WITH agg AS (
+                 SELECT o_custkey, count(*) AS n FROM pg_orders GROUP BY o_custkey
+               )
+               SELECT count(*) AS total
+               FROM agg JOIN loc_customer c ON agg.o_custkey = c.c_custkey""",
+        )
+        assert st is not None and len(st.scans) == 1
+        s = st.scans[0].remote_sql.lower().replace('"', "")
+        assert "select o_orderkey, o_custkey, o_totalprice from orders" in s
+
+
 class TestCliValidate:
     def _write(self, tmp_path, contracts):
         import json
