@@ -260,13 +260,15 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared oracle prefix for the SemDeDup entries: deterministic
-# 2-assignment cosine k-means (k=8, init = ids 0..7). Centroid sums in
-# DECIMAL(18,9) (exact, order-independent) mirror the Spark side's
-# decimal accumulator; every per-row score is a left-to-right double
-# fold in both engines, so assignments agree bit-for-bit.
+# 2-assignment cosine k-means (k=8, init = the 8 smallest ids' vectors
+# — same rule as operators/semdedup.py, robust to offset/sparse ids).
+# Centroid sums in DECIMAL(18,9) (exact, order-independent) mirror the
+# Spark side's decimal accumulator; every per-row score is a
+# left-to-right double fold in both engines, so assignments agree
+# bit-for-bit.
 _SEMDEDUP_CTE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
 a1 AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c0.cid,
@@ -304,7 +306,7 @@ a2 AS (
     notes=(
         "SemDeDup stage 1 (Abbas et al. 2023): deterministic fixed-iteration "
         "cosine k-means with a FULL value-hash oracle — the generic IVF "
-        "trainer stays rows-only, but pinning init (ids 0..k-1), iteration "
+        "trainer stays rows-only, but pinning init (k smallest ids), iteration "
         "count (2) and DECIMAL-exact centroid sums makes the whole "
         "clustering SQL-expressible. Scale: per iteration one scan + one "
         "k*dim-cell partial aggregate; assignment is broadcast-k "

@@ -91,28 +91,58 @@ def _update(e: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(
-    emb: DataFrame,
-    k: int = 8,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Deterministic fixed-iteration cosine k-means: (vec_id, cluster).
+def _normalized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
 
-    ``iters`` counts assignment passes; centroids update between
-    passes. Init centroids are the ``k`` smallest ids' vectors.
-    """
+
+def _kmeans(e: DataFrame, k: int, iters: int) -> DataFrame:
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
-    cents = e.filter(F.col("vec_id") < k).select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # Init: the ACTUAL k smallest ids' vectors (TakeOrdered, O(k) to
+    # the driver plan, no full sort). filter(vec_id < k) would be
+    # equivalent only for dense 0-based integer ids — with offset or
+    # sparse ids it silently shrinks (or empties) the centroid set,
+    # and an empty centroid set would make semantic_prune return an
+    # empty keep-list for the whole corpus. With orderBy+limit the
+    # centroid set is empty only when the corpus itself is empty.
+    cents = e.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
     assign = None
     for i in range(iters):
         assign = _assign(e, cents)
         if i < iters - 1:
             cents = _update(e, assign)
     return assign
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist: bool = True,
+) -> DataFrame:
+    """Deterministic fixed-iteration cosine k-means: (vec_id, cluster).
+
+    ``iters`` counts assignment passes; centroids update between
+    passes. Init centroids are the ``k`` smallest ids' vectors.
+
+    ``persist`` caches the normalized embedding relation
+    (MEMORY_AND_DISK) — each iteration scans it for assignment AND
+    centroid update, so without the cache the source is re-read
+    2*iters times. Disable for corpora larger than cluster storage."""
+    e = _normalized(emb, id_col, vec_col)
+    if persist:
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    return _kmeans(e, k, iters)
 
 
 def semantic_prune(
@@ -122,6 +152,7 @@ def semantic_prune(
     tau: float = 0.32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist: bool = True,
 ) -> DataFrame:
     """SemDeDup keep-list: drop any row whose cosine to ANY lower-id
     member of its own cluster (kept or itself dropped) reaches ``tau``.
@@ -130,12 +161,26 @@ def semantic_prune(
     cos(b,c)>=tau but cos(a,c)<tau, greedy would re-admit c after
     dropping b; this rule drops both (transitive-neighborhood
     semantics, single self-join, no iteration). The cluster's smallest
-    id always survives. Returns (vec_id, cluster) for survivors."""
-    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    id always survives. Returns (vec_id, cluster) for survivors.
+
+    Materialization discipline (``persist=True``): the source is read
+    ONCE into a MEMORY_AND_DISK cache; k-means iterations read the
+    cache; the (id, cluster, vector) relation is checkpointed once and
+    feeds both self-join sides; the cache is released as soon as the
+    checkpoint exists. Peak footprint ~2x the normalized corpus
+    (spillable); without it the source is re-scanned ~2*iters+3 times.
+    Disable for corpora larger than cluster storage."""
+    e = _normalized(emb, id_col, vec_col)
+    if persist:
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
     # the assignment feeds three lineages (both self-join sides + the
     # final anti-join); checkpoint it so k-means runs once, not thrice
-    assign = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col).localCheckpoint()
-    av = assign.join(e, "vec_id").select("vec_id", "cluster", "v")
+    assign = _kmeans(e, k, iters).localCheckpoint()
+    av = assign.join(e, "vec_id").select("vec_id", "cluster", "v").localCheckpoint()
+    if persist:
+        e.unpersist(blocking=False)  # av holds everything downstream needs
     left = av.select(
         F.col("cluster"),
         F.col("vec_id").alias("a"),

@@ -56,3 +56,32 @@ def test_prune_tau_above_one_keeps_all(spark):
 def test_iters_must_be_positive(spark):
     with pytest.raises(ValueError):
         SD.kmeans_assign(_emb(spark), k=8, iters=0)
+
+
+def test_offset_ids_do_not_empty_the_centroid_set(spark):
+    """r7 advice (medium): init by filter(vec_id < k) silently produced
+    an empty centroid set — and so an empty keep-list, pruning the whole
+    corpus — for any id space not starting at 0. Init is now the k
+    smallest ids, so offset ids must behave exactly like dense ones."""
+    emb = _emb(spark)
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    n = emb.count()
+    a = SD.kmeans_assign(shifted, k=8, iters=2)
+    rows = a.collect()
+    assert len(rows) == n  # every row assigned, none lost
+    # clusters are the 8 smallest (shifted) ids
+    assert {r.cluster for r in rows} <= {1000 + i for i in range(8)}
+    # assignment structure matches the unshifted corpus exactly
+    base = {(r.vec_id, r.cluster) for r in SD.kmeans_assign(emb, k=8, iters=2).collect()}
+    assert {(r.vec_id - 1000, r.cluster - 1000) for r in rows} == base
+    # and the keep-list is NOT empty (the old failure mode)
+    kept = SD.semantic_prune(shifted, k=8, iters=2, tau=0.32).count()
+    assert 0 < kept <= n
+
+
+def test_bad_params_raise(spark):
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="iters"):
+        SD.kmeans_assign(emb, k=8, iters=0)
+    with pytest.raises(ValueError, match="k must"):
+        SD.kmeans_assign(emb, k=0)
