@@ -54,60 +54,56 @@ def apply_dialect_fixes(sql: str, dialect: str) -> str:
     return rules_for(dialect).fix_text(sql)
 
 
-_tls = __import__("threading").local()
+_ast_lock = __import__("threading").Lock()
+_ast_con: object | None = None
 
 
-def _ast_con():
-    """Thread-local in-memory DuckDB connection for AST (de)serialization.
-    The planning ladder calls serialize/deserialize several times per
-    statement (whole-statement, subtree, iceberg, partial rungs); a
-    fresh connect() costs ~8 ms, dominating parse time — cache one per
-    thread (DuckDB connections are not shared across threads; the REST
-    path plans on worker threads)."""
+def _ast_execute(stmt: str, params: list) -> object:
+    """Run one AST (de)serialization statement on a single lock-guarded
+    shared in-memory DuckDB connection. The planning ladder calls
+    serialize/deserialize several times per statement (whole-statement,
+    subtree, iceberg, partial rungs); a fresh connect() costs ~8 ms,
+    dominating parse time. A shared connection (not threading.local):
+    the REST server is thread-per-request, so per-thread caching never
+    amortized there and cleanup depended on thread death + GC — one
+    global connection amortizes across requests and has an explicit
+    lifecycle. (De)serialization statements are cheap, so the lock is
+    not a contention point. On error the connection is closed and
+    forgotten (it may be poisoned); the next call rebuilds lazily."""
+    global _ast_con
     import duckdb
 
-    con = getattr(_tls, "ast_con", None)
-    if con is None:
-        con = duckdb.connect()
-        _tls.ast_con = con
-    return con
-
-
-def _drop_ast_con() -> None:
-    """Close and forget the thread-local connection (it may be
-    poisoned after an error); the next call rebuilds lazily."""
-    con = getattr(_tls, "ast_con", None)
-    _tls.ast_con = None
-    if con is not None:
+    with _ast_lock:
+        if _ast_con is None:
+            _ast_con = duckdb.connect()
         try:
-            con.close()
+            return _ast_con.execute(stmt, params).fetchone()[0]
         except Exception:
-            pass
+            con, _ast_con = _ast_con, None
+            try:
+                con.close()
+            except Exception:
+                pass
+            raise
 
 
 def _serialize(sql: str) -> dict | None:
     """Spark-SQL text -> DuckDB JSON AST (None if DuckDB can't parse it —
     that alone disqualifies pushdown, not execution)."""
     try:
-        raw = _ast_con().execute(
-            "SELECT json_serialize_sql(?::VARCHAR)", [sql]
-        ).fetchone()[0]
+        raw = _ast_execute("SELECT json_serialize_sql(?::VARCHAR)", [sql])
         ast = json.loads(raw)
         if ast.get("error"):
             return None
         return ast
     except Exception:
-        _drop_ast_con()
         return None
 
 
 def _deserialize(ast: dict) -> str | None:
     try:
-        return _ast_con().execute(
-            "SELECT json_deserialize_sql(?::JSON)", [json.dumps(ast)]
-        ).fetchone()[0]
+        return _ast_execute("SELECT json_deserialize_sql(?::JSON)", [json.dumps(ast)])
     except Exception:
-        _drop_ast_con()
         return None
 
 
