@@ -10,6 +10,7 @@ Public surface (mirrors reference python/strake/__init__.pyi:28-68):
 
     import strake_spark as ss
     engine = ss.connect("sources.yaml")        # or ss.StrakeEngine(...)
+    remote = ss.connect("grpc://host:8815", api_key="...")  # thin client
     df = engine.sql("SELECT ...")              # governed Spark DataFrame
     engine.describe("catalog.schema.table")
     engine.list_sources()
@@ -20,6 +21,7 @@ from strake_spark.version import __version__
 from strake_spark.session import build_session, default_parallelism
 from strake_spark.config import SourceConfig, TableConfig, ColumnConfig, load_config
 from strake_spark.engine import StrakeEngine, connect
+from strake_spark.remote import RemoteEngine
 from strake_spark.errors import (
     StrakeError,
     QueryRejected,
@@ -46,6 +48,7 @@ __all__ = [
     "ColumnConfig",
     "load_config",
     "StrakeEngine",
+    "RemoteEngine",
     "connect",
     "StrakeError",
     "QueryRejected",

@@ -560,6 +560,20 @@ class StrakeEngine:
             )
 
 
-def connect(config: EngineConfig | dict | str | None = None, spark: SparkSession | None = None) -> StrakeEngine:
-    """Reference ``strake.connect`` equivalent (python/strake/__init__.py:10-39)."""
+def connect(
+    config: EngineConfig | dict | str | None = None,
+    spark: SparkSession | None = None,
+    api_key: str | None = None,
+):
+    """Reference ``strake.connect`` equivalent (python/strake/__init__.py:10-39).
+
+    URL dispatch mirrors ``StrakeConnection`` (python/src/connection.rs:
+    303-330): a ``grpc://`` / ``grpcs://`` DSN returns the thin remote
+    client (Flight to a strake-spark server, no local SparkSession);
+    anything else builds the embedded engine. ``api_key`` is the remote
+    bearer token; it is ignored for embedded mode."""
+    if isinstance(config, str) and config.startswith(("grpc://", "grpcs://", "grpc+tls://")):
+        from strake_spark.remote import RemoteEngine
+
+        return RemoteEngine(config, api_key=api_key)
     return StrakeEngine(spark=spark, config=config)

@@ -1,0 +1,183 @@
+"""Remote client backend — a thin Flight client for a strake-spark
+server, no local SparkSession required.
+
+Reference surface: ``StrakeConnection`` picks its backend by URL prefix
+— ``grpc://``/``grpcs://`` selects the remote Flight SQL client, any
+other string the embedded engine (python/src/connection.rs:303-330);
+the remote backend executes get_flight_info -> do_get per endpoint and
+returns fully-materialized Arrow (python/src/backend/remote.rs:27-45,
+51-66), with an optional bearer token on the channel. ``connect()``
+here mirrors that dispatch; this class is the remote half.
+
+The server side is strake_spark.server.make_server: execution flows
+through the GOVERNED engine path on the server (gate, limits, cost,
+timeout, cache, RLS/masking under the authenticated principal), so a
+remote client gets exactly the embedded engine's policy behavior — the
+parity tests in tests/test_remote_client.py assert it.
+
+Control-plane verbs (list_sources/describe/explain_tree/ping) ride
+Flight actions; results are JSON. Query results are Arrow tables
+(``.to_pandas()`` for dataframes), matching the embedded
+``execute()`` boundary.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from strake_spark.errors import BudgetExceeded, QueryRejected, QueryTimeout, StrakeError
+
+# server-side exception class name -> client-side class; Flight carries
+# errors as strings, so the governed failure modes are re-raised as the
+# same types the embedded engine raises (API parity for callers that
+# catch QueryRejected etc.)
+_ERROR_TYPES = {
+    "QueryRejected": QueryRejected,
+    "BudgetExceeded": BudgetExceeded,
+    "QueryTimeout": QueryTimeout,
+    "CircuitOpen": QueryRejected,
+}
+
+
+def _translate(exc: Exception):
+    msg = str(exc)
+    for name, cls in _ERROR_TYPES.items():
+        if name in msg:
+            # strip the Flight framing down to the engine's message
+            detail = msg.split(name, 1)[-1].lstrip(":( '\"").split("')")[0]
+            return cls(f"{name}: {detail}" if detail else msg)
+    return None
+
+
+class RemoteEngine:
+    """Thin client for a strake-spark Flight server.
+
+    Mirrors the embedded ``StrakeEngine`` read surface — ``sql`` /
+    ``execute`` / ``describe`` / ``list_sources`` / ``explain_tree`` —
+    but every verb is proxied over Flight; nothing runs locally.
+    ``sql`` returns a pyarrow.Table (the reference's
+    ``StrakeConnection.sql`` contract), not a lazy DataFrame: laziness
+    is meaningless across a network boundary.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        api_key: str | None = None,
+        connect_timeout: float | None = 5.0,
+    ):
+        import pyarrow.flight as fl
+
+        self._fl = fl
+        self._url = url
+        self._client = fl.FlightClient(url)
+        self._headers: list[tuple[bytes, bytes]] = []
+        if api_key is not None:
+            self._headers.append((b"authorization", f"Bearer {api_key}".encode()))
+        if connect_timeout:
+            try:  # fail fast on a dead address, like the reference's
+                # 5 s connect_timeout (remote.rs:35); auth errors mean
+                # the server IS there, so they pass the liveness check
+                self._client.wait_for_available(timeout=int(connect_timeout))
+            except fl.FlightUnauthenticatedError:
+                pass
+
+    # ------------------------------------------------------------- queries
+    def _options(self):
+        return self._fl.FlightCallOptions(headers=list(self._headers))
+
+    def execute(
+        self,
+        query: str,
+        user: str | None = None,
+        params: dict[str, Any] | None = None,
+    ):
+        """Governed remote execution -> pyarrow.Table.
+
+        ``user`` is advisory when the server runs OIDC auth (the
+        validated token subject overrides it server-side); with static
+        token auth it selects the RLS/masking principal, same as the
+        embedded engine's ``execute(user=...)``.
+        """
+        if user is not None or params is not None:
+            cmd = json.dumps({"sql": query, "user": user, "params": params}).encode()
+        else:
+            cmd = query.encode()
+        fl = self._fl
+        try:
+            info = self._client.get_flight_info(
+                fl.FlightDescriptor.for_command(cmd), self._options()
+            )
+            out = []
+            for ep in info.endpoints:
+                out.append(self._client.do_get(ep.ticket, self._options()).read_all())
+            import pyarrow as pa
+
+            return pa.concat_tables(out) if len(out) != 1 else out[0]
+        except fl.FlightError as e:
+            raise _translate(e) or e from None
+
+    def sql(
+        self, query: str, user: str | None = None, params: dict[str, Any] | None = None
+    ):
+        """Alias of ``execute`` (reference ``StrakeConnection.sql``)."""
+        return self.execute(query, user=user, params=params)
+
+    def schema(self, query: str):
+        """Plan-only: the result schema of ``query`` without executing
+        it (get_flight_info on the server gates + plans, never runs)."""
+        fl = self._fl
+        try:
+            info = self._client.get_flight_info(
+                fl.FlightDescriptor.for_command(query.encode()), self._options()
+            )
+            return info.schema
+        except fl.FlightError as e:
+            raise _translate(e) or e from None
+
+    # ------------------------------------------------------- control plane
+    def _action(self, name: str, body: bytes = b""):
+        fl = self._fl
+        try:
+            results = list(
+                self._client.do_action(fl.Action(name, body), self._options())
+            )
+        except fl.FlightError as e:
+            raise _translate(e) or e from None
+        if not results:  # pragma: no cover - server always returns one
+            raise StrakeError(f"action '{name}' returned no result")
+        return json.loads(results[0].body.to_pybytes())
+
+    def list_sources(self) -> dict[str, list[str]]:
+        return self._action("list_sources")
+
+    def describe(self, view: str) -> list[dict[str, Any]]:
+        return self._action("describe", view.encode())
+
+    def explain_tree(self, query: str) -> str:
+        return self._action("explain_tree", query.encode())["tree"]
+
+    def ping(self) -> dict[str, Any]:
+        return self._action("ping")
+
+    def list_tables(self):
+        """Catalog ticket surface (same wire shape the server exposes
+        to generic Flight clients): (source, table) rows."""
+        fl = self._fl
+        return self._client.do_get(
+            fl.Ticket(b"catalog:tables"), self._options()
+        ).read_all()
+
+    # ------------------------------------------------------------ lifecycle
+    def close(self) -> None:
+        self._client.close()
+
+    def __enter__(self) -> "RemoteEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        return f"RemoteEngine({self._url!r})"

@@ -14,6 +14,10 @@ This façade keeps the same wire shape on the generic Flight RPCs
   limits, cost, timeout, cache, policies via the header-passed user)
 - do_get(ticket=b"catalog:tables") lists registered views (the
   introspection surface)
+- do_action({list_sources, describe, explain_tree, ping}) proxies the
+  engine's control-plane verbs as JSON — the surface the thin remote
+  client (strake_spark.remote) drives; reference flight_sql.rs keeps
+  catalog introspection on dedicated RPCs the same way (321-531)
 - optional static bearer-token auth via middleware
 
 Queries execute driver-side on the engine's SparkSession and stream out
@@ -133,6 +137,29 @@ def make_server(
             user = claims.get("sub") or user
             table = self.engine.execute(payload, user=user, params=params)
             return fl.RecordBatchStream(table)
+
+        # ---------------------------------------------------- control plane
+        def list_actions(self, context):
+            return [
+                ("list_sources", "registered views per source (JSON)"),
+                ("describe", "column schema of a view; body = view name (JSON)"),
+                ("explain_tree", "plan tree with pushdown markers; body = SQL (JSON)"),
+                ("ping", "liveness + engine identity (JSON)"),
+            ]
+
+        def do_action(self, context, action):
+            body = action.body.to_pybytes().decode() if action.body else ""
+            if action.type == "list_sources":
+                out = self.engine.list_sources()
+            elif action.type == "describe":
+                out = self.engine.describe(body)
+            elif action.type == "explain_tree":
+                out = {"tree": self.engine.explain_tree(body)}
+            elif action.type == "ping":
+                out = {"ok": True, "engine": "strake-spark"}
+            else:
+                raise fl.FlightServerError(f"unknown action '{action.type}'")
+            return [json.dumps(out).encode()]
 
     return StrakeFlightServer()
 

@@ -1,0 +1,178 @@
+"""Remote client backend: connect("grpc://...") returns a thin Flight
+client whose surface and GOVERNANCE behavior match the embedded engine
+exactly (reference python/src/connection.rs:303-330 URL dispatch +
+backend/remote.rs:27-66 execution flow)."""
+
+from __future__ import annotations
+
+import threading
+
+import pyarrow.flight as fl
+import pytest
+
+import strake_spark as ss
+from strake_spark.errors import QueryRejected
+from strake_spark.remote import RemoteEngine
+from strake_spark.server import make_server
+from tests.conftest import SF_DIR
+
+
+def _engine(spark):
+    return ss.connect(
+        {
+            "sources": [
+                {"name": "rc", "type": "parquet", "url": SF_DIR,
+                 "tables": [{"name": "nation"}, {"name": "orders"}]}
+            ],
+            "policies": {
+                "roles": {"r0": {"tables": {"rc_nation": {
+                    "rls_filter": "n_regionkey = 0"}}}},
+                "users": {"pat": ["r0"]},
+            },
+        },
+        spark=spark,
+    )
+
+
+@pytest.fixture(scope="module")
+def served(spark):
+    eng = _engine(spark)
+    srv = make_server(eng)
+    t = threading.Thread(target=srv.serve, daemon=True)
+    t.start()
+    remote = ss.connect(f"grpc://127.0.0.1:{srv.port}")
+    yield eng, remote
+    remote.close()
+    srv.shutdown()
+
+
+class TestDispatchAndQueries:
+    def test_connect_url_returns_thin_client(self, served):
+        _eng, remote = served
+        assert isinstance(remote, RemoteEngine)
+        assert remote.ping()["ok"] is True
+
+    def test_sql_roundtrip_matches_embedded(self, served):
+        eng, remote = served
+        q = ("SELECT n_regionkey, count(*) AS n FROM rc_nation "
+             "GROUP BY n_regionkey ORDER BY n_regionkey")
+        assert remote.sql(q).to_pylist() == eng.execute(q).to_pylist()
+
+    def test_params_bind_remotely(self, served):
+        eng, remote = served
+        q = "SELECT count(*) AS n FROM rc_nation WHERE n_regionkey = :rk"
+        p = {"rk": 2}
+        assert remote.execute(q, params=p).to_pylist() == eng.execute(q, params=p).to_pylist()
+
+    def test_schema_plan_only(self, served):
+        _eng, remote = served
+        sch = remote.schema("SELECT n_name, n_regionkey FROM rc_nation")
+        assert [f.name for f in sch] == ["n_name", "n_regionkey"]
+
+
+class TestCatalogIntrospection:
+    def test_list_sources_matches_embedded(self, served):
+        eng, remote = served
+        assert remote.list_sources() == eng.list_sources()
+
+    def test_describe_matches_embedded(self, served):
+        eng, remote = served
+        assert remote.describe("rc_nation") == eng.describe("rc_nation")
+
+    def test_explain_tree_matches_embedded_markers(self, served):
+        eng, remote = served
+        q = "SELECT n_name FROM rc_nation WHERE n_regionkey = 1"
+        tree = remote.explain_tree(q)
+        assert tree == eng.explain_tree(q)
+        assert "PUSHED" in tree or "Scan" in tree
+
+    def test_list_tables_ticket_surface(self, served):
+        _eng, remote = served
+        rows = remote.list_tables().to_pylist()
+        assert {"source": "rc", "table": "rc_nation"} in rows
+
+
+class TestGovernanceParity:
+    def test_write_statement_rejected_like_embedded(self, served):
+        eng, remote = served
+        with pytest.raises(QueryRejected):
+            eng.execute("DROP TABLE rc_nation")
+        with pytest.raises(QueryRejected):
+            remote.execute("DROP TABLE rc_nation")
+
+    def test_multi_statement_rejected(self, served):
+        _eng, remote = served
+        with pytest.raises(QueryRejected):
+            remote.execute("SELECT 1; SELECT 2")
+
+    def test_rls_policy_enforced_per_user(self, served):
+        eng, remote = served
+        q = "SELECT count(*) AS n FROM rc_nation"
+        for user in (None, "pat"):
+            r = remote.execute(q, user=user).to_pylist()
+            e = eng.execute(q, user=user).to_pylist()
+            assert r == e
+        # and the policy actually bites: pat sees the filtered count
+        assert remote.execute(q, user="pat").to_pylist() == [{"n": 5}]
+        assert remote.execute(q).to_pylist() == [{"n": 25}]
+
+    def test_unknown_action_is_loud(self, served):
+        _eng, remote = served
+        with pytest.raises(fl.FlightError, match="unknown action"):
+            remote._action("not_a_verb")
+
+
+class TestAuth:
+    @pytest.fixture(scope="class")
+    def token_served(self, spark):
+        eng = _engine(spark)
+        srv = make_server(eng, token="sekrit")
+        t = threading.Thread(target=srv.serve, daemon=True)
+        t.start()
+        yield srv
+        srv.shutdown()
+
+    def test_bearer_token_required(self, token_served):
+        url = f"grpc://127.0.0.1:{token_served.port}"
+        good = ss.connect(url, api_key="sekrit")
+        try:
+            assert good.execute("SELECT 1 AS one").to_pylist() == [{"one": 1}]
+            assert good.list_sources()  # actions are authed too
+        finally:
+            good.close()
+        bad = RemoteEngine(url, api_key="wrong", connect_timeout=None)
+        try:
+            with pytest.raises(fl.FlightUnauthenticatedError):
+                bad.execute("SELECT 1 AS one")
+            with pytest.raises(fl.FlightUnauthenticatedError):
+                bad.list_sources()
+        finally:
+            bad.close()
+
+    def test_oidc_sub_overrides_client_user(self, spark):
+        """With OIDC auth the validated token subject is the governance
+        principal — a client-supplied user must NOT escalate out of it
+        (same rule as the server do_get path and rest_api._query)."""
+        class _Val:
+            def validate(self, tok):
+                from strake_spark.jwtauth import AuthError
+
+                if tok != "Bearer good":
+                    raise AuthError("bad token")
+                return {"sub": "pat"}
+
+        eng = _engine(spark)
+        srv = make_server(eng, validator=_Val())
+        t = threading.Thread(target=srv.serve, daemon=True)
+        t.start()
+        try:
+            remote = RemoteEngine(
+                f"grpc://127.0.0.1:{srv.port}", api_key="good", connect_timeout=None
+            )
+            q = "SELECT count(*) AS n FROM rc_nation"
+            # claims no user / claims someone else: sub=pat wins both times
+            assert remote.execute(q).to_pylist() == [{"n": 5}]
+            assert remote.execute(q, user="admin").to_pylist() == [{"n": 5}]
+            remote.close()
+        finally:
+            srv.shutdown()
