@@ -37,11 +37,21 @@ def build_session(
     driver_memory: str | None = None,
     extra_conf: dict[str, str] | None = None,
     enable_ui: bool = False,
+    nanos_as_long: bool = True,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
     On a cluster, pass ``master=None`` with externally-managed
     spark-submit conf; locally we default to ``local[$SPARK_GRAFT_CPUS]``.
+
+    ``nanos_as_long`` is the session-build opt-in for parquet
+    TIMESTAMP(NANOS) columns (events.ts layouts): read them as raw
+    int64 nanos (data.table() and read_event_stream convert to micros
+    timestamps). It must be decided at build time — streaming
+    micro-batches consult the live conf at every trigger, so
+    read_event_stream refuses to flip it mid-session (see its
+    docstring). Pass False to keep strict PARQUET_TYPE_ILLEGAL
+    behavior on nanos columns.
     """
     cpus = default_parallelism()
     builder = SparkSession.builder.appName(app_name)
@@ -72,7 +82,9 @@ def build_session(
         "spark.sql.parquet.filterPushdown": "true",
         # Parquet TIMESTAMP(NANOS) columns (events.ts) are read as raw
         # int64 nanos; data.table() converts them to micros timestamps.
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Session-BUILD opt-in (see docstring): streams cannot flip this
+        # mid-session without a session-wide side effect.
+        "spark.sql.legacy.parquet.nanosAsLong": "true" if nanos_as_long else "false",
         # broadcast threshold: dims like region/nation/customer are tiny
         # relative to fact tables; raise from 10MB so Catalyst broadcasts
         # them even at larger SF (at 100 TB the dims stay broadcastable).

@@ -59,6 +59,7 @@ def read_event_stream(
     path: str,
     max_files_per_trigger: int | None = None,
     nanos_ts: bool | None = None,
+    allow_session_flip: bool = False,
 ) -> DataFrame:
     """File-source stream over the events layout (parquet). On a real
     deployment the same operators run over Kafka — only this reader
@@ -68,22 +69,39 @@ def read_event_stream(
     (same truncation as data.table()); micros layouts read directly as
     TimestampType via the declared schema.
 
-    SESSION-WIDE SIDE EFFECT (nanos layouts only): the nanosAsLong conf
-    cannot be scoped to one lazy stream — micro-batches consult the live
-    session conf at every trigger, so restoring it after definition
-    would corrupt the stream's own reads. When the probe (or an explicit
-    ``nanos_ts=True``) flips the flag, EVERY later parquet read in this
-    session surfaces TIMESTAMP(NANOS) columns as raw int64 instead of
-    failing with PARQUET_TYPE_ILLEGAL. data.table() applies the same
-    policy for batch reads (see its in-line scope note); a
-    ``UserWarning`` is emitted the first time the flag is flipped so the
-    change is visible, and callers who must avoid it can pass
-    ``nanos_ts=False`` and pre-convert their files to micros."""
+    Nanos layouts require the SESSION-BUILD opt-in: the nanosAsLong
+    conf cannot be scoped to one lazy stream — micro-batches consult
+    the live session conf at every trigger, so restoring it after
+    definition would corrupt the stream's own reads, and flipping it
+    mid-session silently changes how EVERY later parquet read in the
+    session surfaces TIMESTAMP(NANOS) columns (raw int64 instead of
+    failing with PARQUET_TYPE_ILLEGAL). ``build_session`` sets the conf
+    at build time (its ``nanos_as_long`` parameter, default True), so
+    engine-built sessions just work; a session built elsewhere without
+    the conf gets a loud error naming the opt-in instead of a silent
+    behavior change. ``allow_session_flip=True`` restores the old
+    flip-with-warning behavior for callers who accept the side effect.
+    ``nanos_ts=False`` skips all of this (pre-convert files to micros).
+    """
     if nanos_ts is None:
         nanos_ts = _dir_has_nanos_ts(path)
     schema = EVENT_SCHEMA
     if nanos_ts:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            if not allow_session_flip:
+                raise RuntimeError(
+                    f"read_event_stream: {path!r} carries TIMESTAMP(NANOS) "
+                    "columns, but this session was built without "
+                    "spark.sql.legacy.parquet.nanosAsLong. Opt in at "
+                    "session build (strake_spark.build_session(..., "
+                    "nanos_as_long=True), the default) — the conf must "
+                    "hold for the stream's whole lifetime and affects "
+                    "every parquet read of nanos columns in the session, "
+                    "so it is a session-build decision, not a mid-query "
+                    "flip. Alternatives: allow_session_flip=True to "
+                    "accept the session-wide change now, or "
+                    "nanos_ts=False after converting the files to micros."
+                )
             import warnings
 
             warnings.warn(
@@ -94,7 +112,7 @@ def read_event_stream(
                 "(see read_event_stream docstring)",
                 stacklevel=2,
             )
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = T.StructType(
             [
                 f if f.name != "ts" else T.StructField("ts", T.LongType())

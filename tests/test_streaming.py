@@ -437,3 +437,69 @@ class TestRocksDBStateStore:
         a = got.sort_values(key_cols).reset_index(drop=True)
         b = exp.sort_values(key_cols).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestNanosSessionOptIn:
+    """nanosAsLong is a SESSION-BUILD decision (r7 verdict carry): a
+    nanos-layout stream in a session built without the conf must refuse
+    loudly instead of silently flipping session-wide behavior."""
+
+    @pytest.fixture()
+    def nanos_dir(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000, 1_700_000_100_000_000_000],
+                           pa.timestamp("ns")),
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["view", "purchase"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        })
+        out = tmp_path / "nanos_events"
+        out.mkdir()
+        pq.write_table(t, out / "part-0.parquet")
+        return str(out)
+
+    def test_refuses_mid_session_flip_and_leaves_batch_reads_alone(
+        self, spark, nanos_dir, events_dir
+    ):
+        from strake_spark.streaming.ops import read_event_stream
+
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        try:
+            with pytest.raises(RuntimeError, match="nanos_as_long"):
+                read_event_stream(spark, nanos_dir)
+            # the refusal did NOT flip the conf ...
+            assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+            # ... and a later batch parquet read (micros layout) is
+            # completely unaffected
+            assert spark.read.parquet(events_dir).count() > 0
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def test_explicit_flip_still_available_and_warns(self, spark, nanos_dir):
+        from strake_spark.streaming.ops import read_event_stream
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        try:
+            with pytest.warns(UserWarning, match="session-wide"):
+                stream = read_event_stream(spark, nanos_dir, allow_session_flip=True)
+            assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+            rows = run_to_completion(stream, str(nanos_dir) + "_chk1").collect()
+            assert len(rows) == 2
+            assert {r.event_type for r in rows} == {"view", "purchase"}
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def test_opted_in_session_needs_no_flip(self, spark, nanos_dir):
+        from strake_spark.streaming.ops import read_event_stream
+
+        # the shared session is build_session-made: conf already true,
+        # so the nanos stream reads without errors or warnings
+        stream = read_event_stream(spark, nanos_dir)
+        rows = run_to_completion(stream, str(nanos_dir) + "_chk2").collect()
+        assert len(rows) == 2
