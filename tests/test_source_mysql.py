@@ -63,9 +63,17 @@ class _Handler(socketserver.BaseRequestHandler):
         return self._recv_exact(length)
 
     def _send_packet(self, payload: bytes):
-        head = len(payload).to_bytes(3, "little") + bytes([self._seq])
-        self._seq = (self._seq + 1) & 0xFF
-        self.request.sendall(head + payload)
+        # protocol packet splitting, like a real server: payloads of
+        # 0xffffff+ bytes ship as max-size packets plus a terminator
+        # under the limit (possibly empty) — this is what exercises the
+        # client's continuation reassembly end-to-end
+        while True:
+            part, payload = payload[:0xFFFFFF], payload[0xFFFFFF:]
+            head = len(part).to_bytes(3, "little") + bytes([self._seq])
+            self._seq = (self._seq + 1) & 0xFF
+            self.request.sendall(head + part)
+            if len(part) < 0xFFFFFF:
+                return
 
     def _err(self, code: int, msg: str):
         self._send_packet(
@@ -374,6 +382,27 @@ class TestPacketSplitting:
         a.close()
         b.close()
         assert got == payload
+
+    def test_live_server_splits_and_client_reassembles(self, my):
+        """End-to-end through handshake + COM_QUERY: a >16 MB row value
+        forces the server to emit a 0xffffff-length packet plus
+        continuation, and the client must reassemble it byte-exact
+        (r7 verdict carry — the socketpair tests above exercise only
+        _read_packet in isolation)."""
+        c = MySqlWireConnection("127.0.0.1", my.server_address[1],
+                                user="svc", password="hunter2")
+        try:
+            n = 0xFFFFFF + 4242  # past the boundary by a non-round amount
+            _f, rows = c.query(f"SELECT repeat('ab', {n // 2}) AS big")
+            assert len(rows) == 1
+            big = rows[0][0]
+            assert len(big) == (n // 2) * 2
+            assert big == "ab" * (n // 2)
+            # connection stays usable after the continuation sequence
+            _f, rows = c.query("SELECT 5 AS ok")
+            assert rows == [(5,)]
+        finally:
+            c.close()
 
     def test_exact_boundary_followed_by_empty_packet(self):
         """A payload of exactly 0xffffff bytes is terminated by an
