@@ -638,8 +638,16 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
     )
-    # one shuffle on (part, supplier); dims broadcast; the min-per-part
-    # aggregate reuses the same partitioning lineage
+    # one lineitem scan + one (part, supplier) shuffle; dims broadcast.
+    # The correlated min-cost-per-part predicate is a WINDOW over the
+    # aggregated relation, not a second aggregate joined back: the
+    # self-join shape planned as a second full lineitem scan + shuffle
+    # + SortMergeJoin (column pruning made the two subtrees differ, so
+    # ReuseExchange never fired); the window re-shuffles only the
+    # small per-(part,supplier) aggregate. Per-part groups are a
+    # handful of suppliers, so WindowExec state is trivial at any SF.
+    from pyspark.sql import Window
+
     ps = l.groupBy("l_partkey", "l_suppkey").agg(
         F.min(dec("l_extendedprice")).alias("supplycost")
     )
@@ -649,16 +657,11 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     ps_eu = ps.join(F.broadcast(eu), ps.l_suppkey == F.col("s_suppkey"))
-    minc = ps_eu.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("supplycost").alias("min_cost")
-    )
+    min_cost = F.min("supplycost").over(Window.partitionBy("l_partkey"))
     return (
-        ps_eu.join(F.broadcast(p), ps_eu.l_partkey == p.p_partkey)
-        .join(
-            minc,
-            (F.col("l_partkey") == F.col("mc_partkey"))
-            & (F.col("supplycost") == F.col("min_cost")),
-        )
+        ps_eu.withColumn("min_cost", min_cost)
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .select(
             "s_acctbal",
             "s_name",

@@ -347,3 +347,52 @@ class TestRound7Additions:
         plan = _plan(spark, "events_rollup_incremental")
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan  # touched-day semi/anti joins
+
+
+class TestQ2Shape:
+    """Q2's intended plan: one (l_partkey, l_suppkey) fact shuffle,
+    every dimension side broadcast (EU suppliers, part, and the
+    min-per-part aggregate derived from the SAME shuffled lineage), and
+    top-100 via TakeOrderedAndProject — no fact-fact SortMergeJoin."""
+
+    def test_dims_broadcast_no_fact_fact_shuffle_join(self, spark):
+        plan = _plan(spark, "tpch_q2_min_cost_supplier")
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "SortMergeJoin" not in plan
+
+    def test_topk_not_global_sort(self, spark):
+        plan = _plan(spark, "tpch_q2_min_cost_supplier")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_single_fact_aggregation_lineage(self, spark):
+        # the min-cost-per-part aggregate must reuse the (part,supplier)
+        # aggregate, not re-scan lineitem: exactly one parquet scan of
+        # lineitem in the plan
+        plan = _plan(spark, "tpch_q2_min_cost_supplier")
+        import re
+
+        scans = re.findall(r"FileScan parquet \[[^\]]*l_partkey", plan)
+        assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+
+
+class TestQ20Shape:
+    """Q20's intended plan: one fact aggregation on (part, supplier)
+    with both quantity sums computed in the SAME pass (conditional
+    aggregation, not two scans), then broadcast semi-style joins to the
+    part and Asia-supplier filters."""
+
+    def test_one_pass_conditional_aggregation(self, spark):
+        plan = _plan(spark, "tpch_q20_part_promotion")
+        import re
+
+        scans = re.findall(r"FileScan parquet \[[^\]]*l_quantity", plan)
+        assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+
+    def test_filters_broadcast(self, spark):
+        plan = _plan(spark, "tpch_q20_part_promotion")
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in plan
+
+    def test_partial_aggregation(self, spark):
+        plan = _plan(spark, "tpch_q20_part_promotion")
+        assert "partial_" in plan or plan.count("HashAggregate") >= 2
