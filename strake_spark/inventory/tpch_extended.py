@@ -625,10 +625,11 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     notes="TPC-H Q2 adapted: no partsupp, so supply cost = MIN(l_extendedprice) per "
     "(part, supplier) pair observed in lineitem; the correlated min-cost subquery is "
-    "decorrelated into a per-part aggregate restricted to the region's suppliers, then "
-    "joined back on exact-decimal equality (both engines' MIN over exact casts agree "
-    "bit-for-bit). Reference accepts Q2's shape through DataFusion's frontend "
-    "(SURVEY section 2.1 L1); bench set is crates/bench/src/main.rs:160-167.",
+    "decorrelated into MIN() OVER (PARTITION BY part) on the aggregated relation + an "
+    "exact-decimal equality filter (one lineitem scan, no self-join; both engines' MIN "
+    "over exact casts agrees bit-for-bit). Reference accepts Q2's shape through "
+    "DataFusion's frontend (SURVEY section 2.1 L1); bench set is "
+    "crates/bench/src/main.rs:160-167.",
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
