@@ -7,19 +7,25 @@ function, what Lucene/Elasticsearch score with):
     tf_part  = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
     score(d) = sum_t idf(t) * tf_part(t, d)
 
-Distributed shape (100 TB stance): tokens explode map-side, then are
-IMMEDIATELY filtered to the query's term set — only matching tokens
-ever shuffle, so per-query cost scales with posting-list size, not
-corpus size. Corpus stats (N, avgdl) are one tiny aggregate broadcast
-back; document length comes from the same tokenization pass.
+Distributed shape (100 TB stance): ONE scan of the corpus computes the
+whole per-document profile — dl = size(split(text)) and one tf_i =
+size(filter(tokens, = term_i)) per query term — entirely with JVM
+higher-order functions: no corpus-wide explode, no shuffle of tokens
+at all. Corpus statistics (N, sum dl, and every df_t) then come from
+ONE tiny aggregate over that profile (a single row, broadcast back),
+and scoring is pure column math on the matching documents. Per-query
+shuffle cost is one single-row aggregate regardless of corpus size;
+the profile relation is persisted (spillable) so the text column is
+read once, not once per statistic.
 
 Engine-exactness: every input to the float math is an exact integer
 (tf, df, N, sum of lengths), divisions/log are IEEE-identical given
 identical inputs (ln bit-equality Spark-vs-DuckDB verified in
 tests/test_inventory.py via the registered entry at all SFs), and the
 per-document score sums per-TERM columns in a FIXED expression order
-(conditional aggregation, not a row-order-dependent SUM) so the total
-is bit-stable under any partitioning.
+so the total is bit-stable under any partitioning. size(split(..))
+counts exactly the rows explode(split(..)) would emit (split never
+returns an empty array), so dl matches the oracle's unnest-and-count.
 """
 
 from __future__ import annotations
@@ -39,57 +45,70 @@ def bm25_scores(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
     """Per-document BM25 for ``query_terms``: one column ``s_<term>``
     per term plus the fixed-order total ``bm25``. Documents matching no
-    term are omitted."""
+    term are omitted.
+
+    ``persist`` caches the per-document (dl, tf...) profile — it feeds
+    both the corpus-stats aggregate and the scoring pass, so without
+    the cache the text column is tokenized twice. The profile is
+    id + (1 + n_terms) ints per document, MEMORY_AND_DISK (spillable).
+    """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
-    toks = docs.select(
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    def _eq(term: str):
+        # single-arg lambda REQUIRED: pyspark dispatches higher-order
+        # lambdas on arity (two params means (element, index))
+        return lambda x: x == F.lit(term)
+
+    per_doc = docs.select(
         F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    if persist:
+        from pyspark import StorageLevel
+
+        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    # N, sum(dl) and every per-term document frequency in ONE pass
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    tf = (
-        toks.filter(F.col("term").isin(*terms))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
-                / (F.col("df").cast("double") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "score",
-            F.col("idf")
-            * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf").cast("double")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl"))
-            ),
-        )
-    )
-    per_term = [
-        F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"s_{t}") for t in terms
-    ]
-    out = scored.groupBy(id_col).agg(*per_term)
+    any_hit = None
+    for i in range(len(terms)):
+        c = F.col(f"tf_{i}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    matched = per_doc.filter(any_hit).crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    out_cols = [F.col(id_col)]
     total = None
-    for t in terms:
-        piece = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+    for i, t in enumerate(terms):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        )
+        score = (
+            idf
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl))
+        )
+        s = F.when(F.col(f"tf_{i}") > 0, score)
+        out_cols.append(s.alias(f"s_{t}"))
+        piece = F.coalesce(s, F.lit(0.0))
         total = piece if total is None else total + piece
-    return out.withColumn("bm25", total)
+    return matched.select(*out_cols, total.alias("bm25"))
