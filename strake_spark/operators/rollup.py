@@ -63,11 +63,23 @@ def incremental_rollup(
     late_events: DataFrame,
     keys: Sequence[str],
     value_col: str = "value",
+    persist: bool = True,
 ) -> DataFrame:
     """Rollup of base ∪ late via incremental maintenance (never re-scans
-    base_events beyond the initial rollup build)."""
-    return merge_rollups(
-        rollup_events(base_events, keys, value_col),
-        rollup_events(late_events, keys, value_col),
-        keys,
-    )
+    base_events beyond the initial rollup build).
+
+    ``persist`` caches both partial rollups (MEMORY_AND_DISK):
+    merge_rollups consumes each side twice (touched/anti + semi/union),
+    so without the cache each side's SOURCE is scanned and aggregated
+    twice — against the whole point of incremental maintenance. The
+    cached relations are rollup-sized (one row per bucket), not
+    event-sized. In production the base rollup is a stored table and
+    its cache is a no-op read; pass False to manage storage yourself."""
+    base_r = rollup_events(base_events, keys, value_col)
+    late_r = rollup_events(late_events, keys, value_col)
+    if persist:
+        from pyspark import StorageLevel
+
+        base_r = base_r.persist(StorageLevel.MEMORY_AND_DISK)
+        late_r = late_r.persist(StorageLevel.MEMORY_AND_DISK)
+    return merge_rollups(base_r, late_r, keys)
