@@ -578,12 +578,19 @@ def end_to_end_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strake_spark.operators import text as TX
 
     d = table(spark, sf_dir, "documents")
-    keepers = d.groupBy(F.md5("text").alias("digest")).agg(
-        F.min("doc_id").alias("doc_id")
+    # keep-first per digest as a WINDOW over one scan: row_number()==1
+    # ordered by doc_id selects exactly min(doc_id) per digest — the
+    # previous groupBy+semi-join+separate-score shape scanned documents
+    # three times; quality now rides the same pass via keep-through
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        d.withColumn("rn0", F.row_number().over(w_dup))
+        .filter(F.col("rn0") == 1)
+        .drop("rn0")
     )
-    kept = d.join(keepers.select("doc_id"), "doc_id", "left_semi")
-    q = TX.quality_score(d).select("doc_id", "quality")
-    qual = kept.join(q, "doc_id").filter(F.col("quality") >= 0.5)
+    qual = TX.quality_score(kept, keep=("source", "lang", "n_chars")).filter(
+        F.col("quality") >= 0.5
+    )
     w = Window.partitionBy("source").orderBy("doc_id")
     quota = qual.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= 15

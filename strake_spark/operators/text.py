@@ -53,9 +53,17 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features + a composite score in [0,1]-ish:
-    length band, mean token length band, stopword ratio, alpha ratio."""
+    length band, mean token length band, stopword ratio, alpha ratio.
+    ``keep`` passes extra source columns through the same single scan —
+    scoring is row-wise, so composing pipelines can avoid a join-back
+    (and the second scan it would cost) entirely."""
     t = F.col(text_col)
     toks = _tokens_col(t)
     n_chars = F.length(t).cast("double")
@@ -75,6 +83,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_chars.alias("n_chars_measured"),
         n_tokens.alias("n_tokens"),
         mean_tok_len.alias("mean_token_len"),
