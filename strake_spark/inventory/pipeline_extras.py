@@ -398,10 +398,11 @@ def curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strake_spark.operators import text as TX
 
     d = table(spark, sf_dir, "documents")
-    q = TX.quality_score(d).select("doc_id", "quality")
+    # keep-through: lang rides the scoring scan, so the quality + lang
+    # gate is one scan and zero joins (was a doc_id self-join that
+    # scanned documents twice)
     return (
-        d.select("doc_id", "lang")
-        .join(q, "doc_id")
+        TX.quality_score(d, keep=("lang",))
         .filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
         .select("doc_id", "lang", "quality")
         .orderBy("doc_id")
@@ -577,20 +578,22 @@ def end_to_end_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from strake_spark.operators import text as TX
 
-    d = table(spark, sf_dir, "documents")
-    # keep-first per digest as a WINDOW over one scan: row_number()==1
-    # ordered by doc_id selects exactly min(doc_id) per digest — the
-    # previous groupBy+semi-join+separate-score shape scanned documents
-    # three times; quality now rides the same pass via keep-through
-    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d = table(spark, sf_dir, "documents").withColumn("digest", F.md5("text"))
+    # ONE scan computes digest + quality row-wise and DROPS the text;
+    # only narrow rows (ids, digest, features) ever shuffle. Keep-first
+    # per digest is then row_number()==1 ordered by doc_id — exactly
+    # min(doc_id) per digest. The previous shape scanned documents
+    # three times (digest groupBy, semi-join back, separate score pass)
+    # to keep its shuffles narrow; the keep-through quality pass gets
+    # both: one scan AND no text bytes in any exchange.
+    scored = TX.quality_score(d, keep=("source", "lang", "n_chars", "digest"))
+    w_dup = Window.partitionBy("digest").orderBy("doc_id")
     kept = (
-        d.withColumn("rn0", F.row_number().over(w_dup))
+        scored.withColumn("rn0", F.row_number().over(w_dup))
         .filter(F.col("rn0") == 1)
-        .drop("rn0")
+        .drop("rn0", "digest")
     )
-    qual = TX.quality_score(kept, keep=("source", "lang", "n_chars")).filter(
-        F.col("quality") >= 0.5
-    )
+    qual = kept.filter(F.col("quality") >= 0.5)
     w = Window.partitionBy("source").orderBy("doc_id")
     quota = qual.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= 15
