@@ -162,7 +162,19 @@ def main() -> None:
         help="probability [0,1] of injecting a simulated source timeout "
              "per timed iteration (reference bench parity)",
     )
+    ap.add_argument(
+        "--queries", type=int, nargs="*", default=None, metavar="N",
+        help="run only these TPC-H query numbers (e.g. --queries 1 3 6), "
+             "reference `bench run -q ...` parity; default: the full suite",
+    )
+    ap.add_argument(
+        "--format", choices=("json", "text"), default="json",
+        help="text = per-iteration report table (reference parity); "
+             "json = the driver's compact one-line contract (default)",
+    )
     args = ap.parse_args()
+    if args.queries is not None:
+        return _run_selected(args)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "4"))
     iters_rest = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS_REST", "2"))
@@ -266,6 +278,69 @@ def main() -> None:
     line = json.dumps(out)
     assert len(line) < 1900, f"final JSON line {len(line)}B breaks the tail contract"
     print(line)
+    spark.stop()
+
+
+def _run_selected(args) -> None:
+    """Reference `bench run --queries N... --format ...` parity
+    (crates/bench/src/main.rs:20-37,151-156): run only the named TPC-H
+    queries, emit per-iteration rows as pretty JSON or a text table."""
+    import json as _json
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    chaos = ChaosInjector(args.chaos) if args.chaos > 0 else None
+
+    from strake_spark import inventory
+    from strake_spark.session import build_session
+
+    by_number = {}
+    for name in inventory.REGISTRY:
+        if name.startswith("tpch_q"):
+            by_number[int(name.split("_")[1][1:])] = name
+    unknown = [q for q in args.queries if q not in by_number]
+    if unknown:
+        raise SystemExit(f"TPC-H Q{unknown} not implemented (have {sorted(by_number)})")
+
+    spark = build_session(
+        app_name="strake-spark-bench",
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+    )
+    results = []
+    for q in args.queries:
+        spec = inventory.REGISTRY[by_number[q]]
+        for i in range(1, max(1, iters) + 1):
+            t = time.perf_counter()
+            status, error = "SUCCESS", None
+            if chaos is not None and chaos.maybe_fail(spec.name, i):
+                ev = chaos.events[-1]
+                status = ev["status"] if ev["status"] != "ERROR" else "ERROR"
+                error = ev.get("error")
+            else:
+                try:
+                    spec.fn(spark, sf_dir).count()
+                except Exception as e:  # noqa: BLE001 - reported per row
+                    status, error = "ERROR", f"{type(e).__name__}: {e}"
+            results.append(
+                {
+                    "query": q,
+                    "iteration": i,
+                    "duration_ms": int((time.perf_counter() - t) * 1000),
+                    "status": status,
+                    "error": error,
+                }
+            )
+    if args.format == "json":
+        print(_json.dumps(results, indent=2))
+    else:
+        print("\nSTRAKE-SPARK PERFORMANCE REPORT")
+        print("===============================")
+        print(f"{'Query':<8} {'Iteration':<10} {'Duration (ms)':<15} {'Status':<10}")
+        for r in results:
+            print(
+                f"Q{r['query']:<7} {r['iteration']:<10} "
+                f"{r['duration_ms']:<15} {r['status']:<10}"
+            )
     spark.stop()
 
 
