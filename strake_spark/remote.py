@@ -124,6 +124,34 @@ class RemoteEngine:
         """Alias of ``execute`` (reference ``StrakeConnection.sql``)."""
         return self.execute(query, user=user, params=params)
 
+    def execute_batches(
+        self,
+        query: str,
+        user: str | None = None,
+        params: dict[str, Any] | None = None,
+    ):
+        """Streaming variant of ``execute``: yields pyarrow
+        RecordBatches as they arrive off the wire instead of
+        materializing the whole result (the reference documents
+        iter_batches as the large-result path, backend/remote.rs:54
+        note). Governed identically — the server streams from the same
+        do_get path."""
+        if user is not None or params is not None:
+            cmd = json.dumps({"sql": query, "user": user, "params": params}).encode()
+        else:
+            cmd = query.encode()
+        fl = self._fl
+        try:
+            info = self._client.get_flight_info(
+                fl.FlightDescriptor.for_command(cmd), self._options()
+            )
+            for ep in info.endpoints:
+                reader = self._client.do_get(ep.ticket, self._options())
+                for chunk in reader:
+                    yield chunk.data
+        except fl.FlightError as e:
+            raise _translate(e) or e from None
+
     def schema(self, query: str):
         """Plan-only: the result schema of ``query`` without executing
         it (get_flight_info on the server gates + plans, never runs)."""

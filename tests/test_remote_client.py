@@ -64,6 +64,16 @@ class TestDispatchAndQueries:
         p = {"rk": 2}
         assert remote.execute(q, params=p).to_pylist() == eng.execute(q, params=p).to_pylist()
 
+    def test_execute_batches_streams_same_rows(self, served):
+        import pyarrow as pa
+
+        eng, remote = served
+        q = "SELECT o_orderkey, o_totalprice FROM rc_orders ORDER BY o_orderkey"
+        batches = list(remote.execute_batches(q))
+        assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+        streamed = pa.Table.from_batches(batches)
+        assert streamed.to_pylist() == eng.execute(q).to_pylist()
+
     def test_schema_plan_only(self, served):
         _eng, remote = served
         sch = remote.schema("SELECT n_name, n_regionkey FROM rc_nation")
