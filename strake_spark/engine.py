@@ -154,6 +154,29 @@ class StrakeEngine:
             for f in df.schema.fields
         ]
 
+    def register_function(self, name: str, fn, return_type: str = "double",
+                          vectorized: bool = True) -> str:
+        """In-engine UDF surface (SURVEY §2.7): the reference exposes NO
+        user-defined function registration — its extensibility story is
+        MCP Code Mode — but Spark gives this engine one natively.
+
+        ``vectorized=True`` (default) registers ``fn`` as an
+        Arrow-batched pandas_udf (``fn`` maps pandas Series -> Series;
+        the 10-100x path, data never crosses row-at-a-time);
+        ``vectorized=False`` registers a row-at-a-time Python UDF
+        (discouraged — test/debug convenience only). The function
+        becomes callable from any governed ``sql()``/``execute()``
+        statement. Statements invoking a UDF still pass the read-only
+        gate; federation pushdown simply falls back to local execution
+        when a remote engine rejects the unknown function (the standard
+        ladder behavior)."""
+        sanitize_identifier(name)
+        from pyspark.sql.functions import pandas_udf, udf
+
+        u = pandas_udf(fn, return_type) if vectorized else udf(fn, return_type)
+        self.spark.udf.register(name, u)
+        return name
+
     # ------------------------------------------------------------- queries
     def sql(
         self,

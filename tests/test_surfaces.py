@@ -375,3 +375,53 @@ class TestCli:
         assert main(["query", str(cfg),
                      "SELECT count(*) AS n FROM c_region", "--format", "json"]) == 0
         assert json.loads(capsys.readouterr().out.strip()) == [{"n": 5}]
+
+
+class TestRegisterFunction:
+    """In-engine UDF surface (SURVEY 2.7): the reference has none —
+    Spark provides it; registration composes with the governed path."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        import strake_spark as ss
+
+        return ss.connect(
+            {"sources": [{"name": "uf", "type": "parquet", "url": SF_DIR,
+                          "tables": [{"name": "nation"}]}]},
+            spark=spark,
+        )
+
+    def test_vectorized_pandas_udf(self, eng):
+        def double_it(s):
+            return s * 2.0
+
+        eng.register_function("uf_double", double_it, "double")
+        out = eng.execute(
+            "SELECT n_nationkey, uf_double(CAST(n_regionkey AS DOUBLE)) AS d "
+            "FROM uf_nation ORDER BY n_nationkey LIMIT 3"
+        ).to_pylist()
+        exact = eng.execute(
+            "SELECT CAST(n_regionkey AS DOUBLE) * 2.0 AS d "
+            "FROM uf_nation ORDER BY n_nationkey LIMIT 3"
+        ).to_pylist()
+        assert [r["d"] for r in out] == [r["d"] for r in exact]
+
+    def test_row_at_a_time_udf(self, eng):
+        eng.register_function("uf_len", lambda s: len(s or ""), "int",
+                              vectorized=False)
+        out = eng.execute(
+            "SELECT uf_len(n_name) AS l FROM uf_nation ORDER BY n_nationkey LIMIT 2"
+        ).to_pylist()
+        assert all(r["l"] > 0 for r in out)
+
+    def test_bad_name_rejected(self, eng):
+        from strake_spark.errors import QueryRejected
+
+        with pytest.raises(QueryRejected):
+            eng.register_function("evil; DROP", lambda s: s, "double")
+
+    def test_udf_statement_stays_governed(self, eng):
+        from strake_spark.errors import QueryRejected
+
+        with pytest.raises(QueryRejected):
+            eng.execute("DROP TABLE uf_nation")
