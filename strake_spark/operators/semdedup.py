@@ -181,20 +181,34 @@ def semantic_prune(
     av = assign.join(e, "vec_id").select("vec_id", "cluster", "v").localCheckpoint()
     if persist:
         e.unpersist(blocking=False)  # av holds everything downstream needs
+    # Within-cluster pairwise with BLOCK SALTING: keying the self-join
+    # on cluster alone caps parallelism at k tasks (each cluster's full
+    # pairwise lands in ONE task — the skew story when k is small or a
+    # cluster is hot). Pair (a, b) is assigned to block a % B: the left
+    # side carries one copy in its own block, the right side replicates
+    # B times, and the join keys on (cluster, blk) — every pair still
+    # meets exactly once, spread over k*B tasks. B derives from session
+    # parallelism; at web scale k ~ sqrt(n) already gives parallelism,
+    # and B degrades to a small constant.
+    B = max(1, min(16, -(-av.sparkSession.sparkContext.defaultParallelism // k)))
     left = av.select(
         F.col("cluster"),
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk"),
         F.col("vec_id").alias("a"),
         F.col("v").alias("va"),
         F.sqrt(_norm2(F.col("v"))).alias("na"),
     )
-    right = av.select(
+    right = av.crossJoin(
+        F.broadcast(av.sparkSession.range(B).select(F.col("id").cast("int").alias("blk")))
+    ).select(
         F.col("cluster"),
+        F.col("blk"),
         F.col("vec_id").alias("b"),
         F.col("v").alias("vb"),
         F.sqrt(_norm2(F.col("v"))).alias("nb"),
     )
     dropped = (
-        left.join(right, "cluster")
+        left.join(right, ["cluster", "blk"])
         .filter(F.col("a") < F.col("b"))
         .filter(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= tau)
         .select(F.col("b").alias("vec_id"))
