@@ -106,8 +106,15 @@ class StrakeEngine:
 
         views = register_source(self.spark, source_cfg)
         self._views[source_cfg.name] = views
+        from strake_spark.governance.contracts import STRICT_VIEWS
+
         for v in views:
             self._view_source[v] = source_cfg.name
+            # a re-registered view starts unguarded: a previous engine's
+            # strict contract on the same view name must not project THIS
+            # engine's pushdowns (enforce_strict_views re-adds ours after
+            # all sources register, during __init__)
+            STRICT_VIEWS.pop(v, None)
         self._governor.set_source_limit(
             source_cfg.name, source_cfg.max_concurrent_queries
         )

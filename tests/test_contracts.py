@@ -216,12 +216,13 @@ class TestStrictContractFederation:
         assert "select o_orderkey, o_custkey, o_totalprice from orders" in s
 
     def test_unlisted_column_fails_even_when_pushed(self, fed_strict):
-        # whole-statement pushdown fires for this shape; the remote
-        # engine must reject the undeclared column (and the local
-        # fallback rejects it too — failure either way is the contract)
-        with pytest.raises(Exception, match="o_comment"):
+        # o_orderpriority EXISTS in the physical remote table but is not
+        # declared — without the pushdown guard this succeeded whenever
+        # pushdown fired. The remote engine must reject it (and the
+        # local fallback rejects it too — failure either way)
+        with pytest.raises(Exception, match="o_orderpriority"):
             fed_strict.execute(
-                "SELECT o_comment FROM pg_orders WHERE o_orderkey > 0"
+                "SELECT o_orderpriority FROM pg_orders WHERE o_orderkey > 0"
             ).to_pandas()
 
     def test_select_star_pushed_matches_embedded_shape(self, fed_strict):
@@ -244,6 +245,35 @@ class TestStrictContractFederation:
         ).df()
         assert out["o_custkey"].astype(int).tolist() == exp["o_custkey"].astype(int).tolist()
         assert out["n"].astype(int).tolist() == exp["n"].astype(int).tolist()
+
+    def test_reregistration_clears_stale_guard(self, fed_strict, spark, tmp_path):
+        """A second engine registering the SAME view name WITHOUT a
+        strict contract must not inherit the first engine's pushdown
+        projection (the registries are process-global)."""
+        import duckdb
+
+        from strake_spark.governance.contracts import STRICT_VIEWS
+        from strake_spark.plans import federation
+
+        assert "pg_orders" in STRICT_VIEWS  # first engine's guard is live
+        dpath = str(tmp_path / "unguarded.duckdb")
+        con = duckdb.connect(dpath)
+        con.execute(
+            f"CREATE TABLE orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+        )
+        con.close()
+        eng2 = ss.connect(
+            {"sources": [{"name": "pg", "type": "duckdb", "url": dpath}]},
+            spark=spark,
+        )
+        assert "pg_orders" not in STRICT_VIEWS
+        plan = federation.analyze("SELECT count(*) AS n FROM pg_orders")
+        assert plan is not None
+        assert "o_orderkey" not in plan.rewritten_sql  # no stale projection
+        out = eng2.execute(
+            "SELECT o_orderpriority FROM pg_orders LIMIT 1"
+        ).to_pandas()
+        assert list(out.columns) == ["o_orderpriority"]  # undeclared column works again
 
     def test_subtree_ship_carries_guard(self, fed_strict):
         from strake_spark.plans.subtree import analyze_subtrees
