@@ -275,6 +275,35 @@ class TestStrictContractFederation:
         ).to_pandas()
         assert list(out.columns) == ["o_orderpriority"]  # undeclared column works again
 
+    def test_guard_respelled_for_target_dialect(self, spark):
+        """The projecting subquery rides the same dialect pipeline as
+        the rest of the statement — MySQL's identifier quoting must
+        reach it (a DuckDB-quoted guard would be a remote syntax
+        error, silently demoting every strict-table query to local)."""
+        from strake_spark.governance.contracts import STRICT_VIEWS
+        from strake_spark.plans import federation
+        from strake_spark.sources.registry import REMOTE_TABLES, RemoteTable
+
+        spark.createDataFrame(
+            [(1, "a", 2.0)], "k long, name string, v double"
+        ).createOrReplaceTempView("mz_t")
+        REMOTE_TABLES["mz_t"] = RemoteTable(
+            source="mz", dialect="mysql", url="fake://x", table="t",
+            push_query=lambda s, sql: s.table("mz_t"),
+        )
+        STRICT_VIEWS["mz_t"] = ("k", "name")
+        try:
+            plan = federation.analyze("SELECT count(*) AS n FROM mz_t WHERE k > 0")
+            assert plan is not None
+            s = plan.rewritten_sql
+            # the guard subquery ships, projecting only declared columns
+            assert "(SELECT k, `name` FROM t) AS mz_t" in s
+            assert '"' not in s  # no DuckDB quoting survives for MySQL
+            assert " v" not in s and "`v`" not in s  # undeclared column hidden
+        finally:
+            REMOTE_TABLES.pop("mz_t", None)
+            STRICT_VIEWS.pop("mz_t", None)
+
     def test_subtree_ship_carries_guard(self, fed_strict):
         from strake_spark.plans.subtree import analyze_subtrees
 
