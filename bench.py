@@ -76,6 +76,7 @@ PIPELINE_QUERIES = (
     "semdedup_prune_keep",  # added r7: k-means + within-cluster prune
     "text_bm25_ranking",  # added r7: posting-list BM25
     "events_rollup_incremental",  # added r7: continuous-aggregate merge
+    "pipeline_end_to_end_curation",  # added r8: one-scan curation DAG
 )
 
 
