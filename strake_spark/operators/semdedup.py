@@ -175,9 +175,12 @@ def semantic_prune(
         from pyspark import StorageLevel
 
         e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    # the assignment feeds three lineages (both self-join sides + the
-    # final anti-join); checkpoint it so k-means runs once, not thrice
-    assign = _kmeans(e, k, iters).localCheckpoint()
+    # ONE checkpoint: av (id, cluster, vector) feeds every downstream
+    # lineage — both self-join sides AND the final anti-join (which
+    # takes cluster from av, not from a separate assignment
+    # materialization) — so k-means executes exactly once, directly
+    # into the av build
+    assign = _kmeans(e, k, iters)
     av = assign.join(e, "vec_id").select("vec_id", "cluster", "v").localCheckpoint()
     if persist:
         e.unpersist(blocking=False)  # av holds everything downstream needs
@@ -214,4 +217,8 @@ def semantic_prune(
         .select(F.col("b").alias("vec_id"))
         .distinct()
     )
-    return assign.join(dropped, "vec_id", "left_anti").select("vec_id", "cluster")
+    return (
+        av.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+    )
