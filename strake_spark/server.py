@@ -174,9 +174,30 @@ def main(argv=None) -> None:  # pragma: no cover - manual entry point
     p.add_argument("--config", default=None)
     p.add_argument("--port", type=int, default=8815)
     p.add_argument("--token", default=None)
+    p.add_argument("--oidc-secret", default=None,
+                   help="HS256 shared secret for OIDC-style bearer validation")
+    p.add_argument("--oidc-jwks", default=None,
+                   help="path to a JWKS JSON file (RS256) for bearer validation")
+    p.add_argument("--oidc-issuer", default="")
+    p.add_argument("--oidc-audience", default="")
     args = p.parse_args(argv)
+    validator = None
+    if args.oidc_secret or args.oidc_jwks:
+        import json as _json
+
+        from strake_spark.jwtauth import OidcValidator
+
+        jwks = None
+        if args.oidc_jwks:
+            with open(args.oidc_jwks) as f:
+                jwks = _json.load(f)
+        validator = OidcValidator(
+            secret=args.oidc_secret, jwks=jwks,
+            issuer=args.oidc_issuer, audience=args.oidc_audience,
+        )
     engine = ss.connect(args.config)
-    srv = make_server(engine, f"grpc://0.0.0.0:{args.port}", token=args.token)
+    srv = make_server(engine, f"grpc://0.0.0.0:{args.port}",
+                      token=args.token, validator=validator)
     print(f"strake-spark flight server on port {srv.port}")
     t = threading.Thread(target=srv.serve)
     t.start()
