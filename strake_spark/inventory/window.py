@@ -179,6 +179,17 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_richest
     FROM customer
     """,
+    notes=(
+        "ntile/first_value/nth_value matrix. The UNPARTITIONED ntile is "
+        "deliberate — exact global quartiles are the operator's SQL "
+        "semantics and the oracle needs them bit-exact, but the plan is "
+        "a single-task sort (Spark warns 'No Partition Defined'). At "
+        "100 TB the scale path is a two-phase rank: per-partition "
+        "counts -> broadcast cumulative offsets -> local rank + offset "
+        "(the shape operators/decontam._pack uses for its global "
+        "prefix sum), or approx percentile buckets when exactness "
+        "isn't contractual"
+    ),
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
