@@ -396,3 +396,46 @@ class TestQ20Shape:
     def test_partial_aggregation(self, spark):
         plan = _plan(spark, "tpch_q20_part_promotion")
         assert "partial_" in plan or plan.count("HashAggregate") >= 2
+
+
+class TestPipelineShapes:
+    """Round-8 single-pass rewrites, pinned: these entries must not
+    regress back to multi-scan / wide-shuffle plans."""
+
+    def test_bm25_no_token_shuffle(self, spark):
+        # tokens never shuffle: the per-doc profile is built with
+        # higher-order functions in the scan; only the single-row stats
+        # aggregate and the id-keyed output exchanges exist
+        plan = _plan(spark, "text_bm25_ranking")
+        import re
+
+        for m in re.finditer(r"Exchange hashpartitioning\(([^\n]*)", plan):
+            assert "term#" not in m.group(1)
+        assert "text#" not in " ".join(
+            re.findall(r"Exchange [^\n]*", plan)
+        )
+
+    def test_curation_no_text_in_exchange(self, spark):
+        plan = _plan(spark, "pipeline_end_to_end_curation")
+        import re
+
+        assert "text#" not in " ".join(re.findall(r"Exchange [^\n]*", plan))
+        scans = re.findall(r"FileScan parquet \[[^\]]*doc_id", plan)
+        assert len(scans) == 1, f"documents scanned {len(scans)}x"
+
+    def test_q18_single_lineitem_scan(self, spark):
+        plan = _plan(spark, "tpch_q18_large_volume_customers")
+        import re
+
+        scans = re.findall(r"FileScan parquet \[[^\]]*l_orderkey", plan)
+        assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q21_single_fact_pass_no_expand(self, spark):
+        plan = _plan(spark, "tpch_q21_waiting_suppliers")
+        import re
+
+        li = re.findall(r"FileScan parquet \[[^\]]*l_orderkey", plan)
+        assert len(li) == 1, f"lineitem scanned {len(li)}x"
+        # no countDistinct Expand node multiplying fact rows
+        assert "Expand" not in plan
