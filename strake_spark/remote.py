@@ -186,6 +186,11 @@ class RemoteEngine:
     def explain_tree(self, query: str) -> str:
         return self._action("explain_tree", query.encode())["tree"]
 
+    def trace(self, query: str) -> dict[str, Any]:
+        """Plan + stats report, proxied (the reference RemoteBackend
+        implements trace over the wire too, backend/remote.rs:70-84)."""
+        return self._action("trace", query.encode())
+
     def ping(self) -> dict[str, Any]:
         return self._action("ping")
 

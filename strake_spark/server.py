@@ -144,6 +144,7 @@ def make_server(
                 ("list_sources", "registered views per source (JSON)"),
                 ("describe", "column schema of a view; body = view name (JSON)"),
                 ("explain_tree", "plan tree with pushdown markers; body = SQL (JSON)"),
+                ("trace", "plan + stats report; body = SQL (JSON)"),
                 ("ping", "liveness + engine identity (JSON)"),
             ]
 
@@ -155,6 +156,8 @@ def make_server(
                 out = self.engine.describe(body)
             elif action.type == "explain_tree":
                 out = {"tree": self.engine.explain_tree(body)}
+            elif action.type == "trace":
+                out = self.engine.trace(body)
             elif action.type == "ping":
                 out = {"ok": True, "engine": "strake-spark"}
             else:

@@ -186,3 +186,13 @@ class TestAuth:
             remote.close()
         finally:
             srv.shutdown()
+
+
+class TestTrace:
+    def test_trace_proxied(self, served):
+        eng, remote = served
+        q = "SELECT n_name FROM rc_nation WHERE n_regionkey = 1"
+        t = remote.trace(q)
+        assert t["query"] == q
+        assert t["estimated_rows"] == eng.trace(q)["estimated_rows"]
+        assert "physical" in t and "optimized" in t
