@@ -292,3 +292,46 @@ def expr_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
         F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
     ).orderBy("event_id")
+
+
+@query(
+    "expr_vectorized_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity * 2.5 + 1.0 AS boosted,
+           length(l_returnflag) + CAST(l_quantity AS BIGINT) AS mixed
+    FROM lineitem
+    WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    notes=(
+        "the in-engine UDF surface (SURVEY 2.7 — the reference has no "
+        "UDF registration; Spark does): an Arrow-batched pandas_udf "
+        "(Series->Series, no row-at-a-time Python) computing "
+        "q*2.5+1, registered and invoked through spark.sql, plus a "
+        "mixed built-in/UDF expression. Oracle is the same arithmetic "
+        "inline — per-row IEEE ops, bit-identical across engines"
+    ),
+)
+def expr_vectorized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: this module uses `from __future__ import
+    # annotations`, which stringifies them and pyspark's signature
+    # inference rejects string hints — the explicit returnType governs
+    @pandas_udf("double")
+    def boost(q):
+        return q * 2.5 + 1.0
+
+    spark.udf.register("iv_boost", boost)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("iv_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               iv_boost(l_quantity) AS boosted,
+               length(l_returnflag) + CAST(l_quantity AS BIGINT) AS mixed
+        FROM iv_lineitem
+        WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber
+        """
+    )
