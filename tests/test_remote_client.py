@@ -196,3 +196,29 @@ class TestTrace:
         assert t["query"] == q
         assert t["estimated_rows"] == eng.trace(q)["estimated_rows"]
         assert "physical" in t and "optimized" in t
+
+
+class TestBudgetTranslation:
+    def test_budget_exceeded_crosses_the_wire_typed(self, spark, tmp_path):
+        """Server-side governed failures must re-raise client-side as
+        the same exception types the embedded engine uses."""
+        from strake_spark.errors import BudgetExceeded
+
+        eng = ss.connect(
+            {
+                "sources": [{"name": "bt", "type": "parquet", "url": SF_DIR,
+                             "tables": [{"name": "lineitem"}]}],
+                "query_limits": {"max_estimated_bytes": 1},
+            },
+            spark=spark,
+        )
+        srv = make_server(eng)
+        t = threading.Thread(target=srv.serve, daemon=True)
+        t.start()
+        try:
+            remote = ss.connect(f"grpc://127.0.0.1:{srv.port}")
+            with pytest.raises(BudgetExceeded):
+                remote.execute("SELECT count(*) AS n FROM bt_lineitem")
+            remote.close()
+        finally:
+            srv.shutdown()
