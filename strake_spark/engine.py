@@ -594,6 +594,7 @@ def connect(
     config: EngineConfig | dict | str | None = None,
     spark: SparkSession | None = None,
     api_key: str | None = None,
+    **remote_kwargs,
 ):
     """Reference ``strake.connect`` equivalent (python/strake/__init__.py:10-39).
 
@@ -605,5 +606,5 @@ def connect(
     if isinstance(config, str) and config.startswith(("grpc://", "grpcs://", "grpc+tls://")):
         from strake_spark.remote import RemoteEngine
 
-        return RemoteEngine(config, api_key=api_key)
+        return RemoteEngine(config, api_key=api_key, **remote_kwargs)
     return StrakeEngine(spark=spark, config=config)

@@ -66,12 +66,24 @@ class RemoteEngine:
         url: str,
         api_key: str | None = None,
         connect_timeout: float | None = 5.0,
+        tls_root_certs: str | None = None,
+        disable_server_verification: bool = False,
     ):
         import pyarrow.flight as fl
 
         self._fl = fl
         self._url = url
-        self._client = fl.FlightClient(url)
+        # grpcs:// is the reference's encrypted-DSN spelling
+        # (connection.rs:312); pyarrow spells it grpc+tls://
+        if url.startswith("grpcs://"):
+            url = "grpc+tls://" + url[len("grpcs://"):]
+        kwargs = {}
+        if tls_root_certs is not None:
+            with open(tls_root_certs, "rb") as f:
+                kwargs["tls_root_certs"] = f.read()
+        if disable_server_verification:
+            kwargs["disable_server_verification"] = True
+        self._client = fl.FlightClient(url, **kwargs)
         self._headers: list[tuple[bytes, bytes]] = []
         if api_key is not None:
             self._headers.append((b"authorization", f"Bearer {api_key}".encode()))

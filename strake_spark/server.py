@@ -36,6 +36,8 @@ def make_server(
     location: str = "grpc://127.0.0.1:0",
     token: str | None = None,
     validator=None,
+    tls_cert: str | None = None,
+    tls_key: str | None = None,
 ):
     """Build (not start) a Flight server bound to ``location``.
     Returns the server object; ``server.port`` gives the bound port.
@@ -44,9 +46,26 @@ def make_server(
     API-key path) or an OIDC-style ``validator``
     (strake_spark.jwtauth.OidcValidator — issuer/audience/exp checks,
     reference auth.rs:154-215 shape); ``validator`` wins when both are
-    given."""
+    given.
+
+    ``tls_cert``/``tls_key`` (PEM file paths) serve TLS — clients then
+    connect with ``grpcs://`` / ``grpc+tls://`` URLs (the reference's
+    encrypted DSN scheme, python/src/connection.rs:312). The location
+    scheme is upgraded automatically when certs are given."""
     import pyarrow as pa
     import pyarrow.flight as fl
+
+    tls_pairs = []
+    if tls_cert is not None:
+        if tls_key is None:
+            raise ValueError("tls_cert requires tls_key")
+        with open(tls_cert, "rb") as f:
+            cert_bytes = f.read()
+        with open(tls_key, "rb") as f:
+            key_bytes = f.read()
+        tls_pairs = [fl.CertKeyPair(cert=cert_bytes, key=key_bytes)]
+        if location.startswith("grpc://"):
+            location = "grpc+tls://" + location[len("grpc://"):]
 
     class _AuthContext(fl.ServerMiddleware):
         """Carries the VALIDATED token claims into call handlers
@@ -82,7 +101,9 @@ def make_server(
             middleware = {}
             if token or validator is not None:
                 middleware["auth"] = _TokenMiddleware()
-            super().__init__(location, middleware=middleware)
+            super().__init__(
+                location, middleware=middleware, tls_certificates=tls_pairs or None
+            )
             self.engine = engine
 
         # -------------------------------------------------- introspection

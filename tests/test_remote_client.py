@@ -222,3 +222,34 @@ class TestBudgetTranslation:
             remote.close()
         finally:
             srv.shutdown()
+
+
+class TestTls:
+    def test_grpcs_roundtrip_with_pinned_ca(self, spark, tmp_path):
+        """TLS-served Flight + grpcs:// client DSN (the reference's
+        encrypted scheme, connection.rs:312): round-trip with the
+        server cert pinned as the root; plaintext grpc:// to the same
+        port must fail."""
+        from tests.conftest import make_self_signed_cert
+
+        cert, key = make_self_signed_cert(tmp_path)
+        eng = _engine(spark)
+        srv = make_server(eng, tls_cert=cert, tls_key=key)
+        t = threading.Thread(target=srv.serve, daemon=True)
+        t.start()
+        try:
+            remote = ss.connect(
+                f"grpcs://127.0.0.1:{srv.port}", tls_root_certs=cert
+            )
+            out = remote.execute("SELECT count(*) AS n FROM rc_nation").to_pylist()
+            assert out == [{"n": 25}]
+            assert remote.ping()["ok"] is True
+            remote.close()
+            plain = RemoteEngine(
+                f"grpc://127.0.0.1:{srv.port}", connect_timeout=None
+            )
+            with pytest.raises(fl.FlightError):
+                plain.execute("SELECT 1 AS one")
+            plain.close()
+        finally:
+            srv.shutdown()
