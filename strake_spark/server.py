@@ -204,6 +204,8 @@ def main(argv=None) -> None:  # pragma: no cover - manual entry point
                    help="path to a JWKS JSON file (RS256) for bearer validation")
     p.add_argument("--oidc-issuer", default="")
     p.add_argument("--oidc-audience", default="")
+    p.add_argument("--tls-cert", default=None, help="PEM cert to serve TLS (grpcs)")
+    p.add_argument("--tls-key", default=None, help="PEM key for --tls-cert")
     args = p.parse_args(argv)
     validator = None
     if args.oidc_secret or args.oidc_jwks:
@@ -221,7 +223,8 @@ def main(argv=None) -> None:  # pragma: no cover - manual entry point
         )
     engine = ss.connect(args.config)
     srv = make_server(engine, f"grpc://0.0.0.0:{args.port}",
-                      token=args.token, validator=validator)
+                      token=args.token, validator=validator,
+                      tls_cert=args.tls_cert, tls_key=args.tls_key)
     print(f"strake-spark flight server on port {srv.port}")
     t = threading.Thread(target=srv.serve)
     t.start()
