@@ -572,6 +572,25 @@ class StrakeEngine:
         out["breaker_states"] = {n: b.state for n, b in self._breakers.items()}
         return out
 
+    # ------------------------------------------------------------ lifecycle
+    def close(self) -> None:
+        """Release engine-held state (reference ``StrakeConnection.close``,
+        python/strake/__init__.pyi:63): flush buffered telemetry spans
+        and drop the engine's references. The SparkSession itself is NOT
+        stopped — it may be shared (tests, notebooks, multiple engines);
+        stop it explicitly via ``engine.spark.stop()`` when the process
+        owns it."""
+        self.tracer.flush()
+        self._cache = None
+        with self._log_lock:
+            self._query_log.clear()
+
+    def __enter__(self) -> "StrakeEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def _log_query(self, query: str, user: str | None, started: float, cached: bool) -> None:
         self._metrics["queries_executed"] += 1
         if cached:

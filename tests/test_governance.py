@@ -167,3 +167,20 @@ class TestFullLifecycle:
         # injection still rejected with everything enabled
         with pytest.raises(QueryRejected):
             eng.execute("DROP TABLE fl_customer", user="eve")
+
+
+class TestEngineLifecycle:
+    def test_close_and_context_manager(self, spark):
+        import strake_spark as ss
+        from tests.conftest import SF_DIR
+
+        with ss.connect(
+            {"sources": [{"name": "lc", "type": "parquet", "url": SF_DIR,
+                          "tables": [{"name": "region"}]}]},
+            spark=spark,
+        ) as eng:
+            assert eng.execute("SELECT count(*) AS n FROM lc_region").to_pylist() == [{"n": 5}]
+        # closed: log cleared, cache dropped, session still usable
+        assert eng.query_log() == []
+        assert eng._cache is None
+        assert spark.sql("SELECT 1 AS one").collect()[0].one == 1
