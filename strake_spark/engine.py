@@ -153,7 +153,16 @@ class StrakeEngine:
 
         return register_information_schema(self.spark)
 
-    def describe(self, view: str) -> list[dict[str, str]]:
+    def describe(self, view: str | None = None):
+        """Column schema of one view, or — with no argument — of every
+        registered view keyed by name (reference ``describe`` takes an
+        optional table, python/strake/__init__.pyi:47)."""
+        if view is None:
+            return {
+                v: self.describe(v)
+                for views in self._views.values()
+                for v in views
+            }
         sanitize_identifier(view)
         df = self.spark.table(view)
         return [

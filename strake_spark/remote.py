@@ -192,8 +192,8 @@ class RemoteEngine:
     def list_sources(self) -> dict[str, list[str]]:
         return self._action("list_sources")
 
-    def describe(self, view: str) -> list[dict[str, Any]]:
-        return self._action("describe", view.encode())
+    def describe(self, view: str | None = None):
+        return self._action("describe", view.encode() if view else b"")
 
     def explain_tree(self, query: str) -> str:
         return self._action("explain_tree", query.encode())["tree"]

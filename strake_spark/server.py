@@ -174,7 +174,7 @@ def make_server(
             if action.type == "list_sources":
                 out = self.engine.list_sources()
             elif action.type == "describe":
-                out = self.engine.describe(body)
+                out = self.engine.describe(body or None)
             elif action.type == "explain_tree":
                 out = {"tree": self.engine.explain_tree(body)}
             elif action.type == "trace":

@@ -253,3 +253,12 @@ class TestTls:
             plain.close()
         finally:
             srv.shutdown()
+
+
+class TestDescribeAll:
+    def test_describe_without_argument_lists_every_view(self, served):
+        eng, remote = served
+        allv = remote.describe()
+        assert allv == eng.describe()
+        assert "rc_nation" in allv and "rc_orders" in allv
+        assert allv["rc_nation"] == eng.describe("rc_nation")
