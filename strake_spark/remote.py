@@ -15,7 +15,7 @@ timeout, cache, RLS/masking under the authenticated principal), so a
 remote client gets exactly the embedded engine's policy behavior — the
 parity tests in tests/test_remote_client.py assert it.
 
-Control-plane verbs (list_sources/describe/explain_tree/ping) ride
+Control-plane verbs (list_sources/describe/explain_tree/trace/ping) ride
 Flight actions; results are JSON. Query results are Arrow tables
 (``.to_pandas()`` for dataframes), matching the embedded
 ``execute()`` boundary.
