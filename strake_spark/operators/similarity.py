@@ -255,13 +255,25 @@ def embedding_dup_pairs(
         keys = signs.reshape(len(mat), -1, band_bits) @ bit_weights  # B × bands
         return pd.Series(list(keys.astype(np.int64)))
 
-    tagged = (
-        emb.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.sqrt(_norm2(F.col(vec_col))).alias("nrm"),
-            F.posexplode(_band_keys(F.col(vec_col))).alias("band", "key"),
-        )
+    # Persist the PRE-explode profile: the banded relation feeds three
+    # lineages (hot-bucket aggregate, anti-join, both self-join sides),
+    # and without a cache each re-runs the scan + the Arrow matmul.
+    # Caching before posexplode keeps the footprint at ~1x corpus
+    # (id, vec, norm, keys array), not num_bands x; the explode that
+    # re-derives each lineage is a cheap JVM generator over the cache.
+    from pyspark import StorageLevel
+
+    keyed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_norm2(F.col(vec_col))).alias("nrm"),
+        _band_keys(F.col(vec_col)).alias("keys"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tagged = keyed.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("nrm"),
+        F.posexplode(F.col("keys")).alias("band", "key"),
     )
     # Hot-bucket cap as aggregate + broadcast anti-join (mirrors
     # operators/dedup.py): a window count would sort-shuffle the whole
