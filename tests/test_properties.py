@@ -167,3 +167,46 @@ class TestPolicyRename:
         for name in others:
             if name != "SECURED".lower():
                 assert name in out
+
+
+class TestStrictGuardProperty:
+    """For ANY declared-column subset, whole-statement pushdown SQL
+    references the physical table only through a subquery projecting
+    exactly the declared columns — undeclared names never appear."""
+
+    COLS = ["c_a", "c_b", "c_c", "c_d", "c_e"]
+
+    @given(
+        declared=st.sets(st.sampled_from(COLS), min_size=1).map(sorted),
+        data=st.data(),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_pushed_sql_never_leaks_undeclared(self, declared, data):
+        from strake_spark.governance.contracts import STRICT_VIEWS
+        from strake_spark.plans import federation
+        from strake_spark.sources.registry import REMOTE_TABLES, RemoteTable
+
+        query_cols = data.draw(
+            st.lists(st.sampled_from(declared), min_size=1, max_size=3, unique=True)
+        )
+        REMOTE_TABLES["pp_t"] = RemoteTable(
+            source="pp", dialect="duckdb", url="fake://x", table="phys_t",
+            push_query=lambda s, sql: None,
+        )
+        STRICT_VIEWS["pp_t"] = tuple(declared)
+        try:
+            sql = (
+                f"SELECT {', '.join(query_cols)}, count(*) AS n FROM pp_t "
+                f"WHERE {query_cols[0]} IS NOT NULL "
+                f"GROUP BY {', '.join(query_cols)}"
+            )
+            plan = federation.analyze(sql)
+            assert plan is not None, sql
+            s = plan.rewritten_sql.replace('"', "").lower()
+            # the physical table appears only inside the guard subquery
+            assert f"(select {', '.join(declared)} from phys_t)" in s
+            for col in set(self.COLS) - set(declared):
+                assert col not in s, f"undeclared {col} leaked: {s}"
+        finally:
+            REMOTE_TABLES.pop("pp_t", None)
+            STRICT_VIEWS.pop("pp_t", None)
