@@ -110,8 +110,15 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q9_product_profit", "tpch_q22_global_sales_opportunity",
     "distinct_simple", "values_inline",
     # --- 50-entry window boundary ---
-    # round-9 window front: next-oldest evidence (r6-green families:
-    # subqueries, CTEs, events, dedup signatures) in registration order.
+    # round-9 rotation guidance: front-load (a) expr_vectorized_udf
+    # (added late in r8, never driver-checked), then (b) the oldest
+    # evidence remaining — the r6-green families in registration order:
+    # subquery_{scalar_above_avg,in_european_customers,exists_correlated,
+    # correlated_scalar_select}, cte_{reused,recursive_series},
+    # events_{tumbling_window,sessionization,json_props,top_users_per_type},
+    # dedup_{exact,minhash_signatures,...}, distinct/values variants —
+    # then r7-green rows oldest-first. With the r8 window green,
+    # all-time coverage is 137 hash-green + 5 explained of 142 (+1 new).
 )
 
 
