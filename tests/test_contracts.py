@@ -397,3 +397,51 @@ class TestDataErrorIsInvalid:
         rep = eng.validate_contracts(sample_fraction=1.5)  # invalid knob
         assert not rep["valid"]
         assert any("data validation failed" in e for e in rep["errors"])
+
+
+class TestStrictFallback:
+    def test_remote_failure_falls_back_to_projected_local_view(self, spark, tmp_path):
+        """If the remote engine rejects the pushed statement (dialect
+        drift, outage), the ladder's local fallback must still enforce
+        the strict projection — the local temp view IS the projection."""
+        import duckdb
+
+        from strake_spark.governance.contracts import STRICT_VIEWS
+        from strake_spark.sources.registry import REMOTE_TABLES
+
+        dpath = str(tmp_path / "fb.duckdb")
+        con = duckdb.connect(dpath)
+        con.execute(
+            f"CREATE TABLE orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+        )
+        con.close()
+        eng = ss.connect(
+            {
+                "sources": [{"name": "pg", "type": "duckdb", "url": dpath}],
+                "contracts": {"contracts": [
+                    {"table": "pg.orders", "strict": True, "columns": [
+                        {"name": "o_orderkey", "type": "bigint"},
+                        {"name": "o_totalprice", "type": "double"},
+                    ]}
+                ]},
+            },
+            spark=spark,
+        )
+        # sabotage the push path: every remote execution now fails
+        rt = REMOTE_TABLES["pg_orders"]
+        import dataclasses
+
+        def boom(s, sql):
+            raise RuntimeError("simulated remote outage")
+
+        REMOTE_TABLES["pg_orders"] = dataclasses.replace(rt, push_query=boom)
+        try:
+            out = eng.execute(
+                "SELECT count(*) AS n FROM pg_orders WHERE o_orderkey > 0"
+            ).to_pylist()
+            assert out[0]["n"] > 0  # local fallback executed
+            with pytest.raises(Exception, match="o_orderpriority|UNRESOLVED"):
+                eng.execute("SELECT o_orderpriority FROM pg_orders").to_pandas()
+        finally:
+            REMOTE_TABLES.pop("pg_orders", None)
+            STRICT_VIEWS.pop("pg_orders", None)
