@@ -671,13 +671,24 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # handful of suppliers, so WindowExec state is trivial at any SF.
     from pyspark.sql import Window
 
-    ps = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(dec("l_extendedprice")).alias("supplycost")
-    )
     eu = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # broadcast-SEMI-filter fact rows to STANDARD/size parts x EU
+    # suppliers BEFORE aggregating: per-(part, supplier) minima are
+    # unaffected by dropping whole groups that the downstream broadcast
+    # joins discarded anyway, and the min-per-part window runs over EU
+    # rows only in both shapes — the shuffle just stops carrying the
+    # ~99% of groups that never survive.
+    lf = l.join(
+        F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi"
+    ).join(
+        F.broadcast(eu.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"), "left_semi"
+    )
+    ps = lf.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice")).alias("supplycost")
     )
     ps_eu = ps.join(F.broadcast(eu), ps.l_suppkey == F.col("s_suppkey"))
     min_cost = F.min("supplycost").over(Window.partitionBy("l_partkey"))
@@ -824,21 +835,31 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_1997 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
         F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
     )
-    psq = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(dec("l_quantity")).alias("total_qty"),
-        F.sum(F.when(in_1997, dec("l_quantity")).otherwise(F.lit(0).cast(MEASURE))).alias(
-            "qty_1997"
-        ),
-    )
     asia = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name")
     )
+    # broadcast-SEMI-filter the fact rows to matching (part, supplier)
+    # keys BEFORE the aggregation: the old shape aggregated every
+    # lineitem group and then discarded all but the widget-part x
+    # Asia-supplier slice via the same broadcasts — identical result,
+    # but the shuffle carried the whole corpus's groups. Per-group
+    # sums are unaffected by dropping whole groups early.
+    lf = l.join(
+        F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi"
+    ).join(
+        F.broadcast(asia.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"), "left_semi"
+    )
+    psq = lf.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("total_qty"),
+        F.sum(F.when(in_1997, dec("l_quantity")).otherwise(F.lit(0).cast(MEASURE))).alias(
+            "qty_1997"
+        ),
+    )
     surplus = F.col("total_qty").cast("double") - F.col("qty_1997").cast("double")
     return (
-        psq.join(F.broadcast(p.select("p_partkey")), psq.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(asia), psq.l_suppkey == F.col("s_suppkey"))
+        psq.join(F.broadcast(asia), psq.l_suppkey == F.col("s_suppkey"))
         .filter(surplus > F.lit(4.0) * F.col("qty_1997").cast("double"))
         .select("s_suppkey", "s_name")
         .distinct()
