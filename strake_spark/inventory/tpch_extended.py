@@ -394,14 +394,23 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="TPC-H Q17: threshold q < 0.2*avg rewritten multiplicatively (q*5*cnt < sum) so both engines compare exact decimals",
 )
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    agg = l.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
-        F.sum(dec("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    # single pass: no part column reaches the output, so the part
+    # predicate is a broadcast SEMI filter, and the per-part threshold
+    # (decorrelated avg) is a WINDOW over the same filtered rows — the
+    # old shape aggregated EVERY part across the whole corpus and
+    # joined back (per-part sums are unchanged by dropping other
+    # parts' rows). One filtered scan, one (partkey) shuffle.
+    lf = l.join(
+        F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi"
     )
+    w = Window.partitionBy("l_partkey")
     return (
-        l.join(p, l.l_partkey == p.p_partkey)
-        .join(agg, l.l_partkey == F.col("agg_partkey"))
+        lf.withColumn("sum_qty", F.sum(dec("l_quantity")).over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
         .filter(dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg((F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
     )
@@ -741,11 +750,16 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
     )
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    # val feeds two lineages (the scalar total and the final filter);
+    # persist the per-part aggregate (#parts rows, spillable) so the
+    # fact join + shuffle run once, not twice
+    from pyspark import StorageLevel
+
     val = (
         l.join(F.broadcast(sn), l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice")).alias("part_value"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = val.agg(
         F.sum("part_value").cast("double").alias("total_value"),
         F.count(F.lit(1)).alias("n_parts"),
