@@ -1,0 +1,175 @@
+"""XLSX source (reference enterprise Excel connector,
+docs/enterprise.md:49-51): stdlib OOXML parsing — sheet catalog via
+workbook relationships, shared/inline strings, typed cells, schema
+inference — registered as queryable views."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+import strake_spark as ss
+from strake_spark.errors import SourceError
+from strake_spark.sources import xlsx as X
+
+_CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+</Types>"""
+
+_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+
+def _workbook_xml(sheets):
+    entries = "".join(
+        f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, name in enumerate(sheets)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{entries}</sheets></workbook>"
+    )
+
+
+def _workbook_rels(n):
+    entries = "".join(
+        f'<Relationship Id="rId{i + 1}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        f'Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(n)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        f"{entries}</Relationships>"
+    )
+
+
+def _sheet_xml(rows):
+    """rows: list of list of (ref, t_attr_or_None, inner_xml)."""
+    body = []
+    for rn, cells in enumerate(rows, start=1):
+        cs = "".join(
+            '<c r="%s"%s>%s</c>' % (ref, f' t="{t}"' if t else "", inner)
+            for ref, t, inner in cells
+        )
+        body.append(f'<row r="{rn}">{cs}</row>')
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(body)}</sheetData></worksheet>"
+    )
+
+
+_SST = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">'
+    "<si><t>order id</t></si><si><t>status</t></si>"
+    "<si><t>OPEN</t></si><si><r><t>CLO</t></r><r><t>SED</t></r></si></sst>"
+)
+
+
+@pytest.fixture()
+def book(tmp_path):
+    """Two-sheet workbook: orders (header, shared/rich strings, ints,
+    floats, bool, a skipped cell) and stats (no strings)."""
+    orders = _sheet_xml([
+        [("A1", "s", "<v>0</v>"), ("B1", "s", "<v>1</v>"),
+         ("C1", None, ""), ("D1", "s", "<v>1</v>")],  # D1 dup header name
+        [("A2", None, "<v>1</v>"), ("B2", "s", "<v>2</v>"),
+         ("C2", None, "<v>12.5</v>"), ("D2", "b", "<v>1</v>")],
+        [("A3", None, "<v>2</v>"), ("B3", "s", "<v>3</v>"),
+         # C3 missing entirely -> None
+         ("D3", "b", "<v>0</v>")],
+        [("A4", None, "<v>3</v>"), ("B4", "inlineStr", "<is><t>NEW</t></is>"),
+         ("C4", None, "<v>7</v>"), ("D4", "b", "<v>1</v>")],
+    ])
+    stats = _sheet_xml([
+        [("A1", "str", "<v>day</v>"), ("B1", "str", "<v>total</v>")],
+        [("A2", None, "<v>45000</v>"), ("B2", None, "<v>10.25</v>")],
+        [("A3", None, "<v>45001</v>"), ("B3", None, "<v>11</v>")],
+    ])
+    path = tmp_path / "book.xlsx"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/workbook.xml", _workbook_xml(["orders", "stats"]))
+        z.writestr("xl/_rels/workbook.xml.rels", _workbook_rels(2))
+        z.writestr("xl/sharedStrings.xml", _SST)
+        z.writestr("xl/worksheets/sheet1.xml", orders)
+        z.writestr("xl/worksheets/sheet2.xml", stats)
+    return str(path)
+
+
+class TestReader:
+    def test_sheet_names_and_selection(self, book):
+        assert X.sheet_names(book) == ["orders", "stats"]
+        with pytest.raises(SourceError, match="no sheet named"):
+            X.read_sheet(book, "nope")
+
+    def test_typed_cells_and_header(self, book):
+        names, rows = X.read_sheet(book, "orders")
+        assert names == ["order_id", "status", "col_2", "status_1"]  # dup header deduplicated
+        assert rows[0] == [1, "OPEN", 12.5, True]
+        assert rows[1] == [2, "CLOSED", None, False]  # rich text + gap
+        assert rows[2] == [3, "NEW", 7, True]  # inline string
+
+    def test_headerless_mode(self, book):
+        names, rows = X.read_sheet(book, "stats", header=False)
+        assert names == ["col_0", "col_1"]
+        assert len(rows) == 3 and rows[0] == ["day", "total"]
+
+
+class TestSparkViews:
+    def test_engine_queries_workbook(self, spark, book):
+        eng = ss.connect(
+            {"sources": [{
+                "name": "xl", "type": "xlsx", "url": book,
+                "tables": [
+                    {"name": "orders"},
+                    {"name": "stats", "options": {"date_columns": ["day"]}},
+                ],
+            }]},
+            spark=spark,
+        )
+        out = eng.execute(
+            "SELECT order_id, status FROM xl_orders "
+            "WHERE col_2 IS NOT NULL ORDER BY order_id"
+        ).to_pylist()
+        assert out == [
+            {"order_id": 1, "status": "OPEN"},
+            {"order_id": 3, "status": "NEW"},
+        ]
+        # column typing: ints stay integral, mixed int/float -> double
+        types = {c["column"]: c["type"] for c in eng.describe("xl_orders")}
+        assert types["order_id"] == "bigint"
+        assert types["col_2"] == "double"
+        # excel serial date converted
+        days = eng.execute(
+            "SELECT CAST(day AS DATE) AS d FROM xl_stats ORDER BY d"
+        ).to_pylist()
+        assert str(days[0]["d"]) == "2023-03-15"  # serial 45000
+
+    def test_autoregister_all_sheets(self, spark, book):
+        eng = ss.connect(
+            {"sources": [{"name": "wb", "type": "excel", "url": book}]},
+            spark=spark,
+        )
+        assert set(eng.list_sources()["wb"]) == {"wb_orders", "wb_stats"}
+        n = eng.execute("SELECT count(*) AS n FROM wb_stats").to_pylist()
+        assert n == [{"n": 2}]
+
+    def test_missing_file_is_loud(self, spark):
+        with pytest.raises(SourceError, match="existing .xlsx"):
+            ss.connect(
+                {"sources": [{"name": "nx", "type": "xlsx", "url": "/no/such.xlsx"}]},
+                spark=spark,
+            )
