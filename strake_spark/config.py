@@ -125,6 +125,11 @@ class EngineConfig:
     retry: RetryConfig = field(default_factory=RetryConfig)
     telemetry: TelemetryConfig = field(default_factory=TelemetryConfig)
     global_connection_budget: int = 100
+    # per-user connection slots (reference enterprise "Connection
+    # Slots", docs/enterprise.md:57-62): named users' concurrent-query
+    # caps, plus an optional default applied to every named principal
+    user_slots: dict[str, int] = field(default_factory=dict)
+    default_user_slots: int | None = None
     policies: Any = None  # governance.policies.PolicyConfig when set
     contracts: Any = None  # governance.contracts.ContractsConfig when set
 
@@ -198,6 +203,10 @@ def parse_config(raw: dict[str, Any]) -> EngineConfig:
             cap_ms=int(re_.get("cap_ms", 60_000)),
         ),
         global_connection_budget=int(raw.get("global_connection_budget", 100)),
+        user_slots={str(k): int(v) for k, v in (raw.get("user_slots") or {}).items()},
+        default_user_slots=(
+            int(raw["default_user_slots"]) if raw.get("default_user_slots") else None
+        ),
     )
 
 

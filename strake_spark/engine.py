@@ -68,7 +68,11 @@ class StrakeEngine:
             self._cache = ResultCache(self.spark, self.config.cache)
         from strake_spark.reliability import CircuitBreaker, ConcurrencyGovernor
 
-        self._governor = ConcurrencyGovernor(self.config.global_connection_budget)
+        self._governor = ConcurrencyGovernor(
+            self.config.global_connection_budget,
+            user_slots=getattr(self.config, "user_slots", None),
+            default_user_slots=getattr(self.config, "default_user_slots", None),
+        )
         self._breakers: dict[str, CircuitBreaker] = {}
         for src in self.config.sources:
             self.register(src)
@@ -267,7 +271,7 @@ class StrakeEngine:
         sources = self._touched_sources(query)
         root.set_attribute("strake.sources", ",".join(sources))
         breakers = [self._breakers[s] for s in sources if s in self._breakers]
-        with self._governor.admit(sources):
+        with self._governor.admit(sources, user=user):
             for b in breakers:
                 b.acquire()
             try:
@@ -522,7 +526,7 @@ class StrakeEngine:
             traceparent=traceparent,
         ) as root:
             root.set_attribute("strake.sources", ",".join(sources))
-            with self._governor.admit(sources):
+            with self._governor.admit(sources, user=user):
                 for b in breakers:
                     b.acquire()
                 try:

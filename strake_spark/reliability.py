@@ -151,12 +151,20 @@ class CircuitBreaker:
 
 class ConcurrencyGovernor:
     """Global connection budget + per-source caps (federation.rs:138 +
-    wrappers.rs:70-76). ``admit(sources)`` returns a context manager
-    holding one global permit and one permit per touched source."""
+    wrappers.rs:70-76) + per-USER connection slots (the reference's
+    enterprise "Connection Slots: limit the number of concurrent
+    queries per user or domain", docs/enterprise.md:57-62).
+    ``admit(sources, user)`` returns a context manager holding one
+    global permit, one permit per touched source, and — when a slot
+    limit applies to the principal — one user permit."""
 
-    def __init__(self, global_budget: int = 100):
+    def __init__(self, global_budget: int = 100, user_slots: dict[str, int] | None = None,
+                 default_user_slots: int | None = None):
         self._global = threading.BoundedSemaphore(max(1, global_budget))
         self._per_source: dict[str, threading.BoundedSemaphore] = {}
+        self._per_user: dict[str, threading.BoundedSemaphore] = {}
+        self._user_limits = dict(user_slots or {})
+        self._default_user_slots = default_user_slots
         self._lock = threading.Lock()
 
     def set_source_limit(self, source: str, max_concurrent: int | None) -> None:
@@ -164,15 +172,38 @@ class ConcurrencyGovernor:
             with self._lock:
                 self._per_source[source] = threading.BoundedSemaphore(max_concurrent)
 
-    def admit(self, sources: tuple[str, ...] = (), timeout: float = 60.0):
-        return _Admission(self, sources, timeout)
+    def set_user_limit(self, user: str, max_concurrent: int | None) -> None:
+        with self._lock:
+            if max_concurrent:
+                self._user_limits[user] = max_concurrent
+                self._per_user.pop(user, None)
+            else:
+                self._user_limits.pop(user, None)
+                self._per_user.pop(user, None)
+
+    def _user_sem(self, user: str | None):
+        if user is None:
+            return None
+        with self._lock:
+            limit = self._user_limits.get(user, self._default_user_slots)
+            if not limit:
+                return None
+            sem = self._per_user.get(user)
+            if sem is None:
+                sem = self._per_user[user] = threading.BoundedSemaphore(limit)
+            return sem
+
+    def admit(self, sources: tuple[str, ...] = (), timeout: float = 60.0,
+              user: str | None = None):
+        return _Admission(self, sources, timeout, user)
 
 
 class _Admission:
-    def __init__(self, gov: ConcurrencyGovernor, sources, timeout):
+    def __init__(self, gov: ConcurrencyGovernor, sources, timeout, user=None):
         self._gov = gov
         self._sources = sources
         self._timeout = timeout
+        self._user = user
         self._held: list[threading.BoundedSemaphore] = []
 
     def __enter__(self):
@@ -181,6 +212,9 @@ class _Admission:
             for s in self._sources
             if s in self._gov._per_source
         ]
+        user_sem = self._gov._user_sem(self._user)
+        if user_sem is not None:
+            sems.append(user_sem)
         for sem in sems:
             if not sem.acquire(timeout=self._timeout):
                 self.__exit__(None, None, None)

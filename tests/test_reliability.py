@@ -232,3 +232,80 @@ class TestRestRetry:
             assert df.count() == 2
         finally:
             srv.shutdown()
+
+
+class TestUserSlots:
+    """Per-user connection slots (reference enterprise 'Connection
+    Slots': limit concurrent queries per user, docs/enterprise.md:57)."""
+
+    def test_user_limit_blocks_third_concurrent(self):
+        from strake_spark.reliability import ConcurrencyGovernor
+        from strake_spark.errors import QueryRejected
+
+        gov = ConcurrencyGovernor(10, user_slots={"pat": 2})
+        a = gov.admit(user="pat", timeout=0.2)
+        b = gov.admit(user="pat", timeout=0.2)
+        a.__enter__(); b.__enter__()
+        try:
+            with pytest.raises(QueryRejected, match="admission timed out"):
+                with gov.admit(user="pat", timeout=0.2):
+                    pass
+            # other users are unaffected
+            with gov.admit(user="sam", timeout=0.2):
+                pass
+        finally:
+            a.__exit__(None, None, None)
+            b.__exit__(None, None, None)
+        # slots released: pat admits again
+        with gov.admit(user="pat", timeout=0.2):
+            pass
+
+    def test_default_user_slots_apply_to_unnamed_principals(self):
+        from strake_spark.reliability import ConcurrencyGovernor
+        from strake_spark.errors import QueryRejected
+
+        gov = ConcurrencyGovernor(10, default_user_slots=1)
+        a = gov.admit(user="anyone", timeout=0.2)
+        a.__enter__()
+        try:
+            with pytest.raises(QueryRejected):
+                with gov.admit(user="anyone", timeout=0.2):
+                    pass
+        finally:
+            a.__exit__(None, None, None)
+        # anonymous (user=None) queries never hit user slots
+        with gov.admit(timeout=0.2):
+            pass
+
+    def test_set_user_limit_runtime(self):
+        from strake_spark.reliability import ConcurrencyGovernor
+        from strake_spark.errors import QueryRejected
+
+        gov = ConcurrencyGovernor(10)
+        with gov.admit(user="x", timeout=0.2):  # unlimited before
+            with gov.admit(user="x", timeout=0.2):
+                pass
+        gov.set_user_limit("x", 1)
+        a = gov.admit(user="x", timeout=0.2)
+        a.__enter__()
+        try:
+            with pytest.raises(QueryRejected):
+                with gov.admit(user="x", timeout=0.2):
+                    pass
+        finally:
+            a.__exit__(None, None, None)
+
+    def test_engine_config_plumbs_user_slots(self, spark):
+        import strake_spark as ss
+        from tests.conftest import SF_DIR
+
+        eng = ss.connect(
+            {"sources": [{"name": "us", "type": "parquet", "url": SF_DIR,
+                          "tables": [{"name": "region"}]}],
+             "user_slots": {"pat": 1}},
+            spark=spark,
+        )
+        assert eng._governor._user_limits == {"pat": 1}
+        # a normal governed query under the slot still works end-to-end
+        out = eng.execute("SELECT count(*) AS n FROM us_region", user="pat")
+        assert out.to_pylist() == [{"n": 5}]
