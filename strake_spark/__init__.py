@@ -22,6 +22,7 @@ from strake_spark.session import build_session, default_parallelism
 from strake_spark.config import SourceConfig, TableConfig, ColumnConfig, load_config
 from strake_spark.engine import StrakeEngine, connect
 from strake_spark.remote import RemoteEngine
+from strake_spark.materialize import Materializer
 from strake_spark.errors import (
     StrakeError,
     QueryRejected,
@@ -49,6 +50,7 @@ __all__ = [
     "load_config",
     "StrakeEngine",
     "RemoteEngine",
+    "Materializer",
     "connect",
     "StrakeError",
     "QueryRejected",
