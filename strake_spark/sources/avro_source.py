@@ -1,0 +1,110 @@
+"""Apache Avro file source (reference connectors.md:26 "Apache Avro |
+Binary / Row | robust schema evolution & fast decoding").
+
+Two rungs, best-first:
+
+1. The spark-avro module (``spark.read.format("avro")``) when its jar
+   is deployed — a fully distributed scan with pushdown, the 100 TB
+   path. pyspark does not bundle it (Avro has been an *external*
+   module since Spark 2.4), so its presence is probed per session.
+2. Jar-free fallback: Spark core DOES bundle the plain Java avro jar
+   (the iceberg-native source already drives it over py4j for manifest
+   decoding — sources/iceberg_native.read_avro_records). Container
+   files decode driver-side into rows, then parallelize. Bounded by
+   ``max_fallback_records`` (default 1M) so a misconfigured huge Avro
+   dataset fails loudly with the deploy-the-module remedy instead of
+   silently funnelling through the driver.
+
+Directory tables read every ``*.avro`` member (schema-evolution
+friendly: records are dict-shaped, missing fields surface as null via
+Spark's schema inference over the union of rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from strake_spark.config import SourceConfig
+from strake_spark.errors import SourceError
+from strake_spark.sources.file import view_name
+from strake_spark.sources.registry import source_type
+
+
+def _try_module_read(spark: SparkSession, path: str):
+    """The distributed rung, or None when the module is absent. A
+    class-existence probe is NOT enough — Spark distributions can carry
+    avro classes without registering the data source — so the probe is
+    the actual lookup: format("avro").load raises the documented
+    'Failed to find data source' AnalysisException when unavailable."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:
+        if "Failed to find data source" in str(e):
+            return None
+        raise
+
+
+def _avro_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+        )
+        if not files:
+            raise SourceError(f"avro source: no *.avro files in {path!r}")
+        return files
+    if not os.path.exists(path):
+        raise SourceError(f"avro source: {path!r} does not exist")
+    return [path]
+
+
+def read_avro_df(
+    spark: SparkSession, path: str, max_fallback_records: int = 1_000_000
+):
+    """DataFrame over one Avro file or a directory of them."""
+    files = _avro_files(path)  # existence/emptiness checked up front
+    df = _try_module_read(spark, path)
+    if df is not None:
+        return df
+    from strake_spark.sources.iceberg_native import read_avro_records
+
+    rows: list[dict] = []
+    for f in files:
+        rows.extend(read_avro_records(spark, f))
+        if len(rows) > max_fallback_records:
+            raise SourceError(
+                f"avro source: {path!r} exceeds the jar-free fallback bound "
+                f"({max_fallback_records} records decode driver-side). Deploy "
+                "the spark-avro module (org.apache.spark:spark-avro) for a "
+                "distributed scan, or raise max_fallback_records explicitly."
+            )
+    if not rows:
+        raise SourceError(
+            f"avro source: {path!r} holds no records — the jar-free fallback "
+            "cannot infer an empty schema (deploy spark-avro, or provide data)"
+        )
+    return spark.createDataFrame(rows)
+
+
+@source_type("avro")
+def register_avro_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
+    """``tables: [{name: t, path: /data/t.avro}]``; with no per-table
+    path, ``<url>/<name>.avro`` is read. Per-table option
+    ``max_fallback_records`` tunes the jar-free driver bound."""
+    if not cfg.tables:
+        raise SourceError(f"avro source {cfg.name!r} declares no tables")
+    registered: list[str] = []
+    for tbl in cfg.tables:
+        path = tbl.path or os.path.join(cfg.url or "", f"{tbl.name}.avro")
+        opts = dict(getattr(tbl, "options", None) or {})
+        df = read_avro_df(
+            spark, path,
+            max_fallback_records=int(opts.get("max_fallback_records", 1_000_000)),
+        )
+        if cfg.default_limit:
+            df = df.limit(cfg.default_limit)
+        name = view_name(cfg.name, tbl.name)
+        df.createOrReplaceTempView(name)
+        registered.append(name)
+    return registered
