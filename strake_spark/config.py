@@ -152,16 +152,41 @@ def _table(d: dict[str, Any]) -> TableConfig:
 
 
 def _source(d: dict[str, Any]) -> SourceConfig:
+    # The reference's documented YAML nests connection details under a
+    # `config:` key (docs/examples/github_source.yaml: base_url,
+    # headers, pagination) — accept that spelling verbatim so pasted
+    # examples work. Nested values fold into url/options; dict-valued
+    # options (headers, params) JSON-encode to match the option reader,
+    # and the reference's structured pagination block flattens to the
+    # style string (+ its parameters).
+    import json as _json
+
+    nested = dict(d.get("config") or {})
+    url = d.get("url") or nested.pop("base_url", None) or nested.pop("url", None)
+    pagination = nested.pop("pagination", None)
+    if isinstance(pagination, dict):
+        style = str(pagination.get("type", "none")).lower()
+        # the reference spells Link-header pagination type "header"
+        nested["pagination"] = "link" if style == "header" else style
+        for k, v in pagination.items():
+            if k != "type":
+                nested.setdefault(k, v)
+    elif pagination is not None:
+        nested["pagination"] = pagination
+    options = {**nested, **dict(d.get("options") or {})}
+    for k, v in list(options.items()):
+        if isinstance(v, (dict, list)):
+            options[k] = _json.dumps(v)
     return SourceConfig(
         name=d["name"],
         type=str(d["type"]).lower(),
-        url=d.get("url"),
+        url=url,
         username=d.get("username"),
         password=d.get("password"),
         max_concurrent_queries=d.get("max_concurrent_queries"),
         default_limit=d.get("default_limit"),
         cache=bool(d.get("cache", False)),
-        options=dict(d.get("options") or {}),
+        options=options,
         tables=[_table(t) for t in d.get("tables") or []],
     )
 

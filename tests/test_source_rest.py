@@ -261,3 +261,43 @@ class TestRegistration:
         )
         rows = df.collect()
         assert len(rows) == 3 and all(r.status == "active" for r in rows)
+
+
+class TestReferenceExampleConfig:
+    """The reference's documented YAML nests connection details under
+    `config:` (docs/examples/github_source.yaml). A pasted example must
+    parse into a WORKING source — round 8 found the nested block was
+    silently dropped (url None, options empty)."""
+
+    def test_github_example_parses_verbatim(self):
+        import yaml
+
+        raw = yaml.safe_load(open("/root/reference/docs/examples/github_source.yaml"))
+        cfg = parse_config(raw)
+        s = cfg.sources[0]
+        assert s.type == "rest"
+        assert s.url == "https://api.github.com"
+        assert json.loads(s.options["headers"])["User-Agent"] == "strake-data"
+        # reference pagination type "header" (Link header) -> our "link"
+        assert s.options["pagination"] == "link"
+        assert [t.name for t in s.tables] == ["repos", "issues"]
+        assert s.tables[0].columns[0].name == "id"
+
+    def test_nested_config_source_serves_requests(self, spark, server):
+        """End-to-end with the reference spelling: nested config block,
+        dict headers, structured pagination."""
+        cfg = parse_config({
+            "sources": [{
+                "name": "gh", "type": "rest",
+                "config": {
+                    "base_url": server,
+                    "headers": {"User-Agent": "strake-spark-test"},
+                    "pagination": {"type": "header", "header_name": "link"},
+                },
+                "tables": [{"name": "items", "path": "/linked"}],
+            }]
+        })
+        views = register_source(spark, cfg.sources[0])
+        assert views == ["gh_items"]
+        got = spark.table("gh_items").count()
+        assert got == len(ROWS)
