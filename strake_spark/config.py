@@ -198,9 +198,15 @@ def parse_config(raw: dict[str, Any]) -> EngineConfig:
     ca = raw.get("cache") or {}
     re_ = raw.get("retry") or {}
     te = raw.get("telemetry") or {}
+    # reference config/strake.yaml spellings: the connection budget
+    # nests under server:, and telemetry uses enabled+endpoint
+    sv = raw.get("server") or {}
+    te_endpoint = te.get("otlp_endpoint")
+    if te_endpoint is None and te.get("enabled") and te.get("endpoint"):
+        te_endpoint = te["endpoint"]
     return EngineConfig(
         telemetry=TelemetryConfig(
-            otlp_endpoint=te.get("otlp_endpoint"),
+            otlp_endpoint=te_endpoint,
             service_name=str(te.get("service_name", "strake-spark")),
             max_spans=int(te.get("max_spans", 512)),
         ),
@@ -227,7 +233,11 @@ def parse_config(raw: dict[str, Any]) -> EngineConfig:
             base_ms=int(re_.get("base_ms", 1000)),
             cap_ms=int(re_.get("cap_ms", 60_000)),
         ),
-        global_connection_budget=int(raw.get("global_connection_budget", 100)),
+        global_connection_budget=int(
+            raw.get("global_connection_budget")
+            or sv.get("global_connection_budget")
+            or 100
+        ),
         user_slots={str(k): int(v) for k, v in (raw.get("user_slots") or {}).items()},
         default_user_slots=(
             int(raw["default_user_slots"]) if raw.get("default_user_slots") else None

@@ -301,3 +301,22 @@ class TestReferenceExampleConfig:
         assert views == ["gh_items"]
         got = spark.table("gh_items").count()
         assert got == len(ROWS)
+
+
+class TestReferenceMainConfig:
+    def test_strake_yaml_spellings_fold_in(self):
+        """config/strake.yaml nests the budget under server: and spells
+        telemetry enabled+endpoint — both must reach EngineConfig."""
+        cfg = parse_config({
+            "server": {"global_connection_budget": 7},
+            "telemetry": {"enabled": True, "endpoint": "http://otel:4317",
+                          "service_name": "svc"},
+            "cache": {"enabled": False},
+        })
+        assert cfg.global_connection_budget == 7
+        assert cfg.telemetry.otlp_endpoint == "http://otel:4317"
+        # disabled telemetry must NOT export even with an endpoint
+        off = parse_config({
+            "telemetry": {"enabled": False, "endpoint": "http://otel:4317"},
+        })
+        assert off.telemetry.otlp_endpoint is None
