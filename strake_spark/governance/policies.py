@@ -51,9 +51,27 @@ class PolicyConfig:
 
 
 def parse_policies(raw: dict | None) -> PolicyConfig:
+    """Accepts BOTH spellings: the compact dict shape
+    (``roles: {r: {tables: {view: {rls_filter, masking}}}}``,
+    ``users: {u: [roles]}``) and the reference's list shape
+    (config/policies.yaml: ``roles: [{name, policies: [{resource,
+    rls_filter, masking}]}]``, ``users: [{id, roles}]``). Reference
+    ``resource`` names convert dots to underscores (the same rule as
+    contracts' resolve_view: 'pg.orders' -> 'pg_orders'); a wildcard
+    resource carrying actual rules raises — silently ignoring a
+    filter/masking would be a policy hole, and the reference's own
+    example uses '*' only with null rules (full access)."""
     raw = raw or {}
     roles: dict[str, dict[str, TableRules]] = {}
-    for role, spec in (raw.get("roles") or {}).items():
+    raw_roles = raw.get("roles") or {}
+    if isinstance(raw_roles, list):
+        raw_roles = {
+            r["name"]: {
+                "tables": _tables_from_policy_list(r.get("policies") or [])
+            }
+            for r in raw_roles
+        }
+    for role, spec in raw_roles.items():
         tables: dict[str, TableRules] = {}
         for tname, rules in (spec.get("tables") or {}).items():
             tables[tname] = TableRules(
@@ -61,8 +79,35 @@ def parse_policies(raw: dict | None) -> PolicyConfig:
                 masking=dict(rules.get("masking") or {}),
             )
         roles[role] = tables
-    users = {u: list(rs) for u, rs in (raw.get("users") or {}).items()}
+    raw_users = raw.get("users") or {}
+    if isinstance(raw_users, list):
+        raw_users = {u["id"]: u.get("roles") or [] for u in raw_users}
+    users = {u: list(rs) for u, rs in raw_users.items()}
     return PolicyConfig(roles=roles, users=users)
+
+
+def _tables_from_policy_list(policies: list) -> dict:
+    tables: dict[str, dict] = {}
+    for p in policies:
+        resource = str(p.get("resource", ""))
+        if resource in ("*", ""):
+            if p.get("rls_filter") or p.get("masking"):
+                raise ValueError(
+                    "policies: wildcard resource '*' cannot carry rls_filter/"
+                    "masking — name the tables explicitly (a silently-ignored "
+                    "rule would be a policy hole)"
+                )
+            continue  # null rules on * = unrestricted, nothing to record
+        view = resource.replace(".", "_")
+        entry = tables.setdefault(view, {"rls_filter": None, "masking": {}})
+        if p.get("rls_filter"):
+            entry["rls_filter"] = (
+                f"({entry['rls_filter']}) AND ({p['rls_filter']})"
+                if entry["rls_filter"]
+                else p["rls_filter"]
+            )
+        entry["masking"].update(p.get("masking") or {})
+    return tables
 
 
 def _role_sig(roles: tuple[str, ...]) -> str:

@@ -162,3 +162,49 @@ class TestEnforcement:
         )
         assert p.enabled and p.roles["r"]["t"].rls_filter == "x > 1"
         assert parse_policies(None).enabled is False
+
+
+class TestReferencePoliciesShape:
+    """config/policies.yaml spells roles/users as LISTS with
+    name/policies[].resource and id/roles — both spellings must parse."""
+
+    def test_reference_yaml_parses_verbatim(self):
+        import yaml
+
+        from strake_spark.governance.policies import parse_policies
+
+        raw = yaml.safe_load(open("/root/reference/config/policies.yaml"))
+        cfg = parse_policies(raw)
+        assert set(cfg.roles) == {"analyst", "admin"}
+        analyst = cfg.roles["analyst"]
+        assert set(analyst) == {"strake_public_orders", "strake_public_lineitem"}
+        assert analyst["strake_public_orders"].rls_filter == "o_custkey < 1000"
+        assert analyst["strake_public_orders"].masking == {"o_orderpriority": "MASK"}
+        assert cfg.roles["admin"] == {}  # wildcard, null rules = unrestricted
+        assert cfg.users == {"user_123": ["analyst"],
+                             "admin_user": ["admin", "analyst"]}
+
+    def test_wildcard_with_rules_is_loud(self):
+        from strake_spark.governance.policies import parse_policies
+
+        with pytest.raises(ValueError, match="wildcard"):
+            parse_policies({"roles": [{"name": "r", "policies": [
+                {"resource": "*", "rls_filter": "1=1"}]}]})
+
+    def test_list_shape_enforces_end_to_end(self, spark):
+        import strake_spark as ss
+        from tests.conftest import SF_DIR
+
+        eng = ss.connect({
+            "sources": [{"name": "pl", "type": "parquet", "url": SF_DIR,
+                         "tables": [{"name": "nation"}]}],
+            "policies": {
+                "roles": [{"name": "regional", "policies": [
+                    {"resource": "pl.nation", "action": "SELECT",
+                     "rls_filter": "n_regionkey = 0"}]}],
+                "users": [{"id": "pat", "roles": ["regional"]}],
+            },
+        }, spark=spark)
+        assert eng.execute("SELECT count(*) AS n FROM pl_nation",
+                           user="pat").to_pylist() == [{"n": 5}]
+        assert eng.execute("SELECT count(*) AS n FROM pl_nation").to_pylist() == [{"n": 25}]
