@@ -162,7 +162,18 @@ def _source(d: dict[str, Any]) -> SourceConfig:
     import json as _json
 
     nested = dict(d.get("config") or {})
-    url = d.get("url") or nested.pop("base_url", None) or nested.pop("url", None)
+    # quickstart.md spelling: `type: sql` + `dialect: postgres` +
+    # `connection: "postgres://..."` — the dialect IS the concrete type
+    src_type = str(d["type"]).lower()
+    if src_type == "sql" and d.get("dialect"):
+        src_type = str(d["dialect"]).lower()
+    url = (
+        d.get("url")
+        or d.get("connection")
+        or nested.pop("base_url", None)
+        or nested.pop("url", None)
+        or nested.pop("connection", None)
+    )
     pagination = nested.pop("pagination", None)
     if isinstance(pagination, dict):
         style = str(pagination.get("type", "none")).lower()
@@ -179,7 +190,7 @@ def _source(d: dict[str, Any]) -> SourceConfig:
             options[k] = _json.dumps(v)
     return SourceConfig(
         name=d["name"],
-        type=str(d["type"]).lower(),
+        type=src_type,
         url=url,
         username=d.get("username"),
         password=d.get("password"),

@@ -320,3 +320,17 @@ class TestReferenceMainConfig:
             "telemetry": {"enabled": False, "endpoint": "http://otel:4317"},
         })
         assert off.telemetry.otlp_endpoint is None
+
+
+class TestQuickstartSpelling:
+    def test_type_sql_dialect_connection(self):
+        """quickstart.md spells sources as type: sql + dialect +
+        connection — the dialect is the concrete type, connection the
+        url."""
+        cfg = parse_config({"sources": [{
+            "name": "demo_pg", "type": "sql", "dialect": "postgres",
+            "connection": "postgres://u:p@localhost:5432/db",
+        }]})
+        s = cfg.sources[0]
+        assert s.type == "postgres"
+        assert s.url == "postgres://u:p@localhost:5432/db"
