@@ -130,6 +130,8 @@ class EngineConfig:
     # caps, plus an optional default applied to every named principal
     user_slots: dict[str, int] = field(default_factory=dict)
     default_user_slots: int | None = None
+    # MCP injection-guard mode (reference strake.yaml security.agent_guard_mode)
+    agent_guard_mode: str = "disabled"
     policies: Any = None  # governance.policies.PolicyConfig when set
     contracts: Any = None  # governance.contracts.ContractsConfig when set
 
@@ -212,6 +214,7 @@ def parse_config(raw: dict[str, Any]) -> EngineConfig:
     # reference config/strake.yaml spellings: the connection budget
     # nests under server:, and telemetry uses enabled+endpoint
     sv = raw.get("server") or {}
+    sec = raw.get("security") or {}
     te_endpoint = te.get("otlp_endpoint")
     if te_endpoint is None and te.get("enabled") and te.get("endpoint"):
         te_endpoint = te["endpoint"]
@@ -249,6 +252,7 @@ def parse_config(raw: dict[str, Any]) -> EngineConfig:
             or sv.get("global_connection_budget")
             or 100
         ),
+        agent_guard_mode=str(sec.get("agent_guard_mode", "disabled")).lower(),
         user_slots={str(k): int(v) for k, v in (raw.get("user_slots") or {}).items()},
         default_user_slots=(
             int(raw["default_user_slots"]) if raw.get("default_user_slots") else None

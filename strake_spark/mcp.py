@@ -190,13 +190,18 @@ def main(argv=None) -> None:
     p.add_argument("--config", help="sources YAML", default=None)
     p.add_argument(
         "--guard-mode",
-        default=os.environ.get("STRAKE_AGENT_GUARD_MODE", "disabled"),
+        default=os.environ.get("STRAKE_AGENT_GUARD_MODE"),
         choices=["disabled", "dry_run", "enforce"],
     )
     args = p.parse_args(argv)
     try:
         engine = ss.connect(args.config)
-        McpServer(engine, guard_mode=args.guard_mode).serve_stdio()
+        # precedence: flag/env > YAML security.agent_guard_mode > off
+        # (reference strake.yaml:14 carries the mode in config)
+        mode = args.guard_mode or getattr(
+            engine.config, "agent_guard_mode", "disabled"
+        )
+        McpServer(engine, guard_mode=mode).serve_stdio()
     except Exception:
         traceback.print_exc(file=sys.stderr)
         raise

@@ -334,3 +334,10 @@ class TestQuickstartSpelling:
         s = cfg.sources[0]
         assert s.type == "postgres"
         assert s.url == "postgres://u:p@localhost:5432/db"
+
+
+class TestSecurityGuardMode:
+    def test_agent_guard_mode_parses_from_security_block(self):
+        cfg = parse_config({"security": {"agent_guard_mode": "dry_run"}})
+        assert cfg.agent_guard_mode == "dry_run"
+        assert parse_config({}).agent_guard_mode == "disabled"
