@@ -240,7 +240,8 @@ def parse_config(raw: dict[str, Any]) -> EngineConfig:
             enabled=bool(ca.get("enabled", False)),
             directory=str(ca.get("directory", "/tmp/strake-spark-cache")),
             ttl_seconds=float(ca.get("ttl_seconds", 3600.0)),
-            max_mb=int(ca.get("max_mb", 2048)),
+            # reference spelling max_size_mb (strake.yaml:21)
+            max_mb=int(ca.get("max_mb") or ca.get("max_size_mb") or 2048),
         ),
         retry=RetryConfig(
             max_attempts=int(re_.get("max_attempts", 5)),
