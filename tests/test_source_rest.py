@@ -341,3 +341,30 @@ class TestSecurityGuardMode:
         cfg = parse_config({"security": {"agent_guard_mode": "dry_run"}})
         assert cfg.agent_guard_mode == "dry_run"
         assert parse_config({}).agent_guard_mode == "disabled"
+
+
+class TestAllReferenceConfigsParse:
+    def test_every_shipped_reference_config_parses(self):
+        """Every YAML the reference ships must parse verbatim — the
+        switch-over story is 'point the engine at your existing
+        config'."""
+        import yaml
+
+        from strake_spark.governance.contracts import parse_contracts
+        from strake_spark.governance.policies import parse_policies
+
+        main = parse_config(yaml.safe_load(open("/root/reference/config/strake.yaml")))
+        assert main.global_connection_budget == 100
+        assert main.agent_guard_mode == "dry_run"
+        assert main.cache.enabled and main.cache.max_mb == 2048
+        assert main.telemetry.otlp_endpoint is None  # enabled: false
+        contracts = parse_contracts(
+            yaml.safe_load(open("/root/reference/config/contracts.yaml")))
+        assert [(c.table, c.strict) for c in contracts.contracts] == [
+            ("pg.orders", True), ("pg.lineitem", False)]
+        policies = parse_policies(
+            yaml.safe_load(open("/root/reference/config/policies.yaml")))
+        assert set(policies.roles) == {"analyst", "admin"}
+        gh = parse_config(
+            yaml.safe_load(open("/root/reference/docs/examples/github_source.yaml")))
+        assert gh.sources[0].url == "https://api.github.com"
