@@ -63,62 +63,61 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Entries named here are emitted FIRST, in this order; everything else
 # follows in registration order.
 #
-# Round-8 rotation (per the r7 verdict): front-load (a) ALL 22 entries
-# that have never had a driver row — added late in round 7 after that
-# window was fixed (TPC-H q2/q11/q12/q20, BM25, SemDeDup pair,
-# events rollup/cohort/rolling, expr json/regexp/unpivot, exact-
-# substring dedup, truncation fidelity, engine SQL e2e, grouped split,
-# frame-sample stats, curation e2e, dedup-rate, and the IVF+PQ pair —
-# `ann_ivfpq_topk` is rows-only-by-design, kept adjacent to its
-# hash-checkable recall companion). With these 22 green, all-time
-# driver coverage reaches 137 green + 5 explained of 142. Then (b)
-# the 28 oldest-evidence rows: the 24 r5-green entries deferred from
-# the r7 window (joins, agg variants, window functions, set ops) and
-# the 4 oldest r6-green entries. That is exactly 50. Everything else
-# (r6/r7-green, all re-verified by tests/test_inventory.py at sf0.001
-# and sf0.01 every round) follows in registration order.
+# Round-9 rotation (per the r8 verdict): front-load (a)
+# `expr_vectorized_udf` — the only entry that has never had a driver
+# row (added late in round 8). Then (b) all 42 entries whose most
+# recent driver row is round 6 (the oldest evidence in the registry:
+# subqueries, CTEs, events, the dedup/ANN/text families, streaming,
+# as-of/range joins, PII, sampling, pipeline extras), in registration
+# order. Then (c) 7 r7-green TPC-H rows: the front of the r7 cohort in
+# registration order (q1/q3/q5/q6/q4) plus q7 and q8, pulled forward
+# because this round rewrites their plans (broadcast-semi
+# pre-reduction) — a rewritten query should re-earn its driver row the
+# same round. That is exactly 50. With this window green, all-time
+# driver coverage reaches 143/143. Everything else (r7/r8-green, all
+# re-verified by tests/test_inventory.py at sf0.001 and sf0.01 every
+# round) follows in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked — added late in round 7
-    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping", "tpch_q20_part_promotion",
-    "text_bm25_ranking",
-    "semdedup_kmeans_assign", "semdedup_prune_keep",
-    "events_rollup_incremental", "events_cohort_retention",
-    "events_rolling_active_users",
-    "expr_json_matrix", "expr_regexp_matrix", "expr_unpivot_measures",
-    "dedup_substring_exact_spans",
-    "embedding_truncate_fidelity",
-    "engine_sql_end_to_end",
-    "sample_grouped_split",
-    "multimodal_frame_sample_stats",
-    "pipeline_end_to_end_curation", "pipeline_dedup_rate_by_source",
-    "ann_ivfpq_topk", "ann_ivfpq_recall_vs_exact",
-    # (b) oldest-evidence rows: 24 r5-green entries deferred from r7
-    "join_anti_customers_without_urgent_orders",
-    "join_cross_region_status",
-    "join_non_equi_price_over_size",
-    "agg_global_stats", "agg_grouping_sets",
-    "agg_rollup_status_priority", "agg_cube_flag_status",
-    "agg_having_big_customers", "agg_variance_by_nation",
-    "agg_string_agg_priorities", "agg_filtered_conditional",
-    "window_row_number_topk", "window_rank_family", "window_running_sum",
-    "window_sliding_rows_frame", "window_range_frame", "window_lag_lead",
-    "window_ntile_first_last",
-    "set_union_all", "set_union_distinct", "set_intersect",
-    "set_except", "set_except_all", "distinct_on_latest_order",
-    # (b) oldest r6-green entries
-    "tpch_q9_product_profit", "tpch_q22_global_sales_opportunity",
-    "distinct_simple", "values_inline",
+    # (a) never driver-checked — added late in round 8
+    "expr_vectorized_udf",
+    # (b) oldest evidence: last driver row in round 6 (42 entries)
+    "subquery_scalar_above_avg", "subquery_in_european_customers",
+    "subquery_exists_correlated", "subquery_correlated_scalar_select",
+    "cte_reused", "cte_recursive_series",
+    "events_tumbling_window", "events_sessionization",
+    "events_json_props", "events_top_users_per_type",
+    "dedup_exact", "dedup_minhash_signatures",
+    "dedup_minhash_lsh_candidates", "dedup_simhash_signatures",
+    "dedup_simhash_near_pairs", "dedup_duplicate_clusters",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk_bruteforce", "ann_embedding_dup_pairs",
+    "text_language_id", "text_quality_score", "text_token_count",
+    "text_fingerprint",
+    "multimodal_binary_meta",
+    "stream_tumbling_event_counts", "stream_sessionization",
+    "stream_dedup_events", "stream_user_running_totals",
+    "window_groups_frame_emulated",
+    "asof_join_backward", "asof_join_forward",
+    "range_join_events_after_purchase",
+    "pii_detect_and_scrub",
+    "sample_stratified_by_lang", "text_vocabulary_topn",
+    "agg_length_percentiles_by_lang", "join_salted_skew",
+    "events_funnel_conversion", "dedup_corpus_keep_first",
+    "pipeline_decontaminate_ngram", "pipeline_pack_sequences",
+    "pipeline_curation_filter",
+    # (c) r7-green TPC-H rows; q7/q8 rewritten this round
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
     # --- 50-entry window boundary ---
-    # round-9 rotation guidance: front-load (a) expr_vectorized_udf
-    # (added late in r8, never driver-checked), then (b) the oldest
-    # evidence remaining — the r6-green families in registration order:
-    # subquery_{scalar_above_avg,in_european_customers,exists_correlated,
-    # correlated_scalar_select}, cte_{reused,recursive_series},
-    # events_{tumbling_window,sessionization,json_props,top_users_per_type},
-    # dedup_{exact,minhash_signatures,...}, distinct/values variants —
-    # then r7-green rows oldest-first. With the r8 window green,
-    # all-time coverage is 137 hash-green + 5 explained of 142 (+1 new).
+    # round-10 rotation guidance: with the r9 window green, every entry
+    # has a driver row and the oldest evidence becomes the r7 cohort.
+    # Front-load any entry added during round 9 that has no driver row
+    # yet, then the remaining r7-green rows in registration order
+    # (tpch_q10/q13/q14/q15/q16/q17/q18/q19/q21, expressions matrices,
+    # sort/limit/offset, quantize, iceberg/interval entries), then
+    # r8-green rows oldest-first.
 )
 
 
