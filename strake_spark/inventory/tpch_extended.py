@@ -102,32 +102,64 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="TPC-H Q7: bidirectional nation-pair volume by ship year",
 )
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = table(spark, sf_dir, "supplier")
+    # Plan shape (r9, per the a4f0d07 playbook): the nation-pair
+    # predicate only accepts suppliers and customers from the two named
+    # nations (2-in-25 selectivity a side), so BOTH fact inputs are
+    # reduced below the l⋈o join by broadcast SEMI joins against the
+    # nation-filtered dim keys; the nation names are attached AFTER the
+    # fact-fact join, on the ~0.6% surviving stream, by broadcast joins
+    # of the base dims. Two properties make this the right plan at
+    # every scale:
+    #   * semi joins keep Catalyst's size estimate at the (pruned)
+    #     fact-scan size — no left×right product inflation — so at
+    #     bench SF the l⋈o join still plans as a static broadcast
+    #     (zero fact shuffle, one codegen pipeline over lineitem,
+    #     matching the best all-broadcast shape), while at cluster SF
+    #     the same code degrades to a shuffle join whose BOTH inputs
+    #     are pre-reduced ~12× — the old shape shuffled the full
+    #     tables and filtered last;
+    #   * every build side is a base-table scan (never a join result),
+    #     which keeps the planner's file-size stats authoritative.
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
     c = table(spark, sf_dir, "customer")
-    n1 = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    the_pair = ("NATION_1", "NATION_2")
+    n1 = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*the_pair))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*the_pair))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    s_keys = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"), "left_semi").select(
+        "s_suppkey"
+    )
+    c_keys = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"), "left_semi").select(
+        "c_custkey"
+    )
+    l2 = l.join(F.broadcast(s_keys), l.l_suppkey == F.col("s_suppkey"), "left_semi").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+        _revenue().alias("volume"),
+    )
+    o2 = o.join(F.broadcast(c_keys), o.o_custkey == F.col("c_custkey"), "left_semi").select(
+        "o_orderkey", "o_custkey"
     )
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
         F.col("supp_nation") == "NATION_2"
     ) & (F.col("cust_nation") == "NATION_1")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        l2.join(o2, l2.l_orderkey == o2.o_orderkey)
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l2.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), o2.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
-        .select(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("bigint").alias("l_year"),
-            _revenue().alias("volume"),
-        )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(dsum(F.col("volume"), "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -162,30 +194,49 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="TPC-H Q8: NATION_3's share of PROMO-part revenue into ASIA; share division in double (exact decimal numerator/denominator)",
 )
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    # Plan shape (r9): customer contributes nothing but the ASIA
+    # membership test, so orders are SEMI-filtered by the ASIA customer
+    # keys (region⋈nation broadcast-semi'd into customer, 1-in-5
+    # selectivity) BEFORE the l⋈o join, and the customer payload never
+    # rides any exchange. Likewise lineitem drops to the PROMO slice
+    # via a semi join on the filtered part keys, and the supplier
+    # nation name is attached AFTER the fact-fact join on the ~4%
+    # surviving stream. Semi joins keep Catalyst's size estimates at
+    # the pruned fact-scan size (no left×right product inflation), so
+    # at bench SF the l⋈o join stays a static broadcast (zero fact
+    # shuffle) while at cluster SF it becomes a shuffle join with both
+    # inputs pre-reduced 5× — the old shape joined full orders and
+    # full customer first and let the ASIA filter land last.
     l = table(spark, sf_dir, "lineitem")
-    s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     n1 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation")
     )
-    n2 = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("n_nationkey")
+    )
+    asia_customers = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("c_custkey")
+    )
+    o2 = o.join(F.broadcast(asia_customers), o.o_custkey == F.col("c_custkey"), "left_semi").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l2 = l.join(F.broadcast(p), l.l_partkey == F.col("p_partkey"), "left_semi").select(
+        "l_orderkey", "l_suppkey", _revenue().alias("volume")
+    )
     zero = F.lit(0).cast("decimal(19,4)")
     return (
-        l.join(p, l.l_partkey == p.p_partkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
-        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
-        .select(
-            F.year("o_orderdate").cast("bigint").alias("o_year"),
-            _revenue().alias("volume"),
-            "nation",
-        )
+        l2.join(o2, l2.l_orderkey == o2.o_orderkey)
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l2.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select(F.year("o_orderdate").cast("bigint").alias("o_year"), "volume", "nation")
         .groupBy("o_year")
         .agg(
             (

@@ -439,3 +439,30 @@ class TestPipelineShapes:
         assert len(li) == 1, f"lineitem scanned {len(li)}x"
         # no countDistinct Expand node multiplying fact rows
         assert "Expand" not in plan
+
+
+class TestRound9Additions:
+    """q7/q8 broadcast-semi pre-reduction (r9): both fact inputs are
+    reduced by LeftSemi joins BELOW the fact-fact join, the build side
+    is never the lineitem fact, and no cartesian appears."""
+
+    def test_q7_semi_reduces_both_facts(self, spark):
+        import re
+
+        plan = _plan(spark, "tpch_q7_volume_shipping")
+        assert "CartesianProduct" not in plan
+        assert plan.count("LeftSemi") >= 2  # supplier-key semi on l, customer-key semi on o
+        assert "BuildLeft" not in plan  # fact side never the hash build
+        li = re.findall(r"FileScan parquet \[[^\]]*l_orderkey", plan)
+        assert len(li) == 1, f"lineitem scanned {len(li)}x"
+
+    def test_q8_semi_reduces_both_facts(self, spark):
+        import re
+
+        plan = _plan(spark, "tpch_q8_market_share")
+        assert "CartesianProduct" not in plan
+        # region→nation, nation→customer, customer→orders, part→lineitem
+        assert plan.count("LeftSemi") >= 3
+        assert "BuildLeft" not in plan
+        li = re.findall(r"FileScan parquet \[[^\]]*l_orderkey", plan)
+        assert len(li) == 1, f"lineitem scanned {len(li)}x"
