@@ -29,9 +29,18 @@ Scale shape (100 TB stance):
 - Each k-means iteration is one scan + one (cluster, pos) aggregate of
   k*dim cells — map-side partial, no window, no driver collect; the
   centroid table (k rows) broadcasts back.
-- Assignment is a broadcast cross-join against k centroids with a
-  groupBy-argmax (struct max), not a window — partial aggregation
-  applies.
+- Assignment is MAP-ONLY (r9): the k centroids ride a single-row
+  broadcast as a struct array and each row folds over it with
+  array_max(transform(...)) — no n*k cross-join row explosion and no
+  groupBy-argmax shuffle. Struct ordering (score, -cid) reproduces the
+  old max(struct(...)) tie-break exactly and is order-independent, so
+  the DuckDB oracle still hash-matches. Because assignment is a map,
+  it carries the vector through, and neither the centroid update nor
+  the prune stage re-joins the source by id — the k-means inner loop
+  is scan → map → one k*dim-cell aggregate per iteration, period.
+  The broadcast is k*dim doubles — the same payload the previous
+  cross-join broadcast shipped; at web scale (k ~ 50k, dim ~ 768)
+  either formulation needs an ANN-assisted assignment instead.
 - Pruning self-joins WITHIN clusters only. k should grow with corpus
   size (SemDeDup uses ~sqrt(n) clusters; 50k clusters at web scale)
   so per-cluster pair counts stay bounded; k is a parameter here.
@@ -42,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from strake_spark.operators.similarity import _dot, _norm2
+from strake_spark.operators.similarity import _dot
 
 # exact, order-independent accumulator type for centroid sums:
 # components are |x| < 1 floats; (18,9) summed over <=1e9 rows stays
@@ -50,33 +59,45 @@ from strake_spark.operators.similarity import _dot, _norm2
 _ACC = "decimal(18,9)"
 
 
-def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """argmax_j dot(v, c_j)/|c_j| per row; ties -> smallest cluster id.
+def _with_cluster(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v) -> (vec_id, v, cluster): argmax_j dot(v, c_j)/|c_j|
+    per row; ties -> smallest cluster id.
 
-    groupBy struct-max instead of a window: partial (map-side)
-    aggregation applies, and no per-key sort materializes.
+    Map-only: the centroids arrive as ONE broadcast row holding a
+    struct array, and each row takes array_max over per-centroid
+    (score, -cid) structs — lexicographic struct ordering is exactly
+    the old groupBy max(struct(score, neg_cid)) tie-break, computed
+    without the n*k row explosion or the argmax shuffle, and it is
+    fold-order independent so the oracle hash is unchanged.
     """
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        F.col("cid"),
-        (_dot(F.col("v"), F.col("c")) / F.sqrt(_norm2(F.col("c")))).alias("score"),
+    carr = cents.agg(F.collect_list(F.struct("cid", "c")).alias("_cents"))
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda x: F.struct(
+                # HOF fold here on purpose: the unrolled dot inside the
+                # iterated k-means lineage multiplies the analyzed plan
+                # size per iteration (measured 5x slower); the fold
+                # keeps the plan small and scoring is k*n, not n^2/k
+                (_dot(F.col("v"), x["c"]) / F.sqrt(_dot(x["c"], x["c"]))).alias("score"),
+                (-x["cid"]).alias("neg_cid"),
+            ),
+        )
     )
-    # max of (score, -cid) == highest score, then lowest cluster id
-    best = (
-        scored.groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("score"), (-F.col("cid")).alias("neg_cid"))).alias("b"))
-        .select("vec_id", (-F.col("b.neg_cid")).alias("cluster"))
+    return (
+        e.crossJoin(F.broadcast(carr))
+        .withColumn("_b", best)
+        .select("vec_id", "v", (-F.col("_b.neg_cid")).alias("cluster"))
     )
-    return best
 
 
-def _update(e: DataFrame, assign: DataFrame) -> DataFrame:
+def _update(assigned: DataFrame) -> DataFrame:
     """New centroids: per-(cluster, pos) DECIMAL-exact component mean,
-    reassembled into ordered arrays JVM-side (sort_array over structs)."""
+    reassembled into ordered arrays JVM-side (sort_array over structs).
+    ``assigned`` carries the vector (map-only assignment), so no join
+    back to the source is needed."""
     comp = (
-        assign.join(e, "vec_id")
-        .select("cluster", F.posexplode("v").alias("pos", "val"))
+        assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
         .groupBy("cluster", "pos")
         .agg(F.sum(F.col("val").cast(_ACC)).alias("s"), F.count(F.lit(1)).alias("cnt"))
     )
@@ -112,12 +133,12 @@ def _kmeans(e: DataFrame, k: int, iters: int) -> DataFrame:
     cents = e.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
-    assign = None
+    assigned = None
     for i in range(iters):
-        assign = _assign(e, cents)
+        assigned = _with_cluster(e, cents)
         if i < iters - 1:
-            cents = _update(e, assign)
-    return assign
+            cents = _update(assigned)
+    return assigned
 
 
 def kmeans_assign(
@@ -134,15 +155,16 @@ def kmeans_assign(
     passes. Init centroids are the ``k`` smallest ids' vectors.
 
     ``persist`` caches the normalized embedding relation
-    (MEMORY_AND_DISK) — each iteration scans it for assignment AND
-    centroid update, so without the cache the source is re-read
-    2*iters times. Disable for corpora larger than cluster storage."""
+    (MEMORY_AND_DISK) — assignment is map-only but each iteration's
+    centroid update re-reads it (plus the init scan), so without the
+    cache the source is read iters+1 times. Disable for corpora larger
+    than cluster storage."""
     e = _normalized(emb, id_col, vec_col)
     if persist:
         from pyspark import StorageLevel
 
         e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    return _kmeans(e, k, iters)
+    return _kmeans(e, k, iters).select("vec_id", "cluster")
 
 
 def semantic_prune(
@@ -153,6 +175,7 @@ def semantic_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist: bool = True,
+    chunk_cells: int = 4_000_000,
 ) -> DataFrame:
     """SemDeDup keep-list: drop any row whose cosine to ANY lower-id
     member of its own cluster (kept or itself dropped) reaches ``tau``.
@@ -160,65 +183,80 @@ def semantic_prune(
     pruning: in a similarity chain a<b<c with cos(a,b)>=tau and
     cos(b,c)>=tau but cos(a,c)<tau, greedy would re-admit c after
     dropping b; this rule drops both (transitive-neighborhood
-    semantics, single self-join, no iteration). The cluster's smallest
-    id always survives. Returns (vec_id, cluster) for survivors.
+    semantics, no iteration). The cluster's smallest id always
+    survives. Returns (vec_id, cluster) for survivors.
+
+    Pairwise engine (r9): ``groupBy(cluster).applyInPandas`` — the
+    per-cluster pairwise is the algorithm's own O(n^2/k) kernel, and a
+    DataFrame self-join materializes both vectors per PAIR (n^2/k * dim
+    cells through the join), where the Arrow path ships each cluster's
+    members ONCE (n * dim cells) and forms pairs inside numpy. The
+    cosine matrix accumulates with an ascending-index loop
+    (``acc += A[:, i] * B[:, i]``), which performs each pair's adds in
+    exactly the sequential order of the SQL HOF fold and DuckDB's
+    ``list_dot_product`` — bit-identical doubles, so the oracle still
+    hash-matches; NaN cosines (zero vectors) count as >= tau, matching
+    Spark/DuckDB NaN-greatest comparison semantics. Memory is bounded:
+    pair blocks are processed in chunks of ~``chunk_cells`` matrix
+    cells (~8 bytes each), so a hot cluster costs O(chunk) not
+    O(cluster^2). Parallelism is k tasks — SemDeDup's own scaling
+    argument (k ~ sqrt(n)) makes that the right width at scale.
 
     Materialization discipline (``persist=True``): the source is read
     ONCE into a MEMORY_AND_DISK cache; k-means iterations read the
     cache; the (id, cluster, vector) relation is checkpointed once and
-    feeds both self-join sides; the cache is released as soon as the
-    checkpoint exists. Peak footprint ~2x the normalized corpus
-    (spillable); without it the source is re-scanned ~2*iters+3 times.
-    Disable for corpora larger than cluster storage."""
+    the cache is released as soon as the checkpoint exists. Disable
+    for corpora larger than cluster storage."""
+    import numpy as np
+    import pandas as pd
+
     e = _normalized(emb, id_col, vec_col)
     if persist:
         from pyspark import StorageLevel
 
         e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    # ONE checkpoint: av (id, cluster, vector) feeds every downstream
-    # lineage — both self-join sides AND the final anti-join (which
-    # takes cluster from av, not from a separate assignment
-    # materialization) — so k-means executes exactly once, directly
-    # into the av build
-    assign = _kmeans(e, k, iters)
-    av = assign.join(e, "vec_id").select("vec_id", "cluster", "v").localCheckpoint()
+    # ONE checkpoint: av (id, cluster, vector) is the single
+    # materialization of k-means; the grouped pairwise is its only
+    # consumer, and it emits survivors directly (no drop-list, no
+    # anti-join). Map-only assignment already carries the vector, so
+    # no join back to the source is needed.
+    av = _kmeans(e, k, iters).select("vec_id", "cluster", "v").localCheckpoint()
     if persist:
         e.unpersist(blocking=False)  # av holds everything downstream needs
-    # Within-cluster pairwise with BLOCK SALTING: keying the self-join
-    # on cluster alone caps parallelism at k tasks (each cluster's full
-    # pairwise lands in ONE task — the skew story when k is small or a
-    # cluster is hot). Pair (a, b) is assigned to block a % B: the left
-    # side carries one copy in its own block, the right side replicates
-    # B times, and the join keys on (cluster, blk) — every pair still
-    # meets exactly once, spread over k*B tasks. B derives from session
-    # parallelism; at web scale k ~ sqrt(n) already gives parallelism,
-    # and B degrades to a small constant.
-    B = max(1, min(16, -(-av.sparkSession.sparkContext.defaultParallelism // k)))
-    left = av.select(
-        F.col("cluster"),
-        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk"),
-        F.col("vec_id").alias("a"),
-        F.col("v").alias("va"),
-        F.sqrt(_norm2(F.col("v"))).alias("na"),
+    tau_ = float(tau)
+    cells = max(1, int(chunk_cells))
+
+    def _prune_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n_c = len(pdf)
+        if n_c < 2:
+            return pdf[["vec_id", "cluster"]]
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+        d = m.shape[1]
+        # norms with the same sequential accumulation as sqrt(fold)
+        acc_n = np.zeros(n_c)
+        for i in range(d):
+            acc_n += m[:, i] * m[:, i]
+        norms = np.sqrt(acc_n)
+        dropped = np.zeros(n_c, dtype=bool)
+        rows_per_chunk = max(1, cells // n_c)
+        idx = np.arange(n_c)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, n_c, rows_per_chunk):
+                t = min(n_c, s + rows_per_chunk)
+                a = m[s:t]
+                acc = np.zeros((t - s, n_c))
+                for i in range(d):
+                    acc += a[:, i : i + 1] * m[:, i]
+                cos = acc / np.outer(norms[s:t], norms)
+                hit = (cos >= tau_) | np.isnan(cos)
+                # pair (a, b) counts only when a's id < b's id (rows
+                # are id-sorted, so row order == id order)
+                hit &= idx[s:t, None] < idx[None, :]
+                dropped |= hit.any(axis=0)
+        return pdf.loc[~dropped, ["vec_id", "cluster"]]
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in av.schema if f.name != "v"
     )
-    right = av.crossJoin(
-        F.broadcast(av.sparkSession.range(B).select(F.col("id").cast("int").alias("blk")))
-    ).select(
-        F.col("cluster"),
-        F.col("blk"),
-        F.col("vec_id").alias("b"),
-        F.col("v").alias("vb"),
-        F.sqrt(_norm2(F.col("v"))).alias("nb"),
-    )
-    dropped = (
-        left.join(right, ["cluster", "blk"])
-        .filter(F.col("a") < F.col("b"))
-        .filter(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= tau)
-        .select(F.col("b").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        av.select("vec_id", "cluster")
-        .join(dropped, "vec_id", "left_anti")
-        .select("vec_id", "cluster")
-    )
+    return av.groupBy("cluster").applyInPandas(_prune_cluster, schema=out_schema)
