@@ -82,9 +82,22 @@ def minhash_signatures(
 
     Single shuffle (groupBy id); the K mins are map-side partial aggs,
     so the shuffle carries K longs per doc regardless of text size.
+    Shingles are generated WITHOUT the distinct() that char_shingles
+    applies (r9): min over a multiset equals min over its set, so the
+    dedup shuffle — a full exchange of (id, shingle) strings, the
+    widest relation in the pipeline — buys nothing here. The explode →
+    hash → partial-min pipeline shuffles only K longs per doc.
     """
-    sh = char_shingles(docs, id_col, text_col).select(
-        F.col(id_col), h32(F.col("shingle")).alias("h")
+    norm = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
+    width = SHINGLE_WIDTH
+    sh = (
+        norm.filter(F.length("t") >= width)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length("t") - (width - 1))).alias("i"),
+            F.col("t"),
+        )
+        .select(F.col(id_col), h32(F.col("t").substr(F.col("i"), F.lit(width))).alias("h"))
     )
     aggs = [F.min(minhash_expr(F.col("h"), k)).alias(f"mh{k}") for k in range(num_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
@@ -101,12 +114,13 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard >= threshold.
 
-    Bands the signature, self-joins on (band, band-key). Distinct pairs
-    may collide in several bands — dedup before scoring. Estimated
-    Jaccard = fraction of agreeing signature components.
+    Bands the signature, buckets on (band, band-key), expands each
+    bucket's a<b pairs. Distinct pairs may collide in several bands —
+    dedup before scoring. Estimated Jaccard = fraction of agreeing
+    signature components.
 
     Buckets with more than ``max_bucket_size`` members are dropped
-    before the self-join: a single boilerplate bucket (every page
+    before pairs expand: a single boilerplate bucket (every page
     sharing a template) would otherwise produce size^2/2 candidate pairs
     and one straggler task. Docs inside a dropped bucket still pair up
     through their other bands unless they collide everywhere — the
@@ -132,32 +146,35 @@ def minhash_candidates(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
-    # Hot-bucket cap via aggregate + broadcast anti-join, NOT a window:
-    # a count().over(partitionBy(band, band_key)) would sort-shuffle the
-    # whole num_bands-times-exploded relation just to compute per-bucket
-    # counts. groupBy gets the same counts with map-side partials (the
-    # shuffle carries one row per distinct bucket, not per doc), and the
-    # over-cap key set is tiny by construction, so it broadcasts.
-    hot = (
+    # Pair generation via ONE bucket aggregation (r9), not a banded
+    # self-join: groupBy (band, band_key) collects each bucket's member
+    # ids (bounded by the cap), the over-cap filter drops hot buckets
+    # as a plain predicate on the aggregated row (no second aggregate,
+    # no broadcast anti-join), and the a<b pairs expand from the sorted
+    # member array with index-aware transforms. The old shape evaluated
+    # the banded relation three times (hot-count, join left, join
+    # right) and shuffled four times; this shuffles the banded relation
+    # once, and the pair explosion is per-bucket O(size^2) — exactly
+    # the work the join performed, without the join. collect_list is
+    # safe by construction: the cap bounds any bucket at
+    # max_bucket_size ids (~8 bytes each) before pairs expand.
+    members = (
         banded.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .filter(F.col("bucket_n") > max_bucket_size)
-        .select("band", "band_key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("m"))
+        .filter((F.size("m") >= 2) & (F.size("m") <= max_bucket_size))
     )
-    banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + F.lit(2), F.size(F.col("m"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        members.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
