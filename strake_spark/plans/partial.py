@@ -398,6 +398,19 @@ def analyze_partial(spark: SparkSession, sql: str):
             any_local = True
             continue
         try:
+            # STRICT-CONTRACT GUARANTEE (structural): spark.table() is
+            # deliberately the column authority here. Under a strict
+            # contract the registered Spark view already projects ONLY
+            # the declared columns, so every projection this rung can
+            # emit (including the star fallback below, which expands to
+            # t.columns, never to the remote catalog's schema) is a
+            # subset of the declared set — the partial rung cannot leak
+            # an undeclared remote column even though it does not route
+            # through federation._rewrite_remote_ref like the
+            # whole-statement and subtree rungs. Do NOT replace this
+            # with the remote catalog's schema; the guarantee (pinned
+            # by TestStrictContractFederation
+            # ::test_partial_rung_*) dies with it.
             dtypes = spark.table(name).dtypes
         except Exception:
             return None

@@ -304,6 +304,63 @@ class TestStrictContractFederation:
             REMOTE_TABLES.pop("mz_t", None)
             STRICT_VIEWS.pop("mz_t", None)
 
+    def test_partial_rung_projects_declared_only(self, fed_strict):
+        """The partial rung enforces strict contracts STRUCTURALLY: its
+        column authority is spark.table() (the registered view, which a
+        strict contract already narrows to the declared columns), not
+        the remote catalog — see plans/partial.py. Pin that: a mixed
+        remote+local join must ship a pg_orders scan that projects a
+        subset of the declared set, never a physical-only column."""
+        from strake_spark.plans.federation import plan_sql
+        from strake_spark.plans.partial import PartialPlan
+
+        sql = (
+            "SELECT o.o_totalprice, c.c_name FROM pg_orders o "
+            "JOIN loc_customer c ON o.o_custkey = c.c_custkey "
+            "WHERE o.o_orderkey > 100"
+        )
+        df, plan = plan_sql(fed_strict.spark, sql)
+        assert isinstance(plan, PartialPlan)
+        (scan,) = [s for s in plan.scans if s.view == "pg_orders"]
+        shipped = scan.remote_sql.lower().replace('"', "")
+        cols = shipped.split("from")[0]
+        assert "o_orderpriority" not in cols  # physical but undeclared
+        for c in ("o_totalprice", "o_custkey", "o_orderkey"):
+            assert c in cols
+        assert df.count() > 0
+
+    def test_partial_rung_star_expands_to_declared(self, fed_strict):
+        """SELECT * through the partial rung expands from the Spark
+        view's schema, i.e. exactly the declared columns — a refactor
+        that reads the remote catalog instead would leak every
+        physical column here."""
+        from strake_spark.plans.federation import plan_sql
+        from strake_spark.plans.partial import PartialPlan
+
+        sql = (
+            "SELECT * FROM pg_orders o "
+            "JOIN loc_customer c ON o.o_custkey = c.c_custkey "
+            "WHERE o.o_orderkey <= 50"
+        )
+        df, plan = plan_sql(fed_strict.spark, sql)
+        if plan is not None and isinstance(plan, PartialPlan):
+            pg = [s for s in plan.scans if s.view == "pg_orders"]
+            if pg:
+                cols = pg[0].remote_sql.lower().replace('"', "").split("from")[0]
+                assert "o_orderpriority" not in cols
+                for c in self.DECLARED:
+                    assert c in cols
+        # regardless of which rung fired, the surfaced schema is closed
+        order_cols = [c for c in df.columns if c.startswith("o_")]
+        assert sorted(order_cols) == sorted(self.DECLARED)
+
+    def test_partial_rung_undeclared_column_fails(self, fed_strict):
+        with pytest.raises(Exception, match="o_orderpriority"):
+            fed_strict.execute(
+                "SELECT o.o_orderpriority FROM pg_orders o "
+                "JOIN loc_customer c ON o.o_custkey = c.c_custkey"
+            ).to_pandas()
+
     def test_subtree_ship_carries_guard(self, fed_strict):
         from strake_spark.plans.subtree import analyze_subtrees
 
