@@ -136,6 +136,32 @@ class EngineConfig:
     contracts: Any = None  # governance.contracts.ContractsConfig when set
 
 
+
+def _first_set(*values, default):
+    """First value that is not None — unlike an `or` chain, an explicit
+    0 (or empty string) is a real setting, not an absence (r8 advice)."""
+    for v in values:
+        if v is not None:
+            return v
+    return default
+
+
+def _parse_user_slots(raw: Any) -> dict[str, int]:
+    """Per-user connection slots; values must be >= 1 — a 0 would read
+    as "block this user" but the governor's falsy check would treat it
+    as "no limit", so reject it loudly at parse time (r8 advice)."""
+    out: dict[str, int] = {}
+    for k, v in (raw or {}).items():
+        n = int(v)
+        if n < 1:
+            raise ValueError(
+                f"user_slots[{k!r}] must be >= 1, got {n} "
+                "(use source-level deny rules to block a user entirely)"
+            )
+        out[str(k)] = n
+    return out
+
+
 def _column(d: Any) -> ColumnConfig:
     if isinstance(d, str):
         return ColumnConfig(name=d)
@@ -169,13 +195,14 @@ def _source(d: dict[str, Any]) -> SourceConfig:
     src_type = str(d["type"]).lower()
     if src_type == "sql" and d.get("dialect"):
         src_type = str(d["dialect"]).lower()
-    url = (
-        d.get("url")
-        or d.get("connection")
-        or nested.pop("base_url", None)
-        or nested.pop("url", None)
-        or nested.pop("connection", None)
-    )
+    # pop the nested url spellings UNCONDITIONALLY: with a lazy `or`
+    # chain, a top-level url left the nested base_url/url/connection in
+    # `nested`, where it leaked into options and could mislead a
+    # connector (r8 advice)
+    nested_urls = [nested.pop(k, None) for k in ("base_url", "url", "connection")]
+    url = d.get("url") or d.get("connection")
+    if url is None:
+        url = next((u for u in nested_urls if u is not None), None)
     pagination = nested.pop("pagination", None)
     if isinstance(pagination, dict):
         style = str(pagination.get("type", "none")).lower()
@@ -240,8 +267,10 @@ def parse_config(raw: dict[str, Any]) -> EngineConfig:
             enabled=bool(ca.get("enabled", False)),
             directory=str(ca.get("directory", "/tmp/strake-spark-cache")),
             ttl_seconds=float(ca.get("ttl_seconds", 3600.0)),
-            # reference spelling max_size_mb (strake.yaml:21)
-            max_mb=int(ca.get("max_mb") or ca.get("max_size_mb") or 2048),
+            # reference spelling max_size_mb (strake.yaml:21);
+            # explicit 0 is honored (disables caching by size), only
+            # absent/None falls back (r8 advice)
+            max_mb=int(_first_set(ca.get("max_mb"), ca.get("max_size_mb"), default=2048)),
         ),
         retry=RetryConfig(
             max_attempts=int(re_.get("max_attempts", 5)),
@@ -249,16 +278,26 @@ def parse_config(raw: dict[str, Any]) -> EngineConfig:
             cap_ms=int(re_.get("cap_ms", 60_000)),
         ),
         global_connection_budget=int(
-            raw.get("global_connection_budget")
-            or sv.get("global_connection_budget")
-            or 100
+            _first_set(
+                raw.get("global_connection_budget"),
+                sv.get("global_connection_budget"),
+                default=100,
+            )
         ),
         agent_guard_mode=str(sec.get("agent_guard_mode", "disabled")).lower(),
-        user_slots={str(k): int(v) for k, v in (raw.get("user_slots") or {}).items()},
-        default_user_slots=(
-            int(raw["default_user_slots"]) if raw.get("default_user_slots") else None
-        ),
+        user_slots=_parse_user_slots(raw.get("user_slots")),
+        default_user_slots=_parse_default_slots(raw.get("default_user_slots")),
     )
+
+
+
+def _parse_default_slots(v: Any) -> int | None:
+    if v is None:
+        return None
+    n = int(v)
+    if n < 1:
+        raise ValueError(f"default_user_slots must be >= 1, got {n}")
+    return n
 
 
 def load_config(path_or_dict: str | dict[str, Any]) -> EngineConfig:

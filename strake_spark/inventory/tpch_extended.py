@@ -389,7 +389,9 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the revenue view feeds the scalar max AND the equality filter;
     # ReuseExchange does NOT fire (the consumers' projections diverge
     # after optimization), so without a cache the filtered fact scan +
-    # shuffle run twice. Persist is #suppliers rows, spillable.
+    # shuffle run twice. Persist is #suppliers rows, spillable;
+    # backs the returned lazy DataFrame (bench sessions reclaim via
+    # ContextCleaner / clearCache between batches — r8 advice).
     # Same-session A/B at sf0.1: 0.80s -> 0.52s.
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_revenue()).alias("total_revenue")

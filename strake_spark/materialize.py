@@ -58,14 +58,28 @@ class Materializer:
         with open(cur) as f:
             return os.path.join(self._view_dir(view), f.read().strip())
 
-    def _next_version(self, view: str) -> str:
+    def _reserve_version(self, view: str) -> tuple[str, str]:
+        """Allocate the next vNNNN and RESERVE it by creating the
+        directory under the lock — a scheduled refresh racing a manual
+        materialize of the same view must never pick the same directory
+        and write into it concurrently (r8 advice). The mkdir is the
+        reservation: once it exists, the next caller's listdir sees it
+        and moves on."""
         d = self._view_dir(view)
         os.makedirs(d, exist_ok=True)
-        existing = [
-            int(n[1:]) for n in os.listdir(d)
-            if n.startswith("v") and n[1:].isdigit()
-        ]
-        return f"v{(max(existing) + 1 if existing else 1):04d}"
+        with self._lock:
+            while True:
+                existing = [
+                    int(n[1:]) for n in os.listdir(d)
+                    if n.startswith("v") and n[1:].isdigit()
+                ]
+                version = f"v{(max(existing) + 1 if existing else 1):04d}"
+                dest = os.path.join(d, version)
+                try:
+                    os.mkdir(dest)
+                except FileExistsError:  # pragma: no cover - racer outside the lock
+                    continue
+                return version, dest
 
     def materialize(self, view: str, mode: str = "overwrite") -> dict:
         """Copy ``view`` into the next parquet version, flip CURRENT,
@@ -76,8 +90,7 @@ class Materializer:
                 source_df = self._originals[view][0]
             else:
                 source_df = spark.table(view)
-        version = self._next_version(view)
-        dest = os.path.join(self._view_dir(view), version)
+        version, dest = self._reserve_version(view)
         source_df.write.mode(mode).parquet(dest)
         with self._lock:
             if view not in self._originals:

@@ -128,6 +128,8 @@ def minhash_candidates(
     by exact dedup upstream). The default cap is far above any test
     bucket, so oracle results are unchanged at test scale.
     """
+    # cache: sig feeds banding AND both score-join sides; backs the
+    # returned lazy DataFrame (caller releases via clearCache())
     sig = minhash_signatures(docs, id_col, text_col, num_hashes).cache()
     rows_per_band = num_hashes // num_bands
     # Band via a single explode, NOT a num_bands-way union: a union

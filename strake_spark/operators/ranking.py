@@ -55,6 +55,10 @@ def bm25_scores(
     both the corpus-stats aggregate and the scoring pass, so without
     the cache the text column is tokenized twice. The profile is
     id + (1 + n_terms) ints per document, MEMORY_AND_DISK (spillable).
+    Cache lifetime: it backs the RETURNED lazy DataFrame, so the
+    operator cannot release it; in a long-lived engine issuing many
+    calls, unpersist via ``spark.catalog.clearCache()`` between
+    batches or pass ``persist=False`` (r8 advice).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")

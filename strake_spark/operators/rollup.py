@@ -74,7 +74,9 @@ def incremental_rollup(
     twice — against the whole point of incremental maintenance. The
     cached relations are rollup-sized (one row per bucket), not
     event-sized. In production the base rollup is a stored table and
-    its cache is a no-op read; pass False to manage storage yourself."""
+    its cache is a no-op read; pass False to manage storage yourself.
+    Caches back the returned lazy DataFrame and so outlive this call —
+    long-lived engines should clearCache() between batches (r8 advice)."""
     base_r = rollup_events(base_events, keys, value_col)
     late_r = rollup_events(late_events, keys, value_col)
     if persist:

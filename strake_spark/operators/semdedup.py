@@ -158,13 +158,20 @@ def kmeans_assign(
     (MEMORY_AND_DISK) — assignment is map-only but each iteration's
     centroid update re-reads it (plus the init scan), so without the
     cache the source is read iters+1 times. Disable for corpora larger
-    than cluster storage."""
+    than cluster storage. The cache is RELEASED before returning (r8
+    advice: operator persists must not accumulate in a long-lived
+    engine): the (id, cluster) result is checkpointed — it is k-means'
+    natural output materialization, two narrow columns — and the
+    source cache unpinned immediately."""
     e = _normalized(emb, id_col, vec_col)
-    if persist:
-        from pyspark import StorageLevel
+    if not persist:
+        return _kmeans(e, k, iters).select("vec_id", "cluster")
+    from pyspark import StorageLevel
 
-        e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    return _kmeans(e, k, iters).select("vec_id", "cluster")
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    out = _kmeans(e, k, iters).select("vec_id", "cluster").localCheckpoint()
+    e.unpersist(blocking=False)
+    return out
 
 
 def semantic_prune(

@@ -261,6 +261,8 @@ def embedding_dup_pairs(
     # Caching before posexplode keeps the footprint at ~1x corpus
     # (id, vec, norm, keys array), not num_bands x; the explode that
     # re-derives each lineage is a cheap JVM generator over the cache.
+    # The cache backs the returned lazy DataFrame (cannot be released
+    # here); long-lived engines: clearCache() between batches.
     from pyspark import StorageLevel
 
     keyed = emb.select(

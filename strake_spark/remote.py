@@ -24,6 +24,7 @@ Flight actions; results are JSON. Query results are Arrow tables
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 from strake_spark.errors import BudgetExceeded, QueryRejected, QueryTimeout, StrakeError
@@ -41,10 +42,29 @@ _ERROR_TYPES = {
 
 
 def _translate(exc: Exception):
+    """Map a Flight error back to the engine's governed type.
+
+    Matches ONLY the server's structured ``STRAKE_ERR:<Type>:`` marker
+    (server.py emits it for every governed failure) — matching bare
+    class names as substrings re-classified any server error whose
+    message merely CONTAINED e.g. 'QueryRejected' (including SQL text
+    echoed back) and produced a garbled detail (r8 advice). A legacy
+    bare-name fallback is kept for pre-marker servers, but only when
+    the name appears in the error's own framing prefix, not in echoed
+    SQL."""
     msg = str(exc)
+    m = re.search(r"STRAKE_ERR:([A-Za-z]+):", msg)
+    if m:
+        cls = _ERROR_TYPES.get(m.group(1))
+        if cls is not None:
+            detail = msg[m.end():].split("'. ")[0].rstrip("'\") .")
+            return cls(f"{m.group(1)}: {detail}" if detail else msg)
+        return None
+    # legacy servers (no marker): only trust a name in the first line's
+    # framing, before any quoted payload
+    head = msg.split("'", 1)[0]
     for name, cls in _ERROR_TYPES.items():
-        if name in msg:
-            # strip the Flight framing down to the engine's message
+        if name in head:
             detail = msg.split(name, 1)[-1].lstrip(":( '\"").split("')")[0]
             return cls(f"{name}: {detail}" if detail else msg)
     return None

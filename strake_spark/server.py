@@ -55,6 +55,22 @@ def make_server(
     import pyarrow as pa
     import pyarrow.flight as fl
 
+    from strake_spark.errors import StrakeError
+
+    def _governed(fn):
+        """Run an engine verb; re-raise governed failures with the
+        structured STRAKE_ERR:<Type>: marker so the thin client
+        (remote._translate) can classify by prefix instead of
+        substring-matching class names anywhere in the message (r8
+        advice — a query whose SQL text contained 'QueryRejected' was
+        re-classified and its detail garbled)."""
+        try:
+            return fn()
+        except StrakeError as e:
+            raise fl.FlightServerError(
+                f"STRAKE_ERR:{type(e).__name__}:{e}"
+            ) from e
+
     tls_pairs = []
     if tls_cert is not None:
         if tls_key is None:
@@ -121,7 +137,7 @@ def make_server(
             if sql.startswith("{"):
                 req = json.loads(sql)
                 sql, params = req["sql"], req.get("params")
-            df = self.engine.sql(sql, params=params)  # gate + plan; no execution yet
+            df = _governed(lambda: self.engine.sql(sql, params=params))  # gate + plan; no execution yet
             from pyspark.sql.pandas.types import to_arrow_schema
 
             schema = to_arrow_schema(df.schema)
@@ -156,7 +172,9 @@ def make_server(
                 mw = None
             claims = getattr(mw, "claims", None) or {}
             user = claims.get("sub") or user
-            table = self.engine.execute(payload, user=user, params=params)
+            table = _governed(
+                lambda: self.engine.execute(payload, user=user, params=params)
+            )
             return fl.RecordBatchStream(table)
 
         # ---------------------------------------------------- control plane
@@ -172,13 +190,13 @@ def make_server(
         def do_action(self, context, action):
             body = action.body.to_pybytes().decode() if action.body else ""
             if action.type == "list_sources":
-                out = self.engine.list_sources()
+                out = _governed(self.engine.list_sources)
             elif action.type == "describe":
-                out = self.engine.describe(body or None)
+                out = _governed(lambda: self.engine.describe(body or None))
             elif action.type == "explain_tree":
-                out = {"tree": self.engine.explain_tree(body)}
+                out = {"tree": _governed(lambda: self.engine.explain_tree(body))}
             elif action.type == "trace":
-                out = self.engine.trace(body)
+                out = _governed(lambda: self.engine.trace(body))
             elif action.type == "ping":
                 out = {"ok": True, "engine": "strake-spark"}
             else:
