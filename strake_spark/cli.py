@@ -368,6 +368,65 @@ def cmd_domain(args) -> int:
         store.close()
 
 
+
+
+def _keys_store(args):
+    """API keys live in their own SQLite next to the config (or --store)."""
+    import os
+
+    path = args.store
+    if path is None:
+        base = os.path.dirname(
+            os.path.abspath(getattr(args, "config", None) or "sources.yaml")
+        )
+        path = os.path.join(base, "strake-apikeys.db")
+    from strake_spark.apikeys import ApiKeyStore
+
+    return ApiKeyStore(path)
+
+
+def cmd_keys(args) -> int:
+    """Enterprise API-key lifecycle (docs/enterprise.md:19-21): issue /
+    list / revoke / rotate against the SQLite key store. The secret
+    prints ONCE at issue/rotate time."""
+    import time as _time
+
+    store = _keys_store(args)
+    if args.keys_cmd == "issue":
+        secret, info = store.issue(
+            args.name, user=args.user, scopes=args.scopes,
+            ttl_seconds=args.ttl,
+        )
+        print(f"key_id: {info.key_id}")
+        print(f"secret: {secret}")
+        print("store this secret now; it is not recoverable")
+        return 0
+    if args.keys_cmd == "list":
+        for k in store.list_keys():
+            state = "active"
+            now = _time.time()
+            if k.revoked_at is not None and now >= k.revoked_at:
+                state = f"revoked{' -> ' + k.rotated_to if k.rotated_to else ''}"
+            elif k.expires_at is not None and now >= k.expires_at:
+                state = "expired"
+            scopes = ",".join(sorted(k.scopes))
+            print(f"{k.key_id}  {k.name}  user={k.user or '-'}  scopes={scopes}  {state}")
+        return 0
+    if args.keys_cmd == "revoke":
+        store.revoke(args.key_id)
+        print(f"revoked {args.key_id}")
+        return 0
+    if args.keys_cmd == "rotate":
+        secret, info = store.rotate(args.key_id, grace_seconds=args.grace)
+        print(f"new key_id: {info.key_id}")
+        print(f"secret: {secret}")
+        print(f"old key {args.key_id} revoked"
+              + (f" after {args.grace:.0f}s grace" if args.grace else ""))
+        return 0
+    print("INVALID: keys subcommand required", file=sys.stderr)
+    return 2
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="strake-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -430,6 +489,34 @@ def main(argv=None) -> int:
     sp.add_argument("config", nargs="?", default="sources.yaml")
     sp.add_argument("-v", "--verbose", action="store_true")
     sp.set_defaults(fn=cmd_introspect)
+
+    sp = sub.add_parser("keys", help="enterprise API-key lifecycle")
+    ksub = sp.add_subparsers(dest="keys_cmd", required=True)
+    kp = ksub.add_parser("issue")
+    kp.add_argument("name")
+    kp.add_argument("--user", default=None)
+    kp.add_argument("--scopes", default=None,
+                    help="comma/space list of verbs, or '*' (default)")
+    kp.add_argument("--ttl", type=float, default=None, help="seconds until expiry")
+    kp.add_argument("--store", default=None)
+    kp.add_argument("--config", default="sources.yaml")
+    kp.set_defaults(fn=cmd_keys)
+    kp = ksub.add_parser("list")
+    kp.add_argument("--store", default=None)
+    kp.add_argument("--config", default="sources.yaml")
+    kp.set_defaults(fn=cmd_keys)
+    kp = ksub.add_parser("revoke")
+    kp.add_argument("key_id")
+    kp.add_argument("--store", default=None)
+    kp.add_argument("--config", default="sources.yaml")
+    kp.set_defaults(fn=cmd_keys)
+    kp = ksub.add_parser("rotate")
+    kp.add_argument("key_id")
+    kp.add_argument("--grace", type=float, default=0.0,
+                    help="seconds the old key keeps working")
+    kp.add_argument("--store", default=None)
+    kp.add_argument("--config", default="sources.yaml")
+    kp.set_defaults(fn=cmd_keys)
 
     sp = sub.add_parser("domain", help="metadata-store domain management")
     dsub = sp.add_subparsers(dest="domain_cmd", required=True)

@@ -80,11 +80,51 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError("JSON body must be an object or array")
         return out
 
+    # REST route -> API-key verb scope (apikeys.VERBS); query-like
+    # routes need "execute", introspection maps to the control verbs
+    _VERB_FOR_PATH = (
+        ("/api/v1/query", "execute"),
+        ("/api/v1/profile", "execute"),
+        ("/api/v1/sources", "list_sources"),
+        ("/api/v1/introspect", "describe"),
+        ("/api/v1/explain", "explain_tree"),
+        ("/api/v1/lineage", "explain_tree"),
+        ("/api/v1/impact", "explain_tree"),
+        ("/api/v1/spans", "trace"),
+    )
+
+    def _verb(self, path: str) -> str:
+        for prefix, verb in self._VERB_FOR_PATH:
+            if path.startswith(prefix):
+                return verb
+        return "execute"  # default: the most privileged mapping
+
     def _authorized(self) -> dict | None:
         """Returns claims (or {}) when authorized, None after sending 401.
         The health plane (/health, /ready, /metrics) is always open."""
         srv = self.server
         auth_header = self.headers.get("Authorization")
+        keys = getattr(srv, "key_manager", None)
+        bare = (auth_header or "")
+        if bare.startswith("Bearer "):
+            bare = bare[len("Bearer "):]
+        if keys is not None and bare.startswith("sk_"):
+            from strake_spark.apikeys import ApiKeyError
+
+            path = self.path.split("?", 1)[0].rstrip("/")
+            try:
+                ki = keys.verify(bare, verb=self._verb(path))
+            except ApiKeyError as e:
+                self._send(
+                    403 if "scope" in str(e) else 401,
+                    {"status": "error", "data": None, "message": str(e)},
+                )
+                return None
+            return {"sub": ki.user} if ki.user else {}
+        if keys is not None and srv.token is None and srv.validator is None:  # type: ignore[attr-defined]
+            self._send(401, {"status": "error", "data": None,
+                             "message": "API key required (sk_...)"})
+            return None
         if srv.validator is not None:  # type: ignore[attr-defined]
             try:
                 return srv.validator.validate(auth_header)  # type: ignore[attr-defined]
@@ -452,11 +492,12 @@ class RestServer:
     after construction."""
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 token: str | None = None, validator=None) -> None:
+                 token: str | None = None, validator=None, key_manager=None) -> None:
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
         self.httpd.engine = engine  # type: ignore[attr-defined]
         self.httpd.token = token  # type: ignore[attr-defined]
         self.httpd.validator = validator  # type: ignore[attr-defined]
+        self.httpd.key_manager = key_manager  # type: ignore[attr-defined]
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
 
@@ -476,8 +517,14 @@ class RestServer:
 
 
 def make_rest_server(engine, host: str = "127.0.0.1", port: int = 0,
-                     token: str | None = None, validator=None) -> RestServer:
-    return RestServer(engine, host=host, port=port, token=token, validator=validator)
+                     token: str | None = None, validator=None,
+                     key_manager=None) -> RestServer:
+    """``key_manager`` (apikeys.ApiKeyStore) adds enterprise API-key
+    auth: Bearer sk_... credentials verify against the store, carry the
+    key's bound user as the RLS/masking principal, and are checked
+    against per-verb scopes route-by-route (docs/enterprise.md:19-21)."""
+    return RestServer(engine, host=host, port=port, token=token,
+                      validator=validator, key_manager=key_manager)
 
 
 def main(argv=None) -> None:  # pragma: no cover - manual entry point

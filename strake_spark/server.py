@@ -38,6 +38,7 @@ def make_server(
     validator=None,
     tls_cert: str | None = None,
     tls_key: str | None = None,
+    key_manager=None,
 ):
     """Build (not start) a Flight server bound to ``location``.
     Returns the server object; ``server.port`` gives the bound port.
@@ -51,7 +52,14 @@ def make_server(
     ``tls_cert``/``tls_key`` (PEM file paths) serve TLS — clients then
     connect with ``grpcs://`` / ``grpc+tls://`` URLs (the reference's
     encrypted DSN scheme, python/src/connection.rs:312). The location
-    scheme is upgraded automatically when certs are given."""
+    scheme is upgraded automatically when certs are given.
+
+    ``key_manager`` (strake_spark.apikeys.ApiKeyStore) enables
+    enterprise API keys (docs/enterprise.md:19-21): a Bearer ``sk_...``
+    credential authenticates against the store, the key's bound user
+    becomes the governance principal (like a validated OIDC sub), and
+    each RPC checks the key's verb scopes. Composes with ``token`` /
+    ``validator`` — non-``sk_`` credentials fall through to those."""
     import pyarrow as pa
     import pyarrow.flight as fl
 
@@ -98,6 +106,19 @@ def make_server(
             tok = vals[0] if vals else ""
             if isinstance(tok, bytes):
                 tok = tok.decode()
+            bare = tok[len("Bearer "):] if tok.startswith("Bearer ") else tok
+            if key_manager is not None and bare.startswith("sk_"):
+                from strake_spark.apikeys import ApiKeyError
+
+                try:
+                    ki = key_manager.verify(bare)
+                except ApiKeyError as e:
+                    raise fl.FlightUnauthenticatedError(str(e)) from None
+                return _AuthContext(
+                    {"sub": ki.user, "_scopes": sorted(ki.scopes), "_key_id": ki.key_id}
+                )
+            if key_manager is not None and token is None and validator is None:
+                raise fl.FlightUnauthenticatedError("API key required (sk_...)")
             if validator is not None:
                 from strake_spark.jwtauth import AuthError
 
@@ -112,10 +133,23 @@ def make_server(
                 raise fl.FlightUnauthenticatedError("invalid token")
             return _AuthContext({})
 
+    def _scope_check(context, verb: str) -> None:
+        """Enforce the API key's verb scopes (no-op for static-token
+        and OIDC principals, which are not scope-limited)."""
+        try:
+            mw = context.get_middleware("auth")
+        except Exception:
+            mw = None
+        scopes = (getattr(mw, "claims", None) or {}).get("_scopes")
+        if scopes is not None and "*" not in scopes and verb not in scopes:
+            raise fl.FlightUnauthorizedError(
+                f"API key lacks scope {verb!r} (granted: {','.join(scopes)})"
+            )
+
     class StrakeFlightServer(fl.FlightServerBase):
         def __init__(self):
             middleware = {}
-            if token or validator is not None:
+            if token or validator is not None or key_manager is not None:
                 middleware["auth"] = _TokenMiddleware()
             super().__init__(
                 location, middleware=middleware, tls_certificates=tls_pairs or None
@@ -132,6 +166,7 @@ def make_server(
 
         # ------------------------------------------------------- planning
         def get_flight_info(self, context, descriptor):
+            _scope_check(context, "sql")
             sql = descriptor.command.decode()
             params = None
             if sql.startswith("{"):
@@ -150,7 +185,9 @@ def make_server(
         def do_get(self, context, ticket):
             t = ticket.ticket
             if t == b"catalog:tables":
+                _scope_check(context, "list_sources")
                 return fl.RecordBatchStream(self._tables_batch())
+            _scope_check(context, "execute")
             payload = t.decode()
             user = None
             params = None
@@ -189,6 +226,8 @@ def make_server(
 
         def do_action(self, context, action):
             body = action.body.to_pybytes().decode() if action.body else ""
+            if action.type in ("list_sources", "describe", "explain_tree", "trace", "ping"):
+                _scope_check(context, action.type)
             if action.type == "list_sources":
                 out = _governed(self.engine.list_sources)
             elif action.type == "describe":
