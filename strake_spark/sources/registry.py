@@ -97,7 +97,7 @@ from strake_spark.sources import file as _file  # noqa: E402,F401
 
 for _mod in ("duck", "sqlite", "jdbc", "rest", "flight", "iceberg", "grpc_source",
              "pgwire", "clickhouse_http", "mysqlwire", "iceberg_native", "xlsx",
-             "avro_source"):
+             "avro_source", "github"):
     try:
         __import__(f"strake_spark.sources.{_mod}")
     except ModuleNotFoundError as e:  # pragma: no cover

@@ -258,13 +258,23 @@ def _fetch_pages(options):
     raise SourceError(f"pagination exceeded max_pages={max_pages} (runaway API?)")
 
 
-def _records_to_batch(records: list[dict], schema: StructType):
+def _records_to_batch(
+    records: list[dict], schema: StructType, field_paths: dict[str, str] | None = None
+):
+    """``field_paths`` maps a column name to a dotted path inside each
+    record (e.g. user_login -> user.login), so nested API payloads can
+    surface as flat analytics columns without a JSON post-pass — the
+    GitHub preset (sources/github.py) relies on it."""
     import pyarrow as pa
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(schema)
-    cols = {f.name: [r.get(f.name) for r in records] for f in schema.fields}
+    fp = field_paths or {}
+    cols = {
+        f.name: [_dig(r, fp[f.name]) if f.name in fp else r.get(f.name) for r in records]
+        for f in schema.fields
+    }
     return pa.RecordBatch.from_pydict(
         {n: pa.array(v, type=arrow_schema.field(n).type) for n, v in cols.items()}
     )
@@ -281,6 +291,7 @@ class _PageRange(InputPartition):
 
 class RestReader(DataSourceReader):
     def __init__(self, options, schema: StructType) -> None:
+        self._field_paths = json.loads(options.get("field_paths", "{}"))
         self.options = options
         self.schema = schema
 
@@ -337,10 +348,10 @@ class RestReader(DataSourceReader):
                 one["params"] = json.dumps(win)
                 one["pagination"] = "none"
                 for records in _fetch_pages(one):
-                    yield _records_to_batch(records, self.schema)
+                    yield _records_to_batch(records, self.schema, self._field_paths)
             return
         for records in _fetch_pages(self.options):
-            yield _records_to_batch(records, self.schema)
+            yield _records_to_batch(records, self.schema, self._field_paths)
 
 
 class RestDataSource(DataSource):
@@ -395,7 +406,7 @@ class _RestDefaults:
         "client_id", "client_secret", "scope", "pagination", "page_size",
         "offset_param", "limit_param", "page_param", "start_page",
         "token_param", "token_field", "next_url_field", "records_path",
-        "params", "headers", "timeout", "max_pages",
+        "params", "headers", "timeout", "max_pages", "field_paths",
     )
 
 
