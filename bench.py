@@ -229,11 +229,22 @@ def main() -> None:
     # The 15 NON-headline TPC-H queries: full warmup+median protocol at
     # reduced iteration count, reported under SHORT keys ("q2") so the
     # final JSON line stays inside the driver's 2000-char tail capture.
+    # The slowest/most-recently-rewritten queries get >= 4 iterations:
+    # at ~1 s medians the observed run-to-run spread is ~14%, so a
+    # 2-run median cannot distinguish a real regression from noise
+    # (r8 verdict task 8; q7/q8 replanned in r9).
+    slow_tpch = {
+        "tpch_q2_min_cost_supplier",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q21_waiting_suppliers",
+    }
     tpch_rest: dict[str, float] = {}
     for name, spec in sorted(inventory.REGISTRY.items()):
         if not name.startswith("tpch_") or name in BENCH_QUERIES:
             continue
-        d, n = _run(spec, spark, sf_dir, iters_rest, chaos)
+        q_iters = max(iters_rest, 4) if name in slow_tpch else iters_rest
+        d, n = _run(spec, spark, sf_dir, q_iters, chaos)
         detail[name] = d
         short = name.split("_")[1]  # tpch_q2_min_cost_supplier -> q2
         if d["med"] is not None:
