@@ -130,6 +130,11 @@ class EngineConfig:
     # caps, plus an optional default applied to every named principal
     user_slots: dict[str, int] = field(default_factory=dict)
     default_user_slots: int | None = None
+    # priority lane (reference enterprise "Query Buffering",
+    # docs/enterprise.md:62): reserved global permits only these users
+    # may draw from when the shared pool saturates
+    priority_users: frozenset[str] = frozenset()
+    priority_reserved_slots: int = 0
     # MCP injection-guard mode (reference strake.yaml security.agent_guard_mode)
     agent_guard_mode: str = "disabled"
     policies: Any = None  # governance.policies.PolicyConfig when set
@@ -287,6 +292,10 @@ def parse_config(raw: dict[str, Any]) -> EngineConfig:
         agent_guard_mode=str(sec.get("agent_guard_mode", "disabled")).lower(),
         user_slots=_parse_user_slots(raw.get("user_slots")),
         default_user_slots=_parse_default_slots(raw.get("default_user_slots")),
+        priority_users=frozenset(str(u) for u in (raw.get("priority_users") or [])),
+        priority_reserved_slots=int(
+            _first_set(raw.get("priority_reserved_slots"), default=0)
+        ),
     )
 
 

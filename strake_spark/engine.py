@@ -72,6 +72,8 @@ class StrakeEngine:
             self.config.global_connection_budget,
             user_slots=getattr(self.config, "user_slots", None),
             default_user_slots=getattr(self.config, "default_user_slots", None),
+            priority_users=getattr(self.config, "priority_users", None),
+            priority_reserved=getattr(self.config, "priority_reserved_slots", 0),
         )
         self._breakers: dict[str, CircuitBreaker] = {}
         for src in self.config.sources:

@@ -159,8 +159,21 @@ class ConcurrencyGovernor:
     limit applies to the principal — one user permit."""
 
     def __init__(self, global_budget: int = 100, user_slots: dict[str, int] | None = None,
-                 default_user_slots: int | None = None):
-        self._global = threading.BoundedSemaphore(max(1, global_budget))
+                 default_user_slots: int | None = None,
+                 priority_users: set[str] | frozenset[str] | None = None,
+                 priority_reserved: int = 0):
+        # Priority lane (enterprise "Query Buffering",
+        # docs/enterprise.md:62: queue requests during peak loads while
+        # priority workloads keep sub-second latency): ``priority_reserved``
+        # permits are carved OUT of the global budget into a lane only
+        # ``priority_users`` may draw from. Bulk users see a budget of
+        # (global - reserved) and queue on the semaphore timeout when it
+        # saturates; a priority user takes a shared permit when one is
+        # free and otherwise admits immediately through the reserve.
+        reserved = max(0, min(priority_reserved, max(1, global_budget) - 1))
+        self._global = threading.BoundedSemaphore(max(1, global_budget) - reserved)
+        self._reserve = threading.BoundedSemaphore(reserved) if reserved else None
+        self._priority_users = frozenset(priority_users or ())
         self._per_source: dict[str, threading.BoundedSemaphore] = {}
         self._per_user: dict[str, threading.BoundedSemaphore] = {}
         self._user_limits = dict(user_slots or {})
@@ -206,8 +219,36 @@ class _Admission:
         self._user = user
         self._held: list[threading.BoundedSemaphore] = []
 
+    def _acquire_global(self) -> None:
+        gov = self._gov
+        if (
+            gov._reserve is not None
+            and self._user is not None
+            and self._user in gov._priority_users
+        ):
+            # priority lane: free shared permit if available, else the
+            # reserved lane admits immediately; block on shared only
+            # when BOTH pools are exhausted by other priority queries
+            if gov._global.acquire(blocking=False):
+                self._held.append(gov._global)
+                return
+            if gov._reserve.acquire(blocking=False):
+                self._held.append(gov._reserve)
+                return
+        if not gov._global.acquire(timeout=self._timeout):
+            raise QueryRejected(
+                f"admission timed out after {self._timeout}s "
+                "(connection budget exhausted)"
+            )
+        self._held.append(gov._global)
+
     def __enter__(self):
-        sems = [self._gov._global] + [
+        try:
+            self._acquire_global()
+        except QueryRejected:
+            self.__exit__(None, None, None)
+            raise
+        sems = [
             self._gov._per_source[s]
             for s in self._sources
             if s in self._gov._per_source

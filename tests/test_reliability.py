@@ -309,3 +309,80 @@ class TestUserSlots:
         # a normal governed query under the slot still works end-to-end
         out = eng.execute("SELECT count(*) AS n FROM us_region", user="pat")
         assert out.to_pylist() == [{"n": 5}]
+
+
+class TestPriorityLane:
+    """Enterprise 'Query Buffering' (docs/enterprise.md:62): bulk users
+    queue when the shared pool saturates; priority users keep admitting
+    through the reserved lane."""
+
+    def test_priority_admits_while_bulk_queues(self):
+        from strake_spark.errors import QueryRejected
+        from strake_spark.reliability import ConcurrencyGovernor
+
+        gov = ConcurrencyGovernor(
+            3, priority_users={"ceo"}, priority_reserved=1
+        )
+        # bulk saturates the shared pool (3 - 1 reserved = 2 permits)
+        a1 = gov.admit(timeout=0.1, user="bulk1").__enter__()
+        a2 = gov.admit(timeout=0.1, user="bulk2").__enter__()
+        with pytest.raises(QueryRejected, match="admission timed out"):
+            gov.admit(timeout=0.1, user="bulk3").__enter__()
+        # the priority user admits instantly through the reserve
+        import time as _t
+
+        t0 = _t.monotonic()
+        pri = gov.admit(timeout=5.0, user="ceo").__enter__()
+        assert _t.monotonic() - t0 < 0.5  # sub-second, not the bulk queue
+        pri.__exit__(None, None, None)
+        a1.__exit__(None, None, None)
+        a2.__exit__(None, None, None)
+
+    def test_reserve_bounded_for_priority_users_too(self):
+        from strake_spark.errors import QueryRejected
+        from strake_spark.reliability import ConcurrencyGovernor
+
+        gov = ConcurrencyGovernor(2, priority_users={"p"}, priority_reserved=1)
+        held = [gov.admit(timeout=0.1, user="p").__enter__() for _ in range(2)]
+        with pytest.raises(QueryRejected):  # shared + reserve both held
+            gov.admit(timeout=0.1, user="p").__enter__()
+        for h in held:
+            h.__exit__(None, None, None)
+
+    def test_priority_prefers_shared_pool(self):
+        from strake_spark.reliability import ConcurrencyGovernor
+
+        gov = ConcurrencyGovernor(3, priority_users={"p"}, priority_reserved=1)
+        adm = gov.admit(timeout=0.1, user="p").__enter__()
+        assert adm._held[0] is gov._global  # shared permit, reserve untouched
+        adm.__exit__(None, None, None)
+
+    def test_no_reserve_without_config(self):
+        from strake_spark.reliability import ConcurrencyGovernor
+
+        gov = ConcurrencyGovernor(2)
+        assert gov._reserve is None
+
+    def test_release_returns_to_the_right_pool(self):
+        from strake_spark.errors import QueryRejected
+        from strake_spark.reliability import ConcurrencyGovernor
+
+        gov = ConcurrencyGovernor(2, priority_users={"p"}, priority_reserved=1)
+        bulk = gov.admit(timeout=0.1, user="b").__enter__()  # shared exhausted
+        pri = gov.admit(timeout=0.1, user="p").__enter__()   # reserve permit
+        assert pri._held[0] is gov._reserve
+        pri.__exit__(None, None, None)
+        # reserve is free again for priority; bulk still blocked
+        with pytest.raises(QueryRejected):
+            gov.admit(timeout=0.1, user="b2").__enter__()
+        pri2 = gov.admit(timeout=0.1, user="p").__enter__()
+        pri2.__exit__(None, None, None)
+        bulk.__exit__(None, None, None)
+
+    def test_config_plumbing(self):
+        from strake_spark.config import parse_config
+
+        c = parse_config({"sources": [], "priority_users": ["ceo"],
+                          "priority_reserved_slots": 2})
+        assert c.priority_users == frozenset({"ceo"})
+        assert c.priority_reserved_slots == 2
