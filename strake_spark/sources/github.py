@@ -132,6 +132,46 @@ _TABLES: dict[str, tuple[str, dict, list[tuple[str, str, str | None]]]] = {
     ),
 }
 
+# The GraphQL half of the reference's "REST / GraphQL" connector row:
+# Relay-cursor pagination (variables.after <- pageInfo.endCursor, stop
+# on hasNextPage) over POST {base}/graphql. One richer issues shape —
+# reactions/labels counts are only reachable via GraphQL.
+_GRAPHQL_ISSUES_QUERY = """
+query($owner: String!, $name: String!, $after: String) {
+  repository(owner: $owner, name: $name) {
+    issues(first: 100, after: $after, states: [OPEN, CLOSED]) {
+      pageInfo { hasNextPage endCursor }
+      nodes {
+        number state title
+        author { login }
+        comments { totalCount }
+        reactions { totalCount }
+        labels(first: 0) { totalCount }
+        createdAt closedAt
+      }
+    }
+  }
+}
+"""
+
+_GRAPHQL_TABLES: dict[str, tuple[str, str, list[tuple[str, str, str | None]]]] = {
+    "graphql_issues": (
+        _GRAPHQL_ISSUES_QUERY,
+        "data.repository.issues",  # collection root (nodes/pageInfo under it)
+        [
+            ("number", "bigint", None),
+            ("state", "string", None),
+            ("title", "string", None),
+            ("author_login", "string", "author.login"),
+            ("comment_count", "bigint", "comments.totalCount"),
+            ("reaction_count", "bigint", "reactions.totalCount"),
+            ("label_count", "bigint", "labels.totalCount"),
+            ("created_at", "string", "createdAt"),
+            ("closed_at", "string", "closedAt"),
+        ],
+    ),
+}
+
 _DEFAULT_TABLES = ("issues", "pulls", "commits")
 
 
@@ -153,10 +193,16 @@ def register_github_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
     ensure_format(spark)
     registered: list[str] = []
     for name in wanted:
+        if name in _GRAPHQL_TABLES:
+            registered.append(
+                _register_graphql(spark, cfg, name, base, repo, token, table_cols)
+            )
+            continue
         spec = _TABLES.get(name)
         if spec is None:
             raise SourceError(
-                f"github preset has no table {name!r} (known: {sorted(_TABLES)})"
+                f"github preset has no table {name!r} "
+                f"(known: {sorted(_TABLES) + sorted(_GRAPHQL_TABLES)})"
             )
         path_tpl, params, columns = spec
         if name == "repos":
@@ -217,3 +263,52 @@ def register_github_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
         df.createOrReplaceTempView(view)
         registered.append(view)
     return registered
+
+
+def _register_graphql(
+    spark: SparkSession, cfg: SourceConfig, name: str, base: str,
+    repo: str | None, token, table_cols,
+) -> str:
+    """Relay-cursor GraphQL table: POST {base}/graphql with the cursor
+    injected into variables.after; stops on pageInfo.hasNextPage."""
+    from strake_spark.config import ColumnConfig, TableConfig
+    from strake_spark.sources.file import view_name
+    from strake_spark.sources.rest import FORMAT_NAME
+
+    if not repo or "/" not in repo:
+        raise SourceError(f"github table {name!r} needs repo: owner/name")
+    if not token:
+        raise SourceError(f"github table {name!r} needs a token (GraphQL API requires auth)")
+    query, root, columns = _GRAPHQL_TABLES[name]
+    owner, repo_name = repo.split("/", 1)
+    options = {
+        "url": f"{base}/graphql",
+        "pagination": "token",
+        "body": json.dumps({
+            "query": query,
+            "variables": {"owner": owner, "name": repo_name, "after": None},
+        }),
+        "token_body_field": "variables.after",
+        "token_field": f"{root}.pageInfo.endCursor",
+        "more_field": f"{root}.pageInfo.hasNextPage",
+        "records_path": f"{root}.nodes",
+        "headers": json.dumps({"Accept": "application/json"}),
+        "auth_type": "bearer",
+        "token": str(token),
+        "field_paths": json.dumps({c: p for c, _t, p in columns if p is not None}),
+    }
+    declared = table_cols.get(name)
+    if declared is not None and declared.options:
+        for k, v in declared.options.items():
+            options[k] = v if isinstance(v, str) else json.dumps(v)
+    tbl = TableConfig(
+        name=name, columns=[ColumnConfig(name=c, type=t) for c, t, _p in columns]
+    )
+    reader = spark.read.format(FORMAT_NAME).options(**options)
+    schema = tbl.struct_type()
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load()
+    view = view_name(cfg.name, name)
+    df.createOrReplaceTempView(view)
+    return view

@@ -140,8 +140,23 @@ class _Auth:
         return self._token
 
 
-def _get_with_retry(session, url, params, timeout, options):
-    """GET with exponential-backoff retry on transport errors and 5xx
+def _set_path(obj: dict, path: str, value) -> None:
+    """Dotted-path assignment into nested dicts (creates levels),
+    the write-side twin of _dig — used to inject pagination cursors
+    into POST bodies (GraphQL variables)."""
+    parts = path.split(".")
+    cur = obj
+    for part in parts[:-1]:
+        nxt = cur.get(part)
+        if not isinstance(nxt, dict):
+            nxt = cur[part] = {}
+        cur = nxt
+    cur[parts[-1]] = value
+
+
+def _get_with_retry(session, url, params, timeout, options, json_body=None):
+    """GET (or POST when a ``json_body`` is given — the GraphQL path)
+    with exponential-backoff retry on transport errors and 5xx
     (reference wraps connector fetches in retry.rs policy). 4xx are
     permanent — auth/shape errors surface immediately."""
     import requests
@@ -156,7 +171,10 @@ def _get_with_retry(session, url, params, timeout, options):
     )
 
     def attempt():
-        resp = session.get(url, params=params, timeout=timeout)
+        if json_body is not None:
+            resp = session.post(url, params=params, json=json_body, timeout=timeout)
+        else:
+            resp = session.get(url, params=params, timeout=timeout)
         if resp.status_code >= 500:
             resp.raise_for_status()
         return resp
@@ -199,6 +217,14 @@ def _fetch_pages(options):
     token_param = options.get("token_param", "page_token")
     token_field = options.get("token_field", "next_token")
     next_url_field = options.get("next_url_field", "next")
+    # POST/GraphQL support: a JSON request body template; token-style
+    # pagination can inject the cursor INTO the body (token_body_field,
+    # e.g. "variables.after" for Relay cursors) and stop on a has-more
+    # boolean (more_field, e.g. "data.x.pageInfo.hasNextPage") since
+    # cursor fields often stay non-null on the final page
+    body_tpl = json.loads(options["body"]) if options.get("body") else None
+    token_body_field = options.get("token_body_field")
+    more_field = options.get("more_field")
 
     offset = 0
     page_no = start_page
@@ -214,12 +240,17 @@ def _fetch_pages(options):
         elif style == "page":
             q[page_param] = str(page_no)
             q[limit_param] = str(page_size)
-        elif style == "token" and token is not None:
+        elif style == "token" and token is not None and not token_body_field:
             q[token_param] = token
         elif style in ("link", "body_url") and next_url is not None:
             req_url, q = next_url, {}  # next link is already fully formed
 
-        resp = _get_with_retry(session, req_url, q, timeout, options)
+        req_body = None
+        if body_tpl is not None:
+            req_body = json.loads(json.dumps(body_tpl))  # fresh copy per page
+            if style == "token" and token is not None and token_body_field:
+                _set_path(req_body, token_body_field, token)
+        resp = _get_with_retry(session, req_url, q, timeout, options, json_body=req_body)
         body = resp.json()
         records = _dig(body, records_path)
         if records is None:
@@ -246,6 +277,8 @@ def _fetch_pages(options):
         elif style == "token":
             token = _dig(body, token_field)
             if not token:
+                return
+            if more_field is not None and not _dig(body, more_field):
                 return
         elif style == "link":
             next_url = resp.links.get("next", {}).get("url")
@@ -407,6 +440,7 @@ class _RestDefaults:
         "offset_param", "limit_param", "page_param", "start_page",
         "token_param", "token_field", "next_url_field", "records_path",
         "params", "headers", "timeout", "max_pages", "field_paths",
+        "body", "token_body_field", "more_field",
     )
 
 

@@ -67,6 +67,44 @@ class _GhHandler(BaseHTTPRequestHandler):
     def log_message(self, *a):
         pass
 
+    def do_POST(self):
+        if self.path != "/graphql":
+            return self._deny(404)
+        if self.headers.get("Authorization") != "Bearer ghp_test":
+            return self._deny()
+        ln = int(self.headers.get("Content-Length", "0"))
+        req = json.loads(self.rfile.read(ln))
+        v = req.get("variables") or {}
+        if v.get("owner") != "octo" or v.get("name") != "hello":
+            return self._deny(404)
+        assert "query(" in req.get("query", "")
+        after = v.get("after")
+        start = int(after) if after else 0
+        nodes = [
+            {
+                "number": i,
+                "state": "OPEN",
+                "title": f"gql issue {i}",
+                "author": {"login": f"user{i % 3}"},
+                "comments": {"totalCount": i},
+                "reactions": {"totalCount": 2 * i},
+                "labels": {"totalCount": 1},
+                "createdAt": "2026-01-01T00:00:00Z",
+                "closedAt": None,
+            }
+            for i in range(start, min(start + 10, 23))
+        ]
+        has_next = start + 10 < 23
+        return self._json({
+            "data": {"repository": {"issues": {
+                # endCursor stays non-null on the LAST page, like the
+                # real API — the more_field stop must handle that
+                "pageInfo": {"hasNextPage": has_next,
+                             "endCursor": str(start + 10)},
+                "nodes": nodes,
+            }}}
+        })
+
     def _json(self, payload, headers=None):
         body = json.dumps(payload).encode()
         self.send_response(200)
@@ -196,6 +234,33 @@ class TestGithubPreset:
                 {"sources": [{"name": "bad2", "type": "github", "url": gh,
                               "options": {"repo": "octo/hello"},
                               "tables": [{"name": "workflows"}]}]},
+                spark=spark,
+            )
+
+    def test_graphql_issues_cursor_pagination(self, spark, gh):
+        """The GraphQL half of the connector row: POST /graphql,
+        Relay cursor into variables.after, stop on hasNextPage even
+        though endCursor stays non-null on the last page."""
+        eng = ss.connect(
+            {"sources": [{"name": "gq", "type": "github", "url": gh,
+                          "options": {"repo": "octo/hello", "token": "ghp_test"},
+                          "tables": [{"name": "graphql_issues"}]}]},
+            spark=spark,
+        )
+        rows = eng.sql(
+            "SELECT number, author_login, comment_count, reaction_count "
+            "FROM gq_graphql_issues ORDER BY number"
+        ).collect()
+        assert len(rows) == 23  # 3 cursor pages; no infinite loop
+        assert rows[5].author_login == "user2"
+        assert rows[5].comment_count == 5 and rows[5].reaction_count == 10
+
+    def test_graphql_requires_token(self, spark, gh):
+        with pytest.raises(Exception, match="needs a token"):
+            ss.connect(
+                {"sources": [{"name": "gq2", "type": "github", "url": gh,
+                              "options": {"repo": "octo/hello"},
+                              "tables": [{"name": "graphql_issues"}]}]},
                 spark=spark,
             )
 
