@@ -333,10 +333,22 @@ class TestRound7Additions:
         assert "CartesianProduct" not in plan
 
     def test_semdedup_assignment_has_no_window(self, spark):
-        plan = _plan(spark, "semdedup_kmeans_assign")
-        # struct-max argmax, not row_number: no per-key sort/Window node
+        # kmeans_assign checkpoints its result (r9: releases the source
+        # cache), so the registered entry's plan is a checkpoint scan;
+        # the argmax/aggregation invariants live in the PRE-checkpoint
+        # k-means plan — assert on that directly
+        from strake_spark.data import table
+        from strake_spark.operators import semdedup as SD
+
+        e = SD._normalized(table(spark, SF_DIR, "embeddings"), "vec_id", "embedding")
+        plan = SD._kmeans(e, 8, 2)._jdf.queryExecution().executedPlan().toString()
+        # map-only array_max argmax, not row_number: no Window node, and
+        # the only aggregates are the centroid updates (partial pairs)
         assert "Window" not in plan
         assert "partial_" in plan or plan.count("HashAggregate") >= 2
+        # assignment itself adds no per-row shuffle: the single-row
+        # centroid array arrives via broadcast nested loop
+        assert "BroadcastNestedLoopJoin" in plan
 
     def test_substring_dedup_single_gram_shuffle_key(self, spark):
         plan = _plan(spark, "dedup_substring_exact_spans")
