@@ -277,41 +277,85 @@ def embedding_dup_pairs(
         F.col("nrm"),
         F.posexplode(F.col("keys")).alias("band", "key"),
     )
-    # Hot-bucket cap as aggregate + broadcast anti-join (mirrors
-    # operators/dedup.py): a window count would sort-shuffle the whole
-    # banded relation; the over-cap key set is tiny and broadcasts.
-    hot = (
-        tagged.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .filter(F.col("bucket_n") > max_bucket_size)
-        .select("band", "key")
-    )
-    tagged = tagged.join(F.broadcast(hot), ["band", "key"], "left_anti")
-    a, b = tagged.alias("a"), tagged.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # Per-BUCKET pairing via applyInPandas (r9, same kernel as
+    # operators/semdedup.py): the old shape self-joined the banded
+    # relation (materializing both vectors per candidate pair — pairs ×
+    # 2×dim cells through the join and again through the
+    # dropDuplicates exchange) and scored pairs with the interpreted
+    # HOF fold. Grouping by (band, key) ships each bucket's members
+    # ONCE over Arrow, forms a<b pairs inside numpy, and scores them
+    # with an ascending-index accumulation (acc += A[:,i]*B[:,i]) whose
+    # per-pair add order is exactly the SQL fold's / DuckDB
+    # list_dot_product's — bit-identical cosines, so the oracle still
+    # hash-matches. The hot-bucket cap becomes a group-size check (no
+    # pre-aggregate, no anti-join), duplicates collapse on narrow
+    # (id_a, id_b) rows, and per-task memory stays O(bucket^2) bounded
+    # by the cap. Parallelism = number of buckets — num_bands *
+    # corpus/bucket_size tasks at scale.
+    thr = float(threshold)
+    _empty = {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_c = len(pdf)
+        if n_c < 2 or n_c > max_bucket_size:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(_empty)
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = pdf["nrm"].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        d = m.shape[1]
+        # chunk the pair matrix so a hot (cap-sized) bucket costs
+        # O(chunk * bucket) memory, not O(bucket^2) — same discipline
+        # as semdedup.semantic_prune
+        rows_per_chunk = max(1, 4_000_000 // n_c)
+        outs: list[pd.DataFrame] = []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, n_c, rows_per_chunk):
+                t = min(n_c, s + rows_per_chunk)
+                acc = np.zeros((t - s, n_c))
+                for i in range(d):
+                    acc += m[s:t, i : i + 1] * m[:, i]
+                cos = acc / np.outer(norms[s:t], norms)
+                ia, ib = np.nonzero(
+                    ((cos >= thr) | np.isnan(cos))
+                    & (np.arange(s, t)[:, None] < np.arange(n_c)[None, :])
+                )
+                if len(ia):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[ia + s],
+                                "id_b": ids[ib],
+                                "cosine": cos[ia, ib],
+                            }
+                        )
+                    )
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(_empty)
+        return pd.concat(outs, ignore_index=True)
+
+    def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [_score_bucket(sub) for _k, sub in pdf.groupby("key", sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(_empty)
+        return pd.concat(outs, ignore_index=True)
+
+    # Grouping granularity: one Arrow group PER BUCKET means thousands
+    # of sub-millisecond Python invocations (overhead-dominated when
+    # band_bits is large and buckets are small). Instead, salt whole
+    # buckets into ~4x-parallelism groups — a key hashes to exactly one
+    # group, so bucket membership is preserved and the kernel loops
+    # over its buckets inside one vectorized call. At cluster scale the
+    # group count scales with defaultParallelism, keeping per-task
+    # memory at O(corpus / tasks) like any shuffle partition.
+    par = tagged.sparkSession.sparkContext.defaultParallelism
+    groups_per_band = max(1, (4 * par) // max(1, num_bands))
     return (
-        cand.select(
-            "id_a",
-            "id_b",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+        tagged.withColumn("_grp", F.pmod(F.hash(F.col("key")), F.lit(groups_per_band)))
+        .groupBy("band", "_grp")
+        .applyInPandas(_score_group, schema="id_a bigint, id_b bigint, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
