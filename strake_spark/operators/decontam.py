@@ -64,12 +64,13 @@ def contaminated_ids(
     n: int = 8,
 ) -> DataFrame:
     """Distinct train ids sharing >=1 n-gram with any eval doc. The
-    distinct eval gram set is the join's build side — broadcastable
-    whenever the benchmark suite is benchmark-sized."""
+    eval gram set is the join's build side — broadcastable whenever the
+    benchmark suite is benchmark-sized. No distinct() on it (r9): a
+    LEFT SEMI join is unaffected by duplicate build-side keys, so
+    deduplicating first only added a full shuffle of the gram hashes
+    (the broadcast hash build deduplicates for free)."""
     train_grams = ngram_hashes(train, id_col, text_col, n)
-    eval_grams = ngram_hashes(eval_docs, id_col, text_col, n).select(
-        "gram_h"
-    ).distinct()
+    eval_grams = ngram_hashes(eval_docs, id_col, text_col, n).select("gram_h")
     return (
         train_grams.join(eval_grams, "gram_h", "left_semi")
         .select(id_col)
