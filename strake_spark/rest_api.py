@@ -537,9 +537,17 @@ def main(argv=None) -> None:  # pragma: no cover - manual entry point
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--token", default=None)
+    p.add_argument("--keys-db", default=None,
+                   help="SQLite API-key store (enables sk_... auth; see `strake-spark keys`)")
     args = p.parse_args(argv)
+    key_manager = None
+    if args.keys_db:
+        from strake_spark.apikeys import ApiKeyStore
+
+        key_manager = ApiKeyStore(args.keys_db)
     engine = ss.connect(args.config)
-    srv = make_rest_server(engine, host=args.host, port=args.port, token=args.token)
+    srv = make_rest_server(engine, host=args.host, port=args.port, token=args.token,
+                           key_manager=key_manager)
     print(f"strake-spark REST API on port {srv.port}")
     srv.serve()
 

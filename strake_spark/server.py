@@ -263,7 +263,14 @@ def main(argv=None) -> None:  # pragma: no cover - manual entry point
     p.add_argument("--oidc-audience", default="")
     p.add_argument("--tls-cert", default=None, help="PEM cert to serve TLS (grpcs)")
     p.add_argument("--tls-key", default=None, help="PEM key for --tls-cert")
+    p.add_argument("--keys-db", default=None,
+                   help="SQLite API-key store (enables sk_... auth; see `strake-spark keys`)")
     args = p.parse_args(argv)
+    key_manager = None
+    if args.keys_db:
+        from strake_spark.apikeys import ApiKeyStore
+
+        key_manager = ApiKeyStore(args.keys_db)
     validator = None
     if args.oidc_secret or args.oidc_jwks:
         import json as _json
@@ -281,7 +288,8 @@ def main(argv=None) -> None:  # pragma: no cover - manual entry point
     engine = ss.connect(args.config)
     srv = make_server(engine, f"grpc://0.0.0.0:{args.port}",
                       token=args.token, validator=validator,
-                      tls_cert=args.tls_cert, tls_key=args.tls_key)
+                      tls_cert=args.tls_cert, tls_key=args.tls_key,
+                      key_manager=key_manager)
     print(f"strake-spark flight server on port {srv.port}")
     t = threading.Thread(target=srv.serve)
     t.start()
