@@ -144,9 +144,11 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # region is a fixed 5-row dim: broadcast so the cross product is a
+    # map-side nested loop over the distinct statuses, never a shuffle
     r = table(spark, sf_dir, "region")
     s = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
-    return r.crossJoin(s).select("r_name", "o_orderstatus")
+    return s.crossJoin(F.broadcast(r)).select("r_name", "o_orderstatus")
 
 
 @query(
