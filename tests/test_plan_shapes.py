@@ -478,3 +478,42 @@ class TestRound9Additions:
         assert "BuildLeft" not in plan
         li = re.findall(r"FileScan parquet \[[^\]]*l_orderkey", plan)
         assert len(li) == 1, f"lineitem scanned {len(li)}x"
+
+
+class TestRound9Kernels:
+    """r9 pairwise kernels: bucket aggregation instead of self-joins,
+    Arrow-grouped pairwise instead of interpreted HOF folds."""
+
+    def test_minhash_candidates_have_no_self_join(self, spark):
+        plan = _plan(spark, "dedup_minhash_lsh_candidates")
+        # pair generation is a bucket aggregate + explode; the only
+        # joins left are the two broadcast signature-score lookups
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Join") <= 2, plan.count("Join")
+        assert "CartesianProduct" not in plan
+
+    def test_neardup_pairs_use_grouped_arrow_kernel(self, spark):
+        from strake_spark.data import table
+        from strake_spark.operators import similarity as S
+
+        df = S.embedding_dup_pairs(
+            table(spark, SF_DIR, "embeddings"), threshold=0.9,
+            num_bands=16, band_bits=8,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan  # pairs form inside numpy
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+        # the only exchanges: bucket groupBy + pair dedup + band-keys batch
+        assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+    def test_semdedup_prune_is_checkpoint_plus_grouped_kernel(self, spark):
+        from strake_spark.data import table
+        from strake_spark.operators import semdedup as SD
+
+        df = SD.semantic_prune(table(spark, SF_DIR, "embeddings"), k=8, iters=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan
+        # no self-join, no anti-join: survivors come straight from the
+        # per-cluster kernel over the single checkpointed relation
+        assert "Join" not in plan
+        assert "Scan ExistingRDD" in plan  # the one k-means checkpoint
