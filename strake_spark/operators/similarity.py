@@ -295,51 +295,61 @@ def embedding_dup_pairs(
     thr = float(threshold)
     _empty = {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
 
-    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        n_c = len(pdf)
-        if n_c < 2 or n_c > max_bucket_size:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(_empty)
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        norms = pdf["nrm"].to_numpy(dtype=np.float64)
-        ids = pdf[id_col].to_numpy()
-        d = m.shape[1]
-        # chunk the pair matrix so a hot (cap-sized) bucket costs
-        # O(chunk * bucket) memory, not O(bucket^2) — same discipline
-        # as semdedup.semantic_prune
-        rows_per_chunk = max(1, 4_000_000 // n_c)
-        outs: list[pd.DataFrame] = []
-        with np.errstate(divide="ignore", invalid="ignore"):
-            for s in range(0, n_c, rows_per_chunk):
-                t = min(n_c, s + rows_per_chunk)
-                acc = np.zeros((t - s, n_c))
-                for i in range(d):
-                    acc += m[s:t, i : i + 1] * m[:, i]
-                cos = acc / np.outer(norms[s:t], norms)
-                ia, ib = np.nonzero(
-                    ((cos >= thr) | np.isnan(cos))
-                    & (np.arange(s, t)[:, None] < np.arange(n_c)[None, :])
-                )
-                if len(ia):
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "id_a": ids[ia + s],
-                                "id_b": ids[ib],
-                                "cosine": cos[ia, ib],
-                            }
-                        )
-                    )
-        if not outs:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(_empty)
-        return pd.concat(outs, ignore_index=True)
-
     def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = [_score_bucket(sub) for _k, sub in pdf.groupby("key", sort=False)]
-        outs = [o for o in outs if len(o)]
-        if not outs:
+        """Score every bucket in the group with pure numpy — NO
+        per-bucket pandas objects: with small band_bits buckets hold a
+        handful of rows, and thousands of sort_values/DataFrame
+        constructions dominate runtime (measured ~1.5x the whole old
+        join). Bucket boundaries come from one argsort over (key, id);
+        results accumulate as flat arrays and become ONE DataFrame."""
+        keys = pdf["key"].to_numpy(dtype=np.int64)
+        ids_all = pdf[id_col].to_numpy()
+        norms_all = pdf["nrm"].to_numpy(dtype=np.float64)
+        vecs_all = pdf[vec_col].to_numpy()
+        # lexicographic (key, id) order: buckets contiguous, id-sorted
+        order = np.lexsort((ids_all, keys))
+        keys_s = keys[order]
+        bounds = np.flatnonzero(np.r_[True, keys_s[1:] != keys_s[:-1], True])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                n_c = e - s
+                if n_c < 2 or n_c > max_bucket_size:
+                    continue
+                idx = order[s:e]
+                ids = ids_all[idx]
+                norms = norms_all[idx]
+                m = np.stack(vecs_all[idx]).astype(np.float64)
+                d = m.shape[1]
+                # chunk the pair matrix so a hot (cap-sized) bucket
+                # costs O(chunk * bucket) memory, not O(bucket^2) —
+                # same discipline as semdedup.semantic_prune
+                rows_per_chunk = max(1, 4_000_000 // n_c)
+                for cs in range(0, n_c, rows_per_chunk):
+                    ce = min(n_c, cs + rows_per_chunk)
+                    acc = np.zeros((ce - cs, n_c))
+                    for i in range(d):
+                        acc += m[cs:ce, i : i + 1] * m[:, i]
+                    cos = acc / np.outer(norms[cs:ce], norms)
+                    ia, ib = np.nonzero(
+                        ((cos >= thr) | np.isnan(cos))
+                        & (np.arange(cs, ce)[:, None] < np.arange(n_c)[None, :])
+                    )
+                    if len(ia):
+                        out_a.append(ids[ia + cs])
+                        out_b.append(ids[ib])
+                        out_c.append(cos[ia, ib])
+        if not out_a:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(_empty)
-        return pd.concat(outs, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
 
     # Grouping granularity: one Arrow group PER BUCKET means thousands
     # of sub-millisecond Python invocations (overhead-dominated when
