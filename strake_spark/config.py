@@ -170,7 +170,12 @@ def _parse_user_slots(raw: Any) -> dict[str, int]:
 def _column(d: Any) -> ColumnConfig:
     if isinstance(d, str):
         return ColumnConfig(name=d)
-    return ColumnConfig(name=d["name"], type=str(d.get("type", "string")))
+    # the reference's example configs spell the type key "data_type"
+    # (docs/examples/github_source.yaml); accept both — dropping it
+    # silently declared every column as string
+    return ColumnConfig(
+        name=d["name"], type=str(d.get("type") or d.get("data_type") or "string")
+    )
 
 
 def _table(d: dict[str, Any]) -> TableConfig:

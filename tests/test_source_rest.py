@@ -282,6 +282,10 @@ class TestReferenceExampleConfig:
         assert s.options["pagination"] == "link"
         assert [t.name for t in s.tables] == ["repos", "issues"]
         assert s.tables[0].columns[0].name == "id"
+        # the reference spells types "data_type" — must not silently
+        # degrade every declared column to string (r9)
+        types = {c.name: c.type for c in s.tables[0].columns}
+        assert types["stargazers_count"] == "int" and types["name"] == "string"
 
     def test_nested_config_source_serves_requests(self, spark, server):
         """End-to-end with the reference spelling: nested config block,
