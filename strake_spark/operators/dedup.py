@@ -153,30 +153,33 @@ def minhash_candidates(
     # ids (bounded by the cap), the over-cap filter drops hot buckets
     # as a plain predicate on the aggregated row (no second aggregate,
     # no broadcast anti-join), and the a<b pairs expand from the sorted
-    # member array with index-aware transforms. The old shape evaluated
-    # the banded relation three times (hot-count, join left, join
-    # right) and shuffled four times; this shuffles the banded relation
-    # once, and the pair explosion is per-bucket O(size^2) — exactly
-    # the work the join performed, without the join. collect_list is
-    # safe by construction: the cap bounds any bucket at
-    # max_bucket_size ids (~8 bytes each) before pairs expand.
+    # member array. The old shape evaluated the banded relation three
+    # times (hot-count, join left, join right) and shuffled four times;
+    # this shuffles it once, and the pair explosion is per-bucket
+    # O(size^2) — exactly the work the join performed, without the
+    # join. collect_list is safe by construction: the cap bounds any
+    # bucket at max_bucket_size ids (~8 bytes each).
+    #
+    # The expansion is TWO chained explodes — left index first, then
+    # the partner slice — NOT one flatten(transform(transform)): the
+    # flattened form materializes all size^2/2 pair structs as a single
+    # array VALUE before exploding (a cap-sized boilerplate bucket
+    # would allocate billions of structs in one row); the chained form
+    # streams one ≤size-element slice per in-flight row, so task memory
+    # stays O(bucket), never O(bucket^2).
     members = (
         banded.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("m"))
         .filter((F.size("m") >= 2) & (F.size("m") <= max_bucket_size))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("m"),
-            lambda x, i: F.transform(
-                F.slice(F.col("m"), i + F.lit(2), F.size(F.col("m"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    mi = members.select(
+        "m", F.explode(F.sequence(F.lit(0), F.size("m") - 2)).alias("i")
     )
     pairs = (
-        members.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        mi.select(
+            F.element_at("m", F.col("i") + 1).alias("id_a"),
+            F.explode(F.slice(F.col("m"), F.col("i") + 2, F.size("m"))).alias("id_b"),
+        )
         .distinct()
     )
 

@@ -94,13 +94,15 @@ class TestBucketedRangeJoin:
 
 class TestEmbeddingDupPairsScalePath:
     def test_lsh_path_is_bucket_equi_join(self, spark):
-        """The near-dup pair generator must plan the candidate step as a
-        (band, key) equi join — the round-1 all-pairs form planned as
-        BroadcastNestedLoopJoin, which is quadratic in the corpus."""
+        """The near-dup pair generator must bucket candidates by
+        (band, key) — never an all-pairs product. The round-1 all-pairs
+        form planned as BroadcastNestedLoopJoin (quadratic in the
+        corpus); since r9 the bucket step is a grouped Arrow kernel
+        (FlatMapGroupsInPandas), not a join at all."""
         plan = _plan(spark, "ann_embedding_dup_pairs")
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
-        assert "HashJoin" in plan or "SortMergeJoin" in plan
+        assert "FlatMapGroupsInPandas" in plan
 
     def test_lsh_matches_exact_on_planted_near_dups(self, spark):
         """Non-vacuous recall check: a constructed corpus with genuine
