@@ -43,8 +43,13 @@ def rollup_events(events: DataFrame, keys: Sequence[str], value_col: str = "valu
 
 def merge_rollups(base: DataFrame, delta: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Merge two partial rollups: untouched base rows pass through; rows
-    for keys present in ``delta`` re-merge by summing partials."""
-    touched = delta.select(*keys).distinct()
+    for keys present in ``delta`` re-merge by summing partials.
+
+    No distinct() on the touched-key set (r9): a rollup is one row per
+    key by construction (rollup_events groups on exactly these keys),
+    so deduplicating again only added a shuffle; the broadcast hash
+    build and the anti/semi probes are key-dup-insensitive anyway."""
+    touched = delta.select(*keys)
     untouched = base.join(F.broadcast(touched), list(keys), "left_anti")
     merged = (
         base.join(F.broadcast(touched), list(keys), "left_semi")
