@@ -256,34 +256,40 @@ def simhash_near_pairs(
     finds all such pairs without a cross join. (max_hamming above the
     pigeonhole bound trades recall, as in production SimHash dedup.)
     """
-    sig = simhash_signatures(docs, id_col, text_col, bits).cache()
+    # One explode instead of a num_blocks-way union (a union multiplies
+    # partition count into tiny tasks), and ONE bucket aggregation
+    # instead of a blocked self-join — the same r9 restructure as
+    # minhash_candidates: the banded relation shuffles once into
+    # (blk, blk_val) buckets; a<b pairs expand from the sorted member
+    # array via two chained explodes, keeping task memory O(bucket).
+    sig = simhash_signatures(docs, id_col, text_col, bits)
     block_bits = bits // num_blocks
     mask = (1 << block_bits) - 1
-    blocked = None
-    for blk in range(num_blocks):
-        part = sig.select(
-            F.col(id_col),
-            F.col("simhash"),
+    block_structs = [
+        F.struct(
             F.lit(blk).alias("blk"),
             F.shiftright(F.col("simhash"), blk * block_bits)
             .bitwiseAND(F.lit(mask))
             .alias("blk_val"),
         )
-        blocked = part if blocked is None else blocked.unionAll(part)
-    a, b = blocked.alias("a"), blocked.alias("b")
+        for blk in range(num_blocks)
+    ]
+    blocked = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*block_structs)).alias("bk")
+    ).select(id_col, "simhash", F.col("bk.blk").alias("blk"), F.col("bk.blk_val").alias("blk_val"))
+    # members carry (id, simhash) structs, id-sorted so a<b == index<
+    members = blocked.groupBy("blk", "blk_val").agg(
+        F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))).alias("m")
+    ).filter(F.size("m") >= 2)
+    mi = members.select("m", F.explode(F.sequence(F.lit(0), F.size("m") - 2)).alias("i"))
+    left = F.element_at("m", F.col("i") + 1)
     pairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.blk_val") == F.col("b.blk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        mi.select(
+            left["i"].alias("id_a"),
+            left["s"].alias("sh_a"),
+            F.explode(F.slice(F.col("m"), F.col("i") + 2, F.size("m"))).alias("r"),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        .select("id_a", F.col("r.i").alias("id_b"), "sh_a", F.col("r.s").alias("sh_b"))
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
