@@ -210,3 +210,53 @@ class TestStrictGuardProperty:
         finally:
             REMOTE_TABLES.pop("pp_t", None)
             STRICT_VIEWS.pop("pp_t", None)
+
+
+class TestPairExpansionProperty:
+    """The r9 bucket-aggregate pair expansion (two chained explodes)
+    must produce exactly the a<b pair set a self-join would — for any
+    bucket contents, including duplicates across buckets."""
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 5)),  # (doc_id, bucket)
+            min_size=0, max_size=60, unique=True,
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_expansion_equals_self_join(self, spark, rows):
+        import itertools
+
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [(int(i), int(b)) for i, b in rows] or [(0, 0)],
+            "doc_id long, bucket long",
+        )
+        if not rows:
+            df = df.limit(0)
+        members = (
+            df.groupBy("bucket")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("m"))
+            .filter(F.size("m") >= 2)
+        )
+        mi = members.select(
+            "m", F.explode(F.sequence(F.lit(0), F.size("m") - 2)).alias("i")
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in mi.select(
+                F.element_at("m", F.col("i") + 1).alias("id_a"),
+                F.explode(F.slice(F.col("m"), F.col("i") + 2, F.size("m"))).alias("id_b"),
+            )
+            .distinct()
+            .collect()
+        }
+        by_bucket: dict[int, list[int]] = {}
+        for i, b in rows:
+            by_bucket.setdefault(b, []).append(i)
+        expect = {
+            (a, c)
+            for mem in by_bucket.values()
+            for a, c in itertools.combinations(sorted(mem), 2)
+        }
+        assert got == expect
