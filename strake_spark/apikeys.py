@@ -180,9 +180,26 @@ class ApiKeyStore:
             ttl_seconds=ttl,
         )
         with self._conn() as con:
-            con.execute(
-                "UPDATE api_keys SET revoked_at = ?, rotated_to = ? WHERE key_id = ?",
+            # conditional UPDATE makes the revocation the linearization
+            # point: two concurrent rotations of the same key cannot
+            # both win — the loser's freshly-issued successor is
+            # revoked again and the error surfaces. The raise happens
+            # AFTER the transaction commits (``with con`` rolls back on
+            # exception, which would resurrect the orphan successor).
+            cur = con.execute(
+                "UPDATE api_keys SET revoked_at = ?, rotated_to = ?"
+                " WHERE key_id = ? AND revoked_at IS NULL",
                 (time.time() + max(0.0, grace_seconds), new_info.key_id, key_id),
+            )
+            lost = cur.rowcount == 0
+            if lost:
+                con.execute(
+                    "UPDATE api_keys SET revoked_at = ? WHERE key_id = ?",
+                    (time.time(), new_info.key_id),
+                )
+        if lost:
+            raise ApiKeyError(
+                f"key {key_id!r} was rotated concurrently; use the other winner"
             )
         return new_secret, new_info
 

@@ -233,3 +233,35 @@ class TestRestEnforcement:
             assert code == 200
         finally:
             srv.stop()
+
+
+class TestRotateConcurrency:
+    def test_concurrent_rotations_have_one_winner(self, store):
+        import threading
+
+        _, info = store.issue("svc")
+        results: list[tuple[bool, str | None]] = []
+        lock = threading.Lock()
+        barrier = threading.Barrier(4)
+
+        def rot():
+            barrier.wait()
+            try:
+                secret, _ = store.rotate(info.key_id)
+                with lock:
+                    results.append((True, secret))
+            except ApiKeyError:
+                with lock:
+                    results.append((False, None))
+
+        ts = [threading.Thread(target=rot) for _ in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        winners = [s for ok, s in results if ok]
+        assert len(winners) == 1  # exactly one rotation linearizes
+        store.verify(winners[0])  # and its key works
+        # every loser's orphan successor is revoked
+        live = [k for k in store.list_keys() if k.revoked_at is None]
+        assert len(live) == 1
