@@ -494,6 +494,13 @@ class TestRound9Kernels:
         assert plan.count("Join") <= 2, plan.count("Join")
         assert "CartesianProduct" not in plan
 
+    def test_simhash_pairs_have_no_self_join(self, spark):
+        plan = _plan(spark, "dedup_simhash_near_pairs")
+        # blocked pairing is a bucket aggregate + chained explodes
+        assert "SortMergeJoin" not in plan
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_neardup_pairs_use_grouped_arrow_kernel(self, spark):
         from strake_spark.data import table
         from strake_spark.operators import similarity as S
