@@ -314,10 +314,45 @@ def _parse_default_slots(v: Any) -> int | None:
     return n
 
 
-def load_config(path_or_dict: str | dict[str, Any]) -> EngineConfig:
-    if isinstance(path_or_dict, dict):
-        return parse_config(path_or_dict)
-    import yaml
+def load_config(
+    path_or_dict: str | dict[str, Any], sources_path: str | None = None
+) -> EngineConfig:
+    """Load engine config; optionally merge a SEPARATE sources file.
 
-    with open(path_or_dict) as f:
-        return parse_config(yaml.safe_load(f) or {})
+    Mirrors the reference's split-file convention
+    (docs/python-api.md:11-31: ``StrakeConnection(strake_yaml,
+    sources_config=...)``): engine settings live in ``strake.yaml``,
+    source registrations in ``sources.yaml``. When ``sources_path`` is
+    omitted and the main file declares no sources, a ``sources.yaml``
+    sitting NEXT TO the main file is picked up automatically. The
+    sources file may be a bare list or a ``{sources: [...]}`` mapping;
+    any extra top-level sections it carries (policies, contracts) merge
+    in unless the main file already sets them."""
+    if isinstance(path_or_dict, dict):
+        raw = dict(path_or_dict)
+    else:
+        import yaml
+
+        with open(path_or_dict) as f:
+            raw = yaml.safe_load(f) or {}
+        if sources_path is None and not raw.get("sources"):
+            import os as _os
+
+            cand = _os.path.join(
+                _os.path.dirname(_os.path.abspath(path_or_dict)), "sources.yaml"
+            )
+            if _os.path.exists(cand) and _os.path.abspath(cand) != _os.path.abspath(
+                path_or_dict
+            ):
+                sources_path = cand
+    if sources_path is not None:
+        import yaml
+
+        with open(sources_path) as f:
+            sraw = yaml.safe_load(f) or {}
+        if isinstance(sraw, list):
+            raw.setdefault("sources", sraw)
+        else:
+            for k, v in sraw.items():
+                raw.setdefault(k, v)
+    return parse_config(raw)

@@ -38,13 +38,14 @@ class StrakeEngine:
         self,
         spark: SparkSession | None = None,
         config: EngineConfig | dict | str | None = None,
+        sources_config: str | None = None,
     ) -> None:
         if config is None:
             self.config = EngineConfig()
         elif isinstance(config, EngineConfig):
             self.config = config
         else:
-            self.config = load_config(config)
+            self.config = load_config(config, sources_path=sources_config)
         self.spark = spark or build_session()
         self._views: dict[str, list[str]] = {}
         self._view_source: dict[str, str] = {}
@@ -628,6 +629,7 @@ def connect(
     config: EngineConfig | dict | str | None = None,
     spark: SparkSession | None = None,
     api_key: str | None = None,
+    sources_config: str | None = None,
     **remote_kwargs,
 ):
     """Reference ``strake.connect`` equivalent (python/strake/__init__.py:10-39).
@@ -636,9 +638,13 @@ def connect(
     303-330): a ``grpc://`` / ``grpcs://`` DSN returns the thin remote
     client (Flight to a strake-spark server, no local SparkSession);
     anything else builds the embedded engine. ``api_key`` is the remote
-    bearer token; it is ignored for embedded mode."""
+    bearer token; it is ignored for embedded mode. ``sources_config``
+    is the reference's split-file convention (python-api.md:11-31):
+    engine settings in the main file, source registrations in a
+    separate sources.yaml (auto-discovered next to the main file when
+    omitted and the main file declares no sources)."""
     if isinstance(config, str) and config.startswith(("grpc://", "grpcs://", "grpc+tls://")):
         from strake_spark.remote import RemoteEngine
 
         return RemoteEngine(config, api_key=api_key, **remote_kwargs)
-    return StrakeEngine(spark=spark, config=config)
+    return StrakeEngine(spark=spark, config=config, sources_config=sources_config)

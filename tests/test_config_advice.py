@@ -115,3 +115,68 @@ class TestMaterializeVersionReservation:
             t.join()
         assert len(out) == 160
         assert len(set(out)) == 160  # no duplicate version ever handed out
+
+
+class TestSplitFileConfig:
+    """Reference split-file convention (python-api.md:11-31): engine
+    settings in strake.yaml, sources in sources.yaml — explicit path or
+    auto-discovered next to the main file."""
+
+    def _write(self, tmp_path, name, text):
+        p = tmp_path / name
+        p.write_text(text)
+        return str(p)
+
+    def test_explicit_sources_config(self, tmp_path):
+        from strake_spark.config import load_config
+
+        main = self._write(tmp_path, "strake.yaml", "global_connection_budget: 7\n")
+        src = self._write(
+            tmp_path / "..", "sources-elsewhere.yaml",
+            "sources:\n- name: t\n  type: parquet\n  url: /data\n",
+        )
+        cfg = load_config(main, sources_path=src)
+        assert cfg.global_connection_budget == 7
+        assert [s.name for s in cfg.sources] == ["t"]
+
+    def test_sources_yaml_autodiscovered_next_to_main(self, tmp_path):
+        from strake_spark.config import load_config
+
+        main = self._write(tmp_path, "strake.yaml", "global_connection_budget: 9\n")
+        self._write(
+            tmp_path, "sources.yaml",
+            "sources:\n- name: auto\n  type: parquet\n  url: /data\n"
+            "contracts:\n  contracts: []\n",
+        )
+        cfg = load_config(main)
+        assert cfg.global_connection_budget == 9
+        assert [s.name for s in cfg.sources] == ["auto"]
+
+    def test_bare_list_sources_file(self, tmp_path):
+        from strake_spark.config import load_config
+
+        main = self._write(tmp_path, "strake.yaml", "{}\n")
+        self._write(tmp_path, "sources.yaml", "- name: l\n  type: parquet\n  url: /d\n")
+        cfg = load_config(main)
+        assert [s.name for s in cfg.sources] == ["l"]
+
+    def test_main_file_sources_win(self, tmp_path):
+        from strake_spark.config import load_config
+
+        main = self._write(
+            tmp_path, "all-in-one.yaml",
+            "sources:\n- name: main\n  type: parquet\n  url: /m\n",
+        )
+        self._write(tmp_path, "sources.yaml", "- name: shadow\n  type: parquet\n  url: /s\n")
+        cfg = load_config(main)
+        assert [s.name for s in cfg.sources] == ["main"]
+
+    def test_sources_yaml_as_main_does_not_merge_itself(self, tmp_path):
+        from strake_spark.config import load_config
+
+        main = self._write(
+            tmp_path, "sources.yaml",
+            "sources:\n- name: only\n  type: parquet\n  url: /o\n",
+        )
+        cfg = load_config(main)
+        assert [s.name for s in cfg.sources] == ["only"]
