@@ -44,6 +44,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json({"access_token": "OAUTH-TOK", "expires_in": 3600})
             else:
                 self._deny()
+        elif self.path == "/token_endless":
+            # POST/GraphQL flavor of the endless cursor
+            ln = int(self.headers.get("Content-Length", "0"))
+            body = json.loads(self.rfile.read(ln)) if ln else {}
+            after = (body.get("variables") or {}).get("after")
+            start = int(after) if after else 0
+            self._json({"items": ROWS[:3], "next_token": str(start + 1),
+                        "has_more": True})
         else:
             self._deny(404)
 
@@ -54,6 +62,15 @@ class _Handler(BaseHTTPRequestHandler):
 
         if path == "/plain":
             return self._json(ROWS)
+        if path == "/token_endless":
+            # never-ending cursor; has_more goes False on the 3rd page
+            # (cursor stays live — like GitHub GraphQL's endCursor)
+            start = int(q.get("page_token", 0))
+            return self._json({
+                "items": ROWS[:3],
+                "next_token": str(start + 1),
+                "has_more": start < 2,
+            })
         if path == "/offset":
             off, lim = int(q.get("offset", 0)), int(q.get("limit", 10))
             return self._json({"data": ROWS[off : off + lim]})
@@ -372,3 +389,50 @@ class TestAllReferenceConfigsParse:
         gh = parse_config(
             yaml.safe_load(open("/root/reference/docs/examples/github_source.yaml")))
         assert gh.sources[0].url == "https://api.github.com"
+
+
+class TestPaginationTermination:
+    """Runaway-pagination guard: a server that never stops feeding
+    next-cursors must hit the max_pages ceiling with a loud SourceError,
+    for every cursor style — including the POST/GraphQL body-injected
+    cursor added in r9 (real APIs keep endCursor non-null on the last
+    page, so an ignored has-more flag means an infinite loop)."""
+
+    def _opts(self, server, **kw):
+        base = {"url": f"{server}/token_endless", "records_path": "items",
+                "max_pages": "7"}
+        base.update(kw)
+        return base
+
+    def test_token_style_runaway_raises(self, server):
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.rest import _fetch_pages
+
+        with pytest.raises(SourceError, match="max_pages"):
+            for _ in _fetch_pages(self._opts(server, pagination="token")):
+                pass
+
+    def test_post_body_cursor_runaway_raises(self, server):
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.rest import _fetch_pages
+
+        opts = self._opts(
+            server,
+            pagination="token",
+            body=json.dumps({"query": "q", "variables": {"after": None}}),
+            token_body_field="variables.after",
+        )
+        with pytest.raises(SourceError, match="max_pages"):
+            for _ in _fetch_pages(opts):
+                pass
+
+    def test_more_field_false_stops_despite_live_cursor(self, server):
+        from strake_spark.sources.rest import _fetch_pages
+
+        opts = self._opts(
+            server,
+            pagination="token",
+            more_field="has_more",  # server sets it False on page 3
+        )
+        pages = list(_fetch_pages(opts))
+        assert len(pages) == 3
