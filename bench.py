@@ -178,7 +178,11 @@ def main() -> None:
         return _run_selected(args)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "4"))
-    iters_rest = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS_REST", "2"))
+    # 3 rest iterations (was 2 through r9): the ~15-30% machine spread
+    # made 2-run medians swing ±20% round-to-round (r9: q11/q12/q19),
+    # consuming regression-triage attention on noise. ~8 s of extra
+    # bench time buys a real median for the 15 rest queries.
+    iters_rest = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS_REST", "3"))
     chaos = ChaosInjector(args.chaos) if args.chaos > 0 else None
 
     t0 = time.perf_counter()

@@ -63,61 +63,60 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Entries named here are emitted FIRST, in this order; everything else
 # follows in registration order.
 #
-# Round-9 rotation (per the r8 verdict): front-load (a)
-# `expr_vectorized_udf` — the only entry that has never had a driver
-# row (added late in round 8). Then (b) all 42 entries whose most
-# recent driver row is round 6 (the oldest evidence in the registry:
-# subqueries, CTEs, events, the dedup/ANN/text families, streaming,
-# as-of/range joins, PII, sampling, pipeline extras), in registration
-# order. Then (c) 7 r7-green TPC-H rows: the front of the r7 cohort in
-# registration order (q1/q3/q5/q6/q4) plus q7 and q8, pulled forward
-# because this round rewrites their plans (broadcast-semi
-# pre-reduction) — a rewritten query should re-earn its driver row the
-# same round. That is exactly 50. With this window green, all-time
-# driver coverage reaches 143/143. Everything else (r7/r8-green, all
-# re-verified by tests/test_inventory.py at sf0.001 and sf0.01 every
-# round) follows in registration order.
+# Round-10 rotation (per the r9 verdict + the in-code r10 guidance):
+# all-time coverage is 143/143, so freshness of evidence is the
+# metric. (a) All 43 entries whose most recent driver row is round 7 —
+# the oldest evidence in the registry (tpch q10/q13-q19/q21, join
+# forms, approx-distinct, sort/limit/pivot, the expression matrices,
+# the ANN recall/topk family, quantize, multimodal decode, stream
+# join, sampling, pipeline mixture/quota/shard/chunk), in registration
+# order. (b) `tpch_q5_local_supplier_volume` — r9-green but REWRITTEN
+# this round (broadcast-semi pre-reduction, the q7/q8 playbook); a
+# rewritten query re-earns its driver row the same round. (c) The
+# first 6 r8-green rows in registration order (q9/q22/q2/q11/q12/q20).
+# That is exactly 50. Everything else (r8/r9-green, all re-verified by
+# tests/test_inventory.py at sf0.001 and sf0.01 every round) follows
+# in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked — added late in round 8
-    "expr_vectorized_udf",
-    # (b) oldest evidence: last driver row in round 6 (42 entries)
-    "subquery_scalar_above_avg", "subquery_in_european_customers",
-    "subquery_exists_correlated", "subquery_correlated_scalar_select",
-    "cte_reused", "cte_recursive_series",
-    "events_tumbling_window", "events_sessionization",
-    "events_json_props", "events_top_users_per_type",
-    "dedup_exact", "dedup_minhash_signatures",
-    "dedup_minhash_lsh_candidates", "dedup_simhash_signatures",
-    "dedup_simhash_near_pairs", "dedup_duplicate_clusters",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk_bruteforce", "ann_embedding_dup_pairs",
-    "text_language_id", "text_quality_score", "text_token_count",
-    "text_fingerprint",
-    "multimodal_binary_meta",
-    "stream_tumbling_event_counts", "stream_sessionization",
-    "stream_dedup_events", "stream_user_running_totals",
-    "window_groups_frame_emulated",
-    "asof_join_backward", "asof_join_forward",
-    "range_join_events_after_purchase",
-    "pii_detect_and_scrub",
-    "sample_stratified_by_lang", "text_vocabulary_topn",
-    "agg_length_percentiles_by_lang", "join_salted_skew",
-    "events_funnel_conversion", "dedup_corpus_keep_first",
-    "pipeline_decontaminate_ngram", "pipeline_pack_sequences",
-    "pipeline_curation_filter",
-    # (c) r7-green TPC-H rows; q7/q8 rewritten this round
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    # (a) oldest evidence: last driver row in round 7 (43 entries)
+    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers", "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_suppliers",
+    "join_inner_orders_customer", "join_left_customer_orders",
+    "join_right_orders_customer", "join_full_outer_nation_coverage",
+    "join_semi_customers_with_urgent_orders",
+    "agg_approx_count_distinct", "agg_approx_count_distinct_bound",
+    "empty_relation", "limit_offset_page", "sort_multi_key_nulls",
+    "pivot_status_by_flag",
+    "expr_string_functions", "expr_math_functions",
+    "expr_datetime_functions", "expr_conditional_null",
+    "expr_cast_matrix",
+    "ann_lsh_bucketed_topk", "ann_ivf_topk",
+    "ann_lsh_recall_vs_exact", "ann_ivf_recall_vs_exact",
+    "embedding_quantize_int8", "ann_pq_topk", "ann_pq_recall_vs_exact",
+    "text_repetition_score",
+    "multimodal_decode_features", "multimodal_decode_meta",
+    "stream_view_purchase_join",
+    "expr_array_higher_order",
+    "sample_hash_bucket", "sample_shuffle_deterministic",
+    "pipeline_mixture_upsample", "pipeline_source_quota",
+    "pipeline_shard_manifest", "pipeline_chunk_documents",
+    # (b) rewritten this round — re-earns its driver row
+    "tpch_q5_local_supplier_volume",
+    # (c) oldest r8-green rows in registration order
+    "tpch_q9_product_profit", "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping", "tpch_q20_part_promotion",
     # --- 50-entry window boundary ---
-    # round-10 rotation guidance: with the r9 window green, every entry
-    # has a driver row and the oldest evidence becomes the r7 cohort.
-    # Front-load any entry added during round 9 that has no driver row
-    # yet, then the remaining r7-green rows in registration order
-    # (tpch_q10/q13/q14/q15/q16/q17/q18/q19/q21, expressions matrices,
-    # sort/limit/offset, quantize, iceberg/interval entries), then
-    # r8-green rows oldest-first.
+    # round-11 rotation guidance: front-load any entry added during
+    # round 10 that has no driver row yet, then the remaining r8-green
+    # rows in registration order (join anti/cross/non-equi, the
+    # aggregate family, grouping sets/cube/rollup, windows, set ops,
+    # distinct-on, values, JSON/regexp/unpivot, iceberg/interval
+    # entries), then r9-green rows oldest-first. Any query whose plan
+    # is rewritten in round 11 joins the window that same round.
 )
 
 

@@ -32,6 +32,35 @@ def test_every_entry_has_oracle_or_rows_only_tag():
             )
 
 
+def test_window_front_loads_oldest_driver_evidence():
+    """r10 rotation contract: with all-time coverage at 143/143, the
+    window must contain every entry whose most recent driver row is the
+    OLDEST round on record. Evidence range is pinned to the files that
+    existed at rotation time (r01–r09) — bump the range when rotating
+    for the next round so the check describes that rotation."""
+    import json
+    import os
+
+    last: dict[str, int] = {}
+    for rn in range(1, 10):  # pinned at rotation time; bump with each rotation
+        path = f"/root/repo/CORRECTNESS_r{rn:02d}.json"
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = rn
+    if not last:  # driver artifacts absent (fresh clone) — nothing to pin
+        return
+    oldest = min(last.values())
+    stale = {n for n, rn in last.items() if rn == oldest and n in inventory.REGISTRY}
+    window = set(inventory._PRIORITY)
+    missing = stale - window
+    assert not missing, (
+        f"entries with oldest driver evidence (r{oldest}) not in the "
+        f"window: {sorted(missing)}"
+    )
+
+
 def test_oracle_sql_mentions_no_unaliased_aggregates():
     """Cheap lint for the hash-compare contract: every SELECT-list
     aggregate call in an oracle is AS-aliased (unaliased ones produce
