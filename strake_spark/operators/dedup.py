@@ -128,8 +128,15 @@ def minhash_candidates(
     by exact dedup upstream). The default cap is far above any test
     bucket, so oracle results are unchanged at test scale.
     """
-    # cache: sig feeds banding AND both score-join sides; backs the
-    # returned lazy DataFrame (caller releases via clearCache())
+    # cache: sig feeds banding, the gated hot-bucket count pass, and
+    # both score-join sides; without it the signature aggregation (the
+    # pipeline's most expensive stage, ~0.7 s at sf0.1) re-runs per
+    # consumer. Measured r10: the cache is worth its cost —
+    # steady-state ~1 s cached vs +0.7 s per extra evaluation uncached
+    # (the r8 "persist buys nothing" claim held only for the
+    # pre-banding SHINGLE relation, whose min-aggregation already
+    # collapses map-side). Backs the returned lazy DataFrame (caller
+    # releases via clearCache()).
     sig = minhash_signatures(docs, id_col, text_col, num_hashes).cache()
     rows_per_band = num_hashes // num_bands
     # Band via a single explode, NOT a num_bands-way union: a union
@@ -148,17 +155,48 @@ def minhash_candidates(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
+    # Hot buckets are dropped BEFORE any materialization (r10, restores
+    # the r8 protection): a count aggregate first — its shuffle carries
+    # (band, band_key, partial_count), never member ids — then a
+    # broadcast ANTI join removes over-cap buckets from the banded
+    # stream map-side, so a boilerplate bucket's ids are neither
+    # shuffled nor collected. The anti side is bounded by construction:
+    # only buckets exceeding the cap appear in it (rare by definition —
+    # each needs >max_bucket_size colliding docs), so the broadcast is
+    # always tiny even when the corpus is not. Filtering AFTER
+    # collect_list (the r9 shape) would materialize the over-cap array
+    # in one aggregation buffer first — the cap must bind before the
+    # buffer exists, not after.
+    #
+    # The pass is gated on corpus size: no bucket can exceed the cap
+    # unless the corpus itself does (bucket size <= doc count), so for
+    # small inputs the extra aggregation+anti-join is provably a no-op
+    # and is skipped — on raw parquet the gate is one metadata-only
+    # count job (~ms). Callers passing an expensive DERIVED docs plan
+    # pay one evaluation for the gate; at the corpus sizes where that
+    # matters the count pass is mandatory anyway.
+    if docs.count() > max_bucket_size:
+        hot = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        survivors = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    else:
+        survivors = banded
+
     # Pair generation via ONE bucket aggregation (r9), not a banded
-    # self-join: groupBy (band, band_key) collects each bucket's member
-    # ids (bounded by the cap), the over-cap filter drops hot buckets
-    # as a plain predicate on the aggregated row (no second aggregate,
-    # no broadcast anti-join), and the a<b pairs expand from the sorted
-    # member array. The old shape evaluated the banded relation three
-    # times (hot-count, join left, join right) and shuffled four times;
-    # this shuffles it once, and the pair explosion is per-bucket
-    # O(size^2) — exactly the work the join performed, without the
-    # join. collect_list is safe by construction: the cap bounds any
-    # bucket at max_bucket_size ids (~8 bytes each).
+    # self-join: groupBy (band, band_key) collects each surviving
+    # bucket's member ids and the a<b pairs expand from the sorted
+    # array. Member arrays carry IDS ONLY: an r10 experiment collected
+    # (id, signature) structs instead, to score pairs inline and drop
+    # the joins back to sig — but element_at(m, i) on the struct array
+    # is re-evaluated per expanded pair row, so the 17×-wider member
+    # array rides through both Generates once per pair and a 300-member
+    # bucket OOMed a 2 GiB heap. The id-only array keeps the per-pair
+    # carry at 8 bytes/member; scoring joins shuffle 16 longs per doc
+    # at scale, which is noise next to the text-bearing stages.
     #
     # The expansion is TWO chained explodes — left index first, then
     # the partner slice — NOT one flatten(transform(transform)): the
@@ -168,9 +206,9 @@ def minhash_candidates(
     # streams one ≤size-element slice per in-flight row, so task memory
     # stays O(bucket), never O(bucket^2).
     members = (
-        banded.groupBy("band", "band_key")
+        survivors.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("m"))
-        .filter((F.size("m") >= 2) & (F.size("m") <= max_bucket_size))
+        .filter(F.size("m") >= 2)
     )
     mi = members.select(
         "m", F.explode(F.sequence(F.lit(0), F.size("m") - 2)).alias("i")
@@ -247,6 +285,7 @@ def simhash_near_pairs(
     bits: int = SIMHASH_BITS,
     max_hamming: int = 8,
     num_blocks: int = 4,
+    max_bucket_size: int = 50_000,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance.
 
@@ -255,6 +294,12 @@ def simhash_near_pairs(
     least one whole block, so joining per-block on equal block values
     finds all such pairs without a cross join. (max_hamming above the
     pigeonhole bound trades recall, as in production SimHash dedup.)
+
+    Blocks with more than ``max_bucket_size`` members are dropped
+    before pair expansion — same protection, same gated count+anti-join
+    shape, and same recall tradeoff as ``minhash_candidates`` (a
+    template block's pairs still surface through the other blocks
+    unless they collide everywhere).
     """
     # One explode instead of a num_blocks-way union (a union multiplies
     # partition count into tiny tasks), and ONE bucket aggregation
@@ -277,6 +322,18 @@ def simhash_near_pairs(
     blocked = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*block_structs)).alias("bk")
     ).select(id_col, "simhash", F.col("bk.blk").alias("blk"), F.col("bk.blk_val").alias("blk_val"))
+    # Hot blocks drop BEFORE collect_list materializes them (r10): a
+    # count pass + broadcast anti-join, gated on corpus size exactly
+    # like minhash_candidates — no block can exceed the cap unless the
+    # corpus does, so small inputs skip the pass entirely.
+    if docs.count() > max_bucket_size:
+        hot = (
+            blocked.groupBy("blk", "blk_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("blk", "blk_val")
+        )
+        blocked = blocked.join(F.broadcast(hot), ["blk", "blk_val"], "left_anti")
     # members carry (id, simhash) structs, id-sorted so a<b == index<
     members = blocked.groupBy("blk", "blk_val").agg(
         F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))).alias("m")

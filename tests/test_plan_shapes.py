@@ -184,7 +184,20 @@ class TestSkewGuards:
         capped = D.minhash_candidates(boilerplate_docs, max_bucket_size=10)
         # every doc identical -> one bucket of 300 -> dropped by the cap
         assert capped.count() == 0
+        # the cap binds BEFORE collect_list: the drop is a broadcast
+        # anti-join on bucket counts, never a filter on a built array
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
         uncapped = D.minhash_candidates(boilerplate_docs, max_bucket_size=1000)
+        assert uncapped.count() == 300 * 299 // 2
+
+    def test_simhash_hot_block_cap_bounds_pairs(self, spark, boilerplate_docs):
+        from strake_spark.operators import dedup as D
+
+        capped = D.simhash_near_pairs(boilerplate_docs, max_bucket_size=10)
+        # identical docs share every block -> all blocks over-cap -> dropped
+        assert capped.count() == 0
+        uncapped = D.simhash_near_pairs(boilerplate_docs, max_bucket_size=1000)
         assert uncapped.count() == 300 * 299 // 2
 
     def test_ngram_prefix_filter_exact_on_mixed_corpus(self, spark):
