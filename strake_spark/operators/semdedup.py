@@ -59,9 +59,15 @@ from strake_spark.operators.similarity import _dot
 _ACC = "decimal(18,9)"
 
 
-def _with_cluster(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, v) -> (vec_id, v, cluster): argmax_j dot(v, c_j)/|c_j|
-    per row; ties -> smallest cluster id.
+def _carr_of(cents: DataFrame) -> DataFrame:
+    """Per-cluster (cid, c) relation -> ONE broadcast row holding the
+    centroid struct array (the form assignment consumes)."""
+    return cents.agg(F.collect_list(F.struct("cid", "c")).alias("_cents"))
+
+
+def _assign(e: DataFrame, carr: DataFrame) -> DataFrame:
+    """(vec_id, v) x 1-row centroid array -> (vec_id, v, cluster):
+    argmax_j dot(v, c_j)/|c_j| per row; ties -> smallest cluster id.
 
     Map-only: the centroids arrive as ONE broadcast row holding a
     struct array, and each row takes array_max over per-centroid
@@ -70,7 +76,6 @@ def _with_cluster(e: DataFrame, cents: DataFrame) -> DataFrame:
     without the n*k row explosion or the argmax shuffle, and it is
     fold-order independent so the oracle hash is unchanged.
     """
-    carr = cents.agg(F.collect_list(F.struct("cid", "c")).alias("_cents"))
     best = F.array_max(
         F.transform(
             F.col("_cents"),
@@ -91,25 +96,43 @@ def _with_cluster(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame) -> DataFrame:
-    """New centroids: per-(cluster, pos) DECIMAL-exact component mean,
-    reassembled into ordered arrays JVM-side (sort_array over structs).
-    ``assigned`` carries the vector (map-only assignment), so no join
-    back to the source is needed."""
+def _with_cluster(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assignment against a per-cluster (cid, c) relation."""
+    return _assign(e, _carr_of(cents))
+
+
+def _update_carr(assigned: DataFrame) -> DataFrame:
+    """New centroids, emitted DIRECTLY as the 1-row broadcast array the
+    next assignment consumes: per-(cluster, pos) DECIMAL-exact component
+    means land in one single-row collect_list (r10 — fusing the old
+    per-cluster collect_list reassembly shuffle into the broadcast-row
+    aggregation drops a whole exchange per iteration), then reshape
+    JVM-side. The reshape is slice-based O(k*dim): the flat array is
+    struct-sorted by (cluster, pos), every cluster present carries all
+    ``dim`` positions, so cluster i occupies slice [i*dim, (i+1)*dim) —
+    a per-cluster filter() scan would be O(k^2*dim) on the single row
+    and degrade at SemDeDup-scale k. ``assigned`` carries the vector
+    (map-only assignment), so no join back to the source is needed."""
     comp = (
         assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
         .groupBy("cluster", "pos")
         .agg(F.sum(F.col("val").cast(_ACC)).alias("s"), F.count(F.lit(1)).alias("cnt"))
     )
-    return (
-        comp.select(
-            "cluster",
-            F.struct("pos", (F.col("s").cast("double") / F.col("cnt")).alias("m")).alias("pm"),
-        )
-        .groupBy("cluster")
-        .agg(F.transform(F.sort_array(F.collect_list("pm")), lambda x: x.m).alias("c"))
-        .select(F.col("cluster").alias("cid"), "c")
+    flat_row = comp.select(
+        F.struct(
+            F.col("cluster"), F.col("pos"), (F.col("s").cast("double") / F.col("cnt")).alias("m")
+        ).alias("e")
+    ).agg(F.sort_array(F.collect_list("e")).alias("_flat"))
+    cids = F.array_distinct(F.transform(F.col("_flat"), lambda x: x["cluster"]))
+    dim = (F.size(F.col("_flat")) / F.size(cids)).cast("int")
+    cents_arr = F.transform(
+        cids,
+        lambda cid, i: F.struct(
+            cid.alias("cid"),
+            F.transform(F.slice(F.col("_flat"), i * dim + 1, dim), lambda y: y["m"]).alias("c"),
+        ),
     )
+    return flat_row.select(cents_arr.alias("_cents"))
 
 
 def _normalized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -133,11 +156,12 @@ def _kmeans(e: DataFrame, k: int, iters: int) -> DataFrame:
     cents = e.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
+    carr = _carr_of(cents)
     assigned = None
     for i in range(iters):
-        assigned = _with_cluster(e, cents)
+        assigned = _assign(e, carr)
         if i < iters - 1:
-            cents = _update(assigned)
+            carr = _update_carr(assigned)
     return assigned
 
 
@@ -203,11 +227,23 @@ def semantic_prune(
     exactly the sequential order of the SQL HOF fold and DuckDB's
     ``list_dot_product`` — bit-identical doubles, so the oracle still
     hash-matches; NaN cosines (zero vectors) count as >= tau, matching
-    Spark/DuckDB NaN-greatest comparison semantics. Memory is bounded:
-    pair blocks are processed in chunks of ~``chunk_cells`` matrix
-    cells (~8 bytes each), so a hot cluster costs O(chunk) not
-    O(cluster^2). Parallelism is k tasks — SemDeDup's own scaling
-    argument (k ~ sqrt(n)) makes that the right width at scale.
+    Spark/DuckDB NaN-greatest comparison semantics.
+
+    Memory bounds — what IS and is NOT capped: the PAIR matrix is
+    processed in chunks of ~``chunk_cells`` cells (~8 bytes each), so
+    pairwise work costs O(chunk) regardless of cluster size. The MEMBER
+    matrix is not chunked: each task holds its whole cluster's vectors
+    (cluster_size * dim * 8 bytes — np.stack before pairing), so a
+    skewed k-means assignment that funnels the corpus into one hot
+    cluster concentrates that cluster's members in one executor (e.g.
+    1M rows x 768 dims ~ 6 GiB). That is the algorithm's granularity —
+    every member must meet every lower-id member — and the knob that
+    bounds it is ``k``: SemDeDup's own sizing (k ~ sqrt(n)) keeps
+    expected cluster size at sqrt(n), and a near-constant corpus that
+    degenerates k-means into one cluster should be exact-deduped first
+    (the same stance as dedup.minhash_candidates' hot-bucket cap).
+    Parallelism is k tasks — the paper's scaling argument makes that
+    the right width at scale.
 
     Materialization discipline (``persist=True``): the source is read
     ONCE into a MEMORY_AND_DISK cache; k-means iterations read the

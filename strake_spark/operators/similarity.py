@@ -214,6 +214,12 @@ def embedding_dup_pairs(
 
     import numpy as np
 
+    # The pair columns keep the caller's id type (string ids are as
+    # legitimate as bigint ones — the exact path above preserves them
+    # via plain column refs, and the Arrow path must match it).
+    id_sql_type = emb.schema[id_col].dataType.simpleString()
+    pair_schema = f"id_a {id_sql_type}, id_b {id_sql_type}, cosine double"
+
     if dim is None:
         # Eager one-row probe; callers that need a fully lazy plan pass
         # dim explicitly. Skip null embeddings when probing.
@@ -223,9 +229,7 @@ def embedding_dup_pairs(
             .first()
         )
         if first is None:
-            return emb.sparkSession.createDataFrame(
-                [], "id_a bigint, id_b bigint, cosine double"
-            )
+            return emb.sparkSession.createDataFrame([], pair_schema)
         dim = first["d"]
     if dim is None or dim < 1:
         raise ValueError(
@@ -293,7 +297,12 @@ def embedding_dup_pairs(
     # by the cap. Parallelism = number of buckets — num_bands *
     # corpus/bucket_size tasks at scale.
     thr = float(threshold)
-    _empty = {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+    _id_pd_dtype = (
+        "int64"
+        if id_sql_type in ("bigint", "int", "smallint", "tinyint")
+        else ("float64" if id_sql_type in ("double", "float") else "object")
+    )
+    _empty = {"id_a": _id_pd_dtype, "id_b": _id_pd_dtype, "cosine": "float64"}
 
     def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         """Score every bucket in the group with pure numpy — NO
@@ -359,12 +368,29 @@ def embedding_dup_pairs(
     # over its buckets inside one vectorized call. At cluster scale the
     # group count scales with defaultParallelism, keeping per-task
     # memory at O(corpus / tasks) like any shuffle partition.
+    # Over-cap buckets are dropped BEFORE the Arrow boundary (not just
+    # by the in-kernel n_c skip, which only fires after the bucket's
+    # vectors have already shipped to the Python worker): a count pass
+    # on narrow (band, key) rows + broadcast anti-join, gated on corpus
+    # size exactly like dedup.minhash_candidates — no bucket can exceed
+    # the cap unless the corpus does, so small inputs skip the pass (the
+    # gate count reads the persisted `keyed` profile, not the raw scan).
+    # The in-kernel skip stays as defense in depth for the gated-off
+    # path's semantics (callers passing tiny caps on tiny corpora).
+    if keyed.count() > max_bucket_size:
+        hot = (
+            tagged.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "key")
+        )
+        tagged = tagged.join(F.broadcast(hot), ["band", "key"], "left_anti")
     par = tagged.sparkSession.sparkContext.defaultParallelism
     groups_per_band = max(1, (4 * par) // max(1, num_bands))
     return (
         tagged.withColumn("_grp", F.pmod(F.hash(F.col("key")), F.lit(groups_per_band)))
         .groupBy("band", "_grp")
-        .applyInPandas(_score_group, schema="id_a bigint, id_b bigint, cosine double")
+        .applyInPandas(_score_group, schema=pair_schema)
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -150,6 +150,46 @@ class TestEmbeddingDupPairsScalePath:
         assert len(exact) == 15  # 3 pairs per planted triple x 5, nothing else
         assert lsh == exact
 
+    def test_lsh_preserves_string_id_type(self, spark):
+        """The LSH path's pair schema derives from the input id type:
+        string ids must come back as strings matching the exact path
+        (the r9 kernel hardcoded bigint and broke non-integer ids)."""
+        import math
+
+        from strake_spark.operators import similarity as S
+
+        dim = 8
+        rows = []
+        for b in range(4):
+            base = [math.sin(0.7 * b * (j + 1)) + 1.5 for j in range(dim)]
+            rows.append((f"doc-{b*10:03d}", base))
+            rows.append((f"doc-{b*10+1:03d}", [x * 1.001 for x in base]))
+        emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        lsh_df = S.embedding_dup_pairs(emb, threshold=0.99, num_bands=24, id_col="vec_id")
+        assert dict(lsh_df.dtypes)["id_a"] == "string"
+        lsh = {(r.id_a, r.id_b) for r in lsh_df.collect()}
+        exact = {
+            (r.id_a, r.id_b)
+            for r in S.embedding_dup_pairs(
+                emb, threshold=0.99, method="exact", id_col="vec_id"
+            ).collect()
+        }
+        assert len(exact) == 4 and lsh == exact
+
+    def test_lsh_hot_bucket_prefilter_before_arrow(self, spark):
+        """Over-cap buckets drop via a broadcast anti-join BEFORE the
+        Arrow boundary (ADVICE r9): with a cap below a degenerate
+        corpus's bucket sizes the plan contains the LeftAnti join and
+        the result is empty — member vectors never ship to Python."""
+        from strake_spark.operators import similarity as S
+
+        rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(50)]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        out = S.embedding_dup_pairs(emb, threshold=0.5, max_bucket_size=10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+        assert out.count() == 0
+
     def test_lsh_matches_exact_on_synthetic_corpus(self, spark):
         """Recall on the driver's synthetic embeddings at the inventory
         entry's own settings (t=0.4, 24 bands): LSH == exact, non-empty.
