@@ -19,6 +19,10 @@ Model
 - ``scopes`` is a set of server verbs the key may call
   (``execute sql describe list_sources explain_tree trace ping`` — or
   ``*``). A shared service account gets exactly the verbs it needs.
+  ``execute`` implies ``sql``: a remote query always plans
+  (get_flight_info -> ``sql``) before it fetches (do_get ->
+  ``execute``), so an execute-only key would otherwise be unable to
+  run anything. ``sql`` alone stays plan/validate-only.
 - Lifecycle: optional ``ttl_seconds`` (expiry), ``revoke`` (immediate),
   and ``rotate`` — issue a successor with identical binding and revoke
   the predecessor after an optional grace window so deployed clients
@@ -43,6 +47,23 @@ from strake_spark.errors import StrakeError
 VERBS = frozenset(
     {"execute", "sql", "describe", "list_sources", "explain_tree", "trace", "ping"}
 )
+
+# Scope implications: a remote query ALWAYS plans before it fetches
+# (the Flight client calls get_flight_info -> 'sql', then do_get ->
+# 'execute'), so a key issued with --scopes execute alone could never
+# run any query — a footgun, since planning is a strict subset of
+# executing. 'execute' therefore implies 'sql'. Grant 'sql' alone for
+# plan/validate-only keys.
+_IMPLIED = {"sql": frozenset({"execute"})}
+
+
+def scope_allows(scopes, verb: str) -> bool:
+    """Single source of truth for scope checks (KeyInfo.allows and the
+    Flight server's middleware check both route here, so implications
+    cannot drift between the two enforcement points)."""
+    if "*" in scopes or verb in scopes:
+        return True
+    return any(g in scopes for g in _IMPLIED.get(verb, ()))
 
 _SCHEMA = """
 CREATE TABLE IF NOT EXISTS api_keys (
@@ -76,7 +97,7 @@ class KeyInfo:
     rotated_to: str | None
 
     def allows(self, verb: str) -> bool:
-        return "*" in self.scopes or verb in self.scopes
+        return scope_allows(self.scopes, verb)
 
 
 def _hash(secret: str) -> str:

@@ -496,7 +496,9 @@ def main(argv=None) -> int:
     kp.add_argument("name")
     kp.add_argument("--user", default=None)
     kp.add_argument("--scopes", default=None,
-                    help="comma/space list of verbs, or '*' (default)")
+                    help="comma/space list of verbs, or '*' (default); "
+                         "'execute' implies 'sql' (queries plan before "
+                         "they fetch)")
     kp.add_argument("--ttl", type=float, default=None, help="seconds until expiry")
     kp.add_argument("--store", default=None)
     kp.add_argument("--config", default="sources.yaml")

@@ -141,10 +141,13 @@ def make_server(
         except Exception:
             mw = None
         scopes = (getattr(mw, "claims", None) or {}).get("_scopes")
-        if scopes is not None and "*" not in scopes and verb not in scopes:
-            raise fl.FlightUnauthorizedError(
-                f"API key lacks scope {verb!r} (granted: {','.join(scopes)})"
-            )
+        if scopes is not None:
+            from strake_spark.apikeys import scope_allows
+
+            if not scope_allows(scopes, verb):
+                raise fl.FlightUnauthorizedError(
+                    f"API key lacks scope {verb!r} (granted: {','.join(sorted(scopes))})"
+                )
 
     class StrakeFlightServer(fl.FlightServerBase):
         def __init__(self):

@@ -54,6 +54,18 @@ class TestLifecycle:
         with pytest.raises(ApiKeyError, match="lacks scope 'execute'"):
             store.verify(secret, verb="execute")
 
+    def test_execute_implies_sql_but_not_vice_versa(self, store):
+        # remote queries plan ('sql') then fetch ('execute'); an
+        # execute-only key must be able to do both, while a sql-only
+        # key stays plan/validate-only
+        exec_secret, _ = store.issue("runner", scopes=["execute"])
+        store.verify(exec_secret, verb="sql")
+        store.verify(exec_secret, verb="execute")
+        sql_secret, _ = store.issue("planner", scopes=["sql"])
+        store.verify(sql_secret, verb="sql")
+        with pytest.raises(ApiKeyError, match="lacks scope 'execute'"):
+            store.verify(sql_secret, verb="execute")
+
     def test_unknown_scope_rejected_at_issue(self, store):
         with pytest.raises(ValueError, match="unknown scope"):
             store.issue("x", scopes=["drop_tables"])
@@ -144,7 +156,10 @@ class TestFlightEnforcement:
         from strake_spark.server import make_server
 
         store = ApiKeyStore(str(tmp_path / "keys.db"))
-        exec_secret, exec_info = store.issue("svc", scopes=["execute", "sql"])
+        # execute ALONE must run queries end-to-end: remote execution
+        # always plans first (get_flight_info -> 'sql'), and 'execute'
+        # implies 'sql' precisely so this key shape isn't a dead key
+        exec_secret, exec_info = store.issue("svc", scopes=["execute"])
         ping_secret, _ = store.issue("health", scopes=["ping"])
 
         server = make_server(key_engine, key_manager=store)

@@ -426,6 +426,20 @@ class TestPaginationTermination:
             for _ in _fetch_pages(opts):
                 pass
 
+    def test_token_body_field_without_body_rejected_up_front(self, server):
+        # With token_body_field but no body template the cursor has
+        # nowhere to go — the fetch would silently repeat page 1 until
+        # max_pages. Must fail fast with an actionable message instead.
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.rest import _fetch_pages
+
+        opts = self._opts(
+            server, pagination="token", token_body_field="variables.after"
+        )
+        with pytest.raises(SourceError, match="token_body_field requires"):
+            for _ in _fetch_pages(opts):
+                pass
+
     def test_more_field_false_stops_despite_live_cursor(self, server):
         from strake_spark.sources.rest import _fetch_pages
 
