@@ -61,6 +61,8 @@ class StrakeEngine:
         self._query_log: deque = deque(maxlen=10_000)
         self._log_lock = threading.Lock()
         self._last_pushdown = None  # PushdownPlan of the most recent sql()
+        # (rung, status, reason) ladder decisions of the most recent sql()
+        self._last_federation_trace: list[tuple[str, str, str]] = []
         self._metrics: Counter = Counter()
         self._cache = None
         if self.config.cache.enabled:
@@ -228,12 +230,18 @@ class StrakeEngine:
             query = self._policies.rewrite(query, user)
         if params:
             self._last_pushdown = None
+            self._last_federation_trace = [
+                ("whole_statement", "rejected",
+                 "parameterized query (remote engines never see unbound text)")
+            ]
             df = self.spark.sql(query, args=params)
         else:
             from strake_spark.plans.federation import plan_sql
 
-            df, pushed = plan_sql(self.spark, query)
+            decisions: list[tuple[str, str, str]] = []
+            df, pushed = plan_sql(self.spark, query, trace=decisions)
             self._last_pushdown = pushed
+            self._last_federation_trace = decisions
         df = apply_defensive_limit(df, self.config.query_limits)
         check_cost(df, self.config.query_limits)
         self._metrics["queries_planned"] += 1
@@ -322,15 +330,29 @@ class StrakeEngine:
         """Formatted physical plan tree with pushdown markers
         (reference crates/runtime/src/query/plan_tree.rs:22-120). When
         same-source federation applies, the remote statement is shown
-        first — everything under it executed inside the source."""
+        first — everything under it executed inside the source. When it
+        does NOT, a FederationDecision section states the reason each
+        planning-ladder rung was rejected (the reference logs these as
+        unsupported-node warnings, translator/mod.rs:76-145; here they
+        are part of the explain output so users need no log access)."""
         from strake_spark.plans.federation import plan_sql
         from strake_spark.plans.iceberg_prune import IcebergPrunePlan
         from strake_spark.plans.partial import PartialPlan
         from strake_spark.plans.tree import format_plan_tree
 
         ensure_select(query)
-        df, pushed = plan_sql(self.spark, query)
+        decisions: list[tuple[str, str, str]] = []
+        df, pushed = plan_sql(self.spark, query, trace=decisions)
         tree = format_plan_tree(df)
+        footer = ""
+        if decisions and not (
+            pushed is not None and not isinstance(pushed, (IcebergPrunePlan, PartialPlan))
+        ):
+            width = max(len(r) for r, _, _ in decisions)
+            footer = "\nFederationDecision\n" + "\n".join(
+                f"  {rung.ljust(width)}  {status.upper():<8} {reason}"
+                for rung, status, reason in decisions
+            )
         if isinstance(pushed, IcebergPrunePlan):
             lines = "\n".join(
                 f"  {s.view} -> [PRUNED] {s.files_after}/{s.files_before} files"
@@ -338,14 +360,17 @@ class StrakeEngine:
             )
             return (
                 f"IcebergPartitionPruning [{len(pushed.scans)} scans]\n{lines}\n"
-                + tree
+                + tree + footer
             )
         if isinstance(pushed, PartialPlan):
             lines = "\n".join(
                 f"  {s.view} -> [PUSHED to {s.context}] {s.remote_sql}"
                 for s in pushed.scans
             )
-            return f"PartialPushdown [{len(pushed.scans)} remote scans]\n{lines}\n" + tree
+            return (
+                f"PartialPushdown [{len(pushed.scans)} remote scans]\n{lines}\n"
+                + tree + footer
+            )
         if pushed is not None:
             header = (
                 f"RemoteQuery [PUSHED] source={pushed.remote.source} "
@@ -353,7 +378,7 @@ class StrakeEngine:
                 f"  {pushed.rewritten_sql}\n"
             )
             return header + tree
-        return tree
+        return tree + footer
 
     def trace(self, query: str) -> dict[str, Any]:
         """Plan + stats report (reference crates/runtime/src/query/trace.rs:7-72)."""
@@ -365,6 +390,10 @@ class StrakeEngine:
             "estimated_rows": rows,
             "estimated_bytes": size,
             "pushed_remote_sql": pushed.rewritten_sql if pushed else None,
+            "federation_decision": [
+                {"rung": r, "status": s, "reason": why}
+                for r, s, why in getattr(self, "_last_federation_trace", [])
+            ],
             "analyzed": df._jdf.queryExecution().analyzed().toString(),
             "optimized": df._jdf.queryExecution().optimizedPlan().toString(),
             "physical": df._jdf.queryExecution().executedPlan().toString(),

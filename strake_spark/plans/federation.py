@@ -194,17 +194,31 @@ class PushdownPlan:
     views: tuple[str, ...]
 
 
-def analyze(sql: str) -> PushdownPlan | None:
+def _note(trace, rung: str, status: str, reason: str) -> None:
+    """Record a planning-ladder decision (rung, status, reason) into the
+    caller-supplied trace list. Mirrors the reference's unsupported-node
+    warnings (crates/sql/src/sql_generator/translator/mod.rs:76-145) —
+    users debugging "why didn't my query federate" read this, not logs."""
+    if trace is not None:
+        trace.append((rung, status, reason))
+
+
+def analyze(sql: str, trace: list | None = None) -> PushdownPlan | None:
     """Decide whole-statement pushdown. Returns None when the query must
-    run on Spark (mixed sources, local tables, or unparseable)."""
+    run on Spark (mixed sources, local tables, or unparseable); when
+    ``trace`` is given, the specific rejection reason is appended to it."""
     if not REMOTE_TABLES:
+        _note(trace, "whole_statement", "rejected", "no remote-backed views registered")
         return None
     ast = _serialize(sql)
     if ast is None:
+        _note(trace, "whole_statement", "rejected",
+              "statement not parseable for AST analysis")
         return None
     refs: list[dict] = []
     _walk_base_tables(ast, refs)
     if not refs:
+        _note(trace, "whole_statement", "rejected", "no base-table references")
         return None
     ctes = _cte_names(ast)
     remotes: list[tuple[dict, RemoteTable]] = []
@@ -215,17 +229,31 @@ def analyze(sql: str) -> PushdownPlan | None:
             continue
         remote = REMOTE_TABLES.get(name) or REMOTE_TABLES.get(name.lower())
         if remote is None:
-            return None  # a local table participates -> Spark executes
+            # a local table participates -> Spark executes
+            _note(trace, "whole_statement", "rejected",
+                  f"table {name!r} is not remote-backed")
+            return None
         remotes.append((node, remote))
         contexts.add(remote.context())
-    if not remotes or len(contexts) != 1:
-        return None  # zero or >1 remote engines -> Spark executes
+    if not remotes:
+        _note(trace, "whole_statement", "rejected",
+              "statement references only CTEs")
+        return None
+    if len(contexts) != 1:
+        _note(trace, "whole_statement", "rejected",
+              f"tables span {len(contexts)} remote contexts: "
+              f"{', '.join(sorted(contexts))}")
+        return None
     rep = remotes[0][1]
     if rep.push_query is None:
+        _note(trace, "whole_statement", "rejected",
+              f"source {rep.source!r} does not support query pushdown")
         return None
     views = tuple(sorted({node["table_name"] for node, _ in remotes}))
     for node, remote in remotes:
         if not _rewrite_remote_ref(node, remote):
+            _note(trace, "whole_statement", "rejected",
+                  f"cannot build strict-contract guard for {node.get('table_name')!r}")
             return None  # can't build a strict-contract guard -> local
     # dialect function mapping happens on the AST (nesting/literal-safe)
     from strake_spark.plans.dialects import rename_functions, rules_for
@@ -233,8 +261,11 @@ def analyze(sql: str) -> PushdownPlan | None:
     rename_functions(ast, rules_for(rep.dialect))
     pushed_sql = _deserialize(ast)
     if pushed_sql is None:
+        _note(trace, "whole_statement", "rejected",
+              "rewritten AST failed to deserialize to remote SQL")
         return None
     pushed_sql = apply_dialect_fixes(pushed_sql, rep.dialect)
+    _note(trace, "whole_statement", "pushed", f"to {rep.context()}")
     return PushdownPlan(remote=rep, rewritten_sql=pushed_sql, views=views)
 
 
@@ -264,7 +295,10 @@ def execute_pushdown(spark: SparkSession, plan: PushdownPlan) -> DataFrame:
 
 
 def plan_sql(
-    spark: SparkSession, sql: str, allow_fallback: bool = True
+    spark: SparkSession,
+    sql: str,
+    allow_fallback: bool = True,
+    trace: list | None = None,
 ) -> tuple[DataFrame, PushdownPlan | None]:
     """Main entry: returns (DataFrame, pushdown-plan-or-None).
 
@@ -278,8 +312,12 @@ def plan_sql(
     next rung. When both iceberg pruning and partial pushdown fire, the
     partial plan is reported (the pruning is embedded in the statement
     it rewrote).
+
+    ``trace`` (optional list) collects (rung, status, reason) decisions
+    — the reference's unsupported-node warnings surfaced as data, so
+    explain_tree can show WHY a statement didn't federate, per rung.
     """
-    plan = analyze(sql)
+    plan = analyze(sql, trace=trace)
     if plan is not None:
         try:
             df = execute_pushdown(spark, plan)
@@ -289,6 +327,8 @@ def plan_sql(
         except Exception as e:  # pragma: no cover - dialect drift path
             if not allow_fallback:
                 raise
+            _note(trace, "whole_statement", "failed",
+                  f"remote execution error, falling back: {e}")
             log.warning(
                 "pushdown to %s failed (%s); executing locally",
                 plan.remote.context(),
@@ -300,6 +340,9 @@ def plan_sql(
         from strake_spark.plans.subtree import analyze_subtrees, register_scans
 
         st = analyze_subtrees(spark, sql)
+        if st is None:
+            _note(trace, "subtree", "rejected",
+                  "no same-source subtree ships a reduction")
         if st is not None:
             # register first (lazy), then the rewritten outer statement
             # must PARSE AND RESOLVE before it may replace the original;
@@ -317,11 +360,14 @@ def plan_sql(
                         pass
                 raise
             sql, local_sql, sub_scans = st.duck_sql, st.spark_sql, st.scans
+            _note(trace, "subtree", "applied",
+                  f"{len(st.scans)} shipped subtree(s)")
             log.info(
                 "subtree pushdown: %s",
                 "; ".join(f"{s.view} -> ({s.remote_sql})" for s in st.scans),
             )
     except Exception as e:  # noqa: BLE001 - subtree shipping is optional
+        _note(trace, "subtree", "failed", str(e))
         log.warning("subtree pushdown analysis failed (%s); original plan", e)
     ice_plan = None
     try:
@@ -329,6 +375,9 @@ def plan_sql(
         from strake_spark.plans.partial import _fix_for_spark
 
         ice = analyze_iceberg_prune(spark, sql)
+        if ice is None:
+            _note(trace, "iceberg_prune", "rejected",
+                  "no iceberg-backed scan with prunable partition predicates")
         if ice is not None:
             # the pruned statement comes back DuckDB-parseable so the
             # partial-pushdown rung can re-serialize it; its Spark form
@@ -339,12 +388,18 @@ def plan_sql(
             pruned_spark = _fix_for_spark(pruned_raw)
             spark.sql(pruned_spark).schema
             sql, local_sql, ice_plan = pruned_raw, pruned_spark, plan_candidate
+            _note(trace, "iceberg_prune", "applied",
+                  f"{len(plan_candidate.scans)} scan(s) pruned")
     except Exception as e:  # noqa: BLE001 - pruning is optional
+        _note(trace, "iceberg_prune", "failed", str(e))
         log.warning("iceberg partition-prune analysis failed (%s); original plan", e)
     try:
         from strake_spark.plans.partial import analyze_partial, execute_partial
 
         partial = analyze_partial(spark, sql)
+        if partial is None:
+            _note(trace, "partial", "rejected",
+                  "no remote scan gains from per-table filter/projection shipping")
         if partial is not None:
             rewritten, pplan = partial
             df = execute_partial(spark, rewritten, pplan)
@@ -352,11 +407,14 @@ def plan_sql(
             if sub_scans:  # report shipped subtrees alongside the scans
                 pplan.scans = tuple(sub_scans) + tuple(pplan.scans)
                 pplan.rewritten_sql = pplan.summary()
+            _note(trace, "partial", "applied", f"{len(pplan.scans)} remote scan(s)")
             return df, pplan
     except Exception as e:  # noqa: BLE001 - any partial failure -> local
         if not allow_fallback:
             raise
+        _note(trace, "partial", "failed", str(e))
         log.warning("partial pushdown failed (%s); executing locally", e)
+    _note(trace, "local", "applied", "executing on Spark")
     if sub_scans:
         from strake_spark.plans.partial import PartialPlan
 

@@ -105,6 +105,74 @@ class TestAnalyze:
             REMOTE_TABLES.update(saved)
 
 
+class TestDecisionTrace:
+    """Every planning-ladder rung reports WHY it applied or rejected
+    (r10, reference's unsupported-node warnings as explain data)."""
+
+    def _decisions(self, spark, sql):
+        t: list = []
+        federation.plan_sql(spark, sql, trace=t)
+        return {rung: (status, reason) for rung, status, reason in t}
+
+    def test_mixed_contexts_reason(self, fed_engine):
+        eng, _ = fed_engine
+        d = self._decisions(
+            eng.spark,
+            "SELECT count(*) AS n FROM fdk_nation n JOIN flt_region r "
+            "ON n.n_regionkey = r.r_regionkey",
+        )
+        status, reason = d["whole_statement"]
+        assert status == "rejected" and "2 remote contexts" in reason
+
+    def test_local_table_reason(self, fed_engine):
+        eng, _ = fed_engine
+        d = self._decisions(
+            eng.spark,
+            "SELECT count(*) AS n FROM fdk_orders o JOIN loc_lineitem l "
+            "ON o.o_orderkey = l.l_orderkey",
+        )
+        status, reason = d["whole_statement"]
+        assert status == "rejected" and "loc_lineitem" in reason
+        # the ladder continued: partial rung applied (fdk_orders ships)
+        assert d["partial"][0] == "applied"
+
+    def test_pushed_statement_reports_context(self, fed_engine):
+        eng, _ = fed_engine
+        d = self._decisions(eng.spark, "SELECT count(*) AS n FROM fdk_nation")
+        assert d["whole_statement"][0] == "pushed"
+
+    def test_local_only_statement_walks_all_rungs(self, fed_engine):
+        eng, _ = fed_engine
+        d = self._decisions(eng.spark, "SELECT count(*) AS n FROM loc_lineitem")
+        assert d["whole_statement"][0] == "rejected"
+        assert d["subtree"][0] == "rejected"
+        assert d["iceberg_prune"][0] == "rejected"
+        assert d["partial"][0] == "rejected"
+        assert d["local"][0] == "applied"
+
+    def test_explain_tree_shows_decisions(self, fed_engine):
+        eng, _ = fed_engine
+        out = eng.explain_tree("SELECT count(*) AS n FROM loc_lineitem")
+        assert "FederationDecision" in out
+        assert "whole_statement" in out and "not remote-backed" in out
+        # a fully pushed statement shows the remote header, not the footer
+        pushed = eng.explain_tree("SELECT count(*) AS n FROM fdk_nation")
+        assert "RemoteQuery [PUSHED]" in pushed
+        assert "FederationDecision" not in pushed
+
+    def test_trace_reports_decisions_and_param_skip(self, fed_engine):
+        eng, _ = fed_engine
+        rep = eng.trace("SELECT count(*) AS n FROM loc_lineitem")
+        rungs = {d["rung"]: d for d in rep["federation_decision"]}
+        assert rungs["whole_statement"]["status"] == "rejected"
+        df = eng.sql(
+            "SELECT count(*) AS n FROM fdk_nation WHERE n_regionkey = :r",
+            params={"r": 1},
+        )
+        assert df.collect()[0].n == 5
+        assert "parameterized" in eng._last_federation_trace[0][2]
+
+
 class TestPushedEqualsLocal:
     @pytest.mark.parametrize("qidx", range(len(PUSHED_QUERIES)))
     def test_pushed_matches_local(self, fed_engine, qidx):
