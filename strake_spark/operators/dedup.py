@@ -87,6 +87,15 @@ def minhash_signatures(
     dedup shuffle — a full exchange of (id, shingle) strings, the
     widest relation in the pipeline — buys nothing here. The explode →
     hash → partial-min pipeline shuffles only K longs per doc.
+
+    An Arrow/numpy signature kernel was evaluated and REJECTED (r10,
+    measured at sf0.1 / 1.47M shingles): the whole stage is 0.50 s, of
+    which the explode+substr shingle generation is 0.36 s (pure
+    codegen'd JVM), md5+conv adds 0.10 s, and ALL SIXTEEN universal-hash
+    min aggregates add only 0.05 s — the expression tree is not
+    interpreted cost, it is whole-stage-codegen. A Python kernel would
+    pay ~1 µs per hashlib.md5 call (~1.5 s for the same shingles)
+    before any shingling work, strictly worse than the JVM path.
     """
     norm = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
     width = SHINGLE_WIDTH
