@@ -85,6 +85,79 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(table(spark, sf_dir, "embeddings"), k=3, n_queries=20)
 
 
+@query(
+    "ann_ivf_deterministic_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c0.c) / sqrt(list_dot_product(c0.c, c0.c)) DESC, c0.cid) AS rn
+    FROM e, c0) WHERE rn = 1
+),
+comp AS (
+  SELECT a1.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS pos
+  FROM a1 JOIN e USING (vec_id)
+),
+sums AS (
+  SELECT cid, pos, SUM(CAST(val AS DECIMAL(18,9))) AS s, COUNT(*) AS cnt
+  FROM comp GROUP BY cid, pos
+),
+c1 AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c FROM sums GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c1.c) / sqrt(list_dot_product(c1.c, c1.c)) DESC, c1.cid) AS rn
+    FROM e, c1) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c1.c) / sqrt(list_dot_product(c1.c, c1.c)) DESC, c1.cid) AS rn
+    FROM q, c1) WHERE rn <= 2
+),
+cand AS (
+  SELECT q.query_id, a2.vec_id AS nbr_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+  FROM probe
+  JOIN q ON q.query_id = probe.query_id
+  JOIN a2 ON a2.cid = probe.cid
+  JOIN e ON e.vec_id = a2.vec_id
+  WHERE a2.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM cand
+)
+SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+    """,
+    notes=(
+        "IVF ANN with a FULL value-hash oracle (r10): swaps ivf_topk's "
+        "MLlib trainer for semdedup's deterministic DECIMAL-exact cosine "
+        "k-means, making train/assign/probe/score/rank all "
+        "SQL-expressible — the first hash-green IVF entry (the MLlib "
+        "variant stays rows-only with its recall companion). Probing "
+        "ranks centroids by the assignment's own score with the same "
+        "smallest-cid tie-break; scoring is exact cosine within probed "
+        "cells; queries broadcast, corpus never moves"
+    ),
+)
+def ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_topk_deterministic(
+        table(spark, sf_dir, "embeddings"), k=3, n_queries=20, n_probe=2
+    )
+
+
 def _recall_row(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
     """1-row (n_queries, recall_ok): fraction of exact top-k pairs the
     approximate method recovered, compared against a measured floor.

@@ -480,6 +480,99 @@ def ivf_topk(
         .orderBy("query_id", F.col("cosine").desc(), "nbr_id")
     )
 
+def ivf_topk_deterministic(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    n_clusters: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k on the DETERMINISTIC cosine k-means from
+    operators/semdedup.py — the oracle-exact sibling of ``ivf_topk``.
+
+    ``ivf_topk`` trains with Spark ML KMeans (k-means|| init, RNG) —
+    production quality but driver-coordinated and not SQL-expressible,
+    so its inventory entry is rows-only. This variant swaps the trainer
+    for semdedup's fixed-iteration k-means (init = k smallest ids'
+    vectors, DECIMAL-exact centroid means, struct-max assignment), which
+    a DuckDB oracle reproduces bit-for-bit — making the ENTIRE IVF
+    pipeline (train, assign, probe, score, rank) hash-checkable:
+
+    1. cluster the corpus (one scan + one k*dim-cell aggregate per
+       iteration; assignment map-only);
+    2. each query ranks the k centroids by the SAME cosine score the
+       assignment used and probes its ``n_probe`` best cells
+       (ties -> smallest cid, mirroring assignment's tie-break);
+    3. exact cosine within probed cells only, per-query top-k
+       (ROW_NUMBER over cosine DESC, id ASC).
+
+    Scale shape: queries broadcast (probed cells ride along), the
+    corpus never moves; the only shuffle is the final per-query window
+    over candidate rows (~n_queries * corpus * n_probe / n_clusters).
+    """
+    from strake_spark.operators.semdedup import (
+        _assign,
+        _carr_of,
+        _normalized as _sd_normalized,
+        _update_carr,
+    )
+
+    e = _sd_normalized(emb, id_col, vec_col)
+    cents0 = e.orderBy("vec_id").limit(n_clusters).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    carr = _carr_of(cents0)
+    for _ in range(max(0, iters - 1)):
+        carr = _update_carr(_assign(e, carr))
+    assigned = _assign(e, carr).select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("nbr_v"),
+        F.col("cluster").alias("cell"),
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cell").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(carr))
+        .select("query_id", "qv", F.explode("_cents").alias("cent"))
+        .select(
+            "query_id",
+            "qv",
+            F.col("cent.cid").alias("cell"),
+            (_dot(F.col("qv"), F.col("cent.c"))
+             / F.sqrt(_dot(F.col("cent.c"), F.col("cent.c")))).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (
+                _dot(F.col("qv"), F.col("nbr_v"))
+                / (F.sqrt(_norm2(F.col("qv"))) * F.sqrt(_norm2(F.col("nbr_v"))))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ------------------------------------------------------- PQ building blocks
 # Shared by pq_topk and ivfpq_topk so the distance/tie-break/refine
 # logic exists exactly once.

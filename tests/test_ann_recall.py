@@ -45,6 +45,17 @@ class TestRecall:
         b = S.ivf_topk(emb, k=3, n_queries=5).collect()
         assert a == b  # fixed seed -> stable cells -> stable results
 
+    def test_ivf_oracle_exact_variant_recall(self, spark, exact):
+        """The hash-green IVF (deterministic decimal k-means, r10) must
+        not trade away quality: recall@3 vs exact. Measured p2: 0.733
+        (sf0.001) / 0.633 (sf0.01) / 0.617 (sf0.1); p4: 0.83-0.85 at all
+        three — at or above the MLlib trainer's numbers."""
+        emb = table(spark, SF_DIR, "embeddings")
+        approx = _topk_sets(S.ivf_topk_deterministic(emb, k=3, n_queries=20))
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        assert hits / total >= 0.5, f"det-IVF recall {hits}/{total}"
+
     def test_pq_recall(self, spark, exact):
         emb = table(spark, SF_DIR, "embeddings")
         approx = _topk_sets(S.pq_topk(emb, k=3, n_queries=20))
