@@ -69,8 +69,47 @@ def ann_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_lsh_bucketed_topk",
-    tags=("rows_only",),
-    notes="LSH-bucketed ANN: driver records rows-only (anchor collection makes a single-statement oracle impractical); recall vs exact baseline asserted in tests/test_ann_recall.py",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+anch AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS bit, v AS a
+  FROM e ORDER BY vec_id LIMIT 3
+),
+b AS (
+  SELECT e.vec_id, e.v,
+         SUM(CASE WHEN list_dot_product(e.v, anch.a) > 0
+                  THEN CAST(1 AS BIGINT) << anch.bit ELSE 0 END) AS bucket
+  FROM e, anch GROUP BY e.vec_id, e.v
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 20),
+probes AS (
+  SELECT query_id, qv, qb AS pb FROM q
+  UNION ALL
+  SELECT q.query_id, q.qv, xor(q.qb, CAST(1 AS BIGINT) << anch.bit) FROM q, anch
+),
+cand AS (
+  SELECT p.query_id, b.vec_id AS nbr_id,
+         list_dot_product(p.qv, b.v)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM probes p JOIN b ON b.bucket = p.pb
+  WHERE b.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM cand
+)
+SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+    notes=(
+        "LSH-bucketed ANN, hash-green since r10 (was rows-only: 'anchor "
+        "collection makes a single-statement oracle impractical' — it "
+        "doesn't: anchors are the 3 lowest-id corpus vectors, buckets "
+        "are integer sums of sign bits, and multi-probe XOR-flips each "
+        "bit, all SQL-expressible). Recall vs exact baseline asserted in "
+        "tests/test_ann_recall.py; every probe bucket value is distinct "
+        "per query so no pair dedup is needed on either side"
+    ),
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(table(spark, sf_dir, "embeddings"), k=3, n_queries=20)
