@@ -338,6 +338,100 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(exact, approx, floor=0.5)
 
 
+def _pq_det_oracle() -> str:
+    """DuckDB oracle for ann_pq_deterministic_topk, built
+    programmatically (4 structurally identical per-subspace k-means
+    chains — generating them keeps the mirror in lockstep with the
+    operator's m/n_codes/iters parameters). Exactness mirrors:
+    normalization x*(1.0/sqrt(dot)), init = 16 smallest ids'
+    subvectors (code = rank), argmin squared-L2 with ties to the
+    smallest code, DECIMAL(18,9) centroid means, LUT sum added
+    left-to-right, refine cosine = plain dot of normalized vectors."""
+    m, sub, n_codes, n_q, refine, k = 4, 16, 16, 20, 200, 3
+
+    def dist2(a: str, b: str) -> str:
+        diff = f"list_transform(list_zip({a}, {b}), p -> p[1] - p[2])"
+        return f"list_dot_product({diff}, {diff})"
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "nb AS (SELECT vec_id, list_transform(v,"
+        " x -> x * (1.0 / sqrt(list_dot_product(v, v)))) AS nv FROM e),",
+    ]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts += [
+            f"s{j} AS (SELECT vec_id, nv[{lo}:{hi}] AS sv FROM nb),",
+            f"c{j}0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, sv AS c"
+            f" FROM s{j} ORDER BY vec_id LIMIT {n_codes}),",
+            f"a{j}1 AS (SELECT vec_id, code FROM ("
+            f"SELECT s.vec_id, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id"
+            f" ORDER BY {dist2('s.sv', 'c.c')} ASC, c.code ASC) AS rn"
+            f" FROM s{j} s, c{j}0 c) WHERE rn = 1),",
+            f"comp{j} AS (SELECT a.code, unnest(s.sv) AS val,"
+            f" generate_subscripts(s.sv, 1) AS pos"
+            f" FROM a{j}1 a JOIN s{j} s USING (vec_id)),",
+            f"sums{j} AS (SELECT code, pos, SUM(CAST(val AS DECIMAL(18,9))) AS ssum,"
+            f" COUNT(*) AS cnt FROM comp{j} GROUP BY code, pos),",
+            f"c{j}m AS (SELECT code, list(CAST(ssum AS DOUBLE) / cnt ORDER BY pos) AS c"
+            f" FROM sums{j} GROUP BY code),",
+            f"c{j}1 AS (SELECT c0.code, COALESCE(mm.c, c0.c) AS c"
+            f" FROM c{j}0 c0 LEFT JOIN c{j}m mm USING (code)),",
+            f"code{j} AS (SELECT vec_id, code FROM ("
+            f"SELECT s.vec_id, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id"
+            f" ORDER BY {dist2('s.sv', 'c.c')} ASC, c.code ASC) AS rn"
+            f" FROM s{j} s, c{j}1 c) WHERE rn = 1),",
+            f"lut{j} AS (SELECT q.vec_id AS query_id, c.code, {dist2('q.sv', 'c.c')} AS dj"
+            f" FROM s{j} q, c{j}1 c WHERE q.vec_id < {n_q}),",
+        ]
+    parts += [
+        "codes_all AS (SELECT c0.vec_id, c0.code AS code_0, c1.code AS code_1,"
+        " c2.code AS code_2, c3.code AS code_3 FROM code0 c0"
+        " JOIN code1 c1 USING (vec_id) JOIN code2 c2 USING (vec_id)"
+        " JOIN code3 c3 USING (vec_id)),",
+        "approx AS (SELECT l0.query_id, cd.vec_id AS nbr_id,"
+        " l0.dj + l1.dj + l2.dj + l3.dj AS approx_dist"
+        " FROM codes_all cd"
+        " JOIN lut0 l0 ON l0.code = cd.code_0"
+        " JOIN lut1 l1 ON l1.query_id = l0.query_id AND l1.code = cd.code_1"
+        " JOIN lut2 l2 ON l2.query_id = l0.query_id AND l2.code = cd.code_2"
+        " JOIN lut3 l3 ON l3.query_id = l0.query_id AND l3.code = cd.code_3"
+        " WHERE cd.vec_id <> l0.query_id),",
+        f"short AS (SELECT query_id, nbr_id FROM ("
+        f"SELECT query_id, nbr_id, ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY approx_dist ASC, nbr_id ASC) AS srank FROM approx)"
+        f" WHERE srank <= {refine}),",
+        "ranked AS (SELECT s.query_id, s.nbr_id,"
+        " list_dot_product(nn.nv, nq.nv) AS cosine,"
+        " ROW_NUMBER() OVER (PARTITION BY s.query_id"
+        " ORDER BY list_dot_product(nn.nv, nq.nv) DESC, s.nbr_id ASC) AS rank"
+        " FROM short s JOIN nb nn ON nn.vec_id = s.nbr_id"
+        " JOIN nb nq ON nq.vec_id = s.query_id)",
+        f"SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}"
+        " ORDER BY query_id, rank",
+    ]
+    return "\n".join(parts)
+
+
+@query(
+    "ann_pq_deterministic_topk",
+    oracle=_pq_det_oracle(),
+    notes=(
+        "PQ ANN with a FULL value-hash oracle (r10): _pq_train's MLlib "
+        "fits swapped for deterministic per-subspace L2 k-means "
+        "(smallest-ids init, DECIMAL-exact centroid means, argmin with "
+        "smallest-code ties) — encode, asymmetric LUT scoring, "
+        "shortlist-200 and exact refine all reproduce bit-for-bit in "
+        "DuckDB (oracle generated per subspace by _pq_det_oracle). The "
+        "MLlib variant stays as the production path with its recall "
+        "companion"
+    ),
+)
+def ann_pq_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.pq_topk_deterministic(emb, k=3, n_queries=20).orderBy("query_id", "rank")
+
+
 @query(
     "ann_ivfpq_topk",
     tags=("rows_only",),

@@ -727,6 +727,108 @@ def pq_topk(
     return _exact_refine(shortlist, base, n_queries, k, id_col)
 
 
+def _det_subspace_codebook(sub_df: DataFrame, n_codes: int, iters: int, id_col: str):
+    """Deterministic per-subspace L2 k-means codebook (the oracle-exact
+    sibling of _pq_train): init = the ``n_codes`` smallest ids'
+    subvectors (code index = rank in that order), assignment = argmin
+    squared-L2 with ties to the smallest code (same struct-sort
+    tie-break encoding uses), centroid update = per-(code, pos)
+    DECIMAL(18,9)-exact component mean cast to double — the semdedup
+    discipline, so a DuckDB oracle reproduces every centroid double
+    bit-for-bit. A code that loses all members keeps its previous
+    centroid. The codebook is collected to the driver (n_codes * d/m
+    doubles — tiny by construction, same posture as _pq_train)."""
+    rows = sub_df.orderBy(id_col).limit(n_codes).collect()
+    cb = [[float(x) for x in r.sv] for r in rows]
+    for _ in range(max(0, iters - 1)):
+        code = _pq_code_expr(F.col("sv"), cb)
+        means = (
+            # two-step select: placing the struct-sort argmin and the
+            # posexplode generator in ONE select trips a Spark analyzer
+            # quirk (struct field names degrade to col1/col2 under the
+            # generator rewrite -> FIELD_NOT_FOUND)
+            sub_df.select(code.alias("code"), F.col("sv"))
+            .select("code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .collect()
+        )
+        by_code: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_code.setdefault(r.code, {})[r.pos] = r.m
+        cb = [
+            [by_code[ci][p] for p in range(len(c))] if ci in by_code else c
+            for ci, c in enumerate(cb)
+        ]
+    return cb
+
+
+def pq_topk_deterministic(
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 20,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    refine: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN with deterministic codebooks — the oracle-exact sibling of
+    ``pq_topk`` (same encode / asymmetric-LUT score / exact-refine
+    pipeline, _pq_code_expr/_pq_approx_dist/_exact_refine reused
+    verbatim), with _pq_train's MLlib fits replaced by
+    _det_subspace_codebook so train/encode/score/refine are ALL
+    SQL-expressible and the inventory entry carries a full value-hash
+    oracle. Scale shape unchanged: codes are m small ints per vector,
+    queries broadcast their lookup tables, the refine step touches full
+    vectors only for shortlist pairs."""
+    from pyspark.sql import Window
+
+    d = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    base = _normalized(emb, id_col, vec_col)
+    slices = [F.slice(F.col("nv"), j * sub + 1, sub) for j in range(m)]
+    codebooks = [
+        _det_subspace_codebook(
+            base.select(F.col(id_col), slices[j].alias("sv")), n_codes, iters, id_col
+        )
+        for j in range(m)
+    ]
+
+    codes = base.select(
+        F.col(id_col).alias("nbr_id"),
+        *[_pq_code_expr(slices[j], codebooks[j]).alias(f"code_{j}")
+          for j in range(m)],
+    )
+    luts = [
+        F.array(*[_dist2_center(slices[j], c) for c in codebooks[j]]).alias(f"lut_{j}")
+        for j in range(m)
+    ]
+    queries = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), *luts
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("nbr_id").asc()
+    )
+    shortlist = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", _pq_approx_dist(m).alias("approx_dist"))
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= refine)
+        .select("query_id", "nbr_id")
+    )
+    return _exact_refine(shortlist, base, n_queries, k, id_col)
+
+
 def ivfpq_topk(
     emb: DataFrame,
     k: int = 3,
