@@ -338,6 +338,47 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(exact, approx, floor=0.5)
 
 
+def _sql_dist2(a: str, b: str) -> str:
+    """Squared L2 mirroring Spark's _dist2_center fold: a sequential
+    left-fold over (x-y)^2 — list_dot_product of the diff with itself."""
+    diff = f"list_transform(list_zip({a}, {b}), p -> p[1] - p[2])"
+    return f"list_dot_product({diff}, {diff})"
+
+
+def _sql_det_kmeans_chain(p: str, n: int, n_q: int) -> list[str]:
+    """CTE chain for one deterministic L2 k-means over source CTE s{p}
+    (the SQL mirror of operators/similarity._det_subspace_codebook,
+    iters=2): init c{p}0 = the n smallest ids' vectors (code = rank),
+    assignment a{p}1 = argmin squared-L2 with smallest-code ties,
+    DECIMAL(18,9) component means, final codebook c{p}1 (an emptied
+    code keeps its init centroid), corpus encoding code{p}, and the
+    per-query lookup table lut{p}."""
+    dist2 = _sql_dist2
+    return [
+        f"c{p}0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, sv AS c"
+        f" FROM s{p} ORDER BY vec_id LIMIT {n}),",
+        f"a{p}1 AS (SELECT vec_id, code FROM ("
+        f"SELECT s.vec_id, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id"
+        f" ORDER BY {dist2('s.sv', 'c.c')} ASC, c.code ASC) AS rn"
+        f" FROM s{p} s, c{p}0 c) WHERE rn = 1),",
+        f"comp{p} AS (SELECT a.code, unnest(s.sv) AS val,"
+        f" generate_subscripts(s.sv, 1) AS pos"
+        f" FROM a{p}1 a JOIN s{p} s USING (vec_id)),",
+        f"sums{p} AS (SELECT code, pos, SUM(CAST(val AS DECIMAL(18,9))) AS ssum,"
+        f" COUNT(*) AS cnt FROM comp{p} GROUP BY code, pos),",
+        f"c{p}m AS (SELECT code, list(CAST(ssum AS DOUBLE) / cnt ORDER BY pos) AS c"
+        f" FROM sums{p} GROUP BY code),",
+        f"c{p}1 AS (SELECT c0.code, COALESCE(mm.c, c0.c) AS c"
+        f" FROM c{p}0 c0 LEFT JOIN c{p}m mm USING (code)),",
+        f"code{p} AS (SELECT vec_id, code FROM ("
+        f"SELECT s.vec_id, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id"
+        f" ORDER BY {dist2('s.sv', 'c.c')} ASC, c.code ASC) AS rn"
+        f" FROM s{p} s, c{p}1 c) WHERE rn = 1),",
+        f"lut{p} AS (SELECT q.vec_id AS query_id, c.code, {dist2('q.sv', 'c.c')} AS dj"
+        f" FROM s{p} q, c{p}1 c WHERE q.vec_id < {n_q}),",
+    ]
+
+
 def _pq_det_oracle() -> str:
     """DuckDB oracle for ann_pq_deterministic_topk, built
     programmatically (4 structurally identical per-subspace k-means
@@ -349,10 +390,6 @@ def _pq_det_oracle() -> str:
     left-to-right, refine cosine = plain dot of normalized vectors."""
     m, sub, n_codes, n_q, refine, k = 4, 16, 16, 20, 200, 3
 
-    def dist2(a: str, b: str) -> str:
-        diff = f"list_transform(list_zip({a}, {b}), p -> p[1] - p[2])"
-        return f"list_dot_product({diff}, {diff})"
-
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
         "nb AS (SELECT vec_id, list_transform(v,"
@@ -360,30 +397,8 @@ def _pq_det_oracle() -> str:
     ]
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
-        parts += [
-            f"s{j} AS (SELECT vec_id, nv[{lo}:{hi}] AS sv FROM nb),",
-            f"c{j}0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, sv AS c"
-            f" FROM s{j} ORDER BY vec_id LIMIT {n_codes}),",
-            f"a{j}1 AS (SELECT vec_id, code FROM ("
-            f"SELECT s.vec_id, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id"
-            f" ORDER BY {dist2('s.sv', 'c.c')} ASC, c.code ASC) AS rn"
-            f" FROM s{j} s, c{j}0 c) WHERE rn = 1),",
-            f"comp{j} AS (SELECT a.code, unnest(s.sv) AS val,"
-            f" generate_subscripts(s.sv, 1) AS pos"
-            f" FROM a{j}1 a JOIN s{j} s USING (vec_id)),",
-            f"sums{j} AS (SELECT code, pos, SUM(CAST(val AS DECIMAL(18,9))) AS ssum,"
-            f" COUNT(*) AS cnt FROM comp{j} GROUP BY code, pos),",
-            f"c{j}m AS (SELECT code, list(CAST(ssum AS DOUBLE) / cnt ORDER BY pos) AS c"
-            f" FROM sums{j} GROUP BY code),",
-            f"c{j}1 AS (SELECT c0.code, COALESCE(mm.c, c0.c) AS c"
-            f" FROM c{j}0 c0 LEFT JOIN c{j}m mm USING (code)),",
-            f"code{j} AS (SELECT vec_id, code FROM ("
-            f"SELECT s.vec_id, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id"
-            f" ORDER BY {dist2('s.sv', 'c.c')} ASC, c.code ASC) AS rn"
-            f" FROM s{j} s, c{j}1 c) WHERE rn = 1),",
-            f"lut{j} AS (SELECT q.vec_id AS query_id, c.code, {dist2('q.sv', 'c.c')} AS dj"
-            f" FROM s{j} q, c{j}1 c WHERE q.vec_id < {n_q}),",
-        ]
+        parts.append(f"s{j} AS (SELECT vec_id, nv[{lo}:{hi}] AS sv FROM nb),")
+        parts += _sql_det_kmeans_chain(str(j), n_codes, n_q)
     parts += [
         "codes_all AS (SELECT c0.vec_id, c0.code AS code_0, c1.code AS code_1,"
         " c2.code AS code_2, c3.code AS code_3 FROM code0 c0"
@@ -430,6 +445,77 @@ def _pq_det_oracle() -> str:
 def ann_pq_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return S.pq_topk_deterministic(emb, k=3, n_queries=20).orderBy("query_id", "rank")
+
+
+def _ivfpq_det_oracle() -> str:
+    """DuckDB oracle for ann_ivfpq_deterministic_topk: the PQ oracle's
+    subspace chains plus a coarse chain over the FULL normalized vector
+    (prefix 'cv'); the coarse lookup table doubles as the probe ranking
+    (n_probe smallest cell distances, ties to the smallest cell)."""
+    m, sub, n_codes, n_clusters, n_probe, n_q, refine, k = 4, 16, 16, 8, 4, 20, 200, 3
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "nb AS (SELECT vec_id, list_transform(v,"
+        " x -> x * (1.0 / sqrt(list_dot_product(v, v)))) AS nv FROM e),",
+        "scv AS (SELECT vec_id, nv AS sv FROM nb),",
+    ]
+    parts += _sql_det_kmeans_chain("cv", n_clusters, n_q)
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"s{j} AS (SELECT vec_id, nv[{lo}:{hi}] AS sv FROM nb),")
+        parts += _sql_det_kmeans_chain(str(j), n_codes, n_q)
+    parts += [
+        f"probed AS (SELECT query_id, code AS cell FROM ("
+        f"SELECT query_id, code, ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY dj ASC, code ASC) AS rn FROM lutcv) WHERE rn <= {n_probe}),",
+        "codes_all AS (SELECT cv.vec_id, cv.code AS cell,"
+        " c0.code AS code_0, c1.code AS code_1, c2.code AS code_2, c3.code AS code_3"
+        " FROM codecv cv JOIN code0 c0 USING (vec_id) JOIN code1 c1 USING (vec_id)"
+        " JOIN code2 c2 USING (vec_id) JOIN code3 c3 USING (vec_id)),",
+        "approx AS (SELECT p.query_id, cd.vec_id AS nbr_id,"
+        " l0.dj + l1.dj + l2.dj + l3.dj AS approx_dist"
+        " FROM codes_all cd"
+        " JOIN probed p ON p.cell = cd.cell"
+        " JOIN lut0 l0 ON l0.query_id = p.query_id AND l0.code = cd.code_0"
+        " JOIN lut1 l1 ON l1.query_id = p.query_id AND l1.code = cd.code_1"
+        " JOIN lut2 l2 ON l2.query_id = p.query_id AND l2.code = cd.code_2"
+        " JOIN lut3 l3 ON l3.query_id = p.query_id AND l3.code = cd.code_3"
+        " WHERE cd.vec_id <> p.query_id),",
+        f"short AS (SELECT query_id, nbr_id FROM ("
+        f"SELECT query_id, nbr_id, ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY approx_dist ASC, nbr_id ASC) AS srank FROM approx)"
+        f" WHERE srank <= {refine}),",
+        "ranked AS (SELECT s.query_id, s.nbr_id,"
+        " list_dot_product(nn.nv, nq.nv) AS cosine,"
+        " ROW_NUMBER() OVER (PARTITION BY s.query_id"
+        " ORDER BY list_dot_product(nn.nv, nq.nv) DESC, s.nbr_id ASC) AS rank"
+        " FROM short s JOIN nb nn ON nn.vec_id = s.nbr_id"
+        " JOIN nb nq ON nq.vec_id = s.query_id)",
+        f"SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}"
+        " ORDER BY query_id, rank",
+    ]
+    return "\n".join(parts)
+
+
+@query(
+    "ann_ivfpq_deterministic_topk",
+    oracle=_ivfpq_det_oracle(),
+    notes=(
+        "IVF+PQ+refine with a FULL value-hash oracle (r10), completing "
+        "the hash-green ANN family (LSH/IVF/PQ/IVFPQ): the coarse "
+        "quantizer is the same deterministic k-means run over the full "
+        "normalized vector, probing reuses its query lookup table "
+        "(n_probe=4 smallest cell distances, smallest-cell ties), and "
+        "the PQ/score/refine pipeline mirrors ann_pq_deterministic_topk. "
+        "The MLlib variant stays as the production path"
+    ),
+)
+def ann_ivfpq_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk_deterministic(emb, k=3, n_queries=20).orderBy(
+        "query_id", "rank"
+    )
 
 
 @query(

@@ -916,3 +916,87 @@ def ivfpq_topk(
         .select("query_id", "nbr_id")
     )
     return _exact_refine(shortlist, base, n_queries, k, id_col)
+
+
+def ivfpq_topk_deterministic(
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 20,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    refine: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ + refine with deterministic training throughout — the
+    oracle-exact sibling of ``ivfpq_topk``, completing the hash-green
+    ANN family (LSH / IVF / PQ / IVFPQ). The coarse quantizer is
+    _det_subspace_codebook over the FULL normalized vector (one
+    'subspace' of width d), the PQ codebooks are the same per-subspace
+    deterministic k-means pq_topk_deterministic uses, and probing,
+    LUT scoring, shortlist and refine mirror ivfpq_topk expression for
+    expression — so a DuckDB oracle reproduces the output bit-for-bit.
+    Scale shape unchanged: cells bound WHICH codes are scanned, codes
+    bound the scan's cost and memory, refine touches full vectors only
+    for shortlist pairs."""
+    from pyspark.sql import Window
+
+    d = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    base = _normalized(emb, id_col, vec_col)
+    slices = [F.slice(F.col("nv"), j * sub + 1, sub) for j in range(m)]
+
+    coarse_cb = _det_subspace_codebook(
+        base.select(F.col(id_col), F.col("nv").alias("sv")), n_clusters, iters, id_col
+    )
+    codebooks = [
+        _det_subspace_codebook(
+            base.select(F.col(id_col), slices[j].alias("sv")), n_codes, iters, id_col
+        )
+        for j in range(m)
+    ]
+
+    codes = base.select(
+        F.col(id_col).alias("nbr_id"),
+        _pq_code_expr(F.col("nv"), coarse_cb).alias("cell"),
+        *[_pq_code_expr(slices[j], codebooks[j]).alias(f"code_{j}")
+          for j in range(m)],
+    )
+    cell_dists = F.array(
+        *[F.struct(_dist2_center(F.col("nv"), c).alias("d"), F.lit(i).alias("cell"))
+          for i, c in enumerate(coarse_cb)]
+    )
+    luts = [
+        F.array(*[_dist2_center(slices[j], c) for c in codebooks[j]]).alias(f"lut_{j}")
+        for j in range(m)
+    ]
+    queries = (
+        base.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.slice(F.array_sort(cell_dists), 1, n_probe).alias("probed"),
+            *luts,
+        )
+        .select(
+            "query_id",
+            F.explode(F.transform("probed", lambda s: s.cell)).alias("cell"),
+            *[f"lut_{j}" for j in range(m)],
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("nbr_id").asc()
+    )
+    shortlist = (
+        codes.join(F.broadcast(queries), "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", _pq_approx_dist(m).alias("approx_dist"))
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= refine)
+        .select("query_id", "nbr_id")
+    )
+    return _exact_refine(shortlist, base, n_queries, k, id_col)

@@ -66,6 +66,16 @@ class TestRecall:
         total = sum(len(v) for v in exact.values())
         assert hits / total >= 0.5, f"det-PQ recall {hits}/{total}"
 
+    def test_ivfpq_oracle_exact_variant_recall(self, spark, exact):
+        """The hash-green IVFPQ (deterministic coarse + PQ training,
+        r10): recall@3 vs exact measured 0.85 (sf0.001) / 0.733
+        (sf0.1)."""
+        emb = table(spark, SF_DIR, "embeddings")
+        approx = _topk_sets(S.ivfpq_topk_deterministic(emb, k=3, n_queries=20))
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        assert hits / total >= 0.5, f"det-IVFPQ recall {hits}/{total}"
+
     def test_pq_recall(self, spark, exact):
         emb = table(spark, SF_DIR, "embeddings")
         approx = _topk_sets(S.pq_topk(emb, k=3, n_queries=20))
