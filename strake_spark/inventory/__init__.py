@@ -110,13 +110,18 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
     "tpch_q12_priority_shipping", "tpch_q20_part_promotion",
     # --- 50-entry window boundary ---
-    # round-11 rotation guidance: front-load any entry added during
-    # round 10 that has no driver row yet, then the remaining r8-green
-    # rows in registration order (join anti/cross/non-equi, the
-    # aggregate family, grouping sets/cube/rollup, windows, set ops,
-    # distinct-on, values, JSON/regexp/unpivot, iceberg/interval
-    # entries), then r9-green rows oldest-first. Any query whose plan
-    # is rewritten in round 11 joins the window that same round.
+    # round-11 rotation guidance: front-load the entries added in round
+    # 10 that have no driver row yet — ann_ivf_deterministic_topk,
+    # ann_pq_deterministic_topk, ann_ivfpq_deterministic_topk (all
+    # hash-oracled, pytest-green at sf0.001/0.01/0.1) — then the
+    # remaining r8-green rows in registration order (join
+    # anti/cross/non-equi, the aggregate family, grouping sets/cube/
+    # rollup, windows, set ops, distinct-on, values, JSON/regexp/
+    # unpivot, iceberg/interval entries), then r9-green rows
+    # oldest-first. Any query whose plan is rewritten in round 11 joins
+    # the window that same round. Note ann_lsh_bucketed_topk gained a
+    # hash oracle IN round 10 while already sitting inside the r10
+    # window, so its r10 driver row is already hash-checked.
 )
 
 
