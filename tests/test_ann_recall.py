@@ -90,6 +90,18 @@ class TestRecall:
         total = sum(len(v) for v in exact.values())
         assert hits / total >= 0.5, f"IVFPQ recall {hits}/{total}"
 
+    def test_det_variants_partition_invariant(self, spark):
+        """The oracle-exact ANN variants' core claim: DECIMAL centroid
+        sums make training order-independent, so results are identical
+        under any repartitioning (the property that lets a
+        single-threaded DuckDB oracle hash-match a 32-way Spark run)."""
+        emb = table(spark, SF_DIR, "embeddings")
+        for fn in (S.ivf_topk_deterministic, S.pq_topk_deterministic,
+                   S.ivfpq_topk_deterministic):
+            a = sorted(map(tuple, fn(emb, k=3, n_queries=10).collect()))
+            b = sorted(map(tuple, fn(emb.repartition(7), k=3, n_queries=10).collect()))
+            assert a == b, fn.__name__
+
     def test_pq_deterministic(self, spark):
         emb = table(spark, SF_DIR, "embeddings")
         a = S.pq_topk(emb, k=3, n_queries=5).collect()
