@@ -96,6 +96,15 @@ def minhash_signatures(
     interpreted cost, it is whole-stage-codegen. A Python kernel would
     pay ~1 µs per hashlib.md5 call (~1.5 s for the same shingles)
     before any shingling work, strictly worse than the JVM path.
+
+    Bench anatomy (r10, sf0.1): of minhash_candidates' ~1.2 s per-call
+    median, ~0.54 s is DRIVER-SIDE Catalyst plan construction+analysis
+    (the signature subtree appears three times: banding + both score
+    sides; cached execution reuses one copy but analysis walks all
+    three) and ~0.66 s is execution. At cluster scale the plan is built
+    once per query, so the analysis constant is noise there; collapsing
+    it here would need a lineage-cutting checkpoint that destroys plan
+    transparency (and the plan-shape tests) for a small-SF-only win.
     """
     norm = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
     width = SHINGLE_WIDTH
