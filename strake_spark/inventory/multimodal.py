@@ -36,16 +36,42 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode_features",
-    tags=("rows_only",),
-    notes="Arrow-batched mapInPandas feature extraction over binary payloads (stub decoder: byte histogram); determinism + schema asserted in tests/test_operators.py",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    nib AS (
+      SELECT doc_id, n,
+             list_transform(range(1, CAST(n AS INT) + 1),
+                            i -> substr(hx, CAST(2 * i AS INT), 1)) AS lows
+      FROM h
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           len(list_filter(lows, c -> c = '0')) / greatest(n, 1) AS f0,
+           len(list_filter(lows, c -> c = '8')) / greatest(n, 1) AS f8
+    FROM nib
+    """,
+    notes=(
+        "Arrow-batched mapInPandas feature extraction over binary "
+        "payloads, hash-green since r10 (was rows-only): the stub "
+        "decoder's 16-bin histogram bins bytes by LOW NIBBLE "
+        "(byte % 16), which SQL reads directly as the hex digit at "
+        "each even position of hex(payload) — no byte iteration "
+        "needed. count/total is an exact int division in both engines, "
+        "so the doubles hash-match without rounding. The real-decoder "
+        "integration point (decode_image) stays a documented stub"
+    ),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = MM.attach_binary(table(spark, sf_dir, "documents"))
     feats = MM.decode_features(docs)
-    # surface scalars + vector so the driver's rows-only check sees a
-    # stable schema
     return feats.select(
-        "doc_id", "n_bytes", F.round(F.element_at("features", 1), 9).alias("f0")
+        "doc_id",
+        "n_bytes",
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 9).alias("f8"),
     )
 
 
