@@ -11,6 +11,7 @@ drift independently.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from strake_spark.data import table
 from strake_spark.inventory import query
@@ -100,6 +101,69 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidates(table(spark, sf_dir, "documents"))
+
+
+def _sided_shingles_cte(side: str, where: str) -> str:
+    """The _SHINGLES_CTE chain with a side suffix and a WHERE filter —
+    cross-corpus dedup needs one signature relation per corpus."""
+    return f"""
+norm_{side} AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE {where}),
+sh_{side} AS (
+    SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), {D.SHINGLE_WIDTH}) AS shingle
+    FROM norm_{side}, LATERAL unnest(generate_series(1, length(t) - {D.SHINGLE_WIDTH - 1}))
+         AS s(i)
+    WHERE length(t) >= {D.SHINGLE_WIDTH}
+),
+hashed_{side} AS (SELECT doc_id, {sql_h32('shingle')} AS h FROM sh_{side}),
+sig_{side} AS (
+    SELECT doc_id,
+           {", ".join(f"MIN({sql_minhash_expr('h', k)}) AS mh{k}" for k in range(D.NUM_HASHES))}
+    FROM hashed_{side} GROUP BY doc_id
+)"""
+
+
+_CROSS_AGREE = " + ".join(
+    f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END" for k in range(D.NUM_HASHES)
+)
+
+
+@query(
+    "dedup_cross_corpus_candidates",
+    oracle=f"""
+    WITH {_sided_shingles_cte("n", "doc_id % 2 = 1")},
+    {_sided_shingles_cte("r", "doc_id % 2 = 0")},
+    banded_n AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {band} AS band, {_band_key_sql(band)} AS band_key FROM sig_n" for band in range(D.NUM_BANDS))}
+    ),
+    banded_r AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {band} AS band, {_band_key_sql(band)} AS band_key FROM sig_r" for band in range(D.NUM_BANDS))}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+        FROM banded_n a JOIN banded_r b
+          ON a.band = b.band AND a.band_key = b.band_key
+    )
+    SELECT new_id, ref_id, ({_CROSS_AGREE}) / {float(D.NUM_HASHES)} AS est_jaccard
+    FROM pairs
+    JOIN sig_n sa ON pairs.new_id = sa.doc_id
+    JOIN sig_r sb ON pairs.ref_id = sb.doc_id
+    WHERE ({_CROSS_AGREE}) / {float(D.NUM_HASHES)} >= 0.5
+    """,
+    notes=(
+        "cross-corpus MinHash-LSH (r10): near-dup candidates BETWEEN a "
+        "'new' corpus (odd doc_ids) and a 'reference' corpus (even "
+        "doc_ids) — the dedup-a-new-crawl-against-the-training-set "
+        "shape. An equi join of the two banded relations, never a "
+        "self-join; hot buckets drop via a combined-membership count + "
+        "broadcast anti-join before the join"
+    ),
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.cross_corpus_candidates(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
 
 
 # ------------------------------------------------------------------ simhash

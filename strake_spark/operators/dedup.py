@@ -121,6 +121,23 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _banded(sig: DataFrame, id_col: str, num_hashes: int, num_bands: int) -> DataFrame:
+    """(id, band, band_key) via a single explode — NOT a num_bands-way
+    union (a union multiplies the partition count into tiny tasks);
+    explode is one narrow pass preserving the upstream partitioning."""
+    rows_per_band = num_hashes // num_bands
+    band_structs = []
+    for band in range(num_bands):
+        cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), key.alias("band_key"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -156,22 +173,7 @@ def minhash_candidates(
     # collapses map-side). Backs the returned lazy DataFrame (caller
     # releases via clearCache()).
     sig = minhash_signatures(docs, id_col, text_col, num_hashes).cache()
-    rows_per_band = num_hashes // num_bands
-    # Band via a single explode, NOT a num_bands-way union: a union
-    # multiplies the partition count by num_bands (tiny tasks whose
-    # scheduling overhead swamps the aggregate locally, and num_bands
-    # times the task count on a cluster); explode is one narrow pass
-    # that preserves the upstream partitioning.
-    band_structs = []
-    for band in range(num_bands):
-        cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
-        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-        band_structs.append(
-            F.struct(F.lit(band).alias("band"), key.alias("band_key"))
-        )
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    banded = _banded(sig, id_col, num_hashes, num_bands)
 
     # Hot buckets are dropped BEFORE any materialization (r10, restores
     # the r8 protection): a count aggregate first — its shuffle carries
@@ -251,6 +253,74 @@ def minhash_candidates(
         .select(
             "id_a",
             "id_b",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def cross_corpus_candidates(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    threshold: float = 0.5,
+    max_bucket_size: int = 50_000,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates BETWEEN two corpora: each
+    returned pair is one ``new_docs`` doc and one ``ref_docs`` doc with
+    estimated Jaccard >= threshold — the dedup-a-new-crawl-against-the-
+    existing-training-set shape (within-corpus duplicates are
+    ``minhash_candidates``'s job). Returns (new_id, ref_id,
+    est_jaccard).
+
+    Scale shape: this is an EQUI JOIN of the two banded relations on
+    (band, band_key) — not a self-join — so each side shuffles once on
+    the bucket key and the pair fan-out per bucket is n_new * n_ref,
+    not (n_new + n_ref)^2 / 2. Hot buckets are dropped before the join
+    with the same gated count + broadcast anti-join discipline as
+    minhash_candidates, counting the bucket's TOTAL membership across
+    both sides (a bucket hot on either side floods the join the same
+    way). Signatures compute once per side and the scoring joins ship
+    K longs per doc.
+    """
+    sig_new = minhash_signatures(new_docs, id_col, text_col, num_hashes).cache()
+    sig_ref = minhash_signatures(ref_docs, id_col, text_col, num_hashes).cache()
+    bn = _banded(sig_new, id_col, num_hashes, num_bands)
+    br = _banded(sig_ref, id_col, num_hashes, num_bands)
+    if new_docs.count() + ref_docs.count() > max_bucket_size:
+        hot = (
+            bn.select("band", "band_key").unionAll(br.select("band", "band_key"))
+            .groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        bn = bn.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+        br = br.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    pairs = (
+        bn.select(F.col(id_col).alias("new_id"), "band", "band_key")
+        .join(
+            br.select(F.col(id_col).alias("ref_id"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    sa = sig_new.alias("sa")
+    sb = sig_ref.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.mh{k}") == F.col(f"sb.mh{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    return (
+        pairs.join(sa, pairs.new_id == F.col(f"sa.{id_col}"))
+        .join(sb, pairs.ref_id == F.col(f"sb.{id_col}"))
+        .select(
+            "new_id",
+            "ref_id",
             (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)

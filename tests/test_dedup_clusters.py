@@ -51,3 +51,46 @@ def test_all_docs_present(spark):
     out = duplicate_clusters(docs).collect()
     assert len(out) == 8
     assert all(r.cluster_id == r.doc_id for r in out)  # no accidental merges
+
+
+def test_cross_corpus_candidates_finds_only_cross_pairs(spark):
+    """Cross-corpus MinHash (r10): planted near-duplicates ACROSS the
+    corpus boundary are recovered; pairs WITHIN one corpus never
+    appear even when that corpus contains its own duplicates."""
+    from strake_spark.operators.dedup import cross_corpus_candidates
+
+    base = " ".join(f"token{i}" for i in range(60))
+    other = " ".join(f"word{i}" for i in range(60))
+    new = spark.createDataFrame(
+        [(1, base), (3, base.replace("token5", "five")),
+         (5, "completely unrelated new document " * 5)],
+        "doc_id bigint, text string",
+    )
+    # ref contains an internal duplicate pair (2, 4) AND cross matches
+    ref = spark.createDataFrame(
+        [(2, base), (4, base), (6, other), (8, other)],
+        "doc_id bigint, text string",
+    )
+    out = {(r.new_id, r.ref_id) for r in cross_corpus_candidates(new, ref).collect()}
+    # both near-identical new docs match both identical ref copies
+    assert {(1, 2), (1, 4), (3, 2), (3, 4)} <= out
+    # no within-ref pair (2,4)/(6,8) and no unrelated doc leaks in
+    assert all(n in (1, 3) and r in (2, 4) for n, r in out)
+
+
+def test_cross_corpus_hot_bucket_cap(spark):
+    """A bucket hot across BOTH corpora is dropped before the join:
+    boilerplate on both sides yields zero pairs under a small cap."""
+    from strake_spark.operators.dedup import cross_corpus_candidates
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    new = spark.createDataFrame(
+        [(i, text) for i in range(1, 300, 2)], "doc_id bigint, text string"
+    )
+    ref = spark.createDataFrame(
+        [(i, text) for i in range(0, 300, 2)], "doc_id bigint, text string"
+    )
+    capped = cross_corpus_candidates(new, ref, max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = cross_corpus_candidates(new, ref, max_bucket_size=1000)
+    assert uncapped.count() == 150 * 150
