@@ -379,6 +379,130 @@ def _sql_det_kmeans_chain(p: str, n: int, n_q: int) -> list[str]:
     ]
 
 
+# Shared oracle prefix for the SemDeDup entries: deterministic
+# 2-assignment cosine k-means (k=8, init = the 8 smallest ids' vectors
+# — same rule as operators/semdedup.py, robust to offset/sparse ids).
+# Centroid sums in DECIMAL(18,9) (exact, order-independent) mirror the
+# Spark side's decimal accumulator; every per-row score is a
+# left-to-right double fold in both engines, so assignments agree
+# bit-for-bit.
+_SEMDEDUP_CTE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c0.c) / sqrt(list_dot_product(c0.c, c0.c)) DESC, c0.cid) AS rn
+    FROM e, c0) WHERE rn = 1
+),
+comp AS (
+  SELECT a1.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS pos
+  FROM a1 JOIN e USING (vec_id)
+),
+sums AS (
+  SELECT cid, pos, SUM(CAST(val AS DECIMAL(18,9))) AS s, COUNT(*) AS cnt
+  FROM comp GROUP BY cid, pos
+),
+c1 AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c FROM sums GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c1.c) / sqrt(list_dot_product(c1.c, c1.c)) DESC, c1.cid) AS rn
+    FROM e, c1) WHERE rn = 1
+)
+"""
+
+
+@query(
+    "curation_prototype_scores",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    comp AS (
+      SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e
+    ),
+    sums AS (
+      SELECT label, pos, SUM(CAST(val AS DECIMAL(18,9))) AS s, COUNT(*) AS cnt
+      FROM comp GROUP BY label, pos
+    ),
+    proto AS (
+      SELECT label, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS p
+      FROM sums GROUP BY label
+    )
+    SELECT e.vec_id, CAST(e.label AS INTEGER) AS label,
+           list_dot_product(e.v, proto.p)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(proto.p, proto.p)))
+             AS proto_cosine
+    FROM e JOIN proto USING (label)
+    """,
+    notes=(
+        "prototypicality scoring for data pruning (Sorscher et al. 2022): "
+        "per-label DECIMAL-exact mean prototype, each example scored by "
+        "cosine to its own class prototype — curation keeps (or drops) the "
+        "most prototypical examples. One posexplode aggregate + broadcast "
+        "of the tiny prototype table + map-only scoring"
+    ),
+)
+def curation_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.label_prototype_scores(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("label").cast("int").alias("label"), "proto_cosine"
+    )
+
+
+@query(
+    "curation_cluster_label_purity",
+    oracle=_SEMDEDUP_CTE
+    + """
+    , lab AS (
+      SELECT a2.cid, e2.label FROM a2 JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+    ),
+    cnt AS (SELECT cid, label, COUNT(*) AS n FROM lab GROUP BY cid, label),
+    tot AS (SELECT cid, SUM(n) AS total FROM cnt GROUP BY cid),
+    top AS (
+      SELECT cid, label AS majority_label, n FROM (
+        SELECT cid, label, n,
+               ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label ASC) AS rn
+        FROM cnt) WHERE rn = 1
+    )
+    SELECT CAST(top.cid AS BIGINT) AS cluster,
+           CAST(top.majority_label AS INTEGER) AS majority_label,
+           CAST(tot.total AS BIGINT) AS n_members,
+           top.n / tot.total AS purity
+    FROM top JOIN tot USING (cid)
+    """,
+    notes=(
+        "clustering-quality diagnostic for curation pipelines: label "
+        "purity (majority-label fraction) per deterministic k-means "
+        "cluster — low-purity clusters flag label noise or entangled "
+        "classes before pruning decisions. Majority ties break to the "
+        "smallest label on both engines"
+    ),
+)
+def curation_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from strake_spark.operators import semdedup as SD
+
+    emb = table(spark, sf_dir, "embeddings")
+    assign = SD.kmeans_assign(emb, k=8, iters=2)
+    lab = assign.join(emb.select("vec_id", "label"), "vec_id")
+    cnt = lab.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cluster").orderBy(F.col("n").desc(), F.col("label").asc())
+    top = cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    tot = cnt.groupBy("cluster").agg(F.sum("n").alias("total"))
+    return (
+        top.join(tot, "cluster")
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.col("label").cast("int").alias("majority_label"),
+            F.col("total").cast("bigint").alias("n_members"),
+            (F.col("n").cast("double") / F.col("total")).alias("purity"),
+        )
+    )
+
+
 def _pq_det_oracle() -> str:
     """DuckDB oracle for ann_pq_deterministic_topk, built
     programmatically (4 structurally identical per-subspace k-means
@@ -551,42 +675,6 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(exact, approx, floor=0.5)
 
 
-# Shared oracle prefix for the SemDeDup entries: deterministic
-# 2-assignment cosine k-means (k=8, init = the 8 smallest ids' vectors
-# — same rule as operators/semdedup.py, robust to offset/sparse ids).
-# Centroid sums in DECIMAL(18,9) (exact, order-independent) mirror the
-# Spark side's decimal accumulator; every per-row score is a
-# left-to-right double fold in both engines, so assignments agree
-# bit-for-bit.
-_SEMDEDUP_CTE = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
-a1 AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c0.cid,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, c0.c) / sqrt(list_dot_product(c0.c, c0.c)) DESC, c0.cid) AS rn
-    FROM e, c0) WHERE rn = 1
-),
-comp AS (
-  SELECT a1.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS pos
-  FROM a1 JOIN e USING (vec_id)
-),
-sums AS (
-  SELECT cid, pos, SUM(CAST(val AS DECIMAL(18,9))) AS s, COUNT(*) AS cnt
-  FROM comp GROUP BY cid, pos
-),
-c1 AS (
-  SELECT cid, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c FROM sums GROUP BY cid
-),
-a2 AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c1.cid,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, c1.c) / sqrt(list_dot_product(c1.c, c1.c)) DESC, c1.cid) AS rn
-    FROM e, c1) WHERE rn = 1
-)
-"""
 
 
 @query(

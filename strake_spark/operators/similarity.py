@@ -573,6 +573,60 @@ def ivf_topk_deterministic(
     )
 
 
+def label_prototype_scores(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Prototypicality scoring for data pruning (published technique:
+    Sorscher et al. 2022, "Beyond neural scaling laws — beating power
+    law scaling via data pruning"): each class's prototype is the mean
+    embedding of its members, and every example is scored by cosine to
+    its own class prototype. Curation keeps the most prototypical
+    examples (or drops them, to emphasize hard examples) — the
+    embedding-space sibling of quality-score filtering.
+
+    Returns (id, label, proto_cosine).
+
+    Scale shape: ONE posexplode aggregate builds the prototypes
+    (labels * dim cells, map-side partial), the tiny prototype table
+    broadcasts back, and scoring is map-only. Prototype means use the
+    DECIMAL(18,9) component-sum discipline (semdedup's), so the doubles
+    are order-independent and a DuckDB oracle hash-matches."""
+    e = emb.select(
+        F.col(id_col), F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    comp = (
+        e.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(18,9)")).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    proto = (
+        comp.select(
+            "label",
+            F.struct("pos", (F.col("s").cast("double") / F.col("cnt")).alias("m")).alias("pm"),
+        )
+        .groupBy("label")
+        .agg(F.transform(F.sort_array(F.collect_list("pm")), lambda x: x["m"]).alias("p"))
+    )
+    return (
+        e.join(F.broadcast(proto), "label")
+        .select(
+            F.col(id_col),
+            "label",
+            (
+                _dot(F.col("v"), F.col("p"))
+                / (F.sqrt(_norm2(F.col("v"))) * F.sqrt(_norm2(F.col("p"))))
+            ).alias("proto_cosine"),
+        )
+    )
+
+
 # ------------------------------------------------------- PQ building blocks
 # Shared by pq_topk and ivfpq_topk so the distance/tie-break/refine
 # logic exists exactly once.
