@@ -114,8 +114,8 @@ _PRIORITY: tuple[str, ...] = (
     # 10 that have no driver row yet — ann_ivf_deterministic_topk,
     # ann_pq_deterministic_topk, ann_ivfpq_deterministic_topk,
     # dedup_cross_corpus_candidates, curation_prototype_scores,
-    # curation_cluster_label_purity (all hash-oracled, pytest-green at
-    # sf0.001/0.01/0.1) — then the
+    # curation_cluster_label_purity, curation_knn_label_consistency
+    # (all hash-oracled, pytest-green at sf0.001/0.01/0.1) — then the
     # remaining r8-green rows in registration order (join
     # anti/cross/non-equi, the aggregate family, grouping sets/cube/
     # rollup, windows, set ops, distinct-on, values, JSON/regexp/

@@ -503,6 +503,51 @@ def curation_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curation_knn_label_consistency",
+    oracle=f"""
+    WITH scored AS (
+        SELECT b.vec_id AS query_id, a.vec_id AS nbr_id, {_COS} AS cosine
+        FROM embeddings a, embeddings b
+        WHERE b.vec_id < 200 AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, nbr_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+        FROM scored
+    ),
+    knn AS (SELECT query_id, nbr_id FROM ranked WHERE rank <= 10)
+    SELECT knn.query_id AS vec_id,
+           CAST(ql.label AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) / COUNT(*) AS label_agreement
+    FROM knn
+    JOIN embeddings ql ON ql.vec_id = knn.query_id
+    JOIN embeddings nl ON nl.vec_id = knn.nbr_id
+    GROUP BY knn.query_id, ql.label
+    """,
+    notes=(
+        "kNN label-agreement for label-error detection (Confident "
+        "Learning, Northcutt et al. 2021): fraction of each example's "
+        "10 cosine-nearest neighbors sharing its label; low agreement "
+        "flags probable label errors for curation review. Exact "
+        "brute-force neighbor baseline (queries broadcast, corpus "
+        "partitioned) — at scale the neighbor source swaps to an ANN "
+        "path, the aggregation is unchanged. The synthetic labels are "
+        "uncorrelated with the embeddings, so measured agreement sits "
+        "near chance (~1/n_labels ~ 0.1) — the entry verifies the "
+        "mechanics, not a semantic claim about the testdata"
+    ),
+)
+def curation_knn_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_label_consistency(
+        table(spark, sf_dir, "embeddings"), k=10, n_queries=200
+    ).select(
+        "vec_id", F.col("label").cast("int").alias("label"),
+        "n_neighbors", "label_agreement",
+    )
+
+
 def _pq_det_oracle() -> str:
     """DuckDB oracle for ann_pq_deterministic_topk, built
     programmatically (4 structurally identical per-subspace k-means

@@ -627,6 +627,52 @@ def label_prototype_scores(
     )
 
 
+def knn_label_consistency(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label-agreement score for label-error detection (published
+    technique: Confident Learning, Northcutt et al. 2021, and the kNN
+    consistency filters common in dataset-cleaning pipelines): for each
+    scored example, the fraction of its k nearest neighbors (cosine)
+    that share its label. Low agreement flags probable label errors or
+    boundary examples for curation review.
+
+    Returns (id, label, n_neighbors, label_agreement).
+
+    This is the exact brute-force baseline (neighbors via cosine_topk:
+    queries broadcast, corpus partitioned); at corpus scale swap the
+    neighbor source for one of the ANN paths — the aggregation is
+    independent of how neighbors are found. label_agreement is an exact
+    int/int division, so a SQL oracle hash-matches."""
+    nbrs = cosine_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    labels = emb.select(F.col(id_col), F.col(label_col).alias("_lbl"))
+    q_lab = labels.withColumnRenamed(id_col, "query_id").withColumnRenamed("_lbl", "q_label")
+    n_lab = labels.withColumnRenamed(id_col, "nbr_id").withColumnRenamed("_lbl", "n_label")
+    return (
+        nbrs.join(F.broadcast(q_lab), "query_id")
+        .join(n_lab, "nbr_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            (
+                F.sum(F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("label_agreement"),
+        )
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("q_label").alias("label"),
+            "n_neighbors",
+            "label_agreement",
+        )
+    )
+
+
 # ------------------------------------------------------- PQ building blocks
 # Shared by pq_topk and ivfpq_topk so the distance/tie-break/refine
 # logic exists exactly once.
