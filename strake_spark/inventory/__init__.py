@@ -113,7 +113,8 @@ _PRIORITY: tuple[str, ...] = (
     # round-11 rotation guidance: front-load the entries added in round
     # 10 that have no driver row yet — ann_ivf_deterministic_topk,
     # ann_pq_deterministic_topk, ann_ivfpq_deterministic_topk,
-    # dedup_cross_corpus_candidates, curation_prototype_scores,
+    # dedup_cross_corpus_candidates, dedup_cross_corpus_exact,
+    # curation_prototype_scores,
     # curation_cluster_label_purity, curation_knn_label_consistency
     # (all hash-oracled, pytest-green at sf0.001/0.01/0.1) — then the
     # remaining r8-green rows in registration order (join

@@ -166,6 +166,29 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cross_corpus_exact",
+    oracle="""
+    SELECT n.doc_id, md5(n.text) AS digest,
+           md5(n.text) IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+             AS in_ref
+    FROM documents n WHERE n.doc_id % 2 = 1
+    """,
+    notes=(
+        "exact cross-corpus membership (r10): which 'new' docs (odd "
+        "ids) exist verbatim in the 'reference' corpus (even ids) — the "
+        "cheap digest pass run before cross-corpus MinHash. Both sides "
+        "reduce to 32-byte digests before anything moves"
+    ),
+)
+def dedup_cross_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.cross_corpus_exact(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 _TOKENS_CTE = f"""

@@ -327,6 +327,30 @@ def cross_corpus_candidates(
     )
 
 
+def cross_corpus_exact(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact cross-corpus dedup: which new docs already exist verbatim
+    in the reference corpus — the cheap first pass run before
+    ``cross_corpus_candidates``. Returns every new doc with its digest
+    and an ``in_ref`` flag (callers keep ``~in_ref`` rows).
+
+    Scale shape: both sides reduce to 32-byte digests before anything
+    moves; the ref side pre-aggregates to distinct digests (one
+    map-side-combined shuffle), then a LEFT join marks membership —
+    Catalyst broadcasts the digest set when it is small and
+    shuffle-joins otherwise, both correct."""
+    new_d = new_docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    ref_d = ref_docs.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+    return (
+        new_d.join(ref_d.withColumn("_hit", F.lit(1)), "digest", "left")
+        .select(id_col, "digest", F.col("_hit").isNotNull().alias("in_ref"))
+    )
+
+
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     norm = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t"))
     return norm.filter(F.length("t") > 0).select(
