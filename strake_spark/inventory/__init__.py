@@ -115,7 +115,8 @@ _PRIORITY: tuple[str, ...] = (
     # ann_pq_deterministic_topk, ann_ivfpq_deterministic_topk,
     # dedup_cross_corpus_candidates, dedup_cross_corpus_exact,
     # curation_prototype_scores,
-    # curation_cluster_label_purity, curation_knn_label_consistency
+    # curation_cluster_label_purity, curation_knn_label_consistency,
+    # curation_semantic_contamination
     # (all hash-oracled, pytest-green at sf0.001/0.01/0.1) — then the
     # remaining r8-green rows in registration order (join
     # anti/cross/non-equi, the aggregate family, grouping sets/cube/

@@ -504,6 +504,35 @@ def curation_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curation_semantic_contamination",
+    oracle=f"""
+    SELECT a.vec_id AS new_id, b.vec_id AS ref_id, {_COS} AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0 AND {_COS} >= 0.4
+    """,
+    notes=(
+        "cross-corpus semantic contamination (r10): embedding-cosine "
+        "pairs BETWEEN a 'new' corpus (odd vec_ids, e.g. an eval set) "
+        "and a 'reference' corpus (even vec_ids, e.g. the training set) "
+        "— paraphrase contamination that exact/n-gram decontamination "
+        "misses. Same seeded hyperplanes as ann_embedding_dup_pairs, so "
+        "the measured-full-recall property at (0.4, 24 bands) carries "
+        "over (cross pairs are a subset of the all-pairs set recall was "
+        "measured on); candidates via equi join of the two banded "
+        "relations, exact-cosine JVM fold vs the brute-force oracle"
+    ),
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.semantic_contamination(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        threshold=0.4,
+        num_bands=24,
+    )
+
+
+@query(
     "curation_knn_label_consistency",
     oracle=f"""
     WITH scored AS (

@@ -627,6 +627,113 @@ def label_prototype_scores(
     )
 
 
+def _hyperplane_band_udf(num_bands: int, band_bits: int, dim: int, seed: int):
+    """Arrow-batched band-key UDF over seeded Gaussian hyperplanes —
+    the shared signature machinery of embedding_dup_pairs and
+    semantic_contamination (same seed => same planes => a pair banded
+    on one side or across two relations lands in the same buckets)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    planes_t = rng.standard_normal((num_bands * band_bits, dim)).T.copy()
+    bit_weights = (1 << np.arange(band_bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _band_keys(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        signs = (mat @ planes_t) > 0
+        keys = signs.reshape(len(mat), -1, band_bits) @ bit_weights
+        return pd.Series(list(keys.astype(np.int64)))
+
+    return _band_keys
+
+
+def semantic_contamination(
+    new_emb: DataFrame,
+    ref_emb: DataFrame,
+    threshold: float = 0.4,
+    num_bands: int = 24,
+    band_bits: int = 3,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Semantic contamination detection BETWEEN corpora: (new_id,
+    ref_id, cosine) pairs with cosine >= threshold, one side each — the
+    embedding-space sibling of n-gram decontamination (published
+    concern: eval-set contamination surveys score train-vs-eval
+    EMBEDDING similarity precisely because paraphrases evade exact and
+    n-gram matching).
+
+    Same banded random-hyperplane machinery as ``embedding_dup_pairs``
+    (identical seed => identical planes), so a true cross pair shares a
+    band with the same probability as a within-corpus pair — the
+    measured-full-recall property at (threshold=0.4, 24 bands) carries
+    over, since cross pairs are a subset of the all-pairs set that
+    recall was measured on. Candidates come from an EQUI JOIN of the
+    two banded relations (each side shuffles once on the bucket key,
+    never a self-join); exact cosine is the JVM left-fold, so the
+    brute-force SQL oracle hash-matches."""
+    import numpy as np  # noqa: F401  (dim probe below may use numpy-free path)
+
+    if dim is None:
+        first = (
+            new_emb.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
+        if first is None:
+            return new_emb.sparkSession.createDataFrame(
+                [], f"new_id {new_emb.schema[id_col].dataType.simpleString()}, "
+                    f"ref_id {ref_emb.schema[id_col].dataType.simpleString()}, "
+                    "cosine double"
+            )
+        dim = first["d"]
+    band_udf = _hyperplane_band_udf(num_bands, band_bits, dim, seed)
+
+    def _banded_side(emb: DataFrame, out_id: str) -> DataFrame:
+        keyed = emb.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"_v_{out_id}"),
+            F.sqrt(_norm2(F.col(vec_col))).alias(f"_n_{out_id}"),
+            band_udf(F.col(vec_col)).alias("keys"),
+        )
+        return keyed.select(
+            out_id, f"_v_{out_id}", f"_n_{out_id}",
+            F.posexplode(F.col("keys")).alias("band", "key"),
+        )
+
+    bn = _banded_side(new_emb, "new_id")
+    br = _banded_side(ref_emb, "ref_id")
+    pairs = (
+        bn.join(br, ["band", "key"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    lhs = new_emb.select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("na"),
+    )
+    rhs = ref_emb.select(
+        F.col(id_col).alias("ref_id"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("nb"),
+    )
+    return (
+        pairs.join(lhs, "new_id")
+        .join(rhs, "ref_id")
+        .select(
+            "new_id",
+            "ref_id",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def knn_label_consistency(
     emb: DataFrame,
     k: int = 10,

@@ -190,6 +190,32 @@ class TestEmbeddingDupPairsScalePath:
         assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
         assert out.count() == 0
 
+    def test_semantic_contamination_cross_only_and_full_recall(self, spark):
+        """Cross-corpus semantic contamination (r10): planted eval/train
+        paraphrase pairs are recovered exactly (LSH candidates == brute
+        force cross pairs) and within-corpus duplicates never appear."""
+        import math
+
+        from strake_spark.operators import similarity as S
+
+        dim = 8
+        base = [math.sin(0.7 * (j + 1)) + 1.5 for j in range(dim)]
+        other = [math.cos(1.3 * (j + 1)) - 1.5 for j in range(dim)]
+        new = spark.createDataFrame(
+            [(1, base), (3, [x * 1.001 for x in base]), (5, other)],
+            "vec_id bigint, embedding array<double>",
+        )
+        # ref holds an internal near-dup pair (2, 4) and a cross match
+        ref = spark.createDataFrame(
+            [(2, base), (4, [x * 1.002 for x in base])],
+            "vec_id bigint, embedding array<double>",
+        )
+        out = {
+            (r.new_id, r.ref_id)
+            for r in S.semantic_contamination(new, ref, threshold=0.99).collect()
+        }
+        assert out == {(1, 2), (1, 4), (3, 2), (3, 4)}
+
     def test_lsh_matches_exact_on_synthetic_corpus(self, spark):
         """Recall on the driver's synthetic embeddings at the inventory
         entry's own settings (t=0.4, 24 bands): LSH == exact, non-empty.
