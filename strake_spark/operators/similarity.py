@@ -236,9 +236,6 @@ def embedding_dup_pairs(
             f"embedding_dup_pairs: could not determine embedding dimensionality "
             f"(got {dim!r}); pass dim= explicitly"
         )
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_bands * band_bits, dim))
-
     # Band keys via ONE Arrow-batched numpy matmul per batch — NOT
     # per-plane Catalyst aggregate(zip_with(...)) expressions: those are
     # interpreted higher-order functions costing num_bands*band_bits*dim
@@ -246,18 +243,10 @@ def embedding_dup_pairs(
     # sign(V @ P^T) bit-packed per band is the vectorized equivalent and
     # is deterministic for the seeded planes. The exact-cosine
     # post-filter below stays in the JVM left-fold path so scores remain
-    # bit-identical to the SQL oracle.
-    from pyspark.sql.functions import pandas_udf
-
-    planes_t = planes.T.copy()  # dim × (bands*bits)
-    bit_weights = (1 << np.arange(band_bits)).astype(np.int64)
-
-    @pandas_udf("array<long>")
-    def _band_keys(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # B × dim
-        signs = (mat @ planes_t) > 0  # B × (bands*bits)
-        keys = signs.reshape(len(mat), -1, band_bits) @ bit_weights  # B × bands
-        return pd.Series(list(keys.astype(np.int64)))
+    # bit-identical to the SQL oracle. (Shared with
+    # semantic_contamination — same seed => same planes => cross-corpus
+    # banding agrees with within-corpus banding.)
+    _band_keys = _hyperplane_band_udf(num_bands, band_bits, dim, seed)
 
     # Persist the PRE-explode profile: the banded relation feeds three
     # lineages (hot-bucket aggregate, anti-join, both self-join sides),
