@@ -77,6 +77,8 @@ PIPELINE_QUERIES = (
     "text_bm25_ranking",  # added r7: posting-list BM25
     "events_rollup_incremental",  # added r7: continuous-aggregate merge
     "pipeline_end_to_end_curation",  # added r8: one-scan curation DAG
+    "dedup_cross_corpus_candidates",  # added r10: new-vs-ref MinHash join
+    "curation_semantic_contamination",  # added r10: cross-corpus embedding LSH
 )
 
 
