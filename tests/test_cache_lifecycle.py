@@ -74,6 +74,35 @@ class TestBacksReturnedHandle:
             spark, D.minhash_candidates(table(spark, SF_DIR, "documents"))
         )
 
+    def test_cross_corpus_signature_caches(self, spark):
+        from pyspark.sql import functions as F
+
+        from strake_spark.operators import dedup as D
+
+        docs = table(spark, SF_DIR, "documents")
+        self._consume_and_check(
+            spark,
+            D.cross_corpus_candidates(
+                docs.filter(F.col("doc_id") % 2 == 1),
+                docs.filter(F.col("doc_id") % 2 == 0),
+            ),
+        )
+
+    def test_semantic_contamination_leaves_no_cache(self, spark):
+        # the contamination kernel has no handle-backing persist: its
+        # tagged relation is consumed exactly once by the grouped kernel
+        from pyspark.sql import functions as F
+
+        from strake_spark.operators import similarity as S
+
+        emb = table(spark, SF_DIR, "embeddings")
+        S.semantic_contamination(
+            emb.filter(F.col("vec_id") % 2 == 1),
+            emb.filter(F.col("vec_id") % 2 == 0),
+            threshold=0.4, num_bands=24,
+        ).count()
+        assert _sql_cache_empty(spark)
+
     def test_bm25_profile_cache(self, spark):
         from strake_spark.operators import ranking as R
 
