@@ -94,3 +94,20 @@ def test_cross_corpus_hot_bucket_cap(spark):
     assert capped.count() == 0
     uncapped = cross_corpus_candidates(new, ref, max_bucket_size=1000)
     assert uncapped.count() == 150 * 150
+
+
+def test_cross_corpus_empty_sides(spark):
+    """Empty new or ref side yields an empty result, not an error —
+    the first batch of a new crawl may legitimately be empty."""
+    from strake_spark.operators.dedup import cross_corpus_candidates, cross_corpus_exact
+
+    docs = spark.createDataFrame(
+        [(1, "some document text here for the corpus")],
+        "doc_id bigint, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert cross_corpus_candidates(empty, docs).count() == 0
+    assert cross_corpus_candidates(docs, empty).count() == 0
+    assert cross_corpus_exact(empty, docs).count() == 0
+    out = cross_corpus_exact(docs, empty).collect()
+    assert len(out) == 1 and out[0].in_ref is False

@@ -620,3 +620,18 @@ class TestRound9Kernels:
         # per-cluster kernel over the single checkpointed relation
         assert "Join" not in plan
         assert "Scan ExistingRDD" in plan  # the one k-means checkpoint
+
+
+class TestSemanticContaminationEdges:
+    def test_empty_new_side_returns_typed_empty(self, spark):
+        from strake_spark.operators import similarity as S
+
+        empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+        ref = spark.createDataFrame(
+            [("r1", [1.0, 2.0, 3.0, 4.0])], "vec_id string, embedding array<double>"
+        )
+        out = S.semantic_contamination(empty, ref)
+        assert dict(out.dtypes) == {
+            "new_id": "string", "ref_id": "string", "cosine": "double"
+        }
+        assert out.count() == 0
