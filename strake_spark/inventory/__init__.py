@@ -63,69 +63,60 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Entries named here are emitted FIRST, in this order; everything else
 # follows in registration order.
 #
-# Round-10 rotation (per the r9 verdict + the in-code r10 guidance):
-# all-time coverage is 143/143, so freshness of evidence is the
-# metric. (a) All 43 entries whose most recent driver row is round 7 —
-# the oldest evidence in the registry (tpch q10/q13-q19/q21, join
-# forms, approx-distinct, sort/limit/pivot, the expression matrices,
-# the ANN recall/topk family, quantize, multimodal decode, stream
-# join, sampling, pipeline mixture/quota/shard/chunk), in registration
-# order. (b) `tpch_q5_local_supplier_volume` — r9-green but REWRITTEN
-# this round (broadcast-semi pre-reduction, the q7/q8 playbook); a
-# rewritten query re-earns its driver row the same round. (c) The
-# first 6 r8-green rows in registration order (q9/q22/q2/q11/q12/q20).
-# That is exactly 50. Everything else (r8/r9-green, all re-verified by
-# tests/test_inventory.py at sf0.001 and sf0.01 every round) follows
-# in registration order.
+# Round-11 rotation (per the r10 verdict + the in-code r11 guidance):
+# (a) The 9 entries added in round 10 that have never had a driver row
+# — the deterministic ANN trio, the cross-corpus dedup pair, and the
+# four curation metrics — go FIRST: a green row for each takes
+# all-time coverage to 152/152. (b) The remaining 41 slots hold the
+# oldest evidence in the registry: 41 of the 44 entries whose last
+# driver row is round 8, in registration order (join anti/cross/
+# non-equi, the aggregate family, grouping sets/cube/rollup, the
+# window family, set ops, distinct/distinct-on, values, unpivot/
+# regexp/JSON matrices, engine SQL, the events family, substring
+# spans, IVFPQ, semdedup, truncate-fidelity, BM25, frame-sample).
+# That is exactly 50. The 3 r8 rows that did not fit
+# (pipeline_end_to_end_curation, pipeline_dedup_rate_by_source,
+# sample_grouped_split) lead the round-12 fill, before the r9-green
+# rows oldest-first. Everything outside the window is re-verified by
+# tests/test_inventory.py at sf0.001 and sf0.01 every round.
 _PRIORITY: tuple[str, ...] = (
-    # (a) oldest evidence: last driver row in round 7 (43 entries)
-    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts", "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers", "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_suppliers",
-    "join_inner_orders_customer", "join_left_customer_orders",
-    "join_right_orders_customer", "join_full_outer_nation_coverage",
-    "join_semi_customers_with_urgent_orders",
-    "agg_approx_count_distinct", "agg_approx_count_distinct_bound",
-    "empty_relation", "limit_offset_page", "sort_multi_key_nulls",
-    "pivot_status_by_flag",
-    "expr_string_functions", "expr_math_functions",
-    "expr_datetime_functions", "expr_conditional_null",
-    "expr_cast_matrix",
-    "ann_lsh_bucketed_topk", "ann_ivf_topk",
-    "ann_lsh_recall_vs_exact", "ann_ivf_recall_vs_exact",
-    "embedding_quantize_int8", "ann_pq_topk", "ann_pq_recall_vs_exact",
-    "text_repetition_score",
-    "multimodal_decode_features", "multimodal_decode_meta",
-    "stream_view_purchase_join",
-    "expr_array_higher_order",
-    "sample_hash_bucket", "sample_shuffle_deterministic",
-    "pipeline_mixture_upsample", "pipeline_source_quota",
-    "pipeline_shard_manifest", "pipeline_chunk_documents",
-    # (b) rewritten this round — re-earns its driver row
-    "tpch_q5_local_supplier_volume",
-    # (c) oldest r8-green rows in registration order
-    "tpch_q9_product_profit", "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping", "tpch_q20_part_promotion",
+    # (a) round-10 additions, never driver-checked (9 entries)
+    "ann_ivf_deterministic_topk", "ann_pq_deterministic_topk",
+    "ann_ivfpq_deterministic_topk",
+    "dedup_cross_corpus_candidates", "dedup_cross_corpus_exact",
+    "curation_prototype_scores", "curation_cluster_label_purity",
+    "curation_knn_label_consistency", "curation_semantic_contamination",
+    # (b) oldest evidence: last driver row in round 8 (41 of 44)
+    "join_anti_customers_without_urgent_orders",
+    "join_cross_region_status", "join_non_equi_price_over_size",
+    "agg_global_stats", "agg_rollup_status_priority",
+    "agg_cube_flag_status", "agg_grouping_sets",
+    "agg_having_big_customers", "agg_variance_by_nation",
+    "agg_string_agg_priorities", "agg_filtered_conditional",
+    "window_row_number_topk", "window_rank_family",
+    "window_running_sum", "window_sliding_rows_frame",
+    "window_range_frame", "window_lag_lead", "window_ntile_first_last",
+    "set_union_all", "set_union_distinct", "set_intersect",
+    "set_except", "set_except_all",
+    "distinct_simple", "distinct_on_latest_order", "values_inline",
+    "expr_unpivot_measures", "expr_regexp_matrix", "expr_json_matrix",
+    "engine_sql_end_to_end",
+    "events_cohort_retention", "events_rolling_active_users",
+    "events_rollup_incremental",
+    "dedup_substring_exact_spans",
+    "ann_ivfpq_topk", "ann_ivfpq_recall_vs_exact",
+    "semdedup_kmeans_assign", "semdedup_prune_keep",
+    "embedding_truncate_fidelity",
+    "text_bm25_ranking",
+    "multimodal_frame_sample_stats",
     # --- 50-entry window boundary ---
-    # round-11 rotation guidance: front-load the entries added in round
-    # 10 that have no driver row yet — ann_ivf_deterministic_topk,
-    # ann_pq_deterministic_topk, ann_ivfpq_deterministic_topk,
-    # dedup_cross_corpus_candidates, dedup_cross_corpus_exact,
-    # curation_prototype_scores,
-    # curation_cluster_label_purity, curation_knn_label_consistency,
-    # curation_semantic_contamination
-    # (all hash-oracled, pytest-green at sf0.001/0.01/0.1) — then the
-    # remaining r8-green rows in registration order (join
-    # anti/cross/non-equi, the aggregate family, grouping sets/cube/
-    # rollup, windows, set ops, distinct-on, values, JSON/regexp/
-    # unpivot, iceberg/interval entries), then r9-green rows
-    # oldest-first. Any query whose plan is rewritten in round 11 joins
-    # the window that same round. Note ann_lsh_bucketed_topk gained a
-    # hash oracle IN round 10 while already sitting inside the r10
-    # window, so its r10 driver row is already hash-checked.
+    # round-12 rotation guidance: (a) the 3 r8-green rows deferred this
+    # round — pipeline_end_to_end_curation, pipeline_dedup_rate_by_source,
+    # sample_grouped_split — then (b) r9-green rows oldest-first in
+    # registration order (GROUPS frame, subquery forms, recursive query,
+    # engine UDF surface, asof/interval/pii families, …), then (c)
+    # r10-green rows if slots remain. Any query whose plan is rewritten
+    # in round 12 joins the window that same round.
 )
 
 
