@@ -63,60 +63,81 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Entries named here are emitted FIRST, in this order; everything else
 # follows in registration order.
 #
-# Round-11 rotation (per the r10 verdict + the in-code r11 guidance):
-# (a) The 9 entries added in round 10 that have never had a driver row
-# — the deterministic ANN trio, the cross-corpus dedup pair, and the
-# four curation metrics — go FIRST: a green row for each takes
-# all-time coverage to 152/152. (b) The remaining 41 slots hold the
-# oldest evidence in the registry: 41 of the 44 entries whose last
-# driver row is round 8, in registration order (join anti/cross/
-# non-equi, the aggregate family, grouping sets/cube/rollup, the
-# window family, set ops, distinct/distinct-on, values, unpivot/
-# regexp/JSON matrices, engine SQL, the events family, substring
-# spans, IVFPQ, semdedup, truncate-fidelity, BM25, frame-sample).
-# That is exactly 50. The 3 r8 rows that did not fit
-# (pipeline_end_to_end_curation, pipeline_dedup_rate_by_source,
-# sample_grouped_split) lead the round-12 fill, before the r9-green
-# rows oldest-first. Everything outside the window is re-verified by
+# Rotation contract (r13, satisfiable by construction — pinned by
+# tests/test_window_contract.py as a saturated prefix): the window is
+# the first 50 of the sequence
+#   (a) entries with NO driver row in CORRECTNESS_r01..r12 (none now
+#       — all-time coverage is 152/152), then
+#   (b) entries whose operator code is rewritten THIS round (listed in
+#       _REWRITTEN below — a rewrite invalidates old evidence), then
+#   (c) everything else ordered by (oldest driver evidence round,
+#       registration order).
+# The carryover remainder — the next entries of that sequence, i.e.
+# the head of the round-14 fill — is pinned in _NEXT_ROTATION_HEAD.
+# Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
+#
+# Round-13 window: the 2 rewritten entries, the 3 r8-green rows
+# deferred at r11, then 45 of the 49 r9-green rows oldest-first in
+# registration order.
+
+# Entries whose operator implementation changes this round (r13):
+# semantic_contamination gains the gated hot-bucket cap and the
+# persisted pre-explode profile; cross_corpus_candidates moves to the
+# shared gated-drop helper. Re-verified by the driver this round so a
+# hash regression cannot hide behind stale green evidence.
+_REWRITTEN: tuple[str, ...] = (
+    "curation_semantic_contamination",
+    "dedup_cross_corpus_candidates",
+)
+
 _PRIORITY: tuple[str, ...] = (
-    # (a) round-10 additions, never driver-checked (9 entries)
-    "ann_ivf_deterministic_topk", "ann_pq_deterministic_topk",
-    "ann_ivfpq_deterministic_topk",
-    "dedup_cross_corpus_candidates", "dedup_cross_corpus_exact",
-    "curation_prototype_scores", "curation_cluster_label_purity",
-    "curation_knn_label_consistency", "curation_semantic_contamination",
-    # (b) oldest evidence: last driver row in round 8 (41 of 44)
-    "join_anti_customers_without_urgent_orders",
-    "join_cross_region_status", "join_non_equi_price_over_size",
-    "agg_global_stats", "agg_rollup_status_priority",
-    "agg_cube_flag_status", "agg_grouping_sets",
-    "agg_having_big_customers", "agg_variance_by_nation",
-    "agg_string_agg_priorities", "agg_filtered_conditional",
-    "window_row_number_topk", "window_rank_family",
-    "window_running_sum", "window_sliding_rows_frame",
-    "window_range_frame", "window_lag_lead", "window_ntile_first_last",
-    "set_union_all", "set_union_distinct", "set_intersect",
-    "set_except", "set_except_all",
-    "distinct_simple", "distinct_on_latest_order", "values_inline",
-    "expr_unpivot_measures", "expr_regexp_matrix", "expr_json_matrix",
-    "engine_sql_end_to_end",
-    "events_cohort_retention", "events_rolling_active_users",
-    "events_rollup_incremental",
-    "dedup_substring_exact_spans",
-    "ann_ivfpq_topk", "ann_ivfpq_recall_vs_exact",
-    "semdedup_kmeans_assign", "semdedup_prune_keep",
-    "embedding_truncate_fidelity",
-    "text_bm25_ranking",
-    "multimodal_frame_sample_stats",
+    # (b) rewritten this round (2)
+    "curation_semantic_contamination",
+    "dedup_cross_corpus_candidates",
+    # (c) oldest evidence: the 3 rows deferred since r8
+    "pipeline_end_to_end_curation",
+    "pipeline_dedup_rate_by_source",
+    "sample_grouped_split",
+    # (c) oldest evidence: r9-green rows, registration order (45 of 49)
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue", "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "expr_vectorized_udf",
+    "subquery_scalar_above_avg", "subquery_in_european_customers",
+    "subquery_exists_correlated", "subquery_correlated_scalar_select",
+    "cte_reused", "cte_recursive_series",
+    "events_tumbling_window", "events_sessionization",
+    "events_json_props", "events_top_users_per_type",
+    "dedup_exact", "dedup_minhash_signatures",
+    "dedup_minhash_lsh_candidates", "dedup_simhash_signatures",
+    "dedup_simhash_near_pairs", "dedup_duplicate_clusters",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk_bruteforce", "ann_embedding_dup_pairs",
+    "text_language_id", "text_quality_score", "text_token_count",
+    "text_fingerprint",
+    "multimodal_binary_meta",
+    "stream_tumbling_event_counts", "stream_sessionization",
+    "stream_dedup_events", "stream_user_running_totals",
+    "window_groups_frame_emulated",
+    "asof_join_backward", "asof_join_forward",
+    "range_join_events_after_purchase",
+    "pii_detect_and_scrub",
+    "sample_stratified_by_lang", "text_vocabulary_topn",
+    "agg_length_percentiles_by_lang", "join_salted_skew",
+    "events_funnel_conversion",
     # --- 50-entry window boundary ---
-    # round-12 rotation guidance: (a) the 3 r8-green rows deferred this
-    # round — pipeline_end_to_end_curation, pipeline_dedup_rate_by_source,
-    # sample_grouped_split — then (b) r9-green rows oldest-first in
-    # registration order (GROUPS frame, subquery forms, recursive query,
-    # engine UDF surface, asof/interval/pii families, …), then (c)
-    # r10-green rows if slots remain. Any query whose plan is rewritten
-    # in round 12 joins the window that same round.
+)
+
+# Carryover remainder: the head of the round-14 fill, in order — the 4
+# r9-green rows that did not fit this window, then r10-green rows
+# oldest-first in registration order (tpch q5/q10/q9/q13, …). Any query
+# whose plan is rewritten in round 14 joins that window the same round.
+_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "dedup_corpus_keep_first",
+    "pipeline_decontaminate_ngram",
+    "pipeline_pack_sequences",
+    "pipeline_curation_filter",
 )
 
 

@@ -32,17 +32,26 @@ def test_every_entry_has_oracle_or_rows_only_tag():
             )
 
 
-def test_window_front_loads_oldest_driver_evidence():
-    """r10 rotation contract: with all-time coverage at 143/143, the
-    window must contain every entry whose most recent driver row is the
-    OLDEST round on record. Evidence range is pinned to the files that
-    existed at rotation time (r01–r09) — bump the range when rotating
-    for the next round so the check describes that rotation."""
+def test_window_is_saturated_prefix_of_evidence_order():
+    """r13 rotation contract (satisfiable by construction, replacing
+    the r10 all-oldest-must-fit assertion that became structurally
+    unsatisfiable once |oldest-evidence| > 50): the window must equal
+    the first 50 of the sequence
+
+      never-driver-checked entries (registration order)
+      ++ entries rewritten this round (inventory._REWRITTEN)
+      ++ everything else by (oldest evidence round, registration order)
+
+    and the carryover remainder — the head of the NEXT round's fill —
+    must match the in-code guidance list (inventory._NEXT_ROTATION_HEAD).
+    Evidence range is pinned to the files that existed at rotation time
+    (r01–r12) — bump the range in the SAME commit as every rotation so
+    the check describes that rotation."""
     import json
     import os
 
     last: dict[str, int] = {}
-    for rn in range(1, 10):  # pinned at rotation time; bump with each rotation
+    for rn in range(1, 13):  # pinned at rotation time; bump with each rotation
         path = f"/root/repo/CORRECTNESS_r{rn:02d}.json"
         if not os.path.exists(path):
             continue
@@ -51,14 +60,27 @@ def test_window_front_loads_oldest_driver_evidence():
                 last[name] = rn
     if not last:  # driver artifacts absent (fresh clone) — nothing to pin
         return
-    oldest = min(last.values())
-    stale = {n for n, rn in last.items() if rn == oldest and n in inventory.REGISTRY}
-    window = set(inventory._PRIORITY)
-    missing = stale - window
-    assert not missing, (
-        f"entries with oldest driver evidence (r{oldest}) not in the "
-        f"window: {sorted(missing)}"
+    reg = list(inventory.REGISTRY)
+    never = [n for n in reg if n not in last]
+    rewritten = [n for n in inventory._REWRITTEN if n not in never]
+    rest = sorted(
+        (n for n in reg if n in last and n not in set(rewritten)),
+        key=lambda n: (last[n], reg.index(n)),
     )
+    expected = never + rewritten + rest
+    assert tuple(inventory._PRIORITY) == tuple(expected[:50]), (
+        "window is not the saturated prefix of the evidence order; "
+        f"expected head: {expected[:50]}"
+    )
+    carry = tuple(expected[50 : 50 + len(inventory._NEXT_ROTATION_HEAD)])
+    assert tuple(inventory._NEXT_ROTATION_HEAD) == carry, (
+        f"carryover guidance stale: expected {carry}"
+    )
+
+
+def test_rewritten_entries_resolve():
+    for name in inventory._REWRITTEN:
+        assert name in inventory.REGISTRY, name
 
 
 def test_oracle_sql_mentions_no_unaliased_aggregates():
