@@ -518,8 +518,11 @@ def curation_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "misses. Same seeded hyperplanes as ann_embedding_dup_pairs, so "
         "the measured-full-recall property at (0.4, 24 bands) carries "
         "over (cross pairs are a subset of the all-pairs set recall was "
-        "measured on); candidates via equi join of the two banded "
-        "relations, exact-cosine JVM fold vs the brute-force oracle"
+        "measured on); scoring in the side-tagged per-bucket grouped "
+        "Arrow kernel (r11 rewrite — one Arrow ship per bucket, "
+        "ascending-index accumulation bit-identical to the brute-force "
+        "SQL oracle's fold), hot buckets capped via the shared gated "
+        "drop (operators/hotbucket.py, r13)"
     ),
 )
 def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

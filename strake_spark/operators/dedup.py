@@ -32,6 +32,7 @@ from strake_spark.operators.hashing import (
     minhash_expr,
     normalize_text,
 )
+from strake_spark.operators.hotbucket import drop_hot_buckets
 
 # Tuned for the synthetic docs (hundreds of chars); at production scale
 # K/bands stay, shingle width typically 9-13 chars for prose.
@@ -175,36 +176,19 @@ def minhash_candidates(
     sig = minhash_signatures(docs, id_col, text_col, num_hashes).cache()
     banded = _banded(sig, id_col, num_hashes, num_bands)
 
-    # Hot buckets are dropped BEFORE any materialization (r10, restores
-    # the r8 protection): a count aggregate first — its shuffle carries
-    # (band, band_key, partial_count), never member ids — then a
-    # broadcast ANTI join removes over-cap buckets from the banded
-    # stream map-side, so a boilerplate bucket's ids are neither
-    # shuffled nor collected. The anti side is bounded by construction:
-    # only buckets exceeding the cap appear in it (rare by definition —
-    # each needs >max_bucket_size colliding docs), so the broadcast is
-    # always tiny even when the corpus is not. Filtering AFTER
+    # Hot buckets are dropped BEFORE any materialization (shared
+    # gated count + broadcast-anti-join discipline — see
+    # operators/hotbucket.py for the full rationale). Filtering AFTER
     # collect_list (the r9 shape) would materialize the over-cap array
     # in one aggregation buffer first — the cap must bind before the
-    # buffer exists, not after.
-    #
-    # The pass is gated on corpus size: no bucket can exceed the cap
-    # unless the corpus itself does (bucket size <= doc count), so for
-    # small inputs the extra aggregation+anti-join is provably a no-op
-    # and is skipped — on raw parquet the gate is one metadata-only
-    # count job (~ms). Callers passing an expensive DERIVED docs plan
-    # pay one evaluation for the gate; at the corpus sizes where that
-    # matters the count pass is mandatory anyway.
-    if docs.count() > max_bucket_size:
-        hot = (
-            banded.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_bucket_size)
-            .select("band", "band_key")
-        )
-        survivors = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
-    else:
-        survivors = banded
+    # buffer exists, not after. The gate counts the CACHED sig
+    # relation (not the caller's docs plan, which may be an expensive
+    # derived lineage — r12 advice): bucket size <= signature count by
+    # construction, and sig is materialized by the scoring joins
+    # anyway, so the gate count only warms the cache it already needs.
+    survivors, = drop_hot_buckets(
+        [banded], ("band", "band_key"), max_bucket_size, sig.count()
+    )
 
     # Pair generation via ONE bucket aggregation (r9), not a banded
     # self-join: groupBy (band, band_key) collects each surviving
@@ -285,21 +269,27 @@ def cross_corpus_candidates(
     both sides (a bucket hot on either side floods the join the same
     way). Signatures compute once per side and the scoring joins ship
     K longs per doc.
+
+    Cache lifecycle: BOTH per-side signature caches back the returned
+    lazy DataFrame (each feeds its banded lineage, the gate count, and
+    its scoring-join side), so — exactly as for
+    ``minhash_candidates`` — they cannot be released here; long-lived
+    engines reclaim them via ``spark.catalog.clearCache()`` between
+    batches. The cache-lifecycle census
+    (tests/test_cache_lifecycle.py) pins both caches by name.
     """
     sig_new = minhash_signatures(new_docs, id_col, text_col, num_hashes).cache()
     sig_ref = minhash_signatures(ref_docs, id_col, text_col, num_hashes).cache()
     bn = _banded(sig_new, id_col, num_hashes, num_bands)
     br = _banded(sig_ref, id_col, num_hashes, num_bands)
-    if new_docs.count() + ref_docs.count() > max_bucket_size:
-        hot = (
-            bn.select("band", "band_key").unionAll(br.select("band", "band_key"))
-            .groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_bucket_size)
-            .select("band", "band_key")
-        )
-        bn = bn.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
-        br = br.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    # Union-counted gated drop (hotbucket.py): a bucket hot on EITHER
+    # side floods the equi join the same way, so membership is counted
+    # across both banded relations. Gate on the two cached signature
+    # relations, not the callers' docs plans (r12 advice).
+    bn, br = drop_hot_buckets(
+        [bn, br], ("band", "band_key"), max_bucket_size,
+        sig_new.count() + sig_ref.count(),
+    )
     pairs = (
         bn.select(F.col(id_col).alias("new_id"), "band", "band_key")
         .join(

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from strake_spark.operators.hotbucket import drop_hot_buckets
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -359,21 +361,14 @@ def embedding_dup_pairs(
     # memory at O(corpus / tasks) like any shuffle partition.
     # Over-cap buckets are dropped BEFORE the Arrow boundary (not just
     # by the in-kernel n_c skip, which only fires after the bucket's
-    # vectors have already shipped to the Python worker): a count pass
-    # on narrow (band, key) rows + broadcast anti-join, gated on corpus
-    # size exactly like dedup.minhash_candidates — no bucket can exceed
-    # the cap unless the corpus does, so small inputs skip the pass (the
-    # gate count reads the persisted `keyed` profile, not the raw scan).
+    # vectors have already shipped to the Python worker): the shared
+    # gated count + broadcast-anti-join pass (operators/hotbucket.py),
+    # gated on the persisted `keyed` profile's count, not the raw scan.
     # The in-kernel skip stays as defense in depth for the gated-off
     # path's semantics (callers passing tiny caps on tiny corpora).
-    if keyed.count() > max_bucket_size:
-        hot = (
-            tagged.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_bucket_size)
-            .select("band", "key")
-        )
-        tagged = tagged.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    tagged, = drop_hot_buckets(
+        [tagged], ("band", "key"), max_bucket_size, keyed.count()
+    )
     par = tagged.sparkSession.sparkContext.defaultParallelism
     groups_per_band = max(1, (4 * par) // max(1, num_bands))
     return (
@@ -648,6 +643,7 @@ def semantic_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """Semantic contamination detection BETWEEN corpora: (new_id,
     ref_id, cosine) pairs with cosine >= threshold, one side each — the
@@ -665,7 +661,24 @@ def semantic_contamination(
     Arrow kernel as embedding_dup_pairs, restricted to cross-side pairs
     (side-tagged members, one Arrow ship per bucket), with the
     ascending-index accumulation that is bit-identical to the SQL fold
-    — the brute-force oracle hash-matches."""
+    — the brute-force oracle hash-matches.
+
+    Hot buckets (a near-constant region of embedding space populated by
+    BOTH corpora — exactly what a web-scale train-vs-eval screen hits)
+    are dropped with the shared gated count + broadcast-anti-join pass
+    (operators/hotbucket.py) BEFORE the Arrow boundary, counting
+    union membership across both sides, plus the in-kernel
+    ``n_new + n_ref > max_bucket_size`` skip as defense in depth —
+    the same three-layer discipline as ``embedding_dup_pairs``. The
+    default cap is far above any test bucket, so oracle results are
+    unchanged at test scale.
+
+    Cache lifecycle: the pre-explode side-tagged profile (id, side,
+    vec, norm, band keys) is persisted — it feeds the gate count, the
+    hot-bucket pass, and the grouped kernel — and BACKS the returned
+    lazy DataFrame, so it cannot be released here; long-lived engines
+    reclaim via ``spark.catalog.clearCache()`` between batches
+    (pinned by tests/test_cache_lifecycle.py)."""
     if dim is None:
         first = (
             new_emb.filter(F.col(vec_col).isNotNull())
@@ -703,9 +716,21 @@ def semantic_contamination(
         F.sqrt(_norm2(F.col(vec_col))).alias("nrm"),
         band_udf(F.col(vec_col).cast("array<double>")).alias("keys"),
     )
-    tagged = new_t.unionByName(ref_t).select(
+    # Persist the PRE-explode union profile (same shape as
+    # embedding_dup_pairs' `keyed`): it feeds the gate count, the
+    # hot-bucket count pass, and the grouped kernel — without the
+    # cache each lineage re-runs both scans + the Arrow matmul.
+    # Caching before posexplode keeps the footprint at ~1x corpus,
+    # not num_bands x.
+    from pyspark import StorageLevel
+
+    keyed = new_t.unionByName(ref_t).persist(StorageLevel.MEMORY_AND_DISK)
+    tagged = keyed.select(
         id_col, "side", "v", "nrm",
         F.posexplode(F.col("keys")).alias("band", "key"),
+    )
+    tagged, = drop_hot_buckets(
+        [tagged], ("band", "key"), max_bucket_size, keyed.count()
     )
     thr = float(threshold)
     id_sql_type = new_emb.schema[id_col].dataType.simpleString()
@@ -731,7 +756,9 @@ def semantic_contamination(
                 sd = sides[idx]
                 n_new = int((sd == 0).sum())
                 n_ref = len(idx) - n_new
-                if n_new == 0 or n_ref == 0:
+                # in-kernel cap: defense in depth behind the pre-Arrow
+                # gated drop (same discipline as embedding_dup_pairs)
+                if n_new == 0 or n_ref == 0 or n_new + n_ref > max_bucket_size:
                     continue
                 idx_new, idx_ref = idx[:n_new], idx[n_new:]
                 a = np.stack(vecs_all[idx_new]).astype(np.float64)

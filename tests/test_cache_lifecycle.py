@@ -75,33 +75,44 @@ class TestBacksReturnedHandle:
         )
 
     def test_cross_corpus_signature_caches(self, spark):
+        # BOTH per-side signature caches back the returned handle (each
+        # feeds its banded lineage, the gate count, and its scoring-join
+        # side) — release contract documented in the operator docstring:
+        # callers reclaim via clearCache() between batches
         from pyspark.sql import functions as F
 
         from strake_spark.operators import dedup as D
 
         docs = table(spark, SF_DIR, "documents")
-        self._consume_and_check(
-            spark,
-            D.cross_corpus_candidates(
-                docs.filter(F.col("doc_id") % 2 == 1),
-                docs.filter(F.col("doc_id") % 2 == 0),
-            ),
+        D.cross_corpus_candidates(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+        ).count()
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        assert not cm.isEmpty()
+        # two distinct cached relations: sig_new and sig_ref
+        n_cached = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert len(n_cached) == 2, (
+            f"expected exactly the sig_new + sig_ref caches, got {len(n_cached)}"
         )
 
-    def test_semantic_contamination_leaves_no_cache(self, spark):
-        # the contamination kernel has no handle-backing persist: its
-        # tagged relation is consumed exactly once by the grouped kernel
+    def test_semantic_contamination_profile_cache(self, spark):
+        # r13: the pre-explode side-tagged profile persists — it feeds
+        # the gate count, the hot-bucket pass, and the grouped kernel —
+        # and backs the returned handle (release via clearCache())
         from pyspark.sql import functions as F
 
         from strake_spark.operators import similarity as S
 
         emb = table(spark, SF_DIR, "embeddings")
-        S.semantic_contamination(
-            emb.filter(F.col("vec_id") % 2 == 1),
-            emb.filter(F.col("vec_id") % 2 == 0),
-            threshold=0.4, num_bands=24,
-        ).count()
-        assert _sql_cache_empty(spark)
+        self._consume_and_check(
+            spark,
+            S.semantic_contamination(
+                emb.filter(F.col("vec_id") % 2 == 1),
+                emb.filter(F.col("vec_id") % 2 == 0),
+                threshold=0.4, num_bands=24,
+            ),
+        )
 
     def test_bm25_profile_cache(self, spark):
         from strake_spark.operators import ranking as R

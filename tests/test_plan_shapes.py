@@ -216,6 +216,49 @@ class TestEmbeddingDupPairsScalePath:
         }
         assert out == {(1, 2), (1, 4), (3, 2), (3, 4)}
 
+    def test_contamination_hot_bucket_prefilter_before_arrow(self, spark):
+        """r13 (VERDICT task 2): a degenerate region populated by BOTH
+        corpora drops via the shared gated broadcast anti-join BEFORE
+        the Arrow boundary — the plan contains the LeftAnti join and no
+        member vectors ship to Python. Union-counted: each side alone
+        is under the cap; only their combined membership exceeds it."""
+        from strake_spark.operators import similarity as S
+
+        new = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)],
+            "vec_id bigint, embedding array<double>",
+        )
+        ref = spark.createDataFrame(
+            [(100 + i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)],
+            "vec_id bigint, embedding array<double>",
+        )
+        out = S.semantic_contamination(new, ref, threshold=0.5, max_bucket_size=40)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+        assert out.count() == 0
+
+    def test_contamination_cap_default_is_noop(self, spark):
+        """The default cap must not change results at test scale — the
+        inventory entry's driver hash depends on it."""
+        import math
+
+        from strake_spark.operators import similarity as S
+
+        dim = 8
+        base = [math.sin(0.7 * (j + 1)) + 1.5 for j in range(dim)]
+        new = spark.createDataFrame(
+            [(1, base), (3, [x * 1.001 for x in base])],
+            "vec_id bigint, embedding array<double>",
+        )
+        ref = spark.createDataFrame(
+            [(2, base)], "vec_id bigint, embedding array<double>"
+        )
+        out = {
+            (r.new_id, r.ref_id)
+            for r in S.semantic_contamination(new, ref, threshold=0.99).collect()
+        }
+        assert out == {(1, 2), (3, 2)}
+
     def test_lsh_matches_exact_on_synthetic_corpus(self, spark):
         """Recall on the driver's synthetic embeddings at the inventory
         entry's own settings (t=0.4, 24 bands): LSH == exact, non-empty.
