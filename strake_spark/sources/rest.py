@@ -225,12 +225,15 @@ def _fetch_pages(options):
     body_tpl = json.loads(options["body"]) if options.get("body") else None
     token_body_field = options.get("token_body_field")
     more_field = options.get("more_field")
-    if token_body_field and body_tpl is None:
+    if style == "token" and token_body_field and body_tpl is None:
         # Without a body there is nowhere to inject the cursor: the
         # query-param path is skipped (token_body_field set) AND the
         # body path is skipped (no template) — every page would repeat
         # the first request until max_pages and fail with a misleading
-        # runaway-cursor error. Reject the combination up front.
+        # runaway-cursor error. Reject the combination up front. Scoped
+        # to token pagination (r12 advice): under any other style
+        # token_body_field is simply unused and must not reject an
+        # otherwise-valid config.
         raise SourceError(
             "token_body_field requires a 'body' template to inject the cursor "
             "into (set body='{...}', or drop token_body_field to send the "

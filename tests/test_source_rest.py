@@ -440,6 +440,18 @@ class TestPaginationTermination:
             for _ in _fetch_pages(opts):
                 pass
 
+    def test_token_body_field_ignored_under_other_styles(self, server):
+        # r13 (ADVICE r12): the guard is scoped to token pagination —
+        # a stray token_body_field under offset/page/none is unused and
+        # must not reject the otherwise-valid config.
+        from strake_spark.sources.rest import _fetch_pages
+
+        opts = self._opts(
+            server, pagination="offset", token_body_field="variables.after"
+        )
+        pages = list(_fetch_pages(opts))
+        assert pages  # fetch completed normally
+
     def test_more_field_false_stops_despite_live_cursor(self, server):
         from strake_spark.sources.rest import _fetch_pages
 
