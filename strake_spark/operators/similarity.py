@@ -808,6 +808,8 @@ def knn_label_consistency(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    method: str = "exact",
+    n_anchor_bits: int = 3,
 ) -> DataFrame:
     """kNN label-agreement score for label-error detection (published
     technique: Confident Learning, Northcutt et al. 2021, and the kNN
@@ -818,12 +820,32 @@ def knn_label_consistency(
 
     Returns (id, label, n_neighbors, label_agreement).
 
-    This is the exact brute-force baseline (neighbors via cosine_topk:
-    queries broadcast, corpus partitioned); at corpus scale swap the
-    neighbor source for one of the ANN paths — the aggregation is
-    independent of how neighbors are found. label_agreement is an exact
-    int/int division, so a SQL oracle hash-matches."""
-    nbrs = cosine_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    ``method`` selects the neighbor source (r13, VERDICT task 4 — the
+    aggregation is independent of how neighbors are found):
+
+    - ``"exact"`` (default, the oracle-hashed baseline): brute-force
+      cosine via ``cosine_topk`` — queries broadcast, corpus
+      partitioned, |C| x n_queries comparisons.
+    - ``"lsh"`` (the corpus-scale path): ``lsh_topk`` — candidates
+      restricted to the query's multi-probe LSH bucket, so per-query
+      cost drops to the probed buckets' membership and the corpus
+      never moves. Same (query_id, nbr_id, cosine, rank) shape, so the
+      downstream label aggregation is byte-identical; parity vs exact
+      is pinned by tests/test_ann_recall.py (exact equality on a
+      planted-cluster corpus, agreement floor on the synthetic
+      embeddings).
+
+    label_agreement is an exact int/int division, so a SQL oracle
+    hash-matches (the inventory entry uses method="exact")."""
+    if method == "exact":
+        nbrs = cosine_topk(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    elif method == "lsh":
+        nbrs = lsh_topk(
+            emb, k=k, n_queries=n_queries, n_anchor_bits=n_anchor_bits,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        raise ValueError(f"knn_label_consistency: unknown method {method!r} (exact|lsh)")
     labels = emb.select(F.col(id_col), F.col(label_col).alias("_lbl"))
     q_lab = labels.withColumnRenamed(id_col, "query_id").withColumnRenamed("_lbl", "q_label")
     n_lab = labels.withColumnRenamed(id_col, "nbr_id").withColumnRenamed("_lbl", "n_label")

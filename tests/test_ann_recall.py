@@ -107,3 +107,59 @@ class TestRecall:
         a = S.pq_topk(emb, k=3, n_queries=5).collect()
         b = S.pq_topk(emb, k=3, n_queries=5).collect()
         assert a == b  # fixed seeds -> stable codebooks -> stable results
+
+
+class TestKnnLabelConsistencyMethods:
+    """r13 (VERDICT task 4): knn_label_consistency gained a scaling
+    neighbor source (method='lsh' reusing lsh_topk). Parity discipline:
+    exact equality on a planted-cluster corpus where LSH provably
+    recovers the true neighbors, plus an agreement floor on the
+    synthetic embeddings (where LSH recall is only bounded, not 1.0)."""
+
+    def _planted(self, spark):
+        import math
+
+        rows = []
+        dim = 8
+        for c in range(4):
+            base = [math.sin(1.1 * (c + 1) * (j + 1)) for j in range(dim)]
+            for m in range(4):
+                # positive scaling + a tiny same-direction tilt keeps
+                # every member's hyperplane signs equal to the base's,
+                # so each cluster occupies exactly one LSH bucket
+                vec = [x * (1.0 + 0.002 * m) for x in base]
+                vec[0] += 0.0001 * m
+                rows.append((c * 10 + m, c % 2, vec))
+        return spark.createDataFrame(
+            rows, "vec_id bigint, label bigint, embedding array<double>"
+        )
+
+    def test_lsh_equals_exact_on_planted_clusters(self, spark):
+        emb = self._planted(spark)
+        kw = dict(k=3, n_queries=100)
+        exact_rows = sorted(
+            map(tuple, S.knn_label_consistency(emb, method="exact", **kw).collect())
+        )
+        lsh_rows = sorted(
+            map(tuple, S.knn_label_consistency(emb, method="lsh", **kw).collect())
+        )
+        assert len(exact_rows) == 16
+        assert lsh_rows == exact_rows
+
+    def test_lsh_agreement_floor_on_synthetic(self, spark):
+        emb = table(spark, SF_DIR, "embeddings")
+        kw = dict(k=5, n_queries=50)
+        exact_df = S.knn_label_consistency(emb, method="exact", **kw)
+        lsh_df = S.knn_label_consistency(emb, method="lsh", **kw)
+        assert exact_df.schema == lsh_df.schema
+        exact = {r.vec_id: r.label_agreement for r in exact_df.collect()}
+        lsh = {r.vec_id: r.label_agreement for r in lsh_df.collect()}
+        assert set(lsh) <= set(exact)  # LSH may miss isolated queries
+        assert len(lsh) >= 0.8 * len(exact)
+        diffs = [abs(exact[q] - lsh[q]) for q in lsh]
+        assert sum(diffs) / len(diffs) <= 0.35, sum(diffs) / len(diffs)
+
+    def test_unknown_method_rejected(self, spark):
+        emb = table(spark, SF_DIR, "embeddings")
+        with pytest.raises(ValueError, match="unknown method"):
+            S.knn_label_consistency(emb, method="ivf")
