@@ -79,7 +79,26 @@ PIPELINE_QUERIES = (
     "pipeline_end_to_end_curation",  # added r8: one-scan curation DAG
     "dedup_cross_corpus_candidates",  # added r10: new-vs-ref MinHash join
     "curation_semantic_contamination",  # added r10: cross-corpus embedding LSH
+    # added r13 (VERDICT task 7): the whole curation-metric family gets
+    # a trend line, not just contamination
+    "curation_prototype_scores",
+    "curation_cluster_label_purity",
+    "curation_knn_label_consistency",
 )
+
+
+# The slowest/most-recently-rewritten queries get >= 4 iterations even
+# when the iteration envs are lowered: at ~1 s medians the observed
+# run-to-run spread is ~14%, so a 2-run median cannot distinguish a
+# real regression from noise (r8 verdict task 8; q7/q8 replanned in r9;
+# q4 added r13 after its +139% r11 outlier proved to be variance).
+_SLOW_TPCH = {
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_suppliers",
+}
 
 
 class ChaosInjector:
@@ -187,6 +206,13 @@ def main() -> None:
     iters_rest = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS_REST", "3"))
     chaos = ChaosInjector(args.chaos) if args.chaos > 0 else None
 
+    # Contention marker (r13, VERDICT task 3): startup_sec doubled
+    # r11->r12 on unchanged code, concentrated in the first-executed
+    # queries — the signature of a contended session start. Record the
+    # 1-min load average at session start (and again at the end) so the
+    # next first-slot anomaly is diagnosable from the artifact.
+    load_start = round(os.getloadavg()[0], 2)
+
     t0 = time.perf_counter()
     from strake_spark import inventory
     from strake_spark.session import build_session
@@ -208,7 +234,11 @@ def main() -> None:
     detail: dict[str, dict] = {}
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        d, n = _run(inventory.REGISTRY[name], spark, sf_dir, iters, chaos)
+        # slow_tpch discipline applies to headline queries too: q4 must
+        # keep a >=4-iteration median even when SPARK_GRAFT_BENCH_ITERS
+        # is lowered for a quick local run (r13, VERDICT task 3)
+        q_iters = max(iters, 4) if name in _SLOW_TPCH else iters
+        d, n = _run(inventory.REGISTRY[name], spark, sf_dir, q_iters, chaos)
         detail[name] = d
         if d["med"] is not None:
             times[name] = d["med"]
@@ -235,27 +265,28 @@ def main() -> None:
     # The 15 NON-headline TPC-H queries: full warmup+median protocol at
     # reduced iteration count, reported under SHORT keys ("q2") so the
     # final JSON line stays inside the driver's 2000-char tail capture.
-    # The slowest/most-recently-rewritten queries get >= 4 iterations:
-    # at ~1 s medians the observed run-to-run spread is ~14%, so a
-    # 2-run median cannot distinguish a real regression from noise
-    # (r8 verdict task 8; q7/q8 replanned in r9).
-    slow_tpch = {
-        "tpch_q2_min_cost_supplier",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "tpch_q21_waiting_suppliers",
-    }
     tpch_rest: dict[str, float] = {}
     for name, spec in sorted(inventory.REGISTRY.items()):
         if not name.startswith("tpch_") or name in BENCH_QUERIES:
             continue
-        q_iters = max(iters_rest, 4) if name in slow_tpch else iters_rest
+        q_iters = max(iters_rest, 4) if name in _SLOW_TPCH else iters_rest
         d, n = _run(spec, spark, sf_dir, q_iters, chaos)
         detail[name] = d
         short = name.split("_")[1]  # tpch_q2_min_cost_supplier -> q2
         if d["med"] is not None:
             tpch_rest[short] = d["med"]
         print(f"# {name}: med={d['med']} runs={d['runs']} rows={n}", file=sys.stderr)
+
+    # Second contention marker: q1 re-measured LAST. If q1's start-of-
+    # session median exceeds this end-of-session median by far more
+    # than machine spread, the session start was contended and the
+    # early numbers are suspect — detectable in the artifact instead of
+    # inferred by the judge (r13, VERDICT task 3).
+    d, _ = _run(inventory.REGISTRY["tpch_q1_pricing_summary"], spark, sf_dir,
+                max(2, iters // 2), chaos)
+    detail["q1_end_of_session"] = d
+    q1_end = d["med"]
+    print(f"# q1_end_of_session: med={d['med']} runs={d['runs']}", file=sys.stderr)
 
     # Full per-query run arrays/warmups — stderr, NEVER the final stdout
     # line (driver tail contract; see module docstring).
@@ -284,6 +315,10 @@ def main() -> None:
         "warmup_discarded": True,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "startup_sec": round(startup, 2),
+        # contention markers (r13): load averages + q1 re-run at end of
+        # session — q1 >> q1_end means the session start was contended
+        "load_avg": [load_start, round(os.getloadavg()[0], 2)],
+        "q1_end": q1_end,
     }
     if chaos is not None:
         out["chaos"] = {
