@@ -84,22 +84,25 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Entries whose operator implementation changes this round (r13):
 # semantic_contamination gains the gated hot-bucket cap and the
 # persisted pre-explode profile; cross_corpus_candidates moves to the
-# shared gated-drop helper. Re-verified by the driver this round so a
+# shared gated-drop helper; q5 is re-tuned to the measured
+# lineitem-only-semi shape. Re-verified by the driver this round so a
 # hash regression cannot hide behind stale green evidence.
 _REWRITTEN: tuple[str, ...] = (
     "curation_semantic_contamination",
     "dedup_cross_corpus_candidates",
+    "tpch_q5_local_supplier_volume",
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (b) rewritten this round (2)
+    # (b) rewritten this round (3)
     "curation_semantic_contamination",
     "dedup_cross_corpus_candidates",
+    "tpch_q5_local_supplier_volume",
     # (c) oldest evidence: the 3 rows deferred since r8
     "pipeline_end_to_end_curation",
     "pipeline_dedup_rate_by_source",
     "sample_grouped_split",
-    # (c) oldest evidence: r9-green rows, registration order (45 of 49)
+    # (c) oldest evidence: r9-green rows, registration order (44 of 49)
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue", "tpch_q4_order_priority",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
@@ -125,15 +128,15 @@ _PRIORITY: tuple[str, ...] = (
     "pii_detect_and_scrub",
     "sample_stratified_by_lang", "text_vocabulary_topn",
     "agg_length_percentiles_by_lang", "join_salted_skew",
-    "events_funnel_conversion",
     # --- 50-entry window boundary ---
 )
 
-# Carryover remainder: the head of the round-14 fill, in order — the 4
+# Carryover remainder: the head of the round-14 fill, in order — the 5
 # r9-green rows that did not fit this window, then r10-green rows
-# oldest-first in registration order (tpch q5/q10/q9/q13, …). Any query
+# oldest-first in registration order (tpch q10/q9/q13, …). Any query
 # whose plan is rewritten in round 14 joins that window the same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "events_funnel_conversion",
     "dedup_corpus_keep_first",
     "pipeline_decontaminate_ngram",
     "pipeline_pack_sequences",

@@ -139,34 +139,35 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="TPC-H Q5 shape: 6-table join; dims broadcast, single fact shuffle",
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Plan shape (r10, the q7/q8 a4f0d07/71816ff playbook): the ASIA
-    # region predicate is 1-in-5 selective on BOTH customer and
-    # supplier, so each fact input is reduced below the l⋈o join by a
-    # SEMI join against the region-filtered dim keys — lineitem by the
-    # ASIA supplier keys, orders (already date-pruned) by the ASIA
-    # customer keys. The dim payloads (c_nationkey, s_nationkey) and
-    # the c_nationkey = s_nationkey same-nation test are attached
-    # AFTER the fact-fact join; the aggregation runs on the int nation
-    # key and n_name is joined onto the ≤25-row aggregate, so no
-    # string ever rides the fact stream. Two scale-safety choices:
-    #   * semi joins keep Catalyst's size estimate at the pruned
-    #     fact-scan size (no left×right product inflation), so at
-    #     bench SF the l⋈o join plans as a static broadcast (zero
-    #     fact shuffle) while at cluster SF it degrades to a shuffle
-    #     join whose both inputs are pre-reduced ~5×/~10× — the old
-    #     shape shuffled full lineitem/customer/supplier and let the
-    #     ASIA filter land last;
-    #   * broadcast hints are only placed on always-tiny relations
-    #     (region/nation subtrees). customer/supplier-derived inputs
-    #     carry NO hint: a hint is honored unconditionally, and at
-    #     SF1000 a forced broadcast of 1/5 of customer is a driver
-    #     OOM — their un-inflated semi estimates let Catalyst pick
-    #     broadcast at bench SF and shuffle at cluster SF on its own.
-    # Known cost at bench SF: the semi chains serialize broadcast
-    # builds into ~4 dependent waves where the old all-base-scan shape
-    # built its 5 broadcasts in one concurrent wave (~+0.05 s local
-    # latency, measured r10) — noise next to the 5-10× shuffle-volume
-    # reduction the same code buys on a cluster.
+    # Plan shape (r13 re-tune of the r10 both-facts-semi shape, from
+    # an isolated 3-session / >=6-iteration triage at sf0.1 the r10
+    # commit never ran):
+    #   * measured r13, broadcast regime: both-facts-semi med 1.04-1.29 s
+    #     vs the plain all-base-join shape 0.77-0.87 s — the r10 "+0.05 s"
+    #     claim was wrong by ~5x (the o-semi chain adds two dependent
+    #     broadcast-build waves for a table that is already date-pruned
+    #     10x below lineitem);
+    #   * measured r13, forced-shuffle regime (autoBroadcastJoinThreshold
+    #     = -1, the cluster-SF simulation): both-facts-semi 1.28 s vs
+    #     plain 1.12 s — when the semi's build side cannot broadcast,
+    #     the semi pass itself shuffles the fact it meant to protect,
+    #     cancelling the claimed 5-10x shuffle saving.
+    # What survives of the r10 idea is the part that matters at 100 TB:
+    # ONE semi on LINEITEM (the dominant fact) by the ASIA supplier
+    # KEYS. The key set stays broadcastable far longer than any
+    # payload-bearing side (ASIA suppliers at SF1000 ~ 2M x 8 B ~ 16 MB),
+    # so the map-side 1-in-5 reduction lands BEFORE lineitem's orderkey
+    # shuffle precisely in the regime where that shuffle is the
+    # bottleneck; at bench SF it costs one shallow wave (measured r13:
+    # ties or beats both-facts-semi in every session, BC and shuffle
+    # regime). Orders keeps only its date filter — its semi saved a
+    # table 10x smaller at the price of two extra waves. The
+    # aggregation runs on the int nation key and n_name joins onto the
+    # <=25-row aggregate, so no string rides the fact stream. No
+    # broadcast hints on customer/supplier-derived inputs (a hint is
+    # honored unconditionally; at SF1000 a forced broadcast of 1/5 of
+    # customer is a driver OOM) — Catalyst picks broadcast at bench SF
+    # and shuffle at cluster SF on its own.
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -179,21 +180,15 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia_nations = n.join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi"
     ).select("n_nationkey")
-    c2 = c.join(
-        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
-    ).select("c_custkey", "c_nationkey")
     s2 = s.join(
         F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
     ).select("s_suppkey", "s_nationkey")
-    l2 = l.join(s2.select("s_suppkey"), l.l_suppkey == F.col("s_suppkey"), "left_semi").select(
-        "l_orderkey", "l_suppkey", _revenue().alias("volume")
-    )
-    o2 = o.join(c2.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_semi").select(
-        "o_orderkey", "o_custkey"
-    )
+    l2 = l.join(
+        s2.select(F.col("s_suppkey").alias("sk")), l.l_suppkey == F.col("sk"), "left_semi"
+    ).select("l_orderkey", "l_suppkey", _revenue().alias("volume"))
     return (
-        l2.join(o2, l2.l_orderkey == o2.o_orderkey)
-        .join(c2, F.col("o_custkey") == F.col("c_custkey"))
+        l2.join(o, l2.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             s2,
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),

@@ -603,17 +603,18 @@ class TestRound9Additions:
         li = re.findall(r"FileScan parquet \[[^\]]*l_orderkey", plan)
         assert len(li) == 1, f"lineitem scanned {len(li)}x"
 
-    def test_q5_semi_reduces_both_facts(self, spark):
-        # r10: ASIA filter pushed BELOW the fact joins — lineitem
-        # semi'd by ASIA supplier keys, orders semi'd by ASIA customer
-        # keys; n_name/c_nationkey/s_nationkey attached after.
+    def test_q5_semi_reduces_lineitem_only(self, spark):
+        # r13 re-tune (measured, see tpch_q5 docstring): ONE semi on
+        # lineitem by ASIA supplier keys — the map-side reduction that
+        # matters at cluster SF — and no orders-side semi (its two
+        # extra broadcast waves cost more than the 10x-smaller,
+        # already-date-pruned table ever saved).
         import re
 
         plan = _plan(spark, "tpch_q5_local_supplier_volume")
         assert "CartesianProduct" not in plan
-        # region→nation ×2 (cust + supp chains), nation→customer,
-        # nation→supplier, supplier-keys→lineitem, customer-keys→orders
-        assert plan.count("LeftSemi") >= 4
+        # region→nation, nation→supplier, supplier-keys→lineitem
+        assert plan.count("LeftSemi") >= 3
         assert "BuildLeft" not in plan  # fact side never the hash build
         li = re.findall(r"FileScan parquet \[[^\]]*l_orderkey", plan)
         assert len(li) == 1, f"lineitem scanned {len(li)}x"
