@@ -136,7 +136,13 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     ORDER BY revenue DESC, n_name
     """,
-    notes="TPC-H Q5 shape: 6-table join; dims broadcast, single fact shuffle",
+    notes=(
+        "TPC-H Q5 shape: 6-table join. r13 measured re-tune: ONE semi on "
+        "lineitem by ASIA supplier keys (map-side 1-in-5 reduction before "
+        "the orderkey shuffle); orders keeps only its date filter — the "
+        "r10 orders-side semi cost two broadcast waves for a 10x-smaller "
+        "table (isolated triage numbers in the docstring)"
+    ),
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Plan shape (r13 re-tune of the r10 both-facts-semi shape, from

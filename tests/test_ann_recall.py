@@ -163,3 +163,22 @@ class TestKnnLabelConsistencyMethods:
         emb = table(spark, SF_DIR, "embeddings")
         with pytest.raises(ValueError, match="unknown method"):
             S.knn_label_consistency(emb, method="ivf")
+
+
+class TestRowsOnlyEntryPinned:
+    def test_ivfpq_topk_row_count_is_exact(self, spark):
+        """r13 (ADVICE r12): ann_ivfpq_topk is the one no-oracle driver
+        entry; its 'rows-only' claim was backed by nothing but the
+        observed count. Pin it: exactly k rows per query, every query
+        answered, ranks dense 1..k — so the driver's spark_rows=60 at
+        sf0.01 (k=3 x 20 queries) is a contract, not an observation."""
+        from strake_spark import inventory
+
+        df = inventory.REGISTRY["ann_ivfpq_topk"].fn(spark, SF_DIR)
+        rows = df.collect()
+        assert len(rows) == 60
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r.rank)
+        assert len(per_q) == 20
+        assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
