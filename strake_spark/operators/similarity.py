@@ -673,12 +673,14 @@ def semantic_contamination(
     default cap is far above any test bucket, so oracle results are
     unchanged at test scale.
 
-    Cache lifecycle: the pre-explode side-tagged profile (id, side,
-    vec, norm, band keys) is persisted — it feeds the gate count, the
-    hot-bucket pass, and the grouped kernel — and BACKS the returned
-    lazy DataFrame, so it cannot be released here; long-lived engines
-    reclaim via ``spark.catalog.clearCache()`` between batches
-    (pinned by tests/test_cache_lifecycle.py)."""
+    Cache lifecycle: below the cap nothing persists (single-lineage
+    plan, measured fastest). When the hot pass fires, the pre-explode
+    side-tagged profile (id, side, vec, norm, band keys) persists — it
+    then feeds two lineages (bucket count pass + kernel) — and BACKS
+    the returned lazy DataFrame, so it cannot be released here;
+    long-lived engines reclaim via ``spark.catalog.clearCache()``
+    between batches (both regimes pinned by
+    tests/test_cache_lifecycle.py)."""
     if dim is None:
         first = (
             new_emb.filter(F.col(vec_col).isNotNull())
@@ -716,21 +718,34 @@ def semantic_contamination(
         F.sqrt(_norm2(F.col(vec_col))).alias("nrm"),
         band_udf(F.col(vec_col).cast("array<double>")).alias("keys"),
     )
-    # Persist the PRE-explode union profile (same shape as
-    # embedding_dup_pairs' `keyed`): it feeds the gate count, the
-    # hot-bucket count pass, and the grouped kernel — without the
-    # cache each lineage re-runs both scans + the Arrow matmul.
-    # Caching before posexplode keeps the footprint at ~1x corpus,
-    # not num_bands x.
-    from pyspark import StorageLevel
+    # Gate on cheap INPUT counts (no band UDF, metadata-only on raw
+    # parquet): no bucket can exceed the cap unless the combined
+    # corpus does. Below the cap (the common case) the plan is the
+    # r12 single-job shape — scan → Arrow matmul → explode → grouped
+    # kernel, nothing persisted: an r13 isolated measurement showed
+    # that unconditionally persisting the pre-explode profile and
+    # gating on keyed.count() cost 2.5-3x at sf0.1 (the cache
+    # round-trip of the wide vector column plus the extra
+    # materialization job beats recomputing the matmul). Only when
+    # the hot pass actually fires does the profile persist — there it
+    # genuinely feeds two lineages (bucket count pass + kernel), and
+    # at that corpus size the extra job is noise. The profile cache
+    # then backs the returned handle (release via clearCache(),
+    # pinned by tests/test_cache_lifecycle.py).
+    gate_rows = (
+        new_emb.select(id_col).unionAll(ref_emb.select(id_col)).count()
+    )  # one job, id column only — no band UDF in the gate lineage
+    keyed = new_t.unionByName(ref_t)
+    if gate_rows > max_bucket_size:
+        from pyspark import StorageLevel
 
-    keyed = new_t.unionByName(ref_t).persist(StorageLevel.MEMORY_AND_DISK)
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     tagged = keyed.select(
         id_col, "side", "v", "nrm",
         F.posexplode(F.col("keys")).alias("band", "key"),
     )
     tagged, = drop_hot_buckets(
-        [tagged], ("band", "key"), max_bucket_size, keyed.count()
+        [tagged], ("band", "key"), max_bucket_size, gate_rows
     )
     thr = float(threshold)
     id_sql_type = new_emb.schema[id_col].dataType.simpleString()

@@ -96,10 +96,27 @@ class TestBacksReturnedHandle:
             f"expected exactly the sig_new + sig_ref caches, got {len(n_cached)}"
         )
 
-    def test_semantic_contamination_profile_cache(self, spark):
-        # r13: the pre-explode side-tagged profile persists — it feeds
-        # the gate count, the hot-bucket pass, and the grouped kernel —
-        # and backs the returned handle (release via clearCache())
+    def test_semantic_contamination_no_cache_below_cap(self, spark):
+        # r13: below the cap the plan is the single-lineage r12 shape —
+        # nothing persists (an unconditional persist measured 2.5-3x
+        # slower at sf0.1: cache round-trip of the vector column plus
+        # an extra materialization job)
+        from pyspark.sql import functions as F
+
+        from strake_spark.operators import similarity as S
+
+        emb = table(spark, SF_DIR, "embeddings")
+        S.semantic_contamination(
+            emb.filter(F.col("vec_id") % 2 == 1),
+            emb.filter(F.col("vec_id") % 2 == 0),
+            threshold=0.4, num_bands=24,
+        ).count()
+        assert _sql_cache_empty(spark)
+
+    def test_semantic_contamination_profile_cache_when_hot_pass_fires(self, spark):
+        # over-cap regime: the profile feeds two lineages (bucket count
+        # pass + kernel), so it persists and backs the returned handle
+        # (release via clearCache())
         from pyspark.sql import functions as F
 
         from strake_spark.operators import similarity as S
@@ -110,7 +127,7 @@ class TestBacksReturnedHandle:
             S.semantic_contamination(
                 emb.filter(F.col("vec_id") % 2 == 1),
                 emb.filter(F.col("vec_id") % 2 == 0),
-                threshold=0.4, num_bands=24,
+                threshold=0.4, num_bands=24, max_bucket_size=10,
             ),
         )
 
