@@ -27,8 +27,14 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
+import logging
+
 from strake_spark.errors import StrakeError
 from strake_spark.jwtauth import AuthError
+from strake_spark.license import LicenseState as _LicenseState
+from strake_spark.scrubber import scrub as _scrub
+
+_audit_log = logging.getLogger("strake_spark.audit")
 
 _INTROSPECT_TABLE = re.compile(r"^/api/v1/introspect/([A-Za-z_][A-Za-z0-9_]*)$")
 _INTROSPECT_SOURCE = re.compile(
@@ -433,11 +439,27 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(
                 400, {"status": "error", "data": None, "message": "missing 'sql'"}
             )
+        # License check (reference api.rs:237-244) — same message, same
+        # QueryResponse shape; HTTP 403 where axum's Json defaults to
+        # 200-with-error-status (a deliberate HTTP-correctness delta).
+        lc = getattr(self.server, "license_cache", None)
+        if lc is not None and lc.current_state() is _LicenseState.INVALID:
+            return self._send(
+                403,
+                {"status": "error", "data": None,
+                 "message": "License invalid. Please renew subscription."},
+            )
         # The AUTHENTICATED principal wins: letting the body override the
         # OIDC sub would allow any caller to borrow another user's
         # row-level-security / masking profile. The body field only
         # applies on unauthenticated/static-token deployments.
         user = claims.get("sub") or body.get("user")
+        # Audit event with SCRUBBED SQL (reference api.rs rest_query +
+        # common/scrubber.rs): PII-shaped literals never reach the log
+        # sink; the engine's own query log keeps raw SQL for impact().
+        _audit_log.info(
+            "rest_query user_id=%s sql=%s", user or "", _scrub(sql)
+        )
         # W3C trace-context propagation: a caller-supplied traceparent
         # joins the query span to the caller's distributed trace
         traceparent = self.headers.get("traceparent")
@@ -492,12 +514,14 @@ class RestServer:
     after construction."""
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 token: str | None = None, validator=None, key_manager=None) -> None:
+                 token: str | None = None, validator=None, key_manager=None,
+                 license_cache=None) -> None:
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
         self.httpd.engine = engine  # type: ignore[attr-defined]
         self.httpd.token = token  # type: ignore[attr-defined]
         self.httpd.validator = validator  # type: ignore[attr-defined]
         self.httpd.key_manager = key_manager  # type: ignore[attr-defined]
+        self.httpd.license_cache = license_cache  # type: ignore[attr-defined]
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
 
@@ -518,13 +542,18 @@ class RestServer:
 
 def make_rest_server(engine, host: str = "127.0.0.1", port: int = 0,
                      token: str | None = None, validator=None,
-                     key_manager=None) -> RestServer:
+                     key_manager=None, license_cache=None) -> RestServer:
     """``key_manager`` (apikeys.ApiKeyStore) adds enterprise API-key
     auth: Bearer sk_... credentials verify against the store, carry the
     key's bound user as the RLS/masking principal, and are checked
-    against per-verb scopes route-by-route (docs/enterprise.md:19-21)."""
+    against per-verb scopes route-by-route (docs/enterprise.md:19-21).
+    ``license_cache`` (license.LicenseCache, usually fed by
+    license.start_license_monitor) gates the query endpoint when the
+    license is INVALID (reference api.rs:237-244); omitted = open-core
+    mode, no license checks."""
     return RestServer(engine, host=host, port=port, token=token,
-                      validator=validator, key_manager=key_manager)
+                      validator=validator, key_manager=key_manager,
+                      license_cache=license_cache)
 
 
 def main(argv=None) -> None:  # pragma: no cover - manual entry point

@@ -29,6 +29,13 @@ server is a thin door, exactly like the reference's stateless replicas
 from __future__ import annotations
 
 import json
+import logging
+import time
+
+from strake_spark.license import LicenseState as _LicenseState
+from strake_spark.scrubber import scrub as _scrub
+
+_audit_log = logging.getLogger("strake_spark.audit")
 
 
 def make_server(
@@ -39,6 +46,7 @@ def make_server(
     tls_cert: str | None = None,
     tls_key: str | None = None,
     key_manager=None,
+    license_cache=None,
 ):
     """Build (not start) a Flight server bound to ``location``.
     Returns the server object; ``server.port`` gives the bound port.
@@ -59,7 +67,12 @@ def make_server(
     credential authenticates against the store, the key's bound user
     becomes the governance principal (like a validated OIDC sub), and
     each RPC checks the key's verb scopes. Composes with ``token`` /
-    ``validator`` — non-``sk_`` credentials fall through to those."""
+    ``validator`` — non-``sk_`` credentials fall through to those.
+
+    ``license_cache`` (license.LicenseCache) gates query execution the
+    way the reference's Flight facade does (flight_sql.rs:129-144):
+    INVALID rejects with permission-denied, DEGRADED logs a warning and
+    proceeds. Omitted = open-core mode."""
     import pyarrow as pa
     import pyarrow.flight as fl
 
@@ -212,8 +225,39 @@ def make_server(
                 mw = None
             claims = getattr(mw, "claims", None) or {}
             user = claims.get("sub") or user
-            table = _governed(
-                lambda: self.engine.execute(payload, user=user, params=params)
+            # License check before execution (flight_sql.rs:129-144):
+            # INVALID -> permission denied; DEGRADED -> warn + proceed
+            if license_cache is not None:
+                state = license_cache.current_state()
+                if state is _LicenseState.INVALID:
+                    raise fl.FlightUnauthorizedError(
+                        "License invalid or expired. Please contact support."
+                    )
+                if state is _LicenseState.DEGRADED:
+                    _audit_log.warning("Executing query in degraded license state")
+            # Audit stream with SCRUBBED SQL (flight_sql.rs:149-208 +
+            # common/scrubber.rs): start/success/failed events carry the
+            # scrubbed statement, never raw literals
+            scrubbed = _scrub(payload)
+            _audit_log.info(
+                "query_start user_id=%s sql=%s", user or "", scrubbed
+            )
+            start = time.perf_counter()
+            try:
+                table = _governed(
+                    lambda: self.engine.execute(payload, user=user, params=params)
+                )
+            except Exception as e:
+                _audit_log.info(
+                    "query_failed user_id=%s sql=%s error=%s duration_ms=%d",
+                    user or "", scrubbed, str(e)[:200],
+                    int((time.perf_counter() - start) * 1000),
+                )
+                raise
+            _audit_log.info(
+                "query_success user_id=%s sql=%s duration_ms=%d rows_returned=%d",
+                user or "", scrubbed,
+                int((time.perf_counter() - start) * 1000), table.num_rows,
             )
             return fl.RecordBatchStream(table)
 
