@@ -193,7 +193,33 @@ def main(argv=None) -> None:
         default=os.environ.get("STRAKE_AGENT_GUARD_MODE"),
         choices=["disabled", "dry_run", "enforce"],
     )
+    p.add_argument(
+        "--supervise", action="store_true",
+        help="run under the sidecar supervisor (restart on exit with "
+             "jittered backoff, max-retries cooldown breaker, graceful "
+             "shutdown) — the reference server's spawn_sidecar wiring "
+             "(crates/runtime/src/sidecar.rs)",
+    )
     args = p.parse_args(argv)
+    if args.supervise:
+        from strake_spark.sidecar import SidecarConfig, spawn_sidecar
+
+        cmd = [sys.executable, "-m", "strake_spark.mcp"]
+        if args.config:
+            cmd += ["--config", args.config]
+        if args.guard_mode:
+            cmd += ["--guard-mode", args.guard_mode]
+        handle = spawn_sidecar(SidecarConfig(cmd=cmd, env=dict(os.environ)))
+        try:
+            while True:  # supervisor runs until interrupted
+                import time
+
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            handle.shutdown()
+        return
     try:
         engine = ss.connect(args.config)
         # precedence: flag/env > YAML security.agent_guard_mode > off
