@@ -54,6 +54,13 @@ class SandboxLimits:
     # AF_UNIX), ptrace, mount, module loading with EPERM. Best-effort:
     # unknown arch or refused prctl degrades to rlimits+netns.
     seccomp: bool = True
+    # Linux 5.13+ with the Landlock LSM: filesystem confinement —
+    # read-only system allowlist + the python installation + the
+    # pre-executed query results, read-write ONLY beneath the sandbox
+    # tmp dir (reference policy.py:242-508). Best-effort: ENOSYS (this
+    # container) degrades to the layers above; see
+    # strake_spark.landlock for the gate.
+    landlock: bool = True
 
 
 _CLONE_NEWNET = 0x40000000
@@ -115,6 +122,57 @@ class SandboxResult:
     stdout: str
     stderr: str
     error: str | None = None
+    attestation: "SandboxAttestation | None" = None
+
+
+@dataclass
+class ScopedToken:
+    """Capability-scoped token bound to one sandbox instance
+    (reference policy.py:28-38): valid only for the sandbox id it was
+    minted for, so a token exfiltrated from one sandbox run is useless
+    in any other."""
+
+    token_str: str
+    sandbox_id: str
+    claims: dict = None  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.claims is None:
+            self.claims = {}
+
+    def is_valid_for(self, sandbox_id: str) -> bool:
+        return self.sandbox_id == sandbox_id
+
+
+@dataclass
+class SandboxAttestation:
+    """Audit record of the hardening layers CONFIGURED for a sandbox
+    run (reference policy.py:40-74). NOT cryptographic attestation —
+    ``sign()`` is a plain SHA-256 over the payload, reproducible by
+    anyone with the same inputs; the reference carries the same
+    caveat. Constraints name the layers the parent requested; the
+    in-child snippets degrade best-effort, so presence here means
+    "attempted under the documented degrade ladder"."""
+
+    sandbox_id: str
+    constraints_applied: list
+    timestamp: float
+    landlock_abi_version: int | None = None
+
+    def sign(self) -> str:
+        import hashlib
+        import json as _json
+
+        payload = _json.dumps(
+            {
+                "id": self.sandbox_id,
+                "constraints": self.constraints_applied,
+                "timestamp": self.timestamp,
+                "landlock_abi": self.landlock_abi_version,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()
 
 
 _PRELUDE = """\
@@ -131,9 +189,10 @@ _cap(resource.RLIMIT_AS, {mem} * 1024 * 1024)
 _cap(resource.RLIMIT_FSIZE, {fsize} * 1024 * 1024)
 _cap(resource.RLIMIT_NPROC, {nproc})
 # network isolation happens pre-exec (unshare(CLONE_NEWNET), see
-# run_python); the seccomp snippet below (when enabled) is the last
-# hardening layer before the user script; remaining hook point:
-# Firecracker microVM with privileges
+# run_python); the landlock + seccomp snippets below (when enabled)
+# are the last hardening layers before the user script; remaining
+# hook point: Firecracker microVM with privileges
+{landlock_src}
 {seccomp_src}
 
 import types
@@ -169,15 +228,27 @@ def run_python(
         from strake_spark.seccomp import apply_source
 
         seccomp_src = apply_source()
-    prelude = _PRELUDE.format(
-        cpu=limits.cpu_seconds,
-        mem=limits.memory_mb,
-        fsize=limits.file_size_mb,
-        nproc=limits.max_processes,
-        queries=query_results or {},
-        seccomp_src=seccomp_src,
-    )
     with tempfile.TemporaryDirectory(prefix="strake-sbx-") as tmp:
+        landlock_src = ""
+        if limits.landlock and sys.platform == "linux":
+            from strake_spark import landlock as _ll
+
+            # reads: the python installation (pandas/pyarrow import
+            # AFTER the ruleset applies) + the parent-executed query
+            # result files; writes: only the sandbox tmp dir
+            reads = [sys.prefix, sys.base_prefix] + [
+                os.path.dirname(p) for p in (query_results or {}).values()
+            ]
+            landlock_src = _ll.apply_source(tuple(reads), (tmp,))
+        prelude = _PRELUDE.format(
+            cpu=limits.cpu_seconds,
+            mem=limits.memory_mb,
+            fsize=limits.file_size_mb,
+            nproc=limits.max_processes,
+            queries=query_results or {},
+            seccomp_src=seccomp_src,
+            landlock_src=landlock_src,
+        )
         path = os.path.join(tmp, "script.py")
         with open(path, "w") as f:
             f.write(prelude + "\n" + textwrap.dedent(script))
@@ -203,6 +274,24 @@ def run_python(
             cmd = [sys.executable, "-c", _NET_BOOTSTRAP, path]
         else:
             cmd = [sys.executable, "-I", path]  # -I: isolated mode
+        import time
+        import uuid
+
+        constraints = ["rlimits", "env_scrub"]
+        if limits.isolate_network and sys.platform == "linux":
+            constraints.append("netns")
+        if seccomp_src:
+            constraints.append("seccomp")
+        if landlock_src:
+            constraints.append("landlock")
+        from strake_spark.landlock import detect_abi as _ll_abi
+
+        attestation = SandboxAttestation(
+            sandbox_id=str(uuid.uuid4()),
+            constraints_applied=constraints,
+            timestamp=time.time(),
+            landlock_abi_version=(a if (a := _ll_abi()) > 0 else None),
+        )
         try:
             proc = subprocess.run(
                 cmd,
@@ -213,15 +302,18 @@ def run_python(
             )
         except subprocess.TimeoutExpired:
             return SandboxResult(
-                False, "", "", error=f"wall-clock timeout ({limits.wall_seconds}s)"
+                False, "", "",
+                error=f"wall-clock timeout ({limits.wall_seconds}s)",
+                attestation=attestation,
             )
     stdout = proc.stdout[: limits.max_output_bytes].decode(errors="replace")
     stderr = proc.stderr[: limits.max_output_bytes].decode(errors="replace")
     if proc.returncode != 0:
         return SandboxResult(
-            False, stdout, stderr, error=f"exit code {proc.returncode}"
+            False, stdout, stderr, error=f"exit code {proc.returncode}",
+            attestation=attestation,
         )
-    return SandboxResult(True, stdout, stderr)
+    return SandboxResult(True, stdout, stderr, attestation=attestation)
 
 
 class InjectionGuard:
