@@ -139,18 +139,34 @@ class McpServer:
         import tempfile
 
         from strake_spark.sandbox import run_python
+        from strake_spark.tracing_agent import AgentSession, code_field
 
-        queries = args.get("queries") or []
-        mapping: dict[str, str] = {}
-        tmp = tempfile.mkdtemp(prefix="strake-mcp-")
-        for i, q in enumerate(queries):
-            table = self.engine.execute(q)  # governed: gate/limits apply
-            path = os.path.join(tmp, f"q{i}.parquet")
-            import pyarrow.parquet as pq
+        # Agent-session trace around the sandbox execution (reference
+        # mcp instrumentation over tracing/session.py): the script is
+        # recorded hash-only unless STRAKE_TRACE_CODE=true
+        with AgentSession(metadata={"tool": "run_python",
+                                    **code_field(args["script"])}) as sess:
+            queries = args.get("queries") or []
+            mapping: dict[str, str] = {}
+            tmp = tempfile.mkdtemp(prefix="strake-mcp-")
+            for i, q in enumerate(queries):
+                table = self.engine.execute(q)  # governed: gate/limits apply
+                path = os.path.join(tmp, f"q{i}.parquet")
+                import pyarrow.parquet as pq
 
-            pq.write_table(table, path)
-            mapping[q] = path
-        result = run_python(args["script"], query_results=mapping)
+                pq.write_table(table, path)
+                mapping[q] = path
+            result = run_python(args["script"], query_results=mapping)
+            sess.record_event(
+                "sandbox_exec",
+                {"ok": result.ok,
+                 "constraints": (result.attestation.constraints_applied
+                                 if result.attestation else []),
+                 "attestation_sig": (result.attestation.sign()
+                                     if result.attestation else None)},
+            )
+            if not result.ok:
+                sess.termination_reason = "sandbox_error"
         out, hits = self.guard.check(result.stdout)
         payload = {
             "ok": result.ok,
