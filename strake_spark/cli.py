@@ -16,6 +16,9 @@ import argparse
 import json
 import sys
 
+from strake_spark import exit_codes
+from strake_spark.errors import QueryRejected, SourceError, StrakeError
+
 _INIT_TEMPLATE = """\
 # strake-spark sources configuration
 sources:
@@ -112,7 +115,7 @@ def cmd_validate(args) -> int:
         cfg = load_config(args.config)
     except Exception as e:
         print(f"INVALID: {e}", file=sys.stderr)
-        return 1
+        return exit_codes.CONFIG_ERROR
     problems = []
     names = set()
     for s in cfg.sources:
@@ -148,7 +151,7 @@ def cmd_validate(args) -> int:
         if getattr(cfg, "contracts", None) is not None:
             print(f"OK: {len(cfg.contracts.contracts)} contracts")
         print(f"OK: {len(cfg.sources)} sources")
-    return 1 if problems else 0
+    return exit_codes.VALIDATION_ERROR if problems else 0
 
 
 def _engine(config):
@@ -198,7 +201,7 @@ def cmd_test_connection(args) -> int:
         except Exception as e:
             failures += 1
             print(f"FAIL: {s.name}: {e}", file=sys.stderr)
-    return 1 if failures else 0
+    return exit_codes.CONNECTION_ERROR if failures else 0
 
 
 def cmd_query(args) -> int:
@@ -268,9 +271,12 @@ def cmd_apply(args) -> int:
                 force=args.force,
                 expected_version=args.expected_version,
             )
-        except (DestructiveChange, VersionConflict) as e:
+        except VersionConflict as e:
             print(f"REFUSED: {e}", file=sys.stderr)
-            return 1
+            return exit_codes.CONFLICT_ERROR
+        except DestructiveChange as e:
+            print(f"REFUSED: {e}", file=sys.stderr)
+            return exit_codes.VALIDATION_ERROR
         for line in out["diff"]:
             print(line)
         print(f"applied {args.domain} -> version {out['version']}")
@@ -290,7 +296,7 @@ def cmd_add(args) -> int:
     src = next((s for s in cfg.sources if s.name == args.source), None)
     if src is None:
         print(f"INVALID: unknown source {args.source!r}", file=sys.stderr)
-        return 1
+        return exit_codes.VALIDATION_ERROR
     if any(t.name == args.table for t in src.tables):
         print(f"OK: {args.source}.{args.table} already configured")
         return 0
@@ -539,7 +545,20 @@ def main(argv=None) -> int:
     dp.set_defaults(fn=cmd_domain)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    # Structured exit codes (reference crates/cli/src/exit_codes.rs):
+    # governance/auth refusals, connection failures and config errors
+    # map to distinct statuses so CI can branch without parsing stderr.
+    try:
+        return args.fn(args)
+    except QueryRejected as e:
+        print(f"REFUSED: {e}", file=sys.stderr)
+        return exit_codes.PERMISSION_ERROR
+    except SourceError as e:
+        print(f"CONNECTION: {e}", file=sys.stderr)
+        return exit_codes.CONNECTION_ERROR
+    except StrakeError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return exit_codes.GENERAL_ERROR
 
 
 if __name__ == "__main__":

@@ -405,13 +405,13 @@ class TestCliValidate:
                  "constraints": [{"type": "frobnicate", "value": 1}]}
             ]}
         ])
-        assert main(["validate", cfg]) == 1
+        assert main(["validate", cfg]) == 5  # VALIDATION_ERROR
         assert "unknown constraint" in capsys.readouterr().err
 
     def test_validate_flags_empty_strict(self, tmp_path, capsys):
         from strake_spark.cli import main
         cfg = self._write(tmp_path, [{"table": "k.orders", "strict": True, "columns": []}])
-        assert main(["validate", cfg]) == 1
+        assert main(["validate", cfg]) == 5  # VALIDATION_ERROR
         assert "strict with no columns" in capsys.readouterr().err
 
 

@@ -219,7 +219,7 @@ class TestCliLifecycle:
         db = str(tmp_path / "meta.db")
         assert main(["apply", v2, "--store", db]) == 0
         capsys.readouterr()
-        assert main(["apply", v1, "--store", db]) == 1
+        assert main(["apply", v1, "--store", db]) == 5  # VALIDATION_ERROR (r13 structured exit codes)
         assert "REFUSED" in capsys.readouterr().err
         assert main(["apply", v1, "--store", db, "--force"]) == 0
 

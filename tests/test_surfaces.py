@@ -355,7 +355,7 @@ class TestCli:
 
         cfg = tmp_path / "bad.yaml"
         cfg.write_text("sources:\n  - name: x\n    type: wat\n")
-        assert main(["validate", str(cfg)]) == 1
+        assert main(["validate", str(cfg)]) == 5  # VALIDATION_ERROR
         assert "unknown type" in capsys.readouterr().err
 
     def test_describe_and_query(self, tmp_path, capsys):
