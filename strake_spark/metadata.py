@@ -153,8 +153,19 @@ def _config_shape(cfg: EngineConfig) -> dict[str, dict]:
 
 
 class MetadataStore:
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, db=None) -> None:
+        """``db`` (optional): a sqlite3-Connection-shaped adapter —
+        execute(sql, params) -> cursor with fetchone/fetchall/rowcount,
+        commit/rollback/close, init_schema() — letting the SAME domain
+        logic (diff/apply/optimistic lock/history/rollback) run against
+        other backends. metadata_pg.PgWireDb is the Postgres one
+        (reference crates/cli/src/metadata/postgres.rs); default is the
+        local SQLite file, unchanged."""
         self.path = path
+        if db is not None:
+            self.con = db
+            db.init_schema()
+            return
         self.con = sqlite3.connect(path)
         self.con.execute("PRAGMA foreign_keys = ON")
         self.con.executescript(_SCHEMA)

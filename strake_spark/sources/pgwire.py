@@ -218,6 +218,7 @@ class PgWireConnection:
         ``require`` (encrypt, no cert verification) and ``verify-full``
         (CA + hostname verification; ``ssl_ca`` or system CAs)."""
         self.user = user
+        self.last_tags: list[str] = []
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
         if sslmode not in ("disable", "require", "verify-full"):
@@ -347,6 +348,7 @@ class PgWireConnection:
         self._send(b"Q", sql.encode() + b"\0")
         fields: list[_Field] = []
         error: str | None = None
+        self.last_tags = []  # CommandComplete tags, e.g. "UPDATE 1"
         while True:
             mtype, payload = self._read_message()
             if mtype == b"T":
@@ -366,8 +368,13 @@ class PgWireConnection:
                         )
             elif mtype == b"E":
                 error = self._error_text(payload)
-            elif mtype in (b"C", b"I", b"N", b"S"):
-                continue  # complete / empty / notice / parameter
+            elif mtype == b"C":
+                # tag carries the affected-row count for DML
+                # ("UPDATE 1") — the metadata store's optimistic-lock
+                # check reads it (metadata.py PgWireDb)
+                self.last_tags.append(payload.rstrip(b"\0").decode())
+            elif mtype in (b"I", b"N", b"S"):
+                continue  # empty / notice / parameter
             elif mtype == b"Z":
                 break
         if error is not None:
