@@ -215,3 +215,41 @@ class TestPgBackendLifecycle:
         out = store.apply("d3", _cfg(["a"]), config_yaml="x: 1")
         assert out["version"] == 2  # unchanged
         assert len(store.history("d3")) == 1
+
+
+class TestEscapingProperty:
+    def test_literal_roundtrip_property(self):
+        """Property (hypothesis): for any NUL-free string, the inlined
+        literal evaluates back to the original value — the whole
+        correctness claim of client-side parameter inlining."""
+        import sqlite3
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        con = sqlite3.connect(":memory:")
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(min_size=0, max_size=80).filter(lambda s: "\x00" not in s))
+        def prop(s):
+            sql = rewrite_sql("SELECT ?", (s,))
+            # single statement, single value, no injection possible:
+            # sqlite must parse it as exactly one string literal
+            (got,) = con.execute(sql).fetchone()
+            assert got == s
+
+        prop()
+
+    def test_numeric_and_null_roundtrip(self):
+        import sqlite3
+
+        con = sqlite3.connect(":memory:")
+        for v in (0, -17, 2**62, 3.5, -0.25, None, True, False):
+            sql = rewrite_sql("SELECT ?", (v,))
+            (got,) = con.execute(sql).fetchone()
+            expect = int(v) if isinstance(v, bool) else v
+            if isinstance(v, bool):
+                # TRUE/FALSE literals: sqlite evaluates to 1/0
+                assert got == (1 if v else 0)
+            else:
+                assert got == expect
