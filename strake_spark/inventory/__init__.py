@@ -77,70 +77,68 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-13 window: the 2 rewritten entries, the 3 r8-green rows
-# deferred at r11, then 45 of the 49 r9-green rows oldest-first in
-# registration order.
+# Round-14 window: the 1 rewritten entry, the 5 r9-green rows deferred
+# at r13 (the staleness tail the r13 verdict front-loaded), then 44 of
+# the r10-green rows oldest-first in registration order.
 
-# Entries whose operator implementation changes this round (r13):
-# semantic_contamination gains the gated hot-bucket cap and the
-# persisted pre-explode profile; cross_corpus_candidates moves to the
-# shared gated-drop helper; q5 is re-tuned to the measured
-# lineitem-only-semi shape. Re-verified by the driver this round so a
-# hash regression cannot hide behind stale green evidence.
+# Entries whose operator implementation changes this round (r14):
+# knn_label_consistency's label-join broadcast side becomes the
+# filtered n_queries slice (r13 verdict finding #2 — the hint
+# previously shipped the corpus-sized label relation). Re-verified by
+# the driver this round so a hash regression cannot hide behind stale
+# green evidence.
 _REWRITTEN: tuple[str, ...] = (
-    "curation_semantic_contamination",
-    "dedup_cross_corpus_candidates",
-    "tpch_q5_local_supplier_volume",
+    "curation_knn_label_consistency",
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (b) rewritten this round (3)
-    "curation_semantic_contamination",
-    "dedup_cross_corpus_candidates",
-    "tpch_q5_local_supplier_volume",
-    # (c) oldest evidence: the 3 rows deferred since r8
-    "pipeline_end_to_end_curation",
-    "pipeline_dedup_rate_by_source",
-    "sample_grouped_split",
-    # (c) oldest evidence: r9-green rows, registration order (44 of 49)
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue", "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "expr_vectorized_udf",
-    "subquery_scalar_above_avg", "subquery_in_european_customers",
-    "subquery_exists_correlated", "subquery_correlated_scalar_select",
-    "cte_reused", "cte_recursive_series",
-    "events_tumbling_window", "events_sessionization",
-    "events_json_props", "events_top_users_per_type",
-    "dedup_exact", "dedup_minhash_signatures",
-    "dedup_minhash_lsh_candidates", "dedup_simhash_signatures",
-    "dedup_simhash_near_pairs", "dedup_duplicate_clusters",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk_bruteforce", "ann_embedding_dup_pairs",
-    "text_language_id", "text_quality_score", "text_token_count",
-    "text_fingerprint",
-    "multimodal_binary_meta",
-    "stream_tumbling_event_counts", "stream_sessionization",
-    "stream_dedup_events", "stream_user_running_totals",
-    "window_groups_frame_emulated",
-    "asof_join_backward", "asof_join_forward",
-    "range_join_events_after_purchase",
-    "pii_detect_and_scrub",
-    "sample_stratified_by_lang", "text_vocabulary_topn",
-    "agg_length_percentiles_by_lang", "join_salted_skew",
-    # --- 50-entry window boundary ---
-)
-
-# Carryover remainder: the head of the round-14 fill, in order — the 5
-# r9-green rows that did not fit this window, then r10-green rows
-# oldest-first in registration order (tpch q10/q9/q13, …). Any query
-# whose plan is rewritten in round 14 joins that window the same round.
-_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    # (b) rewritten this round (1)
+    "curation_knn_label_consistency",
+    # (c) oldest evidence: the 5 r9-green rows deferred since r13
     "events_funnel_conversion",
     "dedup_corpus_keep_first",
     "pipeline_decontaminate_ngram",
     "pipeline_pack_sequences",
     "pipeline_curation_filter",
+    # (c) oldest evidence: r10-green rows, registration order (44)
+    "tpch_q10_returned_items", "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue", "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity", "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock", "tpch_q12_priority_shipping",
+    "tpch_q20_part_promotion",
+    "join_inner_orders_customer", "join_left_customer_orders",
+    "join_right_orders_customer", "join_full_outer_nation_coverage",
+    "join_semi_customers_with_urgent_orders",
+    "agg_approx_count_distinct", "agg_approx_count_distinct_bound",
+    "empty_relation", "limit_offset_page", "sort_multi_key_nulls",
+    "pivot_status_by_flag",
+    "expr_string_functions", "expr_math_functions",
+    "expr_datetime_functions", "expr_conditional_null",
+    "expr_cast_matrix",
+    "ann_lsh_bucketed_topk", "ann_ivf_topk", "ann_lsh_recall_vs_exact",
+    "ann_ivf_recall_vs_exact", "embedding_quantize_int8",
+    "ann_pq_topk", "ann_pq_recall_vs_exact",
+    "text_repetition_score",
+    "multimodal_decode_features", "multimodal_decode_meta",
+    "stream_view_purchase_join",
+    "expr_array_higher_order", "sample_hash_bucket",
+    # --- 50-entry window boundary ---
+)
+
+# Carryover remainder: the head of the round-15 fill, in order — the
+# r10-green rows that did not fit this window (then ann_ivfpq/cross-
+# corpus-exact/curation rows, r12-green, then r13-green oldest-first).
+# Any query whose plan is rewritten in round 15 joins that window the
+# same round.
+_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "sample_shuffle_deterministic",
+    "pipeline_mixture_upsample",
+    "pipeline_source_quota",
+    "pipeline_shard_manifest",
+    "pipeline_chunk_documents",
 )
 
 

@@ -862,7 +862,17 @@ def knn_label_consistency(
     else:
         raise ValueError(f"knn_label_consistency: unknown method {method!r} (exact|lsh)")
     labels = emb.select(F.col(id_col), F.col(label_col).alias("_lbl"))
-    q_lab = labels.withColumnRenamed(id_col, "query_id").withColumnRenamed("_lbl", "q_label")
+    # Only the n_queries scored rows ever appear as query_id (both
+    # cosine_topk and lsh_topk restrict queries to id < n_queries), so
+    # the broadcast side is the FILTERED label slice — n_queries rows,
+    # not the corpus. An unfiltered F.broadcast(labels) here would
+    # force-ship the whole corpus's (id, label) relation (hints bypass
+    # the size check): multi-GB at 10^9 rows (r13 verdict finding #2).
+    q_lab = (
+        labels.filter(F.col(id_col) < n_queries)
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("_lbl", "q_label")
+    )
     n_lab = labels.withColumnRenamed(id_col, "nbr_id").withColumnRenamed("_lbl", "n_label")
     return (
         nbrs.join(F.broadcast(q_lab), "query_id")

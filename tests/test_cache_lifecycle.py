@@ -90,10 +90,16 @@ class TestBacksReturnedHandle:
         ).count()
         cm = spark._jsparkSession.sharedState().cacheManager()
         assert not cm.isEmpty()
-        # two distinct cached relations: sig_new and sig_ref
-        n_cached = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        assert len(n_cached) == 2, (
-            f"expected exactly the sig_new + sig_ref caches, got {len(n_cached)}"
+        # two distinct cached relations: sig_new and sig_ref. Count the
+        # SQL cache manager's OWN entries, never getRDDStorageInfo():
+        # that is a global block-manager census where localCheckpoint
+        # RDDs from earlier tests linger until the async ContextCleaner
+        # releases them (1-in-2 full-suite flake, r13 verdict finding
+        # #1). The fixture's clearCache() empties the cache manager, so
+        # its entry count is exactly this operator's caches.
+        assert cm.numCachedEntries() == 2, (
+            f"expected exactly the sig_new + sig_ref caches, got "
+            f"{cm.numCachedEntries()}"
         )
 
     def test_semantic_contamination_no_cache_below_cap(self, spark):

@@ -666,6 +666,31 @@ class TestRound9Kernels:
         assert "Scan ExistingRDD" in plan  # the one k-means checkpoint
 
 
+class TestKnnLabelBroadcast:
+    """r14 (r13 verdict finding #2): knn_label_consistency's HINTED
+    broadcast side must be the n_queries label slice, never the
+    corpus-sized (id, label) relation — a hint bypasses the size check,
+    so an unfiltered q_lab would force-ship multi-GB at 10^9 rows."""
+
+    @pytest.mark.parametrize("method", ["exact", "lsh"])
+    def test_hinted_broadcast_side_is_query_slice(self, spark, method):
+        from strake_spark.data import table
+        from strake_spark.operators import similarity as S
+
+        df = S.knn_label_consistency(
+            table(spark, SF_DIR, "embeddings"), k=5, n_queries=50, method=method
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # locate the q_label build side; its scan (everything up to the
+        # next exchange) must carry the pushed id < n_queries filter
+        assert "AS q_label" in plan
+        seg = plan[plan.index("AS q_label"):]
+        for stop in ("BroadcastExchange", "Exchange"):
+            if stop in seg:
+                seg = seg[: seg.index(stop)]
+        assert "LessThan(vec_id,50)" in seg, seg
+
+
 class TestSemanticContaminationEdges:
     def test_empty_new_side_returns_typed_empty(self, spark):
         from strake_spark.operators import similarity as S
