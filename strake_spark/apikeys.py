@@ -42,7 +42,7 @@ import sqlite3
 import time
 from dataclasses import dataclass
 
-from strake_spark.errors import StrakeError
+from strake_spark.errors import ErrorCode, StrakeError
 
 VERBS = frozenset(
     {"execute", "sql", "describe", "list_sources", "explain_tree", "trace", "ping"}
@@ -83,6 +83,8 @@ CREATE TABLE IF NOT EXISTS api_keys (
 class ApiKeyError(StrakeError):
     """Key rejected: unknown, malformed, expired, revoked, or out of
     scope. The message says which — operators debug rotations with it."""
+
+    code = ErrorCode.INVALID_API_KEY
 
 
 @dataclass(frozen=True)

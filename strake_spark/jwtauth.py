@@ -33,7 +33,7 @@ import json
 import time
 from typing import Any
 
-from strake_spark.errors import StrakeError
+from strake_spark.errors import ErrorCode, StrakeError
 
 _SUPPORTED = ("HS256", "RS256", "ES256", "ES384", "ES512")
 # ES* needs EC point math — implemented via the `cryptography` package
@@ -53,6 +53,8 @@ def _ec_backend():
 
 class AuthError(StrakeError):
     """Bearer token rejected (bad signature, expired, wrong iss/aud)."""
+
+    code = ErrorCode.AUTHENTICATION_FAILED
 
 
 def _b64url(data: bytes) -> str:
@@ -123,7 +125,7 @@ def _check_claims(
     t = time.time() if now is None else now
     exp = claims.get("exp")
     if exp is not None and t > float(exp) + leeway:
-        raise AuthError("token expired")
+        raise AuthError("token expired", code=ErrorCode.TOKEN_EXPIRED)
     nbf = claims.get("nbf")
     if nbf is not None and t < float(nbf) - leeway:
         raise AuthError("token not yet valid")

@@ -176,6 +176,13 @@ class McpServer:
         }
         if hits:
             payload["guard_matches"] = hits
+            # stable classification for agent callers (reference
+            # connection.rs:401 raises ErrorCode::PromptInjectionDetected
+            # in enforce mode; our guard redacts instead of failing the
+            # whole call, but the code travels with the finding)
+            from strake_spark.errors import ErrorCode
+
+            payload["guard_code"] = ErrorCode.PROMPT_INJECTION_DETECTED.as_str()
         return self._text(payload)
 
     # ---------------------------------------------------------------- loop

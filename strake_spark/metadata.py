@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from strake_spark.config import EngineConfig
-from strake_spark.errors import StrakeError
+from strake_spark.errors import ErrorCode, StrakeError
 
 _SCHEMA = """
 CREATE TABLE IF NOT EXISTS schema_migrations (
@@ -78,6 +78,8 @@ CREATE TABLE IF NOT EXISTS apply_history (
 
 class VersionConflict(StrakeError):
     """Optimistic-locking failure: domain version moved underneath you."""
+
+    code = ErrorCode.CONFIG_ERROR
 
 
 class DestructiveChange(StrakeError):

@@ -27,7 +27,13 @@ import json
 import re
 from typing import Any
 
-from strake_spark.errors import BudgetExceeded, QueryRejected, QueryTimeout, StrakeError
+from strake_spark.errors import (
+    BudgetExceeded,
+    ErrorCode,
+    QueryRejected,
+    QueryTimeout,
+    StrakeError,
+)
 
 # server-side exception class name -> client-side class; Flight carries
 # errors as strings, so the governed failure modes are re-raised as the
@@ -53,12 +59,21 @@ def _translate(exc: Exception):
     the name appears in the error's own framing prefix, not in echoed
     SQL."""
     msg = str(exc)
-    m = re.search(r"STRAKE_ERR:([A-Za-z]+):", msg)
+    m = re.search(r"STRAKE_ERR:([A-Za-z]+):(?:(STRAKE-\d{4}):)?", msg)
     if m:
         cls = _ERROR_TYPES.get(m.group(1))
         if cls is not None:
             detail = msg[m.end():].split("'. ")[0].rstrip("'\") .")
-            return cls(f"{m.group(1)}: {detail}" if detail else msg)
+            err = cls(f"{m.group(1)}: {detail}" if detail else msg)
+            if m.group(2):
+                # preserve the server's exact classification (the
+                # STRAKE-NNNN contract survives the wire, not just the
+                # client class default)
+                try:
+                    err.code = ErrorCode.parse(m.group(2))
+                except ValueError:
+                    pass  # newer server, unknown code: keep class default
+            return err
         return None
     # legacy servers (no marker): only trust a name in the first line's
     # framing, before any quoted payload

@@ -29,7 +29,7 @@ from typing import Any
 
 import logging
 
-from strake_spark.errors import StrakeError
+from strake_spark.errors import ErrorCode, StrakeError
 from strake_spark.jwtauth import AuthError
 from strake_spark.license import LicenseState as _LicenseState
 from strake_spark.scrubber import scrub as _scrub
@@ -47,6 +47,39 @@ _INTROSPECT_TABLES_POST = re.compile(
 
 def _json_default(o: Any) -> str:
     return str(o)
+
+
+
+
+def _error_body(
+    exc: Exception | None = None,
+    message: str | None = None,
+    code: ErrorCode | None = None,
+    trunc: int | None = None,
+) -> dict:
+    """REST error body carrying the stable STRAKE-NNNN code.
+
+    The reference threads ErrorCode through both server facades so API
+    users branch on codes, not prose (crates/error/src/lib.rs:79 JSON
+    shape: the ``code`` field is the formatted string). A StrakeError
+    brings its own code (+ optional hint); anything else is STRAKE-9999
+    unless the call site classifies it."""
+    if isinstance(exc, StrakeError):
+        payload = exc.payload()
+        body = {"status": "error", "data": None, "message": payload.pop("message")}
+        body.update(payload)
+        return body
+    msg = message if message is not None else str(exc)
+    if trunc:
+        msg = msg[:trunc]
+    c = code if code is not None else ErrorCode.UNKNOWN
+    return {
+        "status": "error",
+        "data": None,
+        "message": msg,
+        "code": c.as_str(),
+        "category": c.category.value,
+    }
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -123,26 +156,25 @@ class _Handler(BaseHTTPRequestHandler):
             except ApiKeyError as e:
                 self._send(
                     403 if "scope" in str(e) else 401,
-                    {"status": "error", "data": None, "message": str(e)},
+                    _error_body(e),
                 )
                 return None
             return {"sub": ki.user} if ki.user else {}
         if keys is not None and srv.token is None and srv.validator is None:  # type: ignore[attr-defined]
-            self._send(401, {"status": "error", "data": None,
-                             "message": "API key required (sk_...)"})
+            self._send(401, _error_body(message="API key required (sk_...)", code=ErrorCode.AUTHENTICATION_FAILED))
             return None
         if srv.validator is not None:  # type: ignore[attr-defined]
             try:
                 return srv.validator.validate(auth_header)  # type: ignore[attr-defined]
             except AuthError as e:
-                self._send(401, {"status": "error", "data": None, "message": str(e)})
+                self._send(401, _error_body(e))
                 return None
         if srv.token is not None:  # type: ignore[attr-defined]
             import hmac as _hmac
 
             expect = f"Bearer {srv.token}"  # type: ignore[attr-defined]
             if not _hmac.compare_digest(auth_header or "", expect):
-                self._send(401, {"status": "error", "data": None, "message": "invalid token"})
+                self._send(401, _error_body(message="invalid token", code=ErrorCode.AUTHENTICATION_FAILED))
                 return None
         return {}
 
@@ -173,7 +205,7 @@ class _Handler(BaseHTTPRequestHandler):
         m = _INTROSPECT_TABLE.match(path)
         if m:
             return self._introspect_table(m.group(1))
-        return self._send(404, {"status": "error", "data": None, "message": f"no route {path}"})
+        return self._send(404, _error_body(message=f"no route {path}"))
 
     def do_POST(self) -> None:  # noqa: N802
         path = self.path.split("?", 1)[0].rstrip("/")
@@ -183,13 +215,13 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             body = self._body()
         except ValueError as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+            return self._send(400, _error_body(e))
         m = _INTROSPECT_TABLES_POST.match(path)
         if m:
             return self._introspect_tables(m.group(1), m.group(2), body)
         if not isinstance(body, dict):
             return self._send(
-                400, {"status": "error", "data": None, "message": "JSON body must be an object"}
+                400, _error_body(message="JSON body must be an object", code=ErrorCode.SERIALIZATION_FAILED)
             )
         if path == "/api/v1/query":
             return self._query(body, claims)
@@ -207,7 +239,7 @@ class _Handler(BaseHTTPRequestHandler):
             return self._masking_audit(body, claims)
         if path == "/api/v1/impact":
             return self._impact(body)
-        return self._send(404, {"status": "error", "data": None, "message": f"no route {path}"})
+        return self._send(404, _error_body(message=f"no route {path}"))
 
     def _explain(self, body: dict) -> None:
         """Plan tree with pushdown markers, no execution (the engine's
@@ -215,14 +247,14 @@ class _Handler(BaseHTTPRequestHandler):
         sql = body.get("sql")
         if not sql:
             return self._send(
-                400, {"status": "error", "data": None, "message": "missing 'sql'"}
+                400, _error_body(message="missing 'sql'", code=ErrorCode.MISSING_REQUIRED_FIELD)
             )
         try:
             tree = self.engine.explain_tree(sql)
         except StrakeError as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+            return self._send(400, _error_body(e))
         except Exception as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+            return self._send(400, _error_body(e, trunc=500))
         self._send(200, {"status": "success", "data": {"plan": tree}, "message": None})
 
     def _lineage(self, body: dict) -> None:
@@ -231,14 +263,14 @@ class _Handler(BaseHTTPRequestHandler):
         sql = body.get("sql")
         if not sql:
             return self._send(
-                400, {"status": "error", "data": None, "message": "missing 'sql'"}
+                400, _error_body(message="missing 'sql'", code=ErrorCode.MISSING_REQUIRED_FIELD)
             )
         try:
             lin = self.engine.lineage(sql)
         except StrakeError as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+            return self._send(400, _error_body(e))
         except Exception as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+            return self._send(400, _error_body(e, trunc=500))
         self._send(200, {"status": "success", "data": lin, "message": None})
 
     def _contracts(self, body: dict) -> None:
@@ -251,9 +283,9 @@ class _Handler(BaseHTTPRequestHandler):
                 sample_fraction=body.get("sample_fraction"),
             )
         except StrakeError as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+            return self._send(400, _error_body(e))
         except Exception as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+            return self._send(400, _error_body(e, trunc=500))
         self._send(200, {"status": "success", "data": rep, "message": None})
 
     def _masking_audit(self, body: dict, claims: dict) -> None:
@@ -265,14 +297,14 @@ class _Handler(BaseHTTPRequestHandler):
         if not sql or not user:
             return self._send(
                 400,
-                {"status": "error", "data": None, "message": "missing 'sql' or 'user'"},
+                _error_body(message="missing 'sql' or 'user'", code=ErrorCode.MISSING_REQUIRED_FIELD),
             )
         try:
             rep = self.engine.masking_audit(sql, user)
         except StrakeError as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+            return self._send(400, _error_body(e))
         except Exception as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+            return self._send(400, _error_body(e, trunc=500))
         self._send(200, {"status": "success", "data": rep, "message": None})
 
     def _impact(self, body: dict) -> None:
@@ -288,15 +320,17 @@ class _Handler(BaseHTTPRequestHandler):
         ):
             return self._send(
                 400,
-                {"status": "error", "data": None,
-                 "message": "need 'column' (and 'queries' as a list of SQL strings)"},
+                _error_body(
+                    message="need 'column' (and 'queries' as a list of SQL strings)",
+                    code=ErrorCode.MISSING_REQUIRED_FIELD,
+                ),
             )
         try:
             rep = self.engine.impact(column, queries=body.get("queries"))
         except StrakeError as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+            return self._send(400, _error_body(e))
         except Exception as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+            return self._send(400, _error_body(e, trunc=500))
         self._send(200, {"status": "success", "data": rep, "message": None})
 
     def _profile(self, body: dict, claims: dict) -> None:
@@ -305,7 +339,7 @@ class _Handler(BaseHTTPRequestHandler):
         sql = body.get("sql")
         if not sql:
             return self._send(
-                400, {"status": "error", "data": None, "message": "missing 'sql'"}
+                400, _error_body(message="missing 'sql'", code=ErrorCode.MISSING_REQUIRED_FIELD)
             )
         user = claims.get("sub") or body.get("user")
         # same W3C trace-context propagation as _query: a profile run
@@ -314,9 +348,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             report = self.engine.profile(sql, user=user, traceparent=traceparent)
         except StrakeError as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+            return self._send(400, _error_body(e))
         except Exception as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+            return self._send(400, _error_body(e, trunc=500))
         self._send(200, {"status": "success", "data": report, "message": None})
 
     # ------------------------------------------------------------ handlers
@@ -381,7 +415,7 @@ class _Handler(BaseHTTPRequestHandler):
         views = self.engine.list_sources()
         if source not in views:
             return self._send(
-                404, {"status": "error", "data": None, "message": f"unknown source {source}"}
+                404, _error_body(message=f"unknown source {source}", code=ErrorCode.SOURCE_NOT_FOUND)
             )
         self._send(200, [{"name": v, "schema": source} for v in views[source]])
 
@@ -389,9 +423,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             cols = self.engine.describe(view)
         except StrakeError as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+            return self._send(400, _error_body(e))
         except Exception as e:  # unknown view -> Spark AnalysisException
-            return self._send(404, {"status": "error", "data": None, "message": str(e)[:300]})
+            return self._send(404, _error_body(e, trunc=300))
         self._send(200, {"table": view, "columns": cols})
 
     def _introspect_tables(self, domain: str, source: str, body) -> None:
@@ -402,7 +436,7 @@ class _Handler(BaseHTTPRequestHandler):
         names = body if isinstance(body, list) else body.get("tables", [])
         if not isinstance(names, list) or not all(isinstance(n, str) for n in names):
             return self._send(
-                400, {"status": "error", "data": None, "message": "expected a list of table names"}
+                400, _error_body(message="expected a list of table names", code=ErrorCode.SERIALIZATION_FAILED)
             )
         cfg = next((s for s in self.engine.config.sources if s.name == source), None)
         out = {
@@ -437,7 +471,7 @@ class _Handler(BaseHTTPRequestHandler):
         sql = body.get("sql")
         if not sql:
             return self._send(
-                400, {"status": "error", "data": None, "message": "missing 'sql'"}
+                400, _error_body(message="missing 'sql'", code=ErrorCode.MISSING_REQUIRED_FIELD)
             )
         # License check (reference api.rs:237-244) — same message, same
         # QueryResponse shape; HTTP 403 where axum's Json defaults to
@@ -446,8 +480,10 @@ class _Handler(BaseHTTPRequestHandler):
         if lc is not None and lc.current_state() is _LicenseState.INVALID:
             return self._send(
                 403,
-                {"status": "error", "data": None,
-                 "message": "License invalid. Please renew subscription."},
+                _error_body(
+                    message="License invalid. Please renew subscription.",
+                    code=ErrorCode.AUTHORIZATION_DENIED,
+                ),
             )
         # The AUTHENTICATED principal wins: letting the body override the
         # OIDC sub would allow any caller to borrow another user's
@@ -468,9 +504,9 @@ class _Handler(BaseHTTPRequestHandler):
                 sql, user=user, params=body.get("params"), traceparent=traceparent
             )
         except StrakeError as e:
-            return self._send(400, {"status": "error", "data": None, "message": str(e)})
+            return self._send(400, _error_body(e))
         except Exception as e:  # analysis errors etc.
-            return self._send(400, {"status": "error", "data": None, "message": str(e)[:500]})
+            return self._send(400, _error_body(e, trunc=500))
         self._send(
             200, {"status": "success", "data": table.to_pylist(), "message": None}
         )

@@ -80,16 +80,19 @@ def make_server(
 
     def _governed(fn):
         """Run an engine verb; re-raise governed failures with the
-        structured STRAKE_ERR:<Type>: marker so the thin client
-        (remote._translate) can classify by prefix instead of
+        structured STRAKE_ERR:<Type>:<STRAKE-NNNN>: marker so the thin
+        client (remote._translate) can classify by prefix instead of
         substring-matching class names anywhere in the message (r8
         advice — a query whose SQL text contained 'QueryRejected' was
-        re-classified and its detail garbled)."""
+        re-classified and its detail garbled). The STRAKE-NNNN segment
+        is the stable error code (reference code.rs contract), so the
+        client re-raises with the exact server-side classification —
+        not just the class default."""
         try:
             return fn()
         except StrakeError as e:
             raise fl.FlightServerError(
-                f"STRAKE_ERR:{type(e).__name__}:{e}"
+                f"STRAKE_ERR:{type(e).__name__}:{e.code.as_str()}:{e}"
             ) from e
 
     tls_pairs = []

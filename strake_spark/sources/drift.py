@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from strake_spark.errors import ErrorCode
+
 log = logging.getLogger("strake_spark.drift")
 
 
@@ -31,6 +33,11 @@ def reconcile(df: DataFrame, declared: T.StructType, context: str = "") -> DataF
       surfaces immediately, matching the reference's warning-then-null only
       for runtime value failures, which Spark's ANSI-off cast handles as NULL)
     - extra source columns                 -> pruned
+
+    Each warning string is prefixed with its stable drift code
+    ([STRAKE-2009] missing / [STRAKE-2010] type change / [STRAKE-2011]
+    extra column, reference code.rs:57-72) so trace() consumers can
+    branch without string-matching prose.
     """
     actual = {f.name.lower(): f for f in df.schema.fields}
     out = []
@@ -38,10 +45,13 @@ def reconcile(df: DataFrame, declared: T.StructType, context: str = "") -> DataF
     for field in declared.fields:
         src = actual.get(field.name.lower())
         if src is None:
-            warnings.append(f"missing column {field.name!r}: NULL-filled")
+            warnings.append(
+                f"[{ErrorCode.SCHEMA_DRIFT_MISSING_COLUMN}] missing column {field.name!r}: NULL-filled"
+            )
             out.append(F.lit(None).cast(field.dataType).alias(field.name))
         elif src.dataType != field.dataType:
             warnings.append(
+                f"[{ErrorCode.SCHEMA_DRIFT_TYPE_CHANGED}] "
                 f"type drift on {field.name!r}: {src.dataType.simpleString()} -> "
                 f"{field.dataType.simpleString()} (cast)"
             )
@@ -50,7 +60,9 @@ def reconcile(df: DataFrame, declared: T.StructType, context: str = "") -> DataF
             out.append(F.col(src.name).alias(field.name))
     extra = set(actual) - {f.name.lower() for f in declared.fields}
     if extra:
-        warnings.append(f"pruned extra columns: {sorted(extra)}")
+        warnings.append(
+            f"[{ErrorCode.SCHEMA_DRIFT_EXTRA_COLUMN}] pruned extra columns: {sorted(extra)}"
+        )
     for w in warnings:
         log.warning("[schema-drift] %s: %s", context, w)
     result = df.select(*out)
