@@ -77,30 +77,36 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-14 window: the 1 rewritten entry, the 5 r9-green rows deferred
-# at r13 (the staleness tail the r13 verdict front-loaded), then 44 of
-# the r10-green rows oldest-first in registration order.
+# Round-14 window: the 3 rewritten entries, the 5 r9-green rows
+# deferred at r13 (the staleness tail the r13 verdict front-loaded),
+# then 42 of the r10-green rows oldest-first in registration order.
 
 # Entries whose operator implementation changes this round (r14):
 # knn_label_consistency's label-join broadcast side becomes the
 # filtered n_queries slice (r13 verdict finding #2 — the hint
-# previously shipped the corpus-sized label relation). Re-verified by
-# the driver this round so a hash regression cannot hide behind stale
-# green evidence.
+# previously shipped the corpus-sized label relation);
+# simhash_near_pairs migrates to the shared gated hot-bucket drop with
+# a cached signature gate count (finding #3), which also feeds
+# duplicate_clusters' edge set. Re-verified by the driver this round so
+# a hash regression cannot hide behind stale green evidence.
 _REWRITTEN: tuple[str, ...] = (
     "curation_knn_label_consistency",
+    "dedup_simhash_near_pairs",
+    "dedup_duplicate_clusters",
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (b) rewritten this round (1)
+    # (b) rewritten this round (3)
     "curation_knn_label_consistency",
+    "dedup_simhash_near_pairs",
+    "dedup_duplicate_clusters",
     # (c) oldest evidence: the 5 r9-green rows deferred since r13
     "events_funnel_conversion",
     "dedup_corpus_keep_first",
     "pipeline_decontaminate_ngram",
     "pipeline_pack_sequences",
     "pipeline_curation_filter",
-    # (c) oldest evidence: r10-green rows, registration order (44)
+    # (c) oldest evidence: r10-green rows, registration order (42)
     "tpch_q10_returned_items", "tpch_q9_product_profit",
     "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
@@ -124,7 +130,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition_score",
     "multimodal_decode_features", "multimodal_decode_meta",
     "stream_view_purchase_join",
-    "expr_array_higher_order", "sample_hash_bucket",
     # --- 50-entry window boundary ---
 )
 
@@ -134,11 +139,11 @@ _PRIORITY: tuple[str, ...] = (
 # Any query whose plan is rewritten in round 15 joins that window the
 # same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "expr_array_higher_order",
+    "sample_hash_bucket",
     "sample_shuffle_deterministic",
     "pipeline_mixture_upsample",
     "pipeline_source_quota",
-    "pipeline_shard_manifest",
-    "pipeline_chunk_documents",
 )
 
 

@@ -388,6 +388,7 @@ def simhash_near_pairs(
     max_hamming: int = 8,
     num_blocks: int = 4,
     max_bucket_size: int = 50_000,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance.
 
@@ -398,10 +399,20 @@ def simhash_near_pairs(
     pigeonhole bound trades recall, as in production SimHash dedup.)
 
     Blocks with more than ``max_bucket_size`` members are dropped
-    before pair expansion — same protection, same gated count+anti-join
-    shape, and same recall tradeoff as ``minhash_candidates`` (a
-    template block's pairs still surface through the other blocks
-    unless they collide everywhere).
+    before pair expansion via the shared gated drop
+    (``operators/hotbucket.py``) — same protection and the same recall
+    tradeoff as ``minhash_candidates`` (a template block's pairs still
+    surface through the other blocks unless they collide everywhere).
+
+    ``persist`` (default True): cache the signature relation — it feeds
+    the gate count and the blocked lineage, and it is narrow (two
+    int64s per doc), so the cache is cheap and backs the returned lazy
+    handle (caller releases via ``spark.catalog.clearCache()`` between
+    batches, same contract as ``minhash_candidates``). Pass False when
+    the result is materialized immediately and the handle discarded
+    (``duplicate_clusters`` checkpoints the edges right away): the gate
+    then counts the uncached signature relation — one column-pruned
+    aggregation job — instead of leaking a cache nobody can release.
     """
     # One explode instead of a num_blocks-way union (a union multiplies
     # partition count into tiny tasks), and ONE bucket aggregation
@@ -410,6 +421,8 @@ def simhash_near_pairs(
     # (blk, blk_val) buckets; a<b pairs expand from the sorted member
     # array via two chained explodes, keeping task memory O(bucket).
     sig = simhash_signatures(docs, id_col, text_col, bits)
+    if persist:
+        sig = sig.cache()
     block_bits = bits // num_blocks
     mask = (1 << block_bits) - 1
     block_structs = [
@@ -424,18 +437,18 @@ def simhash_near_pairs(
     blocked = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*block_structs)).alias("bk")
     ).select(id_col, "simhash", F.col("bk.blk").alias("blk"), F.col("bk.blk_val").alias("blk_val"))
-    # Hot blocks drop BEFORE collect_list materializes them (r10): a
-    # count pass + broadcast anti-join, gated on corpus size exactly
-    # like minhash_candidates — no block can exceed the cap unless the
-    # corpus does, so small inputs skip the pass entirely.
-    if docs.count() > max_bucket_size:
-        hot = (
-            blocked.groupBy("blk", "blk_val")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_bucket_size)
-            .select("blk", "blk_val")
-        )
-        blocked = blocked.join(F.broadcast(hot), ["blk", "blk_val"], "left_anti")
+    # Hot blocks drop BEFORE collect_list materializes them, through
+    # the shared gated count+anti-join helper (r14 — the last inline
+    # drop block, migrated so it cannot drift from the other four
+    # sites; see operators/hotbucket.py for the full rationale). The
+    # gate counts the SIGNATURE relation, not the caller's docs plan
+    # (which may be an expensive derived lineage — r12 advice): no
+    # block can exceed the cap unless the signature count does, and
+    # when ``persist`` is set the count only warms the cache the
+    # blocked lineage reads anyway.
+    blocked, = drop_hot_buckets(
+        [blocked], ("blk", "blk_val"), max_bucket_size, sig.count()
+    )
     # members carry (id, simhash) structs, id-sorted so a<b == index<
     members = blocked.groupBy("blk", "blk_val").agg(
         F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))).alias("m")
@@ -484,7 +497,12 @@ def duplicate_clusters(
     that ARE duplicates get different cluster_ids and both survive a
     keep-min-id dedup), which is corrupt output, not a degraded answer.
     """
-    edges = simhash_near_pairs(docs, id_col, text_col, max_hamming=max_hamming)
+    # persist=False: edges are checkpointed two lines down and the lazy
+    # handle discarded — a signature cache would outlive every consumer
+    # with nobody holding a handle to release it
+    edges = simhash_near_pairs(
+        docs, id_col, text_col, max_hamming=max_hamming, persist=False
+    )
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

@@ -74,6 +74,26 @@ class TestBacksReturnedHandle:
             spark, D.minhash_candidates(table(spark, SF_DIR, "documents"))
         )
 
+    def test_simhash_pairs_signature_cache(self, spark):
+        # r14: the signature relation feeds the gate count and the
+        # blocked lineage; it is narrow (two int64s/doc) so the cache
+        # backs the returned handle like minhash's (release contract:
+        # clearCache() between batches)
+        from strake_spark.operators import dedup as D
+
+        self._consume_and_check(
+            spark, D.simhash_near_pairs(table(spark, SF_DIR, "documents"))
+        )
+
+    def test_duplicate_clusters_release_contract(self, spark):
+        # duplicate_clusters checkpoints the edges immediately, so it
+        # opts OUT of the simhash signature cache (persist=False) — a
+        # cache with no surviving handle could never be released
+        from strake_spark.operators import dedup as D
+
+        D.duplicate_clusters(table(spark, SF_DIR, "documents")).count()
+        assert _sql_cache_empty(spark)
+
     def test_cross_corpus_signature_caches(self, spark):
         # BOTH per-side signature caches back the returned handle (each
         # feeds its banded lineage, the gate count, and its scoring-join
@@ -181,6 +201,10 @@ class TestBacksReturnedHandle:
 
         docs = table(spark, SF_DIR, "documents")
         R.bm25_scores(docs, ["the"], persist=False).count()
+        assert _sql_cache_empty(spark)
+        from strake_spark.operators import dedup as D
+
+        D.simhash_near_pairs(docs, persist=False).count()
         assert _sql_cache_empty(spark)
         ev = table(spark, SF_DIR, "events").select(
             "user_id", F.col("event_type"), F.lit(1.0).alias("value")

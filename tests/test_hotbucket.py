@@ -1,9 +1,9 @@
 """Direct contract tests for the shared gated hot-bucket drop
 (operators/hotbucket.py, extracted r13) — the one skew guard behind
-minhash_candidates, cross_corpus_candidates, embedding_dup_pairs and
-semantic_contamination. The operator-level behavior is pinned by each
-operator's own tests; these pin the helper's contract so a fifth call
-site cannot mis-use it silently."""
+minhash_candidates, cross_corpus_candidates, embedding_dup_pairs,
+semantic_contamination and (r14) simhash_near_pairs. The operator-level
+behavior is pinned by each operator's own tests; these pin the helper's
+contract so a call site cannot mis-use it silently."""
 
 from __future__ import annotations
 
@@ -51,6 +51,29 @@ def test_same_key_in_different_bands_is_different_bucket(spark):
     out, = drop_hot_buckets([r], ("band", "band_key"), 5, len(rows))
     got = {(x.band, x.id) for x in out.collect()}
     assert got == {(1, 100), (1, 101)}
+
+
+def test_simhash_site_routes_through_helper(spark):
+    """r14 (r13 verdict finding #3): simhash_near_pairs was the last
+    inline drop block; it must now show the helper's shape — gated off
+    below the cap (no anti-join in the plan), broadcast anti-join with
+    the blocks dropped when a boilerplate corpus trips it."""
+    from strake_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate page text") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    capped = D.simhash_near_pairs(docs, max_bucket_size=10)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert capped.count() == 0  # identical docs share every block
+    spark.catalog.clearCache()
+    under = D.simhash_near_pairs(docs, max_bucket_size=1000)
+    plan = under._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan  # gate proves the pass is a no-op
+    assert under.count() == 30 * 29 // 2
+    spark.catalog.clearCache()
 
 
 def test_drop_is_broadcast_anti_join(spark):
