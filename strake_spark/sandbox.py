@@ -45,6 +45,12 @@ class SandboxLimits:
     max_processes: int = 8
     wall_seconds: float = 30.0
     max_output_bytes: int = 1_000_000
+    # Interpreter-level introspection scrubs applied at the end of the
+    # prelude (reference guest init, python/strake/agent_init.py:25-68:
+    # del sys._getframe, tracebacklimit=0, exc_info block, build-class
+    # restriction). Defense in depth against naive/accidental
+    # introspection ONLY — never a boundary; see _HARDEN_SRC.
+    harden_interpreter: bool = True
     # Linux: drop the child into an empty network namespace
     # (unshare(CLONE_NEWNET), reference native.py:546-557). Needs
     # CAP_NET_ADMIN; degrades silently to env-scrub-only elsewhere.
@@ -209,6 +215,49 @@ class _Strake(types.SimpleNamespace):
 
 strake = _Strake(_queries={queries!r})
 del types
+{harden_src}
+"""
+
+# Interpreter hardening snippet — the LAST prelude layer, after the
+# strake namespace exists and before the user script. Mirrors the
+# reference guest's _harden_environment (agent_init.py:25-68) with its
+# exact caveat: these disable CONVENIENT introspection entry points
+# only; ctypes, C extensions, and frame chains reachable from imported
+# modules bypass every one of them. The security boundary is the layer
+# stack above (rlimits / netns / seccomp / landlock) — never this.
+#
+# One deliberate delta: the build-class restriction applies to classes
+# defined in the USER SCRIPT (__main__) only. The reference guest
+# pre-loads its engine and can restrict all class creation; this
+# sandbox supports arbitrary library imports (pandas inside the script
+# is a pinned behavior), and module import executes class statements
+# freely under their own module __name__.
+_HARDEN_SRC = """\
+def _harden():
+    import builtins as bi
+    if hasattr(sys, "_getframe"):
+        del sys._getframe  # the convenient frame-access shortcut
+    sys.tracebacklimit = 0  # no host paths leak through error output
+    def no_exc_info():
+        return (None, None, None)
+    sys.exc_info = no_exc_info  # accidental frame exposure only
+    real_build_class = bi.__build_class__
+    def guarded_build_class(func, name, *bases, **kwds):
+        if func.__globals__.get("__name__") == "__main__":
+            for base in bases:
+                if base is object or (
+                    isinstance(base, type) and issubclass(base, BaseException)
+                ):
+                    continue
+                raise TypeError(
+                    "sandbox: inheriting from "
+                    + repr(getattr(base, "__name__", base))
+                    + " is forbidden in the sandboxed script"
+                )
+        return real_build_class(func, name, *bases, **kwds)
+    bi.__build_class__ = guarded_build_class
+_harden()
+del _harden
 """
 
 
@@ -248,6 +297,7 @@ def run_python(
             queries=query_results or {},
             seccomp_src=seccomp_src,
             landlock_src=landlock_src,
+            harden_src=_HARDEN_SRC if limits.harden_interpreter else "",
         )
         path = os.path.join(tmp, "script.py")
         with open(path, "w") as f:
@@ -278,6 +328,8 @@ def run_python(
         import uuid
 
         constraints = ["rlimits", "env_scrub"]
+        if limits.harden_interpreter:
+            constraints.append("interpreter")
         if limits.isolate_network and sys.platform == "linux":
             constraints.append("netns")
         if seccomp_src:
