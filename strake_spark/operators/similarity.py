@@ -680,7 +680,16 @@ def semantic_contamination(
     the returned lazy DataFrame, so it cannot be released here;
     long-lived engines reclaim via ``spark.catalog.clearCache()``
     between batches (both regimes pinned by
-    tests/test_cache_lifecycle.py)."""
+    tests/test_cache_lifecycle.py).
+
+    Isolated re-measure (r14, q5 triage protocol — two clean sessions,
+    2 warmups + 6 iterations x two interleaved passes, idle machine):
+    steady-state median 1.05 s at sf0.1, matching the r12 1.09 s; the
+    r13 driver's 1.25 s (+15%) was session-position noise, not a
+    regression — early-session passes measure ~1.4 s and fall to
+    ~1.05 s as codegen JIT warms, and the q1 yardstick shows the same
+    ~2x early-vs-late drift in the same session (0.59 -> 0.31 s). Code
+    unchanged on this evidence."""
     if dim is None:
         first = (
             new_emb.filter(F.col(vec_col).isNotNull())
