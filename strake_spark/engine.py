@@ -228,20 +228,34 @@ class StrakeEngine:
         ensure_select(query)
         if self._policies is not None:
             query = self._policies.rewrite(query, user)
-        if params:
-            self._last_pushdown = None
-            self._last_federation_trace = [
-                ("whole_statement", "rejected",
-                 "parameterized query (remote engines never see unbound text)")
-            ]
-            df = self.spark.sql(query, args=params)
-        else:
-            from strake_spark.plans.federation import plan_sql
+        try:
+            if params:
+                self._last_pushdown = None
+                self._last_federation_trace = [
+                    ("whole_statement", "rejected",
+                     "parameterized query (remote engines never see unbound text)")
+                ]
+                df = self.spark.sql(query, args=params)
+            else:
+                from strake_spark.plans.federation import plan_sql
 
-            decisions: list[tuple[str, str, str]] = []
-            df, pushed = plan_sql(self.spark, query, trace=decisions)
-            self._last_pushdown = pushed
-            self._last_federation_trace = decisions
+                decisions: list[tuple[str, str, str]] = []
+                df, pushed = plan_sql(self.spark, query, trace=decisions)
+                self._last_pushdown = pushed
+                self._last_federation_trace = decisions
+        except Exception as e:
+            # classify Spark analysis/parse failures onto the stable
+            # code contract at the PLANNING boundary (convert.py,
+            # reference convert.rs): bad column/table/type errors carry
+            # STRAKE-2002/2003/2004 from eng.sql and every surface
+            # built on it (Flight get_flight_info plans here). Anything
+            # without a Spark error condition propagates unchanged.
+            from strake_spark.convert import classify_exception
+
+            classified = classify_exception(e)
+            if classified is not None:
+                raise classified from e
+            raise
         df = apply_defensive_limit(df, self.config.query_limits)
         check_cost(df, self.config.query_limits)
         self._metrics["queries_planned"] += 1
@@ -307,9 +321,19 @@ class StrakeEngine:
                 for b in breakers:
                     b.release()  # governance rejection, not a source fault
                 raise
-            except Exception:
+            except Exception as e:
                 for b in breakers:
                     b.record(False)
+                # Spark analysis/parse failures re-raise classified
+                # onto the stable code contract (convert.py, reference
+                # convert.rs): API users branch on STRAKE-2002/2003/...
+                # instead of matching Spark's message prose. Anything
+                # without a Spark error condition propagates unchanged.
+                from strake_spark.convert import classify_exception
+
+                classified = classify_exception(e)
+                if classified is not None:
+                    raise classified from e
                 raise
             for b in breakers:
                 b.record(True)

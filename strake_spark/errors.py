@@ -194,6 +194,16 @@ class QueryTimeout(StrakeError):
     code = ErrorCode.QUERY_CANCELLED
 
 
+class EngineError(StrakeError):
+    """Engine-side query failure, classified onto the stable code
+    contract from Spark's error condition (strake_spark.convert,
+    mirroring the reference's From<DataFusionError> in convert.rs:4-41:
+    field-not-found 2002 with a did-you-mean hint, table 2003, parse
+    2001, type 2004, ambiguous 2005; anything else stays 5001)."""
+
+    code = ErrorCode.ENGINE_INTERNAL
+
+
 class SourceError(StrakeError):
     """A federated source failed (after retries / circuit breaker)."""
 

@@ -29,6 +29,7 @@ from typing import Any
 
 from strake_spark.errors import (
     BudgetExceeded,
+    EngineError,
     ErrorCode,
     QueryRejected,
     QueryTimeout,
@@ -44,6 +45,7 @@ _ERROR_TYPES = {
     "BudgetExceeded": BudgetExceeded,
     "QueryTimeout": QueryTimeout,
     "CircuitOpen": QueryRejected,
+    "EngineError": EngineError,
 }
 
 

@@ -64,6 +64,15 @@ def _error_body(
     shape: the ``code`` field is the formatted string). A StrakeError
     brings its own code (+ optional hint); anything else is STRAKE-9999
     unless the call site classifies it."""
+    if exc is not None and not isinstance(exc, StrakeError):
+        # non-governed paths (explain/lineage/validate) surface raw
+        # Spark exceptions; classify condition-carrying ones so those
+        # routes emit real codes instead of STRAKE-9999
+        from strake_spark.convert import classify_exception
+
+        classified = classify_exception(exc)
+        if classified is not None:
+            exc = classified
     if isinstance(exc, StrakeError):
         payload = exc.payload()
         body = {"status": "error", "data": None, "message": payload.pop("message")}

@@ -212,6 +212,44 @@ class TestFacades:
         finally:
             srv.shutdown()
 
+    def test_engine_classifies_spark_analysis_errors(self, engine):
+        # convert.rs parity: field-not-found carries 2002 + did-you-mean,
+        # table 2003, type mismatch 2004 — classified from Spark's error
+        # CONDITION, never message prose
+        from strake_spark.errors import EngineError
+
+        with pytest.raises(EngineError) as ei:
+            engine.execute("SELECT n_nmae FROM ec_nation")
+        assert ei.value.code is ErrorCode.FIELD_NOT_FOUND
+        assert ei.value.hint and "Did you mean" in ei.value.hint
+        with pytest.raises(EngineError) as ei:
+            engine.execute("SELECT * FROM ec_nonexistent_table")
+        assert ei.value.code is ErrorCode.TABLE_NOT_FOUND
+        with pytest.raises(EngineError) as ei:
+            engine.execute(
+                "SELECT n_nationkey + interval 1 day AS x FROM ec_nation"
+            )
+        assert ei.value.code is ErrorCode.TYPE_MISMATCH
+
+    def test_engine_error_crosses_flight_with_code(self, engine):
+        import strake_spark as ss
+        from strake_spark.errors import EngineError
+        from strake_spark.server import make_server
+
+        srv = make_server(engine)
+        t = threading.Thread(target=srv.serve, daemon=True)
+        t.start()
+        try:
+            remote = ss.connect(f"grpc://127.0.0.1:{srv.port}")
+            try:
+                with pytest.raises(EngineError) as ei:
+                    remote.execute("SELECT n_nmae FROM ec_nation")
+                assert ei.value.code is ErrorCode.FIELD_NOT_FOUND
+            finally:
+                remote.close()
+        finally:
+            srv.shutdown()
+
     def test_remote_translate_parses_coded_and_legacy_markers(self):
         from strake_spark.remote import _translate
 
