@@ -17,7 +17,7 @@ import json
 import sys
 
 from strake_spark import exit_codes
-from strake_spark.errors import QueryRejected, SourceError, StrakeError
+from strake_spark.errors import ConfigError, QueryRejected, SourceError, StrakeError
 
 _INIT_TEMPLATE = """\
 # strake-spark sources configuration
@@ -558,6 +558,9 @@ def main(argv=None) -> int:
     except SourceError as e:
         print(f"CONNECTION: {e}", file=sys.stderr)
         return exit_codes.CONNECTION_ERROR
+    except ConfigError as e:
+        print(f"CONFIG: {e}", file=sys.stderr)
+        return exit_codes.CONFIG_ERROR
     except StrakeError as e:
         print(f"ERROR: {e}", file=sys.stderr)
         return exit_codes.GENERAL_ERROR

@@ -19,6 +19,8 @@ from typing import Any
 
 from pyspark.sql import types as T
 
+from strake_spark.errors import ConfigError, ErrorCode
+
 _TYPE_MAP: dict[str, T.DataType] = {
     "int": T.IntegerType(),
     "integer": T.IntegerType(),
@@ -159,7 +161,7 @@ def _parse_user_slots(raw: Any) -> dict[str, int]:
     for k, v in (raw or {}).items():
         n = int(v)
         if n < 1:
-            raise ValueError(
+            raise ConfigError(
                 f"user_slots[{k!r}] must be >= 1, got {n} "
                 "(use source-level deny rules to block a user entirely)"
             )
@@ -310,7 +312,7 @@ def _parse_default_slots(v: Any) -> int | None:
         return None
     n = int(v)
     if n < 1:
-        raise ValueError(f"default_user_slots must be >= 1, got {n}")
+        raise ConfigError(f"default_user_slots must be >= 1, got {n}")
     return n
 
 
@@ -334,7 +336,13 @@ def load_config(
         import yaml
 
         with open(path_or_dict) as f:
-            raw = yaml.safe_load(f) or {}
+            try:
+                raw = yaml.safe_load(f) or {}
+            except yaml.YAMLError as e:
+                raise ConfigError(
+                    f"invalid YAML in {path_or_dict}: {e}",
+                    code=ErrorCode.INVALID_YAML,
+                ) from e
         if sources_path is None and not raw.get("sources"):
             import os as _os
 
@@ -349,7 +357,13 @@ def load_config(
         import yaml
 
         with open(sources_path) as f:
-            sraw = yaml.safe_load(f) or {}
+            try:
+                sraw = yaml.safe_load(f) or {}
+            except yaml.YAMLError as e:
+                raise ConfigError(
+                    f"invalid YAML in {sources_path}: {e}",
+                    code=ErrorCode.INVALID_YAML,
+                ) from e
         if isinstance(sraw, list):
             raw.setdefault("sources", sraw)
         else:

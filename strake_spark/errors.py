@@ -194,6 +194,16 @@ class QueryTimeout(StrakeError):
     code = ErrorCode.QUERY_CANCELLED
 
 
+class ConfigError(StrakeError, ValueError):
+    """Configuration rejected (bad YAML, invalid values, missing
+    fields). Also a ValueError so pre-existing ``except ValueError``
+    call sites keep working; the code default is 3006 with per-site
+    overrides (YAML parse failures raise 3001, missing required fields
+    3003 — reference code.rs:80-93)."""
+
+    code = ErrorCode.CONFIG_ERROR
+
+
 class EngineError(StrakeError):
     """Engine-side query failure, classified onto the stable code
     contract from Spark's error condition (strake_spark.convert,

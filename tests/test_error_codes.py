@@ -120,6 +120,37 @@ class TestExceptionDefaults:
         assert ei.value.code is ErrorCode.TOKEN_EXPIRED
 
 
+class TestConfigErrorCodes:
+    def test_bad_yaml_is_3001_and_still_valueerror(self, tmp_path):
+        from strake_spark.config import load_config
+        from strake_spark.errors import ConfigError
+
+        bad = tmp_path / "strake.yaml"
+        bad.write_text("sources: [unclosed\n  - nope: {")
+        with pytest.raises(ConfigError) as ei:
+            load_config(str(bad))
+        assert ei.value.code is ErrorCode.INVALID_YAML
+        assert isinstance(ei.value, ValueError)  # legacy catch sites hold
+
+    def test_invalid_value_is_3006(self):
+        from strake_spark.config import parse_config
+        from strake_spark.errors import ConfigError
+
+        with pytest.raises(ConfigError) as ei:
+            parse_config({"user_slots": {"pat": 0}})
+        assert ei.value.code is ErrorCode.CONFIG_ERROR
+
+    def test_cli_maps_config_error_to_exit_3(self, tmp_path, capsys):
+        from strake_spark import cli, exit_codes
+
+        bad = tmp_path / "strake.yaml"
+        bad.write_text("sources: [unclosed\n  - nope: {")
+        # `query` loads the config in main's governed body (unlike
+        # `validate`, which wraps its own load) — the new clause maps it
+        rc = cli.main(["query", str(bad), "SELECT 1"])
+        assert rc == exit_codes.CONFIG_ERROR
+
+
 class TestDriftWarningCodes:
     def test_codes_prefix_warnings(self, spark):
         from pyspark.sql import types as T
