@@ -224,7 +224,11 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             body = self._body()
         except ValueError as e:
-            return self._send(400, _error_body(e))
+            # request-body parse failure -> 5002 (the reference's serde
+            # mapping, convert.rs:59-63)
+            return self._send(
+                400, _error_body(message=str(e), code=ErrorCode.SERIALIZATION_FAILED)
+            )
         m = _INTROSPECT_TABLES_POST.match(path)
         if m:
             return self._introspect_tables(m.group(1), m.group(2), body)
