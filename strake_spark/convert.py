@@ -63,14 +63,34 @@ def classify_exception(exc: BaseException) -> EngineError | None:
     except Exception:
         params = {}
     hint = None
-    if code is ErrorCode.FIELD_NOT_FOUND and params.get("proposal"):
-        # Spark already computed the closest matches (the reference
-        # runs its own Levenshtein pass to build the same hint,
-        # convert.rs:72-107); surface the first one
-        first = params["proposal"].split(",")[0].strip()
-        hint = f"Did you mean {first}?"
+    context: dict | None = None
+    if code is ErrorCode.FIELD_NOT_FOUND:
+        proposals = [
+            p.strip() for p in params.get("proposal", "").split(",") if p.strip()
+        ]
+        if proposals:
+            # Spark already computed the closest matches (the reference
+            # runs its own Levenshtein pass to build the same hint,
+            # convert.rs:72-107); surface the first one
+            hint = f"Did you mean {proposals[0]}?"
+        # structured variant fields per context.rs FieldNotFound
+        context = {
+            "type": "field_not_found",
+            "field": params.get("objectName"),
+            "table": None,
+            "available_fields": proposals,
+        }
+    elif code is ErrorCode.TABLE_NOT_FOUND and params.get("relationName"):
+        context = {
+            "type": "table_not_found",
+            "table": params.get("relationName"),
+        }
+    elif code is ErrorCode.TYPE_MISMATCH and params:
+        # Spark's mismatch params (sqlExpr/inputType/requiredType…) are
+        # already flat strings — pass them through under the tag
+        context = {"type": "type_mismatch", **{k: str(v) for k, v in params.items()}}
     # first line only: Spark's full text repeats the condition and can
     # embed multi-line plan fragments; the condition is preserved in
     # the message head for log greps
     msg = str(exc).strip().splitlines()[0][:500]
-    return EngineError(msg, code=code, hint=hint)
+    return EngineError(msg, code=code, hint=hint, context=context)

@@ -133,15 +133,25 @@ class StrakeError(Exception):
     ``code`` is a class default every subclass pins; raise sites may
     override per instance via the keyword (``code=``) when a more
     specific classification applies. ``hint`` mirrors the reference's
-    optional remediation hint (error/src/lib.rs:126)."""
+    optional remediation hint (error/src/lib.rs:126); ``context`` is
+    the structured, machine-parseable detail dict (context.rs tagged
+    variants — a ``type`` key plus variant fields), so API callers can
+    act on field names / limits without parsing prose."""
 
     code: ErrorCode = ErrorCode.UNKNOWN
 
-    def __init__(self, *args, code: ErrorCode | None = None, hint: str | None = None):
+    def __init__(
+        self,
+        *args,
+        code: ErrorCode | None = None,
+        hint: str | None = None,
+        context: dict | None = None,
+    ):
         super().__init__(*args)
         if code is not None:
             self.code = ErrorCode(code)
         self.hint = hint
+        self.context = context
 
     @property
     def formatted(self) -> str:
@@ -161,6 +171,8 @@ class StrakeError(Exception):
         }
         if self.hint:
             body["hint"] = self.hint
+        if self.context:
+            body["context"] = self.context
         return body
 
 

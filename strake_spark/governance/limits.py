@@ -78,12 +78,24 @@ def check_cost(df: DataFrame, limits: QueryLimits) -> None:
     if limits.max_estimated_rows is not None and rows is not None and rows > limits.max_estimated_rows:
         raise BudgetExceeded(
             f"estimated rows {rows} > max_estimated_rows {limits.max_estimated_rows}; "
-            "add filters or LIMIT to narrow the query"
+            "add filters or LIMIT to narrow the query",
+            context={
+                "type": "budget_exceeded",
+                "estimated_rows": rows,
+                "limit": limits.max_estimated_rows,
+                "suggestion": "add filters or LIMIT to narrow the query",
+            },
         )
     if limits.max_estimated_bytes is not None and size is not None and size > limits.max_estimated_bytes:
         raise BudgetExceeded(
             f"estimated bytes {size} > max_estimated_bytes {limits.max_estimated_bytes}; "
-            "add filters or LIMIT to narrow the query"
+            "add filters or LIMIT to narrow the query",
+            context={
+                "type": "budget_exceeded",
+                "estimated_bytes": size,
+                "limit": limits.max_estimated_bytes,
+                "suggestion": "add filters or LIMIT to narrow the query",
+            },
         )
 
 

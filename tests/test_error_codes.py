@@ -107,6 +107,16 @@ class TestExceptionDefaults:
             "message": "too big",
         }
 
+    def test_structured_context_travels_in_payload(self):
+        # context.rs tagged-variant parity: a type key + variant fields
+        e = BudgetExceeded(
+            "rows over budget",
+            context={"type": "budget_exceeded", "estimated_rows": 10, "limit": 1,
+                     "suggestion": "add filters"},
+        )
+        assert e.payload()["context"]["type"] == "budget_exceeded"
+        assert e.payload()["context"]["limit"] == 1
+
     def test_token_expired_site_override(self):
         import time
 
@@ -253,6 +263,9 @@ class TestFacades:
             engine.execute("SELECT n_nmae FROM ec_nation")
         assert ei.value.code is ErrorCode.FIELD_NOT_FOUND
         assert ei.value.hint and "Did you mean" in ei.value.hint
+        ctx = ei.value.context
+        assert ctx["type"] == "field_not_found"
+        assert ctx["available_fields"]  # Spark's closest matches
         with pytest.raises(EngineError) as ei:
             engine.execute("SELECT * FROM ec_nonexistent_table")
         assert ei.value.code is ErrorCode.TABLE_NOT_FOUND
