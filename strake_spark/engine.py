@@ -404,6 +404,17 @@ class StrakeEngine:
             return header + tree
         return tree + footer
 
+    def drift_report(self) -> list[dict]:
+        """Structured schema-drift records accumulated this process
+        (sources/drift.py): one record per drifted registration with the
+        expected/actual/missing columns, type mismatches and their
+        STRAKE-2009..2011 codes (reference context.rs SchemaDrift
+        variant) — the audit surface for what was silently NULL-filled
+        or coerced. Process-wide, like a log stream; bounded."""
+        from strake_spark.sources.drift import drift_log
+
+        return drift_log()
+
     def trace(self, query: str) -> dict[str, Any]:
         """Plan + stats report (reference crates/runtime/src/query/trace.rs:7-72)."""
         df = self.sql(query)

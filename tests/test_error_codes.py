@@ -181,6 +181,61 @@ class TestDriftWarningCodes:
         assert any(w.startswith("[STRAKE-2010]") and "type drift" in w for w in ws)
         assert any(w.startswith("[STRAKE-2011]") and "pruned" in w for w in ws)
 
+    def test_structured_drift_log(self, spark):
+        from pyspark.sql import types as T
+
+        from strake_spark.sources.drift import clear_drift_log, drift_log, reconcile
+
+        clear_drift_log()
+        df = spark.createDataFrame([(1, "a", 2.0)], "id int, extra string, v double")
+        declared = T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("missing", T.LongType()),
+            ]
+        )
+        reconcile(df, declared, context="orders")
+        (rec,) = drift_log()
+        # context.rs SchemaDrift variant fields, tagged with codes
+        assert rec["type"] == "schema_drift" and rec["table"] == "orders"
+        assert rec["missing_columns"] == ["missing"]
+        assert rec["type_mismatches"] == ["v: double -> string"]
+        assert rec["extra_columns"] == ["extra"]
+        assert rec["codes"] == ["STRAKE-2009", "STRAKE-2010", "STRAKE-2011"]
+        assert rec["expected_columns"] == ["id", "v", "missing"]
+        # no drift -> no record
+        reconcile(df.select("id"), T.StructType([T.StructField("id", T.IntegerType())]))
+        assert len(drift_log()) == 1
+        clear_drift_log()
+
+    def test_engine_drift_report_surface(self, spark, tmp_path):
+        import strake_spark as ss
+        from strake_spark.sources.drift import clear_drift_log
+
+        clear_drift_log()
+        spark.createDataFrame([(1, "x")], "id int, extra string").write.parquet(
+            str(tmp_path / "t.parquet")
+        )
+        eng = ss.connect(
+            {
+                "sources": [
+                    {"name": "dr", "type": "parquet", "url": str(tmp_path),
+                     "tables": [{"name": "t", "columns": [
+                         {"name": "id", "type": "integer"},
+                         {"name": "missing_col", "type": "string"},
+                     ]}]}
+                ]
+            },
+            spark=spark,
+        )
+        report = eng.drift_report()
+        assert any(
+            "missing_col" in r["missing_columns"] and "extra" in r["extra_columns"]
+            for r in report
+        )
+        clear_drift_log()
+
 
 class TestFacades:
     @pytest.fixture(scope="class")
