@@ -249,11 +249,17 @@ class ApiKeyStore:
             hint = f" (rotated to {info.rotated_to})" if info.rotated_to else ""
             raise ApiKeyError(f"API key {key_id} has been revoked{hint}")
         if info.expires_at is not None and now >= info.expires_at:
-            raise ApiKeyError(f"API key {key_id} expired")
+            raise ApiKeyError(
+                f"API key {key_id} expired", code=ErrorCode.TOKEN_EXPIRED
+            )
         if verb is not None and not info.allows(verb):
+            # a VALID key without the verb's scope is an authorization
+            # denial (4002), not a bad credential (4003) — facades
+            # branch 403-vs-401 on the code, not message prose
             raise ApiKeyError(
                 f"API key {key_id} lacks scope {verb!r} "
-                f"(granted: {','.join(sorted(info.scopes))})"
+                f"(granted: {','.join(sorted(info.scopes))})",
+                code=ErrorCode.AUTHORIZATION_DENIED,
             )
         return info
 

@@ -163,8 +163,11 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 ki = keys.verify(bare, verb=self._verb(path))
             except ApiKeyError as e:
+                # 403 for a VALID key denied by scope (4002), 401 for a
+                # bad/expired credential — branch on the code, never on
+                # message prose (the contract exists for exactly this)
                 self._send(
-                    403 if "scope" in str(e) else 401,
+                    403 if e.code is ErrorCode.AUTHORIZATION_DENIED else 401,
                     _error_body(e),
                 )
                 return None
