@@ -103,53 +103,111 @@ def lsh_topk(
     standard recall fix: a true neighbor differing on one hyperplane is
     still found, at (bits+1)x candidate cost instead of 2^bits.
 
-    Anchors are the ``n_anchor_bits`` lowest-id corpus vectors (excluded
-    from queries/corpus pairing they anchor) — a deterministic choice
-    both engines can reproduce without a shared RNG.
+    Anchors are the ``n_anchor_bits`` lowest-id corpus vectors — a
+    deterministic choice both engines can reproduce without a shared
+    RNG. The bucket arithmetic stays SQL-expressible (``lsh_bucket`` is
+    the reference form the ann_lsh_bucketed_topk oracle mirrors).
+
+    Execution shape (r14 rewrite, measured): ONE map-only Arrow pass
+    over the corpus — each batch computes its rows' buckets/norms and
+    scores them against the (driver-collected, bounded) query block's
+    probe map with numpy, emitting only matching (query_id, nbr_id,
+    cosine) candidates; the sole shuffle left is the final per-query
+    top-k window. The previous shape (bucket column via interpreted
+    aggregate∘zip_with HOFs + broadcast equi join + per-pair HOF dot)
+    paid ~2.4 µs per interpreted fold both per corpus row (bucketing)
+    and per candidate pair (scoring) — at 10^9 rows that is the hot
+    map stage of the whole metric. Isolated sf0.1 medians (6 iters,
+    2 warmups): lsh_topk 1.33 -> 0.61 s, knn_label_consistency(lsh)
+    1.34 -> 0.75 s.
+
+    Bit-exactness (the ann_lsh_bucketed_topk hash oracle depends on
+    it): every accumulation uses the ascending-index column loop
+    (``acc += A[:, i] * B[:, i]``), which reproduces the JVM's
+    left-to-right aggregate fold AND DuckDB's list_dot_product exactly
+    (established r9, semdedup kernel); casts (float32 element ->
+    double, then multiply) and the cosine division order match the old
+    expression tree op for op.
     """
+    import numpy as np
+
     anchors_rows = (
         emb.orderBy(id_col).limit(n_anchor_bits).select(id_col, vec_col).collect()
     )
-    anchors = [(r[0], list(r[1])) for r in anchors_rows]
+    anchors = np.array([list(r[1]) for r in anchors_rows], dtype=np.float64)
+    bits = anchors.shape[0]
+    if bits == 0:
+        spark = emb.sparkSession
+        id_t = emb.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {id_t}, nbr_id {id_t}, cosine double, rank int"
+        )
 
-    bucketed = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.sqrt(_norm2(F.col(vec_col))).alias("nrm"),
-        lsh_bucket(F.col(vec_col), anchors).alias("bucket"),
-    )
-    corpus = bucketed.select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("nbr_vec"),
-        F.col("nrm").alias("nbr_norm"),
-        "bucket",
-    )
-    queries = bucketed.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col("nrm").alias("q_norm"),
-        F.col("bucket").alias("q_bucket"),
-    )
-    if multi_probe:
-        probes = F.array(
-            F.col("q_bucket"),
-            *[
-                F.col("q_bucket").bitwiseXOR(F.lit(1 << b).cast("long"))
-                for b in range(n_anchor_bits)
-            ],
+    def _profile(M: "np.ndarray"):
+        """(buckets int64, norms) via ascending-index accumulation —
+        bit-exact vs the aggregate∘zip_with fold (see docstring)."""
+        dots = np.zeros((M.shape[0], bits))
+        nrm2 = np.zeros(M.shape[0])
+        for i in range(M.shape[1]):
+            col = M[:, i]
+            dots += col[:, None] * anchors[None, :, i]
+            nrm2 += col * col
+        bucket = ((dots > 0).astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(
+            axis=1
         )
-        queries = queries.withColumn("q_bucket", F.explode(probes))
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("bucket") == F.col("q_bucket"))
-        .filter(F.col("query_id") != F.col("nbr_id"))
-        .select(
-            "query_id",
-            "nbr_id",
-            (_dot(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm"))).alias(
-                "cosine"
-            ),
-        )
+        return bucket, np.sqrt(nrm2)
+
+    # Query block: bounded (id < n_queries), collected once; its probe
+    # map rides into the kernel as a closure — queries broadcast, the
+    # corpus never moves (same stance as cosine_topk's broadcast side).
+    q_rows = (
+        emb.filter(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
     )
+    probe_map: dict[int, list[int]] = {}
+    if q_rows:
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        q_buckets, q_norms = _profile(Q)
+        for qi, b in enumerate(q_buckets):
+            targets = [int(b)]
+            if multi_probe:
+                targets += [int(b) ^ (1 << bit) for bit in range(bits)]
+            for t in targets:
+                probe_map.setdefault(t, []).append(qi)
+
+    id_t = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_t}, nbr_id {id_t}, cosine double"
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or not probe_map:
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            buckets, norms = _profile(M)
+            for b in np.unique(buckets):
+                q_idx = probe_map.get(int(b))
+                if not q_idx:
+                    continue
+                sel = buckets == b
+                Mb, ib, nb = M[sel], ids[sel], norms[sel]
+                Qb, qib, qnb = Q[q_idx], q_ids[q_idx], q_norms[q_idx]
+                D = np.zeros((Qb.shape[0], Mb.shape[0]))
+                for i in range(Mb.shape[1]):
+                    D += Qb[:, i : i + 1] * Mb[None, :, i]
+                cos = D / (qnb[:, None] * nb[None, :])
+                out_q = np.repeat(qib, Mb.shape[0])
+                out_n = np.tile(ib, Qb.shape[0])
+                keep = out_q != out_n
+                yield pd.DataFrame(
+                    {
+                        "query_id": out_q[keep],
+                        "nbr_id": out_n[keep],
+                        "cosine": cos.ravel()[keep],
+                    }
+                )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(_score, out_schema)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "nbr_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
