@@ -77,9 +77,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-14 window: the 5 rewritten entries, the 5 r9-green rows
+# Round-14 window: the 9 rewritten entries, the 5 r9-green rows
 # deferred at r13 (the staleness tail the r13 verdict front-loaded),
-# then 40 of the r10-green rows oldest-first in registration order.
+# then 36 of the r10-green rows oldest-first in registration order.
 
 # Entries whose operator implementation changes this round (r14):
 # knn_label_consistency's label-join broadcast side becomes the
@@ -87,34 +87,43 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # previously shipped the corpus-sized label relation);
 # simhash_near_pairs migrates to the shared gated hot-bucket drop with
 # a cached signature gate count (finding #3), which also feeds
-# duplicate_clusters' edge set; lsh_topk is rewritten as a map-only
-# Arrow pass (bit-exact ascending-index accumulation — verified
-# hash-green vs the oracle at sf0.001/0.01/0.1 before rotation), which
-# backs ann_lsh_bucketed_topk and ann_lsh_recall_vs_exact. Re-verified
-# by the driver this round so a hash regression cannot hide behind
-# stale green evidence.
+# duplicate_clusters' edge set; lsh_topk AND cosine_topk are rewritten
+# as map-only Arrow passes (bit-exact ascending-index accumulation —
+# every consumer verified hash-green vs the oracle at
+# sf0.001/0.01/0.1 before rotation), which back ann_lsh_bucketed_topk
+# and every *_recall_vs_exact companion. Re-verified by the driver
+# this round so a hash regression cannot hide behind stale green
+# evidence.
 _REWRITTEN: tuple[str, ...] = (
     "curation_knn_label_consistency",
     "dedup_simhash_near_pairs",
     "dedup_duplicate_clusters",
     "ann_lsh_bucketed_topk",
     "ann_lsh_recall_vs_exact",
+    "ann_cosine_topk_bruteforce",
+    "ann_ivf_recall_vs_exact",
+    "ann_pq_recall_vs_exact",
+    "ann_ivfpq_recall_vs_exact",
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (b) rewritten this round (5)
+    # (b) rewritten this round (9)
     "curation_knn_label_consistency",
     "dedup_simhash_near_pairs",
     "dedup_duplicate_clusters",
     "ann_lsh_bucketed_topk",
     "ann_lsh_recall_vs_exact",
+    "ann_cosine_topk_bruteforce",
+    "ann_ivf_recall_vs_exact",
+    "ann_pq_recall_vs_exact",
+    "ann_ivfpq_recall_vs_exact",
     # (c) oldest evidence: the 5 r9-green rows deferred since r13
     "events_funnel_conversion",
     "dedup_corpus_keep_first",
     "pipeline_decontaminate_ngram",
     "pipeline_pack_sequences",
     "pipeline_curation_filter",
-    # (c) oldest evidence: r10-green rows, registration order (40)
+    # (c) oldest evidence: r10-green rows, registration order (36)
     "tpch_q10_returned_items", "tpch_q9_product_profit",
     "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
@@ -132,11 +141,8 @@ _PRIORITY: tuple[str, ...] = (
     "expr_string_functions", "expr_math_functions",
     "expr_datetime_functions", "expr_conditional_null",
     "expr_cast_matrix",
-    "ann_ivf_topk", "ann_ivf_recall_vs_exact", "embedding_quantize_int8",
-    "ann_pq_topk", "ann_pq_recall_vs_exact",
-    "text_repetition_score",
-    "multimodal_decode_features", "multimodal_decode_meta",
-    "stream_view_purchase_join",
+    "ann_ivf_topk", "embedding_quantize_int8", "ann_pq_topk",
+    "text_repetition_score", "multimodal_decode_features",
     # --- 50-entry window boundary ---
 )
 
@@ -146,11 +152,11 @@ _PRIORITY: tuple[str, ...] = (
 # Any query whose plan is rewritten in round 15 joins that window the
 # same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "multimodal_decode_meta",
+    "stream_view_purchase_join",
     "expr_array_higher_order",
     "sample_hash_bucket",
     "sample_shuffle_deterministic",
-    "pipeline_mixture_upsample",
-    "pipeline_source_quota",
 )
 
 

@@ -48,27 +48,65 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for the first ``n_queries`` vectors."""
-    corpus = emb.select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("nbr_vec"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("nbr_norm"),
-    )
-    queries = emb.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("q_norm"),
-    )
-    scored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("query_id") != F.col("nbr_id"))
-        .select(
-            "query_id",
-            "nbr_id",
-            (_dot(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm"))).alias(
-                "cosine"
-            ),
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Execution shape (r14, same rewrite as ``lsh_topk``): one map-only
+    Arrow pass over the partitioned corpus scoring each batch against
+    the driver-collected (bounded) query block with numpy — queries
+    broadcast, the corpus never moves, and the |C| x |Q| pair stream
+    feeds the per-query top-k window (WindowGroupLimit prunes partial
+    top-k map-side before the one shuffle). The previous broadcast
+    crossJoin paid an interpreted aggregate∘zip_with fold per pair
+    (~2.4 µs each) — the dominant cost at corpus scale. All
+    accumulations use the ascending-index column loop, bit-exact vs
+    the JVM left-to-right fold and DuckDB's oracle (r9 kernel rule);
+    the ann_cosine_topk_bruteforce hash oracle pins it (verified at
+    sf0.001/0.01/0.1). Isolated sf0.1 median: 0.60 -> 0.52 s — modest
+    locally because the 2,000-row corpus is planning-constant
+    dominated; the rewrite's point is the per-pair interpreted-fold
+    cost at real corpus scale, same as lsh_topk's.
+    """
+    import numpy as np
+
+    q_rows = emb.filter(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
+    id_t = emb.schema[id_col].dataType.simpleString()
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [], f"query_id {id_t}, nbr_id {id_t}, cosine double, rank int"
         )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_nrm2 = np.zeros(Q.shape[0])
+    for i in range(Q.shape[1]):
+        q_nrm2 += Q[:, i] * Q[:, i]
+    q_norms = np.sqrt(q_nrm2)
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            D = np.zeros((Q.shape[0], M.shape[0]))
+            nrm2 = np.zeros(M.shape[0])
+            for i in range(M.shape[1]):
+                col = M[:, i]
+                D += Q[:, i : i + 1] * col[None, :]
+                nrm2 += col * col
+            cos = D / (q_norms[:, None] * np.sqrt(nrm2)[None, :])
+            out_q = np.repeat(q_ids, M.shape[0])
+            out_n = np.tile(ids, Q.shape[0])
+            keep = out_q != out_n
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[keep],
+                    "nbr_id": out_n[keep],
+                    "cosine": cos.ravel()[keep],
+                }
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        _score, f"query_id {id_t}, nbr_id {id_t}, cosine double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "nbr_id")
     return (
