@@ -68,6 +68,10 @@ def cosine_topk(
     """
     import numpy as np
 
+    # null vectors can't be scored (the numpy kernel needs rectangular
+    # batches); drop them on both sides — the old HOF form emitted
+    # null-cosine rows for them, which never made a meaningful top-k
+    emb = emb.filter(F.col(vec_col).isNotNull())
     q_rows = emb.filter(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
     id_t = emb.schema[id_col].dataType.simpleString()
     if not q_rows:
@@ -169,6 +173,9 @@ def lsh_topk(
     """
     import numpy as np
 
+    # null vectors can't be bucketed or scored — drop them (see
+    # cosine_topk's note on the old HOF form's null-cosine rows)
+    emb = emb.filter(F.col(vec_col).isNotNull())
     anchors_rows = (
         emb.orderBy(id_col).limit(n_anchor_bits).select(id_col, vec_col).collect()
     )
