@@ -205,6 +205,10 @@ def lsh_topk(
     # Query block: bounded (id < n_queries), collected once; its probe
     # map rides into the kernel as a closure — queries broadcast, the
     # corpus never moves (same stance as cosine_topk's broadcast side).
+    # Closure size is n_queries x dim doubles (~100 KB at the 200x64
+    # default; ~50 MB at n_queries=100k — still broadcast-scale). This
+    # operator's contract is a BOUNDED query set; corpus x corpus
+    # similarity is embedding_dup_pairs' job (bucketed, capped).
     q_rows = (
         emb.filter(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
     )
