@@ -25,6 +25,13 @@ from strake_spark.remote import RemoteEngine
 from strake_spark.materialize import Materializer
 from strake_spark.errors import (
     StrakeError,
+    StrakeException,
+    ConnectionError,
+    QueryError,
+    ConfigError,
+    AuthError,
+    InternalError,
+    ErrorCode,
     QueryRejected,
     BudgetExceeded,
     QueryTimeout,
@@ -53,6 +60,13 @@ __all__ = [
     "Materializer",
     "connect",
     "StrakeError",
+    "StrakeException",
+    "ConnectionError",
+    "QueryError",
+    "ConfigError",
+    "AuthError",
+    "InternalError",
+    "ErrorCode",
     "QueryRejected",
     "BudgetExceeded",
     "QueryTimeout",

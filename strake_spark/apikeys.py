@@ -42,7 +42,7 @@ import sqlite3
 import time
 from dataclasses import dataclass
 
-from strake_spark.errors import ErrorCode, StrakeError
+from strake_spark.errors import AuthError, ErrorCode
 
 VERBS = frozenset(
     {"execute", "sql", "describe", "list_sources", "explain_tree", "trace", "ping"}
@@ -80,7 +80,7 @@ CREATE TABLE IF NOT EXISTS api_keys (
 """
 
 
-class ApiKeyError(StrakeError):
+class ApiKeyError(AuthError):
     """Key rejected: unknown, malformed, expired, revoked, or out of
     scope. The message says which — operators debug rotations with it."""
 

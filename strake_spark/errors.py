@@ -176,7 +176,40 @@ class StrakeError(Exception):
         return body
 
 
-class QueryRejected(StrakeError):
+# --- category exception classes (reference python/src/errors.rs:11-27:
+# StrakeException base + one subclass per ErrorCategory, so API users
+# catch by family the way the reference's Python client maps
+# to_py_exception by code category). Behavior-specific types below
+# subclass the category matching their DEFAULT code; instances carry
+# their exact classification in ``e.code`` (whose .category is
+# authoritative when a site overrides the code).
+
+
+class ConnectionError(StrakeError):  # noqa: A001 - reference API name
+    """Category base: connection/source failures (1xxx)."""
+
+
+class QueryError(StrakeError):
+    """Category base: query rejection/failure (2xxx)."""
+
+
+class AuthError(StrakeError):
+    """Category base: authentication/authorization failures (4xxx)."""
+
+    code = ErrorCode.AUTHENTICATION_FAILED
+
+
+class InternalError(StrakeError):
+    """Category base: internal/system failures (5xxx)."""
+
+    code = ErrorCode.INTERNAL_PANIC
+
+
+# Reference Python spelling of the base class (python/src/errors.rs:11)
+StrakeException = StrakeError
+
+
+class QueryRejected(QueryError):
     """Query refused at the gate (non-SELECT, invalid identifier, policy).
 
     Default code follows the reference, where statement-class rejection
@@ -187,7 +220,7 @@ class QueryRejected(StrakeError):
     code = ErrorCode.SYNTAX_ERROR
 
 
-class BudgetExceeded(StrakeError):
+class BudgetExceeded(QueryError):
     """Estimated plan cost exceeds configured limits.
 
     Reference: cost_validator.rs:56-77 (max estimated rows/bytes over plan
@@ -197,7 +230,7 @@ class BudgetExceeded(StrakeError):
     code = ErrorCode.BUDGET_EXCEEDED
 
 
-class QueryTimeout(StrakeError):
+class QueryTimeout(QueryError):
     """Query wall-clock exceeded the configured timeout; Spark jobs cancelled.
 
     Reference: federation.rs:460 classifies the deadline as QueryCancelled.
@@ -216,7 +249,7 @@ class ConfigError(StrakeError, ValueError):
     code = ErrorCode.CONFIG_ERROR
 
 
-class EngineError(StrakeError):
+class EngineError(QueryError):
     """Engine-side query failure, classified onto the stable code
     contract from Spark's error condition (strake_spark.convert,
     mirroring the reference's From<DataFusionError> in convert.rs:4-41:
@@ -226,7 +259,7 @@ class EngineError(StrakeError):
     code = ErrorCode.ENGINE_INTERNAL
 
 
-class SourceError(StrakeError):
+class SourceError(ConnectionError):
     """A federated source failed (after retries / circuit breaker)."""
 
     code = ErrorCode.DATABASE_ERROR

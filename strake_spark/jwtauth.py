@@ -33,7 +33,8 @@ import json
 import time
 from typing import Any
 
-from strake_spark.errors import ErrorCode, StrakeError
+from strake_spark.errors import AuthError as _AuthCategory
+from strake_spark.errors import ErrorCode
 
 _SUPPORTED = ("HS256", "RS256", "ES256", "ES384", "ES512")
 # ES* needs EC point math — implemented via the `cryptography` package
@@ -51,7 +52,7 @@ def _ec_backend():
         return None
 
 
-class AuthError(StrakeError):
+class AuthError(_AuthCategory):
     """Bearer token rejected (bad signature, expired, wrong iss/aud)."""
 
     code = ErrorCode.AUTHENTICATION_FAILED

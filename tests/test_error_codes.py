@@ -130,6 +130,49 @@ class TestExceptionDefaults:
         assert ei.value.code is ErrorCode.TOKEN_EXPIRED
 
 
+class TestCategoryHierarchy:
+    """Reference python/src/errors.rs:11-27: StrakeException + one
+    exception class per category, so API users catch by family."""
+
+    def test_category_parents(self):
+        import strake_spark as ss
+        from strake_spark import errors as E
+
+        assert ss.StrakeException is ss.StrakeError
+        assert issubclass(E.QueryRejected, E.QueryError)
+        assert issubclass(E.BudgetExceeded, E.QueryError)
+        assert issubclass(E.QueryTimeout, E.QueryError)
+        assert issubclass(E.EngineError, E.QueryError)
+        assert issubclass(E.SourceError, E.ConnectionError)
+        assert issubclass(E.CircuitOpen, E.ConnectionError)
+        for cls in (E.QueryError, E.ConnectionError, E.AuthError,
+                    E.InternalError, E.ConfigError):
+            assert issubclass(cls, E.StrakeError)
+
+    def test_auth_family(self):
+        from strake_spark import errors as E
+        from strake_spark.apikeys import ApiKeyError
+        from strake_spark.jwtauth import AuthError as JwtAuthError
+
+        assert issubclass(ApiKeyError, E.AuthError)
+        assert issubclass(JwtAuthError, E.AuthError)
+
+    def test_catch_by_category(self, spark):
+        import strake_spark as ss
+        from tests.conftest import SF_DIR
+
+        eng = ss.connect(
+            {"sources": [{"name": "ch", "type": "parquet", "url": SF_DIR,
+                          "tables": [{"name": "region"}]}]},
+            spark=spark,
+        )
+        with pytest.raises(ss.QueryError) as ei:
+            eng.execute("SELECT nope FROM ch_region")
+        assert ei.value.code.category.value == "query"
+        with pytest.raises(ss.QueryError):
+            eng.execute("DROP TABLE ch_region")
+
+
 class TestConfigErrorCodes:
     def test_bad_yaml_is_3001_and_still_valueerror(self, tmp_path):
         from strake_spark.config import load_config
