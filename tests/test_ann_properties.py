@@ -1,0 +1,107 @@
+"""Property tests for the r14 Arrow ANN kernels (operators/similarity):
+cosine_topk must equal a pure-Python float reference on arbitrary
+random corpora (not just the fixed testdata the oracles pin), and
+lsh_topk's candidate sets must stay within its probe-bucket contract
+while preserving exact cosines for the pairs it does score."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from strake_spark.operators import similarity as S
+
+DIM = 4
+
+
+def _corpora():
+    vec = st.lists(
+        st.floats(
+            min_value=-8.0, max_value=8.0, allow_nan=False, allow_infinity=False,
+            width=32,
+        ),
+        min_size=DIM, max_size=DIM,
+    ).filter(lambda v: any(abs(x) > 1e-3 for x in v))  # non-degenerate norm
+    return st.lists(vec, min_size=3, max_size=12)
+
+
+def _py_cosine(q: list[float], c: list[float]) -> float:
+    """The engines' exact arithmetic: left-to-right fold of per-element
+    double products, norms the same way, then dot / (qn * cn)."""
+    dot = 0.0
+    qn2 = 0.0
+    cn2 = 0.0
+    for x, y in zip(q, c):
+        dot += float(x) * float(y)
+        qn2 += float(x) * float(x)
+        cn2 += float(y) * float(y)
+    return dot / (math.sqrt(qn2) * math.sqrt(cn2))
+
+
+def _py_topk(vecs: list[list[float]], k: int, n_queries: int):
+    out = set()
+    for qi, q in enumerate(vecs[:n_queries]):
+        scored = [
+            (ci, _py_cosine(q, c)) for ci, c in enumerate(vecs) if ci != qi
+        ]
+        # rank by cosine desc, neighbor id asc — the window's total order
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (ci, cos) in enumerate(scored[:k], start=1):
+            out.add((qi, ci, cos, rank))
+    return out
+
+
+class TestCosineTopkProperty:
+    @settings(max_examples=12, deadline=None)
+    @given(_corpora())
+    def test_matches_pure_python_reference(self, spark, vecs):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        k, n_q = 3, 2
+        got = {
+            (r.query_id, r.nbr_id, r.cosine, r.rank)
+            for r in S.cosine_topk(df, k=k, n_queries=n_q).collect()
+        }
+        # the reference must use the same float32-quantized inputs the
+        # engine reads back from the array<float> column
+        stored = [
+            [float(x) for x in r.embedding]
+            for r in df.orderBy("vec_id").collect()
+        ]
+        assert got == _py_topk(stored, k, n_q)
+
+
+class TestLshTopkProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(_corpora())
+    def test_candidates_respect_probe_contract_and_exact_cosines(self, spark, vecs):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        bits, n_q, k = 2, 2, 3
+        rows = S.lsh_topk(df, k=k, n_queries=n_q, n_anchor_bits=bits).collect()
+        stored = [
+            [float(x) for x in r.embedding] for r in df.orderBy("vec_id").collect()
+        ]
+
+        def bucket(v):
+            b = 0
+            for bit in range(bits):
+                if sum(float(x) * float(a) for x, a in zip(v, stored[bit])) > 0:
+                    b |= 1 << bit
+            return b
+
+        for r in rows:
+            assert r.query_id != r.nbr_id
+            # candidate must be in the query's bucket or one bit away
+            qb, nb = bucket(stored[r.query_id]), bucket(stored[r.nbr_id])
+            assert bin(qb ^ nb).count("1") <= 1, (qb, nb)
+            # and its cosine must be the exact (bit-identical) pairwise
+            # value — the ascending-index kernel reproduces the
+            # sequential fold
+            assert r.cosine == _py_cosine(stored[r.query_id], stored[r.nbr_id])
