@@ -124,7 +124,14 @@ class SchemaIndex:
                 col_comment = (
                     comments.get((remote.table, f.name), "") if remote else ""
                 ) or str(f.metadata.get("comment", "") if f.metadata else "")
-                doc = " ".join(x for x in (col_comment, table_comment) if x)
+                # "column | table" — the '|' is ignored by the fts5
+                # tokenizer (no match/rank impact) but lets search()'s
+                # description_scope split the halves unambiguously
+                doc = (
+                    f"{col_comment} | {table_comment}"
+                    if (col_comment or table_comment)
+                    else ""
+                )
                 con.execute(
                     "INSERT INTO cols VALUES (?,?,?,?,?)",
                     (name, f.name, f.dataType.simpleString(), src, doc),
@@ -136,23 +143,56 @@ class SchemaIndex:
         self._con = con
         return n
 
-    def search(self, query: str, limit: int = 20) -> list[ColumnHit]:
+    def search(
+        self,
+        query: str,
+        limit: int = 20,
+        include_descriptions: bool = True,
+        description_scope: str = "all",
+        max_description_length: int = 100,
+    ) -> list[ColumnHit]:
         """BM25-ranked column search; '*' suffix expansion applied to
         bare terms so 'cust' finds 'c_custkey'. Comment text ('doc')
-        participates in matching and ranking."""
+        participates in matching and ranking regardless of the output
+        knobs below — scoping controls what the CALLER sees, not what
+        the index matches (reference search.py:154-213 semantics).
+
+        include_descriptions / description_scope ('all' | 'tables_only'
+        | 'none') / max_description_length mirror the reference's
+        search_tables output controls: agent callers budget tokens by
+        trimming or dropping description text from results."""
         if self._con is None:
             self.rebuild()
         terms = [t for t in query.replace("'", " ").split() if t]
         if not terms:
             return []
+        if description_scope not in ("all", "tables_only", "none"):
+            raise ValueError(
+                f"description_scope must be all|tables_only|none, got "
+                f"{description_scope!r}"
+            )
         fts = " OR ".join(f'"{t}"*' for t in terms)
         rows = self._con.execute(
             "SELECT tbl, col, typ, src, doc, rank FROM cols "
             "WHERE cols MATCH ? ORDER BY rank LIMIT ?",
             (fts, limit),
         ).fetchall()
+
+        def _doc(text: str) -> str:
+            if not include_descriptions or description_scope == "none":
+                return ""
+            # the doc field is "column | table" (see rebuild);
+            # tables_only keeps the table half (reference blanks
+            # column_description and keeps table_description)
+            if description_scope == "tables_only" and "|" in text:
+                text = text.split("|", 1)[1].strip()
+            if len(text) > max_description_length:
+                return text[:max_description_length] + "..."
+            return text.strip()
+
         return [
-            ColumnHit(r[0], r[1], r[2], r[3], -float(r[5]), comment=r[4]) for r in rows
+            ColumnHit(r[0], r[1], r[2], r[3], -float(r[5]), comment=_doc(r[4]))
+            for r in rows
         ]
 
 

@@ -96,6 +96,43 @@ class TestDiscovery:
         # table-level comment also searchable
         assert any(h.table == "du_users" for h in idx.search("account holders"))
 
+    def test_description_scope_knobs(self, spark, tmp_path):
+        """reference search.py:154-213 output controls: callers budget
+        tokens by scoping/truncating description text — scoping trims
+        what's RETURNED, never what the index matched on."""
+        import duckdb
+
+        dbpath = str(tmp_path / "scoped.duckdb")
+        con = duckdb.connect(dbpath)
+        con.execute("CREATE TABLE users (id BIGINT, seg VARCHAR)")
+        con.execute("COMMENT ON COLUMN users.seg IS 'marketing audience tier'")
+        con.execute("COMMENT ON TABLE users IS 'registered account holders'")
+        con.close()
+        eng = ss.connect(
+            {"sources": [{"name": "sc", "type": "duckdb", "url": dbpath,
+                          "tables": [{"name": "users"}]}]},
+            spark=spark,
+        )
+        idx = SchemaIndex(eng.spark)
+        idx.rebuild()
+
+        def top(**kw):
+            hits = idx.search("marketing audience", **kw)
+            return next(h for h in hits if h.column == "seg")
+
+        full = top()
+        assert "marketing audience tier" in full.comment
+        assert "registered account holders" in full.comment
+        tables_only = top(description_scope="tables_only")
+        assert "registered account holders" in tables_only.comment
+        assert "marketing" not in tables_only.comment
+        assert top(description_scope="none").comment == ""
+        assert top(include_descriptions=False).comment == ""
+        truncated = top(max_description_length=10)
+        assert truncated.comment.endswith("...") and len(truncated.comment) == 13
+        with pytest.raises(ValueError):
+            idx.search("x", description_scope="bogus")
+
     def test_comment_enrichment_sqlite_ddl(self, spark, tmp_path):
         import sqlite3 as sq
 
