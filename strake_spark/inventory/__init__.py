@@ -77,9 +77,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-14 window: the 10 rewritten entries, the 5 r9-green rows
+# Round-14 window: the 11 rewritten entries, the 5 r9-green rows
 # deferred at r13 (the staleness tail the r13 verdict front-loaded),
-# then 35 of the r10-green rows oldest-first in registration order.
+# then 34 of the r10-green rows oldest-first in registration order.
 
 # Entries whose operator implementation changes this round (r14):
 # knn_label_consistency's label-join broadcast side becomes the
@@ -92,7 +92,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # every consumer verified hash-green vs the oracle at
 # sf0.001/0.01/0.1 before rotation), which back ann_lsh_bucketed_topk
 # and every *_recall_vs_exact companion; ivf_topk's scoring join gets
-# the same kernel (rows-only entry, recall floor re-verified). Re-verified by the driver
+# the same kernel (rows-only entry, recall floor re-verified), and
+# pq_topk's encode stage (golden-compared byte-identical outputs). Re-verified by the driver
 # this round so a hash regression cannot hide behind stale green
 # evidence.
 _REWRITTEN: tuple[str, ...] = (
@@ -106,10 +107,11 @@ _REWRITTEN: tuple[str, ...] = (
     "ann_pq_recall_vs_exact",
     "ann_ivfpq_recall_vs_exact",
     "ann_ivf_topk",
+    "ann_pq_topk",
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (b) rewritten this round (10)
+    # (b) rewritten this round (11)
     "curation_knn_label_consistency",
     "dedup_simhash_near_pairs",
     "dedup_duplicate_clusters",
@@ -120,13 +122,14 @@ _PRIORITY: tuple[str, ...] = (
     "ann_pq_recall_vs_exact",
     "ann_ivfpq_recall_vs_exact",
     "ann_ivf_topk",
+    "ann_pq_topk",
     # (c) oldest evidence: the 5 r9-green rows deferred since r13
     "events_funnel_conversion",
     "dedup_corpus_keep_first",
     "pipeline_decontaminate_ngram",
     "pipeline_pack_sequences",
     "pipeline_curation_filter",
-    # (c) oldest evidence: r10-green rows, registration order (35)
+    # (c) oldest evidence: r10-green rows, registration order (34)
     "tpch_q10_returned_items", "tpch_q9_product_profit",
     "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
@@ -144,7 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "expr_string_functions", "expr_math_functions",
     "expr_datetime_functions", "expr_conditional_null",
     "expr_cast_matrix",
-    "embedding_quantize_int8", "ann_pq_topk",
+    "embedding_quantize_int8",
     "text_repetition_score", "multimodal_decode_features",
     # --- 50-entry window boundary ---
 )

@@ -1178,10 +1178,38 @@ def pq_topk(
     slices = [F.slice(F.col("nv"), j * sub + 1, sub) for j in range(m)]
     codebooks = _pq_train(base, slices, n_codes, seed)
 
+    # Encode via one Arrow-batched kernel instead of m x n_codes
+    # interpreted dist^2 folds per corpus row (the hot map stage at
+    # 10^9 rows — same r14 treatment as the LSH/IVF/brute kernels).
+    # Bit-exact vs _pq_code_expr: ascending-index accumulation per
+    # subspace dim reproduces the HOF fold, and np.argmin's first-min
+    # rule is the struct-sort (d, c) smallest-code tie-break — the
+    # sf0.001/sf0.01 outputs are byte-identical to the expression form
+    # (golden-compared at rewrite time). _pq_code_expr itself stays:
+    # the deterministic hash-oracled siblings build on it.
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    _cb = [np.array(cb, dtype=np.float64) for cb in codebooks]
+
+    @pandas_udf("array<int>")
+    def _encode(nv: pd.Series) -> pd.Series:
+        M = np.array(nv.tolist(), dtype=np.float64)
+        out = np.empty((M.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sl = M[:, j * sub : (j + 1) * sub]
+            dist2 = np.zeros((M.shape[0], n_codes))
+            for i in range(sub):
+                diff = sl[:, i][:, None] - _cb[j][None, :, i]
+                dist2 += diff * diff
+            out[:, j] = np.argmin(dist2, axis=1)
+        return pd.Series(list(out))
+
     codes = base.select(
-        F.col(id_col).alias("nbr_id"),
-        *[_pq_code_expr(slices[j], codebooks[j]).alias(f"code_{j}")
-          for j in range(m)],
+        F.col(id_col).alias("nbr_id"), _encode(F.col("nv")).alias("codes")
+    ).select(
+        "nbr_id",
+        *[F.element_at("codes", j + 1).alias(f"code_{j}") for j in range(m)],
     )
     luts = [
         F.array(*[_dist2_center(slices[j], c) for c in codebooks[j]]).alias(f"lut_{j}")
