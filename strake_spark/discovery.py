@@ -183,12 +183,22 @@ class SchemaIndex:
                 return ""
             # the doc field is "column | table" (see rebuild);
             # tables_only keeps the table half (reference blanks
-            # column_description and keeps table_description)
-            if description_scope == "tables_only" and "|" in text:
-                text = text.split("|", 1)[1].strip()
+            # column_description and keeps table_description). Re-join
+            # only the non-empty halves so a missing half never leaks a
+            # stray '|' to the caller
+            halves = [h.strip() for h in text.split("|", 1)]
+            if description_scope == "tables_only":
+                halves = halves[1:]
+            text = " | ".join(h for h in halves if h)
             if len(text) > max_description_length:
-                return text[:max_description_length] + "..."
-            return text.strip()
+                cut = text[:max_description_length]
+                # a cut landing on the " | " separator would leak a
+                # dangling pipe — drop it (plain mid-word cuts keep
+                # their exact length, same as before)
+                if cut.rstrip().endswith("|"):
+                    cut = cut.rstrip().rstrip("|").rstrip()
+                return cut + "..."
+            return text
 
         return [
             ColumnHit(r[0], r[1], r[2], r[3], -float(r[5]), comment=_doc(r[4]))

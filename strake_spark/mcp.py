@@ -27,6 +27,17 @@ TOOLS = [
             "properties": {
                 "query": {"type": "string"},
                 "limit": {"type": "integer", "default": 20},
+                # output-budget controls (reference python/strake/
+                # mcp.py:173-196): agent callers trim or drop
+                # description text without losing match/rank quality —
+                # descriptions always participate in BM25 matching
+                "include_descriptions": {"type": "boolean", "default": True},
+                "description_scope": {
+                    "type": "string",
+                    "enum": ["all", "tables_only", "none"],
+                    "default": "all",
+                },
+                "max_description_length": {"type": "integer", "default": 100},
             },
             "required": ["query"],
         },
@@ -118,11 +129,17 @@ class McpServer:
     def _call_tool(self, name: str, args: dict) -> dict:
         if name == "search_schemas":
             self.index.rebuild()
-            hits = self.index.search(args["query"], int(args.get("limit", 20)))
+            hits = self.index.search(
+                args["query"],
+                int(args.get("limit", 20)),
+                include_descriptions=bool(args.get("include_descriptions", True)),
+                description_scope=str(args.get("description_scope", "all")),
+                max_description_length=int(args.get("max_description_length", 100)),
+            )
             return self._text(
                 [
                     {"table": h.table, "column": h.column, "type": h.type,
-                     "source": h.source}
+                     "source": h.source, "description": h.comment}
                     for h in hits
                 ]
             )

@@ -1,18 +1,21 @@
 """Embedding similarity search (ANN) over an array<float> column.
 
-- cosine_topk: brute-force exact top-k — the correctness baseline.
-  Query set broadcast against the corpus; dot products run JVM-side via
-  zip_with/aggregate (no Python in the loop). At 100 TB corpus scale
-  the corpus side stays partitioned; only the query block broadcasts.
-- lsh_topk: bucketed approximate variant — corpus and queries are
-  bucketed by sign-bits of dot products against a fixed set of anchor
-  vectors (random-hyperplane LSH, hyperplanes = held-out corpus
-  vectors so both engines derive them identically); candidates are
-  same-bucket only, cutting the join from |Q|x|C| to |Q|x|C|/2^bits on
-  average. Recall vs the exact baseline is asserted in tests.
+Execution shape (r14 kernels): every scoring path — cosine_topk (exact
+baseline), lsh_topk (sign-bit bucketed), ivf_topk (cell-probed), and
+pq_topk's encode — runs as ONE map-only Arrow pass over the partitioned
+corpus: the bounded query block (``id < n_queries``) is collected on
+the driver and rides into a ``mapInPandas``/``pandas_udf`` numpy kernel
+as a closure, each Arrow batch scores its rows against it, and the sole
+shuffle left is the final per-query top-k window (WindowGroupLimit
+prunes partial top-k map-side). The corpus never moves. Kernels score
+in fixed-size query slices (``_KERNEL_QUERY_CHUNK``) so per-task memory
+stays bounded by ``chunk x maxRecordsPerBatch`` doubles no matter how
+large the query block grows.
 
-All arithmetic is double, accumulated left-to-right in both engines, so
-a SQL oracle reproduces scores bit-for-bit.
+All arithmetic is double, accumulated in ascending index order
+(``acc += A[:, i] * B[:, i]``) — bit-exact vs both the JVM
+left-to-right aggregate fold and DuckDB's list_dot_product, so the SQL
+oracles reproduce scores bit-for-bit (r9 kernel rule).
 """
 
 from __future__ import annotations
@@ -23,6 +26,15 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from strake_spark.operators.hotbucket import drop_hot_buckets
+
+# Query rows scored per kernel slice: bounds the dense |q_chunk| x batch
+# score matrix each Arrow batch allocates (chunk x 10k-row default batch
+# = ~320 MB of doubles at 4096) independently of n_queries — at
+# n_queries=100k an unchunked kernel would allocate an ~8 GB matrix per
+# batch. Chunking slices the QUERY axis only; every element is still
+# accumulated in the same ascending-index order, so scores are
+# bit-identical to the unchunked pass (the hash oracles pin this).
+_KERNEL_QUERY_CHUNK = 4096
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -91,23 +103,32 @@ def cosine_topk(
                 continue
             ids = pdf[id_col].to_numpy()
             M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            D = np.zeros((Q.shape[0], M.shape[0]))
             nrm2 = np.zeros(M.shape[0])
             for i in range(M.shape[1]):
                 col = M[:, i]
-                D += Q[:, i : i + 1] * col[None, :]
                 nrm2 += col * col
-            cos = D / (q_norms[:, None] * np.sqrt(nrm2)[None, :])
-            out_q = np.repeat(q_ids, M.shape[0])
-            out_n = np.tile(ids, Q.shape[0])
-            keep = out_q != out_n
-            yield pd.DataFrame(
-                {
-                    "query_id": out_q[keep],
-                    "nbr_id": out_n[keep],
-                    "cosine": cos.ravel()[keep],
-                }
-            )
+            norms = np.sqrt(nrm2)
+            # score in bounded query slices (see _KERNEL_QUERY_CHUNK):
+            # per-slice values are accumulated exactly as the unchunked
+            # pass would — only the matrix height is capped
+            for qs in range(0, Q.shape[0], _KERNEL_QUERY_CHUNK):
+                Qc = Q[qs : qs + _KERNEL_QUERY_CHUNK]
+                qic = q_ids[qs : qs + _KERNEL_QUERY_CHUNK]
+                qnc = q_norms[qs : qs + _KERNEL_QUERY_CHUNK]
+                D = np.zeros((Qc.shape[0], M.shape[0]))
+                for i in range(M.shape[1]):
+                    D += Qc[:, i : i + 1] * M[None, :, i]
+                cos = D / (qnc[:, None] * norms[None, :])
+                out_q = np.repeat(qic, M.shape[0])
+                out_n = np.tile(ids, Qc.shape[0])
+                keep = out_q != out_n
+                yield pd.DataFrame(
+                    {
+                        "query_id": out_q[keep],
+                        "nbr_id": out_n[keep],
+                        "cosine": cos.ravel()[keep],
+                    }
+                )
 
     scored = emb.select(id_col, vec_col).mapInPandas(
         _score, f"query_id {id_t}, nbr_id {id_t}, cosine double"
@@ -173,6 +194,12 @@ def lsh_topk(
     """
     import numpy as np
 
+    if n_anchor_bits < 1:
+        # the old SQL path degenerated to bucket 0 for every row (exact
+        # all-pairs); a kernel pass with zero hyperplanes would instead
+        # silently return nothing — fail loudly, callers wanting the
+        # exact answer have cosine_topk
+        raise ValueError(f"n_anchor_bits must be >= 1, got {n_anchor_bits}")
     # null vectors can't be bucketed or scored — drop them (see
     # cosine_topk's note on the old HOF form's null-cosine rows)
     emb = emb.filter(F.col(vec_col).isNotNull())
@@ -181,7 +208,7 @@ def lsh_topk(
     )
     anchors = np.array([list(r[1]) for r in anchors_rows], dtype=np.float64)
     bits = anchors.shape[0]
-    if bits == 0:
+    if bits == 0:  # empty corpus: no anchors, no rows — typed empty result
         spark = emb.sparkSession
         id_t = emb.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
@@ -240,21 +267,26 @@ def lsh_topk(
                     continue
                 sel = buckets == b
                 Mb, ib, nb = M[sel], ids[sel], norms[sel]
-                Qb, qib, qnb = Q[q_idx], q_ids[q_idx], q_norms[q_idx]
-                D = np.zeros((Qb.shape[0], Mb.shape[0]))
-                for i in range(Mb.shape[1]):
-                    D += Qb[:, i : i + 1] * Mb[None, :, i]
-                cos = D / (qnb[:, None] * nb[None, :])
-                out_q = np.repeat(qib, Mb.shape[0])
-                out_n = np.tile(ib, Qb.shape[0])
-                keep = out_q != out_n
-                yield pd.DataFrame(
-                    {
-                        "query_id": out_q[keep],
-                        "nbr_id": out_n[keep],
-                        "cosine": cos.ravel()[keep],
-                    }
-                )
+                # bounded query slices per bucket (_KERNEL_QUERY_CHUNK):
+                # a hot bucket probed by every query would otherwise
+                # allocate a |Q| x batch matrix
+                for qs in range(0, len(q_idx), _KERNEL_QUERY_CHUNK):
+                    qc = q_idx[qs : qs + _KERNEL_QUERY_CHUNK]
+                    Qb, qib, qnb = Q[qc], q_ids[qc], q_norms[qc]
+                    D = np.zeros((Qb.shape[0], Mb.shape[0]))
+                    for i in range(Mb.shape[1]):
+                        D += Qb[:, i : i + 1] * Mb[None, :, i]
+                    cos = D / (qnb[:, None] * nb[None, :])
+                    out_q = np.repeat(qib, Mb.shape[0])
+                    out_n = np.tile(ib, Qb.shape[0])
+                    keep = out_q != out_n
+                    yield pd.DataFrame(
+                        {
+                            "query_id": out_q[keep],
+                            "nbr_id": out_n[keep],
+                            "cosine": cos.ravel()[keep],
+                        }
+                    )
 
     scored = emb.select(id_col, vec_col).mapInPandas(_score, out_schema)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "nbr_id")
@@ -520,6 +552,10 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # same null contract as cosine/lsh: a null vector can't be
+    # cluster-assigned or scored (np.array conversion would raise and
+    # kill the task) — drop it before training/assignment
+    emb = emb.filter(F.col(vec_col).isNotNull())
     dataset = emb.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
     )
@@ -584,21 +620,25 @@ def ivf_topk(
                     continue
                 sel = cells == c
                 Mb, ib, nb = M[sel], ids[sel], norms[sel]
-                Qb, qib, qnb = Q[q_idx], q_ids[q_idx], q_norms[q_idx]
-                D = np.zeros((Qb.shape[0], Mb.shape[0]))
-                for i in range(Mb.shape[1]):
-                    D += Qb[:, i : i + 1] * Mb[None, :, i]
-                cos = D / (qnb[:, None] * nb[None, :])
-                out_q = np.repeat(qib, Mb.shape[0])
-                out_n = np.tile(ib, Qb.shape[0])
-                keep = out_q != out_n
-                yield pd.DataFrame(
-                    {
-                        "query_id": out_q[keep],
-                        "nbr_id": out_n[keep],
-                        "cosine": cos.ravel()[keep],
-                    }
-                )
+                # bounded query slices per cell (_KERNEL_QUERY_CHUNK),
+                # same rationale as lsh_topk's per-bucket chunking
+                for qs in range(0, len(q_idx), _KERNEL_QUERY_CHUNK):
+                    qc = q_idx[qs : qs + _KERNEL_QUERY_CHUNK]
+                    Qb, qib, qnb = Q[qc], q_ids[qc], q_norms[qc]
+                    D = np.zeros((Qb.shape[0], Mb.shape[0]))
+                    for i in range(Mb.shape[1]):
+                        D += Qb[:, i : i + 1] * Mb[None, :, i]
+                    cos = D / (qnb[:, None] * nb[None, :])
+                    out_q = np.repeat(qib, Mb.shape[0])
+                    out_n = np.tile(ib, Qb.shape[0])
+                    keep = out_q != out_n
+                    yield pd.DataFrame(
+                        {
+                            "query_id": out_q[keep],
+                            "nbr_id": out_n[keep],
+                            "cosine": cos.ravel()[keep],
+                        }
+                    )
 
     scored = assigned.mapInPandas(
         _score, f"query_id {id_t}, nbr_id {id_t}, cosine double"
@@ -1170,6 +1210,9 @@ def pq_topk(
     """
     from pyspark.sql import Window
 
+    # same null contract as cosine/lsh/ivf: the encode kernel needs
+    # rectangular batches — a null vector would kill the np.array cast
+    emb = emb.filter(F.col(vec_col).isNotNull())
     d = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -1364,6 +1407,8 @@ def ivfpq_topk(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
+    # same null contract as the other MLlib-trained paths (ivf/pq)
+    emb = emb.filter(F.col(vec_col).isNotNull())
     d = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")

@@ -240,6 +240,11 @@ class RemoteEngine:
         implements trace over the wire too, backend/remote.rs:70-84)."""
         return self._action("trace", query.encode())
 
+    def drift_report(self) -> list[dict]:
+        """Server-side schema-drift audit records (engine.drift_report
+        shape: STRAKE-2009..2011-coded diffs, newest last)."""
+        return self._action("drift_report")["drift"]
+
     def ping(self) -> dict[str, Any]:
         return self._action("ping")
 

@@ -139,6 +139,7 @@ class _Handler(BaseHTTPRequestHandler):
         ("/api/v1/lineage", "explain_tree"),
         ("/api/v1/impact", "explain_tree"),
         ("/api/v1/spans", "trace"),
+        ("/api/v1/drift", "describe"),
     )
 
     def _verb(self, path: str) -> str:
@@ -210,6 +211,16 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(
                 200,
                 {"status": "success", "data": self.engine.spans(), "message": None},
+            )
+        if path == "/api/v1/drift":
+            # schema-drift audit (r15): the engine's structured drift
+            # records (sources/drift.py, STRAKE-2009..2011 codes) — the
+            # reference surfaces drift warnings on both server facades;
+            # this is the read-only introspection equivalent
+            return self._send(
+                200,
+                {"status": "success", "data": self.engine.drift_report(),
+                 "message": None},
             )
         m = _INTROSPECT_SOURCE.match(path)
         if m:

@@ -271,13 +271,19 @@ def make_server(
                 ("describe", "column schema of a view; body = view name (JSON)"),
                 ("explain_tree", "plan tree with pushdown markers; body = SQL (JSON)"),
                 ("trace", "plan + stats report; body = SQL (JSON)"),
+                ("drift_report", "structured schema-drift audit records (JSON)"),
                 ("ping", "liveness + engine identity (JSON)"),
             ]
 
         def do_action(self, context, action):
             body = action.body.to_pybytes().decode() if action.body else ""
-            if action.type in ("list_sources", "describe", "explain_tree", "trace", "ping"):
-                _scope_check(context, action.type)
+            if action.type in ("list_sources", "describe", "explain_tree",
+                               "trace", "drift_report", "ping"):
+                # drift_report is read-only introspection -> describe scope
+                _scope_check(
+                    context,
+                    "describe" if action.type == "drift_report" else action.type,
+                )
             if action.type == "list_sources":
                 out = _governed(self.engine.list_sources)
             elif action.type == "describe":
@@ -286,6 +292,8 @@ def make_server(
                 out = {"tree": _governed(lambda: self.engine.explain_tree(body))}
             elif action.type == "trace":
                 out = _governed(lambda: self.engine.trace(body))
+            elif action.type == "drift_report":
+                out = {"drift": _governed(self.engine.drift_report)}
             elif action.type == "ping":
                 out = {"ok": True, "engine": "strake-spark"}
             else:

@@ -105,3 +105,82 @@ class TestLshTopkProperty:
             # value — the ascending-index kernel reproduces the
             # sequential fold
             assert r.cosine == _py_cosine(stored[r.query_id], stored[r.nbr_id])
+
+
+class TestKernelQueryChunking:
+    """r15 (r14 advice #1): the kernels score in bounded query slices
+    (_KERNEL_QUERY_CHUNK) so per-task memory is chunk x batch doubles
+    regardless of n_queries. Chunking slices the query axis only — the
+    per-element ascending-index accumulation is unchanged, so results
+    must be BIT-identical at any chunk size (the hash oracles depend on
+    it)."""
+
+    def _emb(self, spark):
+        from strake_spark.data import table
+        from tests.conftest import SF_DIR
+
+        return table(spark, SF_DIR, "embeddings")
+
+    def test_chunked_equals_unchunked_bitwise(self, spark, monkeypatch):
+        emb = self._emb(spark)
+        base = {
+            "cosine": sorted(map(tuple, S.cosine_topk(emb, k=3, n_queries=20).collect())),
+            "lsh": sorted(map(tuple, S.lsh_topk(emb, k=3, n_queries=20).collect())),
+        }
+        monkeypatch.setattr(S, "_KERNEL_QUERY_CHUNK", 3)
+        assert sorted(map(tuple, S.cosine_topk(emb, k=3, n_queries=20).collect())) == base["cosine"]
+        assert sorted(map(tuple, S.lsh_topk(emb, k=3, n_queries=20).collect())) == base["lsh"]
+
+
+class TestAnnNullContract:
+    """r15 (r14 advice #2): all four ANN kernel paths share the null
+    contract — a null embedding is dropped before any numpy conversion
+    or MLlib training, never a task-killing exception."""
+
+    def _with_null(self, spark):
+        import math
+
+        rows = [
+            (i, [math.sin(0.7 * (i + 1) * (j + 1)) for j in range(8)])
+            for i in range(24)
+        ]
+        rows.append((24, None))
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def test_null_vectors_dropped_not_fatal(self, spark):
+        emb = self._with_null(spark)
+        for fn in (
+            lambda e: S.cosine_topk(e, k=3, n_queries=4),
+            lambda e: S.lsh_topk(e, k=3, n_queries=4),
+            lambda e: S.ivf_topk(e, k=3, n_queries=4, n_clusters=4),
+            lambda e: S.pq_topk(e, k=3, n_queries=4, m=2, n_codes=4, refine=20),
+            lambda e: S.ivfpq_topk(e, k=3, n_queries=4, n_clusters=4, m=2,
+                                   n_codes=4, refine=20),
+        ):
+            rows = fn(emb).collect()
+            assert rows, "null row must not empty the result"
+            assert all(r.nbr_id != 24 for r in rows)
+
+
+class TestLshAnchorBitsGuard:
+    def test_zero_anchor_bits_rejected(self, spark):
+        """r15 (r14 advice #4): n_anchor_bits=0 used to silently return
+        an empty frame where the old SQL path degenerated to exact
+        all-pairs — now a loud ValueError (use cosine_topk for exact)."""
+        import pytest
+
+        from strake_spark.data import table
+        from tests.conftest import SF_DIR
+
+        emb = table(spark, SF_DIR, "embeddings")
+        with pytest.raises(ValueError, match="n_anchor_bits"):
+            S.lsh_topk(emb, n_anchor_bits=0)
+
+    def test_empty_corpus_still_returns_typed_empty(self, spark):
+        empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+        out = S.lsh_topk(empty, k=3, n_queries=5, n_anchor_bits=2)
+        assert out.count() == 0
+        assert dict(out.dtypes) == {
+            "query_id": "bigint", "nbr_id": "bigint",
+            "cosine": "double", "rank": "int",
+        }

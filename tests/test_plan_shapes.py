@@ -704,3 +704,46 @@ class TestSemanticContaminationEdges:
             "new_id": "string", "ref_id": "string", "cosine": "double"
         }
         assert out.count() == 0
+
+
+class TestAnnTopkSoleShuffle:
+    """r15 (r14 verdict finding #3): the ANN kernels' documented scale
+    contract — 'the sole shuffle is the per-query top-k window, with
+    map-side WindowGroupLimit pruning' (operators/similarity.py) — is
+    now plan-asserted, so a Spark upgrade or code change that silently
+    reintroduces a second exchange or loses the rank-limit pushdown
+    fails here instead of only at 10^9 rows."""
+
+    def _cases(self, spark):
+        from strake_spark.data import table
+        from strake_spark.operators import similarity as S
+
+        emb = table(spark, SF_DIR, "embeddings")
+        return [
+            ("cosine", S.cosine_topk(emb, k=5, n_queries=20)),
+            ("lsh", S.lsh_topk(emb, k=3, n_queries=20)),
+            ("ivf", S.ivf_topk(emb, k=3, n_queries=20)),
+        ]
+
+    def test_one_hash_exchange_with_partial_windowgrouplimit_below(self, spark):
+        for name, df in self._cases(spark):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # the corpus pass is ONE Arrow kernel, never a join
+            assert plan.count("MapInPandas") == 1, name
+            assert "Join" not in plan and "CartesianProduct" not in plan, name
+            # exactly one hash exchange: the per-query top-k window
+            # (ivf_topk's terminal orderBy adds a rangepartitioning
+            # exchange for presentation order — not a data shuffle of
+            # the candidate stream, so it is not counted here)
+            hash_ex = plan.count("Exchange hashpartitioning")
+            assert hash_ex == 1, f"{name}: {hash_ex} hash exchanges"
+            # rank-limit pushdown: a Partial WindowGroupLimit must sit
+            # BELOW the exchange (map-side top-k pruning) and the Final
+            # one above it
+            assert plan.count("WindowGroupLimit") == 2, name
+            i_final = plan.index(", Final")
+            i_ex = plan.index("Exchange hashpartitioning")
+            i_partial = plan.index(", Partial")
+            # toString prints top-down: Final above the exchange,
+            # Partial below it
+            assert i_final < i_ex < i_partial, (name, i_final, i_ex, i_partial)

@@ -262,3 +262,28 @@ class TestDescribeAll:
         assert allv == eng.describe()
         assert "rc_nation" in allv and "rc_orders" in allv
         assert allv["rc_nation"] == eng.describe("rc_nation")
+
+
+class TestDriftProxied:
+    def test_drift_report_crosses_the_wire(self, served):
+        """r15 (r14 verdict task 6): engine.drift_report() is reachable
+        over Flight (drift_report action) with the structured
+        STRAKE-2009..2011-coded records intact."""
+        from pyspark.sql import types as T
+
+        from strake_spark.sources.drift import clear_drift_log, reconcile
+
+        eng, remote = served
+        clear_drift_log()
+        assert remote.drift_report() == []
+        src = eng.spark.createDataFrame([(1,)], "id int")
+        declared = T.StructType([
+            T.StructField("id", T.IntegerType()),
+            T.StructField("gone", T.StringType()),
+        ])
+        reconcile(src, declared, context="flight_drift_probe")
+        recs = remote.drift_report()
+        assert recs == eng.drift_report()
+        assert recs[-1]["table"] == "flight_drift_probe"
+        assert recs[-1]["codes"] == ["STRAKE-2009"]
+        assert recs[-1]["missing_columns"] == ["gone"]

@@ -465,3 +465,40 @@ class TestGovernanceAuditEndpoints:
                            {"sql": "SELECT n_name FROM t_nation", "user": "alice"})
         assert code == 200
         assert body["data"]["tainted"] == []  # no policies configured
+
+
+class TestDriftSurface:
+    """r15 (r14 verdict task 6): the engine's structured drift log
+    (sources/drift.py, STRAKE-2009..2011 codes) is reachable by REST
+    clients — read-only introspection, like the reference's drift
+    warnings on the server facades."""
+
+    def test_drift_records_roundtrip(self, server, engine):
+        from pyspark.sql import types as T
+
+        from strake_spark.sources.drift import clear_drift_log, reconcile
+
+        clear_drift_log()
+        src = engine.spark.createDataFrame(
+            [(1, "a", 2.5)], "id int, extra string, amount double"
+        )
+        declared = T.StructType([
+            T.StructField("id", T.LongType()),        # type change  -> 2010
+            T.StructField("missing_col", T.StringType()),  # missing -> 2009
+            T.StructField("amount", T.DoubleType()),
+        ])                                            # 'extra' pruned -> 2011
+        reconcile(src, declared, context="rest_drift_probe")
+
+        status, body = _req(server.port, "/api/v1/drift")
+        assert status == 200
+        payload = json.loads(body)
+        assert payload["status"] == "success"
+        recs = [r for r in payload["data"] if r["table"] == "rest_drift_probe"]
+        assert len(recs) == 1
+        rec = recs[0]
+        assert rec["codes"] == ["STRAKE-2009", "STRAKE-2010", "STRAKE-2011"]
+        assert rec["missing_columns"] == ["missing_col"]
+        assert rec["extra_columns"] == ["extra"]
+        assert rec["type_mismatches"] == ["id: int -> bigint"]
+        assert rec["expected_columns"] == ["id", "missing_col", "amount"]
+        assert rec["actual_columns"] == ["id", "extra", "amount"]
