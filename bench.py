@@ -284,16 +284,25 @@ def main() -> None:
             tpch_rest[short] = d["med"]
         print(f"# {name}: med={d['med']} runs={d['runs']} rows={n}", file=sys.stderr)
 
-    # Second contention marker: q1 re-measured LAST. If q1's start-of-
-    # session median exceeds this end-of-session median by far more
-    # than machine spread, the session start was contended and the
-    # early numbers are suspect — detectable in the artifact instead of
-    # inferred by the judge (r13, VERDICT task 3).
-    d, _ = _run(inventory.REGISTRY["tpch_q1_pricing_summary"], spark, sf_dir,
-                max(2, iters // 2), chaos)
-    detail["q1_end_of_session"] = d
-    q1_end = d["med"]
-    print(f"# q1_end_of_session: med={d['med']} runs={d['runs']}", file=sys.stderr)
+    # End-of-session replay of the FULL headline block (r15, VERDICT
+    # task 1 — generalizing r13's q1-only control): the headline
+    # queries run FIRST in the session, where codegen/JIT warmup
+    # inflation is worst (r14: q1 ran 3.6x slower at session start
+    # than at steady state, swinging the headline total +41% on
+    # untouched code). The `queries_end` medians are the steady-state
+    # numbers: a real regression moves BOTH blocks; session-position
+    # noise moves only the first. Short keys ("q1") keep the final
+    # line inside the driver's 2000-char tail capture.
+    queries_end: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        d, _ = _run(inventory.REGISTRY[name], spark, sf_dir,
+                    max(2, iters // 2), chaos)
+        detail[name + "_end"] = d
+        short = name.split("_")[1]  # tpch_q1_pricing_summary -> q1
+        if d["med"] is not None:
+            queries_end[short] = d["med"]
+        print(f"# {name}_end: med={d['med']} runs={d['runs']}", file=sys.stderr)
+    q1_end = queries_end.get("q1")
 
     # Full per-query run arrays/warmups — stderr, NEVER the final stdout
     # line (driver tail contract; see module docstring).
@@ -326,6 +335,11 @@ def main() -> None:
         # session — q1 >> q1_end means the session start was contended
         "load_avg": [load_start, round(os.getloadavg()[0], 2)],
         "q1_end": q1_end,
+        # steady-state medians for ALL headline queries (r15): compare
+        # per-query with `queries` to separate real regressions from
+        # session-position inflation
+        "queries_end": queries_end,
+        "tpch_total_end": round(sum(queries_end.values()), 4),
     }
     if chaos is not None:
         out["chaos"] = {

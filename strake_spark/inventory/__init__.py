@@ -77,92 +77,97 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-14 window: the 11 rewritten entries, the 5 r9-green rows
-# deferred at r13 (the staleness tail the r13 verdict front-loaded),
-# then 34 of the r10-green rows oldest-first in registration order.
+# Round-15 window: the 10 rewritten entries, then the 9 r10-stale rows
+# the r14 verdict front-loaded (the oldest remaining evidence), then 31
+# r12-green rows in registration order.
 
-# Entries whose operator implementation changes this round (r14):
-# knn_label_consistency's label-join broadcast side becomes the
-# filtered n_queries slice (r13 verdict finding #2 — the hint
-# previously shipped the corpus-sized label relation);
-# simhash_near_pairs migrates to the shared gated hot-bucket drop with
-# a cached signature gate count (finding #3), which also feeds
-# duplicate_clusters' edge set; lsh_topk AND cosine_topk are rewritten
-# as map-only Arrow passes (bit-exact ascending-index accumulation —
-# every consumer verified hash-green vs the oracle at
-# sf0.001/0.01/0.1 before rotation), which back ann_lsh_bucketed_topk
-# and every *_recall_vs_exact companion; ivf_topk's scoring join gets
-# the same kernel (rows-only entry, recall floor re-verified), and
-# pq_topk's encode stage (golden-compared byte-identical outputs). Re-verified by the driver
-# this round so a hash regression cannot hide behind stale green
-# evidence.
+# Entries whose operator implementation changes this round (r15): the
+# ANN kernels gained bounded query-slice scoring (_KERNEL_QUERY_CHUNK —
+# per-task memory no longer scales with n_queries; accumulation order
+# unchanged, outputs bit-identical), ivf/pq/ivfpq drop null vectors
+# before training/encode (the cosine/lsh null contract), and lsh_topk
+# rejects n_anchor_bits < 1. Every consumer verified hash-green vs the
+# oracle at sf0.001/0.01/0.1 before rotation; re-verified by the driver
+# this round so a regression cannot hide behind stale green evidence.
 _REWRITTEN: tuple[str, ...] = (
-    "curation_knn_label_consistency",
-    "dedup_simhash_near_pairs",
-    "dedup_duplicate_clusters",
+    "ann_cosine_topk_bruteforce",
     "ann_lsh_bucketed_topk",
     "ann_lsh_recall_vs_exact",
-    "ann_cosine_topk_bruteforce",
     "ann_ivf_recall_vs_exact",
     "ann_pq_recall_vs_exact",
     "ann_ivfpq_recall_vs_exact",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "curation_knn_label_consistency",
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (b) rewritten this round (11)
-    "curation_knn_label_consistency",
-    "dedup_simhash_near_pairs",
-    "dedup_duplicate_clusters",
+    # (b) rewritten this round (10)
+    "ann_cosine_topk_bruteforce",
     "ann_lsh_bucketed_topk",
     "ann_lsh_recall_vs_exact",
-    "ann_cosine_topk_bruteforce",
     "ann_ivf_recall_vs_exact",
     "ann_pq_recall_vs_exact",
     "ann_ivfpq_recall_vs_exact",
     "ann_ivf_topk",
     "ann_pq_topk",
-    # (c) oldest evidence: the 5 r9-green rows deferred since r13
-    "events_funnel_conversion",
-    "dedup_corpus_keep_first",
-    "pipeline_decontaminate_ngram",
-    "pipeline_pack_sequences",
-    "pipeline_curation_filter",
-    # (c) oldest evidence: r10-green rows, registration order (34)
-    "tpch_q10_returned_items", "tpch_q9_product_profit",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue", "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity", "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock", "tpch_q12_priority_shipping",
-    "tpch_q20_part_promotion",
-    "join_inner_orders_customer", "join_left_customer_orders",
-    "join_right_orders_customer", "join_full_outer_nation_coverage",
-    "join_semi_customers_with_urgent_orders",
-    "agg_approx_count_distinct", "agg_approx_count_distinct_bound",
-    "empty_relation", "limit_offset_page", "sort_multi_key_nulls",
-    "pivot_status_by_flag",
-    "expr_string_functions", "expr_math_functions",
-    "expr_datetime_functions", "expr_conditional_null",
-    "expr_cast_matrix",
-    "embedding_quantize_int8",
-    "text_repetition_score", "multimodal_decode_features",
-    # --- 50-entry window boundary ---
-)
-
-# Carryover remainder: the head of the round-15 fill, in order — the
-# r10-green rows that did not fit this window (then ann_ivfpq/cross-
-# corpus-exact/curation rows, r12-green, then r13-green oldest-first).
-# Any query whose plan is rewritten in round 15 joins that window the
-# same round.
-_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "ann_ivfpq_topk",
+    "curation_knn_label_consistency",
+    # (c) oldest evidence: the 9 r10-stale rows (r14 verdict task 2)
     "multimodal_decode_meta",
     "stream_view_purchase_join",
     "expr_array_higher_order",
     "sample_hash_bucket",
     "sample_shuffle_deterministic",
+    "pipeline_mixture_upsample",
+    "pipeline_source_quota",
+    "pipeline_shard_manifest",
+    "pipeline_chunk_documents",
+    # (c) oldest evidence: r12-green rows, registration order (31)
+    "join_anti_customers_without_urgent_orders",
+    "join_cross_region_status",
+    "join_non_equi_price_over_size",
+    "agg_global_stats",
+    "agg_rollup_status_priority",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "agg_having_big_customers",
+    "agg_variance_by_nation",
+    "agg_string_agg_priorities",
+    "agg_filtered_conditional",
+    "window_row_number_topk",
+    "window_rank_family",
+    "window_running_sum",
+    "window_sliding_rows_frame",
+    "window_range_frame",
+    "window_lag_lead",
+    "window_ntile_first_last",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "distinct_simple",
+    "distinct_on_latest_order",
+    "values_inline",
+    "expr_unpivot_measures",
+    "expr_regexp_matrix",
+    "expr_json_matrix",
+    "engine_sql_end_to_end",
+    "events_cohort_retention",
+    # --- 50-entry window boundary ---
+)
+
+# Carryover remainder: the head of the round-16 fill, in order — the
+# remaining r12-green rows, then r13/r14-green oldest-first. Any query
+# whose plan is rewritten in round 16 joins that window the same round.
+_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "events_rolling_active_users",
+    "events_rollup_incremental",
+    "dedup_cross_corpus_exact",
+    "dedup_substring_exact_spans",
+    "ann_ivf_deterministic_topk",
 )
 
 

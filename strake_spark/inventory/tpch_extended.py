@@ -60,6 +60,9 @@ def _revenue():
     notes="TPC-H Q4; 'late' = shipped >30 days after order date (no commit/receipt dates in synthetic schema)",
 )
 def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolated re-measure r15 (q5 protocol, two clean sessions):
+    medians 0.7039 / 0.7574 s at sf0.1 — consistent with the r11/r13
+    variance diagnosis; BENCH_r14's 1.30 s was session position."""
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))

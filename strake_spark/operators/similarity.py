@@ -1402,6 +1402,16 @@ def ivfpq_topk(
     is deliberately skipped: it needs per-cell subtraction before
     encoding, and on these near-uniform synthetic vectors measured
     recall was indistinguishable — documented trade, not an oversight.
+
+    Kernel port MEASURED AND REJECTED (r15, q5 protocol, clean idle
+    session, sf0.1 = 2,000 vectors): the expression-form encode costs
+    0.086 s vs 0.166 s for a pandas_udf kernel identical to pq_topk's
+    (Arrow round-trip overhead dominates at this row count), while the
+    5 MLlib fits cost ~8.2 s of the ~21 s total — the encode is not
+    where this operator's time goes, locally or at scale (training
+    amortizes; the LUT-sum scoring is m JVM element_at lookups/pair and
+    the shortlist window prunes map-side). If a production corpus makes
+    the encode hot, pq_topk's kernel is the drop-in shape to borrow.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

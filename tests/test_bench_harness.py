@@ -76,6 +76,10 @@ class TestTailContract:
             "tpch22_total": 271.6032, "iterations": 4,
             "iterations_rest": 2, "warmup_discarded": True,
             "sf": 0.1, "startup_sec": 10.15,
+            "load_avg": [12.34, 12.34], "q1_end": 12.3456,
+            # r15: end-of-session replay of the full headline block
+            "queries_end": {f"q{i}": 12.3456 for i in (1, 3, 4, 5, 6, 10, 18)},
+            "tpch_total_end": 86.4192,
             "chaos": {"prob": 0.25, "injected": 9, "circuit_open": 3},
         }
         assert len(json.dumps(out)) < 1900
