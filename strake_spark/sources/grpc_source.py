@@ -3,14 +3,17 @@
 Reference: crates/connectors/src/sources/grpc.rs (692 LoC): dynamic
 Protobuf decode via prost-reflect descriptor pools -> Arrow.
 
-Spark design (plumbing real, transport gated): a Python DataSource
-whose reader calls a unary/server-streaming method and decodes response
-messages through a descriptor set (the compiled ``FileDescriptorSet``
-bytes the reference also consumes). ``grpcio`` is not vendored in this
-container, so the transport layer is import-gated with a clear error;
-the descriptor-driven decode path (proto wire -> dict rows -> Arrow) is
-pure-python and fully testable, and is exercised by unit tests against
-hand-encoded wire bytes.
+Spark design: a Python DataSource whose reader calls a
+unary/server-streaming method and decodes response messages through a
+descriptor set (the compiled ``FileDescriptorSet`` bytes the reference
+also consumes). The descriptor-driven decode path (proto wire -> dict
+rows -> Arrow) is pure-python; the TRANSPORT (r15) prefers ``grpcio``
+when installed and otherwise falls back to the jar-free cleartext
+HTTP/2 client (sources/h2grpc.py — RFC 7540 framing + RFC 7541 HPACK
+over stdlib sockets), tested against a live in-process h2c gRPC
+server. TLS endpoints still require grpcio (``transport: grpcio``
+fails fast when it is absent). Each Spark task opens its own
+connection — no driver funnel at scale.
 """
 
 from __future__ import annotations
@@ -141,24 +144,34 @@ class GrpcReader(DataSourceReader):
         return [_Part(0)]
 
     def read(self, partition):
-        try:
-            import grpc  # noqa: F401
-        except ImportError as e:
-            raise SourceError(
-                "grpcio is not installed; the gRPC transport is gated. "
-                "Install grpcio to stream from a live endpoint."
-            ) from e
-        import grpc
-
         fields = parse_field_spec(self.options["fields"])
-        channel = grpc.insecure_channel(self.options["endpoint"])
+        endpoint = self.options["endpoint"]
         method = self.options["method"]  # /package.Service/Method
         request = bytes.fromhex(self.options.get("request_hex", ""))
-        stream = channel.unary_stream(
-            method,
-            request_serializer=lambda b: b,
-            response_deserializer=lambda b: b,
-        )(request)
+        # transport: auto (grpcio if installed, else jar-free h2c),
+        # grpcio (fail fast when absent — e.g. TLS endpoints), or h2c
+        transport = self.options.get("transport", "auto")
+        stream = None
+        if transport in ("auto", "grpcio"):
+            try:
+                import grpc
+
+                channel = grpc.insecure_channel(endpoint)
+                stream = channel.unary_stream(
+                    method,
+                    request_serializer=lambda b: b,
+                    response_deserializer=lambda b: b,
+                )(request)
+            except ImportError as e:
+                if transport == "grpcio":
+                    raise SourceError(
+                        "transport 'grpcio' requested but grpcio is not "
+                        "installed (required for TLS endpoints)"
+                    ) from e
+        if stream is None:  # h2c, or auto without grpcio
+            from strake_spark.sources.h2grpc import unary_stream
+
+            stream = unary_stream(endpoint, method, request)
         names = [f.name for f in self.schema.fields]
         for raw in stream:
             row = decode_message(raw, fields)
@@ -210,6 +223,7 @@ def register_grpc_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
             .option("method", str(tbl.options["method"]))
             .option("fields", str(tbl.options["fields"]))
             .option("request_hex", str(tbl.options.get("request_hex", "")))
+            .option("transport", str(tbl.options.get("transport", "auto")))
             .load()
         )
         view = view_name(cfg.name, tbl.name)

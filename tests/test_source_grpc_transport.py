@@ -1,0 +1,365 @@
+"""Jar-free gRPC transport (sources/h2grpc.py) against a live
+in-process h2c server — the same prove-the-wire posture as the pgwire /
+mysqlwire / clickhouse-HTTP fallbacks: the bytes on the socket are the
+public protocol, both ends implemented independently enough that the
+server deliberately exercises decoder paths the client encoder never
+emits (static-indexed fields, incremental indexing + dynamic-table
+reuse, multi-frame DATA splits, trailers-only responses)."""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+import pytest
+
+from strake_spark.errors import SourceError
+from strake_spark.sources.h2grpc import (
+    FLAG_ACK,
+    FLAG_END_HEADERS,
+    FLAG_END_STREAM,
+    FT_DATA,
+    FT_GOAWAY,
+    FT_HEADERS,
+    FT_PING,
+    FT_SETTINGS,
+    FT_WINDOW_UPDATE,
+    PREFACE,
+    GrpcMessageBuffer,
+    H2GrpcChannel,
+    HpackDecoder,
+    _decode_int,
+    _encode_int,
+    encode_headers,
+    grpc_frame,
+    pack_frame,
+    read_frame,
+    unary_stream,
+)
+
+
+# ---------------------------------------------------------------- test server
+
+
+class H2GrpcTestServer:
+    """Minimal h2c gRPC server: enough of RFC 7540/7541 + the gRPC
+    framing to serve unary and server-streaming methods registered as
+    {method_path: callable(request_bytes) -> list[response_bytes]}.
+
+    Response headers are deliberately encoded through HPACK paths the
+    client's own encoder does not use: ':status 200' as a static-table
+    indexed field (0x88), 'content-type' as literal WITH incremental
+    indexing (so a second stream can reference it from the dynamic
+    table), exercising the client decoder's table machinery."""
+
+    def __init__(self, handlers, grpc_status: str = "0", split_data: bool = True):
+        self.handlers = handlers
+        self.grpc_status = grpc_status
+        self.split_data = split_data
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self._srv.getsockname()[1]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    # one connection at a time is plenty for tests
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self._srv.settimeout(0.2)
+                conn, _ = self._srv.accept()
+            except TimeoutError:
+                continue
+            except OSError:
+                return
+            try:
+                self._handle(conn)
+            except Exception:
+                pass
+            finally:
+                conn.close()
+
+    def _handle(self, conn: socket.socket) -> None:
+        conn.settimeout(10.0)
+        preface = b""
+        while len(preface) < len(PREFACE):
+            chunk = conn.recv(len(PREFACE) - len(preface))
+            if not chunk:
+                return
+            preface += chunk
+        assert preface == PREFACE
+        conn.sendall(pack_frame(FT_SETTINGS, 0, 0, b""))
+        decoder = HpackDecoder()
+        streams: dict[int, dict] = {}
+        sent_indexed_ct = False
+        while True:
+            try:
+                ftype, flags, sid, payload = read_frame(conn)
+            except SourceError:
+                return
+            if sid == 0:
+                if ftype == FT_SETTINGS and not flags & FLAG_ACK:
+                    conn.sendall(pack_frame(FT_SETTINGS, FLAG_ACK, 0, b""))
+                elif ftype == FT_PING and not flags & FLAG_ACK:
+                    conn.sendall(pack_frame(FT_PING, FLAG_ACK, 0, payload))
+                elif ftype == FT_GOAWAY:
+                    return
+                continue
+            st = streams.setdefault(sid, {"headers": None, "data": b""})
+            if ftype == FT_HEADERS:
+                st["headers"] = dict(decoder.decode(payload))
+            elif ftype == FT_DATA:
+                st["data"] += payload
+                conn.sendall(
+                    pack_frame(FT_WINDOW_UPDATE, 0, 0, len(payload).to_bytes(4, "big"))
+                )
+            if flags & FLAG_END_STREAM and st["headers"] is not None:
+                sent_indexed_ct = self._respond(conn, sid, st, sent_indexed_ct)
+                del streams[sid]
+
+    def _respond(self, conn, sid: int, st: dict, sent_indexed_ct: bool) -> bool:
+        path = st["headers"].get(":path", "")
+        handler = self.handlers.get(path)
+        if handler is None:
+            head = bytes([0x88]) + self._trailer_block("12", "unimplemented")
+            conn.sendall(
+                pack_frame(
+                    FT_HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM, sid, head
+                )
+            )
+            return sent_indexed_ct
+        buf = GrpcMessageBuffer()
+        request = b""
+        msgs = buf.feed(st["data"])
+        if msgs:
+            request = msgs[0]
+        # response headers: 0x88 = indexed ':status 200' (static 8);
+        # content-type via incremental indexing first time, then from
+        # the dynamic table (index 62) on later streams
+        head = bytearray([0x88])
+        if not sent_indexed_ct:
+            head += b"\x40"  # literal w/ incremental indexing, new name
+            for s in (b"content-type", b"application/grpc"):
+                head += _encode_int(len(s), 7) + s
+        else:
+            head += bytes([0x80 | 62])  # dynamic-table reference
+        conn.sendall(pack_frame(FT_HEADERS, FLAG_END_HEADERS, sid, bytes(head)))
+        body = b"".join(grpc_frame(m) for m in handler(request))
+        if self.split_data and len(body) > 3:
+            # split mid-message to exercise client-side reassembly
+            cut = len(body) // 2
+            conn.sendall(pack_frame(FT_DATA, 0, sid, body[:cut]))
+            conn.sendall(pack_frame(FT_DATA, 0, sid, body[cut:]))
+        elif body:
+            conn.sendall(pack_frame(FT_DATA, 0, sid, body))
+        conn.sendall(
+            pack_frame(
+                FT_HEADERS,
+                FLAG_END_HEADERS | FLAG_END_STREAM,
+                sid,
+                self._trailer_block(self.grpc_status, ""),
+            )
+        )
+        return True
+
+    @staticmethod
+    def _trailer_block(status: str, message: str) -> bytes:
+        return encode_headers(
+            [("grpc-status", status)]
+            + ([("grpc-message", message)] if message else [])
+        )
+
+    def close(self) -> None:
+        self._stop.set()
+        self._srv.close()
+        self._thread.join(timeout=2)
+
+
+# -------------------------------------------------------------------- tests
+
+
+class TestHpack:
+    def test_int_roundtrip_all_prefixes(self):
+        for prefix in (4, 5, 6, 7):
+            for v in (0, 1, (1 << prefix) - 2, (1 << prefix) - 1, 127, 128,
+                      16383, 10_000_000):
+                enc = _encode_int(v, prefix)
+                got, pos = _decode_int(enc, 0, prefix)
+                assert (got, pos) == (v, len(enc)), (prefix, v)
+
+    def test_encode_decode_roundtrip(self):
+        headers = [(":method", "POST"), (":path", "/x.Y/Z"),
+                   ("content-type", "application/grpc"), ("te", "trailers")]
+        assert HpackDecoder().decode(encode_headers(headers)) == headers
+
+    def test_static_indexed_and_dynamic_table(self):
+        dec = HpackDecoder()
+        # 0x88 = :status 200; then incremental literal; then dynamic ref
+        block1 = bytes([0x88]) + b"\x40" + bytes([1]) + b"x" + bytes([1]) + b"y"
+        assert dec.decode(block1) == [(":status", "200"), ("x", "y")]
+        assert dec.decode(bytes([0x80 | 62])) == [("x", "y")]
+
+    def test_huffman_gated_loudly(self):
+        dec = HpackDecoder()
+        # literal never-indexed, new name with the Huffman bit set
+        block = b"\x10" + bytes([0x81, 0x8C])
+        with pytest.raises(SourceError, match="Huffman"):
+            dec.decode(block)
+
+
+class TestGrpcFraming:
+    def test_message_reassembly_across_boundaries(self):
+        buf = GrpcMessageBuffer()
+        whole = grpc_frame(b"hello") + grpc_frame(b"world!")
+        out = []
+        for i in range(0, len(whole), 3):
+            out += buf.feed(whole[i : i + 3])
+        assert out == [b"hello", b"world!"]
+        assert buf.pending() == 0
+
+    def test_compressed_flag_rejected(self):
+        buf = GrpcMessageBuffer()
+        with pytest.raises(SourceError, match="compressed"):
+            buf.feed(b"\x01" + (3).to_bytes(4, "big") + b"abc")
+
+
+def _echo_stream(request: bytes) -> list[bytes]:
+    # three response messages derived from the request
+    return [request, request[::-1], b"tail:" + request]
+
+
+class TestLiveTransport:
+    @pytest.fixture(scope="class")
+    def server(self):
+        srv = H2GrpcTestServer({"/test.Echo/Stream": _echo_stream})
+        yield srv
+        srv.close()
+
+    def test_unary_stream_roundtrip(self, server):
+        got = list(
+            unary_stream(f"127.0.0.1:{server.port}", "/test.Echo/Stream", b"abc")
+        )
+        assert got == [b"abc", b"cba", b"tail:abc"]
+
+    def test_two_streams_on_one_channel_use_dynamic_table(self, server):
+        chan = H2GrpcChannel("127.0.0.1", server.port)
+        try:
+            assert list(chan.call("/test.Echo/Stream", b"x"))[0] == b"x"
+            # second stream: server emits content-type as a dynamic ref
+            assert list(chan.call("/test.Echo/Stream", b"y"))[0] == b"y"
+        finally:
+            chan.close()
+
+    def test_unknown_method_raises_grpc_status(self, server):
+        with pytest.raises(SourceError, match="status 12"):
+            list(
+                unary_stream(
+                    f"127.0.0.1:{server.port}", "/test.Echo/Nope", b""
+                )
+            )
+
+    def test_nonzero_trailer_status_raises(self):
+        srv = H2GrpcTestServer(
+            {"/t.S/M": lambda req: [b"partial"]}, grpc_status="13"
+        )
+        try:
+            with pytest.raises(SourceError, match="status 13"):
+                list(unary_stream(f"127.0.0.1:{srv.port}", "/t.S/M", b""))
+        finally:
+            srv.close()
+
+    def test_large_response_replenishes_flow_control(self):
+        # >64 KiB of response DATA forces the client past the default
+        # 65535-byte connection/stream windows — without WINDOW_UPDATE
+        # replenishment the server-side sendall would stall (our test
+        # server ignores windows, but the client must still emit
+        # correct updates; assert the stream completes and byte-exact)
+        big = bytes(range(256)) * 512  # 128 KiB
+        srv = H2GrpcTestServer({"/t.S/Big": lambda req: [big, big]})
+        try:
+            got = list(unary_stream(f"127.0.0.1:{srv.port}", "/t.S/Big", b""))
+            assert got == [big, big]
+        finally:
+            srv.close()
+
+
+class TestProtoOverTransport:
+    def test_wire_decode_composes_with_transport(self):
+        """End to end minus Spark: proto-encoded rows served over live
+        h2c, decoded by the existing descriptor-driven decoder."""
+        from strake_spark.sources.grpc_source import decode_message, parse_field_spec
+
+        def _row(i: int) -> bytes:
+            # field 1 (varint id), field 2 (len-delimited name)
+            name = f"n{i}".encode()
+            return bytes([0x08, i, 0x12, len(name)]) + name
+
+        srv = H2GrpcTestServer({"/d.T/Rows": lambda req: [_row(1), _row(2)]})
+        try:
+            fields = parse_field_spec("1:id:int64,2:name:string")
+            rows = [
+                decode_message(m, fields)
+                for m in unary_stream(f"127.0.0.1:{srv.port}", "/d.T/Rows", b"")
+            ]
+            assert rows == [{"id": 1, "name": "n1"}, {"id": 2, "name": "n2"}]
+        finally:
+            srv.close()
+
+
+class TestSparkEndToEnd:
+    def test_grpc_source_view_reads_over_h2c(self, spark):
+        """The full path the reference supports (grpc.rs:21-45): a
+        registered gRPC source readable as a Spark view — transport is
+        the jar-free h2c fallback, rows decoded by descriptor spec."""
+        from strake_spark.config import parse_config
+        from strake_spark.sources.registry import register_source
+
+        def _row(i: int) -> bytes:
+            name = f"item{i}".encode()
+            # field 1 varint id, field 2 string name, field 3 double score
+            return (
+                bytes([0x08, i, 0x12, len(name)]) + name
+                + bytes([0x19]) + struct.pack("<d", i * 1.5)
+            )
+
+        srv = H2GrpcTestServer(
+            {"/catalog.Items/List": lambda req: [_row(i) for i in range(1, 6)]}
+        )
+        try:
+            cfg = parse_config(
+                {
+                    "sources": [
+                        {
+                            "name": "gt",
+                            "type": "grpc",
+                            "url": f"127.0.0.1:{srv.port}",
+                            "tables": [
+                                {
+                                    "name": "items",
+                                    "options": {
+                                        "method": "/catalog.Items/List",
+                                        "fields": "1:id:int64,2:name:string,3:score:double",
+                                    },
+                                }
+                            ],
+                        }
+                    ]
+                }
+            )
+            views = register_source(spark, cfg.sources[0])
+            assert views == ["gt_items"]
+            rows = sorted(spark.table("gt_items").collect())
+            assert [(r.id, r.name, r.score) for r in rows] == [
+                (i, f"item{i}", i * 1.5) for i in range(1, 6)
+            ]
+            # predicate + projection still work through the DataSource
+            got = (
+                spark.table("gt_items")
+                .filter("id >= 4")
+                .select("name")
+                .collect()
+            )
+            assert sorted(r.name for r in got) == ["item4", "item5"]
+        finally:
+            srv.close()

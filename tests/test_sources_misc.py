@@ -67,7 +67,12 @@ class TestGrpcRegistration:
     def test_registered_type(self):
         assert "grpc" in SOURCE_TYPES
 
-    def test_scan_without_grpcio_gives_clear_error(self, spark):
+    def test_explicit_grpcio_transport_fails_fast_when_absent(self, spark):
+        """transport: grpcio (the TLS path) must fail with the install
+        hint, not fall back to cleartext h2c silently. The default
+        'auto' transport no longer gates — it falls back to the
+        jar-free h2c client (tests/test_source_grpc_transport.py runs
+        it against a live in-process server)."""
         cfg = parse_config(
             {
                 "sources": [
@@ -81,6 +86,7 @@ class TestGrpcRegistration:
                                 "options": {
                                     "method": "/pkg.Svc/List",
                                     "fields": "1:id:int64",
+                                    "transport": "grpcio",
                                 },
                             }
                         ],
@@ -90,7 +96,7 @@ class TestGrpcRegistration:
         )
         views = register_source(spark, cfg.sources[0])  # registration is lazy
         assert views == ["g_t"]
-        with pytest.raises(Exception, match="grpcio is not installed"):
+        with pytest.raises(Exception, match="grpcio is not"):
             spark.table("g_t").collect()
 
 

@@ -564,7 +564,12 @@ class TestMcpDescriptionScope:
                                       **arguments}}}
         )
         hits = json.loads(resp["result"]["content"][0]["text"])
-        return next(h for h in hits if h["column"] == "seg")
+        # filter by table too: in the full suite other tests register
+        # their own *_users views with a 'seg' column in the shared
+        # session catalog, and rebuild() indexes them all
+        return next(
+            h for h in hits if h["column"] == "seg" and h["table"] == "ms_users"
+        )
 
     def test_tool_schema_lists_the_args(self):
         from strake_spark.mcp import TOOLS
