@@ -12,8 +12,10 @@ Object stores (file.rs:124-207 routes s3/gs/az/http/ftp/sftp through
 OpenDAL): s3a:// gs:// abfss:// resolve through Hadoop FS connectors
 when their jars are on the classpath; http(s):// and ftp:// spool
 through the driver (stdlib urllib/ftplib — the documented small-file
-path, matching the reference's whole-object OpenDAL fetch); sftp:// is
-gated on an SSH transport (paramiko) being installed.
+path, matching the reference's whole-object OpenDAL fetch); sftp://
+spools the same way over paramiko when installed, else the jar-free
+SSH transport (sources/sshwire.py, r15 — validated against the real
+OpenSSH client in tests).
 
 Each table registers a temp view named ``<source>_<table>`` wrapped with
 schema-drift reconciliation when a declared schema exists (see
@@ -94,8 +96,8 @@ def _spool_ftp(url: str, options: dict) -> str:
     belongs on a splittable store (s3a/gs/abfss route straight to
     executor-side Hadoop FS connectors above).
 
-    sftp:// additionally needs an SSH transport (paramiko) on the
-    driver — not vendored here; the spool shape is identical.
+    sftp:// routes to the jar-free SSH transport (sources/sshwire.py,
+    r15) through ``_spool_sftp`` — the spool shape is identical.
     """
     import tempfile
     from ftplib import FTP, error_perm
@@ -103,10 +105,7 @@ def _spool_ftp(url: str, options: dict) -> str:
 
     u = urlparse(url)
     if u.scheme == "sftp":
-        raise SourceError(
-            "sftp:// needs an SSH transport (install paramiko and extend "
-            "_spool_ftp — the spool flow is identical to ftp://)"
-        )
+        return _spool_sftp(url, options)
     spool = tempfile.mkdtemp(prefix="strake-ftp-")
     ftp = FTP()
     ftp.connect(u.hostname or "", u.port or 21, timeout=float(options.get("timeout", 30)))
@@ -149,6 +148,96 @@ def _spool_ftp(url: str, options: dict) -> str:
             ftp.quit()
         except Exception:  # noqa: BLE001 - broken control socket must not
             ftp.close()    # mask the real (already-raised) error
+
+
+def _spool_sftp(url: str, options: dict) -> str:
+    """Fetch sftp:// files to a local spool dir and return the local
+    path Spark reads — the same whole-object small-file posture as the
+    ftp spool (reference file.rs:124-207 routes sftp through OpenDAL's
+    whole-object fetch too).
+
+    Transport: ``paramiko`` when installed (any server algorithm mix);
+    otherwise the jar-free SSH client (sources/sshwire.py —
+    curve25519-sha256 / ssh-ed25519 / aes128-ctr / hmac-sha2-256, the
+    modern-server default suite; validated against the real OpenSSH
+    client in tests). Options: ``host_key_fingerprint`` (OpenSSH
+    SHA256:... form) pins the server key; absent = trust-on-first-use,
+    like ``ssh -o StrictHostKeyChecking=no``."""
+    import tempfile
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(url)
+    host = u.hostname or ""
+    port = u.port or 22
+    user = unquote(u.username or "anonymous")
+    password = unquote(u.password or str(options.get("password", "")))
+    timeout = float(options.get("timeout", 30))
+    path = u.path or "/"
+    spool = tempfile.mkdtemp(prefix="strake-sftp-")
+
+    def _fetch_with_paramiko() -> str:
+        import paramiko  # noqa: F401 — optional, absent in this container
+
+        t = paramiko.Transport((host, port))
+        t.connect(username=user, password=password)
+        sftp = paramiko.SFTPClient.from_transport(t)
+        try:
+            import stat as stat_mod
+
+            try:
+                is_dir = stat_mod.S_ISDIR(sftp.stat(path).st_mode or 0)
+            except FileNotFoundError as e:
+                raise SourceError(f"sftp path {path!r} not found") from e
+            remotes = (
+                [f"{path.rstrip('/')}/{n}" for n in sftp.listdir(path)]
+                if is_dir
+                else [path]
+            )
+            fetched = []
+            for remote in remotes:
+                local = os.path.join(spool, os.path.basename(remote))
+                sftp.get(remote, local)
+                fetched.append(local)
+            return fetched[0] if len(fetched) == 1 else spool
+        finally:
+            t.close()
+
+    try:
+        import paramiko  # noqa: F401
+
+        have_paramiko = True
+    except ImportError:
+        have_paramiko = False
+    if have_paramiko:
+        return _fetch_with_paramiko()
+
+    from strake_spark.sources.sshwire import connect_sftp
+
+    ssh, sftp = connect_sftp(
+        host, port, user, password, timeout=timeout,
+        host_key_fingerprint=options.get("host_key_fingerprint"),
+    )
+    try:
+        attrs = sftp.stat(path)
+        if attrs.is_dir:
+            remotes = [
+                f"{path.rstrip('/')}/{name}"
+                for name, a in sftp.listdir(path)
+                if not a.is_dir  # flat fetch, like the ftp spool
+            ]
+        else:
+            remotes = [path]
+        fetched: list[str] = []
+        for remote in remotes:
+            local = os.path.join(spool, os.path.basename(remote))
+            with open(local, "wb") as f:
+                f.write(sftp.read_file(remote))
+            fetched.append(local)
+        if not fetched:
+            raise SourceError(f"sftp source fetched no files from {path!r}")
+        return fetched[0] if len(fetched) == 1 else spool
+    finally:
+        ssh.close()
 
 
 def _spool_http(url: str, options: dict) -> str:

@@ -220,11 +220,17 @@ class TestFtpScheme:
         assert eng.spark.table("fx_region").count() == 5
         assert fake_ftp.logins == [("bob", "pw")]
 
-    def test_sftp_gated(self, spark, fake_ftp):
-        with pytest.raises(Exception, match="paramiko"):
+    def test_sftp_unreachable_host_is_loud(self, spark, fake_ftp):
+        """sftp:// is no longer paramiko-gated (r15: jar-free SSH
+        transport, tests/test_source_sftp.py covers the live path) —
+        an unreachable endpoint must surface a transport error, not a
+        missing-dependency hint."""
+        with pytest.raises(Exception, match="(?i)connect|refused|resolve|name"):
             ss.connect(
                 {"sources": [{"name": "sf2", "type": "parquet",
-                              "url": "sftp://h/data", "tables": [{"name": "region"}]}]},
+                              "url": "sftp://127.0.0.1:1/data",
+                              "options": {"timeout": 2},
+                              "tables": [{"name": "region"}]}]},
                 spark=spark,
             )
 
