@@ -183,8 +183,114 @@ def make_server(
                     rows.append({"source": source, "table": v})
             return pa.Table.from_pylist(rows or [{"source": "", "table": ""}])
 
+        # -------------------------------------------------- Flight SQL
+        # Standard Any-wrapped protobuf commands (reference
+        # flight_sql.rs — the surface ADBC/JDBC Flight SQL drivers
+        # speak), dispatched ahead of the legacy raw-SQL scheme so one
+        # endpoint serves both client generations.
+        CATALOG = "strake_spark"
+
+        def _fsql_info(self, descriptor, cmd) -> "fl.FlightInfo":
+            import strake_spark.flightsql as fsql
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            if isinstance(cmd, fsql.StatementQuery):
+                df = _governed(lambda: self.engine.sql(cmd.query))
+                schema = to_arrow_schema(df.schema)
+                ticket = fsql.pack_command(
+                    fsql.TicketStatement(statement_handle=cmd.query.encode())
+                )
+            elif isinstance(cmd, fsql.PreparedStatementQuery):
+                sql = cmd.prepared_statement_handle.decode()
+                df = _governed(lambda: self.engine.sql(sql))
+                schema = to_arrow_schema(df.schema)
+                ticket = fsql.pack_command(cmd)
+            elif isinstance(cmd, fsql.GetCatalogs):
+                schema, ticket = fsql.catalogs_schema(), fsql.pack_command(cmd)
+            elif isinstance(cmd, fsql.GetDbSchemas):
+                schema, ticket = fsql.db_schemas_schema(), fsql.pack_command(cmd)
+            elif isinstance(cmd, fsql.GetTables):
+                schema = fsql.tables_schema(cmd.include_schema)
+                ticket = fsql.pack_command(cmd)
+            elif isinstance(cmd, fsql.GetSqlInfo):
+                schema, ticket = fsql.sql_info_schema(), fsql.pack_command(cmd)
+            else:
+                raise fl.FlightServerError(
+                    f"unsupported Flight SQL command {type(cmd).__name__}"
+                )
+            endpoint = fl.FlightEndpoint(ticket, [])
+            return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+
+        def _fsql_catalog_table(self, cmd) -> "pa.Table":
+            import strake_spark.flightsql as fsql
+
+            sources = self.engine.list_sources()
+            if isinstance(cmd, fsql.GetCatalogs):
+                return pa.table(
+                    {"catalog_name": [self.CATALOG]},
+                    schema=fsql.catalogs_schema(),
+                )
+            if isinstance(cmd, fsql.GetDbSchemas):
+                names = [
+                    s for s in sorted(sources)
+                    if (cmd.catalog in (None, self.CATALOG))
+                    and fsql.like_match(cmd.db_schema_filter_pattern, s)
+                ]
+                return pa.table(
+                    {"catalog_name": [self.CATALOG] * len(names),
+                     "db_schema_name": names},
+                    schema=fsql.db_schemas_schema(),
+                )
+            if isinstance(cmd, fsql.GetTables):
+                rows = []
+                for source, views in sorted(sources.items()):
+                    if cmd.catalog not in (None, self.CATALOG):
+                        continue
+                    if not fsql.like_match(cmd.db_schema_filter_pattern, source):
+                        continue
+                    for v in sorted(views):
+                        if not fsql.like_match(cmd.table_name_filter_pattern, v):
+                            continue
+                        if cmd.table_types and "VIEW" not in cmd.table_types:
+                            continue
+                        rows.append((source, v))
+                cols = {
+                    "catalog_name": [self.CATALOG] * len(rows),
+                    "db_schema_name": [r[0] for r in rows],
+                    "table_name": [r[1] for r in rows],
+                    "table_type": ["VIEW"] * len(rows),
+                }
+                if cmd.include_schema:
+                    from pyspark.sql.pandas.types import to_arrow_schema
+
+                    cols["table_schema"] = [
+                        to_arrow_schema(
+                            self.engine.spark.table(v).schema
+                        ).serialize().to_pybytes()
+                        for _, v in rows
+                    ]
+                return pa.table(
+                    cols, schema=fsql.tables_schema(cmd.include_schema)
+                )
+            if isinstance(cmd, fsql.GetSqlInfo):
+                return fsql.sql_info_table(cmd.info)
+            raise fl.FlightServerError(
+                f"unsupported Flight SQL ticket {type(cmd).__name__}"
+            )
+
         # ------------------------------------------------------- planning
         def get_flight_info(self, context, descriptor):
+            import strake_spark.flightsql as fsql
+
+            cmd = fsql.unpack_command(descriptor.command)
+            if cmd is not None:
+                _scope_check(
+                    context,
+                    "sql" if isinstance(
+                        cmd, (fsql.StatementQuery, fsql.PreparedStatementQuery)
+                    ) else "describe",
+                )
+                return self._fsql_info(descriptor, cmd)
             _scope_check(context, "sql")
             sql = descriptor.command.decode()
             params = None
@@ -206,8 +312,25 @@ def make_server(
             if t == b"catalog:tables":
                 _scope_check(context, "list_sources")
                 return fl.RecordBatchStream(self._tables_batch())
-            _scope_check(context, "execute")
-            payload = t.decode()
+            import strake_spark.flightsql as fsql
+
+            cmd = fsql.unpack_command(t)
+            if cmd is not None:
+                if isinstance(cmd, fsql.TicketStatement):
+                    _scope_check(context, "execute")
+                    payload = cmd.statement_handle.decode()
+                elif isinstance(cmd, fsql.PreparedStatementQuery):
+                    _scope_check(context, "execute")
+                    payload = cmd.prepared_statement_handle.decode()
+                else:
+                    _scope_check(context, "describe")
+                    return fl.RecordBatchStream(
+                        _governed(lambda: self._fsql_catalog_table(cmd))
+                    )
+                # fall through to the governed execute path below
+            else:
+                _scope_check(context, "execute")
+                payload = t.decode()
             user = None
             params = None
             if payload.startswith("{"):
@@ -273,9 +396,35 @@ def make_server(
                 ("trace", "plan + stats report; body = SQL (JSON)"),
                 ("drift_report", "structured schema-drift audit records (JSON)"),
                 ("ping", "liveness + engine identity (JSON)"),
+                ("CreatePreparedStatement",
+                 "Flight SQL prepared statement (Any-wrapped protobuf)"),
+                ("ClosePreparedStatement", "Flight SQL handle release (no-op)"),
             ]
 
         def do_action(self, context, action):
+            # Flight SQL prepared-statement actions (flight_sql.rs
+            # :533-600 shape): the handle IS the query text — stateless,
+            # so any replica can serve the subsequent do_get.
+            if action.type == "CreatePreparedStatement":
+                import strake_spark.flightsql as fsql
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                _scope_check(context, "sql")
+                req = fsql.unpack_command(action.body.to_pybytes())
+                if not isinstance(req, fsql.CreatePreparedStatementRequest):
+                    raise fl.FlightServerError(
+                        "CreatePreparedStatement body must be an Any-wrapped "
+                        "ActionCreatePreparedStatementRequest"
+                    )
+                df = _governed(lambda: self.engine.sql(req.query))
+                result = fsql.CreatePreparedStatementResult(
+                    prepared_statement_handle=req.query.encode(),
+                    dataset_schema=to_arrow_schema(df.schema)
+                    .serialize().to_pybytes(),
+                )
+                return [fsql.any_pack(result.SHORT, result.encode())]
+            if action.type == "ClosePreparedStatement":
+                return []  # stateless handles: nothing to release
             body = action.body.to_pybytes().decode() if action.body else ""
             if action.type in ("list_sources", "describe", "explain_tree",
                                "trace", "drift_report", "ping"):
