@@ -245,6 +245,21 @@ class GetSqlInfo:  # CommandGetSqlInfo
 
 
 @dataclass
+class GetXdbcTypeInfo:  # CommandGetXdbcTypeInfo
+    data_type: int | None = None
+
+    SHORT = "CommandGetXdbcTypeInfo"
+
+    def encode(self) -> bytes:
+        return enc_varint(1, self.data_type) if self.data_type is not None else b""
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "GetXdbcTypeInfo":
+        f = parse_fields(buf)
+        return cls(data_type=f[1][0] if 1 in f else None)
+
+
+@dataclass
 class PreparedStatementQuery:  # CommandPreparedStatementQuery
     prepared_statement_handle: bytes = b""
 
@@ -319,7 +334,7 @@ MESSAGES = {
     m.SHORT: m
     for m in (
         StatementQuery, TicketStatement, GetCatalogs, GetDbSchemas,
-        GetTables, GetSqlInfo, PreparedStatementQuery,
+        GetTables, GetSqlInfo, GetXdbcTypeInfo, PreparedStatementQuery,
         CreatePreparedStatementRequest, CreatePreparedStatementResult,
         ClosePreparedStatementRequest,
     )
@@ -444,6 +459,31 @@ def sql_info_table(requested: list[int]):
         {"info_name": pa.array([e[0] for e in entries], pa.uint32()),
          "value": value},
         schema=sql_info_schema(),
+    )
+
+
+def xdbc_type_info_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        pa.field("type_name", pa.utf8(), nullable=False),
+        pa.field("data_type", pa.int32(), nullable=False),
+    ])
+
+
+def xdbc_type_info_table(data_type: int | None):
+    """The reference's deliberately simplified XDBC type block
+    (flight_sql.rs:836-846: INTEGER=4, VARCHAR=12), filtered by the
+    optional requested type code."""
+    import pyarrow as pa
+
+    rows = [("INTEGER", 4), ("VARCHAR", 12)]
+    if data_type is not None:
+        rows = [r for r in rows if r[1] == data_type]
+    return pa.table(
+        {"type_name": [r[0] for r in rows],
+         "data_type": pa.array([r[1] for r in rows], pa.int32())},
+        schema=xdbc_type_info_schema(),
     )
 
 

@@ -214,6 +214,9 @@ def make_server(
                 ticket = fsql.pack_command(cmd)
             elif isinstance(cmd, fsql.GetSqlInfo):
                 schema, ticket = fsql.sql_info_schema(), fsql.pack_command(cmd)
+            elif isinstance(cmd, fsql.GetXdbcTypeInfo):
+                schema = fsql.xdbc_type_info_schema()
+                ticket = fsql.pack_command(cmd)
             else:
                 raise fl.FlightServerError(
                     f"unsupported Flight SQL command {type(cmd).__name__}"
@@ -274,6 +277,8 @@ def make_server(
                 )
             if isinstance(cmd, fsql.GetSqlInfo):
                 return fsql.sql_info_table(cmd.info)
+            if isinstance(cmd, fsql.GetXdbcTypeInfo):
+                return fsql.xdbc_type_info_table(cmd.data_type)
             raise fl.FlightServerError(
                 f"unsupported Flight SQL ticket {type(cmd).__name__}"
             )

@@ -219,3 +219,18 @@ class TestPreparedStatements:
                           fsql.any_pack(close.SHORT, close.encode()))
             )
         ) == []
+
+
+class TestXdbcTypeInfo:
+    def test_type_block_and_filter(self, served):
+        """flight_sql.rs:836-846 parity: the deliberately simplified
+        XDBC type block (INTEGER=4, VARCHAR=12), filterable by the
+        optional data_type field."""
+        _, client = served
+        t = _fetch(client, fsql.GetXdbcTypeInfo())
+        assert t.schema.equals(fsql.xdbc_type_info_schema())
+        assert list(zip(t.column("type_name").to_pylist(),
+                        t.column("data_type").to_pylist())) == [
+            ("INTEGER", 4), ("VARCHAR", 12)]
+        t2 = _fetch(client, fsql.GetXdbcTypeInfo(data_type=12))
+        assert t2.column("type_name").to_pylist() == ["VARCHAR"]
