@@ -462,6 +462,62 @@ def build_assertion(
     return sign_hs256(body, secret)
 
 
+class JwksCache:
+    """TTL-cached JWKS fetched from a live ``jwks_uri`` — the piece a
+    real IdP integration needs beyond a static key file: keys are
+    refetched when the cache expires, and ``refresh()`` is forced once
+    when a token carries an unknown ``kid`` (the signing-key-rotation
+    path every IdP exercises; Azure AD/Okta/Keycloak rotate on a
+    schedule, reference docs/enterprise.md:9-16)."""
+
+    def __init__(self, jwks_uri: str, ttl: float = 300.0, timeout: float = 10.0):
+        self.jwks_uri = jwks_uri
+        self.ttl = ttl
+        self.timeout = timeout
+        self._doc: dict[str, Any] | None = None
+        self._fetched_at = 0.0
+
+    def refresh(self) -> dict[str, Any]:
+        import time
+        import urllib.request
+
+        with urllib.request.urlopen(self.jwks_uri, timeout=self.timeout) as resp:
+            self._doc = json.loads(resp.read().decode())
+        self._fetched_at = time.time()
+        return self._doc
+
+    def get(self) -> dict[str, Any]:
+        import time
+
+        if self._doc is None or time.time() - self._fetched_at > self.ttl:
+            return self.refresh()
+        return self._doc
+
+    def kids(self) -> set:
+        return {k.get("kid") for k in self.get().get("keys", [])}
+
+
+def discover_oidc(issuer_url: str, timeout: float = 10.0) -> dict[str, Any]:
+    """OIDC discovery: fetch ``<issuer>/.well-known/openid-configuration``
+    and verify the document's ``issuer`` matches the requested one (the
+    RFC 8414 §3.3 mix-up check — a document served for a different
+    issuer must not configure this validator)."""
+    import urllib.request
+
+    base = issuer_url.rstrip("/")
+    url = base + "/.well-known/openid-configuration"
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        doc = json.loads(resp.read().decode())
+    if doc.get("issuer", "").rstrip("/") != base:
+        raise AuthError(
+            f"OIDC discovery issuer mismatch: asked {issuer_url!r}, "
+            f"document says {doc.get('issuer')!r}"
+        )
+    if "jwks_uri" not in doc:
+        raise AuthError("OIDC discovery document has no jwks_uri")
+    return doc
+
+
 class OidcValidator:
     """Issuer/audience/exp bearer-token validator for the server facades.
 
@@ -469,6 +525,12 @@ class OidcValidator:
     construct once with the expected issuer + audience + key material,
     then ``validate(authorization_header)`` per request, returning the
     authenticated principal (``sub`` claim) or raising AuthError.
+
+    ``jwks`` may be a static JWKS dict (key file) or a live
+    ``JwksCache``; ``from_discovery`` builds the validator from a real
+    IdP's discovery document (Azure AD / Okta / Auth0 / Keycloak all
+    speak it — docs/enterprise.md:9-16), wiring issuer and jwks_uri
+    from the document and refetching keys on rotation.
     """
 
     def __init__(
@@ -477,7 +539,7 @@ class OidcValidator:
         issuer: str = "",
         audience: str = "",
         leeway: float = 30.0,
-        jwks: dict[str, Any] | None = None,
+        jwks: "dict[str, Any] | JwksCache | None" = None,
     ):
         if secret is None and jwks is None:
             raise ValueError("OidcValidator needs `secret` (HS256) or `jwks` (RS256)")
@@ -486,6 +548,32 @@ class OidcValidator:
         self.audience = audience
         self.leeway = leeway
         self.jwks = jwks
+
+    @classmethod
+    def from_discovery(
+        cls,
+        issuer_url: str,
+        audience: str = "",
+        leeway: float = 30.0,
+        jwks_ttl: float = 300.0,
+        timeout: float = 10.0,
+    ) -> "OidcValidator":
+        doc = discover_oidc(issuer_url, timeout=timeout)
+        return cls(
+            issuer=doc["issuer"],
+            audience=audience,
+            leeway=leeway,
+            jwks=JwksCache(doc["jwks_uri"], ttl=jwks_ttl, timeout=timeout),
+        )
+
+    def _jwks_for(self, kid) -> dict[str, Any]:
+        """Current JWKS; on a live cache an unknown kid forces ONE
+        refetch (key rotation) before the verify fails."""
+        if isinstance(self.jwks, JwksCache):
+            if kid is not None and kid not in self.jwks.kids():
+                self.jwks.refresh()
+            return self.jwks.get()
+        return self.jwks
 
     def validate(self, authorization: str | None) -> dict[str, Any]:
         if not authorization or not authorization.startswith("Bearer "):
@@ -503,14 +591,14 @@ class OidcValidator:
             if self.jwks is None:
                 raise AuthError("RS256 token but no JWKS configured")
             return verify_rs256(
-                token, self.jwks,
+                token, self._jwks_for(head.get("kid")),
                 issuer=self.issuer, audience=self.audience, leeway=self.leeway,
             )
         if alg in ("ES256", "ES384", "ES512"):
             if self.jwks is None:
                 raise AuthError(f"{alg} token but no JWKS configured")
             return verify_ecdsa(
-                token, self.jwks, alg,
+                token, self._jwks_for(head.get("kid")), alg,
                 issuer=self.issuer, audience=self.audience, leeway=self.leeway,
             )
         if alg == "HS256":

@@ -473,6 +473,10 @@ def main(argv=None) -> None:  # pragma: no cover - manual entry point
                    help="path to a JWKS JSON file (RS256) for bearer validation")
     p.add_argument("--oidc-issuer", default="")
     p.add_argument("--oidc-audience", default="")
+    p.add_argument("--oidc-discovery", default=None,
+                   help="IdP issuer URL; keys and issuer come from its "
+                        "/.well-known/openid-configuration (Azure AD / Okta / "
+                        "Auth0 / Keycloak), with JWKS refetch on rotation")
     p.add_argument("--tls-cert", default=None, help="PEM cert to serve TLS (grpcs)")
     p.add_argument("--tls-key", default=None, help="PEM key for --tls-cert")
     p.add_argument("--keys-db", default=None,
@@ -484,7 +488,13 @@ def main(argv=None) -> None:  # pragma: no cover - manual entry point
 
         key_manager = ApiKeyStore(args.keys_db)
     validator = None
-    if args.oidc_secret or args.oidc_jwks:
+    if args.oidc_discovery:
+        from strake_spark.jwtauth import OidcValidator
+
+        validator = OidcValidator.from_discovery(
+            args.oidc_discovery, audience=args.oidc_audience
+        )
+    elif args.oidc_secret or args.oidc_jwks:
         import json as _json
 
         from strake_spark.jwtauth import OidcValidator
