@@ -51,7 +51,12 @@ def _trace_dir() -> Path:
     env = os.environ.get("STRAKE_TRACE_DIR")
     if env:
         return Path(env).resolve()
-    return Path(os.path.expanduser("~/.strake_spark/traces")).resolve()
+    # project-local .strake_spark/traces next to the running script
+    # when determinable, else the home fallback (reference
+    # utils.py:44-60 get_strake_dir semantics)
+    from strake_spark.utils import get_app_dir
+
+    return get_app_dir("traces")
 
 
 def _utc_iso() -> str:

@@ -610,3 +610,45 @@ class TestMcpDescriptionScope:
         cut = self._search(eng2, max_description_length=25)
         assert not cut["description"].rstrip(".").rstrip().endswith("|")
         assert cut["description"].endswith("...")
+
+
+class TestAppDir:
+    """reference python/strake/utils.py:7-60: project-local state dir
+    preferred over the home fallback; runner binaries and read-only
+    parents are refused."""
+
+    def test_under_pytest_falls_back_to_home(self):
+        from pathlib import Path
+
+        from strake_spark.utils import get_app_dir, get_script_dir
+
+        # sys.argv[0] is the pytest runner here -> no script dir
+        assert get_script_dir() is None
+        assert get_app_dir() == Path("~/.strake_spark").expanduser().resolve()
+        assert get_app_dir("traces").name == "traces"
+
+    def test_script_relative_when_writable(self, tmp_path, monkeypatch):
+        import sys
+
+        from strake_spark.utils import get_app_dir
+
+        script = tmp_path / "job.py"
+        script.write_text("print('x')\n")
+        monkeypatch.setattr(sys, "argv", [str(script)])
+        assert get_app_dir() == (tmp_path / ".strake_spark").resolve()
+
+    def test_runner_binaries_refused(self, tmp_path, monkeypatch):
+        import sys
+
+        from strake_spark.utils import get_script_dir
+
+        runner = tmp_path / "pytest"
+        runner.write_text("#!/bin/sh\n")
+        monkeypatch.setattr(sys, "argv", [str(runner)])
+        assert get_script_dir() is None
+
+    def test_trace_dir_env_still_wins(self, tmp_path, monkeypatch):
+        from strake_spark.tracing_agent import _trace_dir
+
+        monkeypatch.setenv("STRAKE_TRACE_DIR", str(tmp_path / "t"))
+        assert _trace_dir() == (tmp_path / "t").resolve()
