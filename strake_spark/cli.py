@@ -145,12 +145,32 @@ def cmd_validate(args) -> int:
                             f"contract {c.table}.{col.name}: unknown constraint "
                             f"type {k.type!r}"
                         )
-    for p in problems:
-        print(f"INVALID: {p}", file=sys.stderr)
-    if not problems:
-        if getattr(cfg, "contracts", None) is not None:
-            print(f"OK: {len(cfg.contracts.contracts)} contracts")
-        print(f"OK: {len(cfg.sources)} sources")
+    fmt = getattr(args, "output", "human")
+    from strake_spark import output as out
+
+    if out.is_machine_readable(fmt):
+        # reference output.rs envelope: one parseable document, no prose
+        n_contracts = (
+            len(cfg.contracts.contracts)
+            if getattr(cfg, "contracts", None) is not None else 0
+        )
+        if problems:
+            payload = out.error(
+                "validation failed", exit_codes.VALIDATION_ERROR,
+                {"problems": problems},
+            )
+        else:
+            payload = out.success(
+                {"sources": len(cfg.sources), "contracts": n_contracts}
+            )
+        out.print_output(fmt, payload)
+    else:
+        for p in problems:
+            print(f"INVALID: {p}", file=sys.stderr)
+        if not problems:
+            if getattr(cfg, "contracts", None) is not None:
+                print(f"OK: {len(cfg.contracts.contracts)} contracts")
+            print(f"OK: {len(cfg.sources)} sources")
     return exit_codes.VALIDATION_ERROR if problems else 0
 
 
@@ -227,6 +247,10 @@ def _store(args):
 
     path = args.store
     if path is None:
+        # env override (reference config.rs: STRAKE_METADATA_DB wins
+        # over the default path; cli/tests/log_locations.rs pins it)
+        path = os.environ.get("STRAKE_METADATA_DB")
+    if path is None:
         base = os.path.dirname(os.path.abspath(getattr(args, "config", None) or "sources.yaml"))
         path = os.path.join(base, "strake-metadata.db")
     return connect_metadata(path)
@@ -246,6 +270,18 @@ def cmd_diff(args) -> int:
     store = _store(args)
     try:
         d = store.diff(args.domain, cfg)
+        fmt = getattr(args, "output", "human")
+        from strake_spark import output as out
+
+        if out.is_machine_readable(fmt):
+            code = 0 if d.empty else 2
+            out.print_output(
+                fmt,
+                out.response("success", {"empty": d.empty,
+                                         "changes": list(d.lines())},
+                             exit_code=code),
+            )
+            return code
         for line in d.lines():
             print(line)
         return 0 if d.empty else 2  # git-diff convention: 2 = differences
@@ -446,6 +482,10 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("validate", help="validate a config file")
     sp.add_argument("config")
+    sp.add_argument("--output", choices=["human", "json", "yaml"],
+                    default="human",
+                    help="machine formats print one structured response "
+                         "envelope (reference cli output.rs)")
     sp.set_defaults(fn=cmd_validate)
 
     sp = sub.add_parser("describe", help="list sources or dump a table schema")
@@ -474,6 +514,8 @@ def main(argv=None) -> int:
     sp.add_argument("config", nargs="?", default="sources.yaml")
     sp.add_argument("--domain", default="default")
     sp.add_argument("--store", default=None)
+    sp.add_argument("--output", choices=["human", "json", "yaml"],
+                    default="human")
     sp.set_defaults(fn=cmd_diff)
 
     sp = sub.add_parser("apply", help="deploy config to the metadata store")

@@ -86,3 +86,63 @@ class TestExitCodes:
         )
         rc = main(["test-connection", str(cfg)])
         assert rc == exit_codes.CONNECTION_ERROR
+
+
+class TestStructuredOutput:
+    """reference crates/cli/src/output.rs: --output json|yaml prints ONE
+    machine-parseable response envelope (status/message/exit_code +
+    flattened data); human mode keeps the prose lines."""
+
+    def _cfg(self, tmp_path):
+        from tests.conftest import SF_DIR
+
+        cfg = tmp_path / "ok.yaml"
+        cfg.write_text(
+            f"sources:\n  - name: x\n    type: parquet\n    url: {SF_DIR}\n"
+            "    tables: [{name: nation}]\n"
+        )
+        return cfg
+
+    def test_validate_json_envelope(self, tmp_path, capsys):
+        import json
+
+        cfg = self._cfg(tmp_path)
+        assert main(["validate", str(cfg), "--output", "json"]) == 0
+        doc = json.loads(capsys.readouterr().out)
+        assert doc == {"status": "success", "exit_code": 0,
+                       "sources": 1, "contracts": 0}
+
+    def test_validate_error_envelope_carries_problems(self, tmp_path, capsys):
+        import json
+
+        cfg = tmp_path / "bad.yaml"
+        cfg.write_text(
+            "sources:\n  - name: x\n    type: nosuchtype\n    url: /tmp\n"
+        )
+        rc = main(["validate", str(cfg), "--output", "json"])
+        assert rc == exit_codes.VALIDATION_ERROR
+        doc = json.loads(capsys.readouterr().out)
+        assert doc["status"] == "error"
+        assert doc["exit_code"] == exit_codes.VALIDATION_ERROR
+        assert any("nosuchtype" in p for p in doc["problems"])
+
+    def test_diff_yaml_envelope(self, tmp_path, capsys):
+        import yaml
+
+        cfg = self._cfg(tmp_path)
+        store = str(tmp_path / "meta.db")
+        rc = main(["diff", str(cfg), "--store", store, "--output", "yaml"])
+        assert rc == 2  # differences against an empty store
+        doc = yaml.safe_load(capsys.readouterr().out)
+        assert doc["status"] == "success" and doc["exit_code"] == 2
+        assert doc["empty"] is False and doc["changes"]
+
+    def test_metadata_db_env_override(self, tmp_path, capsys, monkeypatch):
+        """reference cli/tests/log_locations.rs: STRAKE_METADATA_DB wins
+        over the default store path when --store is absent."""
+        cfg = self._cfg(tmp_path)
+        db = tmp_path / "override.db"
+        monkeypatch.setenv("STRAKE_METADATA_DB", str(db))
+        assert main(["apply", str(cfg)]) == 0
+        assert db.exists()
+        capsys.readouterr()
