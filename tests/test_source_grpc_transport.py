@@ -363,3 +363,50 @@ class TestSparkEndToEnd:
             assert sorted(r.name for r in got) == ["item4", "item5"]
         finally:
             srv.close()
+
+
+class TestControlFrames:
+    def test_server_ping_is_acked_mid_stream(self):
+        """PING between response frames must be answered (flag ACK,
+        same payload) without disturbing the message stream."""
+        acks = []
+
+        class PingServer(H2GrpcTestServer):
+            def _respond(self, conn, sid, st, sent_indexed_ct):
+                conn.sendall(pack_frame(FT_PING, 0, 0, b"12345678"))
+                out = super()._respond(conn, sid, st, sent_indexed_ct)
+                # drain the client's PING ack (arrives async)
+                try:
+                    conn.settimeout(5)
+                    while True:
+                        ftype, flags, sid2, payload = read_frame(conn)
+                        if ftype == FT_PING and flags & FLAG_ACK:
+                            acks.append(payload)
+                            break
+                except Exception:
+                    pass
+                return out
+
+        srv = PingServer({"/t.S/M": lambda req: [b"ok"]})
+        try:
+            got = list(unary_stream(f"127.0.0.1:{srv.port}", "/t.S/M", b""))
+            assert got == [b"ok"]
+            assert acks == [b"12345678"]
+        finally:
+            srv.close()
+
+    def test_goaway_surfaces_as_source_error(self):
+        class GoawayServer(H2GrpcTestServer):
+            def _respond(self, conn, sid, st, sent_indexed_ct):
+                # error code 2 = INTERNAL_ERROR, last stream id 0
+                conn.sendall(
+                    pack_frame(FT_GOAWAY, 0, 0, b"\x00" * 4 + (2).to_bytes(4, "big"))
+                )
+                return sent_indexed_ct
+
+        srv = GoawayServer({"/t.S/M": lambda req: [b"never"]})
+        try:
+            with pytest.raises(SourceError, match="GOAWAY.*error 2"):
+                list(unary_stream(f"127.0.0.1:{srv.port}", "/t.S/M", b""))
+        finally:
+            srv.close()

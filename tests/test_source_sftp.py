@@ -556,3 +556,70 @@ class TestSparkSpoolEndToEnd:
             (int(r.a), int(r.b)) for r in eng.spark.table("sf_small").collect()
         )
         assert rows == [(1, 2), (3, 4)]
+
+
+class TestTransportTampering:
+    """Integrity property: a single flipped ciphertext byte anywhere in
+    the encrypted stream must kill the connection with a MAC failure,
+    never decode to wrong plaintext — pinned through a byte-flipping
+    TCP proxy in front of the real server."""
+
+    def test_tampered_ciphertext_fails_mac(self, server):
+        import socket as sock_mod
+
+        flip_after = 600  # bytes; lands in encrypted traffic after kex
+
+        proxy = sock_mod.create_server(("127.0.0.1", 0))
+        proxy_port = proxy.getsockname()[1]
+
+        def run_proxy():
+            conn, _ = proxy.accept()
+            upstream = sock_mod.create_connection(("127.0.0.1", server.port))
+            conn.settimeout(10)
+            upstream.settimeout(10)
+            seen = 0
+
+            def pump(src, dst, tamper):
+                nonlocal seen
+                try:
+                    while True:
+                        data = src.recv(65536)
+                        if not data:
+                            break
+                        if tamper:
+                            buf = bytearray(data)
+                            if seen <= flip_after < seen + len(buf):
+                                buf[flip_after - seen] ^= 0xFF
+                            seen += len(buf)
+                            data = bytes(buf)
+                        dst.sendall(data)
+                except OSError:
+                    pass
+                finally:
+                    try:
+                        dst.shutdown(sock_mod.SHUT_WR)
+                    except OSError:
+                        pass
+
+            t = threading.Thread(
+                target=pump, args=(upstream, conn, True), daemon=True
+            )
+            t.start()
+            pump(conn, upstream, False)
+            t.join(timeout=5)
+            conn.close()
+            upstream.close()
+
+        threading.Thread(target=run_proxy, daemon=True).start()
+        try:
+            with pytest.raises(SourceError) as e:
+                ssh, sftp = connect_sftp("127.0.0.1", proxy_port, "u", "secret")
+                try:
+                    # pull enough bytes that the flipped one is consumed
+                    sftp.read_file("/data/big.bin")
+                finally:
+                    ssh.close()
+            msg = str(e.value)
+            assert ("MAC" in msg or "closed" in msg or "disconnect" in msg), msg
+        finally:
+            proxy.close()
