@@ -103,6 +103,12 @@ _REWRITTEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
+    # (a) never driver-checked: the 3 r15-new SQL-surface entries
+    # (LATERAL top-N, GROUP BY ALL, QUALIFY rewrite) — verified vs
+    # their oracles at sf0.001/0.01/0.1 before registration
+    "join_lateral_top_orders_per_customer",
+    "agg_group_by_all",
+    "window_qualify_top2_per_customer",
     # (b) rewritten this round (10)
     "ann_cosine_topk_bruteforce",
     "ann_lsh_bucketed_topk",
@@ -153,9 +159,6 @@ _PRIORITY: tuple[str, ...] = (
     "values_inline",
     "expr_unpivot_measures",
     "expr_regexp_matrix",
-    "expr_json_matrix",
-    "engine_sql_end_to_end",
-    "events_cohort_retention",
     # --- 50-entry window boundary ---
 )
 
@@ -163,11 +166,11 @@ _PRIORITY: tuple[str, ...] = (
 # remaining r12-green rows, then r13/r14-green oldest-first. Any query
 # whose plan is rewritten in round 16 joins that window the same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "expr_json_matrix",
+    "engine_sql_end_to_end",
+    "events_cohort_retention",
     "events_rolling_active_users",
     "events_rollup_incremental",
-    "dedup_cross_corpus_exact",
-    "dedup_substring_exact_spans",
-    "ann_ivf_deterministic_topk",
 )
 
 

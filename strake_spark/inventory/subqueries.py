@@ -233,3 +233,98 @@ def engine_sql_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderpriority
         """
     )
+
+
+@query(
+    "join_lateral_top_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+    WHERE c.c_custkey < 20
+    ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+    """,
+    notes=(
+        "r15: correlated LATERAL subquery (top-N per group via "
+        "per-row derived table, SPARK-34382 / DuckDB LATERAL). "
+        "Catalyst rewrites it to a DomainJoin + window; raw columns "
+        "ride through so values hash-match with no decimal discipline "
+        "needed; LIMIT carries a full tie-break"
+    ),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        WHERE c.c_custkey < 20
+        ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
+
+
+@query(
+    "agg_group_by_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+    notes=(
+        "r15: GROUP BY ALL (every non-aggregate select item becomes a "
+        "key — Spark 3.4+/DuckDB shared dialect sugar); decimal sum "
+        "for the order-independent hash"
+    ),
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderpriority, o_orderstatus
+        """
+    )
+
+
+@query(
+    "window_qualify_top2_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+    notes=(
+        "r15: QUALIFY-clause semantics (DuckDB/Snowflake dialect; "
+        "Spark lacks the clause, so the engine side is the canonical "
+        "row_number-subquery rewrite dialects compile QUALIFY into — "
+        "proving the rewrite is value-identical to a native QUALIFY)"
+    ),
+)
+def window_qualify_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 2
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
