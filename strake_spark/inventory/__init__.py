@@ -103,9 +103,10 @@ _REWRITTEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked: the 3 r15-new SQL-surface entries
-    # (LATERAL top-N, GROUP BY ALL, QUALIFY rewrite) — verified vs
-    # their oracles at sf0.001/0.01/0.1 before registration
+    # (a) never driver-checked: the 4 r15-new SQL-surface entries
+    # (LATERAL top-N, GROUP BY ALL, QUALIFY rewrite, INTERSECT ALL) —
+    # verified vs their oracles at sf0.001/0.01/0.1 before registration
+    "set_intersect_all",
     "join_lateral_top_orders_per_customer",
     "agg_group_by_all",
     "window_qualify_top2_per_customer",
@@ -158,7 +159,6 @@ _PRIORITY: tuple[str, ...] = (
     "distinct_on_latest_order",
     "values_inline",
     "expr_unpivot_measures",
-    "expr_regexp_matrix",
     # --- 50-entry window boundary ---
 )
 
@@ -166,11 +166,11 @@ _PRIORITY: tuple[str, ...] = (
 # remaining r12-green rows, then r13/r14-green oldest-first. Any query
 # whose plan is rewritten in round 16 joins that window the same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "expr_regexp_matrix",
     "expr_json_matrix",
     "engine_sql_end_to_end",
     "events_cohort_retention",
     "events_rolling_active_users",
-    "events_rollup_incremental",
 )
 
 

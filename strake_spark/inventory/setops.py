@@ -239,3 +239,28 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_orderpriority AS pri FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_orderpriority AS pri FROM orders WHERE o_totalprice > 100000
+    """,
+    notes=(
+        "r15: INTERSECT ALL (bag semantics — each value kept "
+        "min(count_left, count_right) times; Spark intersectAll == "
+        "DuckDB INTERSECT ALL). Completes the set-ops family next to "
+        "UNION/EXCEPT ALL"
+    ),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    right = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    return left.intersectAll(right)
