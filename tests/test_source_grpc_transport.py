@@ -375,9 +375,10 @@ class TestControlFrames:
             def _respond(self, conn, sid, st, sent_indexed_ct):
                 conn.sendall(pack_frame(FT_PING, 0, 0, b"12345678"))
                 out = super()._respond(conn, sid, st, sent_indexed_ct)
-                # drain the client's PING ack (arrives async)
+                # drain the client's PING ack (arrives async; generous
+                # timeout — a loaded box can stall the worker thread)
                 try:
-                    conn.settimeout(5)
+                    conn.settimeout(30)
                     while True:
                         ftype, flags, sid2, payload = read_frame(conn)
                         if ftype == FT_PING and flags & FLAG_ACK:
@@ -391,6 +392,11 @@ class TestControlFrames:
         try:
             got = list(unary_stream(f"127.0.0.1:{srv.port}", "/t.S/M", b""))
             assert got == [b"ok"]
+            import time
+
+            deadline = time.time() + 30
+            while not acks and time.time() < deadline:
+                time.sleep(0.05)
             assert acks == [b"12345678"]
         finally:
             srv.close()
