@@ -470,10 +470,15 @@ class JwksCache:
     path every IdP exercises; Azure AD/Okta/Keycloak rotate on a
     schedule, reference docs/enterprise.md:9-16)."""
 
-    def __init__(self, jwks_uri: str, ttl: float = 300.0, timeout: float = 10.0):
+    def __init__(self, jwks_uri: str, ttl: float = 300.0, timeout: float = 10.0,
+                 min_refetch_interval: float = 5.0):
         self.jwks_uri = jwks_uri
         self.ttl = ttl
         self.timeout = timeout
+        # forged tokens with random kids must not turn every request
+        # into an IdP fetch (refetch-storm guard; real validators
+        # rate-limit rotation refreshes the same way)
+        self.min_refetch_interval = min_refetch_interval
         self._doc: dict[str, Any] | None = None
         self._fetched_at = 0.0
 
@@ -481,6 +486,11 @@ class JwksCache:
         import time
         import urllib.request
 
+        if (
+            self._doc is not None
+            and time.time() - self._fetched_at < self.min_refetch_interval
+        ):
+            return self._doc  # throttled: serve the recent fetch
         with urllib.request.urlopen(self.jwks_uri, timeout=self.timeout) as resp:
             self._doc = json.loads(resp.read().decode())
         self._fetched_at = time.time()
@@ -557,13 +567,15 @@ class OidcValidator:
         leeway: float = 30.0,
         jwks_ttl: float = 300.0,
         timeout: float = 10.0,
+        jwks_min_refetch_interval: float = 5.0,
     ) -> "OidcValidator":
         doc = discover_oidc(issuer_url, timeout=timeout)
         return cls(
             issuer=doc["issuer"],
             audience=audience,
             leeway=leeway,
-            jwks=JwksCache(doc["jwks_uri"], ttl=jwks_ttl, timeout=timeout),
+            jwks=JwksCache(doc["jwks_uri"], ttl=jwks_ttl, timeout=timeout,
+                           min_refetch_interval=jwks_min_refetch_interval),
         )
 
     def _jwks_for(self, kid) -> dict[str, Any]:

@@ -230,6 +230,10 @@ FLAG_ACK = 0x1
 FLAG_PADDED = 0x8
 FLAG_PRIORITY = 0x20
 
+# RFC 7540 §6.5.2 SETTINGS_MAX_FRAME_SIZE default — the largest frame a
+# peer must accept without negotiation
+MAX_FRAME_SIZE = 16384
+
 
 def pack_frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
     return (
@@ -356,12 +360,20 @@ class H2GrpcChannel:
             ("te", "trailers"),
             ("grpc-accept-encoding", "identity"),
         ]
-        self._sock.sendall(
-            pack_frame(
-                FT_HEADERS, FLAG_END_HEADERS, stream_id, encode_headers(headers)
-            )
-            + pack_frame(FT_DATA, FLAG_END_STREAM, stream_id, grpc_frame(request))
+        body = grpc_frame(request)
+        # RFC 7540 §4.2: frames are capped at SETTINGS_MAX_FRAME_SIZE
+        # (16384 unless raised) — chunk the request DATA accordingly
+        frames = [
+            body[i : i + MAX_FRAME_SIZE]
+            for i in range(0, len(body), MAX_FRAME_SIZE)
+        ] or [b""]
+        out = pack_frame(
+            FT_HEADERS, FLAG_END_HEADERS, stream_id, encode_headers(headers)
         )
+        for i, chunk in enumerate(frames):
+            flags = FLAG_END_STREAM if i == len(frames) - 1 else 0
+            out += pack_frame(FT_DATA, flags, stream_id, chunk)
+        self._sock.sendall(out)
         buf = GrpcMessageBuffer()
         got_headers = False
         header_block = bytearray()

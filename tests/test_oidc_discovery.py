@@ -182,7 +182,10 @@ class TestDiscovery:
 
 class TestKeyRotation:
     def test_unknown_kid_triggers_one_refetch(self, idp):
-        v = OidcValidator.from_discovery(idp.base, audience="strake")
+        # interval 0: the test rotates within seconds; production keeps
+        # the 5s refetch-storm throttle (forged random-kid tokens)
+        v = OidcValidator.from_discovery(
+            idp.base, audience="strake", jwks_min_refetch_interval=0.0)
         assert v.validate(f"Bearer {idp.mint('alice')}")["sub"] == "alice"
         old_token = idp.mint("alice")
         idp.rotate()  # IdP swaps keys; validator's cache still has kid-N
@@ -194,7 +197,7 @@ class TestKeyRotation:
             v.validate(f"Bearer {old_token}")
 
     def test_cache_ttl_refetch(self, idp):
-        cache = JwksCache(f"{idp.base}/jwks", ttl=0.0)  # always stale
+        cache = JwksCache(f"{idp.base}/jwks", ttl=0.0, min_refetch_interval=0.0)
         first = cache.get()
         idp.rotate()
         second = cache.get()
@@ -212,7 +215,8 @@ class TestServerFacadesAgainstLiveIdp:
                           "tables": [{"name": "region"}]}]},
             spark=spark,
         )
-        v = OidcValidator.from_discovery(idp.base, audience="strake")
+        v = OidcValidator.from_discovery(idp.base, audience="strake",
+                                          jwks_min_refetch_interval=0.0)
         srv = make_rest_server(eng, validator=v).start()
         try:
             def query(token: str) -> int:
@@ -235,3 +239,16 @@ class TestServerFacadesAgainstLiveIdp:
             assert e.value.code in (401, 403)
         finally:
             srv.stop()
+
+    def test_refetch_storm_throttled(self, idp):
+        """Forged tokens with random kids must not turn every request
+        into an IdP fetch: within min_refetch_interval the cache serves
+        the recent document instead of refetching."""
+        cache = JwksCache(f"{idp.base}/jwks", ttl=300.0,
+                          min_refetch_interval=60.0)
+        cache.get()
+        first = cache._fetched_at
+        # unknown-kid style forced refresh right after: throttled
+        cache.refresh()
+        cache.refresh()
+        assert cache._fetched_at == first

@@ -147,12 +147,19 @@ class H2GrpcTestServer:
         conn.sendall(pack_frame(FT_HEADERS, FLAG_END_HEADERS, sid, bytes(head)))
         body = b"".join(grpc_frame(m) for m in handler(request))
         if self.split_data and len(body) > 3:
-            # split mid-message to exercise client-side reassembly
+            # split mid-message to exercise client-side reassembly,
+            # then re-chunk to the RFC 7540 §4.2 16384-byte frame cap
             cut = len(body) // 2
-            conn.sendall(pack_frame(FT_DATA, 0, sid, body[:cut]))
-            conn.sendall(pack_frame(FT_DATA, 0, sid, body[cut:]))
-        elif body:
-            conn.sendall(pack_frame(FT_DATA, 0, sid, body))
+            pieces = [body[:cut], body[cut:]]
+        else:
+            pieces = [body] if body else []
+        from strake_spark.sources.h2grpc import MAX_FRAME_SIZE
+
+        for piece in pieces:
+            for i in range(0, len(piece), MAX_FRAME_SIZE):
+                conn.sendall(
+                    pack_frame(FT_DATA, 0, sid, piece[i : i + MAX_FRAME_SIZE])
+                )
         conn.sendall(
             pack_frame(
                 FT_HEADERS,
