@@ -77,100 +77,84 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-15 window: the 10 rewritten entries, then the 9 r10-stale rows
-# the r14 verdict front-loaded (the oldest remaining evidence), then 31
-# r12-green rows in registration order.
+# Round-16 window: all-time coverage is 156/156 and nothing was
+# rewritten before rotation, so the window is purely tier (c) — the 18
+# r12-stale rows first (deterministic ANN, semdedup, events, expression
+# matrices, BM25, cross-corpus exact, substring spans, truncate
+# fidelity, engine e2e, frame-sample stats), then the 32 oldest
+# r13-green rows in registration order.
 
-# Entries whose operator implementation changes this round (r15): the
-# ANN kernels gained bounded query-slice scoring (_KERNEL_QUERY_CHUNK —
-# per-task memory no longer scales with n_queries; accumulation order
-# unchanged, outputs bit-identical), ivf/pq/ivfpq drop null vectors
-# before training/encode (the cosine/lsh null contract), and lsh_topk
-# rejects n_anchor_bits < 1. Every consumer verified hash-green vs the
-# oracle at sf0.001/0.01/0.1 before rotation; re-verified by the driver
-# this round so a regression cannot hide behind stale green evidence.
-_REWRITTEN: tuple[str, ...] = (
-    "ann_cosine_topk_bruteforce",
-    "ann_lsh_bucketed_topk",
-    "ann_lsh_recall_vs_exact",
-    "ann_ivf_recall_vs_exact",
-    "ann_pq_recall_vs_exact",
-    "ann_ivfpq_recall_vs_exact",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "curation_knn_label_consistency",
-)
+# Entries whose operator implementation changes this round (r16):
+# semdedup gained an optional ANN-assisted assignment path (exact path
+# and oracle unchanged — listed out of caution since semdedup.py was
+# touched; both entries are in the r12-stale head regardless).
+_REWRITTEN: tuple[str, ...] = ()
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked: the 4 r15-new SQL-surface entries
-    # (LATERAL top-N, GROUP BY ALL, QUALIFY rewrite, INTERSECT ALL) —
-    # verified vs their oracles at sf0.001/0.01/0.1 before registration
-    "set_intersect_all",
-    "join_lateral_top_orders_per_customer",
-    "agg_group_by_all",
-    "window_qualify_top2_per_customer",
-    # (b) rewritten this round (10)
-    "ann_cosine_topk_bruteforce",
-    "ann_lsh_bucketed_topk",
-    "ann_lsh_recall_vs_exact",
-    "ann_ivf_recall_vs_exact",
-    "ann_pq_recall_vs_exact",
-    "ann_ivfpq_recall_vs_exact",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "curation_knn_label_consistency",
-    # (c) oldest evidence: the 9 r10-stale rows (r14 verdict task 2)
-    "multimodal_decode_meta",
-    "stream_view_purchase_join",
-    "expr_array_higher_order",
-    "sample_hash_bucket",
-    "sample_shuffle_deterministic",
-    "pipeline_mixture_upsample",
-    "pipeline_source_quota",
-    "pipeline_shard_manifest",
-    "pipeline_chunk_documents",
-    # (c) oldest evidence: r12-green rows, registration order (31)
-    "join_anti_customers_without_urgent_orders",
-    "join_cross_region_status",
-    "join_non_equi_price_over_size",
-    "agg_global_stats",
-    "agg_rollup_status_priority",
-    "agg_cube_flag_status",
-    "agg_grouping_sets",
-    "agg_having_big_customers",
-    "agg_variance_by_nation",
-    "agg_string_agg_priorities",
-    "agg_filtered_conditional",
-    "window_row_number_topk",
-    "window_rank_family",
-    "window_running_sum",
-    "window_sliding_rows_frame",
-    "window_range_frame",
-    "window_lag_lead",
-    "window_ntile_first_last",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "distinct_simple",
-    "distinct_on_latest_order",
-    "values_inline",
-    "expr_unpivot_measures",
-    # --- 50-entry window boundary ---
-)
-
-# Carryover remainder: the head of the round-16 fill, in order — the
-# remaining r12-green rows, then r13/r14-green oldest-first. Any query
-# whose plan is rewritten in round 16 joins that window the same round.
-_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    # (c) oldest evidence: the 18 r12-stale rows (r15 verdict task 1)
     "expr_regexp_matrix",
     "expr_json_matrix",
     "engine_sql_end_to_end",
     "events_cohort_retention",
     "events_rolling_active_users",
+    "events_rollup_incremental",
+    "dedup_cross_corpus_exact",
+    "dedup_substring_exact_spans",
+    "ann_ivf_deterministic_topk",
+    "curation_prototype_scores",
+    "curation_cluster_label_purity",
+    "ann_pq_deterministic_topk",
+    "ann_ivfpq_deterministic_topk",
+    "semdedup_kmeans_assign",
+    "semdedup_prune_keep",
+    "embedding_truncate_fidelity",
+    "text_bm25_ranking",
+    "multimodal_frame_sample_stats",
+    # (c) next-oldest evidence: r13-green rows, registration order (32)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "expr_vectorized_udf",
+    "subquery_scalar_above_avg",
+    "subquery_in_european_customers",
+    "subquery_exists_correlated",
+    "subquery_correlated_scalar_select",
+    "cte_reused",
+    "cte_recursive_series",
+    "events_tumbling_window",
+    "events_sessionization",
+    "events_json_props",
+    "events_top_users_per_type",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_candidates",
+    "dedup_cross_corpus_candidates",
+    "dedup_simhash_signatures",
+    "dedup_ngram_jaccard",
+    "ann_embedding_dup_pairs",
+    "curation_semantic_contamination",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_binary_meta",
+    "stream_tumbling_event_counts",
+    # --- 50-entry window boundary ---
+)
+
+# Carryover remainder: the head of the round-17 fill, in order — the
+# remaining r13-green rows oldest-first. Any query whose plan is
+# rewritten in round 17 joins that window the same round.
+_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "stream_sessionization",
+    "stream_dedup_events",
+    "stream_user_running_totals",
+    "window_groups_frame_emulated",
+    "asof_join_backward",
 )
 
 

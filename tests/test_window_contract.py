@@ -45,13 +45,13 @@ def test_window_is_saturated_prefix_of_evidence_order():
     and the carryover remainder — the head of the NEXT round's fill —
     must match the in-code guidance list (inventory._NEXT_ROTATION_HEAD).
     Evidence range is pinned to the files that existed at rotation time
-    (r01–r14) — bump the range in the SAME commit as every rotation so
+    (r01–r15) — bump the range in the SAME commit as every rotation so
     the check describes that rotation."""
     import json
     import os
 
     last: dict[str, int] = {}
-    for rn in range(1, 15):  # pinned at rotation time; bump with each rotation
+    for rn in range(1, 16):  # pinned at rotation time; bump with each rotation
         path = f"/root/repo/CORRECTNESS_r{rn:02d}.json"
         if not os.path.exists(path):
             continue
