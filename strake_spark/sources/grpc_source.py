@@ -148,15 +148,27 @@ class GrpcReader(DataSourceReader):
         endpoint = self.options["endpoint"]
         method = self.options["method"]  # /package.Service/Method
         request = bytes.fromhex(self.options.get("request_hex", ""))
-        # transport: auto (grpcio if installed, else jar-free h2c),
-        # grpcio (fail fast when absent — e.g. TLS endpoints), or h2c
+        # transport: auto (grpcio if installed, else the jar-free
+        # stdlib transport — h2c for grpc://, ssl+ALPN h2 for
+        # grpcs://), grpcio (fail fast when absent), or h2c
         transport = self.options.get("transport", "auto")
+        tls_root_certs = self.options.get("tls_root_certs") or None
         stream = None
         if transport in ("auto", "grpcio"):
             try:
                 import grpc
 
-                channel = grpc.insecure_channel(endpoint)
+                if endpoint.startswith("grpcs://"):
+                    target = endpoint[len("grpcs://") :]
+                    if tls_root_certs:
+                        with open(tls_root_certs, "rb") as f:
+                            creds = grpc.ssl_channel_credentials(f.read())
+                    else:
+                        creds = grpc.ssl_channel_credentials()
+                    channel = grpc.secure_channel(target, creds)
+                else:
+                    target = endpoint.removeprefix("grpc://")
+                    channel = grpc.insecure_channel(target)
                 stream = channel.unary_stream(
                     method,
                     request_serializer=lambda b: b,
@@ -166,12 +178,14 @@ class GrpcReader(DataSourceReader):
                 if transport == "grpcio":
                     raise SourceError(
                         "transport 'grpcio' requested but grpcio is not "
-                        "installed (required for TLS endpoints)"
+                        "installed"
                     ) from e
-        if stream is None:  # h2c, or auto without grpcio
+        if stream is None:  # stdlib transport, or auto without grpcio
             from strake_spark.sources.h2grpc import unary_stream
 
-            stream = unary_stream(endpoint, method, request)
+            stream = unary_stream(
+                endpoint, method, request, tls_root_certs=tls_root_certs
+            )
         names = [f.name for f in self.schema.fields]
         for raw in stream:
             row = decode_message(raw, fields)
@@ -224,6 +238,7 @@ def register_grpc_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
             .option("fields", str(tbl.options["fields"]))
             .option("request_hex", str(tbl.options.get("request_hex", "")))
             .option("transport", str(tbl.options.get("transport", "auto")))
+            .option("tls_root_certs", str(tbl.options.get("tls_root_certs", "")))
             .load()
         )
         view = view_name(cfg.name, tbl.name)

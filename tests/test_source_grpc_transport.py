@@ -25,6 +25,7 @@ from strake_spark.sources.h2grpc import (
     FT_PING,
     FT_SETTINGS,
     FT_WINDOW_UPDATE,
+    HUFF_TABLE,
     PREFACE,
     GrpcMessageBuffer,
     H2GrpcChannel,
@@ -33,10 +34,25 @@ from strake_spark.sources.h2grpc import (
     _encode_int,
     encode_headers,
     grpc_frame,
+    huffman_decode,
+    huffman_encode,
     pack_frame,
+    parse_endpoint,
     read_frame,
     unary_stream,
 )
+
+
+def _huffman_header_block(headers: list[tuple[str, str]]) -> bytes:
+    """Literal never-indexed fields with Huffman-coded name AND value
+    (the form grpc-go/grpc-java actually emit for response headers)."""
+    out = bytearray()
+    for name, value in headers:
+        out += b"\x10"
+        for s in (name.encode(), value.encode()):
+            h = huffman_encode(s)
+            out += _encode_int(len(h), 7, 0x80) + h
+    return bytes(out)
 
 
 # ---------------------------------------------------------------- test server
@@ -53,10 +69,24 @@ class H2GrpcTestServer:
     indexing (so a second stream can reference it from the dynamic
     table), exercising the client decoder's table machinery."""
 
-    def __init__(self, handlers, grpc_status: str = "0", split_data: bool = True):
+    def __init__(
+        self,
+        handlers,
+        grpc_status: str = "0",
+        split_data: bool = True,
+        huffman: bool = False,
+        initial_window: int | None = None,
+        ssl_context=None,
+    ):
         self.handlers = handlers
         self.grpc_status = grpc_status
         self.split_data = split_data
+        self.huffman = huffman  # Huffman-encode ALL response header strings
+        # advertise SETTINGS_INITIAL_WINDOW_SIZE and ENFORCE it: DATA
+        # beyond the granted window is recorded as a violation
+        self.initial_window = initial_window
+        self.window_violations: list[str] = []
+        self._ssl_context = ssl_context
         self._srv = socket.create_server(("127.0.0.1", 0))
         self.port = self._srv.getsockname()[1]
         self._stop = threading.Event()
@@ -74,6 +104,8 @@ class H2GrpcTestServer:
             except OSError:
                 return
             try:
+                if self._ssl_context is not None:
+                    conn = self._ssl_context.wrap_socket(conn, server_side=True)
                 self._handle(conn)
             except Exception:
                 pass
@@ -89,7 +121,10 @@ class H2GrpcTestServer:
                 return
             preface += chunk
         assert preface == PREFACE
-        conn.sendall(pack_frame(FT_SETTINGS, 0, 0, b""))
+        settings = b""
+        if self.initial_window is not None:
+            settings = struct.pack("!HI", 0x4, self.initial_window)
+        conn.sendall(pack_frame(FT_SETTINGS, 0, 0, settings))
         decoder = HpackDecoder()
         streams: dict[int, dict] = {}
         sent_indexed_ct = False
@@ -106,14 +141,26 @@ class H2GrpcTestServer:
                 elif ftype == FT_GOAWAY:
                     return
                 continue
-            st = streams.setdefault(sid, {"headers": None, "data": b""})
+            st = streams.setdefault(
+                sid,
+                {"headers": None, "data": b"", "window": self.initial_window},
+            )
             if ftype == FT_HEADERS:
                 st["headers"] = dict(decoder.decode(payload))
             elif ftype == FT_DATA:
+                if st["window"] is not None:
+                    if len(payload) > st["window"]:
+                        self.window_violations.append(
+                            f"stream {sid}: {len(payload)} > window {st['window']}"
+                        )
+                    st["window"] -= len(payload)
                 st["data"] += payload
-                conn.sendall(
-                    pack_frame(FT_WINDOW_UPDATE, 0, 0, len(payload).to_bytes(4, "big"))
-                )
+                if payload:
+                    inc = len(payload).to_bytes(4, "big")
+                    conn.sendall(pack_frame(FT_WINDOW_UPDATE, 0, 0, inc))
+                    if st["window"] is not None:
+                        conn.sendall(pack_frame(FT_WINDOW_UPDATE, 0, sid, inc))
+                        st["window"] += len(payload)
             if flags & FLAG_END_STREAM and st["headers"] is not None:
                 sent_indexed_ct = self._respond(conn, sid, st, sent_indexed_ct)
                 del streams[sid]
@@ -134,16 +181,25 @@ class H2GrpcTestServer:
         msgs = buf.feed(st["data"])
         if msgs:
             request = msgs[0]
-        # response headers: 0x88 = indexed ':status 200' (static 8);
-        # content-type via incremental indexing first time, then from
-        # the dynamic table (index 62) on later streams
-        head = bytearray([0x88])
-        if not sent_indexed_ct:
-            head += b"\x40"  # literal w/ incremental indexing, new name
-            for s in (b"content-type", b"application/grpc"):
-                head += _encode_int(len(s), 7) + s
+        if self.huffman:
+            # the grpc-go/grpc-java posture: every header string
+            # Huffman-coded (drives the client decoder's Appendix B path)
+            head = bytearray(
+                _huffman_header_block(
+                    [(":status", "200"), ("content-type", "application/grpc")]
+                )
+            )
         else:
-            head += bytes([0x80 | 62])  # dynamic-table reference
+            # response headers: 0x88 = indexed ':status 200' (static 8);
+            # content-type via incremental indexing first time, then from
+            # the dynamic table (index 62) on later streams
+            head = bytearray([0x88])
+            if not sent_indexed_ct:
+                head += b"\x40"  # literal w/ incremental indexing, new name
+                for s in (b"content-type", b"application/grpc"):
+                    head += _encode_int(len(s), 7) + s
+            else:
+                head += bytes([0x80 | 62])  # dynamic-table reference
         conn.sendall(pack_frame(FT_HEADERS, FLAG_END_HEADERS, sid, bytes(head)))
         body = b"".join(grpc_frame(m) for m in handler(request))
         if self.split_data and len(body) > 3:
@@ -170,12 +226,13 @@ class H2GrpcTestServer:
         )
         return True
 
-    @staticmethod
-    def _trailer_block(status: str, message: str) -> bytes:
-        return encode_headers(
-            [("grpc-status", status)]
-            + ([("grpc-message", message)] if message else [])
+    def _trailer_block(self, status: str, message: str) -> bytes:
+        trailers = [("grpc-status", status)] + (
+            [("grpc-message", message)] if message else []
         )
+        if self.huffman:
+            return _huffman_header_block(trailers)
+        return encode_headers(trailers)
 
     def close(self) -> None:
         self._stop.set()
@@ -207,12 +264,80 @@ class TestHpack:
         assert dec.decode(block1) == [(":status", "200"), ("x", "y")]
         assert dec.decode(bytes([0x80 | 62])) == [("x", "y")]
 
-    def test_huffman_gated_loudly(self):
+    def test_huffman_coded_literal_decodes(self):
         dec = HpackDecoder()
-        # literal never-indexed, new name with the Huffman bit set
-        block = b"\x10" + bytes([0x81, 0x8C])
-        with pytest.raises(SourceError, match="Huffman"):
-            dec.decode(block)
+        block = _huffman_header_block([("grpc-status", "0"), ("x-big", "A" * 300)])
+        assert dec.decode(block) == [("grpc-status", "0"), ("x-big", "A" * 300)]
+
+
+class TestHuffman:
+    """RFC 7541 Appendix B code validated three ways: the RFC's own
+    Appendix C canonical vectors ARE the interop peer; the code must be
+    complete (Kraft sum exactly 1) and prefix-free; and encode∘decode
+    must be identity on arbitrary bytes."""
+
+    # Appendix C.4 / C.6 Huffman-coded literal values, verbatim
+    VECTORS = [
+        ("www.example.com", "f1e3c2e5f23a6ba0ab90f4ff"),
+        ("no-cache", "a8eb10649cbf"),
+        ("custom-key", "25a849e95ba97d7f"),
+        ("custom-value", "25a849e95bb8e8b4bf"),
+        ("302", "6402"),
+        ("private", "aec3771a4b"),
+        ("Mon, 21 Oct 2013 20:13:21 GMT",
+         "d07abe941054d444a8200595040b8166e082a62d1bff"),
+        ("https://www.example.com", "9d29ad171863c78f0b97c8e9ae82ae43d3"),
+        ("307", "640eff"),
+        ("Mon, 21 Oct 2013 20:13:22 GMT",
+         "d07abe941054d444a8200595040b8166e084a62d1bff"),
+        ("gzip", "9bd9ab"),
+        ("foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1",
+         "94e7821dd7f2e6c7b335dfdfcd5b3960d5af27087f3672c1ab270fb5291f9587"
+         "316065c003ed4ee5b1063d5007"),
+    ]
+
+    def test_appendix_c_vectors_encode(self):
+        for plain, hexs in self.VECTORS:
+            assert huffman_encode(plain.encode()).hex() == hexs, plain
+
+    def test_appendix_c_vectors_decode(self):
+        for plain, hexs in self.VECTORS:
+            assert huffman_decode(bytes.fromhex(hexs)) == plain.encode(), plain
+
+    def test_code_is_complete_and_prefix_free(self):
+        from fractions import Fraction
+
+        assert len(HUFF_TABLE) == 257
+        assert sum(Fraction(1, 2**n) for _, n in HUFF_TABLE) == 1
+        strs = sorted(format(c, f"0{n}b") for c, n in HUFF_TABLE)
+        assert len(set(strs)) == 257
+        for a, b in zip(strs, strs[1:]):
+            assert not b.startswith(a), (a, b)
+
+    def test_roundtrip_all_bytes_and_random(self):
+        import random
+
+        assert huffman_decode(huffman_encode(bytes(range(256)))) == bytes(range(256))
+        rng = random.Random(7541)
+        for _ in range(50):
+            data = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200)))
+            assert huffman_decode(huffman_encode(data)) == data
+
+    def test_bad_padding_rejected(self):
+        # 'a' = 00011 (5 bits) + 3 zero pad bits — not an EOS prefix
+        with pytest.raises(SourceError, match="padding"):
+            huffman_decode(bytes([0b00011000]))
+
+    def test_eos_in_string_rejected(self):
+        # 30 one-bits = EOS, padded with 1s to 4 bytes
+        with pytest.raises(SourceError, match="EOS"):
+            huffman_decode(b"\xff\xff\xff\xff")
+
+    def test_overlong_padding_rejected(self):
+        # a valid symbol then >= 8 pure padding bits
+        enc = huffman_encode(b"a") + b"\xff"
+        with pytest.raises(SourceError, match="trailing"):
+            huffman_decode(enc)
 
 
 class TestGrpcFraming:
@@ -421,5 +546,257 @@ class TestControlFrames:
         try:
             with pytest.raises(SourceError, match="GOAWAY.*error 2"):
                 list(unary_stream(f"127.0.0.1:{srv.port}", "/t.S/M", b""))
+        finally:
+            srv.close()
+
+
+class TestHuffmanOverLiveTransport:
+    def test_full_client_path_with_huffman_encoding_server(self):
+        """grpc-go/grpc-java Huffman-encode response headers; the
+        in-process server's huffman mode drives the client decoder
+        through that exact path end-to-end (headers AND trailers)."""
+        srv = H2GrpcTestServer(
+            {"/t.S/M": lambda req: [b"h-" + req]}, huffman=True
+        )
+        try:
+            got = list(unary_stream(f"127.0.0.1:{srv.port}", "/t.S/M", b"xyz"))
+            assert got == [b"h-xyz"]
+        finally:
+            srv.close()
+
+    def test_huffman_trailer_status_propagates(self):
+        srv = H2GrpcTestServer(
+            {"/t.S/M": lambda req: [b"partial"]}, grpc_status="13", huffman=True
+        )
+        try:
+            with pytest.raises(SourceError, match="status 13"):
+                list(unary_stream(f"127.0.0.1:{srv.port}", "/t.S/M", b""))
+        finally:
+            srv.close()
+
+
+class TestSendFlowControl:
+    def test_large_request_respects_small_peer_window(self):
+        """Peer advertises SETTINGS_INITIAL_WINDOW_SIZE=1024 and grants
+        WINDOW_UPDATE only as it consumes — a 100 KiB request must
+        arrive intact with no DATA frame ever exceeding the granted
+        window (RFC 7540 §6.9)."""
+        received = []
+
+        def handler(req: bytes) -> list[bytes]:
+            received.append(req)
+            return [len(req).to_bytes(4, "big")]
+
+        srv = H2GrpcTestServer({"/t.S/Up": handler}, initial_window=1024)
+        try:
+            big = bytes(range(256)) * 400  # 100 KiB
+            got = list(unary_stream(f"127.0.0.1:{srv.port}", "/t.S/Up", big))
+            assert got == [len(big).to_bytes(4, "big")]
+            assert received == [big]
+            assert srv.window_violations == []
+        finally:
+            srv.close()
+
+    def test_endpoint_parsing(self):
+        assert parse_endpoint("127.0.0.1:50051") == ("127.0.0.1", 50051, False)
+        assert parse_endpoint("grpc://h:1") == ("h", 1, False)
+        assert parse_endpoint("grpcs://h:443") == ("h", 443, True)
+        assert parse_endpoint("grpcs://h") == ("h", 443, True)
+        with pytest.raises(SourceError, match="host:port"):
+            parse_endpoint("nohostport")
+
+
+# ------------------------------------------------------------------ TLS
+
+
+def _self_signed_cert(tmp_path):
+    """Self-signed cert for 127.0.0.1/localhost via cryptography (the
+    same generator posture as tests/test_oidc_discovery.py)."""
+    import datetime
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "strake-grpcs-test")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(days=1))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [
+                    x509.IPAddress(ipaddress.ip_address("127.0.0.1")),
+                    x509.DNSName("localhost"),
+                ]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_path = tmp_path / "cert.pem"
+    key_path = tmp_path / "key.pem"
+    cert_path.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    key_path.write_bytes(
+        key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
+        )
+    )
+    return str(cert_path), str(key_path)
+
+
+class TestGrpcsTls:
+    """grpcs:// over the stdlib ssl + ALPN h2 path (the reference's
+    tonic TLS transport, crates/connectors/src/sources/grpc.rs:21-45):
+    live TLS server, pinned-roots verification, verification-on proof,
+    and ALPN negotiation enforcement."""
+
+    @pytest.fixture(scope="class")
+    def tls_material(self, tmp_path_factory):
+        return _self_signed_cert(tmp_path_factory.mktemp("grpcs"))
+
+    def _server_ctx(self, tls_material, alpn=("h2",)):
+        import ssl as _ssl
+
+        cert_path, key_path = tls_material
+        ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(cert_path, key_path)
+        if alpn:
+            ctx.set_alpn_protocols(list(alpn))
+        return ctx
+
+    def test_grpcs_roundtrip_with_pinned_roots(self, tls_material):
+        srv = H2GrpcTestServer(
+            {"/t.S/M": lambda req: [b"tls-" + req, req[::-1]]},
+            ssl_context=self._server_ctx(tls_material),
+        )
+        try:
+            got = list(
+                unary_stream(
+                    f"grpcs://127.0.0.1:{srv.port}",
+                    "/t.S/M",
+                    b"abc",
+                    tls_root_certs=tls_material[0],
+                )
+            )
+            assert got == [b"tls-abc", b"cba"]
+        finally:
+            srv.close()
+
+    def test_grpcs_huffman_and_flow_control_compose(self, tls_material):
+        srv = H2GrpcTestServer(
+            {"/t.S/Up": lambda req: [req]},
+            huffman=True,
+            initial_window=2048,
+            ssl_context=self._server_ctx(tls_material),
+        )
+        try:
+            big = b"\x42" * 70000
+            got = list(
+                unary_stream(
+                    f"grpcs://127.0.0.1:{srv.port}",
+                    "/t.S/Up",
+                    big,
+                    tls_root_certs=tls_material[0],
+                )
+            )
+            assert got == [big]
+            assert srv.window_violations == []
+        finally:
+            srv.close()
+
+    def test_unpinned_self_signed_is_rejected(self, tls_material):
+        """Hostname/chain verification is ON by default: without the
+        pinned root, the self-signed peer must be refused."""
+        srv = H2GrpcTestServer(
+            {"/t.S/M": lambda req: [b"never"]},
+            ssl_context=self._server_ctx(tls_material),
+        )
+        try:
+            with pytest.raises(SourceError, match="TLS handshake"):
+                list(
+                    unary_stream(f"grpcs://127.0.0.1:{srv.port}", "/t.S/M", b"")
+                )
+        finally:
+            srv.close()
+
+    def test_peer_without_alpn_h2_is_rejected(self, tls_material):
+        srv = H2GrpcTestServer(
+            {"/t.S/M": lambda req: [b"never"]},
+            ssl_context=self._server_ctx(tls_material, alpn=()),
+        )
+        try:
+            with pytest.raises(SourceError, match="ALPN"):
+                list(
+                    unary_stream(
+                        f"grpcs://127.0.0.1:{srv.port}",
+                        "/t.S/M",
+                        b"",
+                        tls_root_certs=tls_material[0],
+                    )
+                )
+        finally:
+            srv.close()
+
+
+class TestSparkEndToEndTls:
+    def test_grpc_source_view_reads_over_grpcs(self, spark, tmp_path):
+        """The grpcs:// URL scheme end-to-end through the registered
+        Spark view — TLS + ALPN h2 + proto decode, no grpcio."""
+        from strake_spark.config import parse_config
+        from strake_spark.sources.registry import register_source
+
+        cert_path, key_path = _self_signed_cert(tmp_path)
+        import ssl as _ssl
+
+        ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(cert_path, key_path)
+        ctx.set_alpn_protocols(["h2"])
+
+        def _row(i: int) -> bytes:
+            name = f"tls{i}".encode()
+            return bytes([0x08, i, 0x12, len(name)]) + name
+
+        srv = H2GrpcTestServer(
+            {"/cat.Items/List": lambda req: [_row(i) for i in (1, 2, 3)]},
+            ssl_context=ctx,
+        )
+        try:
+            cfg = parse_config(
+                {
+                    "sources": [
+                        {
+                            "name": "gtls",
+                            "type": "grpc",
+                            "url": f"grpcs://127.0.0.1:{srv.port}",
+                            "tables": [
+                                {
+                                    "name": "items",
+                                    "options": {
+                                        "method": "/cat.Items/List",
+                                        "fields": "1:id:int64,2:name:string",
+                                        "tls_root_certs": cert_path,
+                                    },
+                                }
+                            ],
+                        }
+                    ]
+                }
+            )
+            register_source(spark, cfg.sources[0])
+            rows = sorted(spark.table("gtls_items").collect())
+            assert [(r.id, r.name) for r in rows] == [
+                (1, "tls1"), (2, "tls2"), (3, "tls3")
+            ]
         finally:
             srv.close()
