@@ -500,7 +500,21 @@ class JwksCache:
         import time
 
         if self._doc is None or time.time() - self._fetched_at > self.ttl:
-            return self.refresh()
+            if self._doc is None:
+                return self.refresh()  # nothing cached: errors propagate
+            try:
+                return self.refresh()
+            except Exception:
+                # transient IdP outage must not fail ALL token
+                # validation while a previously-fetched JWKS doc is in
+                # hand: serve the stale document and retry soon (the
+                # throttle window doubles as the shortened retry
+                # interval — _fetched_at stays old, so the next get()
+                # past the throttle tries the IdP again)
+                self._fetched_at = (
+                    time.time() - self.ttl + self.min_refetch_interval
+                )
+                return self._doc
         return self._doc
 
     def kids(self) -> set:

@@ -160,9 +160,13 @@ def _spool_sftp(url: str, options: dict) -> str:
     otherwise the jar-free SSH client (sources/sshwire.py —
     curve25519-sha256 / ssh-ed25519 / aes128-ctr / hmac-sha2-256, the
     modern-server default suite; validated against the real OpenSSH
-    client in tests). Options: ``host_key_fingerprint`` (OpenSSH
-    SHA256:... form) pins the server key; absent = trust-on-first-use,
-    like ``ssh -o StrictHostKeyChecking=no``."""
+    client in tests). Host-key policy (both transports):
+    ``host_key_fingerprint`` (OpenSSH SHA256:... form) pins the server
+    key; with no pin the connection is REFUSED with the observed
+    fingerprint in the error so the user can pin it, unless
+    ``allow_unverified_host_key: true`` explicitly opts into
+    accept-any-key (the password would otherwise be sent to an
+    unverified peer)."""
     import tempfile
     from urllib.parse import unquote, urlparse
 
@@ -175,11 +179,38 @@ def _spool_sftp(url: str, options: dict) -> str:
     path = u.path or "/"
     spool = tempfile.mkdtemp(prefix="strake-sftp-")
 
+    pinned = options.get("host_key_fingerprint")
+    allow_unverified = bool(options.get("allow_unverified_host_key", False))
+
     def _fetch_with_paramiko() -> str:
+        import socket as socket_mod
+
         import paramiko  # noqa: F401 — optional, absent in this container
 
-        t = paramiko.Transport((host, port))
-        t.connect(username=user, password=password)
+        from strake_spark.sources.sshwire import host_key_fingerprint
+
+        sock = socket_mod.create_connection((host, port), timeout=timeout)
+        t = paramiko.Transport(sock)
+        t.start_client(timeout=timeout)
+        # same host-key policy as the sshwire path: verify the pin
+        # BEFORE sending the password; refuse unpinned unless the user
+        # opted in explicitly
+        got = host_key_fingerprint(t.get_remote_server_key().asbytes())
+        if pinned:
+            if got != pinned:
+                t.close()
+                raise SourceError(
+                    f"ssh host key mismatch: expected {pinned}, got {got}"
+                )
+        elif not allow_unverified:
+            t.close()
+            raise SourceError(
+                "ssh host key not pinned: server presented "
+                f"{got} — set host_key_fingerprint: '{got}' after "
+                "verifying it out of band, or set "
+                "allow_unverified_host_key: true to accept any key"
+            )
+        t.auth_password(username=user, password=password)
         sftp = paramiko.SFTPClient.from_transport(t)
         try:
             import stat as stat_mod
@@ -215,7 +246,8 @@ def _spool_sftp(url: str, options: dict) -> str:
 
     ssh, sftp = connect_sftp(
         host, port, user, password, timeout=timeout,
-        host_key_fingerprint=options.get("host_key_fingerprint"),
+        host_key_fingerprint=pinned,
+        allow_unverified=allow_unverified,
     )
     try:
         attrs = sftp.stat(path)

@@ -186,11 +186,13 @@ class SshTransport:
     MAC computed over seq || plaintext per RFC 4253 §6.4)."""
 
     def __init__(self, sock: socket.socket, client: bool,
-                 host_key=None, expected_fingerprint: str | None = None):
+                 host_key=None, expected_fingerprint: str | None = None,
+                 allow_unverified: bool = True):
         self.sock = sock
         self.client = client
         self.host_key = host_key  # server: Ed25519PrivateKey
         self.expected_fingerprint = expected_fingerprint
+        self.allow_unverified = allow_unverified
         self.server_host_key_blob: bytes | None = None
         self._seq_out = 0
         self._seq_in = 0
@@ -243,6 +245,15 @@ class SshTransport:
             decryptor, mac_key = self._dec
             first = decryptor.update(self._recv_exact(16))
             total = struct.unpack(">I", first[:4])[0]
+            # AES-CTR is malleable and the length field is consumed
+            # before MAC verification — bound it like the plaintext
+            # branch (OpenSSH PACKET_MAX_SIZE posture) so a bit-flipped
+            # length can't make us buffer up to ~4 GiB; the minimum and
+            # block-alignment checks reject garbage lengths early too
+            if total > 1 << 20:
+                raise SourceError("ssh packet too large")
+            if total + 4 < 16 or (total + 4) % 16:
+                raise SourceError("ssh packet length invalid")
             rest = decryptor.update(self._recv_exact(total + 4 - 16))
             packet = first + rest
             mac = self._recv_exact(32)
@@ -380,13 +391,22 @@ class SshTransport:
             except Exception as e:
                 raise SourceError("ssh host key signature invalid") from e
             self.server_host_key_blob = k_s
+            got = host_key_fingerprint(k_s)
             if self.expected_fingerprint:
-                got = host_key_fingerprint(k_s)
                 if got != self.expected_fingerprint:
                     raise SourceError(
                         f"ssh host key mismatch: expected "
                         f"{self.expected_fingerprint}, got {got}"
                     )
+            elif not self.allow_unverified:
+                # accept-always would let a MITM harvest the password;
+                # surface the observed fingerprint so the user can pin
+                raise SourceError(
+                    "ssh host key not pinned: server presented "
+                    f"{got} — set host_key_fingerprint: '{got}' after "
+                    "verifying it out of band, or set "
+                    "allow_unverified_host_key: true to accept any key"
+                )
         else:
             init = self.recv_msg()
             if init[0] != MSG_KEX_ECDH_INIT:
@@ -449,10 +469,12 @@ class SshClient:
 
     def __init__(self, host: str, port: int, username: str, password: str,
                  timeout: float = 30.0,
-                 host_key_fingerprint: str | None = None) -> None:
+                 host_key_fingerprint: str | None = None,
+                 allow_unverified: bool = False) -> None:
         sock = socket.create_connection((host, port), timeout=timeout)
         self.t = SshTransport(sock, client=True,
-                              expected_fingerprint=host_key_fingerprint)
+                              expected_fingerprint=host_key_fingerprint,
+                              allow_unverified=allow_unverified)
         self.t.handshake()
         self._auth(username, password)
         self._recv_window = self.WINDOW
@@ -740,7 +762,12 @@ class SftpClient:
 
 def connect_sftp(host: str, port: int, username: str, password: str,
                  timeout: float = 30.0,
-                 host_key_fingerprint: str | None = None) -> tuple[SshClient, SftpClient]:
+                 host_key_fingerprint: str | None = None,
+                 allow_unverified: bool = False) -> tuple[SshClient, SftpClient]:
+    """Secure by default: with no pinned fingerprint the connection is
+    refused (the error carries the observed fingerprint to pin) unless
+    allow_unverified=True is explicit."""
     ssh = SshClient(host, port, username, password, timeout=timeout,
-                    host_key_fingerprint=host_key_fingerprint)
+                    host_key_fingerprint=host_key_fingerprint,
+                    allow_unverified=allow_unverified)
     return ssh, SftpClient(ssh)

@@ -252,3 +252,38 @@ class TestServerFacadesAgainstLiveIdp:
         cache.refresh()
         cache.refresh()
         assert cache._fetched_at == first
+
+
+class TestJwksStaleFallback:
+    """ADVICE r15: a transient IdP outage at TTL expiry must not fail
+    all token validation while a previously-fetched JWKS doc is cached
+    — serve the stale document and retry after the throttle window."""
+
+    def test_outage_serves_stale_document(self, idp):
+        cache = JwksCache(f"{idp.base}/jwks", ttl=0.0,
+                          min_refetch_interval=0.0)
+        doc = cache.get()
+        # point the cache at a dead endpoint: next TTL-expired get()
+        # hits the "IdP down" path
+        cache.jwks_uri = "http://127.0.0.1:1/jwks"
+        assert cache.get() == doc  # stale served, no raise
+        assert cache.get() == doc  # and stays served on repeat
+
+    def test_outage_recovery_refetches(self, idp):
+        cache = JwksCache(f"{idp.base}/jwks", ttl=0.0,
+                          min_refetch_interval=0.0)
+        good_uri = cache.jwks_uri
+        cache.get()
+        cache.jwks_uri = "http://127.0.0.1:1/jwks"
+        cache.get()  # outage: stale
+        idp.rotate()
+        cache.jwks_uri = good_uri  # IdP back up
+        # the retry actually fetched the rotated document
+        fresh = cache.get()
+        assert fresh["keys"][0]["kid"] == idp.current_kid
+
+    def test_cold_cache_outage_still_raises(self):
+        cache = JwksCache("http://127.0.0.1:1/jwks", ttl=0.0,
+                          min_refetch_interval=0.0)
+        with pytest.raises(Exception):
+            cache.get()
