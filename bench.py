@@ -304,6 +304,23 @@ def main() -> None:
         print(f"# {name}_end: med={d['med']} runs={d['runs']}", file=sys.stderr)
     q1_end = queries_end.get("q1")
 
+    # End-of-session replay of the REST block too (r16, VERDICT task
+    # 4): the r15 rest block drifted +25-36% on untouched code in a
+    # session whose start load was 6.95, and had no in-artifact control
+    # to adjudicate it. Steady-state medians (2 iterations, warmup
+    # discarded) under the same short keys; 3-decimal rounding keeps
+    # the final line inside the tail budget.
+    rest_end: dict[str, float] = {}
+    for name, spec in sorted(inventory.REGISTRY.items()):
+        if not name.startswith("tpch_") or name in BENCH_QUERIES:
+            continue
+        d, _ = _run(spec, spark, sf_dir, 2, chaos)
+        detail[name + "_end"] = d
+        short = name.split("_")[1]
+        if d["med"] is not None:
+            rest_end[short] = round(d["med"], 3)
+        print(f"# {name}_end: med={d['med']} runs={d['runs']}", file=sys.stderr)
+
     # Full per-query run arrays/warmups — stderr, NEVER the final stdout
     # line (driver tail contract; see module docstring).
     print("# detail " + json.dumps(detail), file=sys.stderr)
@@ -340,6 +357,9 @@ def main() -> None:
         # session-position inflation
         "queries_end": queries_end,
         "tpch_total_end": round(sum(queries_end.values()), 4),
+        # steady-state medians for the rest block (r16): same contract
+        "rest_end": rest_end,
+        "rest_total_end": round(sum(rest_end.values()), 3),
     }
     if chaos is not None:
         out["chaos"] = {
