@@ -85,13 +85,24 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # r13-green rows in registration order.
 
 # Entries whose operator implementation changes this round (r16):
-# semdedup gained an optional ANN-assisted assignment path (exact path
-# and oracle unchanged — listed out of caution since semdedup.py was
-# touched; both entries are in the r12-stale head regardless).
-_REWRITTEN: tuple[str, ...] = ()
+# semdedup gained an optional ANN-assisted assignment path
+# (assign_method='ann' — sign-bit LSH probe over the centroid table;
+# the exact path and the oracles are unchanged, but kmeans_assign /
+# semantic_prune bodies were touched, so both entries re-verify this
+# round; pre-validated hash-green vs their oracles at
+# sf0.001/0.01/0.1 before rotation). Both were already in the
+# r12-stale window head, so membership is unchanged — only order.
+_REWRITTEN: tuple[str, ...] = (
+    "semdedup_kmeans_assign",
+    "semdedup_prune_keep",
+)
 
 _PRIORITY: tuple[str, ...] = (
-    # (c) oldest evidence: the 18 r12-stale rows (r15 verdict task 1)
+    # (b) rewritten this round (2)
+    "semdedup_kmeans_assign",
+    "semdedup_prune_keep",
+    # (c) oldest evidence: the 16 remaining r12-stale rows (r15 verdict
+    # task 1)
     "expr_regexp_matrix",
     "expr_json_matrix",
     "engine_sql_end_to_end",
@@ -105,8 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     "curation_cluster_label_purity",
     "ann_pq_deterministic_topk",
     "ann_ivfpq_deterministic_topk",
-    "semdedup_kmeans_assign",
-    "semdedup_prune_keep",
     "embedding_truncate_fidelity",
     "text_bm25_ranking",
     "multimodal_frame_sample_stats",

@@ -39,8 +39,15 @@ Scale shape (100 TB stance):
   the prune stage re-joins the source by id — the k-means inner loop
   is scan → map → one k*dim-cell aggregate per iteration, period.
   The broadcast is k*dim doubles — the same payload the previous
-  cross-join broadcast shipped; at web scale (k ~ 50k, dim ~ 768)
-  either formulation needs an ANN-assisted assignment instead.
+  cross-join broadcast shipped. At web scale (k ~ 50k, dim ~ 768)
+  full-scan scoring is the bottleneck: pass assign_method='ann' to
+  probe LSH cells over the centroid table instead (sign-bit buckets
+  from fixed anchor vectors; rows score only centroids within
+  ``probe_hamming`` of their own bucket, falling back to the full
+  scan when the probe set is empty). The exact path stays the
+  default and is what the oracle checks; the ANN path is pinned by a
+  property test (probed == exact on planted hyperplane-safe
+  clusters, tests/test_semdedup_ann.py).
 - Pruning self-joins WITHIN clusters only. k should grow with corpus
   size (SemDeDup uses ~sqrt(n) clusters; 50k clusters at web scale)
   so per-cluster pair counts stay bounded; k is a parameter here.
@@ -101,6 +108,78 @@ def _with_cluster(e: DataFrame, cents: DataFrame) -> DataFrame:
     return _assign(e, _carr_of(cents))
 
 
+def _anchor_row(e: DataFrame, n_anchor_bits: int) -> DataFrame:
+    """The ANN path's fixed hyperplane anchors: the ``n_anchor_bits``
+    smallest ids' vectors as ONE broadcast row (same deterministic
+    anchor convention as operators/similarity.lsh_topk). Fixed across
+    k-means iterations so a cluster's bucket cannot wander."""
+    return (
+        e.orderBy("vec_id")
+        .limit(n_anchor_bits)
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("_as"))
+        .select(F.transform("_as", lambda x: x["v"]).alias("_anchors"))
+    )
+
+
+def _bucket_expr(vcol, anchors):
+    """Sign-bit LSH bucket of ``vcol`` against the anchor array: one
+    bit per anchor (dot >= 0), folded MSB-first into a long."""
+    return F.aggregate(
+        anchors,
+        F.lit(0).cast("long"),
+        lambda acc, a: acc * 2 + F.when(_dot(vcol, a) >= 0, 1).otherwise(0),
+    )
+
+
+def _assign_ann(
+    e: DataFrame, carr: DataFrame, anchors: DataFrame, probe_hamming: int
+) -> DataFrame:
+    """ANN-assisted assignment: rows score only the centroids whose
+    sign-bit bucket is within ``probe_hamming`` of their own (empty
+    probe set -> full scan, so every row still gets a cluster). Same
+    (score, -cid) argmax and tie-break as the exact path; what changes
+    is the candidate set, so per-row scoring cost drops from k dots to
+    ~k/2^bits expected. The centroid broadcast itself is unchanged —
+    when the k*dim payload outgrows a broadcast, the next rung is
+    partitioning the centroid table by bucket and joining on the row
+    bucket (same shape as similarity.lsh_topk's bucket join)."""
+    carr_b = (
+        carr.crossJoin(F.broadcast(anchors))
+        .select(
+            F.transform(
+                "_cents",
+                lambda x: F.struct(
+                    x["cid"].alias("cid"),
+                    x["c"].alias("c"),
+                    _bucket_expr(x["c"], F.col("_anchors")).alias("b"),
+                ),
+            ).alias("_cents"),
+            "_anchors",
+        )
+    )
+    probed = F.filter(
+        F.col("_cents"),
+        lambda x: F.bit_count(x["b"].bitwiseXOR(F.col("_rb")))
+        <= F.lit(probe_hamming),
+    )
+    cands = F.when(F.size(probed) > 0, probed).otherwise(F.col("_cents"))
+    best = F.array_max(
+        F.transform(
+            cands,
+            lambda x: F.struct(
+                (_dot(F.col("v"), x["c"]) / F.sqrt(_dot(x["c"], x["c"]))).alias("score"),
+                (-x["cid"]).alias("neg_cid"),
+            ),
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(carr_b))
+        .withColumn("_rb", _bucket_expr(F.col("v"), F.col("_anchors")))
+        .withColumn("_b", best)
+        .select("vec_id", "v", (-F.col("_b.neg_cid")).alias("cluster"))
+    )
+
+
 def _update_carr(assigned: DataFrame) -> DataFrame:
     """New centroids, emitted DIRECTLY as the 1-row broadcast array the
     next assignment consumes: per-(cluster, pos) DECIMAL-exact component
@@ -141,11 +220,13 @@ def _normalized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _kmeans(e: DataFrame, k: int, iters: int) -> DataFrame:
+def _kmeans(e: DataFrame, k: int, iters: int, assign=None) -> DataFrame:
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if k < 1:
         raise ValueError("k must be >= 1")
+    if assign is None:
+        assign = _assign
     # Init: the ACTUAL k smallest ids' vectors (TakeOrdered, O(k) to
     # the driver plan, no full sort). filter(vec_id < k) would be
     # equivalent only for dense 0-based integer ids — with offset or
@@ -159,10 +240,23 @@ def _kmeans(e: DataFrame, k: int, iters: int) -> DataFrame:
     carr = _carr_of(cents)
     assigned = None
     for i in range(iters):
-        assigned = _assign(e, carr)
+        assigned = assign(e, carr)
         if i < iters - 1:
             carr = _update_carr(assigned)
     return assigned
+
+
+def _make_assign(e: DataFrame, assign_method: str, n_anchor_bits: int,
+                 probe_hamming: int):
+    """Resolve the assignment engine for the public entry points."""
+    if assign_method == "exact":
+        return _assign
+    if assign_method == "ann":
+        if n_anchor_bits < 1:
+            raise ValueError("n_anchor_bits must be >= 1")
+        anchors = _anchor_row(e, n_anchor_bits)
+        return lambda ee, carr: _assign_ann(ee, carr, anchors, probe_hamming)
+    raise ValueError(f"unknown assign_method {assign_method!r} (exact|ann)")
 
 
 def kmeans_assign(
@@ -172,11 +266,18 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist: bool = True,
+    assign_method: str = "exact",
+    n_anchor_bits: int = 3,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Deterministic fixed-iteration cosine k-means: (vec_id, cluster).
 
     ``iters`` counts assignment passes; centroids update between
     passes. Init centroids are the ``k`` smallest ids' vectors.
+
+    ``assign_method='ann'`` probes sign-bit LSH cells over the centroid
+    table instead of scoring all k centroids per row (web-scale k; see
+    _assign_ann). 'exact' stays the default and the oracle's subject.
 
     ``persist`` caches the normalized embedding relation
     (MEMORY_AND_DISK) — assignment is map-only but each iteration's
@@ -188,12 +289,13 @@ def kmeans_assign(
     natural output materialization, two narrow columns — and the
     source cache unpinned immediately."""
     e = _normalized(emb, id_col, vec_col)
+    assign = _make_assign(e, assign_method, n_anchor_bits, probe_hamming)
     if not persist:
-        return _kmeans(e, k, iters).select("vec_id", "cluster")
+        return _kmeans(e, k, iters, assign).select("vec_id", "cluster")
     from pyspark import StorageLevel
 
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    out = _kmeans(e, k, iters).select("vec_id", "cluster").localCheckpoint()
+    out = _kmeans(e, k, iters, assign).select("vec_id", "cluster").localCheckpoint()
     e.unpersist(blocking=False)
     return out
 
@@ -207,6 +309,9 @@ def semantic_prune(
     vec_col: str = "embedding",
     persist: bool = True,
     chunk_cells: int = 4_000_000,
+    assign_method: str = "exact",
+    n_anchor_bits: int = 3,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """SemDeDup keep-list: drop any row whose cosine to ANY lower-id
     member of its own cluster (kept or itself dropped) reaches ``tau``.
@@ -262,6 +367,7 @@ def semantic_prune(
     import pandas as pd
 
     e = _normalized(emb, id_col, vec_col)
+    assign = _make_assign(e, assign_method, n_anchor_bits, probe_hamming)
     if persist:
         from pyspark import StorageLevel
 
@@ -271,7 +377,7 @@ def semantic_prune(
     # consumer, and it emits survivors directly (no drop-list, no
     # anti-join). Map-only assignment already carries the vector, so
     # no join back to the source is needed.
-    av = _kmeans(e, k, iters).select("vec_id", "cluster", "v").localCheckpoint()
+    av = _kmeans(e, k, iters, assign).select("vec_id", "cluster", "v").localCheckpoint()
     if persist:
         e.unpersist(blocking=False)  # av holds everything downstream needs
     tau_ = float(tau)
