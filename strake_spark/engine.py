@@ -63,6 +63,10 @@ class StrakeEngine:
         self._last_pushdown = None  # PushdownPlan of the most recent sql()
         # (rung, status, reason) ladder decisions of the most recent sql()
         self._last_federation_trace: list[tuple[str, str, str]] = []
+        # per-query non-fatal warnings (reference warnings.rs:19-40 —
+        # task-local there, thread-local here: the REST/Flight handler
+        # reads last_warnings() on the same thread right after execute)
+        self._warnings_local = threading.local()
         self._metrics: Counter = Counter()
         self._cache = None
         if self.config.cache.enabled:
@@ -285,10 +289,72 @@ class StrakeEngine:
             {"db.statement.length": len(query), "enduser.id": user or ""},
             traceparent=traceparent,
         ) as root:
+            self._warnings_local.value = []
             table, cached = self._execute_traced(query, user, params, root)
             root.set_attribute("strake.cache_hit", cached)
             root.set_attribute("strake.rows", table.num_rows)
+            warnings = self._query_warnings(query, cached)
+            self._warnings_local.value = warnings
+            if warnings:
+                root.set_attribute("strake.warnings", len(warnings))
             return table
+
+    def last_warnings(self) -> list[str]:
+        """Non-fatal warnings of this thread's most recent execute()
+        (reference warnings.rs:19-40 + federation.rs:385-413): cache
+        hits surface as ``x-strake-cache: hit`` (exact reference
+        string) and queries over drifted views carry the views'
+        STRAKE-2009..2011-coded drift lines. Network facades forward
+        this list per query (REST ``warnings`` field, Flight
+        ``strake.warnings`` schema metadata)."""
+        return list(getattr(self._warnings_local, "value", []))
+
+    def _query_warnings(self, query: str, cached: bool) -> list[str]:
+        out: list[str] = []
+        if cached:
+            out.append("x-strake-cache: hit")  # federation.rs:410 parity
+        out.extend(self._drift_warnings_for_query(query))
+        return out
+
+    def _drift_warnings_for_query(self, query: str) -> list[str]:
+        """Drift warning lines for every drifted view the statement
+        references (drift is recorded at registration/read time keyed
+        by table context; views are named ``<source>_<table>``)."""
+        from strake_spark.sources.drift import drift_warnings_for
+
+        out: list[str] = []
+        for view in self._referenced_views(query):
+            src = self._view_source.get(view) or self._view_source.get(view.lower())
+            tbl = (
+                view[len(src) + 1 :]
+                if src and view.lower().startswith(src.lower() + "_")
+                else view
+            )
+            for w in drift_warnings_for(tbl):
+                out.append(f"{view}: {w}")
+        return out
+
+    def _referenced_views(self, query: str) -> tuple[str, ...]:
+        """Registered view names a statement references (AST-derived;
+        empty when unparseable — same posture as _touched_sources)."""
+        from strake_spark.plans.federation import _cte_names, _serialize, _walk_base_tables
+
+        ast = _serialize(query)
+        if ast is None:
+            return ()
+        refs: list[dict] = []
+        _walk_base_tables(ast, refs)
+        ctes = _cte_names(ast)
+        out: set[str] = set()
+        for node in refs:
+            name = node["table_name"]
+            if name.lower() in ctes:
+                continue
+            if name in self._view_source:
+                out.add(name)
+            elif name.lower() in self._view_source:
+                out.add(name.lower())
+        return tuple(sorted(out))
 
     def _execute_traced(self, query, user, params, root):
         limits = self.config.query_limits
@@ -432,6 +498,10 @@ class StrakeEngine:
             "analyzed": df._jdf.queryExecution().analyzed().toString(),
             "optimized": df._jdf.queryExecution().optimizedPlan().toString(),
             "physical": df._jdf.queryExecution().executedPlan().toString(),
+            # plan-time warnings (drift lines for referenced views;
+            # cache hits are an execute-time fact and surface through
+            # last_warnings() / the facades instead)
+            "warnings": self._drift_warnings_for_query(query),
         }
 
     def lineage(self, query: str) -> dict[str, Any]:

@@ -163,9 +163,21 @@ class RemoteEngine:
                 out.append(self._client.do_get(ep.ticket, self._options()).read_all())
             import pyarrow as pa
 
-            return pa.concat_tables(out) if len(out) != 1 else out[0]
+            table = pa.concat_tables(out) if len(out) != 1 else out[0]
+            # per-query warnings arrive as schema metadata (server
+            # do_get attaches them; engine.last_warnings parity)
+            md = table.schema.metadata or {}
+            raw = md.get(b"strake.warnings")
+            self._last_warnings = json.loads(raw.decode()) if raw else []
+            return table
         except fl.FlightError as e:
             raise _translate(e) or e from None
+
+    def last_warnings(self) -> list[str]:
+        """Non-fatal warnings of the most recent execute() — cache
+        hits ("x-strake-cache: hit") and schema-drift lines, same
+        contract as the embedded engine's ``last_warnings()``."""
+        return list(getattr(self, "_last_warnings", []))
 
     def sql(
         self, query: str, user: str | None = None, params: dict[str, Any] | None = None

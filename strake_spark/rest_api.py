@@ -535,7 +535,17 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # analysis errors etc.
             return self._send(400, _error_body(e, trunc=500))
         self._send(
-            200, {"status": "success", "data": table.to_pylist(), "message": None}
+            200,
+            {
+                "status": "success",
+                "data": table.to_pylist(),
+                "message": None,
+                # per-query non-fatal warnings (reference QueryResponse
+                # carries a warnings list, warnings.rs:19-40): cache
+                # hits as "x-strake-cache: hit", drift as
+                # STRAKE-2009..2011-coded lines
+                "warnings": self.engine.last_warnings(),
+            },
         )
 
     def _validate(self, body: dict) -> None:

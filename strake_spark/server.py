@@ -390,6 +390,16 @@ def make_server(
                 user or "", scrubbed,
                 int((time.perf_counter() - start) * 1000), table.num_rows,
             )
+            # per-query warnings ride the stream as schema metadata
+            # (reference flight clients read them from gRPC metadata,
+            # federation.rs:385-413; pyarrow's RecordBatchStream has no
+            # per-stream app_metadata hook, and schema metadata is the
+            # in-band Arrow-native equivalent a generic client can read)
+            warnings = self.engine.last_warnings()
+            if warnings:
+                md = dict(table.schema.metadata or {})
+                md[b"strake.warnings"] = json.dumps(warnings).encode()
+                table = table.replace_schema_metadata(md)
             return fl.RecordBatchStream(table)
 
         # ---------------------------------------------------- control plane

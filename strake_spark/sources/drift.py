@@ -39,14 +39,26 @@ log = logging.getLogger("strake_spark.drift")
 # accumulate unbounded records; newest win, oldest drop
 _DRIFT_LOG: deque = deque(maxlen=1024)
 
+# context (table name) -> latest reconcile's warning lines, for the
+# per-query warnings channel (reference warnings.rs:19-40: queries
+# touching a drifted table carry its warning strings on the result)
+_DRIFT_WARNINGS: dict[str, list[str]] = {}
+
 
 def drift_log() -> list[dict]:
     """Structured drift records accumulated this process (newest last)."""
     return list(_DRIFT_LOG)
 
 
+def drift_warnings_for(context: str) -> list[str]:
+    """Latest reconcile warning lines for a table context ([] if the
+    table never drifted)."""
+    return list(_DRIFT_WARNINGS.get(context, ()))
+
+
 def clear_drift_log() -> None:
     _DRIFT_LOG.clear()
+    _DRIFT_WARNINGS.clear()
 
 
 def reconcile(df: DataFrame, declared: T.StructType, context: str = "") -> DataFrame:
@@ -115,6 +127,8 @@ def reconcile(df: DataFrame, declared: T.StructType, context: str = "") -> DataF
                 "extra_columns": extra,
             }
         )
+    if warnings and context:
+        _DRIFT_WARNINGS[context] = list(warnings)
     result = df.select(*out)
     result._strake_drift_warnings = warnings  # per-handle audit trail
     return result
