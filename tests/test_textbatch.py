@@ -181,3 +181,20 @@ class TestFrameSampling:
             sample_frames(payload, frame_bytes=0)
         with pytest.raises(ValueError):
             sample_frames(payload, every_k=0)
+
+
+class TestDecodeImageStubContract:
+    def test_stub_error_names_the_integration_point(self):
+        """decode_image is a documented environment gate (no imaging
+        library in this container). Pin the CONTRACT: it must raise
+        NotImplementedError whose message names the integration point
+        (decode_features' mapInPandas pattern) so a deployment with
+        Pillow/torchvision knows exactly where to wire in."""
+        import pytest
+
+        from strake_spark.operators.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError, match="imaging library"):
+            decode_image(None)
+        with pytest.raises(NotImplementedError, match="decode_features"):
+            decode_image(None)
