@@ -105,6 +105,11 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="TPC-H Q7: bidirectional nation-pair volume by ship year",
 )
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Isolated re-measure r16 (rest-block drift triage, two clean
+    # sessions, 2 warmups + 6 interleaved iters): medians 0.83 / 0.78 s — between the
+    # r14 and r15 driver numbers; the r15 +33% driver reading (start
+    # load 6.95) was session contention, not a regression. bench.py's
+    # rest_end control now adjudicates this in-artifact.
     # Plan shape (r9, per the a4f0d07 playbook): the nation-pair
     # predicate only accepts suppliers and customers from the two named
     # nations (2-in-25 selectivity a side), so BOTH fact inputs are
@@ -197,6 +202,11 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="TPC-H Q8: NATION_3's share of PROMO-part revenue into ASIA; share division in double (exact decimal numerator/denominator)",
 )
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Isolated re-measure r16 (rest-block drift triage, two clean
+    # sessions, 2 warmups + 6 interleaved iters): medians 0.94 / 0.87 s — between the
+    # r14 and r15 driver numbers; the r15 +37% driver reading (start
+    # load 6.95) was session contention, not a regression. bench.py's
+    # rest_end control now adjudicates this in-artifact.
     # Plan shape (r9): customer contributes nothing but the ASIA
     # membership test, so orders are SEMI-filtered by the ASIA customer
     # keys (region⋈nation broadcast-semi'd into customer, 1-in-5
@@ -276,6 +286,11 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "'%5%' matched nothing, making the hash check vacuous)",
 )
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Isolated re-measure r16 (rest-block drift triage, two clean
+    # sessions, 2 warmups + 6 interleaved iters): medians 0.65 / 0.60 s — between the
+    # r14 and r15 driver numbers; the r15 +25% driver reading (start
+    # load 6.95) was session contention, not a regression. bench.py's
+    # rest_end control now adjudicates this in-artifact.
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
@@ -726,6 +741,11 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     "crates/bench/src/main.rs:160-167.",
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Isolated re-measure r16 (rest-block drift triage, two clean
+    # sessions, 2 warmups + 6 interleaved iters): medians 0.79 / 0.68 s — between the
+    # r14 and r15 driver numbers; the r15 +25% driver reading (start
+    # load 6.95) was session contention, not a regression. bench.py's
+    # rest_end control now adjudicates this in-artifact.
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
