@@ -335,3 +335,117 @@ def expr_vectorized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_orderkey, l_linenumber
         """
     )
+
+
+@query(
+    "expr_try_cast_matrix",
+    oracle="""
+    SELECT c_custkey,
+           TRY_CAST(c_name AS INT)                                     AS name_int,
+           TRY_CAST(CAST(c_custkey AS VARCHAR) AS INT)                 AS key_roundtrip,
+           TRY_CAST(concat('2024-',
+                lpad(CAST(c_custkey % 20 AS VARCHAR), 2, '0'),
+                '-15') AS DATE)                                        AS maybe_date,
+           TRY_CAST(CASE WHEN c_custkey % 2 = 0 THEN 'true'
+                         ELSE 'zzz' END AS BOOLEAN)                    AS maybe_bool,
+           c_custkey / NULLIF(c_custkey % 3, 0)                        AS try_div,
+           str_split(c_name, '#')[5]                                   AS oob_elem
+    FROM customer
+    WHERE c_custkey <= 500
+    ORDER BY c_custkey
+    """,
+    notes=(
+        "error-safe expression matrix (SQL TRY_ semantics; reference "
+        "accepts DataFusion's try-cast surface): try_cast across "
+        "int/date/boolean with per-row valid+invalid inputs, "
+        "try_divide (NULL on zero divisor), try_element_at out of "
+        "bounds — Spark functions vs DuckDB TRY_CAST/NULLIF/list-index "
+        "NULL semantics"
+    ),
+)
+def expr_try_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    month = F.lpad((F.col("c_custkey") % 20).cast("string"), 2, "0")
+    return c.select(
+        "c_custkey",
+        F.col("c_name").try_cast("int").alias("name_int"),
+        F.col("c_custkey").cast("string").try_cast("int").alias("key_roundtrip"),
+        F.concat(F.lit("2024-"), month, F.lit("-15"))
+        .try_cast("date")
+        .alias("maybe_date"),
+        F.when(F.col("c_custkey") % 2 == 0, "true")
+        .otherwise("zzz")
+        .try_cast("boolean")
+        .alias("maybe_bool"),
+        F.try_divide(F.col("c_custkey"), F.col("c_custkey") % 3).alias("try_div"),
+        F.try_element_at(F.split("c_name", "#"), F.lit(5)).alias("oob_elem"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "expr_map_functions",
+    oracle="""
+    SELECT c_custkey,
+           map(['key','seg'],
+               [CAST(c_custkey AS VARCHAR), c_mktsegment])['key'][1]   AS v_key,
+           map(['key','seg'],
+               [CAST(c_custkey AS VARCHAR), c_mktsegment])['nope'][1]  AS v_missing,
+           map_keys(map(['key','seg'],
+               [CAST(c_custkey AS VARCHAR), c_mktsegment]))            AS ks,
+           map_values(map(['key','seg'],
+               [CAST(c_custkey AS VARCHAR), c_mktsegment]))            AS vs,
+           CAST(cardinality(map(['key','seg'],
+               [CAST(c_custkey AS VARCHAR), c_mktsegment])) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey <= 300
+    ORDER BY c_custkey
+    """,
+    notes=(
+        "map-type surface: map_from_arrays construction, key lookup "
+        "(present + missing -> NULL via try_element_at; DuckDB map "
+        "extract returns a list, unwrapped with [1]), map_keys / "
+        "map_values insertion order, cardinality"
+    ),
+)
+def expr_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    m = F.map_from_arrays(
+        F.array(F.lit("key"), F.lit("seg")),
+        F.array(F.col("c_custkey").cast("string"), F.col("c_mktsegment")),
+    )
+    return c.select(
+        "c_custkey",
+        F.try_element_at(m, F.lit("key")).alias("v_key"),
+        F.try_element_at(m, F.lit("nope")).alias("v_missing"),
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        F.size(m).cast("bigint").alias("n"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "expr_sequence_explode",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(unnest(generate_series(1, (n_nationkey % 5) + 1)) AS BIGINT) AS gs
+    FROM nation
+    ORDER BY n_nationkey, gs
+    """,
+    notes=(
+        "per-row integer series fan-out: Spark explode(sequence(...)) "
+        "vs DuckDB unnest(generate_series(...)) — the table-function "
+        "lateral shape both engines rewrite to a generator"
+    ),
+)
+def expr_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.select(
+            "n_nationkey",
+            # generators can't nest inside expressions — explode first,
+            # cast in a second projection
+            F.explode(F.sequence(F.lit(1), (F.col("n_nationkey") % 5) + 1)).alias("_g"),
+        )
+        .select("n_nationkey", F.col("_g").cast("bigint").alias("gs"))
+        .orderBy("n_nationkey", "gs")
+    )
