@@ -138,23 +138,11 @@ class StrakeEngine:
     def _touched_sources(self, query: str) -> tuple[str, ...]:
         """Sources whose views a statement references (AST-derived;
         empty when unparseable — global admission still applies)."""
-        from strake_spark.plans.federation import _cte_names, _serialize, _walk_base_tables
-
-        ast = _serialize(query)
-        if ast is None:
-            return ()
-        refs: list[dict] = []
-        _walk_base_tables(ast, refs)
-        ctes = _cte_names(ast)
-        out: set[str] = set()
-        for node in refs:
-            name = node["table_name"]
-            if name.lower() in ctes:
-                continue
-            src = self._view_source.get(name) or self._view_source.get(name.lower())
-            if src:
-                out.add(src)
-        return tuple(sorted(out))
+        out = {
+            self._view_source.get(v) or self._view_source.get(v.lower())
+            for v in self._referenced_views(query)
+        }
+        return tuple(sorted(s for s in out if s))
 
     def list_sources(self) -> dict[str, list[str]]:
         return dict(self._views)
