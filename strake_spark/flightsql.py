@@ -260,6 +260,123 @@ class GetXdbcTypeInfo:  # CommandGetXdbcTypeInfo
 
 
 @dataclass
+class GetTableTypes:  # CommandGetTableTypes
+    SHORT = "CommandGetTableTypes"
+
+    def encode(self) -> bytes:
+        return b""
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "GetTableTypes":
+        return cls()
+
+
+@dataclass
+class GetPrimaryKeys:  # CommandGetPrimaryKeys
+    catalog: str | None = None
+    db_schema: str | None = None
+    table: str = ""
+
+    SHORT = "CommandGetPrimaryKeys"
+
+    def encode(self) -> bytes:
+        out = b""
+        if self.catalog is not None:
+            out += enc_str(1, self.catalog)
+        if self.db_schema is not None:
+            out += enc_str(2, self.db_schema)
+        out += enc_str(3, self.table)
+        return out
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "GetPrimaryKeys":
+        f = parse_fields(buf)
+        return cls(
+            catalog=f[1][0].decode() if 1 in f else None,
+            db_schema=f[2][0].decode() if 2 in f else None,
+            table=f.get(3, [b""])[0].decode(),
+        )
+
+
+@dataclass
+class GetExportedKeys:  # CommandGetExportedKeys
+    catalog: str | None = None
+    db_schema: str | None = None
+    table: str = ""
+
+    SHORT = "CommandGetExportedKeys"
+
+    encode = GetPrimaryKeys.encode
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "GetExportedKeys":
+        f = parse_fields(buf)
+        return cls(
+            catalog=f[1][0].decode() if 1 in f else None,
+            db_schema=f[2][0].decode() if 2 in f else None,
+            table=f.get(3, [b""])[0].decode(),
+        )
+
+
+@dataclass
+class GetImportedKeys:  # CommandGetImportedKeys
+    catalog: str | None = None
+    db_schema: str | None = None
+    table: str = ""
+
+    SHORT = "CommandGetImportedKeys"
+
+    encode = GetPrimaryKeys.encode
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "GetImportedKeys":
+        f = parse_fields(buf)
+        return cls(
+            catalog=f[1][0].decode() if 1 in f else None,
+            db_schema=f[2][0].decode() if 2 in f else None,
+            table=f.get(3, [b""])[0].decode(),
+        )
+
+
+@dataclass
+class GetCrossReference:  # CommandGetCrossReference
+    pk_catalog: str | None = None
+    pk_db_schema: str | None = None
+    pk_table: str = ""
+    fk_catalog: str | None = None
+    fk_db_schema: str | None = None
+    fk_table: str = ""
+
+    SHORT = "CommandGetCrossReference"
+
+    def encode(self) -> bytes:
+        out = b""
+        if self.pk_catalog is not None:
+            out += enc_str(1, self.pk_catalog)
+        if self.pk_db_schema is not None:
+            out += enc_str(2, self.pk_db_schema)
+        out += enc_str(3, self.pk_table)
+        if self.fk_catalog is not None:
+            out += enc_str(4, self.fk_catalog)
+        if self.fk_db_schema is not None:
+            out += enc_str(5, self.fk_db_schema)
+        out += enc_str(6, self.fk_table)
+        return out
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "GetCrossReference":
+        f = parse_fields(buf)
+        return cls(
+            pk_catalog=f[1][0].decode() if 1 in f else None,
+            pk_db_schema=f[2][0].decode() if 2 in f else None,
+            pk_table=f.get(3, [b""])[0].decode(),
+            fk_catalog=f[4][0].decode() if 4 in f else None,
+            fk_db_schema=f[5][0].decode() if 5 in f else None,
+            fk_table=f.get(6, [b""])[0].decode(),
+        )
+
+
+@dataclass
 class PreparedStatementQuery:  # CommandPreparedStatementQuery
     prepared_statement_handle: bytes = b""
 
@@ -336,7 +453,8 @@ MESSAGES = {
         StatementQuery, TicketStatement, GetCatalogs, GetDbSchemas,
         GetTables, GetSqlInfo, GetXdbcTypeInfo, PreparedStatementQuery,
         CreatePreparedStatementRequest, CreatePreparedStatementResult,
-        ClosePreparedStatementRequest,
+        ClosePreparedStatementRequest, GetTableTypes, GetPrimaryKeys,
+        GetExportedKeys, GetImportedKeys, GetCrossReference,
     )
 }
 
@@ -394,6 +512,47 @@ def tables_schema(include_schema: bool):
     if include_schema:
         fields.append(pa.field("table_schema", pa.binary(), nullable=False))
     return pa.schema(fields)
+
+
+def table_types_schema():
+    import pyarrow as pa
+
+    return pa.schema([pa.field("table_type", pa.utf8(), nullable=False)])
+
+
+def primary_keys_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        pa.field("catalog_name", pa.utf8()),
+        pa.field("db_schema_name", pa.utf8()),
+        pa.field("table_name", pa.utf8(), nullable=False),
+        pa.field("column_name", pa.utf8(), nullable=False),
+        pa.field("key_name", pa.utf8()),
+        pa.field("key_sequence", pa.int32(), nullable=False),
+    ])
+
+
+def foreign_keys_schema():
+    """Shared by GetImportedKeys / GetExportedKeys / GetCrossReference
+    (the spec fixes one layout for all three)."""
+    import pyarrow as pa
+
+    return pa.schema([
+        pa.field("pk_catalog_name", pa.utf8()),
+        pa.field("pk_db_schema_name", pa.utf8()),
+        pa.field("pk_table_name", pa.utf8(), nullable=False),
+        pa.field("pk_column_name", pa.utf8(), nullable=False),
+        pa.field("fk_catalog_name", pa.utf8()),
+        pa.field("fk_db_schema_name", pa.utf8()),
+        pa.field("fk_table_name", pa.utf8(), nullable=False),
+        pa.field("fk_column_name", pa.utf8(), nullable=False),
+        pa.field("key_sequence", pa.int32(), nullable=False),
+        pa.field("fk_key_name", pa.utf8()),
+        pa.field("pk_key_name", pa.utf8()),
+        pa.field("update_rule", pa.uint8(), nullable=False),
+        pa.field("delete_rule", pa.uint8(), nullable=False),
+    ])
 
 
 def sql_info_value_type():

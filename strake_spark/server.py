@@ -217,6 +217,18 @@ def make_server(
             elif isinstance(cmd, fsql.GetXdbcTypeInfo):
                 schema = fsql.xdbc_type_info_schema()
                 ticket = fsql.pack_command(cmd)
+            elif isinstance(cmd, fsql.GetTableTypes):
+                schema = fsql.table_types_schema()
+                ticket = fsql.pack_command(cmd)
+            elif isinstance(cmd, fsql.GetPrimaryKeys):
+                schema = fsql.primary_keys_schema()
+                ticket = fsql.pack_command(cmd)
+            elif isinstance(
+                cmd,
+                (fsql.GetExportedKeys, fsql.GetImportedKeys, fsql.GetCrossReference),
+            ):
+                schema = fsql.foreign_keys_schema()
+                ticket = fsql.pack_command(cmd)
             else:
                 raise fl.FlightServerError(
                     f"unsupported Flight SQL command {type(cmd).__name__}"
@@ -279,6 +291,21 @@ def make_server(
                 return fsql.sql_info_table(cmd.info)
             if isinstance(cmd, fsql.GetXdbcTypeInfo):
                 return fsql.xdbc_type_info_table(cmd.data_type)
+            if isinstance(cmd, fsql.GetTableTypes):
+                # everything this server registers is a temp view
+                return pa.table(
+                    {"table_type": ["VIEW"]}, schema=fsql.table_types_schema()
+                )
+            if isinstance(cmd, fsql.GetPrimaryKeys):
+                # read-only federation over views: no key metadata —
+                # spec-fixed schema, zero rows (the contract JDBC/ADBC
+                # drivers expect from keyless backends)
+                return fsql.primary_keys_schema().empty_table()
+            if isinstance(
+                cmd,
+                (fsql.GetExportedKeys, fsql.GetImportedKeys, fsql.GetCrossReference),
+            ):
+                return fsql.foreign_keys_schema().empty_table()
             raise fl.FlightServerError(
                 f"unsupported Flight SQL ticket {type(cmd).__name__}"
             )

@@ -234,3 +234,60 @@ class TestXdbcTypeInfo:
             ("INTEGER", 4), ("VARCHAR", 12)]
         t2 = _fetch(client, fsql.GetXdbcTypeInfo(data_type=12))
         assert t2.column("type_name").to_pylist() == ["VARCHAR"]
+
+
+class TestKeyAndTypeCatalogs:
+    """The remaining spec catalog commands JDBC/ADBC drivers issue on
+    connect: GetTableTypes (we serve views only) and the key-metadata
+    family — a read-only federation over views has no key metadata, so
+    the contract is the SPEC-FIXED schema with zero rows, which is what
+    drivers expect from keyless backends."""
+
+    def test_get_table_types(self, served):
+        _, client = served
+        t = _fetch(client, fsql.GetTableTypes())
+        assert t.column("table_type").to_pylist() == ["VIEW"]
+        assert not t.schema.field("table_type").nullable
+
+    def test_get_primary_keys_empty_with_spec_schema(self, served):
+        _, client = served
+        t = _fetch(client, fsql.GetPrimaryKeys(table="fs_nation"))
+        assert t.num_rows == 0
+        assert t.schema.names == [
+            "catalog_name", "db_schema_name", "table_name", "column_name",
+            "key_name", "key_sequence",
+        ]
+        assert t.schema.field("key_sequence").type == pa.int32()
+
+    def test_foreign_key_family_empty_with_spec_schema(self, served):
+        _, client = served
+        for cmd in (
+            fsql.GetImportedKeys(table="fs_nation"),
+            fsql.GetExportedKeys(table="fs_region"),
+            fsql.GetCrossReference(pk_table="fs_region", fk_table="fs_nation"),
+        ):
+            t = _fetch(client, cmd)
+            assert t.num_rows == 0
+            assert t.schema.names[:4] == [
+                "pk_catalog_name", "pk_db_schema_name",
+                "pk_table_name", "pk_column_name",
+            ]
+            assert t.schema.field("update_rule").type == pa.uint8()
+
+    def test_key_command_codec_roundtrip(self):
+        pk = fsql.GetPrimaryKeys(catalog="c", db_schema="s", table="t")
+        assert fsql.unpack_command(fsql.pack_command(pk)) == pk
+        xr = fsql.GetCrossReference(pk_table="a", fk_table="b", fk_db_schema="s2")
+        assert fsql.unpack_command(fsql.pack_command(xr)) == xr
+        tt = fsql.GetTableTypes()
+        assert isinstance(
+            fsql.unpack_command(fsql.pack_command(tt)), fsql.GetTableTypes
+        )
+
+    def test_get_flight_info_schema_matches_result(self, served):
+        _, client = served
+        desc = fl.FlightDescriptor.for_command(
+            fsql.pack_command(fsql.GetPrimaryKeys(table="fs_nation"))
+        )
+        info = client.get_flight_info(desc)
+        assert info.schema == fsql.primary_keys_schema()
