@@ -208,6 +208,9 @@ class RemoteEngine:
             )
             for ep in info.endpoints:
                 reader = self._client.do_get(ep.ticket, self._options())
+                md = reader.schema.metadata or {}
+                raw = md.get(b"strake.warnings")
+                self._last_warnings = json.loads(raw.decode()) if raw else []
                 for chunk in reader:
                     yield chunk.data
         except fl.FlightError as e:

@@ -429,6 +429,19 @@ def make_server(
                 table = table.replace_schema_metadata(md)
             return fl.RecordBatchStream(table)
 
+        # ------------------------------------------------------- writes
+        def do_put(self, context, descriptor, reader, writer):
+            # Read-only by design (reference README "Read-Only by
+            # Default"; flight_sql.rs:576 leaves the update path a
+            # stub): Flight SQL CommandStatementUpdate /
+            # CommandPreparedStatementUpdate and any other ingest land
+            # here — reject with the governance message instead of the
+            # base class's generic NotImplementedError
+            raise fl.FlightServerError(
+                "STRAKE_ERR:QueryRejected:STRAKE-2001:engine is read-only; "
+                "DML/ingest over Flight is not supported"
+            )
+
         # ---------------------------------------------------- control plane
         def list_actions(self, context):
             return [

@@ -291,3 +291,18 @@ class TestKeyAndTypeCatalogs:
         )
         info = client.get_flight_info(desc)
         assert info.schema == fsql.primary_keys_schema()
+
+
+class TestReadOnlyDoPut:
+    def test_do_put_rejected_with_coded_error(self, served):
+        """Read-only by default (reference README; flight_sql.rs:576
+        leaves the update path a stub): any Flight ingest/update is
+        refused with the STRAKE-coded marker, not the base class's
+        generic NotImplementedError."""
+        _, client = served
+        schema = pa.schema([pa.field("x", pa.int64())])
+        desc = fl.FlightDescriptor.for_command(b"INSERT INTO fs_nation VALUES (1)")
+        with pytest.raises(fl.FlightServerError, match="STRAKE-2001"):
+            writer, _ = client.do_put(desc, schema)
+            writer.write_table(pa.table({"x": [1]}))
+            writer.close()
