@@ -98,12 +98,14 @@ _REWRITTEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked: the 3 r16-new entries (error-safe
-    # TRY_ matrix, map-type surface, sequence fan-out) — verified vs
-    # their oracles at sf0.001/0.01/0.1 before registration
+    # (a) never driver-checked: the 4 r16-new entries (error-safe
+    # TRY_ matrix, map-type surface, sequence fan-out, boolean/bitwise
+    # aggregates) — verified vs their oracles at sf0.001/0.01/0.1
+    # before registration
     "expr_try_cast_matrix",
     "expr_map_functions",
     "expr_sequence_explode",
+    "agg_boolean_bitwise",
     # (b) rewritten this round (2)
     "semdedup_kmeans_assign",
     "semdedup_prune_keep",
@@ -154,20 +156,19 @@ _PRIORITY: tuple[str, ...] = (
     "curation_semantic_contamination",
     "text_language_id",
     "text_quality_score",
-    "text_token_count",
     # --- 50-entry window boundary ---
 )
 
 # Carryover remainder: the head of the round-17 fill, in order — the
-# three rows the r16-new entries displaced, then the remaining
+# four rows the r16-new entries displaced, then the remaining
 # r13-green rows oldest-first. Any query whose plan is rewritten in
 # round 17 joins that window the same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "text_token_count",
     "text_fingerprint",
     "multimodal_binary_meta",
     "stream_tumbling_event_counts",
     "stream_sessionization",
-    "stream_dedup_events",
 )
 
 

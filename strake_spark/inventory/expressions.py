@@ -449,3 +449,39 @@ def expr_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", F.col("_g").cast("bigint").alias("gs"))
         .orderBy("n_nationkey", "gs")
     )
+
+
+@query(
+    "agg_boolean_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT)    AS n_big,
+           bool_and(o_custkey > 0)                            AS all_pos,
+           bool_or(o_orderpriority = '1-URGENT')              AS any_urgent,
+           CAST(bit_and(o_custkey) AS BIGINT)                 AS band,
+           CAST(bit_or(o_custkey % 16) AS BIGINT)             AS bor,
+           CAST(bit_xor(o_orderkey) AS BIGINT)                AS bxor
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    notes=(
+        "boolean + bitwise aggregate family: count_if, bool_and/bool_or, "
+        "bit_and/bit_or/bit_xor — integer/boolean outputs are "
+        "order-independent, so cross-engine comparison is exact"
+    ),
+)
+def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.bool_and(F.col("o_custkey") > 0).alias("all_pos"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.bit_and(F.col("o_custkey")).cast("bigint").alias("band"),
+            F.bit_or(F.col("o_custkey") % 16).cast("bigint").alias("bor"),
+            F.bit_xor(F.col("o_orderkey")).cast("bigint").alias("bxor"),
+        )
+        .orderBy("o_orderstatus")
+    )
