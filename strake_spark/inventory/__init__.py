@@ -77,12 +77,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-16 window: all-time coverage is 156/156 and nothing was
-# rewritten before rotation, so the window is purely tier (c) — the 18
-# r12-stale rows first (deterministic ANN, semdedup, events, expression
-# matrices, BM25, cross-corpus exact, substring spans, truncate
-# fidelity, engine e2e, frame-sample stats), then the 32 oldest
-# r13-green rows in registration order.
+# Round-16 window: tier (a) is the 10 entries registered this round
+# (TRY_ matrix, maps, sequence fan-out, boolean/bitwise aggregates,
+# regression aggregate family, IGNORE NULLS window matrix, struct ops,
+# URL parse, as-of nearest, URL canonical dedup — each pre-validated
+# vs its oracle at sf0.001/0.01/0.1), then tier (b) the 2 rewritten
+# semdedup entries, then tier (c) — the 16 remaining r12-stale rows
+# (deterministic ANN, events, expression matrices, BM25, cross-corpus
+# exact, substring spans, truncate fidelity, engine e2e, frame-sample
+# stats), then the 22 oldest r13-green rows in registration order.
 
 # Entries whose operator implementation changes this round (r16):
 # semdedup gained an optional ANN-assisted assignment path
@@ -98,14 +101,22 @@ _REWRITTEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked: the 4 r16-new entries (error-safe
-    # TRY_ matrix, map-type surface, sequence fan-out, boolean/bitwise
-    # aggregates) — verified vs their oracles at sf0.001/0.01/0.1
-    # before registration
+    # (a) never driver-checked, registration order: the 4 early-r16
+    # entries (TRY_ matrix, maps, sequence fan-out, boolean/bitwise
+    # aggregates) plus the 6 late-r16 additions (regression aggregate
+    # family, IGNORE NULLS window matrix, struct ops, URL parse, as-of
+    # nearest, URL canonical dedup) — each verified vs its oracle at
+    # sf0.001/0.01/0.1 before registration
+    "agg_regression_family",
+    "window_ignore_nulls_fill",
     "expr_try_cast_matrix",
     "expr_map_functions",
     "expr_sequence_explode",
     "agg_boolean_bitwise",
+    "expr_struct_operations",
+    "expr_url_parse",
+    "asof_join_nearest",
+    "pipeline_url_canonical_dedup",
     # (b) rewritten this round (2)
     "semdedup_kmeans_assign",
     "semdedup_prune_keep",
@@ -127,7 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_truncate_fidelity",
     "text_bm25_ranking",
     "multimodal_frame_sample_stats",
-    # (c) next-oldest evidence: r13-green rows, registration order (32)
+    # (c) next-oldest evidence: r13-green rows, registration order (22)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
@@ -150,12 +161,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_candidates",
     "dedup_cross_corpus_candidates",
-    "dedup_simhash_signatures",
-    "dedup_ngram_jaccard",
-    "ann_embedding_dup_pairs",
-    "curation_semantic_contamination",
-    "text_language_id",
-    "text_quality_score",
     # --- 50-entry window boundary ---
 )
 
@@ -164,11 +169,11 @@ _PRIORITY: tuple[str, ...] = (
 # r13-green rows oldest-first. Any query whose plan is rewritten in
 # round 17 joins that window the same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_binary_meta",
-    "stream_tumbling_event_counts",
-    "stream_sessionization",
+    "dedup_simhash_signatures",
+    "dedup_ngram_jaccard",
+    "ann_embedding_dup_pairs",
+    "curation_semantic_contamination",
+    "text_language_id",
 )
 
 

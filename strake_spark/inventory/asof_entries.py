@@ -86,3 +86,35 @@ def asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, on=["user_id"], left_time="ts", right_time="ts",
         right_cols=["click_value"], direction="forward",
     ).orderBy("event_id")
+
+
+@query(
+    "asof_join_nearest",
+    oracle=_ORACLE_CTE
+    + """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS ts_asof, c.click_value AS click_value_asof
+    FROM purchases p
+    LEFT JOIN LATERAL (
+      SELECT c.ts, c.click_value
+      FROM clicks c WHERE c.user_id = p.user_id
+      ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts
+      LIMIT 1
+    ) c ON TRUE
+    ORDER BY p.event_id
+    """,
+    notes=(
+        "as-of join (nearest): the closest click in either direction, "
+        "ties to the at-or-before side — both direction fills share one "
+        "hash partitioning (one shuffle, two sorts). Oracle = DuckDB "
+        "LEFT JOIN LATERAL with ORDER BY abs(time delta), ts LIMIT 1 "
+        "(O(n*m) per key — oracle-only shape; clicks are deduped per "
+        "(user, ts) so the tie order is total)"
+    ),
+)
+def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases, clicks = _sides(spark, sf_dir)
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_time="ts", right_time="ts",
+        right_cols=["click_value"], direction="nearest",
+    ).orderBy("event_id")

@@ -485,3 +485,110 @@ def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "expr_struct_operations",
+    oracle="""
+    SELECT o_orderkey,
+           ({'s': o_orderstatus, 'p': o_orderpriority}).p            AS fld,
+           {'s': o_orderstatus, 'p': o_orderpriority}
+             < {'s': 'O', 'p': '3-MEDIUM'}                           AS lt_lit,
+           ({'s': o_orderstatus, 'p': o_orderpriority}
+             = {'s': o_orderstatus, 'p': o_orderpriority})           AS eq_self,
+           (list_sort([{'k': o_custkey % 7, 'v': 'a'},
+                       {'k': o_custkey % 3, 'v': 'b'}])[1]).v        AS min_v,
+           (list_sort([{'k': o_custkey % 7, 'v': 'a'},
+                       {'k': o_custkey % 3, 'v': 'b'}])[2]).k        AS max_k
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+    notes=(
+        "struct-type surface: named construction, field access, "
+        "lexicographic struct comparison (literal + self-equality), and "
+        "sorting an array of structs then extracting fields — Spark "
+        "struct/getField/sort_array vs DuckDB struct_pack/dot/list_sort "
+        "(both order structs by field sequence; DuckDB lists are "
+        "1-indexed)"
+    ),
+)
+def expr_struct_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    st = F.struct(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    )
+    lit = F.struct(F.lit("O").alias("s"), F.lit("3-MEDIUM").alias("p"))
+    pair = F.sort_array(
+        F.array(
+            F.struct((F.col("o_custkey") % 7).alias("k"), F.lit("a").alias("v")),
+            F.struct((F.col("o_custkey") % 3).alias("k"), F.lit("b").alias("v")),
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        st.getField("p").alias("fld"),
+        (st < lit).alias("lt_lit"),
+        (st == st).alias("eq_self"),
+        pair.getItem(0).getField("v").alias("min_v"),
+        pair.getItem(1).getField("k").alias("max_k"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "expr_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey,
+             concat('https://EX', CAST(c_custkey % 5 AS VARCHAR),
+                    '.example.com/cat/', CAST(c_custkey % 7 AS VARCHAR),
+                    '/item/', CAST(c_custkey AS VARCHAR),
+                    '?id=', CAST(c_custkey AS VARCHAR),
+                    '&utm_source=news&ref=', c_mktsegment,
+                    '#sec', CAST(c_custkey % 3 AS VARCHAR)) AS url
+      FROM customer WHERE c_custkey <= 400
+    )
+    SELECT c_custkey,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)      AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1)                AS query,
+           regexp_extract(url, '#(.*)$', 1)                    AS fragment,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1)           AS q_id,
+           regexp_extract(url, '^([a-z]+)://', 1)              AS protocol
+    FROM u ORDER BY c_custkey
+    """,
+    notes=(
+        "URL decomposition matrix: Spark parse_url (Hive semantics — "
+        "HOST/PATH/QUERY/REF/PROTOCOL + keyed QUERY lookup) vs an "
+        "independent regexp decomposition in DuckDB; URLs synthesized "
+        "with mixed-case hosts, query strings, and fragments"
+    ),
+)
+def expr_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    u = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("https://EX"),
+            (F.col("c_custkey") % 5).cast("string"),
+            F.lit(".example.com/cat/"),
+            (F.col("c_custkey") % 7).cast("string"),
+            F.lit("/item/"),
+            F.col("c_custkey").cast("string"),
+            F.lit("?id="),
+            F.col("c_custkey").cast("string"),
+            F.lit("&utm_source=news&ref="),
+            F.col("c_mktsegment"),
+            F.lit("#sec"),
+            (F.col("c_custkey") % 3).cast("string"),
+        ).alias("url"),
+    )
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("q_id"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    ).orderBy("c_custkey")

@@ -677,3 +677,99 @@ def sample_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "pipeline_url_canonical_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, source,
+             concat(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END,
+                    '://',
+                    CASE WHEN doc_id % 3 = 0
+                         THEN upper(concat('cdn', CAST(doc_id % 500 % 10 AS VARCHAR), '.example.org'))
+                         ELSE concat('cdn', CAST(doc_id % 500 % 10 AS VARCHAR), '.example.org') END,
+                    '/a/', CAST(doc_id % 500 AS VARCHAR),
+                    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+                    CASE doc_id % 4
+                      WHEN 0 THEN concat('?utm_source=x&id=', CAST(doc_id % 500 AS VARCHAR))
+                      WHEN 1 THEN concat('?id=', CAST(doc_id % 500 AS VARCHAR), '&utm_campaign=y')
+                      WHEN 2 THEN concat('?id=', CAST(doc_id % 500 AS VARCHAR))
+                      ELSE concat('?id=', CAST(doc_id % 500 AS VARCHAR), '#top') END) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, source,
+             concat('https://',
+                    lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+                    regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/$', ''),
+                    CASE WHEN array_to_string(list_sort(list_filter(
+                             string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                             x -> x NOT LIKE 'utm_%' AND x <> '')), '&') <> ''
+                         THEN concat('?', array_to_string(list_sort(list_filter(
+                             string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                             x -> x NOT LIKE 'utm_%' AND x <> '')), '&'))
+                         ELSE '' END) AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(doc_id) AS keep_doc,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    notes=(
+        "URL canonicalization + dedup — the CommonCrawl-style curation "
+        "step: normalize scheme to https, lowercase the host, strip the "
+        "trailing slash, drop utm_* tracking params and fragments, sort "
+        "the surviving query params, then group by the canonical form "
+        "keeping the smallest doc_id. Noisy variants (http/https, host "
+        "case, trailing slash, utm noise, fragment) are synthesized "
+        "deterministically from doc_id; ~500 canonical groups. Spark "
+        "decomposes with parse_url + filter/array_sort/array_join "
+        "(JVM built-ins, map-side only until the final groupBy); the "
+        "oracle re-derives with an independent regexp decomposition"
+    ),
+)
+def pipeline_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    base = (F.col("doc_id") % 500).cast("string")
+    host = F.concat(F.lit("cdn"), ((F.col("doc_id") % 500) % 10).cast("string"),
+                    F.lit(".example.org"))
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "http").otherwise("https"),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper(host)).otherwise(host),
+        F.lit("/a/"), base,
+        F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("?utm_source=x&id="), base))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("?id="), base, F.lit("&utm_campaign=y")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("?id="), base))
+        .otherwise(F.concat(F.lit("?id="), base, F.lit("#top"))),
+    )
+    raw = d.select("doc_id", "source", url.alias("url"))
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(F.parse_url("url", F.lit("QUERY")), F.lit("")), "&"),
+            lambda x: (~x.startswith("utm_")) & (x != ""),
+        )
+    )
+    q = F.array_join(params, "&")
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.parse_url("url", F.lit("HOST"))),
+        F.regexp_replace(F.parse_url("url", F.lit("PATH")), "/$", ""),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(""),
+    )
+    return (
+        raw.select("doc_id", "source", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_doc"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -383,3 +383,85 @@ def agg_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("exact_orders")
     )
     return s.select((rel_err <= 0.05).alias("within_bound"))
+
+
+@query(
+    "agg_regression_family",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                           * CAST(0.0001 AS DECIMAL(5,4))
+                           AS DECIMAL(12,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(15,2))
+                           * CAST(l_quantity AS DECIMAL(15,2))
+                           AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(15,2))
+                           * CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                                  * CAST(0.0001 AS DECIMAL(5,4))
+                                  AS DECIMAL(12,6))
+                           AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                                  * CAST(0.0001 AS DECIMAL(5,4))
+                                  AS DECIMAL(12,6))
+                           * CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                                  * CAST(0.0001 AS DECIMAL(5,4))
+                                  AS DECIMAL(12,6))
+                           AS DECIMAL(25,6))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS r_count,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_xy
+    FROM s ORDER BY l_returnflag
+    """,
+    notes=(
+        "linear-regression aggregate family (regr_slope / regr_intercept / "
+        "regr_r2 / corr semantics; reference surface: DataFusion's regr_* "
+        "aggregates) computed order-independently: exact DECIMAL co-moment "
+        "sums, one correctly-rounded cast to DOUBLE, then an identical "
+        "IEEE expression tree on both engines. Native F.regr_slope / "
+        "F.corr would hash-drift with partition-dependent double "
+        "summation order; tests/test_asof_nearest.py pins the "
+        "native aggregates to these values within 1e-9. y is pre-scaled "
+        "by the exact decimal 1e-4 so every co-moment sum's raw integer "
+        "stays below 2^53 through sf1 (price^2 otherwise overflows "
+        "double-exact range by sf0.001)"
+    ),
+)
+def agg_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    xq = F.col("l_quantity").cast("decimal(15,2)")
+    yn = (
+        F.col("l_extendedprice").cast("decimal(15,2)")
+        * F.lit("0.0001").cast("decimal(5,4)")
+    ).cast("decimal(12,6)")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xq).cast("double").alias("sx"),
+        F.sum(yn).cast("double").alias("sy"),
+        F.sum((xq * xq).cast("decimal(25,6)")).cast("double").alias("sxx"),
+        F.sum((xq * yn).cast("decimal(25,6)")).cast("double").alias("sxy"),
+        F.sum((yn * yn).cast("decimal(25,6)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    slope = num / den_x
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("r_count"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((num * num) / (den_x * den_y)).alias("r2"),
+        (num / F.sqrt(den_x * den_y)).alias("corr_xy"),
+    ).orderBy("l_returnflag")

@@ -206,3 +206,66 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(wn).alias("richest"),
         F.nth_value("c_custkey", 2).over(wn).alias("second_richest"),
     )
+
+
+@query(
+    "window_ignore_nulls_fill",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_fwd,
+           lag(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_nn,
+           first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_nn,
+           nth_value(v, 2 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_nn
+    FROM g
+    """,
+    notes=(
+        "IGNORE NULLS window matrix — the time-series gap-fill idiom "
+        "(forward-fill via last_value IGNORE NULLS over a running frame, "
+        "previous non-null via lag IGNORE NULLS, first/nth non-null over "
+        "the full partition). 'view' events are nulled to create gaps; "
+        "values pass through untouched (no arithmetic), so DOUBLE is "
+        "hash-safe. (ts, event_id) is a unique total order per user"
+    ),
+)
+def window_ignore_nulls_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    g = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    full = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return g.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(run).alias("fill_fwd"),
+        # PySpark's F.lag has no ignoreNulls parameter — the SQL form does
+        F.expr(
+            "lag(v) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("prev_nn"),
+        F.first("v", ignorenulls=True).over(full).alias("first_nn"),
+        F.nth_value("v", 2, ignoreNulls=True).over(full).alias("second_nn"),
+    )

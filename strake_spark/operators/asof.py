@@ -2,7 +2,8 @@
 
 The brief's canonical "operator the engine should add": for each left
 row, attach the most recent right row at-or-before its timestamp within
-the same key (backward direction; "forward" = earliest at-or-after).
+the same key (backward direction; "forward" = earliest at-or-after;
+"nearest" = whichever of the two is closer in time, ties to backward).
 
 Spark-first composition (no Pandas UDF, no per-key loop):
 
@@ -44,8 +45,8 @@ def asof_join(
     non-time columns; matched values appear as ``<col><suffix>``.
     ``tolerance`` (a Column interval/number) drops matches further than
     that from the left time."""
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_time]
@@ -70,31 +71,46 @@ def asof_join(
     )
     both = r2.unionByName(l2)
 
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("__time").asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        filled = F.last("__payload", ignorenulls=True).over(w)
-    else:
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("__time").desc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        filled = F.last("__payload", ignorenulls=True).over(w)
-
-    out = (
-        both.withColumn("__match", filled)
-        .filter(F.col("__side") == 1)
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__time").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__time").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fill_back = F.last("__payload", ignorenulls=True).over(w_back)
+    fill_fwd = F.last("__payload", ignorenulls=True).over(w_fwd)
+
+    if direction == "backward":
+        out = both.withColumn("__match", fill_back)
+    elif direction == "forward":
+        out = both.withColumn("__match", fill_fwd)
+    else:
+        # nearest: both fills share one hash partitioning (two sorts, ONE
+        # shuffle); pick the closer match, ties to the at-or-before side.
+        out = both.withColumn("__b", fill_back).withColumn("__f", fill_fwd)
+        d_back = F.col("__time").cast("double") - F.col("__b.__t").cast("double")
+        d_fwd = F.col("__f.__t").cast("double") - F.col("__time").cast("double")
+        out = out.withColumn(
+            "__match",
+            F.when(F.col("__b").isNull(), F.col("__f"))
+            .when(F.col("__f").isNull(), F.col("__b"))
+            .when(d_back <= d_fwd, F.col("__b"))
+            .otherwise(F.col("__f")),
+        ).drop("__b", "__f")
+    out = out.filter(F.col("__side") == 1)
     if tolerance is not None:
-        delta = (
-            F.col("__time") - F.col("__match.__t")
-            if direction == "backward"
-            else F.col("__match.__t") - F.col("__time")
-        )
+        if direction == "backward":
+            delta = F.col("__time") - F.col("__match.__t")
+        elif direction == "forward":
+            delta = F.col("__match.__t") - F.col("__time")
+        else:
+            delta = F.abs(
+                F.col("__match.__t").cast("double") - F.col("__time").cast("double")
+            )
         out = out.withColumn(
             "__match", F.when(delta <= tolerance, F.col("__match"))
         )

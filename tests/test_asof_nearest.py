@@ -1,0 +1,122 @@
+"""Edge-case units for asof_join direction='nearest' (the inventory
+entry covers the bulk semantics vs DuckDB; these pin the corners) and
+the native-vs-decimal parity of the regression aggregate family."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from strake_spark.operators.asof import asof_join
+
+
+def _nearest(spark, left_rows, right_rows, **kw):
+    left = spark.createDataFrame(left_rows, "k int, t double, lid int")
+    right = spark.createDataFrame(right_rows, "k int, t double, rv string")
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        right_cols=["rv"], direction="nearest", **kw,
+    )
+    return {r["lid"]: (r["t_asof"], r["rv_asof"]) for r in out.collect()}
+
+
+def test_nearest_picks_closer_side(spark):
+    got = _nearest(
+        spark,
+        [(1, 10.0, 1)],
+        [(1, 7.0, "far-back"), (1, 11.0, "near-fwd")],
+    )
+    assert got[1] == (11.0, "near-fwd")
+
+
+def test_nearest_tie_goes_backward(spark):
+    got = _nearest(
+        spark,
+        [(1, 10.0, 1)],
+        [(1, 8.0, "back"), (1, 12.0, "fwd")],
+    )
+    assert got[1] == (8.0, "back")
+
+
+def test_nearest_exact_time_matches(spark):
+    got = _nearest(spark, [(1, 10.0, 1)], [(1, 10.0, "same")])
+    assert got[1] == (10.0, "same")
+
+
+def test_nearest_one_sided_and_unmatched(spark):
+    got = _nearest(
+        spark,
+        [(1, 10.0, 1), (2, 10.0, 2), (3, 10.0, 3)],
+        [(1, 20.0, "only-fwd"), (2, 1.0, "only-back")],
+    )
+    assert got[1] == (20.0, "only-fwd")
+    assert got[2] == (1.0, "only-back")
+    assert got[3] == (None, None)
+
+
+def test_nearest_tolerance_drops_far_matches(spark):
+    got = _nearest(
+        spark,
+        [(1, 10.0, 1), (2, 10.0, 2)],
+        [(1, 12.0, "near"), (2, 99.0, "far")],
+        tolerance=F.lit(5.0),
+    )
+    assert got[1] == (12.0, "near")
+    assert got[2] == (None, None)
+
+
+def test_nearest_is_single_shuffle(spark):
+    """Both direction fills must share ONE hash partitioning on the
+    keys (two sorts, no second exchange) — the operator's scale
+    contract (see operators/asof.py module docstring)."""
+    import re
+
+    left = spark.createDataFrame([(1, 10.0, 1)], "k int, t double, lid int")
+    right = spark.createDataFrame([(1, 7.0, "a")], "k int, t double, rv string")
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        right_cols=["rv"], direction="nearest",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 2
+
+
+def test_regression_family_matches_native_aggregates(spark):
+    """The oracled entry derives slope/intercept/r2/corr from exact
+    decimal co-moment sums (order-independent, hash-safe); Spark's
+    native regr_*/corr must agree to float tolerance on the same
+    pre-scaled data."""
+    from strake_spark.data import table
+    from strake_spark.inventory import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    ours = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["agg_regression_family"].fn(spark, sf_dir).collect()
+    }
+    l = table(spark, sf_dir, "lineitem")
+    native = {
+        r["l_returnflag"]: r
+        for r in l.select(
+            "l_returnflag",
+            F.col("l_quantity").alias("x"),
+            (F.col("l_extendedprice") * F.lit(0.0001)).alias("y"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.regr_slope("y", "x").alias("slope"),
+            F.regr_intercept("y", "x").alias("intercept"),
+            F.regr_r2("y", "x").alias("r2"),
+            F.corr("y", "x").alias("corr_xy"),
+        )
+        .collect()
+    }
+    assert set(ours) == set(native)
+    for flag, o in ours.items():
+        n = native[flag]
+        for fld in ("slope", "intercept", "r2", "corr_xy"):
+            assert math.isclose(o[fld], n[fld], rel_tol=1e-9, abs_tol=1e-12), (
+                flag, fld, o[fld], n[fld],
+            )
