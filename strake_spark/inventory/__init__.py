@@ -77,15 +77,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-16 window: tier (a) is the 10 entries registered this round
-# (TRY_ matrix, maps, sequence fan-out, boolean/bitwise aggregates,
-# regression aggregate family, IGNORE NULLS window matrix, struct ops,
-# URL parse, as-of nearest, URL canonical dedup — each pre-validated
-# vs its oracle at sf0.001/0.01/0.1), then tier (b) the 2 rewritten
-# semdedup entries, then tier (c) — the 16 remaining r12-stale rows
-# (deterministic ANN, events, expression matrices, BM25, cross-corpus
-# exact, substring spans, truncate fidelity, engine e2e, frame-sample
-# stats), then the 22 oldest r13-green rows in registration order.
+# Round-16 window: tier (a) is the 15 entries registered this round
+# (each pre-validated vs its oracle at sf0.001/0.01/0.1), then tier
+# (b) the 2 rewritten semdedup entries, then tier (c) — the 16
+# remaining r12-stale rows (deterministic ANN, events, expression
+# matrices, BM25, cross-corpus exact, substring spans, truncate
+# fidelity, engine e2e, frame-sample stats), then the oldest
+# r13-green rows in registration order.
 
 # Entries whose operator implementation changes this round (r16):
 # semdedup gained an optional ANN-assisted assignment path
@@ -101,13 +99,19 @@ _REWRITTEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked, registration order: the 4 early-r16
-    # entries (TRY_ matrix, maps, sequence fan-out, boolean/bitwise
-    # aggregates) plus the 6 late-r16 additions (regression aggregate
-    # family, IGNORE NULLS window matrix, struct ops, URL parse, as-of
-    # nearest, URL canonical dedup) — each verified vs its oracle at
+    # (a) never driver-checked, registration order: the 15 entries
+    # registered this round (TRY_ matrix, maps, sequence fan-out,
+    # boolean/bitwise aggregates, regression aggregate family,
+    # WITHIN GROUP percentiles, multi-DISTINCT Expand, JOIN USING /
+    # NATURAL, HLL sketch-union bound, IGNORE NULLS window matrix,
+    # struct ops, URL parse, hopping windows, as-of nearest, URL
+    # canonical dedup) — each verified vs its oracle at
     # sf0.001/0.01/0.1 before registration
     "agg_regression_family",
+    "agg_percentile_within_group",
+    "agg_count_distinct_multi",
+    "join_using_natural",
+    "agg_hll_union_bound",
     "window_ignore_nulls_fill",
     "expr_try_cast_matrix",
     "expr_map_functions",
@@ -115,13 +119,14 @@ _PRIORITY: tuple[str, ...] = (
     "agg_boolean_bitwise",
     "expr_struct_operations",
     "expr_url_parse",
+    "events_hopping_window",
     "asof_join_nearest",
     "pipeline_url_canonical_dedup",
     # (b) rewritten this round (2)
     "semdedup_kmeans_assign",
     "semdedup_prune_keep",
-    # (c) oldest evidence: the 16 remaining r12-stale rows (r15 verdict
-    # task 1)
+    # (c) oldest evidence: the remaining r12-stale rows, then the
+    # oldest r13-green rows in registration order
     "expr_regexp_matrix",
     "expr_json_matrix",
     "engine_sql_end_to_end",
@@ -138,7 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_truncate_fidelity",
     "text_bm25_ranking",
     "multimodal_frame_sample_stats",
-    # (c) next-oldest evidence: r13-green rows, registration order (22)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
@@ -156,24 +160,19 @@ _PRIORITY: tuple[str, ...] = (
     "events_tumbling_window",
     "events_sessionization",
     "events_json_props",
+    # --- 50-entry window boundary ---
+)
+
+# Carryover remainder: the head of the round-17 fill, in order — the
+# r13-green rows the r16-new entries displaced, oldest-first. Any
+# query whose plan is rewritten in round 17 joins that window the
+# same round.
+_NEXT_ROTATION_HEAD: tuple[str, ...] = (
     "events_top_users_per_type",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_candidates",
     "dedup_cross_corpus_candidates",
-    # --- 50-entry window boundary ---
-)
-
-# Carryover remainder: the head of the round-17 fill, in order — the
-# four rows the r16-new entries displaced, then the remaining
-# r13-green rows oldest-first. Any query whose plan is rewritten in
-# round 17 joins that window the same round.
-_NEXT_ROTATION_HEAD: tuple[str, ...] = (
-    "dedup_simhash_signatures",
-    "dedup_ngram_jaccard",
-    "ann_embedding_dup_pairs",
-    "curation_semantic_contamination",
-    "text_language_id",
 )
 
 

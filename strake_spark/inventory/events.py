@@ -253,3 +253,45 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "events_hopping_window",
+    oracle="""
+    SELECT make_timestamp(((epoch_us(ts) // 900000000) * 900000000)
+                          - k.k * 900000000) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS total_value
+    FROM events, (VALUES (0), (1)) k(k)
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+    notes=(
+        "hopping (sliding) time-window aggregation — size 30 min, slide "
+        "15 min, so every event lands in exactly 2 windows: Spark's "
+        "F.window(ts, '30 minutes', '15 minutes') vs an explicit "
+        "epoch-floor fan-out (cross join with k in {0,1}) in DuckDB. "
+        "The batch form of the streaming hopping-window agg "
+        "(streaming/ops.py); alignment is epoch-based in both engines "
+        "(session tz pinned to UTC in session.py)"
+    ),
+)
+def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", "decimal(19,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )

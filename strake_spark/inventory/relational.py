@@ -465,3 +465,147 @@ def agg_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((num * num) / (den_x * den_y)).alias("r2"),
         (num / F.sqrt(den_x * den_y)).alias("corr_xy"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_percentile_within_group",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25)      AS q1_qty,
+           quantile_cont(l_quantity, 0.5)       AS med_qty_cont,
+           quantile_disc(l_quantity, 0.5)       AS med_qty_disc,
+           quantile_disc(l_extendedprice, 0.9)  AS p90_price_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    notes=(
+        "ordered-set aggregates via the ANSI WITHIN GROUP syntax "
+        "(percentile_cont / percentile_disc) vs DuckDB's quantile_cont/"
+        "quantile_disc. disc picks an existing row value (exactly "
+        "comparable); cont interpolates with the same a+(b-a)*f formula "
+        "both engines use — verified bit-stable at three SFs"
+    ),
+)
+def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("iv_pct_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)     AS q1_qty,
+               percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity)     AS med_qty_cont,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity)     AS med_qty_disc,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price_disc
+        FROM iv_pct_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "agg_count_distinct_multi",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)  AS n_supp,
+           COUNT(DISTINCT l_partkey)  AS n_part,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_dist_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    notes=(
+        "multiple DISTINCT aggregates over different columns in one "
+        "query — Spark plans this with the Expand operator (one "
+        "duplicated stream per distinct set, then two-phase agg), the "
+        "shape that at scale replaces N self-joins; sum(DISTINCT) runs "
+        "in DECIMAL for order-independence"
+    ),
+)
+def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.sum_distinct(F.col("l_quantity").cast("decimal(15,2)"))
+            .cast("double")
+            .alias("sum_dist_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "join_using_natural",
+    oracle="""
+    WITH nat AS (
+      SELECT n_regionkey AS regionkey, n_name AS nation_name FROM nation
+    ),
+    reg AS (
+      SELECT r_regionkey AS regionkey, r_name AS region_name FROM region
+    )
+    SELECT 'using' AS join_kind, regionkey, nation_name, region_name
+    FROM nat JOIN reg USING (regionkey)
+    UNION ALL
+    SELECT 'natural' AS join_kind, regionkey, nation_name, region_name
+    FROM nat NATURAL JOIN reg
+    ORDER BY join_kind, regionkey, nation_name
+    """,
+    notes=(
+        "SQL-frontend join sugar: JOIN ... USING (shared key folded to "
+        "one column) and NATURAL JOIN (implicit equality on all "
+        "same-named columns) — both resolve to the same equi-join plan "
+        "in both engines"
+    ),
+)
+def join_using_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").selectExpr(
+        "n_regionkey AS regionkey", "n_name AS nation_name"
+    ).createOrReplaceTempView("iv_jun_nation")
+    table(spark, sf_dir, "region").selectExpr(
+        "r_regionkey AS regionkey", "r_name AS region_name"
+    ).createOrReplaceTempView("iv_jun_region")
+    return spark.sql(
+        """
+        SELECT 'using' AS join_kind, regionkey, nation_name, region_name
+        FROM iv_jun_nation JOIN iv_jun_region USING (regionkey)
+        UNION ALL
+        SELECT 'natural' AS join_kind, regionkey, nation_name, region_name
+        FROM iv_jun_nation NATURAL JOIN iv_jun_region
+        ORDER BY join_kind, regionkey, nation_name
+        """
+    )
+
+
+@query(
+    "agg_hll_union_bound",
+    oracle="SELECT true AS within_bound",
+    notes=(
+        "mergeable-sketch contract: per-priority Datasketches HLL "
+        "sketches of o_custkey (hll_sketch_agg), merged with "
+        "hll_union_agg, estimate within 5% of the exact global "
+        "COUNT(DISTINCT) — the map-side-partial/reduce-side-merge shape "
+        "that makes approx distinct counts tree-aggregable at 100 TB. "
+        "Sketch bytes are deterministic for a frozen dataset, so the "
+        "1-row boolean is driver-stable (same pattern as "
+        "agg_approx_count_distinct_bound)"
+    ),
+)
+def agg_hll_union_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_n"))
+    joined = merged.crossJoin(exact)
+    rel_err = (
+        F.abs(F.col("est") - F.col("exact_n")).cast("double") / F.col("exact_n")
+    )
+    return joined.select((rel_err <= 0.05).alias("within_bound"))
