@@ -77,7 +77,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-16 window: tier (a) is the 15 entries registered this round
+# Round-16 window: tier (a) is the 16 entries registered this round
 # (each pre-validated vs its oracle at sf0.001/0.01/0.1), then tier
 # (b) the 2 rewritten semdedup entries, then tier (c) — the 16
 # remaining r12-stale rows (deterministic ANN, events, expression
@@ -99,12 +99,13 @@ _REWRITTEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked, registration order: the 15 entries
+    # (a) never driver-checked, registration order: the 16 entries
     # registered this round (TRY_ matrix, maps, sequence fan-out,
     # boolean/bitwise aggregates, regression aggregate family,
     # WITHIN GROUP percentiles, multi-DISTINCT Expand, JOIN USING /
     # NATURAL, HLL sketch-union bound, IGNORE NULLS window matrix,
-    # struct ops, URL parse, hopping windows, as-of nearest, URL
+    # struct ops, URL parse, hopping windows (batch + streaming), as-of
+    # nearest, URL
     # canonical dedup) — each verified vs its oracle at
     # sf0.001/0.01/0.1 before registration
     "agg_regression_family",
@@ -120,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "expr_struct_operations",
     "expr_url_parse",
     "events_hopping_window",
+    "stream_hopping_counts",
     "asof_join_nearest",
     "pipeline_url_canonical_dedup",
     # (b) rewritten this round (2)
@@ -159,7 +161,6 @@ _PRIORITY: tuple[str, ...] = (
     "cte_recursive_series",
     "events_tumbling_window",
     "events_sessionization",
-    "events_json_props",
     # --- 50-entry window boundary ---
 )
 
@@ -168,11 +169,11 @@ _PRIORITY: tuple[str, ...] = (
 # query whose plan is rewritten in round 17 joins that window the
 # same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "events_json_props",
     "events_top_users_per_type",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_candidates",
-    "dedup_cross_corpus_candidates",
 )
 
 

@@ -188,3 +188,38 @@ def stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, tempfile.mkdtemp(prefix="strake-inv-totals-"), output_mode="update"
     )
     return out.select("user_id", "n", F.round("total", 3).alias("total"))
+
+
+@query(
+    "stream_hopping_counts",
+    oracle=f"""
+    SELECT make_timestamp(((epoch_us(ts) // 900000000) * 900000000)
+                          - k.k * 900000000)                    AS window_start,
+           make_timestamp(((epoch_us(ts) // 900000000) * 900000000)
+                          - k.k * 900000000) + INTERVAL 30 MINUTE AS window_end,
+           event_type,
+           count(*) AS n,
+           CAST(SUM({sql_dec('value', 'DECIMAL(18,6)')}) AS DOUBLE) AS total_value
+    FROM events, (VALUES (0), (1)) k(k)
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+    """,
+    notes=(
+        "Structured Streaming hopping window (size 30 min, slide 15 min) "
+        "drained with availableNow — each event counted in exactly two "
+        "overlapping windows; oracle = explicit epoch-floor fan-out "
+        "(cross join k in {0,1}). State is keyed per (window, type), "
+        "bounded by the watermark, same scale shape as tumbling"
+    ),
+)
+def stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.streaming import hopping_counts, read_event_stream
+    from strake_spark.streaming.ops import run_to_completion
+
+    stream = hopping_counts(
+        read_event_stream(spark, _stream_dir(sf_dir)),
+        window="30 minutes",
+        slide="15 minutes",
+    )
+    out = run_to_completion(stream, tempfile.mkdtemp(prefix="strake-inv-stream-"))
+    return out.orderBy("window_start", "event_type")

@@ -16,6 +16,7 @@ real cluster), scales with executors, and recovers from checkpoints.
 from strake_spark.streaming.ops import (  # noqa: F401
     dedup_stream,
     enrich_with_dim,
+    hopping_counts,
     read_event_stream,
     session_counts,
     tumbling_counts,

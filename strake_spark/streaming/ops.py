@@ -148,6 +148,34 @@ def tumbling_counts(
     )
 
 
+def hopping_counts(
+    events: DataFrame,
+    window: str = "30 minutes",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) windowed aggregation: each event lands in
+    window/slide overlapping windows (2 for the defaults). Same state
+    shape as tumbling_counts — Spark keys state per (window, type) and
+    the watermark bounds how many open windows exist at once. The batch
+    form is the oracled ``events_hopping_window`` inventory entry."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

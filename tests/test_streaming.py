@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from strake_spark.streaming import (
     dedup_stream,
+    hopping_counts,
     read_event_stream,
     session_counts,
     tumbling_counts,
@@ -61,6 +62,36 @@ class TestTumbling:
         got_s = got.sort_values(key).reset_index(drop=True)
         exp_s = exp.sort_values(key).reset_index(drop=True)
         assert len(got_s) == len(exp_s) > 0
+        assert (got_s["n"].to_numpy() == exp_s["n"].to_numpy()).all()
+        assert abs(got_s["total_value"].to_numpy() - exp_s["total_value"].to_numpy()).max() == 0.0
+
+
+class TestHopping:
+    def test_matches_batch_hopping_windows(self, spark, events_dir, tmp_path):
+        stream = hopping_counts(
+            read_event_stream(spark, events_dir), "30 minutes", "15 minutes"
+        )
+        got = run_to_completion(stream, str(tmp_path)).toPandas()
+        exp = (
+            _batch(spark, events_dir)
+            .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n", "total_value",
+            )
+            .toPandas()
+        )
+        key = ["window_start", "event_type"]
+        got_s = got.sort_values(key).reset_index(drop=True)
+        exp_s = exp.sort_values(key).reset_index(drop=True)
+        assert len(got_s) == len(exp_s) > 0
+        # every event must appear in exactly 2 windows: sum(n) == 2 * rows
+        assert got_s["n"].sum() == 2 * _batch(spark, events_dir).count()
         assert (got_s["n"].to_numpy() == exp_s["n"].to_numpy()).all()
         assert abs(got_s["total_value"].to_numpy() - exp_s["total_value"].to_numpy()).max() == 0.0
 
