@@ -749,22 +749,11 @@ def pipeline_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("?id="), base))
         .otherwise(F.concat(F.lit("?id="), base, F.lit("#top"))),
     )
+    from strake_spark.operators.urls import canonicalize_url
+
     raw = d.select("doc_id", "source", url.alias("url"))
-    params = F.array_sort(
-        F.filter(
-            F.split(F.coalesce(F.parse_url("url", F.lit("QUERY")), F.lit("")), "&"),
-            lambda x: (~x.startswith("utm_")) & (x != ""),
-        )
-    )
-    q = F.array_join(params, "&")
-    canonical = F.concat(
-        F.lit("https://"),
-        F.lower(F.parse_url("url", F.lit("HOST"))),
-        F.regexp_replace(F.parse_url("url", F.lit("PATH")), "/$", ""),
-        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(""),
-    )
     return (
-        raw.select("doc_id", "source", canonical.alias("canonical_url"))
+        raw.select("doc_id", "source", canonicalize_url("url").alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_variants"),

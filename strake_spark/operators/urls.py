@@ -1,0 +1,45 @@
+"""URL canonicalization — the CommonCrawl-style dedup key.
+
+Reference context: the reference has no URL toolkit (its curation
+surface is result-set scrubbing, README.md:29); this operator family is
+part of the training-data-pipeline extension the brief calls for. A
+web-corpus dedup keyed on raw URLs misses the bulk of duplicates —
+scheme flips, host case, trailing slashes, tracking params, and
+fragments all produce distinct strings for one resource.
+
+``canonicalize_url`` is a pure column expression (parse_url + filter/
+array_sort/array_join, all JVM built-ins, whole-stage-codegen'd): at
+100 TB it is a map-only pass, and the dedup it feeds shuffles once on
+the canonical key (see the ``pipeline_url_canonical_dedup`` inventory
+entry and its plan-shape test).
+
+Canonical form (idempotent — pinned by tests/test_url_canonical.py):
+  scheme  -> https
+  host    -> lowercased
+  path    -> trailing slash stripped
+  query   -> utm_* params and empties dropped, survivors sorted
+  fragment-> dropped
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Normalize a URL column to its canonical dedup key."""
+    url = F.col(col) if isinstance(col, str) else col
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
+            lambda x: (~x.startswith("utm_")) & (x != ""),
+        )
+    )
+    q = F.array_join(params, "&")
+    return F.concat(
+        F.lit("https://"),
+        F.lower(F.parse_url(url, F.lit("HOST"))),
+        F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/$", ""),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(""),
+    )

@@ -747,3 +747,49 @@ class TestAnnTopkSoleShuffle:
             # toString prints top-down: Final above the exchange,
             # Partial below it
             assert i_final < i_ex < i_partial, (name, i_final, i_ex, i_partial)
+
+
+class TestRound16Additions:
+    def test_multi_distinct_uses_expand(self, spark):
+        """Several DISTINCT aggregates over different columns must plan
+        as ONE Expand-based two-phase aggregation, not N self-joins."""
+        plan = _plan(spark, "agg_count_distinct_multi")
+        assert "Expand" in plan
+        assert "Join" not in plan
+
+    def test_hopping_window_is_single_shuffle(self, spark):
+        """The hop fan-out (explode into 2 windows) happens map-side;
+        the only exchange is the final group-by-window aggregation,
+        with a partial aggregate before it."""
+        plan = _plan(spark, "events_hopping_window")
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Exchange hashpartitioning") == 1
+        assert "partial" in body  # map-side combine before the shuffle
+
+    def test_regression_family_single_pass(self, spark):
+        """All six co-moment sums compute in ONE aggregation pass over
+        lineitem (no join of per-statistic subqueries)."""
+        plan = _plan(spark, "agg_regression_family")
+        assert "Join" not in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_url_canonical_dedup_map_side_until_groupby(self, spark):
+        """URL parse + canonicalization are pure projections — no join,
+        no Python in the plan. Exactly two hash exchanges: the
+        (canonical_url, source) partial for COUNT(DISTINCT source),
+        then the canonical_url final — Spark's standard two-level
+        distinct-aggregate expansion, both with map-side partials."""
+        plan = _plan(spark, "pipeline_url_canonical_dedup")
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Exchange hashpartitioning") == 2
+        assert "partial_count" in body
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_ignore_nulls_fill_single_shuffle(self, spark):
+        """All four IGNORE NULLS window expressions share the per-user
+        partitioning: one exchange, windows stacked on one sort order."""
+        plan = _plan(spark, "window_ignore_nulls_fill")
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Exchange hashpartitioning") == 1
