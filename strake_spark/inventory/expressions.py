@@ -592,3 +592,122 @@ def expr_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("q_id"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "expr_collation_compare",
+    oracle="""
+    WITH m AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+                  WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg
+      FROM customer WHERE c_custkey <= 600
+    )
+    SELECT c_custkey, seg,
+           lower(seg) = 'building'                        AS is_building,
+           lower(seg) IN ('machinery', 'furniture')       AS in_set,
+           lower(seg) < 'household'                       AS lt_household
+    FROM m ORDER BY c_custkey
+    """,
+    notes=(
+        "string collation surface (Spark 4 COLLATE): case-insensitive "
+        "equality / IN / ordering comparison via UTF8_LCASE on "
+        "mixed-case data — the oracle derives the same truths with "
+        "lower(), an independent mechanism. Comparisons only; the "
+        "collated string itself is never exposed (its case would be "
+        "representative-dependent)"
+    ),
+)
+def expr_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
+    seg = (
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+    )
+    m = c.select("c_custkey", seg.alias("seg"))
+    lc = F.collate(F.col("seg"), "UTF8_LCASE")
+    return m.select(
+        "c_custkey",
+        "seg",
+        (lc == F.lit("building")).alias("is_building"),
+        lc.isin("machinery", "furniture").alias("in_set"),
+        (lc < F.lit("household")).alias("lt_household"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "expr_xml_extract",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderkey,
+             concat('<o><k>', CAST(o_orderkey AS VARCHAR),
+                    '</k><p>', o_orderpriority,
+                    '</p><q>', CAST(o_orderkey % 7 AS VARCHAR),
+                    '</q><q>', CAST(o_orderkey % 3 AS VARCHAR),
+                    '</q></o>') AS xml
+      FROM orders WHERE o_orderkey <= 4000
+    )
+    SELECT o_orderkey,
+           CAST(regexp_extract(xml, '<k>([^<]*)</k>', 1) AS BIGINT)  AS k,
+           regexp_extract(xml, '<p>([^<]*)</p>', 1)                  AS p,
+           CAST(regexp_extract(xml, '<q>([^<]*)</q>', 1) AS INT)
+             + CAST(regexp_extract(xml, '</q><q>([^<]*)</q>', 1) AS INT) AS q_sum
+    FROM x ORDER BY o_orderkey
+    """,
+    notes=(
+        "XML decomposition (Spark 4 from_xml + Hive xpath family): "
+        "struct-schema parse for scalar fields and an XPath aggregate "
+        "over repeated elements, vs an independent regexp oracle. XML "
+        "synthesized from orders columns so both engines see identical "
+        "documents"
+    ),
+)
+def expr_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    xml = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"), F.col("o_orderpriority"),
+        F.lit("</p><q>"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("</q><q>"), (F.col("o_orderkey") % 3).cast("string"),
+        F.lit("</q></o>"),
+    )
+    x = o.select("o_orderkey", xml.alias("xml"))
+    v = F.from_xml("xml", "k BIGINT, p STRING")
+    return x.select(
+        "o_orderkey",
+        v.getField("k").alias("k"),
+        v.getField("p").alias("p"),
+        F.expr("xpath_int(xml, 'sum(/o/q)')").alias("q_sum"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "expr_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(props ->> '$.k' AS BIGINT)  AS k_val,
+           CAST(props ->> '$.missing' AS BIGINT) AS k_missing,
+           (props ->> '$.k') IS NOT NULL    AS has_k
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+    notes=(
+        "VARIANT type surface (Spark 4 semi-structured type): "
+        "parse_json -> variant, typed variant_get extraction (present "
+        "path, missing path -> NULL, existence test) over the events "
+        "props JSON column vs DuckDB's JSON operators — the "
+        "open-schema ingestion path for semi-structured event data"
+    ),
+)
+def expr_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+        F.try_variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
+    ).orderBy("event_id")
