@@ -87,3 +87,53 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x < 0)).cast("bigint").alias("n_neg"),
         F.exists("embedding", lambda x: F.abs(x) > 2.0).alias("has_outlier"),
     ).orderBy("vec_id")
+
+
+@query(
+    "window_frame_exclude_emulated",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM({sql_dec('l_extendedprice')}) OVER (
+                 PARTITION BY l_returnflag ORDER BY l_quantity
+                 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE CURRENT ROW) AS DOUBLE) AS ex_current,
+           CAST(SUM({sql_dec('l_extendedprice')}) OVER (
+                 PARTITION BY l_returnflag ORDER BY l_quantity
+                 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE GROUP) AS DOUBLE) AS ex_group,
+           CAST(SUM({sql_dec('l_extendedprice')}) OVER (
+                 PARTITION BY l_returnflag ORDER BY l_quantity
+                 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE TIES) AS DOUBLE) AS ex_ties
+    FROM lineitem
+    WHERE l_orderkey <= 4000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    notes=(
+        "SQL-standard frame EXCLUDE clause (CURRENT ROW / GROUP / TIES), "
+        "which Spark's frame grammar lacks — emulated exactly in decimal "
+        "arithmetic: a RANGE frame sum combined with the per-peer-group "
+        "sum (RANGE 0..0) and the row's own value (frame - current; "
+        "frame - peers; frame - peers + current). RANGE (not ROWS) "
+        "keeps every quantity deterministic under ties. Oracle = "
+        "DuckDB's NATIVE EXCLUDE implementation — the strongest oracle "
+        "for an emulated gap, same precedent as the GROUPS frame above. "
+        "All three emulations reuse ONE partitioning and sort (single "
+        "shuffle)"
+    ),
+)
+def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 4000)
+    price = F.col("l_extendedprice").cast("decimal(15,4)")
+    base = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    frame = base.rangeBetween(-2, 2)
+    peers = base.rangeBetween(Window.currentRow, Window.currentRow)
+    frame_sum = F.sum(price).over(frame)
+    peer_sum = F.sum(price).over(peers)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (frame_sum - price).cast("double").alias("ex_current"),
+        (frame_sum - peer_sum).cast("double").alias("ex_group"),
+        (frame_sum - peer_sum + price).cast("double").alias("ex_ties"),
+    ).orderBy("l_orderkey", "l_linenumber")
