@@ -609,3 +609,34 @@ def agg_hll_union_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("est") - F.col("exact_n")).cast("double") / F.col("exact_n")
     )
     return joined.select((rel_err <= 0.05).alias("within_bound"))
+
+
+@query(
+    "agg_approx_percentile_bound",
+    oracle="SELECT true AS within_bound",
+    notes=(
+        "mergeable quantile-sketch contract (companion pattern of "
+        "agg_hll_union_bound / agg_approx_count_distinct_bound): Spark's "
+        "approx_percentile (Greenwald-Khanna, accuracy 10000 -> 0.01% "
+        "rank error) on l_extendedprice must land within 1% VALUE error "
+        "of the exact interpolated percentile at p50/p90/p99 — the "
+        "sketch is deterministic for a frozen dataset, so the 1-row "
+        "boolean is driver-stable. At 100 TB this replaces the exact "
+        "sort-based percentile with map-side-mergeable partials"
+    ),
+)
+def agg_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = l.agg(
+        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias("approx"),
+        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("exact"),
+    )
+    pairs = F.arrays_zip(F.col("approx"), F.col("exact"))
+    max_rel = F.array_max(
+        F.transform(
+            pairs,
+            lambda p: F.abs(p.getField("approx") - p.getField("exact"))
+            / F.abs(p.getField("exact")),
+        )
+    )
+    return s.select((max_rel <= 0.01).alias("within_bound"))
