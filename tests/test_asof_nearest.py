@@ -120,3 +120,40 @@ def test_regression_family_matches_native_aggregates(spark):
             assert math.isclose(o[fld], n[fld], rel_tol=1e-9, abs_tol=1e-12), (
                 flag, fld, o[fld], n[fld],
             )
+
+
+def test_nearest_matches_pandas_merge_asof(spark):
+    """Independent third implementation: pandas merge_asof with
+    direction='nearest' resolves ties to the backward side (same
+    contract) — compare on a deterministic synthetic set with
+    duplicate-free right times per key."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 5, 200),
+        "t": np.sort(rng.uniform(0, 1000, 200)),
+        "lid": np.arange(200),
+    })
+    right_t = np.sort(rng.choice(np.arange(0, 2000), size=150, replace=False) / 2.0)
+    right = pd.DataFrame({
+        "k": rng.randint(0, 5, 150),
+        "t": right_t,
+        "rv": [f"r{i}" for i in range(150)],
+    })
+    exp = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"),
+        on="t", by="k", direction="nearest", suffixes=("", "_r"),
+    ).set_index("lid")["rv"]
+
+    got_df = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on=["k"], left_time="t", right_time="t",
+        right_cols=["rv"], direction="nearest",
+    )
+    got = {r["lid"]: r["rv_asof"] for r in got_df.collect()}
+    for lid, rv in exp.items():
+        want = None if pd.isna(rv) else rv
+        assert got[lid] == want, (lid, got[lid], want)
