@@ -15,7 +15,11 @@ entry and its plan-shape test).
 
 Canonical form (idempotent — pinned by tests/test_url_canonical.py):
   scheme  -> https
-  host    -> lowercased
+  host    -> lowercased; explicit port preserved UNLESS it is a scheme
+             default (80/443 — the canonical scheme is https and an
+             explicit default port names the same resource), because
+             parse_url HOST alone would collapse site:8080 with
+             site:9090
   path    -> trailing slash stripped
   query   -> utm_* params and empties dropped, survivors sorted
   fragment-> dropped
@@ -37,9 +41,15 @@ def canonicalize_url(col: Column | str) -> Column:
         )
     )
     q = F.array_join(params, "&")
+    # AUTHORITY = [userinfo@]host[:port]; HOST drops the port, so pull
+    # any explicit non-default port back into the canonical key
+    authority = F.coalesce(F.parse_url(url, F.lit("AUTHORITY")), F.lit(""))
+    port = F.regexp_extract(authority, ":([0-9]+)$", 1)
+    keep_port = (port != "") & (port != "80") & (port != "443")
     return F.concat(
         F.lit("https://"),
         F.lower(F.parse_url(url, F.lit("HOST"))),
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
         F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/$", ""),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(""),
     )

@@ -55,3 +55,19 @@ def test_stays_jvm_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_ports_preserved_unless_default(spark):
+    df = spark.createDataFrame(
+        [("http://Ex.org:8080/a",), ("http://ex.org:9090/a",),
+         ("https://ex.org:443/a",), ("http://ex.org:80/a",), ("http://ex.org/a",)],
+        "url string",
+    )
+    got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [
+        "https://ex.org:8080/a",
+        "https://ex.org:9090/a",
+        "https://ex.org/a",
+        "https://ex.org/a",
+        "https://ex.org/a",
+    ]
