@@ -77,7 +77,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-16 window: tier (a) is the 22 entries registered this round
+# Round-16 window: tier (a) is the 24 entries registered this round
 # (each pre-validated vs its oracle at sf0.001/0.01/0.1), then tier
 # (b) the 2 rewritten semdedup entries, then tier (c) — the 16
 # remaining r12-stale rows (deterministic ANN, events, expression
@@ -99,12 +99,13 @@ _REWRITTEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked, registration order: the 22 entries
+    # (a) never driver-checked, registration order: the 24 entries
     # registered this round (TRY_ matrix, maps, sequence fan-out,
     # boolean/bitwise aggregates, regression aggregate family,
     # WITHIN GROUP percentiles, multi-DISTINCT Expand, JOIN USING /
-    # NATURAL, HLL sketch-union + approx-percentile bounds, Gopher
-    # quality flags, IGNORE NULLS window matrix,
+    # NATURAL, HLL sketch-union + approx-percentile bounds, native
+    # listagg, width_bucket histogram, Gopher quality flags, IGNORE
+    # NULLS window matrix,
     # struct ops, URL parse, collations, XML, VARIANT, hopping windows
     # (batch + streaming), frame EXCLUDE emulation, as-of nearest, URL
     # canonical dedup) — each
@@ -116,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_using_natural",
     "agg_hll_union_bound",
     "agg_approx_percentile_bound",
+    "agg_listagg_within_group",
     "window_ignore_nulls_fill",
     "expr_try_cast_matrix",
     "expr_map_functions",
@@ -126,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "expr_collation_compare",
     "expr_xml_extract",
     "expr_variant_json",
+    "expr_width_bucket_histogram",
     "events_hopping_window",
     "text_gopher_quality_flags",
     "stream_hopping_counts",
@@ -161,8 +164,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "expr_vectorized_udf",
-    "subquery_scalar_above_avg",
-    "subquery_in_european_customers",
     # --- 50-entry window boundary ---
 )
 
@@ -171,11 +172,11 @@ _PRIORITY: tuple[str, ...] = (
 # query whose plan is rewritten in round 17 joins that window the
 # same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "subquery_scalar_above_avg",
+    "subquery_in_european_customers",
     "subquery_exists_correlated",
     "subquery_correlated_scalar_select",
     "cte_reused",
-    "cte_recursive_series",
-    "events_tumbling_window",
 )
 
 

@@ -711,3 +711,41 @@ def expr_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
         F.try_variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
     ).orderBy("event_id")
+
+
+@query(
+    "expr_width_bucket_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice >= 600000 THEN 13
+                     ELSE floor(o_totalprice / 50000.0) + 1 END AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1 ORDER BY bucket
+    """,
+    notes=(
+        "equi-width histogram via width_bucket(x, 0, 600000, 12) vs an "
+        "arithmetic oracle. Bounds chosen so the bucket width (50000) "
+        "is exact in binary — both engines then compute the identical "
+        "IEEE division and floor, with the >= upper-bound overflow "
+        "bucket (n+1) made explicit in the oracle"
+    ),
+)
+def expr_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias(
+                "bucket"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -640,3 +640,38 @@ def agg_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.select((max_rel <= 0.01).alias("within_bound"))
+
+
+@query(
+    "agg_listagg_within_group",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(concat(o_orderpriority, '#', CAST(o_orderkey AS VARCHAR)),
+                      '|' ORDER BY o_orderpriority, o_orderkey) AS agg_line
+    FROM orders
+    WHERE o_orderkey <= 2000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    notes=(
+        "native listagg WITHIN GROUP (Spark 4's ANSI ordered string "
+        "aggregation, replacing the sort_array+array_join rewrite used "
+        "by agg_string_agg_priorities) vs DuckDB string_agg ORDER BY — "
+        "the within-group order carries a unique tie-break so the "
+        "concatenation is total-ordered on both engines"
+    ),
+)
+def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000
+    ).createOrReplaceTempView("iv_la_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(concat(o_orderpriority, '#', CAST(o_orderkey AS STRING)), '|')
+                 WITHIN GROUP (ORDER BY o_orderpriority, o_orderkey) AS agg_line
+        FROM iv_la_orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
