@@ -114,11 +114,14 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "which Spark's frame grammar lacks — emulated exactly in decimal "
         "arithmetic: a RANGE frame sum combined with the per-peer-group "
         "sum (RANGE 0..0) and the row's own value (frame - current; "
-        "frame - peers; frame - peers + current). RANGE (not ROWS) "
+        "frame - peers; frame - peers + current). A SUM over an "
+        "exclusion-emptied frame is NULL in SQL, not 0, so each "
+        "emulation carries a surviving-row-count guard (the count "
+        "windows reuse the same partitioning/sort). RANGE (not ROWS) "
         "keeps every quantity deterministic under ties. Oracle = "
         "DuckDB's NATIVE EXCLUDE implementation — the strongest oracle "
         "for an emulated gap, same precedent as the GROUPS frame above. "
-        "All three emulations reuse ONE partitioning and sort (single "
+        "All emulations reuse ONE partitioning and sort (single "
         "shuffle)"
     ),
 )
@@ -130,10 +133,15 @@ def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     peers = base.rangeBetween(Window.currentRow, Window.currentRow)
     frame_sum = F.sum(price).over(frame)
     peer_sum = F.sum(price).over(peers)
+    frame_n = F.count(F.lit(1)).over(frame)
+    peer_n = F.count(F.lit(1)).over(peers)
+    ex_current = F.when(frame_n > 1, frame_sum - price)
+    ex_group = F.when(frame_n > peer_n, frame_sum - peer_sum)
+    # EXCLUDE TIES keeps the current row itself, so its set is never empty
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        (frame_sum - price).cast("double").alias("ex_current"),
-        (frame_sum - peer_sum).cast("double").alias("ex_group"),
+        ex_current.cast("double").alias("ex_current"),
+        ex_group.cast("double").alias("ex_group"),
         (frame_sum - peer_sum + price).cast("double").alias("ex_ties"),
     ).orderBy("l_orderkey", "l_linenumber")

@@ -702,13 +702,13 @@ def sample_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              concat('https://',
                     lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
-                    regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/$', ''),
+                    regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/+$', ''),
                     CASE WHEN array_to_string(list_sort(list_filter(
                              string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                             x -> x NOT LIKE 'utm_%' AND x <> '')), '&') <> ''
+                             x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') <> ''
                          THEN concat('?', array_to_string(list_sort(list_filter(
                              string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                             x -> x NOT LIKE 'utm_%' AND x <> '')), '&'))
+                             x -> NOT starts_with(x, 'utm_') AND x <> '')), '&'))
                          ELSE '' END) AS canonical_url
       FROM raw
     )

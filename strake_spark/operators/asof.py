@@ -91,9 +91,20 @@ def asof_join(
     else:
         # nearest: both fills share one hash partitioning (two sorts, ONE
         # shuffle); pick the closer match, ties to the at-or-before side.
+        # Distance compares in an EXACT domain — unix_micros for
+        # timestamps (a double cast has ~0.5us ulp at current epochs,
+        # enough to flip an exact tie), the native numeric otherwise.
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        if isinstance(both.schema["__time"].dataType, (TimestampType, TimestampNTZType)):
+            def _key(c: Column) -> Column:
+                return F.unix_micros(c)
+        else:
+            def _key(c: Column) -> Column:
+                return c
         out = both.withColumn("__b", fill_back).withColumn("__f", fill_fwd)
-        d_back = F.col("__time").cast("double") - F.col("__b.__t").cast("double")
-        d_fwd = F.col("__f.__t").cast("double") - F.col("__time").cast("double")
+        d_back = _key(F.col("__time")) - _key(F.col("__b.__t"))
+        d_fwd = _key(F.col("__f.__t")) - _key(F.col("__time"))
         out = out.withColumn(
             "__match",
             F.when(F.col("__b").isNull(), F.col("__f"))
@@ -108,9 +119,13 @@ def asof_join(
         elif direction == "forward":
             delta = F.col("__match.__t") - F.col("__time")
         else:
-            delta = F.abs(
-                F.col("__match.__t").cast("double") - F.col("__time").cast("double")
-            )
+            # abs() in the column's NATIVE type (interval for timestamps,
+            # numeric otherwise) so one tolerance value works across all
+            # three directions
+            delta = F.when(
+                F.col("__match.__t") <= F.col("__time"),
+                F.col("__time") - F.col("__match.__t"),
+            ).otherwise(F.col("__match.__t") - F.col("__time"))
         out = out.withColumn(
             "__match", F.when(delta <= tolerance, F.col("__match"))
         )

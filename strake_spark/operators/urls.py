@@ -36,20 +36,28 @@ def canonicalize_url(col: Column | str) -> Column:
     url = F.col(col) if isinstance(col, str) else col
     params = F.array_sort(
         F.filter(
-            F.split(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
+            F.split(F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
             lambda x: (~x.startswith("utm_")) & (x != ""),
         )
     )
     q = F.array_join(params, "&")
     # AUTHORITY = [userinfo@]host[:port]; HOST drops the port, so pull
     # any explicit non-default port back into the canonical key
-    authority = F.coalesce(F.parse_url(url, F.lit("AUTHORITY")), F.lit(""))
+    authority = F.coalesce(F.try_parse_url(url, F.lit("AUTHORITY")), F.lit(""))
     port = F.regexp_extract(authority, ":([0-9]+)$", 1)
     keep_port = (port != "") & (port != "80") & (port != "443")
-    return F.concat(
+    host = F.try_parse_url(url, F.lit("HOST"))
+    canonical = F.concat(
         F.lit("https://"),
-        F.lower(F.parse_url(url, F.lit("HOST"))),
+        F.lower(host),
         F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
-        F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/$", ""),
+        # '/+$' (all trailing slashes), not '/$': stripping only one
+        # would make '/a//' canonicalize to '/a/' — a non-fixpoint
+        F.regexp_replace(F.try_parse_url(url, F.lit("PATH")), "/+$", ""),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(""),
     )
+    # try_parse_url (parse_url throws under ANSI on invalid input)
+    # yields NULL host for undecomposable URLs — those must NOT
+    # collapse into one NULL dedup group with every other malformed
+    # input — pass it through verbatim as its own key
+    return F.when(host.isNull(), url).otherwise(canonical)

@@ -157,3 +157,42 @@ def test_nearest_matches_pandas_merge_asof(spark):
     for lid, rv in exp.items():
         want = None if pd.isna(rv) else rv
         assert got[lid] == want, (lid, got[lid], want)
+
+
+def test_nearest_exact_microsecond_tie_goes_backward(spark):
+    """Exact tie at microsecond granularity on real timestamps: the
+    double-cast ulp at 2024 epochs (~0.5us) must not flip the
+    contractual backward choice — distances compare in unix_micros."""
+    left = spark.sql(
+        "SELECT 1 AS k, timestamp'2024-06-15 12:00:00.000500' AS t, 1 AS lid"
+    )
+    right = spark.sql(
+        """SELECT 1 AS k, timestamp'2024-06-15 12:00:00.000000' AS t, 'back' AS rv
+           UNION ALL
+           SELECT 1, timestamp'2024-06-15 12:00:00.001000', 'fwd'"""
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        right_cols=["rv"], direction="nearest",
+    ).collect()
+    assert out[0]["rv_asof"] == "back"
+
+
+def test_nearest_interval_tolerance_on_timestamps(spark):
+    """One tolerance type must work across all directions: an INTERVAL
+    tolerance on timestamp columns applies to 'nearest' too."""
+    left = spark.sql(
+        """SELECT 1 AS k, timestamp'2024-06-15 12:00:00' AS t, 1 AS lid
+           UNION ALL SELECT 2, timestamp'2024-06-15 12:00:00', 2"""
+    )
+    right = spark.sql(
+        """SELECT 1 AS k, timestamp'2024-06-15 12:30:00' AS t, 'near' AS rv
+           UNION ALL SELECT 2, timestamp'2024-06-16 23:00:00', 'far'"""
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        right_cols=["rv"], direction="nearest",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    got = {r["lid"]: r["rv_asof"] for r in out.collect()}
+    assert got == {1: "near", 2: None}

@@ -60,6 +60,10 @@ def test_bloom_filter_injected_and_result_unchanged(spark):
     assert got == baseline and len(got) > 0
 
 
-def test_bloom_filter_off_by_default_plan_clean(spark):
+def test_bloom_filter_not_injected_below_size_thresholds(spark):
+    """The rule is ON by default (Spark >= 3.4) but gated by the 10MB
+    application-side / 10GB creation-side size thresholds, which local
+    testdata is far below — so an un-tuned session must plan no probe.
+    This pins the THRESHOLD behavior, not an enabled/disabled default."""
     plan = _join(spark)._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" not in plan

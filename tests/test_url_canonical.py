@@ -71,3 +71,20 @@ def test_ports_preserved_unless_default(spark):
         "https://ex.org/a",
         "https://ex.org/a",
     ]
+
+
+def test_malformed_urls_pass_through_as_distinct_keys(spark):
+    df = spark.createDataFrame(
+        [("not a url",), ("example.com/a",), ("https://ok.org/x",)],
+        "url string",
+    )
+    got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    # unparseable inputs keep their own identity instead of collapsing
+    # into one NULL dedup group
+    assert got == ["not a url", "example.com/a", "https://ok.org/x"]
+
+
+def test_double_trailing_slash_is_fixpoint(spark):
+    df = spark.createDataFrame([("https://ex.org/a//",), ("https://ex.org/a/",)], "url string")
+    got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == ["https://ex.org/a", "https://ex.org/a"]
