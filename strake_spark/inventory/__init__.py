@@ -77,7 +77,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-16 window: tier (a) is the 24 entries registered this round
+# Round-16 window: tier (a) is the 25 entries registered this round
 # (each pre-validated vs its oracle at sf0.001/0.01/0.1), then tier
 # (b) the 2 rewritten semdedup entries, then tier (c) — the 16
 # remaining r12-stale rows (deterministic ANN, events, expression
@@ -99,7 +99,7 @@ _REWRITTEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked, registration order: the 24 entries
+    # (a) never driver-checked, registration order: the 25 entries
     # registered this round (TRY_ matrix, maps, sequence fan-out,
     # boolean/bitwise aggregates, regression aggregate family,
     # WITHIN GROUP percentiles, multi-DISTINCT Expand, JOIN USING /
@@ -107,8 +107,8 @@ _PRIORITY: tuple[str, ...] = (
     # listagg, width_bucket histogram, Gopher quality flags, IGNORE
     # NULLS window matrix,
     # struct ops, URL parse, collations, XML, VARIANT, hopping windows
-    # (batch + streaming), frame EXCLUDE emulation, as-of nearest, URL
-    # canonical dedup) — each
+    # (batch + streaming), frame EXCLUDE emulation, as-of nearest, the
+    # phone/card/IP PII rule matrix, URL canonical dedup) — each
     # verified vs its oracle at
     # sf0.001/0.01/0.1 before registration
     "agg_regression_family",
@@ -134,6 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_hopping_counts",
     "window_frame_exclude_emulated",
     "asof_join_nearest",
+    "pii_rule_matrix",
     "pipeline_url_canonical_dedup",
     # (b) rewritten this round (2)
     "semdedup_kmeans_assign",
@@ -163,7 +164,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "expr_vectorized_udf",
     # --- 50-entry window boundary ---
 )
 
@@ -172,11 +172,11 @@ _PRIORITY: tuple[str, ...] = (
 # query whose plan is rewritten in round 17 joins that window the
 # same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "expr_vectorized_udf",
     "subquery_scalar_above_avg",
     "subquery_in_european_customers",
     "subquery_exists_correlated",
     "subquery_correlated_scalar_select",
-    "cte_reused",
 )
 
 
