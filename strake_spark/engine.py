@@ -306,19 +306,18 @@ class StrakeEngine:
 
     def _drift_warnings_for_query(self, query: str) -> list[str]:
         """Drift warning lines for every drifted view the statement
-        references (drift is recorded at registration/read time keyed
-        by table context; views are named ``<source>_<table>``)."""
-        from strake_spark.sources.drift import drift_warnings_for
+        references. Drift is recorded at registration/read time keyed
+        by the REGISTERED VIEW name (``<source>_<table>``) — a bare
+        table key would collide across sources that share table names.
+        The empty-registry early return keeps the common case free of
+        a second SQL parse."""
+        from strake_spark.sources.drift import drift_warnings_for, has_drift
 
+        if not has_drift():
+            return []
         out: list[str] = []
         for view in self._referenced_views(query):
-            src = self._view_source.get(view) or self._view_source.get(view.lower())
-            tbl = (
-                view[len(src) + 1 :]
-                if src and view.lower().startswith(src.lower() + "_")
-                else view
-            )
-            for w in drift_warnings_for(tbl):
+            for w in drift_warnings_for(view) or drift_warnings_for(view.lower()):
                 out.append(f"{view}: {w}")
         return out
 

@@ -306,16 +306,11 @@ class GetExportedKeys:  # CommandGetExportedKeys
 
     SHORT = "CommandGetExportedKeys"
 
+    # encode/decode bodies are cls-generic (decode is a classmethod
+    # building cls(...)), so the primary-keys implementations work
+    # verbatim here
     encode = GetPrimaryKeys.encode
-
-    @classmethod
-    def decode(cls, buf: bytes) -> "GetExportedKeys":
-        f = parse_fields(buf)
-        return cls(
-            catalog=f[1][0].decode() if 1 in f else None,
-            db_schema=f[2][0].decode() if 2 in f else None,
-            table=f.get(3, [b""])[0].decode(),
-        )
+    decode = classmethod(GetPrimaryKeys.decode.__func__)
 
 
 @dataclass
@@ -326,16 +321,11 @@ class GetImportedKeys:  # CommandGetImportedKeys
 
     SHORT = "CommandGetImportedKeys"
 
+    # encode/decode bodies are cls-generic (decode is a classmethod
+    # building cls(...)), so the primary-keys implementations work
+    # verbatim here
     encode = GetPrimaryKeys.encode
-
-    @classmethod
-    def decode(cls, buf: bytes) -> "GetImportedKeys":
-        f = parse_fields(buf)
-        return cls(
-            catalog=f[1][0].decode() if 1 in f else None,
-            db_schema=f[2][0].decode() if 2 in f else None,
-            table=f.get(3, [b""])[0].decode(),
-        )
+    decode = classmethod(GetPrimaryKeys.decode.__func__)
 
 
 @dataclass

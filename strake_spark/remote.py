@@ -159,16 +159,24 @@ class RemoteEngine:
                 fl.FlightDescriptor.for_command(cmd), self._options()
             )
             out = []
+            # per-query warnings arrive as schema metadata on EACH
+            # endpoint's stream; collect before concat (pyarrow does
+            # not promise metadata survives concat_tables) and union
+            # across endpoints in arrival order, first-seen wins
+            warnings: list[str] = []
             for ep in info.endpoints:
-                out.append(self._client.do_get(ep.ticket, self._options()).read_all())
+                t = self._client.do_get(ep.ticket, self._options()).read_all()
+                md = t.schema.metadata or {}
+                raw = md.get(b"strake.warnings")
+                if raw:
+                    for w in json.loads(raw.decode()):
+                        if w not in warnings:
+                            warnings.append(w)
+                out.append(t)
             import pyarrow as pa
 
             table = pa.concat_tables(out) if len(out) != 1 else out[0]
-            # per-query warnings arrive as schema metadata (server
-            # do_get attaches them; engine.last_warnings parity)
-            md = table.schema.metadata or {}
-            raw = md.get(b"strake.warnings")
-            self._last_warnings = json.loads(raw.decode()) if raw else []
+            self._last_warnings = warnings
             return table
         except fl.FlightError as e:
             raise _translate(e) or e from None
@@ -206,11 +214,15 @@ class RemoteEngine:
             info = self._client.get_flight_info(
                 fl.FlightDescriptor.for_command(cmd), self._options()
             )
+            warnings: list[str] = []
+            self._last_warnings = warnings  # filled as endpoints stream
             for ep in info.endpoints:
                 reader = self._client.do_get(ep.ticket, self._options())
                 md = reader.schema.metadata or {}
                 raw = md.get(b"strake.warnings")
-                self._last_warnings = json.loads(raw.decode()) if raw else []
+                for w in json.loads(raw.decode()) if raw else []:
+                    if w not in warnings:
+                        warnings.append(w)
                 for chunk in reader:
                     yield chunk.data
         except fl.FlightError as e:

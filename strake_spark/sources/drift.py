@@ -50,6 +50,11 @@ def drift_log() -> list[dict]:
     return list(_DRIFT_LOG)
 
 
+def has_drift() -> bool:
+    """Cheap guard for hot paths: any drift recorded at all?"""
+    return bool(_DRIFT_WARNINGS)
+
+
 def drift_warnings_for(context: str) -> list[str]:
     """Latest reconcile warning lines for a table context ([] if the
     table never drifted)."""
@@ -127,8 +132,13 @@ def reconcile(df: DataFrame, declared: T.StructType, context: str = "") -> DataF
                 "extra_columns": extra,
             }
         )
-    if warnings and context:
-        _DRIFT_WARNINGS[context] = list(warnings)
+    if context:
+        if warnings:
+            _DRIFT_WARNINGS[context] = list(warnings)
+        else:
+            # a clean reconcile HEALS recorded drift — leaving the old
+            # lines would report drift forever after the upstream fix
+            _DRIFT_WARNINGS.pop(context, None)
     result = df.select(*out)
     result._strake_drift_warnings = warnings  # per-handle audit trail
     return result

@@ -36,7 +36,9 @@ from strake_spark.sources.registry import source_type
 _FORMATS = {"parquet", "csv", "json", "ndjson"}
 
 
-def _read_one(spark: SparkSession, fmt: str, path: str, tbl: TableConfig) -> DataFrame:
+def _read_one(
+    spark: SparkSession, fmt: str, path: str, tbl: TableConfig, context: str = ""
+) -> DataFrame:
     reader = spark.read
     opts = dict(tbl.options)
     declared = tbl.struct_type()
@@ -45,7 +47,9 @@ def _read_one(spark: SparkSession, fmt: str, path: str, tbl: TableConfig) -> Dat
         if declared is not None:
             from strake_spark.sources.drift import reconcile
 
-            df = reconcile(df, declared, context=f"{tbl.name}")
+            # context = the REGISTERED VIEW name: drift warnings key on
+            # it, and a bare table name would collide across sources
+            df = reconcile(df, declared, context=context or tbl.name)
         return df
     if fmt == "csv":
         opts.setdefault("header", "true")
@@ -316,7 +320,7 @@ def register_file_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
             path = _spool_ftp(path, cfg.options)
         elif path.startswith(("http://", "https://")):
             path = _spool_http(path, cfg.options)
-        df = _read_one(spark, fmt, path, tbl)
+        df = _read_one(spark, fmt, path, tbl, context=view_name(cfg.name, tbl.name))
         if cfg.default_limit:
             # per-source row cap (models.rs SourceConfig.default_limit):
             # every view over this source is bounded — a blunt guard for

@@ -453,46 +453,58 @@ class H2GrpcChannel:
     ) -> None:
         self.authority = f"{host}:{port}"
         self._sock = socket.create_connection((host, port), timeout=timeout)
-        if tls:
-            # stdlib TLS with ALPN h2 (RFC 7301); hostname verification
-            # stays ON — pass tls_root_certs (a PEM bundle path) to pin
-            # a private CA, mirroring remote.py's option
-            ctx = ssl.create_default_context(cafile=tls_root_certs)
-            ctx.set_alpn_protocols(["h2"])
+        # every failure from here until the handshake completes must
+        # close the socket — __init__ raising means no caller ever
+        # holds the object to close() it (one FD leaked per failed
+        # Spark-task attempt otherwise)
+        try:
+            if tls:
+                # stdlib TLS with ALPN h2 (RFC 7301); hostname verification
+                # stays ON — pass tls_root_certs (a PEM bundle path) to pin
+                # a private CA, mirroring remote.py's option
+                ctx = ssl.create_default_context(cafile=tls_root_certs)
+                ctx.set_alpn_protocols(["h2"])
+                try:
+                    self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
+                except ssl.SSLError as e:
+                    raise SourceError(
+                        f"grpcs TLS handshake with {host}:{port} failed: {e}"
+                    ) from e
+                if self._sock.selected_alpn_protocol() != "h2":
+                    raise SourceError(
+                        f"peer {host}:{port} did not negotiate ALPN h2 "
+                        f"(got {self._sock.selected_alpn_protocol()!r})"
+                    )
+            self._scheme = "https" if tls else "http"
+            self._decoder = HpackDecoder()
+            self._next_stream = 1
+            # send-side flow control (RFC 7540 §6.9): connection window plus
+            # the initial window every new stream starts with
+            self._conn_window = DEFAULT_WINDOW
+            self._initial_window = DEFAULT_WINDOW
+            self._peer_max_frame = MAX_FRAME_SIZE
+            self._stream_windows: dict[int, int] = {}
+            self._sock.sendall(
+                PREFACE
+                # SETTINGS: defaults are fine; advertise no server push
+                + pack_frame(FT_SETTINGS, 0, 0, struct.pack("!HI", 0x2, 0))
+            )
+            self._settings_acked = False
+            self._peer_settings_received = False
+            # wait for the peer's initial SETTINGS before opening streams —
+            # its SETTINGS_INITIAL_WINDOW_SIZE governs how much request
+            # DATA may be in flight (§6.9.2); sending against the 65,535
+            # default and letting windows go negative is legal but this
+            # half-RTT wait keeps the sender conservative and testable
+            while not self._peer_settings_received:
+                ftype, flags, _sid, payload = read_frame(self._sock)
+                self._handle_control(ftype, flags, payload)
+        except BaseException:
             try:
-                self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
-            except ssl.SSLError as e:
                 self._sock.close()
-                raise SourceError(f"grpcs TLS handshake with {host}:{port} failed: {e}") from e
-            if self._sock.selected_alpn_protocol() != "h2":
-                self._sock.close()
-                raise SourceError(
-                    f"peer {host}:{port} did not negotiate ALPN h2 "
-                    f"(got {self._sock.selected_alpn_protocol()!r})"
-                )
-        self._scheme = "https" if tls else "http"
-        self._decoder = HpackDecoder()
-        self._next_stream = 1
-        # send-side flow control (RFC 7540 §6.9): connection window plus
-        # the initial window every new stream starts with
-        self._conn_window = DEFAULT_WINDOW
-        self._initial_window = DEFAULT_WINDOW
-        self._stream_windows: dict[int, int] = {}
-        self._sock.sendall(
-            PREFACE
-            # SETTINGS: defaults are fine; advertise no server push
-            + pack_frame(FT_SETTINGS, 0, 0, struct.pack("!HI", 0x2, 0))
-        )
-        self._settings_acked = False
-        self._peer_settings_received = False
-        # wait for the peer's initial SETTINGS before opening streams —
-        # its SETTINGS_INITIAL_WINDOW_SIZE governs how much request
-        # DATA may be in flight (§6.9.2); sending against the 65,535
-        # default and letting windows go negative is legal but this
-        # half-RTT wait keeps the sender conservative and testable
-        while not self._peer_settings_received:
-            ftype, flags, _sid, payload = read_frame(self._sock)
-            self._handle_control(ftype, flags, payload)
+            except OSError:
+                pass
+            raise
 
     # -------------------------------------------------------------- control
     def _handle_control(self, ftype: int, flags: int, payload: bytes) -> None:
@@ -523,6 +535,11 @@ class H2GrpcChannel:
                 self._initial_window = value
                 for sid in self._stream_windows:
                     self._stream_windows[sid] += delta
+            elif ident == _SETTINGS_MAX_FRAME_SIZE:
+                # §6.5.2: the largest frame WE may send the peer; legal
+                # values are 16384..2^24-1, so clamping low is just
+                # defensive against a non-conformant advertisement
+                self._peer_max_frame = max(MAX_FRAME_SIZE, min(value, (1 << 24) - 1))
 
     def _replenish(self, stream_id: int, consumed: int) -> None:
         if consumed <= 0:
@@ -643,7 +660,7 @@ class H2GrpcChannel:
             allow = min(
                 self._conn_window,
                 self._stream_windows.get(stream_id, 0),
-                MAX_FRAME_SIZE,
+                self._peer_max_frame,
                 remaining,
             )
             if allow <= 0:

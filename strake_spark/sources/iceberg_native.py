@@ -1198,12 +1198,12 @@ def register_iceberg_native(spark: SparkSession, cfg: SourceConfig) -> list[str]
             as_of_timestamp_ms=int(as_of) if as_of is not None else None,
             partition_filter=opts.get("partition_filter"),
         )
+        view = view_name(cfg.name, tbl.name)
         declared = tbl.struct_type()
         if declared is not None:
             from strake_spark.sources.drift import reconcile
 
-            df = reconcile(df, declared, context=tbl.name)
-        view = view_name(cfg.name, tbl.name)
+            df = reconcile(df, declared, context=view)
         df.createOrReplaceTempView(view)
         registered.append(view)
         # snapshot-history inspection view (Iceberg's $snapshots

@@ -109,7 +109,7 @@ def register_jdbc_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
             if declared is not None:
                 from strake_spark.sources.drift import reconcile
 
-                df = reconcile(df, declared, context=_remote)
+                df = reconcile(df, declared, context=_view)
             df.createOrReplaceTempView(_view)
             return schema
 

@@ -503,7 +503,7 @@ def register_mysql_wire_source(spark: SparkSession, cfg: SourceConfig) -> list[s
         if declared is not None:
             from strake_spark.sources.drift import reconcile
 
-            df = reconcile(df, declared, context=tbl.name)
+            df = reconcile(df, declared, context=view)
         df.createOrReplaceTempView(view)
 
         def push_query(spark: SparkSession, sql: str, _base=dict(base)):

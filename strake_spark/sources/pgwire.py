@@ -594,7 +594,7 @@ def register_pgwire_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
         if declared is not None:
             from strake_spark.sources.drift import reconcile
 
-            df = reconcile(df, declared, context=tbl.name)
+            df = reconcile(df, declared, context=view)
         df.createOrReplaceTempView(view)
 
         def push_query(spark: SparkSession, sql: str, _base=dict(base)):

@@ -211,7 +211,7 @@ def register_sqlite_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
             if _declared is not None:
                 from strake_spark.sources.drift import reconcile
 
-                df = reconcile(df, _declared, context=_tname)
+                df = reconcile(df, _declared, context=_view)
             df.createOrReplaceTempView(_view)
             return schema
 

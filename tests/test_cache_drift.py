@@ -154,3 +154,60 @@ class TestDrift:
         src = spark.createDataFrame([(1,)], "a bigint")
         out = reconcile(src, T.StructType([T.StructField("a", T.LongType())]))
         assert out._strake_drift_warnings == []
+
+
+class TestDriftRegistrySemantics:
+    """r16 review fixes: view-name keying (no cross-source collisions)
+    and clean-reconcile healing."""
+
+    def _declared2(self):
+        import pyspark.sql.types as T
+
+        return T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("missing", T.StringType())]
+        )
+
+    def test_clean_reconcile_heals_recorded_drift(self, spark):
+        from strake_spark.sources.drift import (
+            clear_drift_log,
+            drift_warnings_for,
+            reconcile,
+        )
+
+        clear_drift_log()
+        src = spark.createDataFrame([(1,)], "id long")
+        reconcile(src, self._declared2(), context="heal_t")
+        assert drift_warnings_for("heal_t")
+        healed = spark.createDataFrame([(1, "x")], "id long, missing string")
+        reconcile(healed, self._declared2(), context="heal_t")
+        assert drift_warnings_for("heal_t") == []
+        clear_drift_log()
+
+    def test_same_table_name_across_sources_does_not_collide(self, spark, tmp_path):
+        """Sources 'a' and 'b' both register table 'orders'; only a's
+        drifted — a query on b_orders must carry NO drift lines."""
+        import strake_spark as ss
+        from strake_spark.sources.drift import clear_drift_log
+
+        clear_drift_log()
+        spark.createDataFrame([(1,)], "id long").write.parquet(str(tmp_path / "da" / "orders.parquet"))
+        spark.createDataFrame([(1, "x")], "id long, missing string").write.parquet(
+            str(tmp_path / "db" / "orders.parquet")
+        )
+        cols = [{"name": "id", "type": "bigint"}, {"name": "missing", "type": "string"}]
+        eng = ss.connect(
+            {
+                "sources": [
+                    {"name": "a", "type": "parquet", "url": str(tmp_path / "da"),
+                     "tables": [{"name": "orders", "columns": cols}]},
+                    {"name": "b", "type": "parquet", "url": str(tmp_path / "db"),
+                     "tables": [{"name": "orders", "columns": cols}]},
+                ]
+            },
+            spark=spark,
+        )
+        eng.execute("SELECT id FROM a_orders")
+        assert any("STRAKE-2009" in w for w in eng.last_warnings())
+        eng.execute("SELECT id FROM b_orders")
+        assert eng.last_warnings() == []
+        clear_drift_log()
