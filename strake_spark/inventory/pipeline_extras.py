@@ -730,7 +730,12 @@ def sample_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deterministically from doc_id; ~500 canonical groups. Spark "
         "decomposes with parse_url + filter/array_sort/array_join "
         "(JVM built-ins, map-side only until the final groupBy); the "
-        "oracle re-derives with an independent regexp decomposition"
+        "oracle re-derives with an independent regexp decomposition. "
+        "Measured at sf0.1 (5k docs): ~1s Catalyst analysis of the "
+        "wide concat/CASE expression + ~2.5s execution dominated by "
+        "ParseUrlEvaluator init and job scheduling — fixed costs that "
+        "amortize at scale, where the shape is one map pass + one "
+        "shuffle on the canonical key"
     ),
 )
 def pipeline_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
