@@ -390,10 +390,10 @@ def expr_try_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                [CAST(c_custkey AS VARCHAR), c_mktsegment])['key'][1]   AS v_key,
            map(['key','seg'],
                [CAST(c_custkey AS VARCHAR), c_mktsegment])['nope'][1]  AS v_missing,
-           map_keys(map(['key','seg'],
-               [CAST(c_custkey AS VARCHAR), c_mktsegment]))            AS ks,
-           map_values(map(['key','seg'],
-               [CAST(c_custkey AS VARCHAR), c_mktsegment]))            AS vs,
+           array_to_string(map_keys(map(['key','seg'],
+               [CAST(c_custkey AS VARCHAR), c_mktsegment])), ',')      AS ks,
+           array_to_string(map_values(map(['key','seg'],
+               [CAST(c_custkey AS VARCHAR), c_mktsegment])), ',')      AS vs,
            CAST(cardinality(map(['key','seg'],
                [CAST(c_custkey AS VARCHAR), c_mktsegment])) AS BIGINT) AS n
     FROM customer
@@ -404,7 +404,10 @@ def expr_try_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "map-type surface: map_from_arrays construction, key lookup "
         "(present + missing -> NULL via try_element_at; DuckDB map "
         "extract returns a list, unwrapped with [1]), map_keys / "
-        "map_values insertion order, cardinality"
+        "map_values insertion order (joined to CSV scalars so every "
+        "output column is driver-hashable — the r16 red row returned "
+        "raw arrays that pandas sort_values cannot factorize), "
+        "cardinality"
     ),
 )
 def expr_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,8 +420,8 @@ def expr_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.try_element_at(m, F.lit("key")).alias("v_key"),
         F.try_element_at(m, F.lit("nope")).alias("v_missing"),
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.array_join(F.map_keys(m), ",").alias("ks"),
+        F.array_join(F.map_values(m), ",").alias("vs"),
         F.size(m).cast("bigint").alias("n"),
     ).orderBy("c_custkey")
 

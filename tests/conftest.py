@@ -44,7 +44,14 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Canonical form: columns sorted by name, tz-naive datetimes,
-    numeric unified to float64/int64, rows sorted by stringified tuple."""
+    numeric unified to float64/int64, rows sorted by stringified tuple.
+
+    Refuses non-scalar object cells (list/dict/set/ndarray): the grading
+    driver canonicalizes with a plain pandas ``sort_values``, whose
+    ``Categorical``/``factorize`` path raises ``unhashable type`` on such
+    cells. An earlier version of this helper stringified object columns
+    first, which let `expr_map_functions` pass locally while the driver's
+    r16 check went red — fail here exactly where the driver fails."""
     import datetime as _dt
 
     out = pdf[sorted(pdf.columns)].copy()
@@ -52,6 +59,16 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         s = out[c]
         if s.dtype == object:
             probe = s.dropna()
+            if len(probe) and isinstance(
+                probe.iloc[0], (list, dict, set, np.ndarray)
+            ):
+                raise TypeError(
+                    f"column {c!r} holds non-scalar "
+                    f"{type(probe.iloc[0]).__name__} cells — the driver's "
+                    "pandas canonicalizer (plain sort_values) cannot hash "
+                    "these; reduce to scalars (array_join / to_json / "
+                    "field extraction) in the entry"
+                )
             if len(probe) and isinstance(probe.iloc[0], (_dt.date, _dt.datetime)):
                 s = pd.to_datetime(s)
         if pd.api.types.is_datetime64_any_dtype(s):
@@ -133,12 +150,34 @@ def make_self_signed_cert(tmp_dir) -> tuple[str, str]:
     return cert_path, key_path
 
 
+def assert_driver_hashable_schema(df, name: str) -> None:
+    """Registry-wide output-schema guard (r16 verdict task #2): every
+    oracled entry must return only types the driver's pandas
+    canonicalizer can sort/hash. Top-level ARRAY/MAP/STRUCT columns
+    arrive in pandas as list/dict/Row objects that ``sort_values``
+    cannot factorize — exactly how `expr_map_functions` went red in
+    CORRECTNESS_r16 while the local harness stayed green."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            raise AssertionError(
+                f"{name}: output column {f.name!r} has driver-unhashable "
+                f"type {f.dataType.simpleString()} — reduce to scalars "
+                "(array_join / to_json / field extraction) so the "
+                "driver's plain sort_values canonicalizer can hash it"
+            )
+
+
 def run_and_compare(spark, name: str, sf_dir: str = SF_DIR):
     """Execute one inventory entry on Spark and on the DuckDB oracle."""
     from strake_spark import inventory
 
     spec = inventory.REGISTRY[name]
-    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    df = spec.fn(spark, sf_dir)
+    if spec.oracle is not None:
+        assert_driver_hashable_schema(df, name)
+    spark_pdf = df.toPandas()
     if spec.oracle is None:
         assert len(spark_pdf) >= 0  # rows-only check, like the driver's
         return spark_pdf
