@@ -60,8 +60,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(byte % 16), which SQL reads directly as the hex digit at "
         "each even position of hex(payload) — no byte iteration "
         "needed. count/total is an exact int division in both engines, "
-        "so the doubles hash-match without rounding. The real-decoder "
-        "integration point (decode_image) stays a documented stub"
+        "so the doubles hash-match without rounding. (decode_image went "
+        "REAL in r17 — see multimodal_image_decode below)"
     ),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,3 +123,97 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "multimodal_image_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, xs.x, ys.y
+      FROM d, UNNEST(range(d.w)) AS xs(x), UNNEST(range(d.h)) AS ys(y)
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           3 AS n_channels,
+           CAST(SUM((x*17 + doc_id) % 256) AS BIGINT) AS ch0_sum,
+           CAST(SUM((y*29) % 256) AS BIGINT)          AS ch1_sum,
+           CAST(SUM((x + y) % 256) AS BIGINT)         AS ch2_sum
+    FROM px
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    notes=(
+        "REAL image decode over a PNG binary column (r17 — closes the "
+        "r16 verdict probe task): synthetic_png_payloads encodes a "
+        "deterministic RGB tile per doc (pixel formula closed-form), "
+        "decode_image (pure zlib+numpy PNG decoder, Arrow-batched "
+        "mapInPandas, map-only) recovers dims + exact per-channel "
+        "pixel sums, and the SQL oracle recomputes the same sums from "
+        "the pixel formula via a lateral pixel grid — a full "
+        "encode/decode roundtrip verified by independent arithmetic. "
+        "Cross-decoder parity with the JVM javax.imageio source is "
+        "pinned in tests/test_textbatch.py::TestImageCodec"
+    ),
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = MM.synthetic_png_payloads(docs)
+    decoded = MM.decode_image(payloads)
+    return decoded.select(
+        "doc_id", "width", "height", "n_channels",
+        "ch0_sum", "ch1_sum", "ch2_sum",
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_image_source_scan",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(2 + n_nationkey % 9 AS INT) AS width,
+           CAST(2 + n_nationkey % 6 AS INT) AS height,
+           3 AS n_channels,
+           16 AS mode
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    notes=(
+        "Spark's built-in `image` data source (bundled mllib jars, JVM "
+        "javax.imageio — probed working jar-free in this container, r17): "
+        "the entry writes one deterministic PNG per nation row to a "
+        "temp dir, scans it with read_images, recovers the key from the "
+        "file name, and the oracle recomputes the expected dimensions "
+        "arithmetically. mode 16 = CV_8UC3 (8-bit 3-channel), the "
+        "constant the source emits for RGB"
+    ),
+)
+def multimodal_image_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    keys = [int(r[0]) for r in table(spark, sf_dir, "nation").select("n_nationkey").collect()]
+    out_dir = tempfile.mkdtemp(prefix="strake_img_scan_")
+    for k in keys:
+        w, h = 2 + k % 9, 2 + k % 6
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0] = k % 256
+        img[:, :, 1] = (k * 7) % 256
+        img[:, :, 2] = (k * 13) % 256
+        with open(os.path.join(out_dir, f"img_{k:03d}.png"), "wb") as f:
+            f.write(MM.encode_png(img))
+    scanned = MM.read_images(spark, out_dir)
+    return scanned.select(
+        F.regexp_extract("origin", r"img_(\d+)\.png", 1)
+        .cast("int")
+        .alias("n_nationkey"),
+        "width",
+        "height",
+        "n_channels",
+        "mode",
+    ).orderBy("n_nationkey")

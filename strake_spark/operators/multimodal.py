@@ -6,21 +6,40 @@ columns, and decode/feature-extraction runs as Arrow-batched pandas
 iterators (``mapInPandas``) so the heavy bytes never cross a row-at-a-
 time Python boundary.
 
-The container has no image/audio libraries, so the actual decode step
-is STUBBED: ``decode_features`` computes a deterministic byte-histogram
-"feature vector" standing in for a real decoder, and ``decode_image``
-raises NotImplementedError with the integration point documented. The
-Spark-side plumbing — schema, batching, UDF signature, partition
-behavior — is real and tested.
+Image decode is REAL and jar-free (closed in r17 after the r16 verdict's
+probe task): two independent paths, no imaging library required —
+
+1. ``read_images`` wraps Spark's built-in ``image`` data source (the
+   mllib jars bundled with pyspark; JVM ``javax.imageio`` decodes
+   PNG/JPEG/BMP/GIF on executors) and flattens the struct to typed
+   columns. Probe result in this container: PNG decodes correctly,
+   width/height/nChannels/mode all populated.
+2. ``decode_png`` / ``decode_image`` decode PNG *binary columns*
+   in-stream with stdlib ``zlib`` + numpy (8-bit gray/RGB/RGBA,
+   non-interlaced, all five scanline filters), Arrow-batched through
+   ``mapInPandas`` — the shape a real pipeline uses when payloads live
+   in parquet binary columns rather than as files. ``encode_png`` is
+   the matching writer (filter-0 scanlines), used by tests and the
+   oracled inventory entries for deterministic roundtrips.
+
+Swapping in a faster native decoder (Pillow/torchvision) is a drop-in
+replacement inside the same ``mapInPandas`` seam; the Spark-side
+contract (schema, batching, partition behavior) does not change.
+
+Audio/video containers still need a demuxer — ``sample_frames`` keeps
+the deterministic fixed-stride treatment for those payloads.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FEATURE_BINS = 16
@@ -73,17 +92,213 @@ def decode_features(docs_with_payload: DataFrame, id_col: str = "doc_id") -> Dat
     return docs_with_payload.mapInPandas(extract, schema=FEATURES_SCHEMA)
 
 
-def decode_image(payload_df: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Real image decode (resize / frame-sample) integration point.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
-    Requires an imaging library (Pillow / torchvision / ffmpeg) on the
-    executors; not present in this container. The implementation shape
-    is identical to decode_features: mapInPandas over the binary column,
-    emitting fixed-shape tensors as array columns.
-    """
-    raise NotImplementedError(
-        "image decode requires an imaging library on executors; "
-        "wire it into decode_features()'s mapInPandas pattern"
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal deterministic PNG writer (stdlib only): 8-bit
+    grayscale (h,w) / RGB (h,w,3) / RGBA (h,w,4), filter-0 scanlines,
+    one IDAT chunk. Byte-stable across platforms (zlib level fixed)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Pure zlib+numpy PNG decoder: 8-bit gray/RGB/gray-alpha/RGBA,
+    non-interlaced, all five scanline filters (None/Sub/Up/Average/
+    Paeth per the PNG spec §4.5.4). Returns uint8 (h, w, channels).
+
+    Palette (color type 3), 16-bit, and interlaced images raise
+    ValueError — loud, not silent-wrong. Filter 2 (Up, what most
+    encoders emit for flat synthetic data) is fully vectorized; Sub/
+    Average/Paeth run a per-byte loop, fine for the small tiles tests
+    use — swap a native decoder into the same seam for decode-heavy
+    production loads."""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(b):
+        ln, tag = struct.unpack(">I4s", b[pos : pos + 8])
+        pos += 8
+        data = b[pos : pos + ln]
+        pos += ln + 4  # payload + CRC
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0:
+                raise ValueError("unsupported PNG: need 8-bit non-interlaced")
+            nch = _PNG_CHANNELS.get(ctype)
+            if nch is None:
+                raise ValueError("unsupported PNG color type (palette)")
+            meta = (w, h, nch)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("truncated PNG (no IHDR)")
+    w, h, nch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG (scanline size mismatch)")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        off += 1 + stride
+        if ftype == 0:  # None
+            pass
+        elif ftype == 2:  # Up (vectorized; uint8 add wraps mod 256)
+            line += prev
+        elif ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (int(line[i]) + int(line[i - nch])) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = int(line[i - nch]) if i >= nch else 0
+                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - nch]) if i >= nch else 0
+                up = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                line[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        img[y] = line
+        prev = line
+    return img.reshape(h, w, nch)
+
+
+DECODED_SCHEMA = (
+    "doc_id bigint, width int, height int, n_channels int, "
+    "ch0_sum bigint, ch1_sum bigint, ch2_sum bigint, err string"
+)
+
+
+def decode_image(payload_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode over a PNG binary column (jar-free; replaces
+    the pre-r17 NotImplementedError stub — contract preserved: same
+    mapInPandas seam, undecodable payloads surface in ``err`` rather
+    than crashing the stage).
+
+    Emits typed metadata plus exact per-channel pixel sums (bigint, so
+    cross-engine hash-compare needs no float tolerance). Map-only: no
+    shuffle; bytes stay inside Arrow batches."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                row = {
+                    id_col: doc_id,
+                    "width": None,
+                    "height": None,
+                    "n_channels": None,
+                    "ch0_sum": None,
+                    "ch1_sum": None,
+                    "ch2_sum": None,
+                    "err": None,
+                }
+                try:
+                    img = decode_png(bytes(payload))
+                    h, w, nch = img.shape
+                    sums = img.reshape(-1, nch).sum(axis=0, dtype=np.int64)
+                    row.update(
+                        width=w,
+                        height=h,
+                        n_channels=nch,
+                        ch0_sum=int(sums[0]),
+                        ch1_sum=int(sums[1]) if nch > 1 else None,
+                        ch2_sum=int(sums[2]) if nch > 2 else None,
+                    )
+                except (ValueError, TypeError) as e:
+                    row["err"] = str(e)
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_channels",
+                    "ch0_sum", "ch1_sum", "ch2_sum", "err",
+                ],
+            )
+
+    return payload_df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def synthetic_png_payloads(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG payload column for tests and oracled entries:
+    each id becomes a (1+id%7) x (1+id%5) RGB image with pixel
+    (x, y) = ((x*17+id) % 256, (y*29) % 256, (x+y) % 256) — every
+    channel sum is closed-form integer arithmetic a SQL oracle can
+    recompute exactly. Map-only mapInPandas; payload never leaves the
+    Arrow batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                w, h = 1 + doc_id % 7, 1 + doc_id % 5
+                x = np.arange(w)
+                y = np.arange(h)
+                img = np.stack(
+                    [
+                        np.broadcast_to((x * 17 + doc_id) % 256, (h, w)),
+                        np.broadcast_to(((y * 29) % 256)[:, None], (h, w)),
+                        np.add.outer(y, x) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                rows.append({id_col: doc_id, "payload": encode_png(img)})
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return ids_df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} bigint, payload binary"
+    )
+
+
+IMAGE_SOURCE_SCHEMA_COLS = ("origin", "width", "height", "n_channels", "mode")
+
+
+def read_images(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a directory of image files with Spark's built-in ``image``
+    data source (bundled mllib jars; JVM javax.imageio — no Python
+    imaging library involved) and flatten the struct to typed columns.
+    ``data`` stays binary; drop it early when only metadata is needed
+    so the column never ships through downstream shuffles."""
+    df = spark.read.format("image").load(path)
+    return df.select(
+        F.col("image.origin").alias("origin"),
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.col("image.nChannels").alias("n_channels"),
+        F.col("image.mode").alias("mode"),
+        F.col("image.data").alias("data"),
     )
 
 
@@ -132,11 +347,55 @@ def sample_frames(
     return docs_with_payload.mapInPandas(sample, schema=FRAMES_SCHEMA)
 
 
-def resize_images(payload_df: DataFrame, width: int, height: int) -> DataFrame:  # pragma: no cover - stub
-    """Image resize integration point (same gate as decode_image):
-    requires Pillow/torchvision on executors; wire into the
-    decode_features mapInPandas pattern emitting fixed-shape tensors."""
-    raise NotImplementedError(
-        "image resize requires an imaging library on executors; "
-        "wire it into decode_features()'s mapInPandas pattern"
-    )
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, n_channels int, "
+    "resized binary, err string"
+)
+
+
+def resize_images(
+    payload_df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image resize over PNG binary payloads (replaces the pre-r17
+    stub): decode with :func:`decode_png`, nearest-neighbor resample
+    via pure numpy fancy indexing (deterministic — index = floor(
+    (i + 0.5) * src / dst), the standard NN grid), re-encode with
+    :func:`encode_png`. Emits the fixed-shape tensor every training
+    pipeline wants, one Arrow batch at a time, map-only."""
+    if width <= 0 or height <= 0:
+        raise ValueError("target width/height must be positive")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                row = {
+                    id_col: doc_id,
+                    "width": width,
+                    "height": height,
+                    "n_channels": None,
+                    "resized": None,
+                    "err": None,
+                }
+                try:
+                    img = decode_png(bytes(payload))
+                    src_h, src_w, nch = img.shape
+                    ys = np.minimum(
+                        ((np.arange(height) + 0.5) * src_h / height).astype(np.int64),
+                        src_h - 1,
+                    )
+                    xs = np.minimum(
+                        ((np.arange(width) + 0.5) * src_w / width).astype(np.int64),
+                        src_w - 1,
+                    )
+                    out = img[ys][:, xs]
+                    row.update(n_channels=nch, resized=encode_png(out))
+                except (ValueError, TypeError) as e:
+                    row["err"] = str(e)
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "n_channels", "resized", "err"],
+            )
+
+    return payload_df.mapInPandas(resize, schema=RESIZED_SCHEMA)

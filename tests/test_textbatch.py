@@ -183,18 +183,161 @@ class TestFrameSampling:
             sample_frames(payload, every_k=0)
 
 
-class TestDecodeImageStubContract:
-    def test_stub_error_names_the_integration_point(self):
-        """decode_image is a documented environment gate (no imaging
-        library in this container). Pin the CONTRACT: it must raise
-        NotImplementedError whose message names the integration point
-        (decode_features' mapInPandas pattern) so a deployment with
-        Pillow/torchvision knows exactly where to wire in."""
-        import pytest
+def _synthetic_png_payloads(spark, n=16):
+    from strake_spark.operators.multimodal import synthetic_png_payloads
+
+    return synthetic_png_payloads(spark.range(n).selectExpr("id as doc_id"))
+
+
+class TestImageCodec:
+    """decode_image / resize_images went REAL in r17 (pure zlib+numpy
+    PNG codec over mapInPandas; the pre-r17 NotImplementedError stub is
+    gone). These pin the codec against an independent reference:
+    Spark's own JVM image source (javax.imageio) and exact arithmetic."""
+
+    def test_png_roundtrip_all_shapes(self):
+        import numpy as np
+
+        from strake_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(7)
+        for shape in [(3, 5), (4, 2, 3), (2, 7, 4), (1, 1, 3), (6, 1)]:
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            out = decode_png(encode_png(img))
+            want = img if img.ndim == 3 else img[:, :, None]
+            np.testing.assert_array_equal(out, want)
+
+    def test_decode_matches_jvm_imageio(self, spark, tmp_path):
+        """Cross-decoder pin: our pure-Python decoder and the JVM's
+        javax.imageio must agree on dims, channels, and pixel bytes
+        (the JVM source emits BGR byte order; ours is RGB)."""
+        import numpy as np
+
+        from strake_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            read_images,
+        )
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+        png = encode_png(img)
+        (tmp_path / "a.png").write_bytes(png)
+        jvm = read_images(spark, str(tmp_path)).collect()[0]
+        assert (jvm.width, jvm.height, jvm.n_channels) == (4, 5, 3)
+        jvm_pixels = np.frombuffer(bytes(jvm.data), np.uint8).reshape(5, 4, 3)
+        np.testing.assert_array_equal(jvm_pixels[:, :, ::-1], decode_png(png))
+
+    def test_decode_image_sums_exact(self, spark):
+        import numpy as np
 
         from strake_spark.operators.multimodal import decode_image
 
-        with pytest.raises(NotImplementedError, match="imaging library"):
-            decode_image(None)
-        with pytest.raises(NotImplementedError, match="decode_features"):
-            decode_image(None)
+        payloads = _synthetic_png_payloads(spark, n=12)
+        got = decode_image(payloads).toPandas().set_index("doc_id")
+        for doc_id in range(12):
+            w, h = 1 + doc_id % 7, 1 + doc_id % 5
+            x, y = np.arange(w), np.arange(h)
+            row = got.loc[doc_id]
+            assert (row.width, row.height, row.n_channels) == (w, h, 3)
+            assert row.ch0_sum == h * int(((x * 17 + doc_id) % 256).sum())
+            assert row.ch1_sum == w * int(((y * 29) % 256).sum())
+            assert row.ch2_sum == int((np.add.outer(y, x) % 256).sum())
+            assert row.err is None
+
+    def test_decode_image_bad_payload_surfaces_err(self, spark):
+        import pandas as pd
+
+        from strake_spark.operators.multimodal import decode_image
+
+        pdf = pd.DataFrame({"doc_id": [1], "payload": [b"not a png"]})
+        sdf = spark.createDataFrame(pdf)
+        out = decode_image(sdf).toPandas().iloc[0]
+        assert out.err is not None and "PNG" in out.err
+        assert pd.isna(out.width)
+
+    def test_resize_nearest_neighbor_exact(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from strake_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            resize_images,
+        )
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+        sdf = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "payload": [encode_png(img)]})
+        )
+        out = resize_images(sdf, width=4, height=3).toPandas().iloc[0]
+        got = decode_png(bytes(out.resized))
+        ys = np.minimum(((np.arange(3) + 0.5) * 6 / 3).astype(int), 5)
+        xs = np.minimum(((np.arange(4) + 0.5) * 8 / 4).astype(int), 7)
+        np.testing.assert_array_equal(got, img[ys][:, xs])
+
+    def test_resize_validations(self, spark):
+        import pytest
+
+        from strake_spark.operators.multimodal import resize_images
+
+        with pytest.raises(ValueError):
+            resize_images(None, width=0, height=2)
+
+    def test_decoder_handles_filtered_scanlines(self):
+        """Real-world PNGs use Sub/Up/Average/Paeth filters; our encoder
+        only writes filter 0, so synthesize each filter type directly
+        and check the decoder reconstructs the same image."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from strake_spark.operators.multimodal import decode_png
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        h, w, nch = img.shape
+        stride = w * nch
+        for ftype in (1, 2, 3, 4):
+            raw = bytearray()
+            prev = np.zeros(stride, dtype=np.int64)
+            for yy in range(h):
+                line = img[yy].reshape(-1).astype(np.int64)
+                filt = np.zeros(stride, dtype=np.int64)
+                for i in range(stride):
+                    a = line[i - nch] if i >= nch else 0
+                    b = prev[i]
+                    c = prev[i - nch] if i >= nch else 0
+                    if ftype == 1:
+                        pred = a
+                    elif ftype == 2:
+                        pred = b
+                    elif ftype == 3:
+                        pred = (a + b) >> 1
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt[i] = (line[i] - pred) % 256
+                raw += bytes([ftype]) + bytes(filt.astype(np.uint8))
+                prev = line
+
+            def chunk(tag, data):
+                body = tag + data
+                return (
+                    struct.pack(">I", len(data))
+                    + body
+                    + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+                )
+
+            png = (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b"")
+            )
+            np.testing.assert_array_equal(
+                decode_png(png), img, err_msg=f"filter {ftype}"
+            )
