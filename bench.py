@@ -234,6 +234,21 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     startup = time.perf_counter() - t0
 
+    # Block pre-warm (r17, VERDICT task 5 — make the headline order-
+    # robust): run the WHOLE headline block once untimed before any
+    # timed iteration. The per-query warmup inside _run absorbs that
+    # query's codegen, but HotSpot C2 keeps compiling the shared scan/
+    # agg/exchange infrastructure in background threads during the
+    # FIRST queries' timed runs — the slot-1 toll that made q1 drift
+    # +23-41% in-session in r14-r16 while the end-replay control sat at
+    # series bests. After this pass, in-session and end-replay medians
+    # should agree within noise with no docstring adjudication.
+    t = time.perf_counter()
+    for name in BENCH_QUERIES:
+        inventory.REGISTRY[name].fn(spark, sf_dir).count()
+    block_warmup = round(time.perf_counter() - t, 2)
+    print(f"# headline_block_warmup={block_warmup}s", file=sys.stderr)
+
     detail: dict[str, dict] = {}
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -348,6 +363,10 @@ def main() -> None:
         "warmup_discarded": True,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "startup_sec": round(startup, 2),
+        # one untimed pass of the whole headline block before timing
+        # (r17): absorbs shared-infrastructure JIT so in-session and
+        # *_end medians agree; never billed to any query
+        "block_warmup_sec": block_warmup,
         # contention markers (r13): load averages + q1 re-run at end of
         # session — q1 >> q1_end means the session start was contended
         "load_avg": [load_start, round(os.getloadavg()[0], 2)],

@@ -752,3 +752,92 @@ def expr_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "expr_fuzzy_levenshtein",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(lower(c_name), lower(c_mktsegment))       AS d_seg,
+           levenshtein(c_name, regexp_replace(c_name, '[0-9]', '', 'g')) AS d_digits,
+           CASE WHEN levenshtein(lower(c_name), lower(c_mktsegment)) <= 12
+                THEN levenshtein(lower(c_name), lower(c_mktsegment)) ELSE -1
+           END                                                    AS d_thresh,
+           (levenshtein(c_name, c_name) = 0)                      AS self_zero
+    FROM customer
+    WHERE c_custkey <= 400
+    ORDER BY c_custkey
+    """,
+    notes=(
+        "edit-distance surface for fuzzy matching / near-dup keys: "
+        "levenshtein is one of the few string-similarity functions "
+        "both engines compute as an exact integer (unlike jaro/"
+        "soundex). Spark's 3-arg bounded form (levenshtein(a, b, k) "
+        "-> -1 above the bound, an O(k*n) early-exit for join "
+        "pruning) has no DuckDB native equivalent, so the oracle "
+        "reproduces it with CASE over the exact distance"
+    ),
+)
+def expr_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    d_seg = F.levenshtein(F.lower("c_name"), F.lower("c_mktsegment"))
+    return c.select(
+        "c_custkey",
+        d_seg.alias("d_seg"),
+        F.levenshtein(
+            F.col("c_name"), F.regexp_replace("c_name", "[0-9]", "")
+        ).alias("d_digits"),
+        F.levenshtein(F.lower("c_name"), F.lower("c_mktsegment"), 12).alias(
+            "d_thresh"
+        ),
+        (F.levenshtein("c_name", "c_name") == 0).alias("self_zero"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "expr_array_set_ops",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             list_concat(string_split(p_name, ' '),
+                         [string_split(p_name, ' ')[1]])        AS a,
+             [string_split(p_name, ' ')[-1], lower(p_type)]     AS b
+      FROM part WHERE p_partkey <= 400
+    )
+    SELECT p_partkey,
+           coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '')  AS union_csv,
+           coalesce(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','), '') AS intersect_csv,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))), ','), '')        AS except_csv,
+           CAST(len(list_distinct(list_concat(a, b))) AS INT)                 AS n_union,
+           CAST(len(list_distinct(list_intersect(a, b))) AS INT)              AS n_intersect
+    FROM t ORDER BY p_partkey
+    """,
+    notes=(
+        "array set algebra (union/intersect/except with set semantics) "
+        "over word arrays, reduced to sorted-CSV scalars + counts so "
+        "every output is driver-hashable (the discipline the r16 map "
+        "entry broke). Input a carries a deliberate duplicate (first "
+        "word repeated) and b shares a's last word, so dedup and "
+        "overlap are both data-bearing. Spark's array_union/"
+        "array_intersect/array_except dedup by definition; DuckDB "
+        "composes list_distinct with concat/intersect/filter, and its "
+        "array_to_string of an empty list is NULL — coalesced to '' "
+        "to match Spark's array_join"
+    ),
+)
+def expr_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    w = F.split("p_name", " ")
+    a = F.concat(w, F.array(F.element_at(w, 1)))
+    b = F.array(F.element_at(w, -1), F.lower("p_type"))
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("union_csv"),
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias(
+            "intersect_csv"
+        ),
+        F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("except_csv"),
+        F.size(F.array_union(a, b)).alias("n_union"),
+        F.size(F.array_intersect(a, b)).alias("n_intersect"),
+    ).orderBy("p_partkey")

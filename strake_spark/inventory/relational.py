@@ -675,3 +675,79 @@ def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus
         """
     )
+
+
+@query(
+    "agg_max_by_min_by",
+    oracle=f"""
+    SELECT c_mktsegment,
+           arg_max(c_name, c_custkey)                       AS latest_name,
+           arg_min(c_name, c_custkey)                       AS first_name,
+           arg_max(c_acctbal, c_custkey)                    AS latest_bal,
+           arg_min(c_acctbal, c_custkey)                    AS first_bal,
+           COUNT(*)                                         AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    notes=(
+        "argmax/argmin aggregate family: Spark max_by/min_by vs DuckDB "
+        "arg_max/arg_min. The ordering key is the UNIQUE c_custkey "
+        "(inventory design rule #3 — ties on a non-unique key would be "
+        "engine-nondeterministic). One-pass hash aggregate per group, "
+        "map-side partials, no sort"
+    ),
+)
+def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.max_by("c_name", "c_custkey").alias("latest_name"),
+            F.min_by("c_name", "c_custkey").alias("first_name"),
+            F.max_by("c_acctbal", "c_custkey").alias("latest_bal"),
+            F.min_by("c_acctbal", "c_custkey").alias("first_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_grouping_id_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(GROUPING(o_orderstatus) AS INTEGER)  AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM({sql_dec('o_totalprice')}) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+    notes=(
+        "grouping_id() bitmask surface (companion to agg_grouping_sets, "
+        "which covers per-column GROUPING): Spark's grouping_id() and "
+        "DuckDB's multi-arg GROUPING(a,b) share the convention that the "
+        "leftmost grouping column is the most significant bit (probed: "
+        "(a)->1, ()->3). Both engines plan grouping sets as one Expand "
+        "+ single aggregate exchange; the decimal sum keeps the measure "
+        "exact at any parallelism"
+    ),
+)
+def agg_grouping_id_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gid")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               CAST(GROUPING(o_orderstatus) AS INT)  AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM orders_gid
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )

@@ -269,3 +269,43 @@ def window_ignore_nulls_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v", ignorenulls=True).over(full).alias("first_nn"),
         F.nth_value("v", 2, ignoreNulls=True).over(full).alias("second_nn"),
     )
+
+
+@query(
+    "window_range_interval_sliding",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w                         AS n_1h,
+           CAST(SUM(event_id) OVER w AS BIGINT)    AS eid_sum_1h,
+           MIN(value) OVER w                       AS min_val_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    """,
+    notes=(
+        "time-based sliding window: RANGE frame with an INTERVAL bound "
+        "over a timestamp ORDER BY — the per-entity trailing-hour "
+        "profile every feature pipeline computes. RANGE peers make tied "
+        "timestamps share a frame, so no tie-break is needed for frame "
+        "CONTENTS; the aggregates are order-independent exacts (count, "
+        "bigint sum, min — never a float sum, rule #2). One shuffle on "
+        "user_id; Spark evaluates the frame with a sliding accumulator "
+        "per partition, DuckDB with segment trees — identical results "
+        "on exact types"
+    ),
+)
+def window_range_interval_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_ri")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w                      AS n_1h,
+               CAST(SUM(event_id) OVER w AS BIGINT) AS eid_sum_1h,
+               MIN(value) OVER w                    AS min_val_1h
+        FROM events_ri
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts, event_id
+        """
+    )

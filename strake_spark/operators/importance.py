@@ -1,0 +1,231 @@
+"""Data-selection importance weighting for training-data curation.
+
+Two operators a large-scale pretraining pipeline runs constantly:
+
+- :func:`dsir_importance` — DSIR-shaped importance weights (Xie et al.
+  2023, "Data Selection for Language Models via Importance Resampling"):
+  score each raw document by how much its hashed-unigram profile looks
+  like a target distribution versus the background corpus. The real
+  paper sums per-token log-ratios; here the per-document INNER sums stay
+  exact integers (bucket-count sums) and only the final log-ratio is
+  float — two IEEE ops on exact ints, so a distributed Spark run and a
+  single-threaded SQL oracle agree bit-for-bit regardless of partition
+  or summation order (per-token float sums would not; see
+  strake_spark/inventory/__init__.py design rule #2).
+
+- :func:`tfidf_top_terms` — the most characteristic term per document
+  by tf-idf, the building block for topic labeling and per-domain
+  vocabulary audits.
+
+Float-exactness note (measured, r17): JVM Math.log and DuckDB's ln
+DISAGREE by 1 ulp on ~13% of the inputs this corpus produces — ln is
+not correctly rounded, and the BM25 entry's bit-equality was specific
+to its inputs, not a general guarantee. Oracled outputs therefore use
+only correctly-rounded IEEE ops (one multiply of exact small ints, one
+division): DSIR's weight is the raw likelihood ratio (log of it is
+monotonic — resampling and ranking are unchanged), and tf-idf defaults
+to ``idf='linear'`` (tf·N/df); ``idf='log'`` gives the classic score
+for library use where cross-engine bit-equality is not required.
+
+Distributed shape (100 TB stance), dsir_importance:
+  1. one corpus scan explodes tokens and buckets them with the portable
+     md5 hash (operators/hashing.py h32 % n_buckets);
+  2. bucket statistics are ONE aggregate over n_buckets keys (tiny —
+     n_buckets rows regardless of corpus size);
+  3. the stats table is BROADCAST back onto the token stream (no
+     shuffle of the corpus for the join);
+  4. per-document sums are ONE shuffle on doc_id with map-side partial
+     aggregation.
+Total: two shuffles, both with map-side combine, one broadcast of a
+fixed-size table. No all-pairs anything; skew on hot buckets is
+irrelevant because the join side is broadcast.
+
+tfidf_top_terms: (doc, term, tf) and (term, df) both derive from one
+exploded token relation; df joins back on term (sort-merge, AQE may
+downgrade to broadcast when the vocabulary is small) and the top-1 per
+document is a window with map-side WindowGroupLimit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from strake_spark.operators.hashing import (
+    h32,
+    normalize_text,
+    sql_h32,
+    sql_normalize_text,
+)
+
+
+def _token_rel(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    return docs.select(
+        F.col(id_col), F.explode(toks).alias("token")
+    ).filter(F.col("token") != "")
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: F.Column,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights against a target slice.
+
+    ``target`` is a boolean column expression selecting the target
+    distribution's documents (e.g. ``F.col("lang") == "en"``). Every
+    document gets:
+
+    - ``n_tokens``  — its token count (bigint)
+    - ``t_sum``     — sum over its tokens of the TARGET count of that
+                      token's hash bucket (bigint, exact)
+    - ``b_sum``     — same against the BACKGROUND (all docs) counts
+    - ``weight``    — (t_sum+1)/(b_sum+1), the importance likelihood
+                      ratio (higher = more target-like; take its log
+                      for DSIR's additive form — monotonic, so ranking
+                      and resampling proportions are unchanged, and the
+                      single correctly-rounded division stays
+                      bit-identical across engines, which ln does not)
+
+    Add-one smoothing keeps the ratio finite for unseen buckets.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    # one corpus scan: carry the target flag through the explode so no
+    # join back onto the corpus is ever needed
+    flagged = docs.withColumn("_is_target", target.cast("boolean"))
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    exploded = flagged.select(
+        F.col(id_col),
+        F.col("_is_target"),
+        F.explode(toks).alias("token"),
+    ).filter(F.col("token") != "")
+    with_bucket = exploded.withColumn(
+        "bucket", h32(F.col("token")) % F.lit(n_buckets)
+    )
+    stats = with_bucket.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("t_count"),
+        F.count(F.lit(1)).alias("b_count"),
+    )
+    per_doc = (
+        with_bucket.join(F.broadcast(stats), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("t_count").alias("t_sum"),
+            F.sum("b_count").alias("b_sum"),
+        )
+    )
+    weight = (F.col("t_sum") + F.lit(1)).cast("double") / (
+        F.col("b_sum") + F.lit(1)
+    ).cast("double")
+    return per_doc.select(
+        id_col, "n_tokens", "t_sum", "b_sum", weight.alias("weight")
+    )
+
+
+def sql_dsir_importance(
+    target_pred: str,
+    n_buckets: int = 64,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB oracle equivalent of :func:`dsir_importance` (same token
+    normalization, same md5 bucket hash, same add-one log-ratio)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, ({target_pred}) AS is_target, t.token
+      FROM {doc_table},
+           UNNEST(string_split({sql_normalize_text('text')}, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    bucketed AS (
+      SELECT doc_id, is_target,
+             {sql_h32('token')} % {n_buckets} AS bucket
+      FROM toks
+    ),
+    stats AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_count,
+             COUNT(*) AS b_count
+      FROM bucketed GROUP BY bucket
+    )
+    SELECT b.doc_id,
+           COUNT(*)                          AS n_tokens,
+           CAST(SUM(s.t_count) AS BIGINT)    AS t_sum,
+           CAST(SUM(s.b_count) AS BIGINT)    AS b_sum,
+           CAST(SUM(s.t_count) + 1 AS DOUBLE) / CAST(SUM(s.b_count) + 1 AS DOUBLE) AS weight
+    FROM bucketed b JOIN stats s USING (bucket)
+    GROUP BY b.doc_id
+    """
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    min_df: int = 1,
+    idf: str = "linear",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Most characteristic term per document by tf-idf.
+
+    Returns one row per document: ``(doc_id, term, tf, df, tfidf)``;
+    ties break on the lexicographically smallest term (total order —
+    safe for the driver's hash compare). ``idf='linear'`` (default)
+    scores tf * (N/df) — one exact-int multiply + one correctly-rounded
+    division, bit-identical across engines; ``idf='log'`` gives the
+    classic tf * ln(N/df) (ln is NOT correctly rounded — 1-ulp
+    cross-engine drift measured on ~13% of inputs, fine for in-engine
+    ranking, unusable for exact-hash comparison)."""
+    if idf not in ("linear", "log"):
+        raise ValueError("idf must be 'linear' or 'log'")
+    tokens = _token_rel(docs, id_col, text_col)
+    tf = tokens.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        df_rel = df_rel.filter(F.col("df") >= min_df)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_col = F.col("n_docs").cast("double") / F.col("df").cast("double")
+    if idf == "log":
+        idf_col = F.log(idf_col)
+    scored = (
+        tf.join(df_rel, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf").cast("double") * idf_col)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("token").alias("term"), "tf", "df", "tfidf")
+    )
+
+
+def sql_tfidf_top_terms(min_df: int = 1, doc_table: str = "documents") -> str:
+    """DuckDB oracle for :func:`tfidf_top_terms` with ``idf='linear'``
+    (same operation order: tf * (N/df), both ops correctly rounded)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.token
+      FROM {doc_table},
+           UNNEST(string_split({sql_normalize_text('text')}, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token HAVING COUNT(*) >= {min_df}),
+    n AS (SELECT COUNT(*) AS n_docs FROM {doc_table}),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+               CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+               tf.token ASC) AS rn
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token AS term, tf, df, tfidf FROM scored WHERE rn = 1
+    """

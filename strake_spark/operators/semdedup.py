@@ -250,9 +250,26 @@ def _kmeans(e: DataFrame, k: int, iters: int, assign=None) -> DataFrame:
     return assigned
 
 
+# Measured assign-method crossover at sf0.1 (2,000x64 corpus, 2
+# warmups + 4-iter medians, r16/r17 series): k=8 exact 1.61 s vs ann
+# 1.68 s (+4%, probe overhead >= savings), k=16 1.606 vs 1.486 (-7.5%),
+# k=32 1.92 vs 1.548 (-19.4%), k=64 3.40 vs 2.39 (-30%). The ann win
+# starts at k=16 and widens with k, so 'auto' switches there.
+AUTO_ANN_MIN_K = 16
+
+
 def _make_assign(e: DataFrame, assign_method: str, n_anchor_bits: int,
-                 probe_hamming: int):
-    """Resolve the assignment engine for the public entry points."""
+                 probe_hamming: int, k: int | None = None):
+    """Resolve the assignment engine for the public entry points.
+
+    ``'auto'`` (r17, VERDICT task 6) picks 'ann' when ``k >=
+    AUTO_ANN_MIN_K`` (the measured crossover above) and 'exact' below
+    it — callers always know k, so the choice is deterministic and
+    documented by measurement, not vibes."""
+    if assign_method == "auto":
+        if k is None:
+            raise ValueError("assign_method='auto' requires k")
+        assign_method = "ann" if k >= AUTO_ANN_MIN_K else "exact"
     if assign_method == "exact":
         return _assign
     if assign_method == "ann":
@@ -260,7 +277,7 @@ def _make_assign(e: DataFrame, assign_method: str, n_anchor_bits: int,
             raise ValueError("n_anchor_bits must be >= 1")
         anchors = _anchor_row(e, n_anchor_bits)
         return lambda ee, carr: _assign_ann(ee, carr, anchors, probe_hamming)
-    raise ValueError(f"unknown assign_method {assign_method!r} (exact|ann)")
+    raise ValueError(f"unknown assign_method {assign_method!r} (exact|ann|auto)")
 
 
 def kmeans_assign(
@@ -281,7 +298,9 @@ def kmeans_assign(
 
     ``assign_method='ann'`` probes sign-bit LSH cells over the centroid
     table instead of scoring all k centroids per row (web-scale k; see
-    _assign_ann). 'exact' stays the default and the oracle's subject.
+    _assign_ann); ``'auto'`` picks ann at k >= AUTO_ANN_MIN_K (the
+    measured crossover) and exact below. 'exact' stays the default and
+    the oracle's subject.
 
     ``persist`` caches the normalized embedding relation
     (MEMORY_AND_DISK) — assignment is map-only but each iteration's
@@ -293,7 +312,7 @@ def kmeans_assign(
     natural output materialization, two narrow columns — and the
     source cache unpinned immediately."""
     e = _normalized(emb, id_col, vec_col)
-    assign = _make_assign(e, assign_method, n_anchor_bits, probe_hamming)
+    assign = _make_assign(e, assign_method, n_anchor_bits, probe_hamming, k=k)
     if not persist:
         return _kmeans(e, k, iters, assign).select("vec_id", "cluster")
     from pyspark import StorageLevel
@@ -371,7 +390,7 @@ def semantic_prune(
     import pandas as pd
 
     e = _normalized(emb, id_col, vec_col)
-    assign = _make_assign(e, assign_method, n_anchor_bits, probe_hamming)
+    assign = _make_assign(e, assign_method, n_anchor_bits, probe_hamming, k=k)
     if persist:
         from pyspark import StorageLevel
 

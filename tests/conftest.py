@@ -105,7 +105,14 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol: floa
                 a[c].to_numpy(), b[c].to_numpy(), rtol=rtol, err_msg=f"column {c}"
             )
         else:
-            pd.testing.assert_series_equal(a[c], b[c], check_names=False, obj=f"column {c}")
+            # check_exact: the driver compares VALUE HASHES, so a float
+            # that differs in the last ulp is a red row there. pandas'
+            # default rtol=1e-5 masked exactly that in r17 (JVM ln vs
+            # DuckDB ln drift by 1 ulp on ~13% of inputs) — entries
+            # needing tolerance must declare the fp_tol tag instead.
+            pd.testing.assert_series_equal(
+                a[c], b[c], check_names=False, check_exact=True, obj=f"column {c}"
+            )
 
 
 def make_self_signed_cert(tmp_dir) -> tuple[str, str]:

@@ -128,3 +128,38 @@ def test_bad_ann_params_raise(spark):
         SD.kmeans_assign(df, k=6, assign_method="ann", n_anchor_bits=0)
     with pytest.raises(ValueError, match="assign_method"):
         SD.kmeans_assign(df, k=6, assign_method="ivf-nope")
+
+
+class TestAutoAssign:
+    """assign_method='auto' (r17, VERDICT task 6): pick 'ann' at or
+    above the MEASURED crossover (AUTO_ANN_MIN_K = 16: sf0.1 medians
+    k=8 +4%, k=16 -7.5%, k=32 -19.4%, k=64 -30%), 'exact' below it."""
+
+    def test_auto_below_crossover_equals_exact(self, spark):
+        df, _ = _planted(spark, k=6, seed=23)
+        exact = SD.kmeans_assign(df, k=6, assign_method="exact").toPandas()
+        auto = SD.kmeans_assign(df, k=6, assign_method="auto").toPandas()
+        assert exact.sort_values("vec_id").values.tolist() == \
+            auto.sort_values("vec_id").values.tolist()
+
+    def test_auto_at_crossover_equals_exact_on_planted(self, spark):
+        """At k >= AUTO_ANN_MIN_K auto takes the ann path; on planted
+        hyperplane-safe clusters that path is bit-equal to exact, so
+        auto == exact proves BOTH the dispatch and the parity."""
+        k = SD.AUTO_ANN_MIN_K
+        df, _ = _planted(spark, k=k, per_cluster=6, seed=31)
+        exact = SD.kmeans_assign(df, k=k, assign_method="exact").toPandas()
+        auto = SD.kmeans_assign(df, k=k, assign_method="auto").toPandas()
+        assert exact.sort_values("vec_id").values.tolist() == \
+            auto.sort_values("vec_id").values.tolist()
+
+    def test_auto_dispatch_points(self):
+        """The dispatch itself, pinned without Spark: below -> exact
+        engine (the module-level _assign), at/above -> a lambda."""
+        # _make_assign only touches `e` on the ann path (anchor probe),
+        # so exact-dispatch is checkable with no DataFrame at all
+        assert SD._make_assign(None, "auto", 3, 0, k=SD.AUTO_ANN_MIN_K - 1) is SD._assign
+
+    def test_auto_requires_k(self):
+        with pytest.raises(ValueError, match="requires k"):
+            SD._make_assign(None, "auto", 3, 0, k=None)
