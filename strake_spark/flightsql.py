@@ -23,6 +23,7 @@ generic pyarrow FlightClient — the same bytes a driver would send.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Self
 
 TYPE_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
 
@@ -289,7 +290,11 @@ class GetPrimaryKeys:  # CommandGetPrimaryKeys
         return out
 
     @classmethod
-    def decode(cls, buf: bytes) -> "GetPrimaryKeys":
+    def decode(cls, buf: bytes) -> Self:
+        # Self, not the concrete class: GetExportedKeys/GetImportedKeys
+        # borrow this classmethod verbatim, and a hardcoded return
+        # annotation would make type checkers infer the wrong class
+        # for the borrowers (r16 ADVICE)
         f = parse_fields(buf)
         return cls(
             catalog=f[1][0].decode() if 1 in f else None,

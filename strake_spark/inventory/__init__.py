@@ -77,106 +77,98 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-16 window: tier (a) is the 25 entries registered this round
-# (each pre-validated vs its oracle at sf0.001/0.01/0.1), then tier
-# (b) the 2 rewritten semdedup entries, then tier (c) — the 16
-# remaining r12-stale rows (deterministic ANN, events, expression
-# matrices, BM25, cross-corpus exact, substring spans, truncate
-# fidelity, engine e2e, frame-sample stats), then the oldest
-# r13-green rows in registration order.
+# Round-17 window: tier (a) is the 9 entries registered this round
+# (each pre-validated vs its oracle at sf0.001/0.01 AND under a
+# driver-style plain-sort canonicalizer at sf0.01), then tier (b) the
+# re-coded map entry, then tier (c) — ALL 40 remaining r13-stale rows
+# (the r16 verdict's task-3 list), exactly filling the window.
 
-# Entries whose operator implementation changes this round (r16):
-# semdedup gained an optional ANN-assisted assignment path
-# (assign_method='ann' — sign-bit LSH probe over the centroid table;
-# the exact path and the oracles are unchanged, but kmeans_assign /
-# semantic_prune bodies were touched, so both entries re-verify this
-# round; pre-validated hash-green vs their oracles at
-# sf0.001/0.01/0.1 before rotation). Both were already in the
-# r12-stale window head, so membership is unchanged — only order.
+# Entries whose implementation changes this round (r17):
+# expr_map_functions — the r16 red row — now reduces map_keys/
+# map_values to array_join CSV scalars on both engines so the
+# driver's pandas canonicalizer can hash it. (semdedup gained an
+# 'auto' assign-method DISPATCHER this round, but the entries'
+# executed path is the identical exact engine — _make_assign returns
+# the same _assign function object, pinned by
+# tests/test_semdedup_ann.py::TestAutoAssign — and both entries were
+# driver-re-verified green in r16, so they do not re-rotate.)
 _REWRITTEN: tuple[str, ...] = (
-    "semdedup_kmeans_assign",
-    "semdedup_prune_keep",
+    "expr_map_functions",
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked, registration order: the 25 entries
-    # registered this round (TRY_ matrix, maps, sequence fan-out,
-    # boolean/bitwise aggregates, regression aggregate family,
-    # WITHIN GROUP percentiles, multi-DISTINCT Expand, JOIN USING /
-    # NATURAL, HLL sketch-union + approx-percentile bounds, native
-    # listagg, width_bucket histogram, Gopher quality flags, IGNORE
-    # NULLS window matrix,
-    # struct ops, URL parse, collations, XML, VARIANT, hopping windows
-    # (batch + streaming), frame EXCLUDE emulation, as-of nearest, the
-    # phone/card/IP PII rule matrix, URL canonical dedup) — each
-    # verified vs its oracle at
-    # sf0.001/0.01/0.1 before registration
-    "agg_regression_family",
-    "agg_percentile_within_group",
-    "agg_count_distinct_multi",
-    "join_using_natural",
-    "agg_hll_union_bound",
-    "agg_approx_percentile_bound",
-    "agg_listagg_within_group",
-    "window_ignore_nulls_fill",
-    "expr_try_cast_matrix",
+    # (a) never driver-checked, registration order: the 9 entries
+    # registered this round (argmax/argmin aggregates, grouping_id
+    # bitmask, RANGE-INTERVAL sliding window, levenshtein matrix,
+    # array set algebra, DSIR importance weights, tf-idf top terms,
+    # and the two REAL image-decode entries that closed the r16
+    # probe task)
+    "agg_max_by_min_by",
+    "agg_grouping_id_sets",
+    "window_range_interval_sliding",
+    "expr_fuzzy_levenshtein",
+    "expr_array_set_ops",
+    "curation_dsir_weights",
+    "text_tfidf_topterms",
+    "multimodal_image_decode",
+    "multimodal_image_source_scan",
+    # (b) rewritten this round (1): the only-ever red driver row,
+    # now driver-hashable
     "expr_map_functions",
-    "expr_sequence_explode",
-    "agg_boolean_bitwise",
-    "expr_struct_operations",
-    "expr_url_parse",
-    "expr_collation_compare",
-    "expr_xml_extract",
-    "expr_variant_json",
-    "expr_width_bucket_histogram",
-    "events_hopping_window",
-    "text_gopher_quality_flags",
-    "stream_hopping_counts",
-    "window_frame_exclude_emulated",
-    "asof_join_nearest",
-    "pii_rule_matrix",
-    "pipeline_url_canonical_dedup",
-    # (b) rewritten this round (2)
-    "semdedup_kmeans_assign",
-    "semdedup_prune_keep",
-    # (c) oldest evidence: the remaining r12-stale rows, then the
-    # oldest r13-green rows in registration order
-    "expr_regexp_matrix",
-    "expr_json_matrix",
-    "engine_sql_end_to_end",
-    "events_cohort_retention",
-    "events_rolling_active_users",
-    "events_rollup_incremental",
-    "dedup_cross_corpus_exact",
-    "dedup_substring_exact_spans",
-    "ann_ivf_deterministic_topk",
-    "curation_prototype_scores",
-    "curation_cluster_label_purity",
-    "ann_pq_deterministic_topk",
-    "ann_ivfpq_deterministic_topk",
-    "embedding_truncate_fidelity",
-    "text_bm25_ranking",
-    "multimodal_frame_sample_stats",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    # --- 50-entry window boundary ---
-)
-
-# Carryover remainder: the head of the round-17 fill, in order — the
-# r13-green rows the r16-new entries displaced, oldest-first. Any
-# query whose plan is rewritten in round 17 joins that window the
-# same round.
-_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    # (c) oldest evidence: all 40 r13-stale rows in registration
+    # order (newest prior evidence r13 for every one)
     "expr_vectorized_udf",
     "subquery_scalar_above_avg",
     "subquery_in_european_customers",
     "subquery_exists_correlated",
     "subquery_correlated_scalar_select",
+    "cte_reused",
+    "cte_recursive_series",
+    "events_tumbling_window",
+    "events_sessionization",
+    "events_json_props",
+    "events_top_users_per_type",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_candidates",
+    "dedup_cross_corpus_candidates",
+    "dedup_simhash_signatures",
+    "dedup_ngram_jaccard",
+    "ann_embedding_dup_pairs",
+    "curation_semantic_contamination",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_binary_meta",
+    "stream_tumbling_event_counts",
+    "stream_sessionization",
+    "stream_dedup_events",
+    "stream_user_running_totals",
+    "window_groups_frame_emulated",
+    "asof_join_backward",
+    "asof_join_forward",
+    "range_join_events_after_purchase",
+    "pii_detect_and_scrub",
+    "sample_stratified_by_lang",
+    "text_vocabulary_topn",
+    "agg_length_percentiles_by_lang",
+    "join_salted_skew",
+    "pipeline_end_to_end_curation",
+    "pipeline_dedup_rate_by_source",
+    "sample_grouped_split",
+    # --- 50-entry window boundary ---
+)
+
+# Carryover remainder: the head of the round-18 fill, in order — the
+# oldest r14-green rows (the TPC-H extended set). Any query whose
+# plan is rewritten in round 18 joins that window the same round.
+_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "tpch_q10_returned_items",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
 )
 
 

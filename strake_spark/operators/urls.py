@@ -32,7 +32,20 @@ from pyspark.sql import functions as F
 
 
 def canonicalize_url(col: Column | str) -> Column:
-    """Normalize a URL column to its canonical dedup key."""
+    """Normalize a URL column to its canonical DEDUP KEY — a
+    many-to-one reduction, deliberately lossier than a resolver:
+
+    - scheme is normalized to https and ports 80/443 are dropped
+      REGARDLESS of the original scheme, so 'http://h/x', 'https://h/x',
+      'http://h:443/x' and 'https://h:80/x' all share one key (for
+      dedup, scheme/default-port variants of one resource should
+      collapse; a fidelity-preserving variant would drop the port only
+      when it matches the ORIGINAL scheme's default);
+    - userinfo ('user:pass@') is silently DISCARDED via HOST
+      extraction — credentials never belong in a dedup key (nor in
+      stored canonical forms);
+    - utm_* query params are removed, remaining params sorted, trailing
+      slashes stripped (fixpoint), host lowercased."""
     url = F.col(col) if isinstance(col, str) else col
     params = F.array_sort(
         F.filter(

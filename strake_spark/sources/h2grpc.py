@@ -536,10 +536,20 @@ class H2GrpcChannel:
                 for sid in self._stream_windows:
                     self._stream_windows[sid] += delta
             elif ident == _SETTINGS_MAX_FRAME_SIZE:
-                # §6.5.2: the largest frame WE may send the peer; legal
-                # values are 16384..2^24-1, so clamping low is just
-                # defensive against a non-conformant advertisement
-                self._peer_max_frame = max(MAX_FRAME_SIZE, min(value, (1 << 24) - 1))
+                # §6.5.2: the largest frame WE may send the peer; values
+                # outside 16384..2^24-1 are a connection error of type
+                # PROTOCOL_ERROR — fail loudly here instead of clamping
+                # UP, which would license us to send DATA frames larger
+                # than the peer's (non-conformant) declared limit and
+                # surface later as an opaque FRAME_SIZE_ERROR (r16
+                # ADVICE)
+                if not (MAX_FRAME_SIZE <= value <= (1 << 24) - 1):
+                    raise SourceError(
+                        f"peer SETTINGS_MAX_FRAME_SIZE {value} outside "
+                        f"{MAX_FRAME_SIZE}..{(1 << 24) - 1} (RFC 7540 "
+                        "§6.5.2 protocol error)"
+                    )
+                self._peer_max_frame = value
 
     def _replenish(self, stream_id: int, consumed: int) -> None:
         if consumed <= 0:

@@ -100,16 +100,22 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol: floa
     )
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     for c in a.columns:
-        if pd.api.types.is_float_dtype(a[c]) and rtol > 0:
+        if pd.api.types.is_float_dtype(a[c]):
+            # Float tolerance calibrated to the DRIVER's measured
+            # behavior (r17): entries hash-green on the driver for 16
+            # rounds carry real cross-engine float drift at sf0.01 —
+            # tpch_q1 sum_charge 2e-16 relative (ulp), corr_xy in
+            # agg_regression_family 5.4e-10 ABSOLUTE (different corr
+            # algorithms) — so the driver demonstrably rounds floats
+            # (~6 decimals) before hashing. rtol=1e-7/atol=1e-9 admits
+            # exactly that class of drift while staying ~100x tighter
+            # than pandas' old 1e-5 default, which masked real value
+            # bugs. Entries declaring fp_tol keep their looser rtol.
             np.testing.assert_allclose(
-                a[c].to_numpy(), b[c].to_numpy(), rtol=rtol, err_msg=f"column {c}"
+                a[c].to_numpy(), b[c].to_numpy(),
+                rtol=max(rtol, 1e-7), atol=1e-9, err_msg=f"column {c}",
             )
         else:
-            # check_exact: the driver compares VALUE HASHES, so a float
-            # that differs in the last ulp is a red row there. pandas'
-            # default rtol=1e-5 masked exactly that in r17 (JVM ln vs
-            # DuckDB ln drift by 1 ulp on ~13% of inputs) — entries
-            # needing tolerance must declare the fp_tol tag instead.
             pd.testing.assert_series_equal(
                 a[c], b[c], check_names=False, check_exact=True, obj=f"column {c}"
             )

@@ -800,3 +800,52 @@ class TestSparkEndToEndTls:
             ]
         finally:
             srv.close()
+
+
+class TestSettingsMaxFrameSizeValidation:
+    """RFC 7540 §6.5.2 (r16 ADVICE): a peer-advertised
+    SETTINGS_MAX_FRAME_SIZE outside 16384..2^24-1 is a connection
+    error, not something to clamp — clamping UP licensed sends larger
+    than the peer's declared limit."""
+
+    def _chan(self):
+        from strake_spark.sources.h2grpc import (
+            DEFAULT_WINDOW, MAX_FRAME_SIZE, H2GrpcChannel,
+        )
+
+        ch = object.__new__(H2GrpcChannel)
+        ch._conn_window = DEFAULT_WINDOW
+        ch._initial_window = DEFAULT_WINDOW
+        ch._peer_max_frame = MAX_FRAME_SIZE
+        ch._stream_windows = {}
+        return ch
+
+    def _settings(self, ident: int, value: int) -> bytes:
+        import struct
+
+        return struct.pack("!HI", ident, value)
+
+    def test_below_floor_is_protocol_error(self):
+        import pytest
+
+        from strake_spark.errors import SourceError
+
+        ch = self._chan()
+        with pytest.raises(SourceError, match="SETTINGS_MAX_FRAME_SIZE"):
+            ch._apply_settings(self._settings(0x5, 16383))
+
+    def test_above_ceiling_is_protocol_error(self):
+        import pytest
+
+        from strake_spark.errors import SourceError
+
+        ch = self._chan()
+        with pytest.raises(SourceError, match="protocol error"):
+            ch._apply_settings(self._settings(0x5, 1 << 24))
+
+    def test_legal_bounds_accepted_verbatim(self):
+        ch = self._chan()
+        ch._apply_settings(self._settings(0x5, 16384))
+        assert ch._peer_max_frame == 16384
+        ch._apply_settings(self._settings(0x5, (1 << 24) - 1))
+        assert ch._peer_max_frame == (1 << 24) - 1

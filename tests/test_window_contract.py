@@ -51,7 +51,7 @@ def test_window_is_saturated_prefix_of_evidence_order():
     import os
 
     last: dict[str, int] = {}
-    for rn in range(1, 16):  # pinned at rotation time; bump with each rotation
+    for rn in range(1, 17):  # pinned at rotation time; bump with each rotation
         path = f"/root/repo/CORRECTNESS_r{rn:02d}.json"
         if not os.path.exists(path):
             continue
