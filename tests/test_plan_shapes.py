@@ -793,3 +793,68 @@ class TestRound16Additions:
         plan = _plan(spark, "window_ignore_nulls_fill")
         body = plan.split("AdaptiveSparkPlan")[-1]
         assert body.count("Exchange hashpartitioning") == 1
+
+
+class TestRound17Additions:
+    def test_dsir_broadcasts_bucket_stats(self, spark):
+        """The 64-row bucket-stats table must come back onto the token
+        stream as a BROADCAST join — never a shuffle of the exploded
+        corpus — and the per-doc sums must have map-side partials."""
+        plan = _plan(spark, "curation_dsir_weights")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "partial" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_tfidf_no_python_and_windowgrouplimit(self, spark):
+        """tf-idf is pure JVM (explode/agg/join/window); the top-1 per
+        doc row_number gets Spark's map-side WindowGroupLimit."""
+        plan = _plan(spark, "text_tfidf_topterms")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "WindowGroupLimit" in plan
+
+    def test_image_decode_is_map_only(self, spark):
+        """PNG generate + decode are two chained Arrow-batched Python
+        maps with NO exchange between or after them (map-only until the
+        final presentation sort)."""
+        plan = _plan(spark, "multimodal_image_decode")
+        body = plan.split("TakeOrderedAndProject")[-1]
+        assert "Exchange hashpartitioning" not in body
+        assert plan.count("MapInPandas") == 2
+
+    def test_max_by_single_pass(self, spark):
+        """All four argmax/argmin aggregates in ONE hash aggregation
+        with map-side partials; no join, no window, no sort before the
+        aggregate."""
+        plan = _plan(spark, "agg_max_by_min_by")
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Exchange hashpartitioning") == 1
+        assert "partial_max_by" in body or "partial" in body
+        assert "Join" not in plan
+
+    def test_range_interval_window_single_shuffle(self, spark):
+        """The three trailing-hour window aggregates share one
+        user_id partitioning: exactly one hash exchange."""
+        plan = _plan(spark, "window_range_interval_sliding")
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Exchange hashpartitioning") == 1
+
+    def test_grouping_id_plans_one_expand(self, spark):
+        """GROUPING SETS = one Expand + one aggregate exchange, not a
+        union of per-set aggregates."""
+        plan = _plan(spark, "agg_grouping_id_sets")
+        assert "Expand" in plan
+        assert "Union" not in plan
+        assert "Join" not in plan
+
+    def test_array_set_ops_pure_projection_with_pushdown(self, spark):
+        """Array set algebra is pure column expressions over one scan:
+        no Python, no join, and the key predicate reaches the parquet
+        scan (PushedFilters) with the 3-column ReadSchema pruned."""
+        plan = _plan(spark, "expr_array_set_ops")
+        assert "BatchEvalPython" not in plan
+        assert "Join" not in plan
+        assert "LessThanOrEqual(p_partkey,400)" in plan
+        assert "struct<p_partkey:bigint,p_name:string,p_type:string>" in plan
