@@ -71,6 +71,7 @@ def dsir_importance(
     docs: DataFrame,
     target: F.Column,
     n_buckets: int = 64,
+    ngrams: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -92,17 +93,35 @@ def dsir_importance(
                       bit-identical across engines, which ln does not)
 
     Add-one smoothing keeps the ratio finite for unseen buckets.
+
+    ``ngrams=2`` hashes unigrams AND adjacent bigrams (Xie et al.'s
+    actual feature space); bigrams are built map-side from the token
+    array with slice/zip_with — no self-join, no extra scan, just a
+    ~2x wider explode.
     """
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
+    if ngrams not in (1, 2):
+        raise ValueError("ngrams must be 1 (unigrams) or 2 (+bigrams)")
     # one corpus scan: carry the target flag through the explode so no
     # join back onto the corpus is ever needed
     flagged = docs.withColumn("_is_target", target.cast("boolean"))
     toks = F.split(normalize_text(F.col(text_col)), " ")
+    feats = toks
+    if ngrams == 2:
+        n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+        feats = F.concat(
+            toks,
+            F.zip_with(
+                F.slice(toks, 1, n_pairs),
+                F.slice(toks, 2, n_pairs),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        )
     exploded = flagged.select(
         F.col(id_col),
         F.col("_is_target"),
-        F.explode(toks).alias("token"),
+        F.explode(feats).alias("token"),
     ).filter(F.col("token") != "")
     with_bucket = exploded.withColumn(
         "bucket", h32(F.col("token")) % F.lit(n_buckets)

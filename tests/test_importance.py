@@ -85,3 +85,41 @@ class TestTfidfTopTerms:
         out = IMP.tfidf_top_terms(df).toPandas().set_index("doc_id")
         # both terms have tf=1, df=2 -> equal scores; 'aa' wins both docs
         assert out.loc[0].term == "aa" and out.loc[1].term == "aa"
+
+
+class TestDsirNgrams:
+    def test_bigram_features_count(self, spark):
+        """ngrams=2 explodes unigrams + adjacent bigrams: a w-word doc
+        contributes 2w-1 features."""
+        df = spark.createDataFrame(
+            [(0, "a b c d"), (1, "solo")], "doc_id bigint, text string"
+        )
+        out = (
+            IMP.dsir_importance(df, target=F.lit(True), ngrams=2)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0].n_tokens == 7  # 4 unigrams + 3 bigrams
+        assert out.loc[1].n_tokens == 1  # single word, no bigram
+
+    def test_bigrams_separate_word_order(self, spark):
+        """'x y' and 'y x' share unigram profiles but not bigram ones —
+        the reason the paper hashes n-grams. With a target of 'x y'
+        docs, the same-order doc must outweigh the swapped doc."""
+        rows = [(i, "x y", "t") for i in range(4)] + [
+            (10, "x y", "q"),
+            (11, "y x", "q"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+        out = (
+            IMP.dsir_importance(
+                df, target=F.col("lang") == "t", n_buckets=512, ngrams=2
+            )
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[10].weight > out.loc[11].weight
+
+    def test_ngrams_validation(self, spark):
+        with pytest.raises(ValueError, match="ngrams"):
+            IMP.dsir_importance(_docs(spark), target=F.lit(True), ngrams=3)
