@@ -127,11 +127,12 @@ def decode_png(b: bytes) -> np.ndarray:
     Paeth per the PNG spec §4.5.4). Returns uint8 (h, w, channels).
 
     Palette (color type 3), 16-bit, and interlaced images raise
-    ValueError — loud, not silent-wrong. Filter 2 (Up, what most
-    encoders emit for flat synthetic data) is fully vectorized; Sub/
-    Average/Paeth run a per-byte loop, fine for the small tiles tests
-    use — swap a native decoder into the same seam for decode-heavy
-    production loads."""
+    ValueError — loud, not silent-wrong. Filters 1 (Sub — a
+    per-channel-lane prefix sum) and 2 (Up) are fully vectorized;
+    Average/Paeth run a per-byte loop (both depend on the decoded
+    LEFT byte, inherently sequential along the scanline), fine for
+    the small tiles tests use — swap a native decoder into the same
+    seam for decode-heavy production loads."""
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, idat, meta = 8, [], None
@@ -172,9 +173,11 @@ def decode_png(b: bytes) -> np.ndarray:
             pass
         elif ftype == 2:  # Up (vectorized; uint8 add wraps mod 256)
             line += prev
-        elif ftype == 1:  # Sub
-            for i in range(nch, stride):
-                line[i] = (int(line[i]) + int(line[i - nch])) & 0xFF
+        elif ftype == 1:  # Sub — per-channel-lane prefix sum mod 256
+            # (out[i] = out[i-nch] + raw[i] unrolls to a cumsum), so
+            # the common Sub-filtered PNG decodes vectorized too
+            lanes = line.reshape(w, nch).astype(np.int64)
+            line = (lanes.cumsum(axis=0) % 256).astype(np.uint8).reshape(stride)
         elif ftype == 3:  # Average
             for i in range(stride):
                 a = int(line[i - nch]) if i >= nch else 0
@@ -283,6 +286,40 @@ def synthetic_png_payloads(ids_df: DataFrame, id_col: str = "doc_id") -> DataFra
 
 
 IMAGE_SOURCE_SCHEMA_COLS = ("origin", "width", "height", "n_channels", "mode")
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Ingest raw files as binary-column rows with Spark's built-in
+    ``binaryFile`` source — the standard way image/audio/video
+    payloads enter the pipeline at scale (one row per file: path,
+    modification_time, length, content). Feed ``content`` straight
+    into :func:`decode_image`/:func:`sample_frames` by aliasing it to
+    ``payload``.
+
+    Scale notes: the source parallelizes over files (no splitting
+    inside a file — fine for media objects), prunes the ``content``
+    column when only metadata is selected, and honors
+    ``spark.sql.files.maxPartitionBytes`` for bin-packing many small
+    files per task. ``glob`` maps to pathGlobFilter (pushdown file
+    pruning — the listing never returns non-matching files),
+    ``recursive`` to recursiveFileLookup."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    return df.select(
+        F.col("path"),
+        F.col("modificationTime").alias("modification_time"),
+        F.col("length"),
+        F.col("content"),
+    )
 
 
 def read_images(spark: SparkSession, path: str) -> DataFrame:

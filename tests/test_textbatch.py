@@ -341,3 +341,57 @@ class TestImageCodec:
             np.testing.assert_array_equal(
                 decode_png(png), img, err_msg=f"filter {ftype}"
             )
+
+
+class TestBinaryFileIngestion:
+    """read_binary_files: the binaryFile-source front door for media
+    payloads, composing with decode_image end-to-end."""
+
+    def test_reads_files_with_glob_and_decodes(self, spark, tmp_path):
+        import numpy as np
+
+        from strake_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+            read_binary_files,
+        )
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(9)
+        for i in range(3):
+            img = rng.integers(0, 256, size=(2 + i, 3, 3), dtype=np.uint8)
+            (tmp_path / f"img_{i}.png").write_bytes(encode_png(img))
+        (tmp_path / "notes.txt").write_bytes(b"not an image")
+
+        files = read_binary_files(spark, str(tmp_path), glob="*.png")
+        assert files.count() == 3  # pathGlobFilter pruned the .txt
+        payloads = files.select(
+            F.regexp_extract("path", r"img_(\d+)\.png", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+        got = decode_image(payloads).toPandas().set_index("doc_id").sort_index()
+        assert list(got.height) == [2, 3, 4]
+        assert (got.n_channels == 3).all()
+        assert got.err.isna().all()
+
+    def test_metadata_only_projection(self, spark, tmp_path):
+        """Selecting only metadata must not read content (the source
+        prunes the column — assert it is absent from the scan schema)."""
+        from strake_spark.operators.multimodal import read_binary_files
+
+        (tmp_path / "a.bin").write_bytes(b"\x00" * 128)
+        meta = read_binary_files(spark, str(tmp_path)).select("path", "length")
+        plan = meta._jdf.queryExecution().executedPlan().toString()
+        assert "content" not in plan.split("ReadSchema:")[-1]
+        row = meta.collect()[0]
+        assert row.length == 128
+
+    def test_recursive_lookup(self, spark, tmp_path):
+        from strake_spark.operators.multimodal import read_binary_files
+
+        sub = tmp_path / "nested" / "deeper"
+        sub.mkdir(parents=True)
+        (sub / "x.bin").write_bytes(b"abc")
+        assert read_binary_files(spark, str(tmp_path), recursive=True).count() == 1
