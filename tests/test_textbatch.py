@@ -395,3 +395,71 @@ class TestBinaryFileIngestion:
         sub.mkdir(parents=True)
         (sub / "x.bin").write_bytes(b"abc")
         assert read_binary_files(spark, str(tmp_path), recursive=True).count() == 1
+
+
+class TestWavCodec:
+    """decode_wav/decode_audio: jar-free 16-bit PCM audio decode, the
+    same REAL-decode discipline as the PNG codec."""
+
+    def test_roundtrip_mono_and_stereo(self):
+        import numpy as np
+
+        from strake_spark.operators.multimodal import decode_wav, encode_wav
+
+        rng = np.random.default_rng(13)
+        for shape in [(100,), (64, 2), (7, 4)]:
+            x = rng.integers(-32768, 32767, size=shape, dtype=np.int16)
+            rate, got = decode_wav(encode_wav(x, sample_rate=22050))
+            assert rate == 22050
+            want = x if x.ndim == 2 else x[:, None]
+            np.testing.assert_array_equal(got, want)
+
+    def test_skips_metadata_chunks(self):
+        import struct
+
+        import numpy as np
+
+        from strake_spark.operators.multimodal import decode_wav, encode_wav
+
+        x = np.arange(10, dtype=np.int16)
+        wav = bytearray(encode_wav(x, sample_rate=8000))
+        # splice a LIST chunk (odd size -> exercises RIFF even-padding)
+        extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+        out = wav[:12] + extra + wav[12:]
+        out[4:8] = struct.pack("<I", len(out) - 8)
+        rate, got = decode_wav(bytes(out))
+        assert rate == 8000
+        np.testing.assert_array_equal(got[:, 0], x)
+
+    def test_rejects_non_pcm_and_garbage(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from strake_spark.operators.multimodal import decode_wav, encode_wav
+
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"not audio at all")
+        wav = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+        wav[20:22] = struct.pack("<H", 3)  # IEEE float format tag
+        with pytest.raises(ValueError, match="16-bit PCM"):
+            decode_wav(bytes(wav))
+
+    def test_decode_audio_exact_stats(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from strake_spark.operators.multimodal import decode_audio, encode_wav
+
+        x = np.array([[3, -4], [0, 5]], dtype=np.int16)  # sum_sq = 50
+        sdf = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1],
+                          "payload": [encode_wav(x, 44100), b"junk"]})
+        )
+        out = decode_audio(sdf).toPandas().set_index("doc_id")
+        good = out.loc[0]
+        assert (good.sample_rate, good.n_channels, good.n_frames) == (44100, 2, 2)
+        assert good.peak == 5 and good.sum_sq == 50
+        assert good.rms == float(np.sqrt(50 / 4))
+        assert out.loc[1].err is not None and pd.isna(out.loc[1].sample_rate)
