@@ -759,8 +759,9 @@ def expr_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            levenshtein(lower(c_name), lower(c_mktsegment))       AS d_seg,
+           levenshtein(c_mktsegment, reverse(c_mktsegment))      AS d_rev,
            levenshtein(c_name, regexp_replace(c_name, '[0-9]', '', 'g')) AS d_digits,
-           CASE WHEN levenshtein(lower(c_name), lower(c_mktsegment)) <= 12
+           CASE WHEN levenshtein(lower(c_name), lower(c_mktsegment)) <= 15
                 THEN levenshtein(lower(c_name), lower(c_mktsegment)) ELSE -1
            END                                                    AS d_thresh,
            (levenshtein(c_name, c_name) = 0)                      AS self_zero
@@ -775,7 +776,10 @@ def expr_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "soundex). Spark's 3-arg bounded form (levenshtein(a, b, k) "
         "-> -1 above the bound, an O(k*n) early-exit for join "
         "pruning) has no DuckDB native equivalent, so the oracle "
-        "reproduces it with CASE over the exact distance"
+        "reproduces it with CASE over the exact distance. The bound "
+        "15 sits INSIDE the measured d_seg range [14, 17] so the "
+        "threshold column carries both -1 and real distances "
+        "(self-review: the first draft's bound 12 made it constant)"
     ),
 )
 def expr_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,10 +788,13 @@ def expr_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         d_seg.alias("d_seg"),
+        F.levenshtein(F.col("c_mktsegment"), F.reverse("c_mktsegment")).alias(
+            "d_rev"
+        ),
         F.levenshtein(
             F.col("c_name"), F.regexp_replace("c_name", "[0-9]", "")
         ).alias("d_digits"),
-        F.levenshtein(F.lower("c_name"), F.lower("c_mktsegment"), 12).alias(
+        F.levenshtein(F.lower("c_name"), F.lower("c_mktsegment"), 15).alias(
             "d_thresh"
         ),
         (F.levenshtein("c_name", "c_name") == 0).alias("self_zero"),

@@ -745,7 +745,7 @@ def agg_grouping_id_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING(o_orderstatus) AS INT)  AS g_status,
                CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS total
         FROM orders_gid
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY gid, o_orderstatus, o_orderpriority

@@ -245,7 +245,11 @@ def decode_image(payload_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         ch1_sum=int(sums[1]) if nch > 1 else None,
                         ch2_sum=int(sums[2]) if nch > 2 else None,
                     )
-                except (ValueError, TypeError) as e:
+                except (ValueError, TypeError, struct.error, zlib.error) as e:
+                    # struct/zlib errors: a payload with a valid PNG
+                    # signature but truncated chunks raises from
+                    # unpack/decompress, not ValueError — those must
+                    # land in err too, never kill the stage
                     row["err"] = str(e)
                 rows.append(row)
             yield pd.DataFrame(
@@ -529,7 +533,7 @@ def resize_images(
                     )
                     out = img[ys][:, xs]
                     row.update(n_channels=nch, resized=encode_png(out))
-                except (ValueError, TypeError) as e:
+                except (ValueError, TypeError, struct.error, zlib.error) as e:
                     row["err"] = str(e)
                 rows.append(row)
             yield pd.DataFrame(
