@@ -89,6 +89,18 @@ PIPELINE_QUERIES = (
     "curation_cluster_label_purity",
 )
 
+# r17 additions, reported under SHORT keys in a separate dict
+# ("pipeline_new") so the final JSON line stays inside the driver's
+# 2000-char tail capture and `pipeline_total` keeps its r7-r16 trend
+# semantics. dsir = DSIR importance weights (compact-relation shape,
+# measured 1.47 s -> 0.57 s after the single-scan restructure);
+# tfidf = per-doc top term; imgdec = PNG decode over binary payloads.
+PIPELINE_NEW = (
+    ("dsir", "curation_dsir_weights"),
+    ("tfidf", "text_tfidf_topterms"),
+    ("imgdec", "multimodal_image_decode"),
+)
+
 
 # The slowest/most-recently-rewritten queries get >= 4 iterations even
 # when the iteration envs are lowered: at ~1 s medians the observed
@@ -273,6 +285,17 @@ def main() -> None:
             pipeline[name] = d["med"]
         print(f"# {name}: med={d['med']} runs={d['runs']} rows={n}", file=sys.stderr)
 
+    pipeline_new: dict[str, float] = {}
+    for short, name in PIPELINE_NEW:
+        spec = inventory.REGISTRY.get(name)
+        if spec is None:
+            continue
+        d, n = _run(spec, spark, sf_dir, iters, chaos)
+        detail[name] = d
+        if d["med"] is not None:
+            pipeline_new[short] = round(d["med"], 3)
+        print(f"# {name}: med={d['med']} runs={d['runs']} rows={n}", file=sys.stderr)
+
     for extra_name, extra_fn in (
         ("ann_embedding_neardup_t09", _neardup_t09),
         ("curation_knn_lsh", _knn_lsh),
@@ -353,6 +376,9 @@ def main() -> None:
         "queries": times,
         "pipeline": pipeline,
         "pipeline_total": round(sum(pipeline.values()), 4),
+        # r17 operators, short keys (tail budget); excluded from
+        # pipeline_total to keep that series round-comparable
+        "pipeline_new": pipeline_new,
         # medians (warmup discarded, iters_rest iterations) for the 15
         # non-headline TPC-H queries; short keys = tail-size budget
         "tpch_rest": tpch_rest,

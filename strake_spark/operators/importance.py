@@ -7,11 +7,12 @@ Two operators a large-scale pretraining pipeline runs constantly:
   score each raw document by how much its hashed-unigram profile looks
   like a target distribution versus the background corpus. The real
   paper sums per-token log-ratios; here the per-document INNER sums stay
-  exact integers (bucket-count sums) and only the final log-ratio is
-  float — two IEEE ops on exact ints, so a distributed Spark run and a
-  single-threaded SQL oracle agree bit-for-bit regardless of partition
-  or summation order (per-token float sums would not; see
-  strake_spark/inventory/__init__.py design rule #2).
+  exact integers (bucket-count sums) and only the final likelihood
+  ratio is float — ONE correctly-rounded division of exact ints, so a
+  distributed Spark run and a single-threaded SQL oracle agree
+  bit-for-bit regardless of partition or summation order (per-token
+  float sums would not; see strake_spark/inventory/__init__.py design
+  rule #2).
 
 - :func:`tfidf_top_terms` — the most characteristic term per document
   by tf-idf, the building block for topic labeling and per-domain
@@ -28,17 +29,23 @@ to ``idf='linear'`` (tf·N/df); ``idf='log'`` gives the classic score
 for library use where cross-engine bit-equality is not required.
 
 Distributed shape (100 TB stance), dsir_importance:
-  1. one corpus scan explodes tokens and buckets them with the portable
-     md5 hash (operators/hashing.py h32 % n_buckets);
-  2. bucket statistics are ONE aggregate over n_buckets keys (tiny —
-     n_buckets rows regardless of corpus size);
-  3. the stats table is BROADCAST back onto the token stream (no
-     shuffle of the corpus for the join);
-  4. per-document sums are ONE shuffle on doc_id with map-side partial
-     aggregation.
-Total: two shuffles, both with map-side combine, one broadcast of a
-fixed-size table. No all-pairs anything; skew on hot buckets is
-irrelevant because the join side is broadcast.
+  1. ONE corpus scan explodes tokens, buckets them with the portable
+     md5 hash (operators/hashing.py h32 % n_buckets), and immediately
+     collapses to the COMPACT (doc, bucket, n_tok) relation — at most
+     n_buckets rows per document, shuffled once on (doc, bucket) with
+     map-side partials. The compact relation is persisted
+     (MEMORY_AND_DISK, spillable — same discipline as the BM25
+     profile) because BOTH downstream consumers read it; without the
+     cache, Catalyst's two subtrees would each rescan and re-explode
+     the corpus (measured: the unpersisted shape tokenizes twice).
+  2. bucket statistics are ONE tiny aggregate over the compact
+     relation (n_buckets result rows regardless of corpus size);
+  3. the stats table is BROADCAST back onto the compact relation (no
+     corpus-sized shuffle for the join);
+  4. per-document sums are ONE shuffle on doc_id over compact rows
+     weighted by n_tok — never the raw token stream.
+No all-pairs anything; skew on hot buckets is irrelevant because the
+join side is broadcast.
 
 tfidf_top_terms: (doc, term, tf) and (term, df) both derive from one
 exploded token relation; df joins back on term (sort-merge, AQE may
@@ -72,10 +79,18 @@ def dsir_importance(
     target: F.Column,
     n_buckets: int = 64,
     ngrams: int = 1,
+    persist: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """DSIR-style importance weights against a target slice.
+
+    ``persist`` caches the compact (doc, bucket, n_tok) relation that
+    both the stats aggregate and the per-doc join consume — without it
+    the corpus tokenizes twice (see module docstring). The cache backs
+    the RETURNED lazy DataFrame; in a long-lived engine unpersist via
+    ``spark.catalog.clearCache()`` between batches or pass
+    ``persist=False`` (the BM25 lifetime contract).
 
     ``target`` is a boolean column expression selecting the target
     distribution's documents (e.g. ``F.col("lang") == "en"``). Every
@@ -126,17 +141,32 @@ def dsir_importance(
     with_bucket = exploded.withColumn(
         "bucket", h32(F.col("token")) % F.lit(n_buckets)
     )
-    stats = with_bucket.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("t_count"),
-        F.count(F.lit(1)).alias("b_count"),
+    # collapse the token stream ONCE into (doc, bucket, n_tok) — both
+    # the stats aggregate and the per-doc join read this compact
+    # relation, so the corpus is scanned/tokenized exactly once (the
+    # persist is what prevents Catalyst's two subtrees from each
+    # recomputing the explode)
+    compact = with_bucket.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.first("_is_target").alias("_is_target"),
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        compact = compact.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = compact.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_target"), F.col("n_tok")).otherwise(0)).alias(
+            "t_count"
+        ),
+        F.sum("n_tok").alias("b_count"),
     )
     per_doc = (
-        with_bucket.join(F.broadcast(stats), on="bucket")
+        compact.join(F.broadcast(stats), on="bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("t_count").alias("t_sum"),
-            F.sum("b_count").alias("b_sum"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.col("n_tok") * F.col("t_count")).alias("t_sum"),
+            F.sum(F.col("n_tok") * F.col("b_count")).alias("b_sum"),
         )
     )
     weight = (F.col("t_sum") + F.lit(1)).cast("double") / (
@@ -153,7 +183,9 @@ def sql_dsir_importance(
     doc_table: str = "documents",
 ) -> str:
     """DuckDB oracle equivalent of :func:`dsir_importance` (same token
-    normalization, same md5 bucket hash, same add-one log-ratio)."""
+    normalization, same md5 bucket hash, same add-one likelihood
+    ratio; unigram features only — the Spark side's ngrams=2 option
+    has no oracle and is pinned by unit tests instead)."""
     return f"""
     WITH toks AS (
       SELECT doc_id, ({target_pred}) AS is_target, t.token
@@ -191,9 +223,10 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Most characteristic term per document by tf-idf.
 
-    Returns one row per document: ``(doc_id, term, tf, df, tfidf)``;
-    ties break on the lexicographically smallest term (total order —
-    safe for the driver's hash compare). ``idf='linear'`` (default)
+    Returns one row per document that retains at least one term after
+    the ``min_df`` filter: ``(doc_id, term, tf, df, tfidf)``; ties
+    break on the lexicographically smallest term (total order — safe
+    for the driver's hash compare). ``idf='linear'`` (default)
     scores tf * (N/df) — one exact-int multiply + one correctly-rounded
     division, bit-identical across engines; ``idf='log'`` gives the
     classic tf * ln(N/df) (ln is NOT correctly rounded — 1-ulp
