@@ -218,6 +218,7 @@ def tfidf_top_terms(
     docs: DataFrame,
     min_df: int = 1,
     idf: str = "linear",
+    persist: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -226,7 +227,9 @@ def tfidf_top_terms(
     Returns one row per document that retains at least one term after
     the ``min_df`` filter: ``(doc_id, term, tf, df, tfidf)``; ties
     break on the lexicographically smallest term (total order — safe
-    for the driver's hash compare). ``idf='linear'`` (default)
+    for the driver's hash compare). ``persist`` caches the (doc, term,
+    tf) relation read by both the df aggregate and the scoring join
+    (BM25 lifetime contract). ``idf='linear'`` (default)
     scores tf * (N/df) — one exact-int multiply + one correctly-rounded
     division, bit-identical across engines; ``idf='log'`` gives the
     classic tf * ln(N/df) (ln is NOT correctly rounded — 1-ulp
@@ -236,6 +239,13 @@ def tfidf_top_terms(
         raise ValueError("idf must be 'linear' or 'log'")
     tokens = _token_rel(docs, id_col, text_col)
     tf = tokens.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    if persist:
+        from pyspark import StorageLevel
+
+        # both the df aggregate and the scoring join consume tf;
+        # without the cache each subtree re-tokenizes the corpus
+        # (same dual-consumption shape fixed in dsir_importance)
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     df_rel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         df_rel = df_rel.filter(F.col("df") >= min_df)
