@@ -86,14 +86,18 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Entries whose implementation changes this round (r17):
 # expr_map_functions — the r16 red row — now reduces map_keys/
 # map_values to array_join CSV scalars on both engines so the
-# driver's pandas canonicalizer can hash it. (semdedup gained an
-# 'auto' assign-method DISPATCHER this round, but the entries'
-# executed path is the identical exact engine — _make_assign returns
-# the same _assign function object, pinned by
+# driver's pandas canonicalizer can hash it. dedup_ngram_jaccard —
+# already in this window as an r13-stale row — had its shared
+# (id, gram) relation persisted (5 consumers; 6.6 s -> 3.9 s at
+# sf0.1), re-verified oracle-identical at sf0.001/0.01. (semdedup
+# gained an 'auto' assign-method DISPATCHER this round, but the
+# entries' executed path is the identical exact engine —
+# _make_assign returns the same _assign function object, pinned by
 # tests/test_semdedup_ann.py::TestAutoAssign — and both entries were
 # driver-re-verified green in r16, so they do not re-rotate.)
 _REWRITTEN: tuple[str, ...] = (
     "expr_map_functions",
+    "dedup_ngram_jaccard",
 )
 
 _PRIORITY: tuple[str, ...] = (
@@ -112,9 +116,10 @@ _PRIORITY: tuple[str, ...] = (
     "text_tfidf_topterms",
     "multimodal_image_decode",
     "multimodal_image_source_scan",
-    # (b) rewritten this round (1): the only-ever red driver row,
-    # now driver-hashable
+    # (b) rewritten this round (2): the only-ever red driver row
+    # (now driver-hashable) + the persist-fixed jaccard join
     "expr_map_functions",
+    "dedup_ngram_jaccard",
     # (c) oldest evidence: all 40 r13-stale rows in registration
     # order (newest prior evidence r13 for every one)
     "expr_vectorized_udf",
@@ -133,7 +138,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh_candidates",
     "dedup_cross_corpus_candidates",
     "dedup_simhash_signatures",
-    "dedup_ngram_jaccard",
     "ann_embedding_dup_pairs",
     "curation_semantic_contamination",
     "text_language_id",
