@@ -52,3 +52,55 @@ def schema_adapter(df: DataFrame, target: T.StructType) -> DataFrame:
     from strake_spark.sources.drift import reconcile
 
     return reconcile(df, target, context="schema_adapter")
+
+
+def funnel_two_step(
+    events: DataFrame,
+    first_type: str = "signup",
+    then_type: str = "purchase",
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-step funnel in ONE corpus scan: per entity, the first
+    ``first_type`` event and the first ``then_type`` event AT OR AFTER
+    it, plus a converted flag.
+
+    Shape (r17 duplicate-scan audit): the legacy formulation (filter
+    per step, aggregate each, join back) scans the event table once
+    PER STEP. Here both step timestamps are same-partition window
+    minima — the second conditions on the first's result column, which
+    Spark stacks on ONE hash exchange — and the closing distinct's
+    keys start with the partition key, so Catalyst reuses that
+    partitioning for the aggregate too. Net: ONE scan, ONE exchange,
+    no join (plan-asserted); more steps would still be one scan.
+
+    Deterministic output: one row per entity that performed
+    ``first_type``; converted = a ``then_type`` event exists at or
+    after the first ``first_type`` timestamp.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col)
+    step1 = F.min(
+        F.when(F.col(type_col) == first_type, F.col(ts_col))
+    ).over(w)
+    with1 = events.withColumn("_step1_ts", step1)
+    step2 = F.min(
+        F.when(
+            (F.col(type_col) == then_type)
+            & (F.col(ts_col) >= F.col("_step1_ts")),
+            F.col(ts_col),
+        )
+    ).over(w)
+    return (
+        with1.withColumn("_step2_ts", step2)
+        .filter(F.col("_step1_ts").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("_step1_ts").alias(f"{first_type}_ts"),
+            F.col("_step2_ts").alias(f"first_{then_type}_ts"),
+            F.col("_step2_ts").isNotNull().alias("converted"),
+        )
+        .distinct()
+    )
