@@ -344,6 +344,32 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
     return rate, frames.reshape(-1, nch)
 
 
+def synthetic_wav_payloads(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV payload column (the audio analogue of
+    :func:`synthetic_png_payloads`, for tests and oracled entries):
+    each id becomes a mono 16-bit PCM clip of n = 8 + id % 16 frames
+    at rate 8000 + 100*(id % 5), sample(i) = ((i*37 + id*11) % 201) -
+    100 — peak and sum-of-squares are closed-form integer arithmetic a
+    SQL oracle can recompute exactly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                n = 8 + doc_id % 16
+                rate = 8000 + 100 * (doc_id % 5)
+                i = np.arange(n)
+                samples = ((i * 37 + doc_id * 11) % 201 - 100).astype(np.int16)
+                rows.append(
+                    {id_col: doc_id, "payload": encode_wav(samples, rate)}
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return ids_df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} bigint, payload binary"
+    )
+
+
 AUDIO_SCHEMA = (
     "doc_id bigint, sample_rate int, n_channels int, n_frames bigint, "
     "peak int, sum_sq bigint, rms double, err string"

@@ -463,3 +463,35 @@ class TestWavCodec:
         assert good.peak == 5 and good.sum_sq == 50
         assert good.rms == float(np.sqrt(50 / 4))
         assert out.loc[1].err is not None and pd.isna(out.loc[1].sample_rate)
+
+
+class TestSyntheticWavPayloads:
+    def test_stats_match_closed_form(self, spark):
+        """End-to-end: synthetic WAVs through decode_audio recover the
+        generator's closed-form dims and exact integer stats — the
+        roundtrip the r18 oracled entry will hash against SQL."""
+        import numpy as np
+
+        from strake_spark.operators.multimodal import (
+            decode_audio,
+            synthetic_wav_payloads,
+        )
+
+        ids = spark.range(20).selectExpr("id as doc_id")
+        out = (
+            decode_audio(synthetic_wav_payloads(ids))
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        for doc_id in range(20):
+            n = 8 + doc_id % 16
+            i = np.arange(n)
+            s = (i * 37 + doc_id * 11) % 201 - 100
+            row = out.loc[doc_id]
+            assert (row.sample_rate, row.n_channels, row.n_frames) == (
+                8000 + 100 * (doc_id % 5), 1, n,
+            )
+            assert row.peak == int(np.abs(s).max())
+            assert row.sum_sq == int((s * s).sum())
+            assert row.err is None
