@@ -320,6 +320,13 @@ def register_file_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
             path = _spool_ftp(path, cfg.options)
         elif path.startswith(("http://", "https://")):
             path = _spool_http(path, cfg.options)
+        elif path.startswith("s3://"):
+            # jar-free SigV4 spool (r17; sources/s3http.py). s3a:// is
+            # untouched — it stays the executor-side splittable path
+            # through the fs.s3a.* plumbing above when jars exist.
+            from strake_spark.sources.s3http import spool_s3
+
+            path = spool_s3(path, cfg.options)
         df = _read_one(spark, fmt, path, tbl, context=view_name(cfg.name, tbl.name))
         if cfg.default_limit:
             # per-source row cap (models.rs SourceConfig.default_limit):

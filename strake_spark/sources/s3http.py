@@ -1,0 +1,276 @@
+"""Jar-free S3 reader: AWS Signature Version 4 over stdlib HTTP.
+
+Closes the one remaining §2.2 "partial": the reference reads
+s3/gs/az via OpenDAL (crates/connectors/src/sources/file.rs:124-207),
+while this repo's pyspark distribution ships no hadoop-aws jars. Like
+the other jar-free wire sources (pgwire, mysqlwire, sshwire,
+clickhouse_http, h2grpc), this implements the public protocol —
+AWS SigV4 request signing (the published algorithm: canonical request
+-> string-to-sign -> HMAC signing-key chain) plus the ListObjectsV2
+and GetObject REST calls — with nothing beyond the standard library.
+
+Scale split, stated plainly:
+
+- ``s3a://`` remains the 100 TB path: executor-side, splittable,
+  Hadoop-FS reads — the config plumbing in sources/file.py maps
+  s3_access_key/s3_endpoint/... onto fs.s3a.* whenever the jars are
+  deployed.
+- ``s3://`` routes HERE: a driver-side whole-object spool (the same
+  shape as the ftp/sftp/http spools) for small/medium reads and for
+  environments without the jars. Bytes cross the driver once per
+  registration; Spark then scans the local spool. Big data belongs on
+  s3a.
+
+Works against any SigV4 endpoint (AWS, MinIO, localstack, the test
+fake): ``endpoint`` + ``path_style`` options cover non-AWS layouts.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import hmac
+import os
+import tempfile
+import urllib.parse
+import urllib.request
+import xml.etree.ElementTree as ET
+
+from strake_spark.errors import SourceError
+
+_ALGO = "AWS4-HMAC-SHA256"
+_EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+
+def _uri_encode(s: str, *, encode_slash: bool = True) -> str:
+    """SigV4's canonical URI-encoding (RFC 3986 unreserved set only)."""
+    safe = "-._~" + ("" if encode_slash else "/")
+    return urllib.parse.quote(s, safe=safe)
+
+
+def _canonical_query(params: dict[str, str]) -> str:
+    return "&".join(
+        f"{_uri_encode(k)}={_uri_encode(v)}" for k, v in sorted(params.items())
+    )
+
+
+def sign_v4(
+    method: str,
+    host: str,
+    path: str,
+    query: dict[str, str],
+    region: str,
+    access_key: str,
+    secret_key: str,
+    payload_hash: str = _EMPTY_SHA256,
+    amz_date: str | None = None,
+    service: str = "s3",
+    session_token: str | None = None,
+    extra_headers: dict[str, str] | None = None,
+    include_content_sha: bool = True,
+) -> dict[str, str]:
+    """Produce the signed headers for one request (public SigV4
+    algorithm). Returns the full header dict to send, including
+    Authorization. ``amz_date`` is injectable for deterministic tests;
+    ``extra_headers``/``include_content_sha`` let the test suite
+    reproduce the AWS documentation's own signing example verbatim
+    (which signs content-type and no x-amz-content-sha256)."""
+    if amz_date is None:
+        amz_date = _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+    datestamp = amz_date[:8]
+    headers = {"host": host, "x-amz-date": amz_date}
+    if include_content_sha:
+        headers["x-amz-content-sha256"] = payload_hash
+    if session_token:
+        headers["x-amz-security-token"] = session_token
+    if extra_headers:
+        headers.update({k.lower(): v for k, v in extra_headers.items()})
+    signed_names = ";".join(sorted(headers))
+    canonical_headers = "".join(
+        f"{k}:{headers[k].strip()}\n" for k in sorted(headers)
+    )
+    canonical_request = "\n".join(
+        [
+            method,
+            _uri_encode(path, encode_slash=False),
+            _canonical_query(query),
+            canonical_headers,
+            signed_names,
+            payload_hash,
+        ]
+    )
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join(
+        [
+            _ALGO,
+            amz_date,
+            scope,
+            hashlib.sha256(canonical_request.encode()).hexdigest(),
+        ]
+    )
+
+    def _hmac(key: bytes, msg: str) -> bytes:
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k_date = _hmac(("AWS4" + secret_key).encode(), datestamp)
+    k_region = _hmac(k_date, region)
+    k_service = _hmac(k_region, service)
+    k_signing = _hmac(k_service, "aws4_request")
+    signature = hmac.new(
+        k_signing, string_to_sign.encode(), hashlib.sha256
+    ).hexdigest()
+    headers["Authorization"] = (
+        f"{_ALGO} Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed_names}, Signature={signature}"
+    )
+    return headers
+
+
+class S3Client:
+    """Minimal SigV4 S3 client: ListObjectsV2 (paginated) + GetObject.
+
+    ``endpoint`` like ``http://127.0.0.1:9000`` or
+    ``https://s3.us-east-1.amazonaws.com``; ``path_style=True`` puts
+    the bucket in the path (MinIO/localstack layout), False uses
+    virtual-hosted ``bucket.host`` addressing."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        region: str = "us-east-1",
+        access_key: str | None = None,
+        secret_key: str | None = None,
+        session_token: str | None = None,
+        path_style: bool = True,
+        timeout: float = 30.0,
+    ):
+        self.endpoint = endpoint.rstrip("/")
+        self.region = region
+        self.access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID", "")
+        self.secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY", "")
+        self.session_token = session_token or os.environ.get("AWS_SESSION_TOKEN")
+        self.path_style = path_style
+        self.timeout = timeout
+        if not self.access_key or not self.secret_key:
+            raise SourceError(
+                "s3 credentials missing: set s3_access_key/s3_secret_key "
+                "options or AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY"
+            )
+
+    # ------------------------------------------------------------ http
+    def _url_parts(self, bucket: str, key: str = "") -> tuple[str, str, str]:
+        u = urllib.parse.urlparse(self.endpoint)
+        if self.path_style:
+            host = u.netloc
+            path = f"/{bucket}" + (f"/{key}" if key else "")
+        else:
+            host = f"{bucket}.{u.netloc}"
+            path = f"/{key}" if key else "/"
+        return u.scheme, host, path
+
+    def _request(
+        self, bucket: str, key: str, query: dict[str, str]
+    ) -> urllib.request.addinfourl:
+        scheme, host, path = self._url_parts(bucket, key)
+        headers = sign_v4(
+            "GET",
+            host,
+            path,
+            query,
+            self.region,
+            self.access_key,
+            self.secret_key,
+            session_token=self.session_token,
+        )
+        qs = _canonical_query(query)
+        url = f"{scheme}://{host}{path}" + (f"?{qs}" if qs else "")
+        req = urllib.request.Request(url, headers=headers, method="GET")
+        try:
+            return urllib.request.urlopen(req, timeout=self.timeout)  # noqa: S310 — endpoint is operator-configured
+        except urllib.error.HTTPError as e:
+            body = e.read(512).decode("utf-8", "replace")
+            raise SourceError(
+                f"s3 {e.code} for s3://{bucket}/{key or ''}: {body}"
+            ) from e
+        except Exception as e:  # noqa: BLE001 — transport error with context
+            raise SourceError(f"s3 request failed for {bucket!r}: {e}") from e
+
+    # ------------------------------------------------------------- api
+    def list_objects(self, bucket: str, prefix: str = "") -> list[tuple[str, int]]:
+        """All (key, size) under the prefix, following ListObjectsV2
+        continuation tokens."""
+        out: list[tuple[str, int]] = []
+        token: str | None = None
+        while True:
+            query = {"list-type": "2", "prefix": prefix}
+            if token:
+                query["continuation-token"] = token
+            with self._request(bucket, "", query) as resp:
+                root = ET.fromstring(resp.read())
+            ns = root.tag.partition("}")[0] + "}" if root.tag.startswith("{") else ""
+            for c in root.findall(f"{ns}Contents"):
+                key = c.findtext(f"{ns}Key") or ""
+                size = int(c.findtext(f"{ns}Size") or 0)
+                out.append((key, size))
+            truncated = (root.findtext(f"{ns}IsTruncated") or "false") == "true"
+            token = root.findtext(f"{ns}NextContinuationToken")
+            if not truncated or not token:
+                return out
+
+    def get_object(self, bucket: str, key: str, dest_path: str) -> int:
+        """Stream one object to ``dest_path``; returns bytes written."""
+        n = 0
+        tmp = dest_path + ".tmp"
+        with self._request(bucket, key, {}) as resp, open(tmp, "wb") as f:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+                n += len(chunk)
+        os.replace(tmp, dest_path)
+        return n
+
+
+def spool_s3(url: str, options: dict) -> str:
+    """Fetch s3://bucket/key-or-prefix to a local spool dir and return
+    the local path Spark reads (the ftp/sftp/http spool shape).
+
+    Options: s3_endpoint (default AWS regional), s3_region,
+    s3_access_key / s3_secret_key / s3_session_token (fall back to the
+    standard AWS_* env vars), s3_path_style (default true for custom
+    endpoints, false for AWS)."""
+    u = urllib.parse.urlparse(url)
+    bucket, prefix = u.netloc, u.path.lstrip("/")
+    if not bucket:
+        raise SourceError(f"s3 url missing bucket: {url!r}")
+    region = str(options.get("s3_region", "us-east-1"))
+    endpoint = str(
+        options.get("s3_endpoint", f"https://s3.{region}.amazonaws.com")
+    )
+    default_path_style = "amazonaws.com" not in endpoint
+    client = S3Client(
+        endpoint,
+        region=region,
+        access_key=options.get("s3_access_key"),
+        secret_key=options.get("s3_secret_key"),
+        session_token=options.get("s3_session_token"),
+        path_style=bool(options.get("s3_path_style", default_path_style)),
+        timeout=float(options.get("timeout", 30)),
+    )
+    keys = client.list_objects(bucket, prefix)
+    exact = [k for k in keys if k[0] == prefix]
+    if exact:
+        keys = exact  # an exact key match wins over same-prefix siblings
+    if not keys:
+        raise SourceError(f"s3://{bucket}/{prefix}: no objects match")
+    spool = tempfile.mkdtemp(prefix="strake-s3-")
+    single = len(keys) == 1
+    for key, _size in keys:
+        base = os.path.basename(key.rstrip("/"))
+        if not base:
+            continue  # a zero-byte "directory" marker object
+        client.get_object(bucket, key, os.path.join(spool, base))
+    if single:
+        return os.path.join(spool, os.path.basename(keys[0][0]))
+    return spool

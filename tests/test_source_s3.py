@@ -1,0 +1,276 @@
+"""Jar-free S3 source (sources/s3http.py): SigV4 signing pinned to the
+AWS documentation's own example vector, plus a live in-process fake S3
+that VERIFIES every request's signature server-side (recomputing it
+with the shared secret — a wrong canonicalization on either side is a
+403, not a silent pass), serves paginated ListObjectsV2, and streams
+objects; end-to-end through the parquet source registration."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from strake_spark.errors import SourceError
+from strake_spark.sources.s3http import S3Client, sign_v4, spool_s3
+
+ACCESS, SECRET = "TESTKEY", "testsecret/with+chars"
+REGION = "us-east-1"
+
+
+class _FakeS3(ThreadingHTTPServer):
+    def __init__(self, objects: dict[str, dict[str, bytes]], page_size: int = 1):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.objects = objects  # bucket -> key -> bytes
+        self.page_size = page_size
+        self.requests: list[str] = []
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: _FakeS3
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _verify_sig(self) -> bool:
+        auth = self.headers.get("Authorization", "")
+        if not auth.startswith("AWS4-HMAC-SHA256 "):
+            return False
+        fields = dict(
+            p.strip().split("=", 1) for p in auth.split(" ", 1)[1].split(",")
+        )
+        cred = fields["Credential"]
+        if not cred.startswith(ACCESS + "/"):
+            return False
+        u = urllib.parse.urlparse(self.path)
+        query = dict(urllib.parse.parse_qsl(u.query, keep_blank_values=True))
+        expect = sign_v4(
+            "GET",
+            self.headers["host"],
+            u.path,
+            query,
+            REGION,
+            ACCESS,
+            SECRET,
+            payload_hash=self.headers.get("x-amz-content-sha256", ""),
+            amz_date=self.headers["x-amz-date"],
+        )["Authorization"]
+        return expect.split("Signature=")[1] == fields["Signature"]
+
+    def do_GET(self):
+        self.server.requests.append(self.path)
+        if not self._verify_sig():
+            self.send_response(403)
+            body = b"<Error><Code>SignatureDoesNotMatch</Code></Error>"
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        u = urllib.parse.urlparse(self.path)
+        parts = u.path.lstrip("/").split("/", 1)
+        bucket, key = parts[0], (parts[1] if len(parts) > 1 else "")
+        store = self.server.objects.get(bucket)
+        if store is None:
+            self._err(404, "NoSuchBucket")
+            return
+        query = dict(urllib.parse.parse_qsl(u.query, keep_blank_values=True))
+        if not key and query.get("list-type") == "2":
+            self._list(bucket, store, query)
+            return
+        if key in store:
+            data = store[key]
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
+        self._err(404, "NoSuchKey")
+
+    def _err(self, code: int, tag: str):
+        body = f"<Error><Code>{tag}</Code></Error>".encode()
+        self.send_response(code)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _list(self, bucket: str, store: dict[str, bytes], query: dict[str, str]):
+        prefix = query.get("prefix", "")
+        keys = sorted(k for k in store if k.startswith(prefix))
+        start = int(query.get("continuation-token") or 0)
+        page = keys[start : start + self.server.page_size]
+        nxt = start + self.server.page_size
+        truncated = nxt < len(keys)
+        items = "".join(
+            f"<Contents><Key>{k}</Key><Size>{len(store[k])}</Size></Contents>"
+            for k in page
+        )
+        more = (
+            f"<IsTruncated>true</IsTruncated>"
+            f"<NextContinuationToken>{nxt}</NextContinuationToken>"
+            if truncated
+            else "<IsTruncated>false</IsTruncated>"
+        )
+        body = (
+            '<?xml version="1.0"?>'
+            '<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">'
+            f"{items}{more}</ListBucketResult>"
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def fake_s3():
+    objects = {
+        "bkt": {
+            "data/a.bin": b"alpha-bytes",
+            "data/b.bin": b"beta-bytes-longer",
+            "data/c.bin": b"gamma",
+            "other/x.bin": b"nope",
+        }
+    }
+    srv = _FakeS3(objects, page_size=1)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield srv, f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+
+
+class TestSigV4:
+    def test_aws_documentation_example_vector(self):
+        """The AWS docs' own SigV4 GET example (iam ListUsers,
+        20150830T123600Z) — published request, secret, and signature."""
+        h = sign_v4(
+            "GET",
+            "iam.amazonaws.com",
+            "/",
+            {"Action": "ListUsers", "Version": "2010-05-08"},
+            "us-east-1",
+            "AKIDEXAMPLE",
+            "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+            payload_hash=hashlib.sha256(b"").hexdigest(),
+            amz_date="20150830T123600Z",
+            service="iam",
+            extra_headers={
+                "content-type": "application/x-www-form-urlencoded; charset=utf-8"
+            },
+            include_content_sha=False,
+        )
+        assert h["Authorization"].endswith(
+            "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7"
+        )
+        assert "SignedHeaders=content-type;host;x-amz-date" in h["Authorization"]
+
+    def test_session_token_is_signed(self):
+        h = sign_v4(
+            "GET", "h", "/b", {}, REGION, "a", "s",
+            amz_date="20240101T000000Z", session_token="tok",
+        )
+        assert "x-amz-security-token" in h["Authorization"]
+
+
+class TestClientAgainstVerifyingFake:
+    def test_list_objects_follows_pagination(self, fake_s3):
+        srv, endpoint = fake_s3
+        c = S3Client(endpoint, region=REGION, access_key=ACCESS, secret_key=SECRET)
+        keys = c.list_objects("bkt", "data/")
+        assert [k for k, _ in keys] == ["data/a.bin", "data/b.bin", "data/c.bin"]
+        assert dict(keys)["data/b.bin"] == len(b"beta-bytes-longer")
+        # page_size=1 -> one list request per key (pagination exercised)
+        assert sum("list-type=2" in r for r in srv.requests) == 3
+
+    def test_get_object_streams_exact_bytes(self, fake_s3, tmp_path):
+        _, endpoint = fake_s3
+        c = S3Client(endpoint, region=REGION, access_key=ACCESS, secret_key=SECRET)
+        dest = str(tmp_path / "a.bin")
+        n = c.get_object("bkt", "data/a.bin", dest)
+        assert n == 11 and open(dest, "rb").read() == b"alpha-bytes"
+
+    def test_bad_secret_is_rejected_server_side(self, fake_s3):
+        _, endpoint = fake_s3
+        c = S3Client(endpoint, region=REGION, access_key=ACCESS, secret_key="wrong")
+        with pytest.raises(SourceError, match="403"):
+            c.list_objects("bkt", "data/")
+
+    def test_missing_credentials_fail_loudly(self, fake_s3, monkeypatch):
+        _, endpoint = fake_s3
+        monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
+        monkeypatch.delenv("AWS_SECRET_ACCESS_KEY", raising=False)
+        with pytest.raises(SourceError, match="credentials"):
+            S3Client(endpoint, region=REGION)
+
+    def test_spool_prefix_and_exact_key(self, fake_s3):
+        _, endpoint = fake_s3
+        opts = {
+            "s3_endpoint": endpoint,
+            "s3_region": REGION,
+            "s3_access_key": ACCESS,
+            "s3_secret_key": SECRET,
+        }
+        d = spool_s3("s3://bkt/data/", opts)
+        assert sorted(os.listdir(d)) == ["a.bin", "b.bin", "c.bin"]
+        f = spool_s3("s3://bkt/data/a.bin", opts)
+        assert os.path.isfile(f) and open(f, "rb").read() == b"alpha-bytes"
+        with pytest.raises(SourceError, match="no objects"):
+            spool_s3("s3://bkt/absent/", opts)
+
+
+class TestSparkEndToEnd:
+    def test_parquet_source_reads_over_s3(self, spark, tmp_path):
+        """Two parquet objects behind the signature-verifying fake,
+        registered through the normal file-source path with an s3://
+        url, equal to a direct local read."""
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{os.path.join('/root/testdata/sf0.001', 'nation.parquet')}') "
+            f"WHERE n_nationkey < 10) TO '{tmp_path}/part0.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{os.path.join('/root/testdata/sf0.001', 'nation.parquet')}') "
+            f"WHERE n_nationkey >= 10) TO '{tmp_path}/part1.parquet' (FORMAT PARQUET)"
+        )
+        objects = {
+            "lake": {
+                "tables/nation/part0.parquet": (tmp_path / "part0.parquet").read_bytes(),
+                "tables/nation/part1.parquet": (tmp_path / "part1.parquet").read_bytes(),
+            }
+        }
+        srv = _FakeS3(objects, page_size=1)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+            from strake_spark.config import SourceConfig, TableConfig
+            from strake_spark.sources.file import register_file_source
+
+            cfg = SourceConfig(
+                name="s3lake",
+                type="parquet",
+                url="s3://lake/tables",
+                tables=[TableConfig(name="nation", path="s3://lake/tables/nation/")],
+                options={
+                    "s3_endpoint": endpoint,
+                    "s3_region": REGION,
+                    "s3_access_key": ACCESS,
+                    "s3_secret_key": SECRET,
+                },
+            )
+            views = register_file_source(spark, cfg)
+            got = spark.table(views[0]).toPandas()
+            want = spark.read.parquet(
+                os.path.join("/root/testdata/sf0.001", "nation.parquet")
+            ).toPandas()
+            from tests.conftest import compare_frames
+
+            compare_frames(got, want)
+        finally:
+            srv.shutdown()
