@@ -1,0 +1,167 @@
+"""Jar-free Azure Blob Storage reader: SharedKey auth over stdlib HTTP.
+
+Companion to sources/s3http.py (same r17 goal — the reference reads
+s3/gs/az via OpenDAL, crates/connectors/src/sources/file.rs:124-207,
+and this container ships no hadoop-azure jars). Implements the public
+SharedKey authorization scheme (the documented string-to-sign:
+verb + 12 standard headers + canonicalized x-ms-* headers +
+canonicalized resource, HMAC-SHA256 under the base64 account key)
+plus List Blobs (NextMarker pagination) and Get Blob.
+
+Scale split (same contract as s3http): ``abfss://`` stays the
+executor-side splittable path via the fs.azure.* plumbing when the
+hadoop-azure jars are deployed; ``az://container/prefix`` routes HERE
+— a driver-side whole-object spool for small/medium reads and
+jar-less environments. ``azure_endpoint`` overrides the account host
+for Azurite/fakes.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import hashlib
+import hmac
+import os
+import tempfile
+import urllib.parse
+import urllib.request
+import xml.etree.ElementTree as ET
+
+from strake_spark.errors import SourceError
+
+_API_VERSION = "2021-08-06"
+
+
+def shared_key_auth(
+    method: str,
+    account: str,
+    path: str,
+    query: dict[str, str],
+    headers: dict[str, str],
+    account_key_b64: str,
+) -> str:
+    """Authorization header value for one request (public SharedKey
+    string-to-sign, storage-services version 2015-02-21+ — empty
+    Content-Length when the body is empty)."""
+    std = [
+        "Content-Encoding", "Content-Language", "Content-Length",
+        "Content-MD5", "Content-Type", "Date", "If-Modified-Since",
+        "If-Match", "If-None-Match", "If-Unmodified-Since", "Range",
+    ]
+    lower = {k.lower(): v for k, v in headers.items()}
+    std_part = "\n".join(lower.get(h.lower(), "") for h in std)
+    xms = sorted(
+        (k, v.strip()) for k, v in lower.items() if k.startswith("x-ms-")
+    )
+    canon_headers = "".join(f"{k}:{v}\n" for k, v in xms)
+    canon_resource = f"/{account}{path}"
+    for k in sorted(query):
+        canon_resource += f"\n{k.lower()}:{query[k]}"
+    string_to_sign = f"{method}\n{std_part}\n{canon_headers}{canon_resource}"
+    key = base64.b64decode(account_key_b64)
+    sig = base64.b64encode(
+        hmac.new(key, string_to_sign.encode(), hashlib.sha256).digest()
+    ).decode()
+    return f"SharedKey {account}:{sig}"
+
+
+class AzBlobClient:
+    """Minimal SharedKey client: List Blobs (paginated) + Get Blob."""
+
+    def __init__(
+        self,
+        account: str,
+        account_key_b64: str,
+        endpoint: str | None = None,
+        timeout: float = 30.0,
+    ):
+        if not account or not account_key_b64:
+            raise SourceError(
+                "azure credentials missing: set azure_account and "
+                "azure_account_key options"
+            )
+        self.account = account
+        self.key = account_key_b64
+        self.endpoint = (endpoint or f"https://{account}.blob.core.windows.net").rstrip("/")
+        self.timeout = timeout
+
+    def _request(self, path: str, query: dict[str, str]) -> urllib.request.addinfourl:
+        now = _dt.datetime.now(_dt.timezone.utc).strftime("%a, %d %b %Y %H:%M:%S GMT")
+        headers = {"x-ms-date": now, "x-ms-version": _API_VERSION}
+        headers["Authorization"] = shared_key_auth(
+            "GET", self.account, path, query, headers, self.key
+        )
+        qs = urllib.parse.urlencode(sorted(query.items()))
+        url = f"{self.endpoint}{urllib.parse.quote(path)}" + (f"?{qs}" if qs else "")
+        req = urllib.request.Request(url, headers=headers, method="GET")
+        try:
+            return urllib.request.urlopen(req, timeout=self.timeout)  # noqa: S310 — operator-configured endpoint
+        except urllib.error.HTTPError as e:
+            body = e.read(512).decode("utf-8", "replace")
+            raise SourceError(f"azure {e.code} for {path!r}: {body}") from e
+        except Exception as e:  # noqa: BLE001 — transport error with context
+            raise SourceError(f"azure request failed for {path!r}: {e}") from e
+
+    def list_blobs(self, container: str, prefix: str = "") -> list[tuple[str, int]]:
+        out: list[tuple[str, int]] = []
+        marker = ""
+        while True:
+            query = {"restype": "container", "comp": "list", "prefix": prefix}
+            if marker:
+                query["marker"] = marker
+            with self._request(f"/{container}", query) as resp:
+                root = ET.fromstring(resp.read())
+            for b in root.iter("Blob"):
+                name = b.findtext("Name") or ""
+                size = int(b.findtext("Properties/Content-Length") or 0)
+                out.append((name, size))
+            marker = root.findtext("NextMarker") or ""
+            if not marker:
+                return out
+
+    def get_blob(self, container: str, name: str, dest_path: str) -> int:
+        n = 0
+        tmp = dest_path + ".tmp"
+        with self._request(f"/{container}/{name}", {}) as resp, open(tmp, "wb") as f:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+                n += len(chunk)
+        os.replace(tmp, dest_path)
+        return n
+
+
+def spool_az(url: str, options: dict) -> str:
+    """Fetch az://container/name-or-prefix to a local spool dir (the
+    ftp/sftp/http/s3 spool shape). Account and key come from the
+    azure_account / azure_account_key options; azure_endpoint
+    overrides the host for Azurite/fakes."""
+    u = urllib.parse.urlparse(url)
+    container, prefix = u.netloc, u.path.lstrip("/")
+    if not container:
+        raise SourceError(f"az url missing container: {url!r}")
+    client = AzBlobClient(
+        str(options.get("azure_account", "")),
+        str(options.get("azure_account_key", "")),
+        endpoint=options.get("azure_endpoint"),
+        timeout=float(options.get("timeout", 30)),
+    )
+    names = client.list_blobs(container, prefix)
+    exact = [x for x in names if x[0] == prefix]
+    if exact:
+        names = exact
+    if not names:
+        raise SourceError(f"az://{container}/{prefix}: no blobs match")
+    spool = tempfile.mkdtemp(prefix="strake-az-")
+    single = len(names) == 1
+    for name, _size in names:
+        base = os.path.basename(name.rstrip("/"))
+        if not base:
+            continue
+        client.get_blob(container, name, os.path.join(spool, base))
+    if single:
+        return os.path.join(spool, os.path.basename(names[0][0]))
+    return spool

@@ -327,6 +327,24 @@ def register_file_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
             from strake_spark.sources.s3http import spool_s3
 
             path = spool_s3(path, cfg.options)
+        elif path.startswith("gs://"):
+            # GCS's XML interop API is S3-compatible under HMAC keys —
+            # the same SigV4 client serves gs:// with the interop
+            # endpoint (public GCS feature). The hadoop gcs connector
+            # path (keyfile plumbing above) remains the scale route.
+            from strake_spark.sources.s3http import spool_s3
+
+            opts = dict(cfg.options)
+            opts.setdefault("s3_endpoint", "https://storage.googleapis.com")
+            opts.setdefault("s3_access_key", opts.get("gcs_hmac_key"))
+            opts.setdefault("s3_secret_key", opts.get("gcs_hmac_secret"))
+            path = spool_s3("s3://" + path[len("gs://"):], opts)
+        elif path.startswith("az://"):
+            # jar-free SharedKey spool (r17; sources/azblob.py);
+            # abfss:// stays the executor-side hadoop-azure path.
+            from strake_spark.sources.azblob import spool_az
+
+            path = spool_az(path, cfg.options)
         df = _read_one(spark, fmt, path, tbl, context=view_name(cfg.name, tbl.name))
         if cfg.default_limit:
             # per-source row cap (models.rs SourceConfig.default_limit):

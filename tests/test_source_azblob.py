@@ -1,0 +1,193 @@
+"""Jar-free Azure Blob source (sources/azblob.py): SharedKey signing
+verified SERVER-SIDE by an in-process fake (recomputes the signature
+from the received headers under the shared account key — wrong
+canonicalization on either side is a 403), List Blobs with NextMarker
+pagination, Get Blob streaming, spool routing, and an end-to-end
+Spark parquet read via the az:// scheme."""
+
+from __future__ import annotations
+
+import base64
+import os
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from strake_spark.errors import SourceError
+from strake_spark.sources.azblob import AzBlobClient, shared_key_auth, spool_az
+
+ACCOUNT = "testacct"
+KEY_B64 = base64.b64encode(b"super-secret-account-key-32bytes!").decode()
+
+
+class _FakeAz(ThreadingHTTPServer):
+    def __init__(self, blobs: dict[str, dict[str, bytes]], page_size: int = 1):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.blobs = blobs  # container -> name -> bytes
+        self.page_size = page_size
+        self.requests: list[str] = []
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: _FakeAz
+
+    def log_message(self, *a):
+        pass
+
+    def _verify(self) -> bool:
+        u = urllib.parse.urlparse(self.path)
+        query = dict(urllib.parse.parse_qsl(u.query, keep_blank_values=True))
+        headers = {
+            k: v for k, v in self.headers.items()
+            if k.lower().startswith("x-ms-")
+        }
+        expect = shared_key_auth(
+            "GET", ACCOUNT, urllib.parse.unquote(u.path), query, headers, KEY_B64
+        )
+        return self.headers.get("Authorization") == expect
+
+    def do_GET(self):
+        self.server.requests.append(self.path)
+        if not self._verify():
+            self._body(403, b"<Error><Code>AuthenticationFailed</Code></Error>")
+            return
+        u = urllib.parse.urlparse(self.path)
+        query = dict(urllib.parse.parse_qsl(u.query, keep_blank_values=True))
+        parts = urllib.parse.unquote(u.path).lstrip("/").split("/", 1)
+        container, name = parts[0], (parts[1] if len(parts) > 1 else "")
+        store = self.server.blobs.get(container)
+        if store is None:
+            self._body(404, b"<Error><Code>ContainerNotFound</Code></Error>")
+            return
+        if query.get("comp") == "list":
+            self._list(store, query)
+            return
+        if name in store:
+            self._body(200, store[name])
+            return
+        self._body(404, b"<Error><Code>BlobNotFound</Code></Error>")
+
+    def _body(self, code: int, data: bytes):
+        self.send_response(code)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _list(self, store: dict[str, bytes], query: dict[str, str]):
+        prefix = query.get("prefix", "")
+        names = sorted(n for n in store if n.startswith(prefix))
+        start = int(query.get("marker") or 0)
+        page = names[start : start + self.server.page_size]
+        nxt = start + self.server.page_size
+        items = "".join(
+            f"<Blob><Name>{n}</Name><Properties>"
+            f"<Content-Length>{len(store[n])}</Content-Length>"
+            f"</Properties></Blob>"
+            for n in page
+        )
+        marker = f"<NextMarker>{nxt}</NextMarker>" if nxt < len(names) else ""
+        body = (
+            '<?xml version="1.0"?><EnumerationResults>'
+            f"<Blobs>{items}</Blobs>{marker}</EnumerationResults>"
+        ).encode()
+        self._body(200, body)
+
+
+@pytest.fixture()
+def fake_az():
+    blobs = {
+        "ct": {
+            "d/a.bin": b"alpha",
+            "d/b.bin": b"bravo-longer",
+            "d/c.bin": b"charlie!",
+            "e/x.bin": b"nope",
+        }
+    }
+    srv = _FakeAz(blobs, page_size=1)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        yield srv, f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+
+
+class TestSharedKeyClient:
+    def test_list_follows_next_marker(self, fake_az):
+        srv, ep = fake_az
+        c = AzBlobClient(ACCOUNT, KEY_B64, endpoint=ep)
+        got = c.list_blobs("ct", "d/")
+        assert [n for n, _ in got] == ["d/a.bin", "d/b.bin", "d/c.bin"]
+        assert dict(got)["d/b.bin"] == len(b"bravo-longer")
+        assert sum("comp=list" in r for r in srv.requests) == 3  # paginated
+
+    def test_get_blob_exact_bytes(self, fake_az, tmp_path):
+        _, ep = fake_az
+        c = AzBlobClient(ACCOUNT, KEY_B64, endpoint=ep)
+        dest = str(tmp_path / "a.bin")
+        assert c.get_blob("ct", "d/a.bin", dest) == 5
+        assert open(dest, "rb").read() == b"alpha"
+
+    def test_wrong_key_rejected_server_side(self, fake_az):
+        _, ep = fake_az
+        bad = base64.b64encode(b"wrong-key").decode()
+        c = AzBlobClient(ACCOUNT, bad, endpoint=ep)
+        with pytest.raises(SourceError, match="403"):
+            c.list_blobs("ct", "d/")
+
+    def test_missing_credentials_fail_loudly(self):
+        with pytest.raises(SourceError, match="credentials"):
+            AzBlobClient("", "")
+
+    def test_spool_prefix_and_exact(self, fake_az):
+        _, ep = fake_az
+        opts = {
+            "azure_account": ACCOUNT,
+            "azure_account_key": KEY_B64,
+            "azure_endpoint": ep,
+        }
+        d = spool_az("az://ct/d/", opts)
+        assert sorted(os.listdir(d)) == ["a.bin", "b.bin", "c.bin"]
+        f = spool_az("az://ct/d/a.bin", opts)
+        assert os.path.isfile(f) and open(f, "rb").read() == b"alpha"
+        with pytest.raises(SourceError, match="no blobs"):
+            spool_az("az://ct/absent/", opts)
+
+
+class TestSparkEndToEnd:
+    def test_parquet_source_reads_over_az(self, spark, tmp_path):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "COPY (SELECT * FROM read_parquet('/root/testdata/sf0.001/region.parquet')) "
+            f"TO '{tmp_path}/region.parquet' (FORMAT PARQUET)"
+        )
+        blobs = {"lake": {"t/region/region.parquet": (tmp_path / "region.parquet").read_bytes()}}
+        srv = _FakeAz(blobs)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            ep = f"http://127.0.0.1:{srv.server_address[1]}"
+            from strake_spark.config import SourceConfig, TableConfig
+            from strake_spark.sources.file import register_file_source
+
+            cfg = SourceConfig(
+                name="azlake",
+                type="parquet",
+                url="az://lake/t",
+                tables=[TableConfig(name="region", path="az://lake/t/region/")],
+                options={
+                    "azure_account": ACCOUNT,
+                    "azure_account_key": KEY_B64,
+                    "azure_endpoint": ep,
+                },
+            )
+            views = register_file_source(spark, cfg)
+            got = spark.table(views[0]).toPandas()
+            want = spark.read.parquet("/root/testdata/sf0.001/region.parquet").toPandas()
+            from tests.conftest import compare_frames
+
+            compare_frames(got, want)
+        finally:
+            srv.shutdown()
