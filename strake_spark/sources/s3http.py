@@ -232,6 +232,107 @@ class S3Client:
         return n
 
 
+def _client_params(options: dict) -> dict:
+    """Plain-dict client parameters (picklable — shipped to executors
+    by the distributed reader's closure)."""
+    region = str(options.get("s3_region", "us-east-1"))
+    endpoint = str(
+        options.get("s3_endpoint", f"https://s3.{region}.amazonaws.com")
+    )
+    return {
+        "endpoint": endpoint,
+        "region": region,
+        "access_key": options.get("s3_access_key")
+        or os.environ.get("AWS_ACCESS_KEY_ID", ""),
+        "secret_key": options.get("s3_secret_key")
+        or os.environ.get("AWS_SECRET_ACCESS_KEY", ""),
+        "session_token": options.get("s3_session_token")
+        or os.environ.get("AWS_SESSION_TOKEN"),
+        "path_style": bool(
+            options.get("s3_path_style", "amazonaws.com" not in endpoint)
+        ),
+        "timeout": float(options.get("timeout", 30)),
+    }
+
+
+def read_s3_parquet_distributed(spark, url: str, options: dict):
+    """EXECUTOR-PARALLEL jar-free S3 parquet read.
+
+    The driver lists the objects (one paginated ListObjectsV2 — cheap,
+    key names only) and reads a single footer for the schema; the
+    object KEYS are then distributed and each executor task fetches
+    and decodes its own objects with pyarrow inside ``mapInArrow`` —
+    object-granular parallelism, the same unit the reference's OpenDAL
+    readers use (whole-object reads per task, no intra-object splits).
+    Contrast with :func:`spool_s3`, where every byte crosses the
+    driver: here the driver moves O(#keys) strings and one footer,
+    and the fleet fetches in parallel — the jar-free path that scales
+    with executors. Column pruning: pass ``columns`` in options to
+    read only those parquet columns executor-side.
+
+    Returns a DataFrame in the parquet file's schema."""
+    import io
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    u = urllib.parse.urlparse(url)
+    bucket, prefix = u.netloc, u.path.lstrip("/")
+    if not bucket:
+        raise SourceError(f"s3 url missing bucket: {url!r}")
+    params = _client_params(options)
+    client = S3Client(**params)
+    keys = [
+        k
+        for k, size in client.list_objects(bucket, prefix)
+        if size > 0 and not k.endswith("/")
+    ]
+    exact = [k for k in keys if k == prefix]
+    if exact:
+        keys = exact
+    if not keys:
+        raise SourceError(f"s3://{bucket}/{prefix}: no objects match")
+    columns = options.get("columns")
+    # schema from ONE footer on the driver (objects must share it)
+    buf = io.BytesIO()
+    first = keys[0]
+    with client._request(bucket, first, {}) as resp:
+        buf.write(resp.read())
+    buf.seek(0)
+    arrow_schema = pq.read_schema(buf)
+    if columns:
+        import pyarrow as pa
+
+        arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    keys_df = spark.createDataFrame(
+        [(k,) for k in keys], "key string"
+    ).repartition(min(len(keys), 64))
+
+    def fetch(batches):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        cl = S3Client(**params)
+        for batch in batches:
+            for key in batch.column(0).to_pylist():
+                b = _io.BytesIO()
+                with cl._request(bucket, key, {}) as resp:
+                    while True:
+                        chunk = resp.read(1 << 20)
+                        if not chunk:
+                            break
+                        b.write(chunk)
+                b.seek(0)
+                table = _pq.read_table(b, columns=columns)
+                table = table.select(arrow_schema.names).cast(arrow_schema)
+                yield from table.to_batches(max_chunksize=1 << 16)
+
+    return keys_df.mapInArrow(fetch, schema=spark_schema)
+
+
 def spool_s3(url: str, options: dict) -> str:
     """Fetch s3://bucket/key-or-prefix to a local spool dir and return
     the local path Spark reads (the ftp/sftp/http spool shape).
