@@ -169,7 +169,11 @@ class S3Client:
         return u.scheme, host, path
 
     def _request(
-        self, bucket: str, key: str, query: dict[str, str]
+        self,
+        bucket: str,
+        key: str,
+        query: dict[str, str],
+        byte_range: tuple[int, int] | None = None,
     ) -> urllib.request.addinfourl:
         scheme, host, path = self._url_parts(bucket, key)
         headers = sign_v4(
@@ -182,6 +186,10 @@ class S3Client:
             self.secret_key,
             session_token=self.session_token,
         )
+        if byte_range is not None:
+            # Range is NOT in SignedHeaders, so adding it post-signing
+            # is legal SigV4 (only declared headers are signed)
+            headers["Range"] = f"bytes={byte_range[0]}-{byte_range[1]}"
         qs = _canonical_query(query)
         url = f"{scheme}://{host}{path}" + (f"?{qs}" if qs else "")
         req = urllib.request.Request(url, headers=headers, method="GET")
@@ -216,6 +224,11 @@ class S3Client:
             token = root.findtext(f"{ns}NextContinuationToken")
             if not truncated or not token:
                 return out
+
+    def get_range(self, bucket: str, key: str, start: int, end: int) -> bytes:
+        """Inclusive byte range of one object (RFC 7233 semantics)."""
+        with self._request(bucket, key, {}, byte_range=(start, end)) as resp:
+            return resp.read()
 
     def get_object(self, bucket: str, key: str, dest_path: str) -> int:
         """Stream one object to ``dest_path``; returns bytes written."""
@@ -255,6 +268,72 @@ def _client_params(options: dict) -> dict:
     }
 
 
+class RangeFile:
+    """Seekable read-only file over ranged S3 GETs — what pyarrow
+    needs to read a parquet FOOTER without downloading the object
+    (ParquetFile seeks to the tail first). Fetches in aligned 64 KiB
+    blocks with a small cache; object size comes from the listing, so
+    no HEAD round-trip."""
+
+    _BLOCK = 64 * 1024
+
+    def __init__(self, client: "S3Client", bucket: str, key: str, size: int):
+        self._c, self._bucket, self._key, self._size = client, bucket, key, size
+        self._pos = 0
+        self._cache: dict[int, bytes] = {}
+        self.fetched_ranges: list[tuple[int, int]] = []  # observability/tests
+        self.closed = False  # file protocol: pyarrow's PythonFile checks it
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def flush(self) -> None:
+        pass
+
+    def size(self) -> int:
+        return self._size
+
+    def seek(self, off: int, whence: int = 0) -> int:
+        self._pos = {0: off, 1: self._pos + off, 2: self._size + off}[whence]
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def _block(self, idx: int) -> bytes:
+        if idx not in self._cache:
+            start = idx * self._BLOCK
+            end = min(start + self._BLOCK, self._size) - 1
+            self.fetched_ranges.append((start, end))
+            self._cache[idx] = self._c.get_range(self._bucket, self._key, start, end)
+        return self._cache[idx]
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0:
+            n = self._size - self._pos
+        n = max(0, min(n, self._size - self._pos))
+        out = bytearray()
+        while n:
+            idx, off = divmod(self._pos, self._BLOCK)
+            piece = self._block(idx)[off : off + n]
+            if not piece:
+                break
+            out += piece
+            self._pos += len(piece)
+            n -= len(piece)
+        return bytes(out)
+
+    def close(self) -> None:  # pyarrow calls close() on the wrapper
+        self._cache.clear()
+        self.closed = True
+
+
 def read_s3_parquet_distributed(spark, url: str, options: dict):
     """EXECUTOR-PARALLEL jar-free S3 parquet read.
 
@@ -271,8 +350,6 @@ def read_s3_parquet_distributed(spark, url: str, options: dict):
     read only those parquet columns executor-side.
 
     Returns a DataFrame in the parquet file's schema."""
-    import io
-
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -282,24 +359,24 @@ def read_s3_parquet_distributed(spark, url: str, options: dict):
         raise SourceError(f"s3 url missing bucket: {url!r}")
     params = _client_params(options)
     client = S3Client(**params)
-    keys = [
-        k
+    listed = [
+        (k, size)
         for k, size in client.list_objects(bucket, prefix)
         if size > 0 and not k.endswith("/")
     ]
-    exact = [k for k in keys if k == prefix]
+    exact = [(k, s) for k, s in listed if k == prefix]
     if exact:
-        keys = exact
-    if not keys:
+        listed = exact
+    if not listed:
         raise SourceError(f"s3://{bucket}/{prefix}: no objects match")
+    keys = [k for k, _ in listed]
     columns = options.get("columns")
-    # schema from ONE footer on the driver (objects must share it)
-    buf = io.BytesIO()
-    first = keys[0]
-    with client._request(bucket, first, {}) as resp:
-        buf.write(resp.read())
-    buf.seek(0)
-    arrow_schema = pq.read_schema(buf)
+    # schema from ONE FOOTER on the driver, via ranged GETs (objects
+    # must share a schema) — a multi-GB object costs ~2 x 64 KiB here,
+    # not a full download
+    first_key, first_size = listed[0]
+    rf = RangeFile(client, bucket, first_key, first_size)
+    arrow_schema = pq.read_schema(rf)
     if columns:
         import pyarrow as pa
 
