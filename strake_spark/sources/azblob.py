@@ -86,9 +86,18 @@ class AzBlobClient:
         self.endpoint = (endpoint or f"https://{account}.blob.core.windows.net").rstrip("/")
         self.timeout = timeout
 
-    def _request(self, path: str, query: dict[str, str]) -> urllib.request.addinfourl:
+    def _request(
+        self,
+        path: str,
+        query: dict[str, str],
+        byte_range: tuple[int, int] | None = None,
+    ) -> urllib.request.addinfourl:
         now = _dt.datetime.now(_dt.timezone.utc).strftime("%a, %d %b %Y %H:%M:%S GMT")
         headers = {"x-ms-date": now, "x-ms-version": _API_VERSION}
+        if byte_range is not None:
+            # unlike SigV4, SharedKey SIGNS Range (one of the 12
+            # standard string-to-sign headers) — set it before signing
+            headers["Range"] = f"bytes={byte_range[0]}-{byte_range[1]}"
         headers["Authorization"] = shared_key_auth(
             "GET", self.account, path, query, headers, self.key
         )
@@ -119,6 +128,13 @@ class AzBlobClient:
             marker = root.findtext("NextMarker") or ""
             if not marker:
                 return out
+
+    def get_range(self, container: str, name: str, start: int, end: int) -> bytes:
+        """Inclusive byte range of one blob (same contract as
+        S3Client.get_range, so sources/s3http.RangeFile works over
+        either client)."""
+        with self._request(f"/{container}/{name}", {}, byte_range=(start, end)) as resp:
+            return resp.read()
 
     def get_blob(self, container: str, name: str, dest_path: str) -> int:
         n = 0
@@ -165,3 +181,73 @@ def spool_az(url: str, options: dict) -> str:
     if single:
         return os.path.join(spool, os.path.basename(names[0][0]))
     return spool
+
+
+def read_az_parquet_distributed(spark, url: str, options: dict):
+    """EXECUTOR-PARALLEL jar-free Azure parquet read — the az://
+    analogue of sources/s3http.read_s3_parquet_distributed: the driver
+    lists blob names and reads ONE footer via ranged GETs (RangeFile
+    works over either client — same get_range contract); blob names
+    then distribute to executor tasks, each fetching and decoding its
+    own blobs with pyarrow inside mapInArrow. Column pruning via the
+    ``columns`` option."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from strake_spark.sources.s3http import RangeFile
+
+    u = urllib.parse.urlparse(url)
+    container, prefix = u.netloc, u.path.lstrip("/")
+    if not container:
+        raise SourceError(f"az url missing container: {url!r}")
+    params = {
+        "account": str(options.get("azure_account", "")),
+        "account_key_b64": str(options.get("azure_account_key", "")),
+        "endpoint": options.get("azure_endpoint"),
+        "timeout": float(options.get("timeout", 30)),
+    }
+    client = AzBlobClient(**params)
+    listed = [
+        (n, s) for n, s in client.list_blobs(container, prefix)
+        if s > 0 and not n.endswith("/")
+    ]
+    exact = [(n, s) for n, s in listed if n == prefix]
+    if exact:
+        listed = exact
+    if not listed:
+        raise SourceError(f"az://{container}/{prefix}: no blobs match")
+    names = [n for n, _ in listed]
+    columns = options.get("columns")
+    first_name, first_size = listed[0]
+    arrow_schema = pq.read_schema(RangeFile(client, container, first_name, first_size))
+    if columns:
+        import pyarrow as pa
+
+        arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    names_df = spark.createDataFrame(
+        [(n,) for n in names], "name string"
+    ).repartition(min(len(names), 64))
+
+    def fetch(batches):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        cl = AzBlobClient(**params)
+        for batch in batches:
+            for name in batch.column(0).to_pylist():
+                b = _io.BytesIO()
+                with cl._request(f"/{container}/{name}", {}) as resp:
+                    while True:
+                        chunk = resp.read(1 << 20)
+                        if not chunk:
+                            break
+                        b.write(chunk)
+                b.seek(0)
+                table = _pq.read_table(b, columns=columns)
+                table = table.select(arrow_schema.names).cast(arrow_schema)
+                yield from table.to_batches(max_chunksize=1 << 16)
+
+    return names_df.mapInArrow(fetch, schema=spark_schema)
