@@ -98,11 +98,15 @@ class AzBlobClient:
             # unlike SigV4, SharedKey SIGNS Range (one of the 12
             # standard string-to-sign headers) — set it before signing
             headers["Range"] = f"bytes={byte_range[0]}-{byte_range[1]}"
+        # sign the ENCODED path — the canonicalized resource is the URI
+        # path as it appears in the request, and the request must send
+        # exactly what was signed (blob names with spaces &c.)
+        quoted = urllib.parse.quote(path)
         headers["Authorization"] = shared_key_auth(
-            "GET", self.account, path, query, headers, self.key
+            "GET", self.account, quoted, query, headers, self.key
         )
         qs = urllib.parse.urlencode(sorted(query.items()))
-        url = f"{self.endpoint}{urllib.parse.quote(path)}" + (f"?{qs}" if qs else "")
+        url = f"{self.endpoint}{quoted}" + (f"?{qs}" if qs else "")
         req = urllib.request.Request(url, headers=headers, method="GET")
         try:
             return urllib.request.urlopen(req, timeout=self.timeout)  # noqa: S310 — operator-configured endpoint

@@ -191,7 +191,11 @@ class S3Client:
             # is legal SigV4 (only declared headers are signed)
             headers["Range"] = f"bytes={byte_range[0]}-{byte_range[1]}"
         qs = _canonical_query(query)
-        url = f"{scheme}://{host}{path}" + (f"?{qs}" if qs else "")
+        # the request URI must carry EXACTLY the encoding the canonical
+        # request signed (spaces &c. in keys otherwise break both the
+        # HTTP request line and the signature)
+        sent_path = _uri_encode(path, encode_slash=False)
+        url = f"{scheme}://{host}{sent_path}" + (f"?{qs}" if qs else "")
         req = urllib.request.Request(url, headers=headers, method="GET")
         try:
             return urllib.request.urlopen(req, timeout=self.timeout)  # noqa: S310 — endpoint is operator-configured

@@ -44,7 +44,7 @@ class _Handler(BaseHTTPRequestHandler):
             if k.lower().startswith("x-ms-") or k.lower() == "range"
         }
         expect = shared_key_auth(
-            "GET", ACCOUNT, urllib.parse.unquote(u.path), query, headers, KEY_B64
+            "GET", ACCOUNT, u.path, query, headers, KEY_B64
         )
         return self.headers.get("Authorization") == expect
 
@@ -244,3 +244,14 @@ class TestRangedAndDistributed:
             compare_frames(got, want)
         finally:
             srv.shutdown()
+
+
+class TestSpecialCharacterNames:
+    def test_blob_name_with_spaces(self, fake_az, tmp_path):
+        """SharedKey signs the ENCODED path exactly as sent."""
+        srv, ep = fake_az
+        srv.blobs["ct"]["odd dir/a b.bin"] = b"spacey-az"
+        c = AzBlobClient(ACCOUNT, KEY_B64, endpoint=ep)
+        dest = str(tmp_path / "out.bin")
+        assert c.get_blob("ct", "odd dir/a b.bin", dest) == 9
+        assert open(dest, "rb").read() == b"spacey-az"

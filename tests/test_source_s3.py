@@ -51,7 +51,10 @@ class _Handler(BaseHTTPRequestHandler):
         expect = sign_v4(
             "GET",
             self.headers["host"],
-            u.path,
+            # sign_v4 canonical-encodes the raw path itself, so verify
+            # from the DECODED request path (a quoted path would be
+            # double-encoded and never match — keys with spaces &c.)
+            urllib.parse.unquote(u.path),
             query,
             REGION,
             ACCESS,
@@ -71,7 +74,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(body)
             return
         u = urllib.parse.urlparse(self.path)
-        parts = u.path.lstrip("/").split("/", 1)
+        parts = urllib.parse.unquote(u.path).lstrip("/").split("/", 1)
         bucket, key = parts[0], (parts[1] if len(parts) > 1 else "")
         store = self.server.objects.get(bucket)
         if store is None:
@@ -439,3 +442,16 @@ class TestRangeReads:
         )
         # and every fetched range lives in the object's tail
         assert all(s >= len(data) - 4 * 64 * 1024 for s, _ in rf.fetched_ranges)
+
+
+class TestSpecialCharacterKeys:
+    def test_key_with_spaces_and_plus(self, fake_s3, tmp_path):
+        """The request URI must carry exactly the encoding the
+        canonical request signed — keys with spaces/plus are where a
+        raw-path request line breaks both HTTP and the signature."""
+        srv, endpoint = fake_s3
+        srv.objects["bkt"]["odd dir/a+b c.bin"] = b"spacey"
+        c = S3Client(endpoint, region=REGION, access_key=ACCESS, secret_key=SECRET)
+        dest = str(tmp_path / "out.bin")
+        assert c.get_object("bkt", "odd dir/a+b c.bin", dest) == 6
+        assert open(dest, "rb").read() == b"spacey"
