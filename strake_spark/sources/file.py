@@ -314,8 +314,35 @@ def register_file_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
     registered: list[str] = []
     if not cfg.tables:
         raise SourceError(f"file source {cfg.name!r} declares no tables")
+    distributed = bool(cfg.options.get("distributed"))
     for tbl in cfg.tables:
         path = tbl.path or os.path.join(base, f"{tbl.name}.{ 'parquet' if fmt == 'parquet' else fmt }")
+        if distributed and fmt == "parquet" and path.startswith(("s3://", "az://", "gs://")):
+            # executor-parallel jar-free readers (r17): keys distribute
+            # to tasks, each fetching/decoding its own objects with
+            # pyarrow under mapInArrow — no driver byte bottleneck.
+            # Opt-in via options.distributed; parquet only (the readers
+            # decode parquet executor-side).
+            if path.startswith("az://"):
+                from strake_spark.sources.azblob import read_az_parquet_distributed
+
+                df = read_az_parquet_distributed(spark, path, cfg.options)
+            else:
+                from strake_spark.sources.s3http import read_s3_parquet_distributed
+
+                opts = dict(cfg.options)
+                if path.startswith("gs://"):
+                    opts.setdefault("s3_endpoint", "https://storage.googleapis.com")
+                    opts.setdefault("s3_access_key", opts.get("gcs_hmac_key"))
+                    opts.setdefault("s3_secret_key", opts.get("gcs_hmac_secret"))
+                    path = "s3://" + path[len("gs://"):]
+                df = read_s3_parquet_distributed(spark, path, opts)
+            if cfg.default_limit:
+                df = df.limit(cfg.default_limit)
+            name = view_name(cfg.name, tbl.name)
+            df.createOrReplaceTempView(name)
+            registered.append(name)
+            continue
         if path.startswith(("ftp://", "ftps://", "sftp://")):
             path = _spool_ftp(path, cfg.options)
         elif path.startswith(("http://", "https://")):

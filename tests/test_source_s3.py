@@ -455,3 +455,49 @@ class TestSpecialCharacterKeys:
         dest = str(tmp_path / "out.bin")
         assert c.get_object("bkt", "odd dir/a+b c.bin", dest) == 6
         assert open(dest, "rb").read() == b"spacey"
+
+
+class TestDistributedConfigSurface:
+    def test_source_config_distributed_option(self, spark, tmp_path):
+        """options.distributed routes s3:// parquet through the
+        executor-parallel reader at the normal config surface."""
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "COPY (SELECT * FROM read_parquet('/root/testdata/sf0.001/region.parquet')) "
+            f"TO '{tmp_path}/region.parquet' (FORMAT PARQUET)"
+        )
+        objects = {"cfg": {"t/region.parquet": (tmp_path / "region.parquet").read_bytes()}}
+        srv = _FakeS3(objects)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            from strake_spark.config import SourceConfig, TableConfig
+            from strake_spark.sources.file import register_file_source
+
+            cfg = SourceConfig(
+                name="dlake",
+                type="parquet",
+                url="s3://cfg/t",
+                tables=[TableConfig(name="region", path="s3://cfg/t/region.parquet")],
+                options={
+                    "distributed": True,
+                    "s3_endpoint": f"http://127.0.0.1:{srv.server_address[1]}",
+                    "s3_region": REGION,
+                    "s3_access_key": ACCESS,
+                    "s3_secret_key": SECRET,
+                },
+            )
+            views = register_file_source(spark, cfg)
+            got = spark.table(views[0]).toPandas()
+            want = spark.read.parquet(
+                "/root/testdata/sf0.001/region.parquet"
+            ).toPandas()
+            from tests.conftest import compare_frames
+
+            compare_frames(got, want)
+            # the mapInArrow plan proves the distributed path was taken
+            plan = spark.table(views[0])._jdf.queryExecution().executedPlan().toString()
+            assert "MapInArrow" in plan
+        finally:
+            srv.shutdown()
