@@ -344,14 +344,22 @@ def read_s3_parquet_distributed(spark, url: str, options: dict):
     The driver lists the objects (one paginated ListObjectsV2 — cheap,
     key names only) and reads a single footer for the schema; the
     object KEYS are then distributed and each executor task fetches
-    and decodes its own objects with pyarrow inside ``mapInArrow`` —
-    object-granular parallelism, the same unit the reference's OpenDAL
-    readers use (whole-object reads per task, no intra-object splits).
+    and decodes its own objects with pyarrow inside ``mapInArrow``.
     Contrast with :func:`spool_s3`, where every byte crosses the
-    driver: here the driver moves O(#keys) strings and one footer,
-    and the fleet fetches in parallel — the jar-free path that scales
-    with executors. Column pruning: pass ``columns`` in options to
-    read only those parquet columns executor-side.
+    driver: here the driver moves O(#keys) strings and footers, and
+    the fleet fetches in parallel — the jar-free path that scales with
+    executors. Column pruning: pass ``columns`` in options to read
+    only those parquet columns executor-side.
+
+    INTRA-object splitting (beyond the reference — OpenDAL reads whole
+    objects per task): any object larger than
+    ``split_threshold_bytes`` (default 128 MiB) is split into ROW
+    GROUPS at plan time (one footer read via ranged GETs per large
+    object) and each task reads its row group through a seekable
+    RangeFile — pyarrow seeks fetch only that group's column chunks,
+    so a 10 GB object fans out across the fleet instead of pinning one
+    task. Small objects stay whole-object tasks (no extra footer
+    round-trips).
 
     Returns a DataFrame in the parquet file's schema."""
     import pyarrow.parquet as pq
@@ -373,8 +381,8 @@ def read_s3_parquet_distributed(spark, url: str, options: dict):
         listed = exact
     if not listed:
         raise SourceError(f"s3://{bucket}/{prefix}: no objects match")
-    keys = [k for k, _ in listed]
     columns = options.get("columns")
+    split_threshold = int(options.get("split_threshold_bytes", 128 * 1024 * 1024))
     # schema from ONE FOOTER on the driver, via ranged GETs (objects
     # must share a schema) — a multi-GB object costs ~2 x 64 KiB here,
     # not a full download
@@ -387,9 +395,18 @@ def read_s3_parquet_distributed(spark, url: str, options: dict):
         arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
     spark_schema = from_arrow_schema(arrow_schema)
 
-    keys_df = spark.createDataFrame(
-        [(k,) for k in keys], "key string"
-    ).repartition(min(len(keys), 64))
+    # task list: (key, size, row_group) — row_group -1 = whole object
+    tasks: list[tuple[str, int, int]] = []
+    for key, size in listed:
+        if size >= split_threshold:
+            meta = pq.ParquetFile(RangeFile(client, bucket, key, size)).metadata
+            tasks.extend((key, size, g) for g in range(meta.num_row_groups))
+        else:
+            tasks.append((key, size, -1))
+
+    tasks_df = spark.createDataFrame(
+        tasks, "key string, size long, row_group int"
+    ).repartition(min(len(tasks), 64))
 
     def fetch(batches):
         import io as _io
@@ -398,20 +415,31 @@ def read_s3_parquet_distributed(spark, url: str, options: dict):
 
         cl = S3Client(**params)
         for batch in batches:
-            for key in batch.column(0).to_pylist():
-                b = _io.BytesIO()
-                with cl._request(bucket, key, {}) as resp:
-                    while True:
-                        chunk = resp.read(1 << 20)
-                        if not chunk:
-                            break
-                        b.write(chunk)
-                b.seek(0)
-                table = _pq.read_table(b, columns=columns)
+            rows = zip(
+                batch.column(0).to_pylist(),
+                batch.column(1).to_pylist(),
+                batch.column(2).to_pylist(),
+            )
+            for key, size, group in rows:
+                if group < 0:
+                    b = _io.BytesIO()
+                    with cl._request(bucket, key, {}) as resp:
+                        while True:
+                            chunk = resp.read(1 << 20)
+                            if not chunk:
+                                break
+                            b.write(chunk)
+                    b.seek(0)
+                    table = _pq.read_table(b, columns=columns)
+                else:
+                    # ranged reads: pyarrow seeks pull only this row
+                    # group's column chunks + footer blocks
+                    pf = _pq.ParquetFile(RangeFile(cl, bucket, key, size))
+                    table = pf.read_row_group(group, columns=columns)
                 table = table.select(arrow_schema.names).cast(arrow_schema)
                 yield from table.to_batches(max_chunksize=1 << 16)
 
-    return keys_df.mapInArrow(fetch, schema=spark_schema)
+    return tasks_df.mapInArrow(fetch, schema=spark_schema)
 
 
 def spool_s3(url: str, options: dict) -> str:
