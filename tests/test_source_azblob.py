@@ -255,3 +255,42 @@ class TestSpecialCharacterNames:
         dest = str(tmp_path / "out.bin")
         assert c.get_blob("ct", "odd dir/a b.bin", dest) == 9
         assert open(dest, "rb").read() == b"spacey-az"
+
+
+class TestSigningPropertyBased:
+    def test_random_blob_names_sign_and_fetch(self, fake_az):
+        """SharedKey analogue of the S3 property test: arbitrary blob
+        names (unicode, spaces, punctuation) must canonicalize
+        identically on both sides and round-trip byte-exact."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        srv, ep = fake_az
+        c = AzBlobClient(ACCOUNT, KEY_B64, endpoint=ep)
+
+        name_chars = st.characters(
+            codec="utf-8",
+            exclude_characters="/\x00\r\n",
+            exclude_categories=("Cs", "Cc"),
+        )
+        segment = st.text(name_chars, min_size=1, max_size=12).filter(
+            lambda s: s not in (".", "..") and s == s.strip() and s.strip() != ""
+        )
+
+        @settings(
+            max_examples=25,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(segs=st.lists(segment, min_size=1, max_size=3), payload=st.binary(min_size=1, max_size=64))
+        def run(segs, payload):
+            name = "prop/" + "/".join(segs)
+            srv.blobs["ct"][name] = payload
+            import tempfile as _tf
+
+            with _tf.NamedTemporaryFile(delete=True) as f:
+                n = c.get_blob("ct", name, f.name)
+                assert n == len(payload)
+                assert open(f.name, "rb").read() == payload
+
+        run()
