@@ -144,6 +144,21 @@ class EngineConfig:
 
 
 
+def opt_bool(value: Any, default: bool = False) -> bool:
+    """String-aware boolean for source options (r18 advice): config
+    values arrive as real booleans from YAML/JSON but as STRINGS from
+    env substitution and CLI overrides — ``bool("false")`` is True, so
+    a plain bool() silently enables whatever the option gates. The
+    repo-wide convention (clickhouse_http.py): the strings
+    "true"/"1"/"yes"/"on" (case-insensitive) are True, everything else
+    False; None means "unset" and yields the default."""
+    if value is None:
+        return default
+    if isinstance(value, bool):
+        return value
+    return str(value).strip().lower() in ("true", "1", "yes", "on")
+
+
 def _first_set(*values, default):
     """First value that is not None — unlike an `or` chain, an explicit
     0 (or empty string) is a real setting, not an absence (r8 advice)."""

@@ -176,15 +176,17 @@ def spool_az(url: str, options: dict) -> str:
     if not names:
         raise SourceError(f"az://{container}/{prefix}: no blobs match")
     spool = tempfile.mkdtemp(prefix="strake-az-")
-    single = len(names) == 1
-    for name, _size in names:
-        base = os.path.basename(name.rstrip("/"))
-        if not base:
-            continue
-        client.get_blob(container, name, os.path.join(spool, base))
-    if single:
-        return os.path.join(spool, os.path.basename(names[0][0]))
-    return spool
+    # mirror blob subpaths under the spool (r18 advice — flat basenames
+    # silently collided and dropped hive partition dirs); shared helper
+    from strake_spark.sources.s3http import _spool_objects
+
+    fetched = _spool_objects(
+        names, spool, prefix,
+        lambda name, dest: client.get_blob(container, name, dest),
+    )
+    if not fetched:
+        raise SourceError(f"az://{container}/{prefix}: only directory markers match")
+    return fetched[0] if len(fetched) == 1 else spool
 
 
 def read_az_parquet_distributed(spark, url: str, options: dict):
@@ -230,9 +232,15 @@ def read_az_parquet_distributed(spark, url: str, options: dict):
         arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
     spark_schema = from_arrow_schema(arrow_schema)
 
+    # same fan-out contract as read_s3_parquet_distributed (r18):
+    # cluster-parallelism default with a 64 floor, option override
+    width = int(
+        options.get("parallelism")
+        or max(spark.sparkContext.defaultParallelism, 64)
+    )
     names_df = spark.createDataFrame(
         [(n,) for n in names], "name string"
-    ).repartition(min(len(names), 64))
+    ).repartition(min(len(names), width))
 
     def fetch(batches):
         import io as _io

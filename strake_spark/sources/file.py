@@ -28,7 +28,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from strake_spark.config import SourceConfig, TableConfig
+from strake_spark.config import SourceConfig, TableConfig, opt_bool
 from strake_spark.errors import SourceError
 from strake_spark.governance.gate import sanitize_identifier
 from strake_spark.sources.registry import source_type
@@ -314,7 +314,9 @@ def register_file_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
     registered: list[str] = []
     if not cfg.tables:
         raise SourceError(f"file source {cfg.name!r} declares no tables")
-    distributed = bool(cfg.options.get("distributed"))
+    # string-aware (r18 advice): env/JSON-substituted "false" must not
+    # silently enable the distributed readers
+    distributed = opt_bool(cfg.options.get("distributed"))
     for tbl in cfg.tables:
         path = tbl.path or os.path.join(base, f"{tbl.name}.{ 'parquet' if fmt == 'parquet' else fmt }")
         if distributed and fmt == "parquet" and path.startswith(("s3://", "az://", "gs://")):

@@ -294,3 +294,19 @@ class TestSigningPropertyBased:
                 assert open(f.name, "rb").read() == payload
 
         run()
+
+class TestSpoolSubpathMirroring:
+    def test_same_basename_blobs_both_survive(self, fake_az):
+        """r18 advice: flat basenames silently overwrote same-named
+        blobs under different prefixes — subpaths are mirrored now."""
+        srv, ep = fake_az
+        srv.blobs["ct"]["tbl/a/0001.bin"] = b"from-a"
+        srv.blobs["ct"]["tbl/b/0001.bin"] = b"from-b"
+        opts = {
+            "azure_account": ACCOUNT,
+            "azure_account_key": KEY_B64,
+            "azure_endpoint": ep,
+        }
+        d = spool_az("az://ct/tbl/", opts)
+        assert open(os.path.join(d, "a", "0001.bin"), "rb").read() == b"from-a"
+        assert open(os.path.join(d, "b", "0001.bin"), "rb").read() == b"from-b"

@@ -121,8 +121,13 @@ class _Handler(BaseHTTPRequestHandler):
         page = keys[start : start + self.server.page_size]
         nxt = start + self.server.page_size
         truncated = nxt < len(keys)
-        items = "".join(
-            f"<Contents><Key>{k}</Key><Size>{len(store[k])}</Size></Contents>"
+        # honor encoding-type=url exactly like AWS: percent-encode keys
+        # (control chars are legal in keys but illegal in XML 1.0) and
+        # echo an EncodingType element
+        encode = query.get("encoding-type") == "url"
+        enc = (lambda k: urllib.parse.quote(k)) if encode else (lambda k: k)
+        items = ("<EncodingType>url</EncodingType>" if encode else "") + "".join(
+            f"<Contents><Key>{enc(k)}</Key><Size>{len(store[k])}</Size></Contents>"
             for k in page
         )
         more = (
@@ -609,3 +614,183 @@ class TestSigningPropertyBased:
                 assert open(f.name, "rb").read() == payload
 
         run()
+
+class TestSpoolSubpathMirroring:
+    """r18 advice: the spool must mirror key subpaths — a flat basename
+    layout silently overwrote a/part-0.parquet with b/part-0.parquet
+    and dropped hive partition directories."""
+
+    def test_same_basename_keys_both_survive(self, fake_s3):
+        srv, endpoint = fake_s3
+        srv.objects["bkt"]["tbl/a/0001.bin"] = b"from-a"
+        srv.objects["bkt"]["tbl/b/0001.bin"] = b"from-b"
+        opts = {
+            "s3_endpoint": endpoint, "s3_region": REGION,
+            "s3_access_key": ACCESS, "s3_secret_key": SECRET,
+        }
+        d = spool_s3("s3://bkt/tbl/", opts)
+        assert open(os.path.join(d, "a", "0001.bin"), "rb").read() == b"from-a"
+        assert open(os.path.join(d, "b", "0001.bin"), "rb").read() == b"from-b"
+
+    def test_hive_partition_dirs_preserved_and_read(self, fake_s3, spark, tmp_path):
+        """Partition-directory columns survive the spool: Spark reads
+        lang=en / lang=fr back as a real `lang` column."""
+        import duckdb
+
+        srv, endpoint = fake_s3
+        con = duckdb.connect()
+        con.execute(f"COPY (SELECT 1 AS v) TO '{tmp_path}/en.parquet' (FORMAT PARQUET)")
+        con.execute(f"COPY (SELECT 2 AS v) TO '{tmp_path}/fr.parquet' (FORMAT PARQUET)")
+        srv.objects["bkt"]["docs/lang=en/part-0.parquet"] = (tmp_path / "en.parquet").read_bytes()
+        srv.objects["bkt"]["docs/lang=fr/part-0.parquet"] = (tmp_path / "fr.parquet").read_bytes()
+        opts = {
+            "s3_endpoint": endpoint, "s3_region": REGION,
+            "s3_access_key": ACCESS, "s3_secret_key": SECRET,
+        }
+        d = spool_s3("s3://bkt/docs/", opts)
+        got = spark.read.parquet(d).toPandas().sort_values("v").reset_index(drop=True)
+        assert list(got["v"]) == [1, 2]
+        assert sorted(got["lang"]) == ["en", "fr"]
+
+    def test_prefix_without_trailing_slash_stays_flat(self, fake_s3):
+        """Naming a 'directory' without the slash must not nest one
+        extra level (Spark would not read a non-hive subdir)."""
+        _, endpoint = fake_s3
+        opts = {
+            "s3_endpoint": endpoint, "s3_region": REGION,
+            "s3_access_key": ACCESS, "s3_secret_key": SECRET,
+        }
+        d = spool_s3("s3://bkt/data", opts)
+        assert sorted(os.listdir(d)) == ["a.bin", "b.bin", "c.bin"]
+
+    def test_dotdot_key_cannot_escape_spool(self, fake_s3):
+        srv, endpoint = fake_s3
+        srv.objects["bkt"]["esc/../../evil.bin"] = b"evil"
+        opts = {
+            "s3_endpoint": endpoint, "s3_region": REGION,
+            "s3_access_key": ACCESS, "s3_secret_key": SECRET,
+        }
+        with pytest.raises(SourceError, match="escapes spool"):
+            spool_s3("s3://bkt/esc/", opts)
+
+
+class TestListingEncodingType:
+    def test_control_char_key_lists_and_round_trips(self, fake_s3, tmp_path):
+        """Control characters are legal in S3 keys but illegal in XML
+        1.0 — encoding-type=url keeps the listing parseable and the
+        client unquotes keys back to their exact bytes."""
+        srv, endpoint = fake_s3
+        odd = "ctl/we\x01ird \x02name.bin"
+        srv.objects["bkt"][odd] = b"ctl-bytes"
+        c = S3Client(endpoint, region=REGION, access_key=ACCESS, secret_key=SECRET)
+        keys = c.list_objects("bkt", "ctl/")
+        assert [k for k, _ in keys] == [odd]
+        dest = str(tmp_path / "out.bin")
+        assert c.get_object("bkt", odd, dest) == 9
+
+
+class TestRedirectRefused:
+    def test_region_redirect_yields_clear_error(self):
+        """A 301 region redirect must NOT be followed (signed headers
+        would leak to the target) and must surface the bucket's actual
+        region from x-amz-bucket-region."""
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        class _Redir(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                self.send_response(301)
+                self.send_header("Location", "https://s3.eu-west-1.amazonaws.com/bkt")
+                self.send_header("x-amz-bucket-region", "eu-west-1")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), _Redir)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            c = S3Client(
+                f"http://127.0.0.1:{srv.server_address[1]}",
+                region=REGION, access_key=ACCESS, secret_key=SECRET,
+            )
+            with pytest.raises(SourceError, match="eu-west-1"):
+                c.list_objects("bkt", "")
+        finally:
+            srv.shutdown()
+
+
+class TestOptionBooleans:
+    def test_opt_bool_is_string_aware(self):
+        from strake_spark.config import opt_bool
+
+        assert opt_bool("false") is False
+        assert opt_bool("False") is False
+        assert opt_bool("0") is False
+        assert opt_bool("true") is True
+        assert opt_bool("1") is True
+        assert opt_bool(True) is True
+        assert opt_bool(False, default=True) is False
+        assert opt_bool(None, default=True) is True
+        assert opt_bool(None) is False
+
+    def test_path_style_string_false_respected(self):
+        from strake_spark.sources.s3http import _client_params
+
+        p = _client_params({"s3_path_style": "false", "s3_endpoint": "http://h:1"})
+        assert p["path_style"] is False
+
+
+class TestRangeFileCacheBound:
+    def test_block_cache_is_lru_bounded(self, fake_s3):
+        from strake_spark.sources.s3http import RangeFile
+
+        srv, endpoint = fake_s3
+        blob = bytes(range(256)) * 256 * 10  # 10 blocks of 64 KiB
+        srv.objects["bkt"]["big/blob.bin"] = blob
+        c = S3Client(endpoint, region=REGION, access_key=ACCESS, secret_key=SECRET)
+        rf = RangeFile(c, "bkt", "big/blob.bin", len(blob))
+        rf._MAX_CACHED_BLOCKS = 4
+        assert rf.read() == blob  # sequential pass over all 10 blocks
+        assert len(rf._cache) <= 4
+        # re-reading a recently used block is a cache hit, not a new GET
+        n_fetches = len(rf.fetched_ranges)
+        rf.seek(9 * 64 * 1024)
+        rf.read(16)
+        assert len(rf.fetched_ranges) == n_fetches
+
+
+class TestDistributedFanOutWidth:
+    def test_parallelism_option_controls_partitions(self, spark, tmp_path):
+        import duckdb
+
+        from strake_spark.sources.s3http import read_s3_parquet_distributed
+
+        con = duckdb.connect()
+        con.execute(
+            "COPY (SELECT * FROM read_parquet('/root/testdata/sf0.001/region.parquet')) "
+            f"TO '{tmp_path}/r.parquet' (FORMAT PARQUET)"
+        )
+        data = (tmp_path / "r.parquet").read_bytes()
+        objects = {"fan": {f"w/p{i:03d}.parquet": data for i in range(70)}}
+        srv = _FakeS3(objects, page_size=50)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            opts = {
+                "s3_endpoint": f"http://127.0.0.1:{srv.server_address[1]}",
+                "s3_region": REGION,
+                "s3_access_key": ACCESS,
+                "s3_secret_key": SECRET,
+                "parallelism": 7,
+            }
+            df = read_s3_parquet_distributed(spark, "s3://fan/w/", opts)
+            assert df.rdd.getNumPartitions() == 7
+            # default: cluster parallelism with a 64 floor — 70 tasks
+            # spread over min(70, max(defaultParallelism, 64)) partitions
+            opts2 = dict(opts)
+            del opts2["parallelism"]
+            df2 = read_s3_parquet_distributed(spark, "s3://fan/w/", opts2)
+            want = min(70, max(spark.sparkContext.defaultParallelism, 64))
+            assert df2.rdd.getNumPartitions() == want
+        finally:
+            srv.shutdown()
