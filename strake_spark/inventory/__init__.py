@@ -77,102 +77,97 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-17 window: tier (a) is the 9 entries registered this round
-# (each pre-validated vs its oracle at sf0.001/0.01 AND under a
-# driver-style plain-sort canonicalizer at sf0.01), then tier (b) the
-# re-coded map entry, then tier (c) — ALL 40 remaining r13-stale rows
-# (the r16 verdict's task-3 list), exactly filling the window.
+# Round-18 window: tier (a) — new entries registered this round (each
+# is inserted at the head of _PRIORITY in registration order WHEN
+# registered, displacing the youngest tail row; budget this round is
+# 9, keeping every r14 row in-window); tier (b) — the two rewritten
+# operators; tier (c) — ALL remaining 39 r14-stale rows, then the
+# oldest r15 rows to saturate 50.
 
-# Entries whose implementation changes this round (r17):
-# expr_map_functions — the r16 red row — now reduces map_keys/
-# map_values to array_join CSV scalars on both engines so the
-# driver's pandas canonicalizer can hash it. dedup_ngram_jaccard —
-# already in this window as an r13-stale row — had its shared
-# (id, gram) relation persisted (5 consumers; 6.6 s -> 3.9 s at
-# sf0.1), re-verified oracle-identical at sf0.001/0.01. (semdedup
-# gained an 'auto' assign-method DISPATCHER this round, but the
-# entries' executed path is the identical exact engine —
-# _make_assign returns the same _assign function object, pinned by
-# tests/test_semdedup_ann.py::TestAutoAssign — and both entries were
-# driver-re-verified green in r16, so they do not re-rotate.)
+# Entries whose implementation changes this round (r18):
+# events_funnel_conversion — re-pointed at operators/relational.
+# funnel_two_step: ONE events scan + ONE user_id exchange (stacked
+# window minima; distinct reuses the partitioning) replacing the
+# legacy 3-scan filter/agg/join shape — the r17 verdict's only weak
+# mark. multimodal_decode_features — the per-BYTE Python loop inside
+# its Arrow batch became np.bincount over the byte lane (~100x on
+# multi-MB payloads; identical integers). Both re-verified
+# oracle-identical at sf0.001/0.01 AND under a driver-style
+# plain-sort canonicalizer at sf0.01.
 _REWRITTEN: tuple[str, ...] = (
-    "expr_map_functions",
-    "dedup_ngram_jaccard",
+    "events_funnel_conversion",
+    "multimodal_decode_features",
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked, registration order: the 9 entries
-    # registered this round (argmax/argmin aggregates, grouping_id
-    # bitmask, RANGE-INTERVAL sliding window, levenshtein matrix,
-    # array set algebra, DSIR importance weights, tf-idf top terms,
-    # and the two REAL image-decode entries that closed the r16
-    # probe task)
-    "agg_max_by_min_by",
-    "agg_grouping_id_sets",
-    "window_range_interval_sliding",
-    "expr_fuzzy_levenshtein",
-    "expr_array_set_ops",
-    "curation_dsir_weights",
-    "text_tfidf_topterms",
-    "multimodal_image_decode",
-    "multimodal_image_source_scan",
-    # (b) rewritten this round (2): the only-ever red driver row
-    # (now driver-hashable) + the persist-fixed jaccard join
-    "expr_map_functions",
-    "dedup_ngram_jaccard",
-    # (c) oldest evidence: all 40 r13-stale rows in registration
-    # order (newest prior evidence r13 for every one)
-    "expr_vectorized_udf",
-    "subquery_scalar_above_avg",
-    "subquery_in_european_customers",
-    "subquery_exists_correlated",
-    "subquery_correlated_scalar_select",
-    "cte_reused",
-    "cte_recursive_series",
-    "events_tumbling_window",
-    "events_sessionization",
-    "events_json_props",
-    "events_top_users_per_type",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_candidates",
-    "dedup_cross_corpus_candidates",
-    "dedup_simhash_signatures",
-    "ann_embedding_dup_pairs",
-    "curation_semantic_contamination",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_binary_meta",
-    "stream_tumbling_event_counts",
-    "stream_sessionization",
-    "stream_dedup_events",
-    "stream_user_running_totals",
-    "window_groups_frame_emulated",
-    "asof_join_backward",
-    "asof_join_forward",
-    "range_join_events_after_purchase",
-    "pii_detect_and_scrub",
-    "sample_stratified_by_lang",
-    "text_vocabulary_topn",
-    "agg_length_percentiles_by_lang",
-    "join_salted_skew",
-    "pipeline_end_to_end_curation",
-    "pipeline_dedup_rate_by_source",
-    "sample_grouped_split",
-    # --- 50-entry window boundary ---
-)
-
-# Carryover remainder: the head of the round-18 fill, in order — the
-# oldest r14-green rows (the TPC-H extended set). Any query whose
-# plan is rewritten in round 18 joins that window the same round.
-_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    # (a) never driver-checked: r18 registrations land here, newest
+    # appended last, each popping the current tail row
+    # (b) rewritten this round (2): the funnel one-scan swap + the
+    # vectorized feature histogram — both carried r14 evidence anyway
+    "events_funnel_conversion",
+    "multimodal_decode_features",
+    # (c) oldest evidence: the 39 remaining r14 rows in registration
+    # order, then the 9 oldest r15 rows to saturate the window
     "tpch_q10_returned_items",
     "tpch_q9_product_profit",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q20_part_promotion",
+    "join_inner_orders_customer",
+    "join_left_customer_orders",
+    "join_right_orders_customer",
+    "join_full_outer_nation_coverage",
+    "join_semi_customers_with_urgent_orders",
+    "agg_approx_count_distinct",
+    "agg_approx_count_distinct_bound",
+    "empty_relation",
+    "limit_offset_page",
+    "sort_multi_key_nulls",
+    "pivot_status_by_flag",
+    "expr_string_functions",
+    "expr_math_functions",
+    "expr_datetime_functions",
+    "expr_conditional_null",
+    "expr_cast_matrix",
+    "dedup_simhash_near_pairs",
+    "dedup_duplicate_clusters",
+    "embedding_quantize_int8",
+    "text_repetition_score",
+    "dedup_corpus_keep_first",
+    "pipeline_decontaminate_ngram",
+    "pipeline_pack_sequences",
+    "pipeline_curation_filter",
+    "join_anti_customers_without_urgent_orders",
+    "join_cross_region_status",
+    "join_non_equi_price_over_size",
+    "agg_global_stats",
+    "agg_rollup_status_priority",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "agg_having_big_customers",
+    "agg_variance_by_nation",
+    # --- 50-entry window boundary ---
+)
+
+# Carryover remainder: the head of the round-19 fill, in order — the
+# next-oldest r15 rows. Any query whose plan is rewritten in round 19
+# joins that window the same round.
+_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "agg_string_agg_priorities",
+    "agg_filtered_conditional",
+    "window_row_number_topk",
+    "window_rank_family",
+    "window_running_sum",
 )
 
 

@@ -183,32 +183,28 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s LEFT JOIN p ON s.user_id = p.user_id
     ORDER BY s.user_id
     """,
-    notes="funnel analysis: signup -> first subsequent purchase per user (two keyed aggregates + one left join; no per-user iteration)",
+    notes=(
+        "funnel analysis: signup -> first subsequent purchase per user. "
+        "r18: re-pointed at operators/relational.funnel_two_step — ONE "
+        "events scan and ONE user_id exchange (both step minima are "
+        "stacked window aggregates; the closing distinct reuses the "
+        "partitioning) replacing the legacy 3-scan filter/agg/join "
+        "formulation — a 3x fact-table scan is a real cost at 100 TB"
+    ),
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.operators.relational import funnel_two_step
+
     e = table(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s, "user_id")
-        .filter(F.col("ts") >= F.col("signup_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase_ts"))
-    )
-    return (
-        s.join(p.withColumnRenamed("user_id", "p_user"), s.user_id == F.col("p_user"), "left")
-        .select(
-            "user_id",
-            "signup_ts",
-            "first_purchase_ts",
-            F.col("p_user").isNotNull().alias("converted"),
-        )
-        .orderBy("user_id")
-    )
+    return funnel_two_step(
+        e, first_type="signup", then_type="purchase",
+        id_col="user_id", type_col="event_type", ts_col="ts",
+    ).select(
+        "user_id",
+        "signup_ts",
+        F.col("first_purchase_ts"),
+        "converted",
+    ).orderBy("user_id")
 
 
 @query(

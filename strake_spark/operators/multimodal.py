@@ -81,15 +81,19 @@ def decode_features(docs_with_payload: DataFrame, id_col: str = "doc_id") -> Dat
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 b = bytes(payload)
-                counts = [0] * FEATURE_BINS
-                for byte in b:
-                    counts[byte % FEATURE_BINS] += 1
+                # vectorized histogram (r18): np.bincount over the raw
+                # byte lane replaces the former per-BYTE Python loop —
+                # ~100x on multi-MB payloads, same exact integers
+                counts = np.bincount(
+                    np.frombuffer(b, dtype=np.uint8) % FEATURE_BINS,
+                    minlength=FEATURE_BINS,
+                ) if b else np.zeros(FEATURE_BINS, dtype=np.int64)
                 total = max(len(b), 1)
                 rows.append(
                     {
                         id_col: doc_id,
                         "n_bytes": len(b),
-                        "features": [c / total for c in counts],
+                        "features": [int(c) / total for c in counts],
                     }
                 )
             yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "features"])
