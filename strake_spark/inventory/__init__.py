@@ -100,8 +100,13 @@ _REWRITTEN: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked: r18 registrations land here, newest
-    # appended last, each popping the current tail row
+    # (a) never driver-checked: r18 registrations in registration
+    # order (expressions module imports before multimodal), each
+    # having popped one r15 tail row
+    "expr_map_construction",
+    "multimodal_audio_decode",
+    "multimodal_image_resize",
+    "multimodal_binaryfile_image_decode",
     # (b) rewritten this round (2): the funnel one-scan swap + the
     # vectorized feature histogram — both carried r14 evidence anyway
     "events_funnel_conversion",
@@ -152,10 +157,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_non_equi_price_over_size",
     "agg_global_stats",
     "agg_rollup_status_priority",
-    "agg_cube_flag_status",
-    "agg_grouping_sets",
-    "agg_having_big_customers",
-    "agg_variance_by_nation",
     # --- 50-entry window boundary ---
 )
 
@@ -163,11 +164,11 @@ _PRIORITY: tuple[str, ...] = (
 # next-oldest r15 rows. Any query whose plan is rewritten in round 19
 # joins that window the same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "agg_having_big_customers",
+    "agg_variance_by_nation",
     "agg_string_agg_priorities",
-    "agg_filtered_conditional",
-    "window_row_number_topk",
-    "window_rank_family",
-    "window_running_sum",
 )
 
 

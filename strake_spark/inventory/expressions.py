@@ -848,3 +848,58 @@ def expr_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_union(a, b)).alias("n_union"),
         F.size(F.array_intersect(a, b)).alias("n_intersect"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "expr_map_construction",
+    oracle="""
+    SELECT o_orderkey,
+           'prio,stat'                             AS ks,
+           o_orderpriority || ',' || o_orderstatus AS vs,
+           o_orderpriority || '|p'                 AS zip_prio,
+           o_orderstatus || '|s'                   AS zip_stat,
+           CAST(NULL AS VARCHAR)                   AS zip_missing,
+           CAST(1 AS INT)                          AS n_filtered,
+           upper(o_orderstatus)                    AS stat_upper,
+           CAST(3 AS INT)                          AS n_concat
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+    notes=(
+        "map CONSTRUCTION + higher-order map surface, completing the "
+        "r17 map matrix under the driver-hashable discipline: "
+        "str_to_map parse, map_zip_with merge, map_filter, "
+        "transform_values, map_concat — every output reduced to a "
+        "scalar (CSV/lookup/size). The oracle recomputes the expected "
+        "values DIRECTLY from the base columns (an independent ground "
+        "truth: a mis-parse in str_to_map or a wrong zip lambda shows "
+        "up as a value mismatch, not as a mirrored bug)"
+    ),
+)
+def expr_map_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    s = F.concat(
+        F.lit("prio:"), F.col("o_orderpriority"),
+        F.lit(",stat:"), F.col("o_orderstatus"),
+    )
+    m1 = F.str_to_map(s, F.lit(","), F.lit(":"))
+    m2 = F.map_from_arrays(
+        F.array(F.lit("prio"), F.lit("stat")),
+        F.array(F.lit("p"), F.lit("s")),
+    )
+    zipped = F.map_zip_with(m1, m2, lambda k, v1, v2: F.concat_ws("|", v1, v2))
+    filtered = F.map_filter(m1, lambda k, v: k == F.lit("prio"))
+    upped = F.transform_values(m1, lambda k, v: F.upper(v))
+    catted = F.map_concat(m1, F.create_map(F.lit("extra"), F.lit("z")))
+    return o.select(
+        "o_orderkey",
+        F.array_join(F.map_keys(m1), ",").alias("ks"),
+        F.array_join(F.map_values(m1), ",").alias("vs"),
+        F.try_element_at(zipped, F.lit("prio")).alias("zip_prio"),
+        F.try_element_at(zipped, F.lit("stat")).alias("zip_stat"),
+        F.try_element_at(zipped, F.lit("nope")).alias("zip_missing"),
+        F.size(filtered).alias("n_filtered"),
+        F.try_element_at(upped, F.lit("stat")).alias("stat_upper"),
+        F.size(catted).alias("n_concat"),
+    ).orderBy("o_orderkey")

@@ -232,3 +232,184 @@ def multimodal_image_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_channels",
         "mode",
     ).orderBy("n_nationkey")
+
+
+@query(
+    "multimodal_audio_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 16 AS n, 8000 + 100 * (doc_id % 5) AS rate
+      FROM documents WHERE doc_id < 300
+    ),
+    s AS (
+      SELECT d.doc_id, d.n, d.rate,
+             ((i.i * 37 + d.doc_id * 11) % 201) - 100 AS v
+      FROM d, UNNEST(range(d.n)) AS i(i)
+    )
+    SELECT doc_id,
+           CAST(rate AS INT) AS sample_rate,
+           1 AS n_channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(MAX(abs(v)) AS INT) AS peak,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           sqrt(CAST(SUM(v * v) AS DOUBLE) / n) AS rms
+    FROM s
+    GROUP BY doc_id, rate, n
+    ORDER BY doc_id
+    """,
+    notes=(
+        "REAL audio decode over a WAV/PCM binary column (r18 — the "
+        "audio analogue of multimodal_image_decode, registration "
+        "queued from r17): synthetic_wav_payloads encodes a "
+        "deterministic mono 16-bit PCM clip per doc (closed-form "
+        "sample formula), decode_audio (pure struct+numpy RIFF parser, "
+        "Arrow-batched mapInPandas, map-only) recovers rate/frames "
+        "plus exact integer peak and sum-of-squares, and the SQL "
+        "oracle recomputes them via a lateral sample grid. rms = sqrt "
+        "of a ratio of exact ints — correctly rounded on both engines, "
+        "so even the float column is bit-stable"
+    ),
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    payloads = MM.synthetic_wav_payloads(docs)
+    decoded = MM.decode_audio(payloads)
+    return decoded.select(
+        "doc_id", "sample_rate", "n_channels", "n_frames",
+        "peak", "sum_sq", "rms",
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_image_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    g AS (
+      SELECT d.doc_id,
+             CAST(floor(((2 * xs.x + 1) * d.w) / 8.0) AS BIGINT) AS sx,
+             CAST(floor(((2 * ys.y + 1) * d.h) / 6.0) AS BIGINT) AS sy
+      FROM d, UNNEST(range(4)) AS xs(x), UNNEST(range(3)) AS ys(y)
+    )
+    SELECT doc_id,
+           4 AS width,
+           3 AS height,
+           3 AS n_channels,
+           CAST(SUM((sx * 17 + doc_id) % 256) AS BIGINT) AS ch0_sum,
+           CAST(SUM((sy * 29) % 256) AS BIGINT)          AS ch1_sum,
+           CAST(SUM((sx + sy) % 256) AS BIGINT)          AS ch2_sum
+    FROM g
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    notes=(
+        "REAL nearest-neighbor image resize verified end-to-end (r18): "
+        "encode (synthetic PNG) -> resize_images (decode, NN resample "
+        "to 4x3 via index = floor((i+0.5)*src/dst), re-encode) -> "
+        "decode_image again for exact channel sums; the SQL oracle "
+        "recomputes the SAME sums from the closed-form source-pixel "
+        "formula through the NN index map — a double PNG roundtrip "
+        "checked by independent integer arithmetic. The /8.0 and /6.0 "
+        "index divisions are small-int quotients whose floor both "
+        "engines round identically (numerators exact, integers exactly "
+        "representable)"
+    ),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = MM.synthetic_png_payloads(docs)
+    resized = MM.resize_images(payloads, width=4, height=3)
+    redecoded = MM.decode_image(
+        resized.select("doc_id", F.col("resized").alias("payload"))
+    )
+    return redecoded.select(
+        "doc_id", "width", "height", "n_channels",
+        "ch0_sum", "ch1_sum", "ch2_sum",
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_binaryfile_image_decode",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS doc_id,
+             1 + n_nationkey % 7 AS w,
+             1 + n_nationkey % 5 AS h
+      FROM nation
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, xs.x, ys.y
+      FROM d, UNNEST(range(d.w)) AS xs(x), UNNEST(range(d.h)) AS ys(y)
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           3 AS n_channels,
+           CAST(SUM((x * 17 + doc_id) % 256) AS BIGINT) AS ch0_sum,
+           CAST(SUM((y * 29) % 256) AS BIGINT)          AS ch1_sum,
+           CAST(SUM((x + y) % 256) AS BIGINT)           AS ch2_sum
+    FROM px
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    notes=(
+        "the file-scan INGESTION path chained into decode (r18): one "
+        "deterministic PNG per nation row on local disk, scanned with "
+        "Spark's built-in binaryFile source (pathGlobFilter pushdown — "
+        "the listing never returns non-matching files; content-column "
+        "pruning asserted in tests/test_plan_shapes.py), content "
+        "aliased to payload and decoded by the pure zlib+numpy PNG "
+        "decoder; the oracle recomputes dims + channel sums from the "
+        "pixel formula. Same content-keyed fixture-dir reuse as "
+        "multimodal_image_source_scan (bench runs entries repeatedly)"
+    ),
+)
+def multimodal_binaryfile_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+
+    keys = [
+        int(r[0])
+        for r in table(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    tag = hashlib.md5(
+        ("binimg_v1:" + ",".join(map(str, sorted(keys)))).encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"strake_binimg_{tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    for k in keys:
+        path = os.path.join(out_dir, f"img_{k:03d}.png")
+        if os.path.exists(path):
+            continue
+        w, h = 1 + k % 7, 1 + k % 5
+        x = np.arange(w)
+        y = np.arange(h)
+        img = np.stack(
+            [
+                np.broadcast_to((x * 17 + k) % 256, (h, w)),
+                np.broadcast_to(((y * 29) % 256)[:, None], (h, w)),
+                np.add.outer(y, x) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(MM.encode_png(img))
+        os.replace(tmp, path)  # atomic: concurrent callers never scan a partial file
+    bf = MM.read_binary_files(spark, out_dir, glob="img_*.png")
+    payloads = bf.select(
+        F.regexp_extract("path", r"img_(\d+)\.png", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    decoded = MM.decode_image(payloads)
+    return decoded.select(
+        "doc_id", "width", "height", "n_channels",
+        "ch0_sum", "ch1_sum", "ch2_sum",
+    ).orderBy("doc_id")
