@@ -107,6 +107,10 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_audio_decode",
     "multimodal_image_resize",
     "multimodal_binaryfile_image_decode",
+    "source_s3_distributed_roundtrip",
+    "source_az_spool_roundtrip",
+    "source_sqlite_partitioned_roundtrip",
+    "source_rest_paginated_roundtrip",
     # (b) rewritten this round (2): the funnel one-scan swap + the
     # vectorized feature histogram — both carried r14 evidence anyway
     "events_funnel_conversion",
@@ -153,10 +157,6 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_pack_sequences",
     "pipeline_curation_filter",
     "join_anti_customers_without_urgent_orders",
-    "join_cross_region_status",
-    "join_non_equi_price_over_size",
-    "agg_global_stats",
-    "agg_rollup_status_priority",
     # --- 50-entry window boundary ---
 )
 
@@ -164,11 +164,11 @@ _PRIORITY: tuple[str, ...] = (
 # next-oldest r15 rows. Any query whose plan is rewritten in round 19
 # joins that window the same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "join_cross_region_status",
+    "join_non_equi_price_over_size",
+    "agg_global_stats",
+    "agg_rollup_status_priority",
     "agg_cube_flag_status",
-    "agg_grouping_sets",
-    "agg_having_big_customers",
-    "agg_variance_by_nation",
-    "agg_string_agg_priorities",
 )
 
 
@@ -200,7 +200,7 @@ _SUBMODULES: list[str] = []
 for _mod in ("tpch", "tpch_extended", "relational", "window", "setops", "expressions",
              "subqueries", "events", "dedup", "similarity", "text", "multimodal",
              "streaming_entries", "advanced", "asof_entries", "interval_entries",
-             "pii_entries", "pipeline_extras"):
+             "pii_entries", "pipeline_extras", "sources_entries"):
     _path = f"strake_spark.inventory.{_mod}"
     try:
         __import__(_path)

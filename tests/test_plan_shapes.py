@@ -905,3 +905,30 @@ class TestRound18Additions:
         assert "ArrowEvalPython" not in plan
         assert "Join" not in plan
         assert "LessThanOrEqual(o_orderkey,2000)" in plan
+
+    def test_s3_roundtrip_uses_mapinarrow_executor_path(self, spark):
+        """The driver-harness S3 entry takes the EXECUTOR-PARALLEL
+        reader (mapInArrow over distributed fetch tasks), not the
+        driver spool."""
+        plan = _plan(spark, "source_s3_distributed_roundtrip")
+        assert "MapInArrow" in plan
+
+    def test_sqlite_roundtrip_reads_four_range_partitions(self, spark):
+        """num_partitions=4 on n_nationkey yields exactly 4 input
+        partitions — each executor task opens its own read-only
+        connection against a rowid/key range slice."""
+        from strake_spark.inventory.sources_entries import _sqlite_db_for
+        from strake_spark.sources.sqlite import FORMAT_NAME, ensure_format
+
+        ensure_format(spark)
+        df = (
+            spark.read.format(FORMAT_NAME)
+            .options(
+                path=_sqlite_db_for(SF_DIR),
+                table="nation",
+                num_partitions="4",
+                partition_column="n_nationkey",
+            )
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 4
