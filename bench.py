@@ -99,6 +99,12 @@ PIPELINE_NEW = (
     ("dsir", "curation_dsir_weights"),
     ("tfidf", "text_tfidf_topterms"),
     ("imgdec", "multimodal_image_decode"),
+    # r18: auddec = WAV decode (map-only); imgrsz = NN resize double
+    # PNG roundtrip; funnel = the entry's new ONE-scan/one-exchange
+    # plan (was 3 scans through r17 — this line starts its trend)
+    ("auddec", "multimodal_audio_decode"),
+    ("imgrsz", "multimodal_image_resize"),
+    ("funnel", "events_funnel_conversion"),
 )
 
 
