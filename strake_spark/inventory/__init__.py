@@ -111,6 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_az_spool_roundtrip",
     "source_sqlite_partitioned_roundtrip",
     "source_rest_paginated_roundtrip",
+    "source_gs_interop_roundtrip",
     # (b) rewritten this round (2): the funnel one-scan swap + the
     # vectorized feature histogram — both carried r14 evidence anyway
     "events_funnel_conversion",
@@ -156,19 +157,18 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_decontaminate_ngram",
     "pipeline_pack_sequences",
     "pipeline_curation_filter",
-    "join_anti_customers_without_urgent_orders",
     # --- 50-entry window boundary ---
 )
 
 # Carryover remainder: the head of the round-19 fill, in order — the
-# next-oldest r15 rows. Any query whose plan is rewritten in round 19
+# oldest r15 rows. Any query whose plan is rewritten in round 19
 # joins that window the same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "join_anti_customers_without_urgent_orders",
     "join_cross_region_status",
     "join_non_equi_price_over_size",
     "agg_global_stats",
     "agg_rollup_status_priority",
-    "agg_cube_flag_status",
 )
 
 

@@ -209,3 +209,54 @@ def source_rest_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return _nation_select(df)
+
+
+@query(
+    "source_gs_interop_roundtrip",
+    oracle=_NATION_ORACLE,
+    notes=(
+        "gs:// read through the CONFIG SURFACE: register_file_source "
+        "rewrites gs://bucket onto the SigV4 client against GCS's "
+        "S3-compatible XML interop API (HMAC keys, public GCS feature) "
+        "— the same route file.py takes in production, proven against "
+        "the signature-verifying fake. Completes driver-green coverage "
+        "of all three cloud schemes in the reference's file.rs:124-207 "
+        "(s3 distributed, az spool, gs interop). Registered view "
+        "cached per (applicationId, sf_dir) so repeated driver "
+        "invocations re-use one spool"
+    ),
+)
+def source_gs_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nation_select(spark.table(_gs_view_for(spark, sf_dir)))
+
+
+_GS_VIEWS: dict[tuple[str, str], str] = {}
+_GS_LOCK = threading.Lock()
+
+
+def _gs_view_for(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _GS_LOCK:
+        if key not in _GS_VIEWS:
+            from strake_spark.config import SourceConfig, TableConfig
+            from strake_spark.sources.file import register_file_source
+
+            tag = hashlib.md5(f"gs_rt_v1:{sf_dir}".encode()).hexdigest()[:8]
+            cfg = SourceConfig(
+                name=f"gsrt_{tag}",
+                type="parquet",
+                url="gs://lake/nation",
+                tables=[
+                    TableConfig(name="nation", path="gs://lake/nation/nation.parquet")
+                ],
+                options={
+                    # interop endpoint override -> the verifying fake;
+                    # in production this defaults to storage.googleapis.com
+                    "s3_endpoint": _fakes.s3_endpoint_for(sf_dir),
+                    "s3_region": _fakes.REGION,
+                    "gcs_hmac_key": _fakes.ACCESS,
+                    "gcs_hmac_secret": _fakes.SECRET,
+                },
+            )
+            _GS_VIEWS[key] = register_file_source(spark, cfg)[0]
+        return _GS_VIEWS[key]
