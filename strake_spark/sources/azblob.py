@@ -196,7 +196,13 @@ def read_az_parquet_distributed(spark, url: str, options: dict):
     works over either client — same get_range contract); blob names
     then distribute to executor tasks, each fetching and decoding its
     own blobs with pyarrow inside mapInArrow. Column pruning via the
-    ``columns`` option."""
+    ``columns`` option.
+
+    INTRA-blob splitting (r18, parity with the S3 reader): any blob
+    larger than ``split_threshold_bytes`` (default 128 MiB) fans out
+    one task per parquet ROW GROUP, each read through the seekable
+    RangeFile so only that group's column chunks move — a 10 GB blob
+    spreads across the fleet instead of pinning one task."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -222,7 +228,6 @@ def read_az_parquet_distributed(spark, url: str, options: dict):
         listed = exact
     if not listed:
         raise SourceError(f"az://{container}/{prefix}: no blobs match")
-    names = [n for n, _ in listed]
     columns = options.get("columns")
     first_name, first_size = listed[0]
     arrow_schema = pq.read_schema(RangeFile(client, container, first_name, first_size))
@@ -232,15 +237,25 @@ def read_az_parquet_distributed(spark, url: str, options: dict):
         arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
     spark_schema = from_arrow_schema(arrow_schema)
 
+    split_threshold = int(options.get("split_threshold_bytes", 128 * 1024 * 1024))
+    # task list: (name, size, row_group) — row_group -1 = whole blob
+    tasks: list[tuple[str, int, int]] = []
+    for name, size in listed:
+        if size >= split_threshold:
+            meta = pq.ParquetFile(RangeFile(client, container, name, size)).metadata
+            tasks.extend((name, size, g) for g in range(meta.num_row_groups))
+        else:
+            tasks.append((name, size, -1))
+
     # same fan-out contract as read_s3_parquet_distributed (r18):
     # cluster-parallelism default with a 64 floor, option override
     width = int(
         options.get("parallelism")
         or max(spark.sparkContext.defaultParallelism, 64)
     )
-    names_df = spark.createDataFrame(
-        [(n,) for n in names], "name string"
-    ).repartition(min(len(names), width))
+    tasks_df = spark.createDataFrame(
+        tasks, "name string, size long, row_group int"
+    ).repartition(min(len(tasks), width))
 
     def fetch(batches):
         import io as _io
@@ -249,17 +264,28 @@ def read_az_parquet_distributed(spark, url: str, options: dict):
 
         cl = AzBlobClient(**params)
         for batch in batches:
-            for name in batch.column(0).to_pylist():
-                b = _io.BytesIO()
-                with cl._request(f"/{container}/{name}", {}) as resp:
-                    while True:
-                        chunk = resp.read(1 << 20)
-                        if not chunk:
-                            break
-                        b.write(chunk)
-                b.seek(0)
-                table = _pq.read_table(b, columns=columns)
+            rows = zip(
+                batch.column(0).to_pylist(),
+                batch.column(1).to_pylist(),
+                batch.column(2).to_pylist(),
+            )
+            for name, size, group in rows:
+                if group < 0:
+                    b = _io.BytesIO()
+                    with cl._request(f"/{container}/{name}", {}) as resp:
+                        while True:
+                            chunk = resp.read(1 << 20)
+                            if not chunk:
+                                break
+                            b.write(chunk)
+                    b.seek(0)
+                    table = _pq.read_table(b, columns=columns)
+                else:
+                    # ranged reads: pyarrow seeks pull only this row
+                    # group's column chunks + footer blocks
+                    pf = _pq.ParquetFile(RangeFile(cl, container, name, size))
+                    table = pf.read_row_group(group, columns=columns)
                 table = table.select(arrow_schema.names).cast(arrow_schema)
                 yield from table.to_batches(max_chunksize=1 << 16)
 
-    return names_df.mapInArrow(fetch, schema=spark_schema)
+    return tasks_df.mapInArrow(fetch, schema=spark_schema)

@@ -310,3 +310,41 @@ class TestSpoolSubpathMirroring:
         d = spool_az("az://ct/tbl/", opts)
         assert open(os.path.join(d, "a", "0001.bin"), "rb").read() == b"from-a"
         assert open(os.path.join(d, "b", "0001.bin"), "rb").read() == b"from-b"
+
+class TestRowGroupSplitting:
+    def test_large_blob_splits_into_row_group_tasks(self, spark, tmp_path):
+        """A blob over split_threshold_bytes fans out one task per
+        parquet row group (r18 — parity with the S3 reader); result
+        equals the local read."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from strake_spark.sources.azblob import read_az_parquet_distributed
+
+        con = duckdb.connect()
+        con.execute(
+            "COPY (SELECT * FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet')) "
+            f"TO '{tmp_path}/li.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 10000)"
+        )
+        data = (tmp_path / "li.parquet").read_bytes()
+        n_groups = pq.ParquetFile(str(tmp_path / "li.parquet")).metadata.num_row_groups
+        assert n_groups > 1
+        srv = _FakeAz({"rg": {"w/li.parquet": data}})
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            opts = {
+                "azure_account": ACCOUNT,
+                "azure_account_key": KEY_B64,
+                "azure_endpoint": f"http://127.0.0.1:{srv.server_address[1]}",
+                "split_threshold_bytes": 1,  # force splitting
+            }
+            df = read_az_parquet_distributed(spark, "az://rg/w/", opts)
+            # one input partition per row-group task
+            assert df.rdd.getNumPartitions() == n_groups
+            got = df.toPandas()
+            want = spark.read.parquet(str(tmp_path / "li.parquet")).toPandas()
+            from tests.conftest import compare_frames
+
+            compare_frames(got, want)
+        finally:
+            srv.shutdown()
