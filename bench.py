@@ -344,7 +344,11 @@ def main() -> None:
         detail[name + "_end"] = d
         short = name.split("_")[1]  # tpch_q1_pricing_summary -> q1
         if d["med"] is not None:
-            queries_end[short] = d["med"]
+            # 2-decimal controls (r18): the three new pipeline_new keys
+            # pushed the final line past the 1900B guard; the control
+            # blocks adjudicate >=10% drifts, where 10 ms resolution is
+            # ample. Full 4-decimal numbers stay in the stderr detail.
+            queries_end[short] = round(d["med"], 2)
         print(f"# {name}_end: med={d['med']} runs={d['runs']}", file=sys.stderr)
     q1_end = queries_end.get("q1")
 
@@ -352,7 +356,7 @@ def main() -> None:
     # 4): the r15 rest block drifted +25-36% on untouched code in a
     # session whose start load was 6.95, and had no in-artifact control
     # to adjudicate it. Steady-state medians (2 iterations, warmup
-    # discarded) under the same short keys; 3-decimal rounding keeps
+    # discarded) under the same short keys; 2-decimal rounding keeps
     # the final line inside the tail budget.
     rest_end: dict[str, float] = {}
     for name, spec in sorted(inventory.REGISTRY.items()):
@@ -362,7 +366,7 @@ def main() -> None:
         detail[name + "_end"] = d
         short = name.split("_")[1]
         if d["med"] is not None:
-            rest_end[short] = round(d["med"], 3)
+            rest_end[short] = round(d["med"], 2)
         print(f"# {name}_end: med={d['med']} runs={d['runs']}", file=sys.stderr)
 
     # Full per-query run arrays/warmups — stderr, NEVER the final stdout
@@ -407,10 +411,10 @@ def main() -> None:
         # per-query with `queries` to separate real regressions from
         # session-position inflation
         "queries_end": queries_end,
-        "tpch_total_end": round(sum(queries_end.values()), 4),
+        "tpch_total_end": round(sum(queries_end.values()), 2),
         # steady-state medians for the rest block (r16): same contract
         "rest_end": rest_end,
-        "rest_total_end": round(sum(rest_end.values()), 3),
+        "rest_total_end": round(sum(rest_end.values()), 2),
     }
     if chaos is not None:
         out["chaos"] = {
