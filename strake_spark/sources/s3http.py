@@ -568,14 +568,28 @@ def _spool_objects(keys, spool: str, prefix: str, fetch) -> list[str]:
     else:
         anchor = prefix[: prefix.rfind("/") + 1] if "/" in prefix else ""
     root = os.path.realpath(spool)
-    fetched: list[str] = []
+    rels: list[tuple[str, str]] = []
     for key, _size in keys:
         if key.endswith("/"):
             continue  # a zero-byte "directory" marker object
         rel = key[len(anchor):] if key.startswith(anchor) else key
         rel = rel.lstrip("/")
-        if not rel:
-            continue
+        if rel:
+            rels.append((key, rel))
+    # an object store legally holds a key that is BOTH a leaf object
+    # and a directory prefix of another ("data/0" and "data/0/0") — a
+    # local filesystem cannot represent that; surface it loudly
+    # instead of the raw IsADirectory/FileExists crash (hypothesis
+    # found this, r18)
+    by_rel = sorted(rels, key=lambda kr: kr[1])
+    for (key, rel), (_, nxt) in zip(by_rel, by_rel[1:]):
+        if nxt.startswith(rel + "/"):
+            raise SourceError(
+                f"cannot mirror to a local spool: key {key!r} is both an "
+                "object and a directory prefix of another object"
+            )
+    fetched: list[str] = []
+    for key, rel in rels:
         dest = os.path.realpath(os.path.join(root, *rel.split("/")))
         # keys are untrusted remote strings: a ".." segment must not
         # escape the spool

@@ -794,3 +794,79 @@ class TestDistributedFanOutWidth:
             assert df2.rdd.getNumPartitions() == want
         finally:
             srv.shutdown()
+
+
+class TestSpoolMirrorPropertyBased:
+    def test_arbitrary_key_sets_never_collide_or_escape(self, tmp_path):
+        """Property: for arbitrary sets of distinct object keys under a
+        common prefix, the mirrored spool writes exactly one file per
+        key, byte-addressable at the mirrored path, all inside the
+        spool dir — no silent overwrite for ANY key shape (the r18
+        basename-collision class, generalized)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.sources.s3http import _spool_objects
+
+        seg = st.text(
+            st.characters(codec="utf-8", exclude_characters="/\x00",
+                          exclude_categories=("Cs", "Cc")),
+            min_size=1, max_size=8,
+        ).filter(lambda s: s not in (".", "..") and s.strip() == s and s.strip() != "")
+        key = st.lists(seg, min_size=1, max_size=4).map(lambda xs: "data/" + "/".join(xs))
+
+        def no_leaf_dir_conflict(keys):
+            # a key that is both an object and a directory prefix of
+            # another cannot exist on a local filesystem — that shape
+            # gets its own loud-SourceError test below
+            return not any(
+                o != k and o.startswith(k + "/") for k in keys for o in keys
+            )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            keys=st.lists(key, min_size=1, max_size=8, unique=True).filter(
+                no_leaf_dir_conflict
+            )
+        )
+        def run(keys):
+            import os
+            import tempfile
+
+            spool = tempfile.mkdtemp(dir=str(tmp_path))
+            written = {}
+
+            def fetch(k, dest):
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                with open(dest, "wb") as f:
+                    f.write(k.encode())
+                written[k] = dest
+
+            fetched = _spool_objects(
+                [(k, 1) for k in keys], spool, "data/", fetch
+            )
+            assert len(fetched) == len(keys)  # nothing dropped or merged
+            assert len(set(fetched)) == len(keys)  # no dest collisions
+            root = os.path.realpath(spool)
+            for k in keys:
+                dest = written[k]
+                assert os.path.realpath(dest).startswith(root + os.sep)
+                assert open(dest, "rb").read() == k.encode()
+
+        run()
+
+    def test_leaf_and_directory_conflict_is_loud(self, tmp_path):
+        """'data/0' and 'data/0/0' are both legal S3 keys but cannot
+        coexist on a local filesystem — the spool must raise a clear
+        SourceError, not IsADirectoryError/FileExists mid-fetch."""
+        import os
+
+        from strake_spark.sources.s3http import _spool_objects
+
+        def fetch(k, dest):  # pragma: no cover - must not be reached
+            raise AssertionError("fetch should not run on conflict")
+
+        with pytest.raises(SourceError, match="directory prefix"):
+            _spool_objects(
+                [("data/0", 1), ("data/0/0", 1)], str(tmp_path), "data/", fetch
+            )
