@@ -495,3 +495,94 @@ class TestSyntheticWavPayloads:
             assert row.peak == int(np.abs(s).max())
             assert row.sum_sq == int((s * s).sum())
             assert row.err is None
+
+
+class TestDecoderFuzz:
+    """The `err`-column contract, generalized: for ARBITRARY bytes —
+    random garbage or mutated valid payloads — the decoders raise only
+    the exception types the operators catch (ValueError/TypeError/
+    struct.error/zlib.error), never IndexError/MemoryError/etc. that
+    would kill an executor stage instead of landing in `err`."""
+
+    _CAUGHT = None  # set lazily to the operator's catch set
+
+    @classmethod
+    def _caught(cls):
+        if cls._CAUGHT is None:
+            import struct
+            import zlib
+
+            cls._CAUGHT = (ValueError, TypeError, struct.error, zlib.error)
+        return cls._CAUGHT
+
+    def test_decode_wav_arbitrary_bytes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.operators.multimodal import decode_wav
+
+        @settings(max_examples=120, deadline=None)
+        @given(b=st.binary(max_size=256))
+        def run(b):
+            try:
+                rate, frames = decode_wav(b)
+                assert rate >= 0 and frames.ndim == 2
+            except self._caught():
+                pass
+
+        run()
+
+    def test_decode_wav_mutated_valid_payload(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.operators.multimodal import decode_wav, encode_wav
+
+        base = encode_wav(np.arange(-50, 50, dtype=np.int16), 16000)
+
+        @settings(max_examples=120, deadline=None)
+        @given(
+            pos=st.integers(0, len(base) - 1),
+            val=st.integers(0, 255),
+            cut=st.integers(0, len(base)),
+        )
+        def run(pos, val, cut):
+            mutated = base[:pos] + bytes([val]) + base[pos + 1:]
+            for payload in (mutated, base[:cut]):
+                try:
+                    rate, frames = decode_wav(payload)
+                    assert rate >= 0 and frames.ndim == 2
+                except self._caught():
+                    pass
+
+        run()
+
+    def test_decode_png_arbitrary_and_mutated(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.operators.multimodal import decode_png, encode_png
+
+        base = encode_png(
+            np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+        )
+
+        @settings(max_examples=120, deadline=None)
+        @given(
+            junk=st.binary(max_size=128),
+            pos=st.integers(0, len(base) - 1),
+            val=st.integers(0, 255),
+            cut=st.integers(0, len(base)),
+        )
+        def run(junk, pos, val, cut):
+            mutated = base[:pos] + bytes([val]) + base[pos + 1:]
+            for payload in (junk, mutated, base[:cut]):
+                try:
+                    img = decode_png(payload)
+                    assert img.ndim == 3
+                except self._caught():
+                    pass
+
+        run()
