@@ -248,6 +248,11 @@ def _encode_int(value: int, prefix_bits: int, flags: int = 0) -> bytes:
 
 
 def _decode_int(buf: bytes, pos: int, prefix_bits: int) -> tuple[int, int]:
+    if pos >= len(buf):
+        # bounds-checked (r18): a truncated header block from a buggy
+        # or malicious peer must be a loud protocol error, not a raw
+        # IndexError out of the wire client
+        raise SourceError("HPACK truncated integer")
     limit = (1 << prefix_bits) - 1
     value = buf[pos] & limit
     pos += 1
@@ -255,6 +260,8 @@ def _decode_int(buf: bytes, pos: int, prefix_bits: int) -> tuple[int, int]:
         return value, pos
     shift = 0
     while True:
+        if pos >= len(buf):
+            raise SourceError("HPACK truncated integer")
         b = buf[pos]
         pos += 1
         value += (b & 0x7F) << shift
@@ -297,8 +304,14 @@ class HpackDecoder:
         raise SourceError(f"HPACK index {index} out of range")
 
     def _read_string(self, buf: bytes, pos: int) -> tuple[str, int]:
+        if pos >= len(buf):
+            raise SourceError("HPACK truncated string")
         huffman = bool(buf[pos] & 0x80)
         length, pos = _decode_int(buf, pos, 7)
+        if pos + length > len(buf):
+            # a declared length past the block end previously decoded a
+            # silently SHORTENED string — silent-wrong header values
+            raise SourceError("HPACK string length exceeds header block")
         raw = buf[pos : pos + length]
         pos += length
         if huffman:
@@ -331,7 +344,16 @@ class HpackDecoder:
                 self._evict()
                 headers.append((name, value))
             elif b & 0x20:  # dynamic table size update
-                self.max_size, pos = _decode_int(buf, pos, 5)
+                size, pos = _decode_int(buf, pos, 5)
+                # RFC 7541 §6.3: the peer may only shrink-or-restore up
+                # to the limit WE advertise — a huge value would disable
+                # eviction and let a malicious peer grow the dynamic
+                # table without bound (r18)
+                if size > 65536:
+                    raise SourceError(
+                        f"HPACK size update {size} exceeds advertised limit"
+                    )
+                self.max_size = size
                 self._evict()
             else:  # literal without indexing (0000) / never indexed (0001)
                 index, pos = _decode_int(buf, pos, 4)

@@ -1,0 +1,67 @@
+"""HPACK decoder fuzz + negative-path tests (r18): the header block
+arrives from an untrusted network peer — every malformation must be
+a SourceError, never a raw IndexError or a silently shortened
+string. Transport/protocol tests live in
+test_source_grpc_transport.py."""
+
+from __future__ import annotations
+
+
+class TestHpackFuzz:
+    """Wire-client robustness: header blocks from the network are
+    untrusted. Arbitrary bytes must decode to headers or raise
+    SourceError — never IndexError — and the encode->decode roundtrip
+    is the identity for arbitrary header lists."""
+
+    def test_arbitrary_header_blocks_never_raise_raw_errors(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.h2grpc import HpackDecoder
+
+        @settings(max_examples=200, deadline=None)
+        @given(buf=st.binary(max_size=64))
+        def run(buf):
+            try:
+                headers = HpackDecoder().decode(buf)
+                assert all(isinstance(n, str) and isinstance(v, str)
+                           for n, v in headers)
+            except SourceError:
+                pass
+
+        run()
+
+    def test_encode_decode_roundtrip_arbitrary_headers(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.sources.h2grpc import HpackDecoder, encode_headers
+
+        text = st.text(
+            st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=20,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(headers=st.lists(st.tuples(text, text), max_size=6))
+        def run(headers):
+            assert HpackDecoder().decode(encode_headers(headers)) == headers
+
+        run()
+
+    def test_truncated_and_oversized_strings_are_loud(self):
+        import pytest
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.h2grpc import HpackDecoder
+
+        # literal never-indexed, new name, declared length 10, 2 bytes
+        with pytest.raises(SourceError, match="length exceeds"):
+            HpackDecoder().decode(b"\x10\x0aab")
+        # truncated varint continuation
+        with pytest.raises(SourceError, match="truncated integer"):
+            HpackDecoder().decode(b"\xff\x80")
+        # size update past the advertised limit
+        with pytest.raises(SourceError, match="advertised limit"):
+            HpackDecoder().decode(b"\x3f\xe1\xff\x07")  # 5-bit prefix varint ~128k
