@@ -81,22 +81,32 @@ def _native_password_token(password: str, scramble: bytes) -> bytes:
 
 
 def _read_lenenc_int(buf: bytes, pos: int) -> tuple[int | None, int]:
+    # bounds-checked (r18): packet bytes come from an untrusted server;
+    # a truncated packet must raise a clear SourceError, not a raw
+    # IndexError/struct.error — and int.from_bytes over a SHORT slice
+    # would silently return a wrong value
+    if pos >= len(buf):
+        raise SourceError("mysql packet: truncated length-encoded integer")
     first = buf[pos]
     if first < 0xFB:
         return first, pos + 1
     if first == 0xFB:
         return None, pos + 1  # NULL marker in row data
-    if first == 0xFC:
-        return struct.unpack("<H", buf[pos + 1:pos + 3])[0], pos + 3
-    if first == 0xFD:
-        return int.from_bytes(buf[pos + 1:pos + 4], "little"), pos + 4
-    return struct.unpack("<Q", buf[pos + 1:pos + 9])[0], pos + 9
+    width = {0xFC: 2, 0xFD: 3, 0xFE: 8, 0xFF: 8}[first]
+    end = pos + 1 + width
+    if end > len(buf):
+        raise SourceError("mysql packet: truncated length-encoded integer")
+    return int.from_bytes(buf[pos + 1:end], "little"), end
 
 
 def _read_lenenc_str(buf: bytes, pos: int) -> tuple[bytes | None, int]:
     n, pos = _read_lenenc_int(buf, pos)
     if n is None:
         return None, pos
+    if pos + n > len(buf):
+        # a declared length past the packet end previously returned a
+        # silently SHORTENED cell value
+        raise SourceError("mysql packet: string length exceeds packet")
     return buf[pos:pos + n], pos + n
 
 

@@ -259,10 +259,18 @@ class PgWireConnection:
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 
+    # Frame-length sanity bound (r18): the v3 length field is signed
+    # int32 from an untrusted peer — a corrupt value must not make the
+    # client wait on (or allocate) gigabytes. Real row batches stay
+    # far below this; bump if a deployment truly ships larger frames.
+    _MAX_FRAME = 512 * 1024 * 1024
+
     def _read_message(self) -> tuple[bytes, bytes]:
         head = self._recv_exact(5)
         mtype = head[:1]
         (length,) = struct.unpack(">i", head[1:5])
+        if length < 4 or length - 4 > self._MAX_FRAME:
+            raise SourceError(f"postgres frame length {length} out of range")
         payload = self._recv_exact(length - 4)
         return mtype, payload
 
@@ -387,11 +395,18 @@ class PgWireConnection:
 
     @staticmethod
     def _parse_row_description(payload: bytes) -> list[_Field]:
+        # bounds-checked (r18): message bytes come from an untrusted
+        # server — truncation must be a clear SourceError, not a raw
+        # struct.error/ValueError
+        if len(payload) < 2:
+            raise SourceError("postgres RowDescription: truncated")
         (n,) = struct.unpack(">h", payload[:2])
         pos = 2
         out = []
-        for _ in range(n):
-            end = payload.index(b"\0", pos)
+        for _ in range(max(n, 0)):
+            end = payload.find(b"\0", pos)
+            if end < 0 or end + 19 > len(payload):
+                raise SourceError("postgres RowDescription: truncated field")
             name = payload[pos:end].decode()
             pos = end + 1
             _table_oid, _attnum, type_oid, _typlen, typmod, _fmt = struct.unpack(
@@ -403,14 +418,22 @@ class PgWireConnection:
 
     @staticmethod
     def _parse_raw_row(payload: bytes) -> list[bytes | None]:
+        if len(payload) < 2:
+            raise SourceError("postgres DataRow: truncated")
         (n,) = struct.unpack(">h", payload[:2])
         pos = 2
         vals: list[bytes | None] = []
-        for _ in range(n):
+        for _ in range(max(n, 0)):
+            if pos + 4 > len(payload):
+                raise SourceError("postgres DataRow: truncated cell header")
             (length,) = struct.unpack(">i", payload[pos:pos + 4])
             pos += 4
             if length == -1:
                 vals.append(None)
+            elif length < 0 or pos + length > len(payload):
+                # a declared length past the message end previously
+                # returned a silently SHORTENED cell value
+                raise SourceError("postgres DataRow: cell length out of range")
             else:
                 vals.append(payload[pos:pos + length])
                 pos += length

@@ -522,3 +522,60 @@ class TestMalformedServer:
                                     user="u", password="p", timeout=3.0)
         finally:
             srv.shutdown()
+
+
+class TestLenencFuzz:
+    """Packet-parser robustness (r18): length-encoded ints/strings come
+    from an untrusted server — truncations must be SourceError, never a
+    raw IndexError/struct.error or a silently shortened value."""
+
+    def test_arbitrary_buffers_decode_or_raise_source_error(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.mysqlwire import (
+            _read_lenenc_int,
+            _read_lenenc_str,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(buf=st.binary(max_size=32), pos=st.integers(0, 32))
+        def run(buf, pos):
+            for fn in (_read_lenenc_int, _read_lenenc_str):
+                try:
+                    val, newpos = fn(buf, pos)
+                    assert 0 <= newpos <= len(buf)
+                except SourceError:
+                    pass
+
+        run()
+
+    def test_lenenc_roundtrip_all_widths(self):
+        from strake_spark.sources.mysqlwire import _read_lenenc_int
+
+        for val, enc in [
+            (5, b"\x05"),
+            (251, b"\xfc\xfb\x00"),
+            (65535, b"\xfc\xff\xff"),
+            (1 << 20, b"\xfd\x00\x00\x10"),
+            (1 << 40, b"\xfe" + (1 << 40).to_bytes(8, "little")),
+        ]:
+            got, pos = _read_lenenc_int(enc + b"tail", 0)
+            assert got == val and pos == len(enc)
+
+    def test_truncated_and_oversized_are_loud(self):
+        import pytest
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.mysqlwire import (
+            _read_lenenc_int,
+            _read_lenenc_str,
+        )
+
+        with pytest.raises(SourceError, match="truncated"):
+            _read_lenenc_int(b"\xfc\x01", 0)  # 2-byte int, 1 byte present
+        with pytest.raises(SourceError, match="truncated"):
+            _read_lenenc_int(b"", 0)
+        with pytest.raises(SourceError, match="exceeds packet"):
+            _read_lenenc_str(b"\x0aab", 0)  # declared 10, 2 present

@@ -563,3 +563,49 @@ class TestMalformedServer:
                                  user="u", password="p", timeout=3.0)
         finally:
             srv.shutdown()
+
+
+class TestMessageParserFuzz:
+    """v3 message-parser robustness (r18): RowDescription/DataRow bytes
+    come from an untrusted server — truncations and hostile lengths
+    must raise SourceError, never raw struct.error or silently
+    shortened cells."""
+
+    def test_arbitrary_payloads_parse_or_raise_source_error(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.pgwire import PgWireConnection
+
+        @settings(max_examples=200, deadline=None)
+        @given(payload=st.binary(max_size=48))
+        def run(payload):
+            for fn in (
+                PgWireConnection._parse_row_description,
+                PgWireConnection._parse_raw_row,
+            ):
+                try:
+                    fn(payload)
+                except SourceError:
+                    pass
+
+        run()
+
+    def test_truncated_and_hostile_lengths_are_loud(self):
+        import pytest
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.pgwire import PgWireConnection
+
+        with pytest.raises(SourceError, match="truncated"):
+            PgWireConnection._parse_raw_row(b"\x00")
+        # one cell declaring 100 bytes with 2 present
+        with pytest.raises(SourceError, match="out of range"):
+            PgWireConnection._parse_raw_row(b"\x00\x01\x00\x00\x00\x64ab")
+        # negative length other than the -1 NULL marker
+        with pytest.raises(SourceError, match="out of range"):
+            PgWireConnection._parse_raw_row(b"\x00\x01\xff\xff\xff\xfe")
+        # RowDescription whose name never terminates
+        with pytest.raises(SourceError, match="truncated field"):
+            PgWireConnection._parse_row_description(b"\x00\x01abc")
