@@ -102,13 +102,22 @@ def ssh_namelist(names: list[bytes]) -> bytes:
 
 
 class Reader:
-    """Sequential reader over one SSH message payload."""
+    """Sequential reader over one SSH message payload. Bounds-checked
+    (r18): payload bytes come from an untrusted peer — truncation must
+    be a clear SourceError, not a raw IndexError/struct.error, and a
+    string length declared past the message end must not yield a
+    silently SHORTENED value."""
 
     def __init__(self, buf: bytes) -> None:
         self.buf = buf
         self.pos = 0
 
+    def _need(self, n: int) -> None:
+        if self.pos + n > len(self.buf):
+            raise SourceError("ssh message truncated")
+
     def byte(self) -> int:
+        self._need(1)
         b = self.buf[self.pos]
         self.pos += 1
         return b
@@ -117,17 +126,20 @@ class Reader:
         return self.byte() != 0
 
     def uint32(self) -> int:
+        self._need(4)
         v = struct.unpack_from(">I", self.buf, self.pos)[0]
         self.pos += 4
         return v
 
     def uint64(self) -> int:
+        self._need(8)
         v = struct.unpack_from(">Q", self.buf, self.pos)[0]
         self.pos += 8
         return v
 
     def string(self) -> bytes:
         n = self.uint32()
+        self._need(n)
         s = self.buf[self.pos : self.pos + n]
         self.pos += n
         return s
@@ -267,6 +279,8 @@ class SshTransport:
             total = struct.unpack(">I", head)[0]
             if total > 1 << 20:
                 raise SourceError("ssh packet too large")
+            if total < 1:
+                raise SourceError("ssh packet length invalid")
             packet = head + self._recv_exact(total)
         pad_len = packet[4]
         payload = packet[5 : 5 + (len(packet) - 5 - pad_len)]

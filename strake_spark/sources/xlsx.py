@@ -60,9 +60,23 @@ def _col_index(ref: str) -> int:
     return n - 1
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _loud_workbook(path: str):
+    """Convert corrupt-file failures into SourceError (r18): a
+    non-OOXML or truncated file previously escaped as a raw
+    zipfile.BadZipFile / KeyError / xml ParseError."""
+    try:
+        yield
+    except (zipfile.BadZipFile, KeyError, ET.ParseError) as e:
+        raise SourceError(f"{path}: not a readable xlsx workbook: {e}") from e
+
+
 def sheet_names(path: str) -> list[str]:
     """Worksheet names in workbook order."""
-    with zipfile.ZipFile(path) as z:
+    with _loud_workbook(path), zipfile.ZipFile(path) as z:
         wb = ET.fromstring(z.read("xl/workbook.xml"))
     return [
         s.get("name") or f"sheet{i + 1}"
@@ -129,7 +143,7 @@ def _cell_value(c, strings: list[str]):
 def read_sheet(path: str, sheet: str | None = None, header: bool = True):
     """(column_names, rows) for one worksheet. Rows are dense lists
     aligned to the widest row; missing cells are None."""
-    with zipfile.ZipFile(path) as z:
+    with _loud_workbook(path), zipfile.ZipFile(path) as z:
         targets = _sheet_targets(z)
         if sheet is None:
             if not targets:

@@ -678,3 +678,44 @@ class TestHostKeyPolicy:
         with pytest.raises(SourceError, match="not pinned"):
             connect_sftp("127.0.0.1", server.port, "u", "secret")
         assert list(getattr(server, "auth_attempts", [])) == before
+
+
+class TestReaderFuzz:
+    """SSH message Reader robustness (r18): untrusted payload bytes —
+    truncations are SourceError, never IndexError/struct.error, and a
+    string length past the message end never yields a shortened
+    value."""
+
+    def test_arbitrary_read_sequences_are_loud_or_correct(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.sshwire import Reader
+
+        ops = st.sampled_from(["byte", "boolean", "uint32", "uint64", "string"])
+
+        @settings(max_examples=200, deadline=None)
+        @given(buf=st.binary(max_size=32), seq=st.lists(ops, max_size=6))
+        def run(buf, seq):
+            r = Reader(buf)
+            try:
+                for op in seq:
+                    out = getattr(r, op)()
+                    if op == "string":
+                        assert isinstance(out, bytes)
+                    assert r.pos <= len(buf)
+            except SourceError:
+                pass
+
+        run()
+
+    def test_string_declared_past_end_is_loud(self):
+        import pytest
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.sshwire import Reader
+
+        r = Reader(b"\x00\x00\x00\x0aab")  # declares 10, has 2
+        with pytest.raises(SourceError, match="truncated"):
+            r.string()

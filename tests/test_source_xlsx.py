@@ -173,3 +173,31 @@ class TestSparkViews:
                 {"sources": [{"name": "nx", "type": "xlsx", "url": "/no/such.xlsx"}]},
                 spark=spark,
             )
+
+
+class TestCorruptWorkbooks:
+    """Corrupt or non-OOXML files must raise SourceError, not raw
+    zipfile/XML errors (r18)."""
+
+    def test_garbage_and_truncated_files_are_loud(self, tmp_path):
+        import zipfile
+
+        import pytest
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.xlsx import read_sheet, sheet_names
+
+        garbage = tmp_path / "g.xlsx"
+        garbage.write_bytes(b"not a zip at all")
+        zip_no_workbook = tmp_path / "z.xlsx"
+        with zipfile.ZipFile(zip_no_workbook, "w") as z:
+            z.writestr("hello.txt", "hi")
+        bad_xml = tmp_path / "x.xlsx"
+        with zipfile.ZipFile(bad_xml, "w") as z:
+            z.writestr("xl/workbook.xml", "<not-closed")
+            z.writestr("xl/_rels/workbook.xml.rels", "<Relationships/>")
+        for path in (garbage, zip_no_workbook, bad_xml):
+            with pytest.raises(SourceError, match="not a readable xlsx"):
+                sheet_names(str(path))
+            with pytest.raises(SourceError, match="not a readable xlsx"):
+                read_sheet(str(path))
