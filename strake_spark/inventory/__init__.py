@@ -91,12 +91,21 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # legacy 3-scan filter/agg/join shape — the r17 verdict's only weak
 # mark. multimodal_decode_features — the per-BYTE Python loop inside
 # its Arrow batch became np.bincount over the byte lane (~100x on
-# multi-MB payloads; identical integers). Both re-verified
+# multi-MB payloads; identical integers). dedup_simhash_near_pairs —
+# pair expansion split into _near_pairs_from_sig (pure extraction,
+# same plan). dedup_duplicate_clusters — scoped signature cache (the
+# old persist=False path computed the tokenize+48-bit relation
+# TWICE), propagation restricted to edge nodes (isolated docs join
+# back in one anti-join), pointer doubling (O(log diameter) rounds,
+# 7 -> 4 at sf0.1), and a decimal monotone-sum convergence witness
+# replacing the per-round join+count. All four re-verified
 # oracle-identical at sf0.001/0.01 AND under a driver-style
-# plain-sort canonicalizer at sf0.01.
+# plain-sort canonicalizer at sf0.01; all were already in-window.
 _REWRITTEN: tuple[str, ...] = (
     "events_funnel_conversion",
     "multimodal_decode_features",
+    "dedup_simhash_near_pairs",
+    "dedup_duplicate_clusters",
 )
 
 _PRIORITY: tuple[str, ...] = (
@@ -112,12 +121,17 @@ _PRIORITY: tuple[str, ...] = (
     "source_sqlite_partitioned_roundtrip",
     "source_rest_paginated_roundtrip",
     "source_gs_interop_roundtrip",
-    # (b) rewritten this round (2): the funnel one-scan swap + the
-    # vectorized feature histogram — both carried r14 evidence anyway
+    # (b) rewritten this round (4): the funnel one-scan swap, the
+    # vectorized feature histogram, and the two simhash-dedup rows
+    # (helper extraction + the cluster-propagation restructure) — all
+    # four carried r14 evidence anyway
     "events_funnel_conversion",
     "multimodal_decode_features",
-    # (c) oldest evidence: the 39 remaining r14 rows in registration
-    # order, then the 9 oldest r15 rows to saturate the window
+    "dedup_simhash_near_pairs",
+    "dedup_duplicate_clusters",
+    # (c) oldest evidence: the 37 remaining r14 rows in registration
+    # order (the two dedup rows above were r14 too — rewritten, so
+    # they sit in tier (b); window membership is unchanged)
     "tpch_q10_returned_items",
     "tpch_q9_product_profit",
     "tpch_q13_customer_distribution",
@@ -149,8 +163,6 @@ _PRIORITY: tuple[str, ...] = (
     "expr_datetime_functions",
     "expr_conditional_null",
     "expr_cast_matrix",
-    "dedup_simhash_near_pairs",
-    "dedup_duplicate_clusters",
     "embedding_quantize_int8",
     "text_repetition_score",
     "dedup_corpus_keep_first",
