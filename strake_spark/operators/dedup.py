@@ -777,3 +777,104 @@ def substring_dup_stats(
         )
         .filter(F.col("dup_grams") > 0)
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 40,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the 10^9+-edge upgrade path that
+    :func:`duplicate_clusters`' docstring promises (r18: now real).
+
+    Why it scales past min-label propagation: label propagation does
+    O(component diameter) rounds, each joining the FULL edge set
+    against the label table. Star contraction converges in
+    O(log diameter) rounds AND shrinks the edge set geometrically as
+    stars collapse — each round's work decreases, and per-node
+    neighborhoods never need to fit in memory (both steps are plain
+    groupBy aggregations + joins).
+
+    - large-star: every node attaches its strictly-LARGER neighbors to
+      the minimum of its closed neighborhood.
+    - small-star: orient each edge toward the larger endpoint; every
+      node attaches its smaller-or-equal neighbors (and itself) to the
+      neighborhood minimum.
+
+    Input: an edge relation (any orientation, self-loops tolerated).
+    Output: ``(id, component)`` for every node that APPEARS in an edge
+    — component = the minimum node id in its connected component
+    (identical contract to the propagation loop; isolated nodes are the
+    caller's to union back, as :func:`duplicate_clusters` does).
+
+    Convergence witness: both steps only ever REPLACE an edge's far
+    endpoint with a smaller label, so the decimal sum of all endpoint
+    ids is non-increasing and the edge COUNT is stable at the star
+    fixpoint — equal (count, sum) across a round means the multiset is
+    unchanged (sum cannot collide under monotone non-increase: any
+    change strictly decreases it).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _stats(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("a") + F.col("b")).cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return row["n"], row["s"]
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        sym = df.unionAll(df.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        m = m.select("a", F.least("mn", "a").alias("m"))
+        return (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # orient toward the larger endpoint: (big, small)
+        o = df.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        m = o.groupBy("a").agg(F.min("b").alias("m"))
+        attach = o.join(m, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
+        self_edge = m.select(F.col("a"), F.col("m").alias("b"))
+        return (
+            attach.unionAll(self_edge)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    prev = _stats(e)
+    converged = False
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _stats(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "rounds — labels would be partial (split components)."
+        )
+    # at the star fixpoint every edge is (node, component-min); the
+    # roots themselves appear only on the b side
+    nodes = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    roots = e.select(F.col("b").alias("id"), F.col("b").alias("component")).distinct()
+    return nodes.unionAll(roots).groupBy("id").agg(
+        F.min("component").alias("component")
+    )

@@ -111,3 +111,86 @@ def test_cross_corpus_empty_sides(spark):
     assert cross_corpus_exact(empty, docs).count() == 0
     out = cross_corpus_exact(docs, empty).collect()
     assert len(out) == 1 and out[0].in_ref is False
+
+
+class TestStarContraction:
+    """connected_components_star (r18): the 10^9-edge upgrade path the
+    duplicate_clusters docstring promises — property-pinned equal to a
+    plain union-find ground truth on arbitrary random graphs."""
+
+    def test_random_graphs_match_union_find(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.operators.dedup import connected_components_star
+
+        def union_find(n_nodes_edges):
+            edges = n_nodes_edges
+            parent = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            return {x: find(x) for x in parent}
+
+        edge = st.tuples(st.integers(0, 30), st.integers(0, 30))
+
+        @settings(max_examples=12, deadline=None)
+        @given(edges=st.lists(edge, min_size=1, max_size=40))
+        def run(edges):
+            real = [(a, b) for a, b in edges if a != b]
+            if not real:
+                return
+            sdf = spark.createDataFrame(real, "src long, dst long")
+            got = {
+                r["id"]: r["component"]
+                for r in connected_components_star(sdf).collect()
+            }
+            want = union_find(real)
+            assert got == want
+
+        run()
+
+    def test_matches_propagation_on_documents(self, spark):
+        """Star contraction over the SAME SimHash edge graph yields the
+        identical clustering that the oracled propagation entry
+        produces (restricted to non-isolated docs)."""
+        from pyspark.sql import functions as F
+
+        from strake_spark.data import table
+        from strake_spark.operators import dedup as D
+
+        docs = table(spark, "/root/testdata/sf0.001", "documents")
+        edges = D.simhash_near_pairs(docs)
+        star = D.connected_components_star(
+            edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        ).toPandas().set_index("id")["component"].to_dict()
+        prop = (
+            D.duplicate_clusters(docs)
+            .toPandas()
+            .set_index("doc_id")["cluster_id"]
+            .to_dict()
+        )
+        spark.catalog.clearCache()
+        assert star  # the synthetic corpus has near-dups
+        for doc, comp in star.items():
+            assert prop[doc] == comp
+
+    def test_chain_converges_in_log_rounds(self, spark):
+        """A 64-node path graph (diameter 63) — propagation would need
+        ~63 rounds; star contraction finishes well inside 12."""
+        from strake_spark.operators.dedup import connected_components_star
+
+        chain = [(i, i + 1) for i in range(63)]
+        sdf = spark.createDataFrame(chain, "src long, dst long")
+        got = connected_components_star(sdf, max_iterations=12).collect()
+        assert all(r["component"] == 0 for r in got)
+        assert len(got) == 64
