@@ -504,10 +504,11 @@ def duplicate_clusters(
     (symmetric edge join + groupBy min), converging in O(component
     diameter) rounds. Near-dup clusters are shallow (boilerplate
     families, version chains), so this converges in a handful of
-    rounds; production graph dedup at 10^9+ edges upgrades to the
-    alternating large-star/small-star algorithm with the same
-    per-round join shape. Labels are localCheckpoint'ed per round so
-    lineage doesn't grow with iterations.
+    rounds; production graph dedup at 10^9+ edges upgrades to
+    :func:`connected_components_star` (alternating large-star /
+    small-star — REAL in this module as of r18, property-pinned equal
+    to this function's clustering). Labels are localCheckpoint'ed per
+    round so lineage doesn't grow with iterations.
 
     Scale shape (r18 restructure; same-session A/B at sf0.1: 7.9 s ->
     6.8 s, propagation rounds 7 -> 4 — the structural wins below
