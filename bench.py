@@ -369,6 +369,26 @@ def main() -> None:
             rest_end[short] = round(d["med"], 2)
         print(f"# {name}_end: med={d['med']} runs={d['runs']}", file=sys.stderr)
 
+    # End-of-session replay of the PIPELINE block (r18): the TPC-H
+    # blocks had end-replay controls since r15/r16, but pipeline drift
+    # had nothing to adjudicate against — an r18 same-box A/B showed
+    # ~+20% environmental inflation on pipeline keys that the artifact
+    # could not distinguish from regression. Tail budget affords ONE
+    # number; per-key *_end medians go to the stderr detail line.
+    pipeline_end_sum = 0.0
+    _pipeline_end_specs = [
+        (n, inventory.REGISTRY[n]) for n in PIPELINE_QUERIES if n in inventory.REGISTRY
+    ] + [
+        ("ann_embedding_neardup_t09", _Spec("ann_embedding_neardup_t09", _neardup_t09)),
+        ("curation_knn_lsh", _Spec("curation_knn_lsh", _knn_lsh)),
+    ]
+    for name, spec in _pipeline_end_specs:
+        d, _ = _run(spec, spark, sf_dir, 2, chaos)
+        detail[name + "_end"] = d
+        if d["med"] is not None:
+            pipeline_end_sum += d["med"]
+        print(f"# {name}_end: med={d['med']}", file=sys.stderr)
+
     # Full per-query run arrays/warmups — stderr, NEVER the final stdout
     # line (driver tail contract; see module docstring).
     print("# detail " + json.dumps(detail), file=sys.stderr)
@@ -396,7 +416,6 @@ def main() -> None:
         "tpch22_total": round(sum(times.values()) + sum(tpch_rest.values()), 4),
         "iterations": max(1, iters),
         "iterations_rest": max(1, iters_rest),
-        "warmup_discarded": True,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "startup_sec": round(startup, 2),
         # one untimed pass of the whole headline block before timing
@@ -415,6 +434,10 @@ def main() -> None:
         # steady-state medians for the rest block (r16): same contract
         "rest_end": rest_end,
         "rest_total_end": round(sum(rest_end.values()), 2),
+        # steady-state TOTAL for the pipeline block (r18) — compare
+        # with pipeline_total to adjudicate environmental drift;
+        # per-key *_end medians live in the stderr detail line
+        "pipeline_total_end": round(pipeline_end_sum, 2),
     }
     if chaos is not None:
         out["chaos"] = {
