@@ -447,7 +447,10 @@ def main() -> None:
                 1 for e in chaos.events if e["status"] == "CIRCUIT_OPEN"
             ),
         }
-    line = json.dumps(out)
+    # compact separators (r18): default json.dumps spends one space per
+    # delimiter — ~190 B across this dict, a tenth of the whole tail
+    # budget, for nothing a parser needs
+    line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1900, f"final JSON line {len(line)}B breaks the tail contract"
     print(line)
     spark.stop()

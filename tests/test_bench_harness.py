@@ -64,22 +64,32 @@ class TestTailContract:
         loses the headline medians). Build a worst-case-shaped final
         dict — every query at a 4-digit median — and assert the line
         stays under the budget bench.py asserts at runtime."""
+        from bench import PIPELINE_NEW
+
         queries = {q: 12.3456 for q in BENCH_QUERIES}
         pipeline = {q: 12.3456 for q in PIPELINE_QUERIES}
         pipeline["ann_embedding_neardup_t09"] = 12.3456
+        pipeline["curation_knn_lsh"] = 12.3456
         rest = {f"q{i}": 12.3456 for i in (2, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 19, 20, 21, 22)}
         out = {
+            # mirrors main()'s out dict key-for-key (r18 shape), every
+            # median at worst-case digit width for its rounding
             "metric": "tpch_total", "value": 86.4192, "unit": "sec",
             "tpch_total_5q": 61.728, "queries": queries,
-            "pipeline": pipeline, "pipeline_total": 123.456,
-            "tpch_rest": rest, "tpch_rest_total": 185.184,
+            "pipeline": pipeline, "pipeline_total": 123.4567,
+            "pipeline_new": {short: 12.345 for short, _ in PIPELINE_NEW},
+            "tpch_rest": rest, "tpch_rest_total": 185.1845,
             "tpch22_total": 271.6032, "iterations": 4,
-            "iterations_rest": 2, "warmup_discarded": True,
-            "sf": 0.1, "startup_sec": 10.15,
-            "load_avg": [12.34, 12.34], "q1_end": 12.3456,
+            "iterations_rest": 2,
+            "sf": 0.1, "startup_sec": 10.15, "block_warmup_sec": 11.26,
+            "load_avg": [12.34, 12.34], "q1_end": 12.34,
             # r15: end-of-session replay of the full headline block
-            "queries_end": {f"q{i}": 12.3456 for i in (1, 3, 4, 5, 6, 10, 18)},
-            "tpch_total_end": 86.4192,
+            "queries_end": {f"q{i}": 12.34 for i in (1, 3, 4, 5, 6, 10, 18)},
+            "tpch_total_end": 86.42,
+            "rest_end": {k: 12.34 for k in rest},
+            "rest_total_end": 185.18,
+            "pipeline_total_end": 123.46,
             "chaos": {"prob": 0.25, "injected": 9, "circuit_open": 3},
         }
-        assert len(json.dumps(out)) < 1900
+        # compact separators, exactly as bench.py emits (r18)
+        assert len(json.dumps(out, separators=(",", ":"))) < 1900
