@@ -19,6 +19,7 @@ from strake_spark.streaming.ops import (  # noqa: F401
     hopping_counts,
     read_event_stream,
     session_counts,
+    stream_funnel,
     tumbling_counts,
     user_running_totals,
     view_purchase_join,

@@ -303,3 +303,96 @@ def enrich_with_dim(
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(dim), on, how)
+
+
+_FUNNEL_OUT_SCHEMA = (
+    "user_id LONG, signup_ts TIMESTAMP, first_purchase_ts TIMESTAMP, "
+    "converted BOOLEAN"
+)
+_FUNNEL_STATE_SCHEMA = (
+    "signup_ts TIMESTAMP, valid_purchase_ts TIMESTAMP, min_purchase_ts TIMESTAMP"
+)
+
+
+def stream_funnel(
+    events: DataFrame,
+    first_type: str = "signup",
+    then_type: str = "purchase",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming two-step funnel — the stateful twin of
+    ``operators/relational.funnel_two_step`` (r18): per user, the first
+    ``first_type`` event and the first ``then_type`` event at or after
+    it, updated per micro-batch in GroupState.
+
+    State per user is three timestamps (bounded, no event buffering):
+    earliest signup seen, earliest purchase known valid under it, and
+    the earliest purchase OVERALL. Within one micro-batch the update is
+    exact (full batch semantics over the batch's events merged with
+    state). Across batches, signups only ever move EARLIER; the
+    min-overall purchase lets the operator recover the exact answer
+    whenever that purchase becomes valid under a newly-earlier signup.
+    The one irrecoverable shape — a purchase from an old batch that was
+    neither the overall minimum nor valid under the then-known signup,
+    made valid by a later, earlier signup — would need event-time
+    buffering with watermark eviction; one-pass funnels accept this,
+    and a single-batch replay (the test/backfill path) is exact.
+
+    Emits one row per user with a signup, every batch that touches the
+    user (update mode)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        signup, valid, overall = (
+            state.get if state.exists else (None, None, None)
+        )
+
+        def _min(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return min(a, b)
+
+        for pdf in pdfs:
+            s = pdf.loc[pdf["event_type"] == first_type, "ts"]
+            p = pdf.loc[pdf["event_type"] == then_type, "ts"]
+            if len(s):
+                signup = _min(signup, s.min())
+            if len(p):
+                overall = _min(overall, p.min())
+                if signup is not None:
+                    after = p[p >= signup]
+                    if len(after):
+                        valid = _min(valid, after.min())
+        # a newly-earlier signup can make the overall-min purchase valid
+        # (valid itself never goes stale: signups only move earlier, so
+        # anything >= an old signup is >= the new one too)
+        if signup is not None and overall is not None and overall >= signup:
+            valid = _min(valid, overall)
+        state.update((signup, valid, overall))
+        if signup is None:
+            return  # no funnel entry yet - keep state, emit nothing
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "signup_ts": [signup],
+                "first_purchase_ts": [valid],
+                "converted": [valid is not None],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

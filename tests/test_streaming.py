@@ -534,3 +534,60 @@ class TestNanosSessionOptIn:
         stream = read_event_stream(spark, nanos_dir)
         rows = run_to_completion(stream, str(nanos_dir) + "_chk2").collect()
         assert len(rows) == 2
+
+
+class TestStreamFunnel:
+    def test_single_batch_replay_matches_batch_funnel(self, spark, events_dir, tmp_path):
+        """availableNow over the whole directory = one micro-batch, so
+        the stateful funnel is EXACT: equal to funnel_two_step."""
+        from strake_spark.operators.relational import funnel_two_step
+        from strake_spark.streaming.ops import stream_funnel
+
+        stream = stream_funnel(read_event_stream(spark, events_dir))
+        got = (
+            run_to_completion(stream, str(tmp_path), output_mode="update")
+            .toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            funnel_two_step(_batch(spark, events_dir))
+            .toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        from tests.conftest import compare_frames
+
+        compare_frames(got, want)
+
+    def test_multi_batch_replay_upholds_state_invariants(
+        self, spark, events_dir, tmp_path
+    ):
+        """One file per micro-batch: every emitted row must be a sound
+        running state — signup is the running minimum (never below the
+        final batch minimum), and every claimed conversion names a REAL
+        purchase of that user at/after the row's signup, never earlier
+        than the true first. (Exact cross-batch equality is not the
+        one-pass contract — see the operator docstring.)"""
+        from pyspark.sql import functions as F
+
+        from strake_spark.streaming.ops import stream_funnel
+
+        stream = stream_funnel(
+            read_event_stream(spark, events_dir, max_files_per_trigger=1)
+        )
+        rows = run_to_completion(
+            stream, str(tmp_path), output_mode="update"
+        ).toPandas()
+        assert len(rows)  # the synthetic corpus has signups
+        batch = _batch(spark, events_dir).toPandas()
+        signups = batch[batch.event_type == "signup"].groupby("user_id").ts.min()
+        purchases = batch[batch.event_type == "purchase"]
+        for r in rows.itertuples():
+            assert r.signup_ts >= signups[r.user_id]
+            if r.converted:
+                mine = purchases[purchases.user_id == r.user_id].ts
+                assert (mine == r.first_purchase_ts).any()
+                assert r.first_purchase_ts >= r.signup_ts
+                true_first = mine[mine >= signups[r.user_id]].min()
+                assert r.first_purchase_ts >= true_first
