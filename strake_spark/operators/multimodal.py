@@ -104,6 +104,16 @@ def decode_features(docs_with_payload: DataFrame, id_col: str = "doc_id") -> Dat
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
+# Adversarial-input ceiling for decode_png: the decoded scanline buffer
+# (h * (w*nch + 1) bytes, from the DECLARED IHDR dims) may never exceed
+# this. Web-crawl payloads can carry absurd IHDR dims (u32 x u32 -> up
+# to ~16 EiB declared) or a zlib bomb whose tiny IDAT inflates far past
+# the declared size; both must fail loudly BEFORE allocating/inflating,
+# not OOM an executor. 256 MiB comfortably covers any 8-bit image a
+# feature pipeline would decode in-stream (8192x8192 RGBA = 268 MB is
+# just over; crop/downscale first at that size).
+_MAX_DECODED_BYTES = 256 * 1024 * 1024
+
 
 def encode_png(arr: np.ndarray) -> bytes:
     """Minimal deterministic PNG writer (stdlib only): 8-bit
@@ -136,7 +146,11 @@ def decode_png(b: bytes) -> np.ndarray:
     Paeth per the PNG spec §4.5.4). Returns uint8 (h, w, channels).
 
     Palette (color type 3), 16-bit, and interlaced images raise
-    ValueError — loud, not silent-wrong. Filters 1 (Sub — a
+    ValueError — loud, not silent-wrong. Hostile input is bounded
+    (r19): declared dims are capped at ``_MAX_DECODED_BYTES`` before
+    any allocation, and the IDAT inflate is capped at the declared
+    scanline size via ``zlib.decompressobj`` — a zlib bomb or lying
+    IHDR raises instead of OOMing the executor. Filters 1 (Sub — a
     per-channel-lane prefix sum) and 2 (Up) are fully vectorized;
     Average/Paeth run a per-byte loop (both depend on the decoded
     LEFT byte, inherently sequential along the scanline), fine for
@@ -156,6 +170,10 @@ def decode_png(b: bytes) -> np.ndarray:
             )
             if depth != 8 or interlace != 0:
                 raise ValueError("unsupported PNG: need 8-bit non-interlaced")
+            if w == 0 or h == 0:
+                # spec requires w,h >= 1; also keeps `expected` > 0 below
+                # (zlib's max_length=0 would mean UNbounded inflate)
+                raise ValueError("bad PNG: zero dimension")
             nch = _PNG_CHANNELS.get(ctype)
             if nch is None:
                 raise ValueError("unsupported PNG color type (palette)")
@@ -167,9 +185,23 @@ def decode_png(b: bytes) -> np.ndarray:
     if meta is None:
         raise ValueError("truncated PNG (no IHDR)")
     w, h, nch = meta
-    raw = zlib.decompress(b"".join(idat))
     stride = w * nch
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    if expected > _MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PNG decode cap exceeded: declared {w}x{h}x{nch} needs "
+            f"{expected} decoded bytes (cap {_MAX_DECODED_BYTES})"
+        )
+    # Bounded inflate: never produce more than `expected` bytes no
+    # matter what the IDAT stream claims. A crafted bomb leaves
+    # unconsumed compressed input — probe ONE extra byte to prove the
+    # overrun (still bounded), then fail the same way a short stream
+    # does: loud, allocation-safe.
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected)
+    if d.unconsumed_tail:
+        raw += d.decompress(d.unconsumed_tail, 1)
+    if len(raw) != expected or not d.eof:
         raise ValueError("truncated PNG (scanline size mismatch)")
     img = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

@@ -342,6 +342,87 @@ class TestImageCodec:
                 decode_png(png), img, err_msg=f"filter {ftype}"
             )
 
+    @staticmethod
+    def _png_with(ihdr_fields, idat_payload):
+        import struct
+        import zlib
+
+        def chunk(tag, data):
+            body = tag + data
+            return (
+                struct.pack(">I", len(data))
+                + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+            + chunk(b"IDAT", idat_payload)
+            + chunk(b"IEND", b"")
+        )
+
+    def test_absurd_declared_dims_hit_decode_cap(self):
+        """IHDR may declare up to u32 x u32 (~16 EiB of scanlines); the
+        decoder must refuse BEFORE allocating, not trust the header."""
+        import zlib
+
+        import pytest
+
+        from strake_spark.operators.multimodal import decode_png
+
+        png = self._png_with(
+            (1_000_000_000, 1_000_000_000, 8, 2, 0, 0, 0), zlib.compress(b"")
+        )
+        with pytest.raises(ValueError, match="decode cap"):
+            decode_png(png)
+
+    def test_zlib_bomb_is_bounded(self):
+        """A tiny IDAT that inflates ~10 MB past the declared image size
+        must raise after at most `expected`+1 inflated bytes — never
+        inflate the whole bomb. Declared: 2x2 gray (exp = 6 bytes);
+        actual stream: 10 MiB of zeros (compresses to ~10 KB)."""
+        import zlib
+
+        import pytest
+
+        from strake_spark.operators.multimodal import decode_png
+
+        bomb = zlib.compress(b"\x00" * (10 * 1024 * 1024), 9)
+        assert len(bomb) < 16 * 1024  # it IS a bomb
+        png = self._png_with((2, 2, 8, 0, 0, 0, 0), bomb)
+        with pytest.raises(ValueError, match="scanline size"):
+            decode_png(png)
+
+    def test_zero_dimension_rejected(self):
+        """w=0/h=0 violates the spec AND would make the inflate cap 0,
+        which zlib treats as unbounded — must be rejected at IHDR."""
+        import zlib
+
+        import pytest
+
+        from strake_spark.operators.multimodal import decode_png
+
+        for dims in ((0, 4), (4, 0)):
+            png = self._png_with(
+                (dims[0], dims[1], 8, 0, 0, 0, 0), zlib.compress(b"")
+            )
+            with pytest.raises(ValueError, match="zero dimension"):
+                decode_png(png)
+
+    def test_short_stream_still_loud(self):
+        """The bounded path keeps the old truncation contract: an IDAT
+        inflating to FEWER bytes than declared raises the same error."""
+        import zlib
+
+        import pytest
+
+        from strake_spark.operators.multimodal import decode_png
+
+        png = self._png_with((4, 4, 8, 2, 0, 0, 0), zlib.compress(b"\x00" * 5))
+        with pytest.raises(ValueError, match="scanline size"):
+            decode_png(png)
+
 
 class TestBinaryFileIngestion:
     """read_binary_files: the binaryFile-source front door for media
