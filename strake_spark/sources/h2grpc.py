@@ -293,6 +293,9 @@ class HpackDecoder:
     Huffman-coded strings (Appendix B code)."""
 
     max_size: int = 4096
+    # the ceiling WE advertise (SETTINGS_HEADER_TABLE_SIZE); §6.3 size
+    # updates may shrink-or-restore max_size only up to this
+    advertised_max: int = 4096
     dynamic: list[tuple[str, str]] = field(default_factory=list)
 
     def _lookup(self, index: int) -> tuple[str, str]:
@@ -346,12 +349,14 @@ class HpackDecoder:
             elif b & 0x20:  # dynamic table size update
                 size, pos = _decode_int(buf, pos, 5)
                 # RFC 7541 §6.3: the peer may only shrink-or-restore up
-                # to the limit WE advertise — a huge value would disable
-                # eviction and let a malicious peer grow the dynamic
-                # table without bound (r18)
-                if size > 65536:
+                # to the limit WE advertise (advertised_max, the value
+                # our SETTINGS_HEADER_TABLE_SIZE carries) — anything
+                # above is a decoding error (r19; the r18 check used a
+                # 65536 literal, wrongly accepting (4096, 65536])
+                if size > self.advertised_max:
                     raise SourceError(
-                        f"HPACK size update {size} exceeds advertised limit"
+                        f"HPACK size update {size} exceeds advertised "
+                        f"limit {self.advertised_max}"
                     )
                 self.max_size = size
                 self._evict()

@@ -561,12 +561,14 @@ def _spool_objects(keys, spool: str, prefix: str, fetch) -> list[str]:
     # files at the spool root); otherwise everything through the last
     # slash ("data/part" -> "data/")
     real_keys = [k for k, _ in keys if not k.endswith("/")]
+    dir_anchored = True
     if prefix.endswith("/"):
         anchor = prefix
     elif prefix and real_keys and all(k.startswith(prefix + "/") for k in real_keys):
         anchor = prefix + "/"
     else:
         anchor = prefix[: prefix.rfind("/") + 1] if "/" in prefix else ""
+        dir_anchored = False
     root = os.path.realpath(spool)
     rels: list[tuple[str, str]] = []
     for key, _size in keys:
@@ -576,6 +578,20 @@ def _spool_objects(keys, spool: str, prefix: str, fetch) -> list[str]:
         rel = rel.lstrip("/")
         if rel:
             rels.append((key, rel))
+    # Fallback anchor = the prefix matched SIBLING entries (e.g. prefix
+    # "data" matching both "data/x.parquet" and "data2/y.parquet"): a
+    # multi-file mirror would put them in nested subdirs Spark silently
+    # skips (non-hive dirs under the scan root) — refuse loudly instead
+    # (r19 advice). One file is fine: the caller returns the file path
+    # itself, never the spool root.
+    if not dir_anchored and len(rels) > 1 and any("/" in r for _, r in rels):
+        tops = sorted({r.split("/", 1)[0] for _, r in rels})
+        raise SourceError(
+            f"prefix {prefix!r} matches multiple sibling entries "
+            f"({', '.join(tops[:5])}{', ...' if len(tops) > 5 else ''}); "
+            "Spark cannot read the mixed spool layout — name a directory "
+            "(end the prefix with '/') or a full object key"
+        )
     # an object store legally holds a key that is BOTH a leaf object
     # and a directory prefix of another ("data/0" and "data/0/0") — a
     # local filesystem cannot represent that; surface it loudly

@@ -67,17 +67,32 @@ import contextlib
 def _loud_workbook(path: str):
     """Convert corrupt-file failures into SourceError (r18): a
     non-OOXML or truncated file previously escaped as a raw
-    zipfile.BadZipFile / KeyError / xml ParseError."""
+    zipfile.BadZipFile / xml ParseError. KeyError is deliberately NOT
+    caught here (r19 advice): zipfile signals a missing archive member
+    with KeyError, but so does any unrelated dict-lookup bug inside the
+    parse body — translate the zip-member case at the z.read call
+    (``_member``) so real bugs keep their tracebacks."""
     try:
         yield
-    except (zipfile.BadZipFile, KeyError, ET.ParseError) as e:
+    except (zipfile.BadZipFile, ET.ParseError) as e:
         raise SourceError(f"{path}: not a readable xlsx workbook: {e}") from e
+
+
+def _member(z: zipfile.ZipFile, name: str) -> bytes:
+    """z.read with ONLY its missing-member KeyError translated."""
+    try:
+        return z.read(name)
+    except KeyError as e:
+        raise SourceError(
+            f"{z.filename}: not a readable xlsx workbook: missing archive "
+            f"member {name!r}"
+        ) from e
 
 
 def sheet_names(path: str) -> list[str]:
     """Worksheet names in workbook order."""
     with _loud_workbook(path), zipfile.ZipFile(path) as z:
-        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        wb = ET.fromstring(_member(z, "xl/workbook.xml"))
     return [
         s.get("name") or f"sheet{i + 1}"
         for i, s in enumerate(wb.findall("m:sheets/m:sheet", _NS))
@@ -87,8 +102,8 @@ def sheet_names(path: str) -> list[str]:
 def _sheet_targets(z: zipfile.ZipFile) -> dict[str, str]:
     """sheet name -> archive member path, resolved through the
     workbook relationships (sheet order in the ZIP is NOT reliable)."""
-    wb = ET.fromstring(z.read("xl/workbook.xml"))
-    rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    wb = ET.fromstring(_member(z, "xl/workbook.xml"))
+    rels = ET.fromstring(_member(z, "xl/_rels/workbook.xml.rels"))
     by_rid = {
         rel.get("Id"): rel.get("Target")
         for rel in rels.findall("r:Relationship", _REL_NS)
@@ -155,7 +170,7 @@ def read_sheet(path: str, sheet: str | None = None, header: bool = True):
                 f"{path}: no sheet named {sheet!r} (have {sorted(targets)})"
             )
         strings = _shared_strings(z)
-        root = ET.fromstring(z.read(member))
+        root = ET.fromstring(_member(z, member))
     raw: list[dict[int, object]] = []
     width = 0
     for row in root.findall("m:sheetData/m:row", _NS):

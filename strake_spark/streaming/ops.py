@@ -314,6 +314,53 @@ _FUNNEL_STATE_SCHEMA = (
 )
 
 
+def _funnel_fold(prior, pdfs, first_type: str, then_type: str):
+    """Pure fold of one micro-batch's pandas chunks into funnel state
+    ``(signup, valid_purchase, min_purchase)`` — extracted so the
+    within-batch semantics are unit-testable without a state store.
+
+    Two-pass within the batch (r19 fix): the chunk iterator hands a
+    group's rows in arbitrary order relative to event time, so a
+    purchase in an EARLIER chunk must be judged against the FINAL batch
+    signup — e.g. chunk1 purchases {5,10}, chunk2 signup 7 must yield
+    first_purchase=10, which a single pass (which only keeps the
+    overall min, 5) can never recover. Pass 1 folds the signup/overall
+    minima while buffering each chunk's purchase timestamps; pass 2
+    validates the buffered purchases against the final signup. The
+    buffer is batch-transient (this user's purchases in this batch);
+    persisted state stays three timestamps."""
+    signup, valid, overall = prior if prior is not None else (None, None, None)
+
+    def _min(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return min(a, b)
+
+    purchase_chunks = []
+    for pdf in pdfs:
+        s = pdf.loc[pdf["event_type"] == first_type, "ts"]
+        p = pdf.loc[pdf["event_type"] == then_type, "ts"]
+        if len(s):
+            signup = _min(signup, s.min())
+        if len(p):
+            overall = _min(overall, p.min())
+            purchase_chunks.append(p)
+    if signup is not None:
+        for p in purchase_chunks:
+            after = p[p >= signup]
+            if len(after):
+                valid = _min(valid, after.min())
+    # cross-batch recovery: a newly-earlier signup can make the
+    # overall-min purchase from an OLD batch valid (valid itself never
+    # goes stale: signups only move earlier, so anything >= an old
+    # signup is >= the new one too)
+    if signup is not None and overall is not None and overall >= signup:
+        valid = _min(valid, overall)
+    return signup, valid, overall
+
+
 def stream_funnel(
     events: DataFrame,
     first_type: str = "signup",
@@ -346,33 +393,9 @@ def stream_funnel(
         import pandas as pd
 
         (user_id,) = key
-        signup, valid, overall = (
-            state.get if state.exists else (None, None, None)
+        signup, valid, overall = _funnel_fold(
+            state.get if state.exists else None, pdfs, first_type, then_type
         )
-
-        def _min(a, b):
-            if a is None:
-                return b
-            if b is None:
-                return a
-            return min(a, b)
-
-        for pdf in pdfs:
-            s = pdf.loc[pdf["event_type"] == first_type, "ts"]
-            p = pdf.loc[pdf["event_type"] == then_type, "ts"]
-            if len(s):
-                signup = _min(signup, s.min())
-            if len(p):
-                overall = _min(overall, p.min())
-                if signup is not None:
-                    after = p[p >= signup]
-                    if len(after):
-                        valid = _min(valid, after.min())
-        # a newly-earlier signup can make the overall-min purchase valid
-        # (valid itself never goes stale: signups only move earlier, so
-        # anything >= an old signup is >= the new one too)
-        if signup is not None and overall is not None and overall >= signup:
-            valid = _min(valid, overall)
         state.update((signup, valid, overall))
         if signup is None:
             return  # no funnel entry yet - keep state, emit nothing

@@ -269,6 +269,30 @@ class TestHpack:
         block = _huffman_header_block([("grpc-status", "0"), ("x-big", "A" * 300)])
         assert dec.decode(block) == [("grpc-status", "0"), ("x-big", "A" * 300)]
 
+    def test_size_update_bounded_by_advertised_limit(self):
+        """RFC 7541 §6.3: a dynamic-table size update above OUR
+        advertised SETTINGS_HEADER_TABLE_SIZE (default 4096 — we send
+        no override) is a decoding error. r19 regression: the old check
+        used a 65536 literal, wrongly accepting (4096, 65536]."""
+        import pytest
+
+        from strake_spark.sources.h2grpc import _encode_int
+        from strake_spark.errors import SourceError
+
+        def update(n):
+            b = bytearray(_encode_int(n, 5))
+            b[0] |= 0x20
+            return bytes(b)
+
+        dec = HpackDecoder()
+        assert dec.decode(update(0)) == []  # shrink: legal, clears table
+        assert dec.max_size == 0
+        assert dec.decode(update(4096)) == []  # restore to advertised
+        assert dec.max_size == 4096
+        for too_big in (4097, 65536, 1 << 30):
+            with pytest.raises(SourceError, match="advertised"):
+                HpackDecoder().decode(update(too_big))
+
 
 class TestHuffman:
     """RFC 7541 Appendix B code validated three ways: the RFC's own

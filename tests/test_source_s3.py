@@ -663,6 +663,33 @@ class TestSpoolSubpathMirroring:
         d = spool_s3("s3://bkt/data", opts)
         assert sorted(os.listdir(d)) == ["a.bin", "b.bin", "c.bin"]
 
+    def test_mixed_sibling_prefix_is_loud(self, fake_s3):
+        """r19 advice: a non-slash prefix matching keys in SIBLING
+        directories ('data' hitting both data/... and data2/...) would
+        mirror into nested subdirs Spark silently skips — must raise a
+        clear error naming the fix, never return an unreadable spool."""
+        srv, endpoint = fake_s3
+        srv.objects["bkt"]["data2/y.bin"] = b"sibling"
+        opts = {
+            "s3_endpoint": endpoint, "s3_region": REGION,
+            "s3_access_key": ACCESS, "s3_secret_key": SECRET,
+        }
+        with pytest.raises(SourceError, match="sibling"):
+            spool_s3("s3://bkt/data", opts)
+
+    def test_single_nested_match_still_returns_the_file(self, fake_s3):
+        """One matching key is always fine even when its mirror nests:
+        the caller hands Spark the file path itself, not the spool
+        root — the sibling check must not over-fire on it."""
+        srv, endpoint = fake_s3
+        srv.objects["bkt"]["solo/inner/x.bin"] = b"solo-bytes"
+        opts = {
+            "s3_endpoint": endpoint, "s3_region": REGION,
+            "s3_access_key": ACCESS, "s3_secret_key": SECRET,
+        }
+        p = spool_s3("s3://bkt/sol", opts)
+        assert os.path.isfile(p) and open(p, "rb").read() == b"solo-bytes"
+
     def test_dotdot_key_cannot_escape_spool(self, fake_s3):
         srv, endpoint = fake_s3
         srv.objects["bkt"]["esc/../../evil.bin"] = b"evil"

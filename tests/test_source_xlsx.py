@@ -201,3 +201,45 @@ class TestCorruptWorkbooks:
                 sheet_names(str(path))
             with pytest.raises(SourceError, match="not a readable xlsx"):
                 read_sheet(str(path))
+
+    def test_unrelated_keyerror_is_not_mislabeled(self, tmp_path, monkeypatch):
+        """r19 advice: only zipfile's missing-member KeyError may become
+        'not a readable xlsx workbook'; a dict-lookup KeyError from a
+        real bug inside the parse body must keep its traceback."""
+        import zipfile
+
+        import pytest
+
+        from strake_spark.sources import xlsx
+
+        ok = tmp_path / "ok.xlsx"
+        with zipfile.ZipFile(ok, "w") as z:
+            z.writestr(
+                "xl/workbook.xml",
+                '<workbook xmlns="http://schemas.openxmlformats.org/'
+                'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+                'openxmlformats.org/officeDocument/2006/relationships">'
+                '<sheets><sheet name="S1" r:id="rId1"/></sheets></workbook>',
+            )
+            z.writestr(
+                "xl/_rels/workbook.xml.rels",
+                '<Relationships xmlns="http://schemas.openxmlformats.org/'
+                'package/2006/relationships">'
+                '<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>'
+                "</Relationships>",
+            )
+            z.writestr(
+                "xl/worksheets/sheet1.xml",
+                '<worksheet xmlns="http://schemas.openxmlformats.org/'
+                'spreadsheetml/2006/main"><sheetData/></worksheet>',
+            )
+        # sanity: the fixture workbook reads fine
+        names, rows = xlsx.read_sheet(str(ok))
+        assert rows == []
+
+        def boom(z):
+            raise KeyError("unrelated lookup bug")
+
+        monkeypatch.setattr(xlsx, "_shared_strings", boom)
+        with pytest.raises(KeyError, match="unrelated"):
+            xlsx.read_sheet(str(ok))

@@ -560,6 +560,94 @@ class TestStreamFunnel:
 
         compare_frames(got, want)
 
+    def test_fold_validates_purchases_across_chunk_order(self):
+        """r19 regression (advice finding): a purchase in an EARLIER
+        pandas chunk must be judged against the signup first seen in a
+        LATER chunk of the same micro-batch. chunk1 purchases {5,10},
+        chunk2 signup 7 -> first_purchase must be 10 (the old one-pass
+        fold kept only the overall min, 5, and emitted converted=false
+        forever)."""
+        import pandas as pd
+
+        from strake_spark.streaming.ops import _funnel_fold
+
+        def chunk(rows):
+            return pd.DataFrame(rows, columns=["event_type", "ts"])
+
+        signup, valid, overall = _funnel_fold(
+            None,
+            iter(
+                [
+                    chunk([("purchase", 5), ("purchase", 10)]),
+                    chunk([("signup", 7)]),
+                ]
+            ),
+            "signup",
+            "purchase",
+        )
+        assert (signup, valid, overall) == (7, 10, 5)
+
+    def test_fold_chunk_order_invariance(self):
+        """Within one batch the fold must be a function of the row SET,
+        not the chunk partitioning/order: every chunking of the same
+        rows yields the same state."""
+        import itertools
+
+        import pandas as pd
+
+        from strake_spark.streaming.ops import _funnel_fold
+
+        rows = [
+            ("purchase", 5),
+            ("purchase", 10),
+            ("signup", 7),
+            ("purchase", 8),
+            ("signup", 9),
+        ]
+        expected = (7, 8, 5)
+        for perm in itertools.permutations(rows):
+            for cut in range(1, len(perm)):
+                chunks = [
+                    pd.DataFrame(list(perm[:cut]), columns=["event_type", "ts"]),
+                    pd.DataFrame(list(perm[cut:]), columns=["event_type", "ts"]),
+                ]
+                assert (
+                    _funnel_fold(None, iter(chunks), "signup", "purchase")
+                    == expected
+                ), (perm, cut)
+
+    def test_single_batch_replay_exact_with_tiny_arrow_chunks(
+        self, spark, events_dir, tmp_path
+    ):
+        """Drive the real stateful operator with maxRecordsPerBatch=3 so
+        every group's batch spans many Arrow chunks — the single-batch
+        exactness contract must hold regardless of chunking."""
+        from strake_spark.operators.relational import funnel_two_step
+        from strake_spark.streaming.ops import stream_funnel
+
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "3")
+        try:
+            stream = stream_funnel(read_event_stream(spark, events_dir))
+            got = (
+                run_to_completion(stream, str(tmp_path), output_mode="update")
+                .toPandas()
+                .sort_values("user_id")
+                .reset_index(drop=True)
+            )
+        finally:
+            spark.conf.set(key, old)
+        want = (
+            funnel_two_step(_batch(spark, events_dir))
+            .toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        from tests.conftest import compare_frames
+
+        compare_frames(got, want)
+
     def test_multi_batch_replay_upholds_state_invariants(
         self, spark, events_dir, tmp_path
     ):
