@@ -168,6 +168,44 @@ class ChaosInjector:
         return False
 
 
+def _load() -> float:
+    return round(os.getloadavg()[0], 2)
+
+
+# Contended-artifact self-adjudication (r19, verdict task 3): the r17
+# and r18 artifacts were both captured on boxes whose load ROSE
+# mid-session, inflating exactly the end-replay controls that exist to
+# adjudicate contention — and the artifact could not say so by itself.
+# Every block boundary now records the 1-min load average, and an
+# end-control block whose boundary load exceeds the threshold is
+# re-run ONCE after a backoff with BOTH readings kept (contention only
+# ever inflates, so the retry is the honest steady-state number).
+_LOAD_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
+_LOAD_BACKOFF = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_BACKOFF", "20"))
+
+
+def _end_block(label, run_block, loads, retries):
+    """Run an end-control block; if the 1-min load at either boundary
+    exceeds the threshold, back off and re-run once, recording the
+    retry total (and its closing load) under ``end_retries``."""
+    pre = loads[list(loads)[-1]] if loads else _load()
+    total = run_block()
+    post = _load()
+    loads[label] = post
+    if max(pre, post) > _LOAD_THRESHOLD:
+        print(
+            f"# {label}: contended (load {pre}->{post} > {_LOAD_THRESHOLD}); "
+            f"backing off {_LOAD_BACKOFF}s and re-running once",
+            file=sys.stderr,
+        )
+        time.sleep(_LOAD_BACKOFF)
+        retry_total = run_block()
+        retries[label] = round(retry_total, 2)
+        print(f"# {label}_retry: total={retries[label]} load={_load()}",
+              file=sys.stderr)
+    return total
+
+
 def _run(spec, spark, sf_dir: str, iters: int, chaos: ChaosInjector | None = None):
     # One untimed warmup per query: whole-stage codegen compilation, JIT,
     # and first-touch scan/page-cache costs land here, not in the stats.
@@ -268,6 +306,11 @@ def main() -> None:
     print(f"# headline_block_warmup={block_warmup}s", file=sys.stderr)
 
     detail: dict[str, dict] = {}
+    # per-block-boundary 1-min load averages (r19): start/end stay in
+    # `load_avg`; these mark each interior boundary so any inflated
+    # block is attributable from the artifact alone
+    loads: dict[str, float] = {}
+    end_retries: dict[str, list] = {}
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # slow_tpch discipline applies to headline queries too: q4 must
@@ -279,6 +322,7 @@ def main() -> None:
         if d["med"] is not None:
             times[name] = d["med"]
         print(f"# {name}: med={d['med']} runs={d['runs']} rows={n}", file=sys.stderr)
+    loads["head"] = _load()
 
     pipeline: dict[str, float] = {}
     for name in PIPELINE_QUERIES:
@@ -312,6 +356,7 @@ def main() -> None:
             pipeline[extra_name] = d["med"]
         print(f"# {extra_name}: med={d['med']} runs={d['runs']} rows={n}",
               file=sys.stderr)
+    loads["pipe"] = _load()
 
     # The 15 NON-headline TPC-H queries: full warmup+median protocol at
     # reduced iteration count, reported under SHORT keys ("q2") so the
@@ -327,6 +372,7 @@ def main() -> None:
         if d["med"] is not None:
             tpch_rest[short] = d["med"]
         print(f"# {name}: med={d['med']} runs={d['runs']} rows={n}", file=sys.stderr)
+    loads["rest"] = _load()
 
     # End-of-session replay of the FULL headline block (r15, VERDICT
     # task 1 — generalizing r13's q1-only control): the headline
@@ -338,19 +384,30 @@ def main() -> None:
     # noise moves only the first. Short keys ("q1") keep the final
     # line inside the driver's 2000-char tail capture.
     queries_end: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        d, _ = _run(inventory.REGISTRY[name], spark, sf_dir,
-                    max(2, iters // 2), chaos)
-        detail[name + "_end"] = d
-        short = name.split("_")[1]  # tpch_q1_pricing_summary -> q1
-        if d["med"] is not None:
-            # 2-decimal controls (r18): the three new pipeline_new keys
-            # pushed the final line past the 1900B guard; the control
-            # blocks adjudicate >=10% drifts, where 10 ms resolution is
-            # ample. Full 4-decimal numbers stay in the stderr detail.
-            queries_end[short] = round(d["med"], 2)
-        print(f"# {name}_end: med={d['med']} runs={d['runs']}", file=sys.stderr)
-    q1_end = queries_end.get("q1")
+
+    def _queries_end_block() -> float:
+        first = not queries_end
+        total = 0.0
+        for name in BENCH_QUERIES:
+            d, _ = _run(inventory.REGISTRY[name], spark, sf_dir,
+                        max(2, iters // 2), chaos)
+            detail[name + ("_end" if first else "_end_retry")] = d
+            short = name.split("_")[1]  # tpch_q1_pricing_summary -> q1
+            if d["med"] is not None:
+                total += d["med"]
+                if first:
+                    # 2-decimal controls (r18): the control blocks
+                    # adjudicate >=10% drifts, where 10 ms resolution
+                    # is ample; full numbers stay in the stderr detail
+                    queries_end[short] = round(d["med"], 2)
+            print(f"# {name}_end: med={d['med']} runs={d['runs']}",
+                  file=sys.stderr)
+        return total
+
+    _end_block("qend", _queries_end_block, loads, end_retries)
+    # (the r13 "q1_end" key was retired in r19: it duplicated
+    # queries_end["q1"] byte-for-byte, and the r19 loads/retries keys
+    # needed its tail budget)
 
     # End-of-session replay of the REST block too (r16, VERDICT task
     # 4): the r15 rest block drifted +25-36% on untouched code in a
@@ -359,15 +416,25 @@ def main() -> None:
     # discarded) under the same short keys; 2-decimal rounding keeps
     # the final line inside the tail budget.
     rest_end: dict[str, float] = {}
-    for name, spec in sorted(inventory.REGISTRY.items()):
-        if not name.startswith("tpch_") or name in BENCH_QUERIES:
-            continue
-        d, _ = _run(spec, spark, sf_dir, 2, chaos)
-        detail[name + "_end"] = d
-        short = name.split("_")[1]
-        if d["med"] is not None:
-            rest_end[short] = round(d["med"], 2)
-        print(f"# {name}_end: med={d['med']} runs={d['runs']}", file=sys.stderr)
+
+    def _rest_end_block() -> float:
+        first = not rest_end
+        total = 0.0
+        for name, spec in sorted(inventory.REGISTRY.items()):
+            if not name.startswith("tpch_") or name in BENCH_QUERIES:
+                continue
+            d, _ = _run(spec, spark, sf_dir, 2, chaos)
+            detail[name + ("_end" if first else "_end_retry")] = d
+            short = name.split("_")[1]
+            if d["med"] is not None:
+                total += d["med"]
+                if first:
+                    rest_end[short] = round(d["med"], 2)
+            print(f"# {name}_end: med={d['med']} runs={d['runs']}",
+                  file=sys.stderr)
+        return total
+
+    _end_block("rend", _rest_end_block, loads, end_retries)
 
     # End-of-session replay of the PIPELINE block (r18): the TPC-H
     # blocks had end-replay controls since r15/r16, but pipeline drift
@@ -375,19 +442,27 @@ def main() -> None:
     # ~+20% environmental inflation on pipeline keys that the artifact
     # could not distinguish from regression. Tail budget affords ONE
     # number; per-key *_end medians go to the stderr detail line.
-    pipeline_end_sum = 0.0
     _pipeline_end_specs = [
         (n, inventory.REGISTRY[n]) for n in PIPELINE_QUERIES if n in inventory.REGISTRY
     ] + [
         ("ann_embedding_neardup_t09", _Spec("ann_embedding_neardup_t09", _neardup_t09)),
         ("curation_knn_lsh", _Spec("curation_knn_lsh", _knn_lsh)),
     ]
-    for name, spec in _pipeline_end_specs:
-        d, _ = _run(spec, spark, sf_dir, 2, chaos)
-        detail[name + "_end"] = d
-        if d["med"] is not None:
-            pipeline_end_sum += d["med"]
-        print(f"# {name}_end: med={d['med']}", file=sys.stderr)
+    _pend_calls: list[int] = []
+
+    def _pipeline_end_block() -> float:
+        first = not _pend_calls
+        _pend_calls.append(1)
+        total = 0.0
+        for name, spec in _pipeline_end_specs:
+            d, _ = _run(spec, spark, sf_dir, 2, chaos)
+            detail[name + ("_end" if first else "_end_retry")] = d
+            if d["med"] is not None:
+                total += d["med"]
+            print(f"# {name}_end: med={d['med']}", file=sys.stderr)
+        return total
+
+    pipeline_end_sum = _end_block("pend", _pipeline_end_block, loads, end_retries)
 
     # Full per-query run arrays/warmups — stderr, NEVER the final stdout
     # line (driver tail contract; see module docstring).
@@ -422,10 +497,19 @@ def main() -> None:
         # (r17): absorbs shared-infrastructure JIT so in-session and
         # *_end medians agree; never billed to any query
         "block_warmup_sec": block_warmup,
-        # contention markers (r13): load averages + q1 re-run at end of
-        # session — q1 >> q1_end means the session start was contended
+        # contention markers (r13): load averages at session start/end
         "load_avg": [load_start, round(os.getloadavg()[0], 2)],
-        "q1_end": q1_end,
+        # r19 (verdict task 3): 1-min load at every interior block
+        # boundary, fixed order [after headline, after pipeline+extras,
+        # after rest TPC-H, after queries_end, after rest_end, after
+        # pipeline_end] — an inflated block is attributable in-artifact
+        "loads": [loads.get(k) for k in
+                  ("head", "pipe", "rest", "qend", "rend", "pend")],
+        # end-control blocks re-run once after a backoff when a
+        # boundary load exceeded the threshold: {block: retry_total} —
+        # contention only inflates, so the retry is the honest reading
+        # (per-query retry medians live in the stderr detail line)
+        "retries": end_retries,
         # steady-state medians for ALL headline queries (r15): compare
         # per-query with `queries` to separate real regressions from
         # session-position inflation
@@ -451,6 +535,18 @@ def main() -> None:
     # delimiter — ~190 B across this dict, a tenth of the whole tail
     # budget, for nothing a parser needs
     line = json.dumps(out, separators=(",", ":"))
+    # Tail-budget degradation (r19, replacing the hard assert): a
+    # pathological artifact (every median fat AND all three end blocks
+    # contended+retried) must NEVER print an unparseable line — the
+    # driver keeps only the last ~2000 stdout chars, so an over-budget
+    # line loses its head. Shed the least-load-bearing keys (each fully
+    # mirrored in the stderr detail line) until the line fits.
+    for victim in ("retries", "rest_end", "queries_end"):
+        if len(line) < 1900:
+            break
+        out.pop(victim, None)
+        out.setdefault("trimmed", []).append(victim)
+        line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1900, f"final JSON line {len(line)}B breaks the tail contract"
     print(line)
     spark.stop()

@@ -209,11 +209,36 @@ _LOCK = threading.Lock()
 _S3: dict[str, str] = {}  # sf_dir -> endpoint
 _AZ: dict[str, str] = {}
 _REST: dict[str, str] = {}
+_SERVERS: list[ThreadingHTTPServer] = []
 
 
 def _serve(server: ThreadingHTTPServer) -> str:
     threading.Thread(target=server.serve_forever, daemon=True).start()
+    _SERVERS.append(server)
     return f"http://127.0.0.1:{server.server_address[1]}"
+
+
+def close_all() -> None:
+    """Shut down every fake server started by this process and drop the
+    endpoint caches. Registered via atexit (r19) so the keep-alive leak
+    semantics documented above are EXPLICIT rather than implied by
+    daemon-thread teardown; also callable from tests."""
+    with _LOCK:
+        for srv in _SERVERS:
+            try:
+                srv.shutdown()
+                srv.server_close()
+            except Exception:  # noqa: BLE001 — best-effort at interpreter exit
+                pass
+        _SERVERS.clear()
+        _S3.clear()
+        _AZ.clear()
+        _REST.clear()
+
+
+import atexit  # noqa: E402 — registered after the state it closes
+
+atexit.register(close_all)
 
 
 def s3_endpoint_for(sf_dir: str) -> str:

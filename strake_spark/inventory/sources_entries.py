@@ -100,6 +100,24 @@ _AZ_SPOOL: dict[str, str] = {}
 _AZ_LOCK = threading.Lock()
 
 
+def _cleanup_spools() -> None:
+    """Remove the entry-cached spool temp dirs at interpreter exit
+    (r19 — explicit lifecycle for what was a documented process-lifetime
+    leak; the spool files under the returned path are plain copies)."""
+    import shutil
+
+    with _AZ_LOCK:
+        for path in _AZ_SPOOL.values():
+            d = path if os.path.isdir(path) else os.path.dirname(path)
+            shutil.rmtree(d, ignore_errors=True)
+        _AZ_SPOOL.clear()
+
+
+import atexit  # noqa: E402 — registered after the state it cleans
+
+atexit.register(_cleanup_spools)
+
+
 def _az_spool_for(sf_dir: str) -> str:
     with _AZ_LOCK:
         if sf_dir not in _AZ_SPOOL:

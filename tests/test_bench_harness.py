@@ -58,31 +58,31 @@ class TestChaosInjector:
 
 
 class TestTailContract:
-    def test_final_json_line_fits_driver_tail(self):
-        """The driver keeps the last ~2000 chars of stdout and parses
-        the final JSON line found there (round-7 lesson: a fat line
-        loses the headline medians). Build a worst-case-shaped final
-        dict — every query at a 4-digit median — and assert the line
-        stays under the budget bench.py asserts at runtime."""
+    @staticmethod
+    def _model_out(med: float):
+        """main()'s out dict key-for-key (r19 shape), every median at
+        the given digit width, ALL THREE end-control blocks retried."""
         from bench import PIPELINE_NEW
 
-        queries = {q: 12.3456 for q in BENCH_QUERIES}
-        pipeline = {q: 12.3456 for q in PIPELINE_QUERIES}
-        pipeline["ann_embedding_neardup_t09"] = 12.3456
-        pipeline["curation_knn_lsh"] = 12.3456
-        rest = {f"q{i}": 12.3456 for i in (2, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 19, 20, 21, 22)}
-        out = {
-            # mirrors main()'s out dict key-for-key (r18 shape), every
-            # median at worst-case digit width for its rounding
+        queries = {q: med for q in BENCH_QUERIES}
+        pipeline = {q: med for q in PIPELINE_QUERIES}
+        pipeline["ann_embedding_neardup_t09"] = med
+        pipeline["curation_knn_lsh"] = med
+        rest = {f"q{i}": med for i in (2, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 19, 20, 21, 22)}
+        return {
             "metric": "tpch_total", "value": 86.4192, "unit": "sec",
             "tpch_total_5q": 61.728, "queries": queries,
             "pipeline": pipeline, "pipeline_total": 123.4567,
-            "pipeline_new": {short: 12.345 for short, _ in PIPELINE_NEW},
+            "pipeline_new": {short: round(med, 3) for short, _ in PIPELINE_NEW},
             "tpch_rest": rest, "tpch_rest_total": 185.1845,
             "tpch22_total": 271.6032, "iterations": 4,
             "iterations_rest": 2,
             "sf": 0.1, "startup_sec": 10.15, "block_warmup_sec": 11.26,
-            "load_avg": [12.34, 12.34], "q1_end": 12.34,
+            "load_avg": [12.34, 12.34],
+            # r19: interior boundary loads + worst case of ALL THREE
+            # end-control blocks contended and re-run
+            "loads": [12.34] * 6,
+            "retries": {k: 123.46 for k in ("qend", "rend", "pend")},
             # r15: end-of-session replay of the full headline block
             "queries_end": {f"q{i}": 12.34 for i in (1, 3, 4, 5, 6, 10, 18)},
             "tpch_total_end": 86.42,
@@ -91,5 +91,33 @@ class TestTailContract:
             "pipeline_total_end": 123.46,
             "chaos": {"prob": 0.25, "injected": 9, "circuit_open": 3},
         }
-        # compact separators, exactly as bench.py emits (r18)
+
+    def test_final_json_line_fits_driver_tail(self):
+        """The driver keeps the last ~2000 chars of stdout and parses
+        the final JSON line found there (round-7 lesson: a fat line
+        loses the headline medians). Realistic-worst shape — every
+        median one digit wider than anything measured since r7
+        (<10 s), chaos on, all three end blocks retried — must fit
+        with NO trimming."""
+        out = self._model_out(9.9999)
         assert len(json.dumps(out, separators=(",", ":"))) < 1900
+
+    def test_pathological_line_degrades_parseably(self):
+        """Beyond-realistic shape (3-digit medians everywhere): the
+        bench.py trim loop must shed only the keys whose content is
+        mirrored in stderr detail, and the surviving line must fit and
+        keep every headline/total key."""
+        out = self._model_out(123.4567)
+        line = json.dumps(out, separators=(",", ":"))
+        for victim in ("retries", "rest_end", "queries_end"):
+            if len(line) < 1900:
+                break
+            out.pop(victim, None)
+            out.setdefault("trimmed", []).append(victim)
+            line = json.dumps(out, separators=(",", ":"))
+        assert len(line) < 1900
+        back = json.loads(line)
+        for key in ("metric", "value", "queries", "pipeline_total",
+                    "tpch_total_end", "rest_total_end", "pipeline_total_end",
+                    "loads"):
+            assert key in back, key

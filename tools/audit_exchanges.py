@@ -23,14 +23,54 @@ provided (Catalyst usually reuses; a miss often means a column was
 renamed mid-plan) or a shuffle carrying wide rows that a pre-projection
 could slim.
 
+Counting is by UNIQUE ``plan_id`` (r19): ``toString`` prints the FULL
+cached lineage inside every ``InMemoryTableScan``, so a persisted
+relation consumed N times used to count its upstream exchanges N
+times — the r18 census read dedup_ngram_jaccard at 15 hash exchanges
+when the executed plan holds 5 distinct exchange NODES (each runs at
+most once; those inside a cached lineage run only at first
+materialization). The ``dup`` column keeps the old text-occurrence
+count so cache-fanout is still visible.
+
 Usage: python tools/audit_exchanges.py [sf_dir] [top_n]
 """
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+
+def _counts(plan: str) -> tuple[int, int, int, int, int, int]:
+    """(hash, range, single, bcast, python, hash_text_occurrences) with
+    exchange counts deduplicated by plan_id."""
+
+    def uniq(marker: str) -> int:
+        ids: set[str] = set()
+        n_unmarked = 0
+        for line in plan.splitlines():
+            if marker not in line:
+                continue
+            m = re.search(r"plan_id=(\d+)", line)
+            if m:
+                ids.add(m.group(1))
+            else:  # truncated line — count conservatively as distinct
+                n_unmarked += 1
+        return len(ids) + n_unmarked
+
+    return (
+        uniq("Exchange hashpartitioning"),
+        uniq("Exchange rangepartitioning"),
+        uniq("Exchange SinglePartition"),
+        uniq("BroadcastExchange"),
+        plan.count("ArrowEvalPython")
+        + plan.count("BatchEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("MapInArrow"),
+        plan.count("Exchange hashpartitioning"),
+    )
 
 
 def main() -> int:
@@ -41,6 +81,7 @@ def main() -> int:
     from strake_spark.session import build_session
 
     spark = build_session(shuffle_partitions=8)
+    spark.conf.set("spark.sql.maxToStringFields", "200")
     rows = []
     for name, spec in sorted(inventory.REGISTRY.items()):
         try:
@@ -48,26 +89,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report and continue
             print(f"SKIP {name} {type(e).__name__}", flush=True)
             continue
-        rows.append(
-            (
-                name,
-                plan.count("Exchange hashpartitioning"),
-                plan.count("Exchange rangepartitioning"),
-                plan.count("Exchange SinglePartition"),
-                plan.count("BroadcastExchange"),
-                plan.count("ArrowEvalPython")
-                + plan.count("BatchEvalPython")
-                + plan.count("MapInPandas")
-                + plan.count("MapInArrow"),
-            )
-        )
+        rows.append((name, *_counts(plan)))
     rows.sort(key=lambda r: (-r[1], r[0]))
-    print(f"{'entry':44s} hash range single bcast python")
-    for name, h, rg, sp, bc, py in rows[:top_n]:
-        print(f"{name:44s} {h:4d} {rg:5d} {sp:6d} {bc:5d} {py:6d}")
+    print(f"{'entry':44s} hash range single bcast python dup")
+    for name, h, rg, sp, bc, py, txt in rows[:top_n]:
+        print(f"{name:44s} {h:4d} {rg:5d} {sp:6d} {bc:5d} {py:6d} {txt:3d}")
     total_hash = sum(r[1] for r in rows)
     print(
-        f"done: {len(rows)} entries, {total_hash} hash exchanges total, "
+        f"done: {len(rows)} entries, {total_hash} unique hash exchanges total, "
         f"showing top {min(top_n, len(rows))}"
     )
     spark.stop()
