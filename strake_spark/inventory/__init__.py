@@ -77,110 +77,103 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-18 window: tier (a) — new entries registered this round (each
-# is inserted at the head of _PRIORITY in registration order WHEN
-# registered, displacing the youngest tail row; budget this round is
-# 9, keeping every r14 row in-window); tier (b) — the two rewritten
-# operators; tier (c) — ALL remaining 39 r14-stale rows, then the
-# oldest r15 rows to saturate 50.
+# Round-19 window (consolidation round): tier (a) — the two operators
+# built+tested in r18 whose registration was deferred by window budget
+# (star-contraction clusters, streaming funnel), in registration
+# order; tier (b) — the five rewritten entries below; tier (c) — the
+# 43 oldest r15-evidence rows. 7 r15 rows spill to the r20 fill.
 
-# Entries whose implementation changes this round (r18):
-# events_funnel_conversion — re-pointed at operators/relational.
-# funnel_two_step: ONE events scan + ONE user_id exchange (stacked
-# window minima; distinct reuses the partitioning) replacing the
-# legacy 3-scan filter/agg/join shape — the r17 verdict's only weak
-# mark. multimodal_decode_features — the per-BYTE Python loop inside
-# its Arrow batch became np.bincount over the byte lane (~100x on
-# multi-MB payloads; identical integers). dedup_simhash_near_pairs —
-# pair expansion split into _near_pairs_from_sig (pure extraction,
-# same plan). dedup_duplicate_clusters — scoped signature cache (the
-# old persist=False path computed the tokenize+48-bit relation
-# TWICE), propagation restricted to edge nodes (isolated docs join
-# back in one anti-join), pointer doubling (O(log diameter) rounds,
-# 7 -> 4 at sf0.1), and a decimal monotone-sum convergence witness
-# replacing the per-round join+count. All four re-verified
-# oracle-identical at sf0.001/0.01 AND under a driver-style
-# plain-sort canonicalizer at sf0.01; all were already in-window.
+# Entries whose implementation changes this round (r19):
+# multimodal_image_decode / multimodal_image_resize /
+# multimodal_binaryfile_image_decode — decode_png gained bounded
+# decompression (declared-dims cap + max_length inflate + zero-dim
+# reject), the r18 verdict's deferred robustness fix; identical output
+# on well-formed payloads, loud on bombs. source_az_spool_roundtrip /
+# source_gs_interop_roundtrip — their shared spool path
+# (s3http._spool_objects) now refuses mixed-sibling-prefix layouts
+# (r19 advice); the entries' own layouts are unchanged but the
+# executed function was rewritten, which invalidates old evidence
+# under this contract. All five re-verified oracle-identical at
+# sf0.01 under a driver-style plain-sort canonicalizer.
 _REWRITTEN: tuple[str, ...] = (
-    "events_funnel_conversion",
-    "multimodal_decode_features",
-    "dedup_simhash_near_pairs",
-    "dedup_duplicate_clusters",
+    "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_binaryfile_image_decode",
+    "source_az_spool_roundtrip",
+    "source_gs_interop_roundtrip",
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked: r18 registrations in registration
-    # order (expressions module imports before multimodal), each
-    # having popped one r15 tail row
-    "expr_map_construction",
-    "multimodal_audio_decode",
+    # (a) never driver-checked: r19 registrations in registration
+    # order (dedup module imports before streaming_entries)
+    "dedup_clusters_star_contraction",
+    "stream_funnel_conversion",
+    # (b) rewritten this round (5): the bounded-PNG-decode trio and
+    # the two spool-path source roundtrips
+    "multimodal_image_decode",
     "multimodal_image_resize",
     "multimodal_binaryfile_image_decode",
-    "source_s3_distributed_roundtrip",
     "source_az_spool_roundtrip",
-    "source_sqlite_partitioned_roundtrip",
-    "source_rest_paginated_roundtrip",
     "source_gs_interop_roundtrip",
-    # (b) rewritten this round (4): the funnel one-scan swap, the
-    # vectorized feature histogram, and the two simhash-dedup rows
-    # (helper extraction + the cluster-propagation restructure) — all
-    # four carried r14 evidence anyway
-    "events_funnel_conversion",
-    "multimodal_decode_features",
-    "dedup_simhash_near_pairs",
-    "dedup_duplicate_clusters",
-    # (c) oldest evidence: the 37 remaining r14 rows in registration
-    # order (the two dedup rows above were r14 too — rewritten, so
-    # they sit in tier (b); window membership is unchanged)
-    "tpch_q10_returned_items",
-    "tpch_q9_product_profit",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q20_part_promotion",
-    "join_inner_orders_customer",
-    "join_left_customer_orders",
-    "join_right_orders_customer",
-    "join_full_outer_nation_coverage",
-    "join_semi_customers_with_urgent_orders",
-    "agg_approx_count_distinct",
-    "agg_approx_count_distinct_bound",
-    "empty_relation",
-    "limit_offset_page",
-    "sort_multi_key_nulls",
-    "pivot_status_by_flag",
-    "expr_string_functions",
-    "expr_math_functions",
-    "expr_datetime_functions",
-    "expr_conditional_null",
-    "expr_cast_matrix",
-    "embedding_quantize_int8",
-    "text_repetition_score",
-    "dedup_corpus_keep_first",
-    "pipeline_decontaminate_ngram",
-    "pipeline_pack_sequences",
-    "pipeline_curation_filter",
-    # --- 50-entry window boundary ---
-)
-
-# Carryover remainder: the head of the round-19 fill, in order — the
-# oldest r15 rows. Any query whose plan is rewritten in round 19
-# joins that window the same round.
-_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    # (c) oldest evidence: the 43 oldest r15 rows in registration
+    # order (all 50 r15-newest rows were displaced out of the r18
+    # window by that round's registrations; they come due here)
     "join_anti_customers_without_urgent_orders",
     "join_cross_region_status",
     "join_non_equi_price_over_size",
     "agg_global_stats",
     "agg_rollup_status_priority",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "agg_having_big_customers",
+    "agg_variance_by_nation",
+    "agg_string_agg_priorities",
+    "agg_filtered_conditional",
+    "window_row_number_topk",
+    "window_rank_family",
+    "window_running_sum",
+    "window_sliding_rows_frame",
+    "window_range_frame",
+    "window_lag_lead",
+    "window_ntile_first_last",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "distinct_simple",
+    "distinct_on_latest_order",
+    "values_inline",
+    "set_intersect_all",
+    "expr_unpivot_measures",
+    "join_lateral_top_orders_per_customer",
+    "agg_group_by_all",
+    "window_qualify_top2_per_customer",
+    "ann_cosine_topk_bruteforce",
+    "ann_lsh_bucketed_topk",
+    "ann_ivf_topk",
+    "ann_lsh_recall_vs_exact",
+    "ann_ivf_recall_vs_exact",
+    "ann_pq_topk",
+    "ann_pq_recall_vs_exact",
+    "curation_knn_label_consistency",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall_vs_exact",
+    "multimodal_decode_meta",
+    "stream_view_purchase_join",
+    # --- 50-entry window boundary ---
+)
+
+# Carryover remainder: the head of the round-20 fill, in order — the
+# 7 remaining r15 rows (these five, then pipeline_shard_manifest and
+# pipeline_chunk_documents). Any query whose plan is rewritten in
+# round 20 joins that window the same round.
+_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "expr_array_higher_order",
+    "sample_hash_bucket",
+    "sample_shuffle_deterministic",
+    "pipeline_mixture_upsample",
+    "pipeline_source_quota",
 )
 
 

@@ -284,6 +284,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_clusters(table(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_clusters_star_contraction",
+    oracle=f"""
+    WITH RECURSIVE {_TOKENS_CTE},
+    blocked AS (
+        {" UNION ALL ".join(f"SELECT doc_id, simhash, {blk} AS blk, (simhash >> {blk * _SIM_BLOCK_BITS}) & {_SIM_MASK} AS blk_val FROM fp" for blk in range(4))}
+    ),
+    near AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM near
+        UNION ALL SELECT id_b, id_a FROM near
+    ),
+    reach(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
+    """,
+    notes=(
+        "the SAME clustering as dedup_duplicate_clusters, resolved by "
+        "alternating large-star/small-star contraction (Kiveris et al.) "
+        "instead of min-label propagation — O(log diameter) rounds with "
+        "a geometrically shrinking edge set, the algorithm that holds at "
+        "10^9+ edges. Oracle identical (min reachable doc id through the "
+        "SimHash near-dup graph); having both entries green pins the two "
+        "component algorithms equal under the driver hash"
+    ),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.duplicate_clusters_star(table(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------ ngram jaccard
 
 

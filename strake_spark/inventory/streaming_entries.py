@@ -191,6 +191,45 @@ def stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           (p.user_id IS NOT NULL) AS converted
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ORDER BY s.user_id
+    """,
+    notes=(
+        "stateful two-step funnel (applyInPandasWithState GroupState; "
+        "per-user state = three timestamps) drained with availableNow — "
+        "the streaming twin of events_funnel_conversion, same oracle. "
+        "The single-file source yields ONE micro-batch, where the "
+        "two-pass chunk fold (r19) makes the update exact regardless of "
+        "Arrow chunking, so update-mode emits exactly one final row per "
+        "signed-up user == the batch funnel"
+    ),
+)
+def stream_funnel_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.streaming import read_event_stream
+    from strake_spark.streaming.ops import run_to_completion, stream_funnel
+
+    stream = stream_funnel(read_event_stream(spark, _stream_dir(sf_dir)))
+    out = run_to_completion(
+        stream, tempfile.mkdtemp(prefix="strake-inv-funnel-"), output_mode="update"
+    )
+    return out.orderBy("user_id")
+
+
+@query(
     "stream_hopping_counts",
     oracle=f"""
     SELECT make_timestamp(((epoch_us(ts) // 900000000) * 900000000)

@@ -184,6 +184,26 @@ class TestStarContraction:
         for doc, comp in star.items():
             assert prop[doc] == comp
 
+    def test_duplicate_clusters_star_equals_propagation(self, spark):
+        """The full r19 operator (edges + star contraction + isolated
+        union) is row-for-row identical to duplicate_clusters — every
+        doc present, including isolated ones as their own clusters."""
+        from strake_spark.data import table
+        from strake_spark.operators import dedup as D
+
+        docs = table(spark, "/root/testdata/sf0.001", "documents")
+        star = (
+            D.duplicate_clusters_star(docs)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        prop = (
+            D.duplicate_clusters(docs)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        spark.catalog.clearCache()
+        assert len(star) == docs.count()
+        assert star.equals(prop)
+
     def test_chain_converges_in_log_rounds(self, spark):
         """A 64-node path graph (diameter 63) — propagation would need
         ~63 rounds; star contraction finishes well inside 12."""

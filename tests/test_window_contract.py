@@ -45,17 +45,17 @@ def test_window_is_saturated_prefix_of_evidence_order():
     and the carryover remainder — the head of the NEXT round's fill —
     must match the in-code guidance list (inventory._NEXT_ROTATION_HEAD).
     Evidence range is pinned to the files that existed at rotation time
-    (r01–r17) — bump the range in the SAME commit as every rotation so
-    the check describes that rotation. r18 rotation arithmetic: 41 rows
-    carried r14-newest evidence; the 2 rewritten operators were both
-    among them, so the window is 2 rewritten + 39 r14 + 9 oldest-r15,
-    and each of the round's new registrations (budget 9) displaces one
-    r15 tail row — every r14 row stays in-window throughout."""
+    (r01–r18) — bump the range in the SAME commit as every rotation so
+    the check describes that rotation. r19 rotation arithmetic: all 50
+    r15-newest rows came due (none were covered in r18); the window is
+    2 new registrations + 5 rewritten (bounded-PNG trio, two spool-path
+    roundtrips) + the 43 oldest r15 rows, spilling 7 r15 rows to the
+    r20 fill head."""
     import json
     import os
 
     last: dict[str, int] = {}
-    for rn in range(1, 18):  # pinned at rotation time; bump with each rotation
+    for rn in range(1, 19):  # pinned at rotation time; bump with each rotation
         path = f"/root/repo/CORRECTNESS_r{rn:02d}.json"
         if not os.path.exists(path):
             continue
