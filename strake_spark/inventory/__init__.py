@@ -79,9 +79,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 #
 # Round-19 window (consolidation round): tier (a) — the two operators
 # built+tested in r18 whose registration was deferred by window budget
-# (star-contraction clusters, streaming funnel), in registration
+# (star-contraction clusters, streaming funnel) plus the three wire
+# roundtrip entries (pg/mysql/clickhouse — the last jar-free protocol
+# clients promoted from pytest-green to driver-green), in registration
 # order; tier (b) — the five rewritten entries below; tier (c) — the
-# 43 oldest r15-evidence rows. 7 r15 rows spill to the r20 fill.
+# 40 oldest r15-evidence rows. 10 r15 rows spill to the r20 fill.
 
 # Entries whose implementation changes this round (r19):
 # multimodal_image_decode / multimodal_image_resize /
@@ -105,9 +107,13 @@ _REWRITTEN: tuple[str, ...] = (
 
 _PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked: r19 registrations in registration
-    # order (dedup module imports before streaming_entries)
+    # order (dedup imports before streaming_entries before
+    # sources_entries)
     "dedup_clusters_star_contraction",
     "stream_funnel_conversion",
+    "source_pg_wire_roundtrip",
+    "source_mysql_wire_roundtrip",
+    "source_clickhouse_http_roundtrip",
     # (b) rewritten this round (5): the bounded-PNG-decode trio and
     # the two spool-path source roundtrips
     "multimodal_image_decode",
@@ -158,22 +164,20 @@ _PRIORITY: tuple[str, ...] = (
     "ann_pq_recall_vs_exact",
     "curation_knn_label_consistency",
     "ann_ivfpq_topk",
-    "ann_ivfpq_recall_vs_exact",
-    "multimodal_decode_meta",
-    "stream_view_purchase_join",
     # --- 50-entry window boundary ---
 )
 
 # Carryover remainder: the head of the round-20 fill, in order — the
-# 7 remaining r15 rows (these five, then pipeline_shard_manifest and
-# pipeline_chunk_documents). Any query whose plan is rewritten in
-# round 20 joins that window the same round.
+# 10 remaining r15 rows (these five, then sample_shuffle_deterministic,
+# pipeline_mixture_upsample, pipeline_source_quota,
+# pipeline_shard_manifest, pipeline_chunk_documents). Any query whose
+# plan is rewritten in round 20 joins that window the same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "ann_ivfpq_recall_vs_exact",
+    "multimodal_decode_meta",
+    "stream_view_purchase_join",
     "expr_array_higher_order",
     "sample_hash_bucket",
-    "sample_shuffle_deterministic",
-    "pipeline_mixture_upsample",
-    "pipeline_source_quota",
 )
 
 

@@ -278,3 +278,105 @@ def _gs_view_for(spark: SparkSession, sf_dir: str) -> str:
             )
             _GS_VIEWS[key] = register_file_source(spark, cfg)[0]
         return _GS_VIEWS[key]
+
+
+@query(
+    "source_pg_wire_roundtrip",
+    oracle=_NATION_ORACLE,
+    notes=(
+        "jar-free Postgres v3 wire client (sources/pgwire) against a "
+        "live in-process server requiring SCRAM-SHA-256 — startup, the "
+        "full SASL exchange (including server-signature verification), "
+        "and 4 range-partitioned simple-query scans all run inside the "
+        "driver's own harness; each partition opens its own wire "
+        "connection executor-side. Oracle = the plain local read"
+    ),
+)
+def source_pg_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.inventory import _wire_fakes as W
+    from strake_spark.sources.pgwire import FORMAT_NAME, ensure_format
+
+    ensure_format(spark)
+    srv = W.pg_server_for(sf_dir)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .options(
+            host="127.0.0.1",
+            port=str(srv.server_address[1]),
+            user=W.WIRE_USER,
+            password=W.WIRE_PASSWORD,
+            database="db",
+            table="nation",
+            partition_column="n_nationkey",
+            num_partitions="4",
+        )
+        .load()
+    )
+    return _nation_select(df)
+
+
+@query(
+    "source_mysql_wire_roundtrip",
+    oracle=_NATION_ORACLE,
+    notes=(
+        "jar-free MySQL classic-protocol client (sources/mysqlwire) "
+        "against a live in-process handshake-v10 server — "
+        "mysql_native_password auth (challenge-response over the "
+        "20-byte scramble), COM_QUERY text resultsets, and 4 "
+        "range-partitioned scans, each its own connection. Oracle = "
+        "the plain local read"
+    ),
+)
+def source_mysql_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.inventory import _wire_fakes as W
+    from strake_spark.sources.mysqlwire import FORMAT_NAME, ensure_format
+
+    ensure_format(spark)
+    srv = W.my_server_for(sf_dir)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .options(
+            host="127.0.0.1",
+            port=str(srv.server_address[1]),
+            user=W.WIRE_USER,
+            password=W.WIRE_PASSWORD,
+            database="db",
+            table="nation",
+            partition_column="n_nationkey",
+            num_partitions="4",
+        )
+        .load()
+    )
+    return _nation_select(df)
+
+
+@query(
+    "source_clickhouse_http_roundtrip",
+    oracle=_NATION_ORACLE,
+    notes=(
+        "jar-free ClickHouse HTTP-interface client (sources/"
+        "clickhouse_http) against a live in-process server emitting "
+        "TSVWithNamesAndTypes with X-ClickHouse-User/Key auth — schema "
+        "probe, TSV unescaping, \\N nulls, and 4 range-partitioned "
+        "scans. Oracle = the plain local read"
+    ),
+)
+def source_clickhouse_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.inventory import _wire_fakes as W
+    from strake_spark.sources.clickhouse_http import FORMAT_NAME, ensure_format
+
+    ensure_format(spark)
+    srv = W.ch_server_for(sf_dir)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .options(
+            url=f"http://127.0.0.1:{srv.server_address[1]}",
+            user=W.WIRE_USER,
+            password=W.WIRE_PASSWORD,
+            table="nation",
+            partition_column="n_nationkey",
+            num_partitions="4",
+        )
+        .load()
+    )
+    return _nation_select(df)

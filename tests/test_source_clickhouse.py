@@ -14,88 +14,9 @@ import pytest
 
 import strake_spark as ss
 from strake_spark.errors import SourceError
+from strake_spark.inventory._wire_fakes import make_fake_ch
 from strake_spark.sources.clickhouse_http import ClickHouseHttp, _ch_to_spark
 from tests.conftest import SF_DIR
-
-_DUCK_TO_CH = {
-    "BOOLEAN": "Bool", "TINYINT": "Int8", "SMALLINT": "Int16",
-    "INTEGER": "Int32", "BIGINT": "Int64", "HUGEINT": "Int128",
-    "FLOAT": "Float32", "DOUBLE": "Float64", "VARCHAR": "String",
-    "DATE": "Date", "TIMESTAMP": "DateTime64(6)",
-}
-
-
-def _escape(v) -> bytes:
-    import datetime
-
-    if isinstance(v, bool):
-        return b"true" if v else b"false"
-    if isinstance(v, datetime.datetime):
-        s = v.isoformat(sep=" ")
-    else:
-        s = str(v)
-    return (
-        s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
-        .encode()
-    )
-
-
-def make_fake_ch(duck_path: str, users: dict[str, str]):
-    queries: list[str] = []
-
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
-
-        def do_POST(self):
-            user = self.headers.get("X-ClickHouse-User", "default")
-            key = self.headers.get("X-ClickHouse-Key", "")
-            if users.get(user) != key:
-                self.send_response(403)
-                self.end_headers()
-                self.wfile.write(b"Code: 516. Authentication failed")
-                return
-            sql = self.rfile.read(
-                int(self.headers.get("Content-Length", 0))
-            ).decode()
-            queries.append(sql)
-            con = duckdb.connect(duck_path, read_only=True)
-            try:
-                rel = con.sql(sql)
-                names = rel.columns
-
-                def chtype(t) -> str:
-                    u = str(t).upper()
-                    if u.startswith("DECIMAL("):
-                        # DECIMAL(38,6) -> Decimal(38, 6)
-                        return "Decimal" + str(t)[len("DECIMAL"):]
-                    return _DUCK_TO_CH.get(u.split("(")[0], "String")
-
-                types = [chtype(t) for t in rel.types]
-                rows = rel.fetchall()
-            except Exception as e:  # noqa: BLE001 - surfaced as CH error body
-                self.send_response(400)
-                self.end_headers()
-                self.wfile.write(f"Code: 62. DB::Exception: {e}".encode()[:300])
-                return
-            finally:
-                con.close()
-            body = b"\t".join(n.encode() for n in names) + b"\n"
-            body += b"\t".join(t.encode() for t in types) + b"\n"
-            for row in rows:
-                body += b"\t".join(
-                    b"\\N" if v is None else _escape(v) for v in row
-                ) + b"\n"
-            self.send_response(200)
-            self.send_header("Content-Type", "text/tab-separated-values")
-            self.end_headers()
-            self.wfile.write(body)
-
-    srv = HTTPServer(("127.0.0.1", 0), Handler)
-    srv.queries = queries  # type: ignore[attr-defined]
-    srv.duck_path = duck_path  # type: ignore[attr-defined]
-    return srv
-
 
 @pytest.fixture(scope="module")
 def ch(tmp_path_factory):

@@ -16,191 +16,9 @@ import pytest
 
 import strake_spark as ss
 from strake_spark.errors import SourceError
+from strake_spark.inventory._wire_fakes import _SCRAMBLE, FakeMySql
 from strake_spark.sources.mysqlwire import MySqlWireConnection, _native_password_token
 from tests.conftest import SF_DIR
-
-_DUCK_TO_MYSQL_TYPE = {
-    "BOOLEAN": 0x01, "TINYINT": 0x01, "SMALLINT": 0x02, "INTEGER": 0x03,
-    "BIGINT": 0x08, "HUGEINT": 0x08, "FLOAT": 0x04, "DOUBLE": 0x05,
-    "DECIMAL": 0xF6, "VARCHAR": 0xFD, "DATE": 0x0A, "TIMESTAMP": 0x0C,
-}
-
-_SCRAMBLE = b"abcdefgh" + b"ijklmnopqrst"  # 20 bytes
-
-
-def _lenenc(n: int) -> bytes:
-    if n < 0xFB:
-        return bytes([n])
-    if n < 1 << 16:
-        return b"\xfc" + struct.pack("<H", n)
-    if n < 1 << 24:
-        return b"\xfd" + n.to_bytes(3, "little")
-    return b"\xfe" + struct.pack("<Q", n)
-
-
-def _lenenc_str(b: bytes) -> bytes:
-    return _lenenc(len(b)) + b
-
-
-class _Handler(socketserver.BaseRequestHandler):
-    def setup(self):
-        self._buf = b""
-        self._seq = 0
-
-    def _recv_exact(self, n):
-        while len(self._buf) < n:
-            chunk = self.request.recv(65536)
-            if not chunk:
-                raise ConnectionError("client gone")
-            self._buf += chunk
-        out, self._buf = self._buf[:n], self._buf[n:]
-        return out
-
-    def _read_packet(self):
-        head = self._recv_exact(4)
-        length = int.from_bytes(head[:3], "little")
-        self._seq = (head[3] + 1) & 0xFF
-        return self._recv_exact(length)
-
-    def _send_packet(self, payload: bytes):
-        # protocol packet splitting, like a real server: payloads of
-        # 0xffffff+ bytes ship as max-size packets plus a terminator
-        # under the limit (possibly empty) — this is what exercises the
-        # client's continuation reassembly end-to-end
-        while True:
-            part, payload = payload[:0xFFFFFF], payload[0xFFFFFF:]
-            head = len(part).to_bytes(3, "little") + bytes([self._seq])
-            self._seq = (self._seq + 1) & 0xFF
-            self.request.sendall(head + part)
-            if len(part) < 0xFFFFFF:
-                return
-
-    def _err(self, code: int, msg: str):
-        self._send_packet(
-            b"\xff" + struct.pack("<H", code) + b"#42000" + msg.encode()
-        )
-
-    def _ok(self):
-        self._send_packet(b"\x00\x00\x00\x02\x00\x00\x00")
-
-    def _eof(self):
-        self._send_packet(b"\xfe\x00\x00\x02\x00")
-
-    def handle(self):
-        srv = self.server
-        # ---- handshake v10
-        greeting = (
-            b"\x0a" + b"8.0.fake\0" + struct.pack("<I", 1)
-            + _SCRAMBLE[:8] + b"\0"
-            + struct.pack("<H", 0xFFFF)  # cap low
-            + bytes([33]) + struct.pack("<H", 2)  # charset, status
-            + struct.pack("<H", 0x000F)  # cap high (incl PLUGIN_AUTH bit 0x8)
-            + bytes([21]) + b"\0" * 10
-            + _SCRAMBLE[8:] + b"\0"
-            + b"mysql_native_password\0"
-        )
-        self._send_packet(greeting)
-        resp = self._read_packet()
-        if getattr(srv, "ssl_context", None) is not None and len(resp) == 32:
-            # 32-byte SSLRequest head (CLIENT_SSL set) -> switch to TLS,
-            # then the real HandshakeResponse41 arrives encrypted
-            (caps,) = struct.unpack("<I", resp[:4])
-            assert caps & 0x800, "expected CLIENT_SSL in SSLRequest"
-            self.request = srv.ssl_context.wrap_socket(
-                self.request, server_side=True
-            )
-            self._buf = b""
-            resp = self._read_packet()
-        # parse HandshakeResponse41: caps(4) maxpkt(4) charset(1) 23x user\0
-        pos = 4 + 4 + 1 + 23
-        end = resp.index(b"\0", pos)
-        user = resp[pos:end].decode()
-        pos = end + 1
-        alen = resp[pos]
-        token = resp[pos + 1:pos + 1 + alen]
-        expect = _native_password_token(srv.users.get(user, ""), _SCRAMBLE)
-        if user not in srv.users or token != expect:
-            self._err(1045, f"Access denied for user '{user}'")
-            return
-        self._ok()
-        # ---- command loop
-        con = duckdb.connect(srv.duck_path, read_only=True)
-        try:
-            while True:
-                self._seq = 1  # responses continue the command's sequence
-                pkt = self._read_packet()
-                if not pkt or pkt[:1] == b"\x01":  # COM_QUIT
-                    return
-                if pkt[:1] != b"\x03":
-                    self._err(1047, "unsupported command")
-                    continue
-                sql = pkt[1:].decode()
-                srv.queries.append(sql)
-                try:
-                    # the DuckDB backend doesn't parse MySQL backtick
-                    # quoting; translate at the emulation boundary (no
-                    # test statement carries backticks inside literals)
-                    rel = con.sql(sql.replace("`", '"'))
-                    names = rel.columns
-
-                    def colmeta(t) -> tuple[int, int, int]:
-                        u = str(t).upper()
-                        tb = _DUCK_TO_MYSQL_TYPE.get(u.split("(")[0], 0xFD)
-                        if u.startswith("DECIMAL("):
-                            p, s = (int(x) for x in u[8:-1].split(","))
-                            # display width: digits + point + sign
-                            return tb, p + (1 if s > 0 else 0) + 1, s
-                        return tb, 255, 0
-
-                    types = [colmeta(t) for t in rel.types]
-                    rows = rel.fetchall()
-                except Exception as e:  # noqa: BLE001 - surfaced as ERR packet
-                    self._err(1064, str(e)[:200])
-                    continue
-                self._send_packet(_lenenc(len(names)))
-                for name, (tb, col_len, dec) in zip(names, types):
-                    cd = (
-                        _lenenc_str(b"def") + _lenenc_str(b"") + _lenenc_str(b"t")
-                        + _lenenc_str(b"t") + _lenenc_str(name.encode())
-                        + _lenenc_str(name.encode())
-                        + b"\x0c" + struct.pack("<H", 33)
-                        + struct.pack("<I", col_len) + bytes([tb])
-                        + struct.pack("<H", 0) + bytes([dec]) + b"\x00\x00"
-                    )
-                    self._send_packet(cd)
-                self._eof()
-                import datetime
-
-                for row in rows:
-                    out = b""
-                    for v in row:
-                        if v is None:
-                            out += b"\xfb"
-                        else:
-                            if isinstance(v, bool):
-                                s = b"1" if v else b"0"
-                            elif isinstance(v, datetime.datetime):
-                                s = v.isoformat(sep=" ").encode()
-                            else:
-                                s = str(v).encode()
-                            out += _lenenc_str(s)
-                    self._send_packet(out)
-                self._eof()
-        finally:
-            con.close()
-
-
-class FakeMySql(socketserver.ThreadingTCPServer):
-    allow_reuse_address = True
-    daemon_threads = True
-
-    def __init__(self, duck_path, users, ssl_context=None):
-        super().__init__(("127.0.0.1", 0), _Handler)
-        self.duck_path = duck_path
-        self.users = users
-        self.ssl_context = ssl_context
-        self.queries: list[str] = []
-
 
 @pytest.fixture(scope="module")
 def my(tmp_path_factory):

@@ -18,234 +18,9 @@ import pytest
 
 import strake_spark as ss
 from strake_spark.errors import SourceError
+from strake_spark.inventory._wire_fakes import FakePg
 from strake_spark.sources.pgwire import PgWireConnection
 from tests.conftest import SF_DIR
-
-_DUCK_TO_OID = {
-    "BOOLEAN": 16, "BIGINT": 20, "SMALLINT": 21, "INTEGER": 23,
-    "FLOAT": 700, "DOUBLE": 701, "DECIMAL": 1700, "HUGEINT": 20,
-    "VARCHAR": 1043, "DATE": 1082, "TIMESTAMP": 1114,
-    "TIMESTAMP WITH TIME ZONE": 1184,
-}
-
-
-def _encode_text(v) -> bytes:
-    import datetime
-
-    if isinstance(v, bool):
-        return b"t" if v else b"f"
-    if isinstance(v, datetime.datetime):
-        return v.isoformat(sep=" ").encode()
-    return str(v).encode()
-
-
-class _Handler(socketserver.BaseRequestHandler):
-    def setup(self):
-        self._buf = b""
-
-    def _recv_exact(self, n):
-        while len(self._buf) < n:
-            chunk = self.request.recv(65536)
-            if not chunk:
-                raise ConnectionError("client gone")
-            self._buf += chunk
-        out, self._buf = self._buf[:n], self._buf[n:]
-        return out
-
-    def _send(self, mtype: bytes, payload: bytes):
-        self.request.sendall(mtype + struct.pack(">i", len(payload) + 4) + payload)
-
-    def _ready(self):
-        self._send(b"Z", b"I")
-
-    def _error(self, msg: str):
-        fields = b"SERROR\0C42000\0M" + msg.encode() + b"\0\0"
-        self._send(b"E", fields)
-
-    def handle(self):
-        srv = self.server
-        if getattr(srv, "ssl_context", None) is not None:
-            # SSLRequest: 8-byte packet with magic 80877103 -> 'S' -> TLS
-            (ln,) = struct.unpack(">i", self._recv_exact(4))
-            (magic,) = struct.unpack(">i", self._recv_exact(4))
-            assert ln == 8 and magic == 80877103, "expected SSLRequest first"
-            self.request.sendall(b"S")
-            self.request = srv.ssl_context.wrap_socket(
-                self.request, server_side=True
-            )
-            self._buf = b""
-        # ---- startup
-        (length,) = struct.unpack(">i", self._recv_exact(4))
-        payload = self._recv_exact(length - 4)
-        (proto,) = struct.unpack(">i", payload[:4])
-        if proto != 196608:
-            self._error("unsupported protocol")
-            return
-        kv = payload[4:].split(b"\0")
-        params = dict(zip(kv[::2], kv[1::2]))
-        user = params.get(b"user", b"").decode()
-        # ---- auth
-        if srv.auth_mode == "scram":
-            import base64
-            import hmac as _hmac
-            import os
-
-            self._send(b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\0\0")
-            mtype = self._recv_exact(1)
-            (ln,) = struct.unpack(">i", self._recv_exact(4))
-            body = self._recv_exact(ln - 4)
-            mech, rest = body.split(b"\0", 1)
-            (flen,) = struct.unpack(">i", rest[:4])
-            client_first = rest[4:4 + flen].decode()
-            if mtype != b"p" or mech != b"SCRAM-SHA-256":
-                self._error("bad SASL start")
-                return
-            bare = client_first.split(",", 2)[2]
-            cnonce = dict(kv.split("=", 1) for kv in bare.split(","))["r"]
-            snonce = cnonce + base64.b64encode(os.urandom(9)).decode()
-            salt = os.urandom(12)
-            iters = 4096
-            server_first = (
-                f"r={snonce},s={base64.b64encode(salt).decode()},i={iters}"
-            )
-            self._send(b"R", struct.pack(">i", 11) + server_first.encode())
-            mtype = self._recv_exact(1)
-            (ln,) = struct.unpack(">i", self._recv_exact(4))
-            client_final = self._recv_exact(ln - 4).decode()
-            attrs = dict(kv.split("=", 1) for kv in client_final.split(","))
-            salted = hashlib.pbkdf2_hmac(
-                "sha256", srv.users.get(user, "").encode(), salt, iters
-            )
-            client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
-            stored_key = hashlib.sha256(client_key).digest()
-            without_proof = client_final.rsplit(",p=", 1)[0]
-            auth_message = ",".join([bare, server_first, without_proof]).encode()
-            client_sig = _hmac.new(stored_key, auth_message, hashlib.sha256).digest()
-            expect = bytes(a ^ b for a, b in zip(client_key, client_sig))
-            if (mtype != b"p" or attrs.get("r") != snonce
-                    or base64.b64decode(attrs.get("p", "")) != expect):
-                self._error("password authentication failed")
-                return
-            server_key = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
-            server_sig = _hmac.new(server_key, auth_message, hashlib.sha256).digest()
-            self._send(
-                b"R",
-                struct.pack(">i", 12)
-                + b"v=" + base64.b64encode(server_sig),
-            )
-        elif srv.auth_mode == "md5":
-            salt = b"ab12"
-            self._send(b"R", struct.pack(">i", 5) + salt)
-            mtype = self._recv_exact(1)
-            (ln,) = struct.unpack(">i", self._recv_exact(4))
-            pw = self._recv_exact(ln - 4).rstrip(b"\0").decode()
-            inner = hashlib.md5(
-                (srv.users.get(user, "") + user).encode()
-            ).hexdigest()
-            expect = "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
-            if mtype != b"p" or pw != expect:
-                self._error("password authentication failed")
-                return
-        else:  # cleartext
-            self._send(b"R", struct.pack(">i", 3))
-            mtype = self._recv_exact(1)
-            (ln,) = struct.unpack(">i", self._recv_exact(4))
-            pw = self._recv_exact(ln - 4).rstrip(b"\0").decode()
-            if mtype != b"p" or pw != srv.users.get(user):
-                self._error("password authentication failed")
-                return
-        self._send(b"R", struct.pack(">i", 0))  # AuthenticationOk
-        self._send(b"S", b"server_version\0testpg\0")
-        self._ready()
-        # ---- query loop
-        con = duckdb.connect(srv.duck_path, read_only=True)
-        try:
-            while True:
-                mtype = self._recv_exact(1)
-                (ln,) = struct.unpack(">i", self._recv_exact(4))
-                body = self._recv_exact(ln - 4)
-                if mtype == b"X":
-                    return
-                if mtype != b"Q":
-                    self._error(f"unsupported message {mtype!r}")
-                    self._ready()
-                    continue
-                sql = body.rstrip(b"\0").decode()
-                srv.queries.append(sql)
-                cached = srv.wire_cache.get(sql) if srv.wire_cache is not None else None
-                if cached is not None:
-                    self.request.sendall(cached)
-                    self._ready()
-                    continue
-                try:
-                    rel = con.sql(sql)
-                    names = rel.columns
-                    types = [str(t).upper() for t in rel.types]
-                    rows = rel.fetchall()
-                except Exception as e:  # noqa: BLE001 - surfaced as ErrorResponse
-                    self._error(str(e)[:300])
-                    self._ready()
-                    continue
-                # RowDescription; DECIMAL(p,s) carries the real
-                # atttypmod = ((p << 16) | s) + 4 like live postgres
-                def typmod(t: str) -> int:
-                    if t.startswith("DECIMAL("):
-                        p, s = t[8:-1].split(",")
-                        return ((int(p) << 16) | int(s)) + 4
-                    return -1
-
-                fields = b"".join(
-                    name.encode() + b"\0"
-                    + struct.pack(">ihihih", 0, 0,
-                                  _DUCK_TO_OID.get(t.split("(")[0], 1043),
-                                  -1, typmod(t), 0)
-                    for name, t in zip(names, types)
-                )
-                # render the whole resultset once, send in large chunks
-                # — a per-row syscall caps throughput well below what
-                # the client under test can consume
-                tmsg = struct.pack(">h", len(names)) + fields
-                buf: list[bytes] = [
-                    b"T" + struct.pack(">i", len(tmsg) + 4) + tmsg
-                ]
-                for row in rows:
-                    parts = [struct.pack(">h", len(row))]
-                    for v in row:
-                        if v is None:
-                            parts.append(struct.pack(">i", -1))
-                        else:
-                            enc = _encode_text(v)
-                            parts.append(struct.pack(">i", len(enc)) + enc)
-                    payload = b"".join(parts)
-                    buf.append(b"D" + struct.pack(">i", len(payload) + 4) + payload)
-                cmsg = f"SELECT {len(rows)}\0".encode()
-                buf.append(b"C" + struct.pack(">i", len(cmsg) + 4) + cmsg)
-                rendered = b"".join(buf)
-                if srv.wire_cache is not None:
-                    srv.wire_cache[sql] = rendered
-                self.request.sendall(rendered)
-                self._ready()
-        finally:
-            con.close()
-
-
-class FakePg(socketserver.ThreadingTCPServer):
-    allow_reuse_address = True
-    daemon_threads = True
-
-    def __init__(self, duck_path, users, auth_mode="md5", ssl_context=None,
-                 wire_cache: dict | None = None):
-        super().__init__(("127.0.0.1", 0), _Handler)
-        self.duck_path = duck_path
-        self.users = users
-        self.auth_mode = auth_mode
-        self.ssl_context = ssl_context
-        self.queries: list[str] = []
-        # when a dict is supplied, rendered resultset bytes are cached
-        # by SQL text — benchmarks then measure the CLIENT, not this
-        # Python fake's per-cell encode (tools/bench_wire_scan.py)
-        self.wire_cache = wire_cache
-
 
 @pytest.fixture(scope="module")
 def pg(tmp_path_factory):
