@@ -932,3 +932,51 @@ class TestRound18Additions:
             .load()
         )
         assert df.rdd.getNumPartitions() == 4
+
+    def test_wire_roundtrips_read_four_range_partitions(self, spark):
+        """The r19 pg/mysql/clickhouse roundtrip entries each declare
+        num_partitions=4 on n_nationkey — four executor tasks, each its
+        own wire connection (the scale shape the sqlite entry pins,
+        proven on all three protocol clients)."""
+        from strake_spark.inventory import _wire_fakes as W
+        from strake_spark.sources import clickhouse_http, mysqlwire, pgwire
+
+        for mod, opts in (
+            (
+                pgwire,
+                {
+                    "host": "127.0.0.1",
+                    "port": str(W.pg_server_for(SF_DIR).server_address[1]),
+                    "database": "db",
+                },
+            ),
+            (
+                mysqlwire,
+                {
+                    "host": "127.0.0.1",
+                    "port": str(W.my_server_for(SF_DIR).server_address[1]),
+                    "database": "db",
+                },
+            ),
+            (
+                clickhouse_http,
+                {
+                    "url": "http://127.0.0.1:"
+                    f"{W.ch_server_for(SF_DIR).server_address[1]}",
+                },
+            ),
+        ):
+            mod.ensure_format(spark)
+            df = (
+                spark.read.format(mod.FORMAT_NAME)
+                .options(
+                    user=W.WIRE_USER,
+                    password=W.WIRE_PASSWORD,
+                    table="nation",
+                    partition_column="n_nationkey",
+                    num_partitions="4",
+                    **opts,
+                )
+                .load()
+            )
+            assert df.rdd.getNumPartitions() == 4, mod.FORMAT_NAME
