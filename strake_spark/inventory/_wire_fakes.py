@@ -594,20 +594,139 @@ def ch_server_for(sf_dir: str) -> HTTPServer:
         return _CH[sf_dir]
 
 
+FLIGHT_TOKEN = "rt-flight-token"
+_FLIGHT: dict[str, object] = {}
+
+
+def flight_server_for(sf_dir: str):
+    """In-process Arrow Flight server over this sf_dir's nation table:
+    bearer-token-VERIFYING middleware on every call, and the command
+    descriptor ``nation:sharded`` returns one endpoint per region shard
+    (5), so the DataSource's endpoints->partitions mapping is exercised
+    under the driver harness."""
+    import pyarrow.compute as pc
+    import pyarrow.flight as fl
+    import pyarrow.parquet as pq
+
+    with _LOCK:
+        if sf_dir not in _FLIGHT:
+            table = pq.read_table(f"{sf_dir}/nation.parquet")
+
+            class _Auth(fl.ServerMiddlewareFactory):
+                def start_call(self, info, headers):
+                    vals = (
+                        headers.get("authorization")
+                        or headers.get(b"authorization")
+                        or []
+                    )
+                    tok = vals[0] if vals else ""
+                    if isinstance(tok, bytes):
+                        tok = tok.decode()
+                    if tok != f"Bearer {FLIGHT_TOKEN}":
+                        raise fl.FlightUnauthenticatedError("bad token")
+                    return None
+
+            class _Srv(fl.FlightServerBase):
+                def __init__(self):
+                    super().__init__(
+                        "grpc://127.0.0.1:0", middleware={"auth": _Auth()}
+                    )
+                    self.table = table
+
+                def _shards(self):
+                    return {
+                        f"region-{r}": self.table.filter(
+                            pc.equal(self.table["n_regionkey"], r)
+                        )
+                        for r in range(5)
+                    }
+
+                def get_flight_info(self, context, descriptor):
+                    if descriptor.command == b"nation:sharded":
+                        endpoints = [
+                            fl.FlightEndpoint(k.encode(), [])
+                            for k in self._shards()
+                        ]
+                    else:
+                        endpoints = [fl.FlightEndpoint(b"nation", [])]
+                    return fl.FlightInfo(
+                        self.table.schema, descriptor, endpoints, -1, -1
+                    )
+
+                def do_get(self, context, ticket):
+                    t = ticket.ticket
+                    if t == b"nation":
+                        return fl.RecordBatchStream(self.table)
+                    if t.startswith(b"region-"):
+                        return fl.RecordBatchStream(self._shards()[t.decode()])
+                    raise fl.FlightServerError(f"unknown ticket {t!r}")
+
+            srv = _Srv()
+            threading.Thread(target=srv.serve, daemon=True).start()
+            _WIRE_SERVERS.append(srv)
+            _FLIGHT[sf_dir] = srv
+        return _FLIGHT[sf_dir]
+
+
 def close_all() -> None:
     with _LOCK:
         for srv in _WIRE_SERVERS:
-            try:
-                srv.shutdown()
-                srv.server_close()
-            except Exception:  # noqa: BLE001 — best-effort at interpreter exit
-                pass
+            for closer in ("shutdown", "server_close", "close"):
+                try:
+                    getattr(srv, closer)()
+                except Exception:  # noqa: BLE001 — best-effort at exit; not
+                    pass  # every server kind has every closer
         _WIRE_SERVERS.clear()
         _PG.clear()
         _MY.clear()
         _CH.clear()
+        _FLIGHT.clear()
+        _GRPC.clear()
 
 
 import atexit  # noqa: E402 — registered after the state it closes
 
 atexit.register(close_all)
+
+
+_GRPC: dict[str, object] = {}
+
+
+def grpc_server_for(sf_dir: str):
+    """In-process h2c gRPC server (inventory._h2_fake.H2GrpcTestServer)
+    streaming this sf_dir's nation rows as protobuf messages on
+    ``/strake.Nation/List`` — field 1 varint n_nationkey, field 2
+    length-delimited n_name, field 3 varint n_regionkey."""
+    from strake_spark.inventory._h2_fake import H2GrpcTestServer
+
+    with _LOCK:
+        if sf_dir not in _GRPC:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(f"{sf_dir}/nation.parquet")
+
+            def varint(n: int) -> bytes:
+                out = bytearray()
+                while True:
+                    b = n & 0x7F
+                    n >>= 7
+                    out.append(b | (0x80 if n else 0))
+                    if not n:
+                        return bytes(out)
+
+            msgs = []
+            for k, nm, rk in zip(
+                t.column("n_nationkey").to_pylist(),
+                t.column("n_name").to_pylist(),
+                t.column("n_regionkey").to_pylist(),
+            ):
+                name = nm.encode()
+                msgs.append(
+                    b"\x08" + varint(int(k))
+                    + b"\x12" + varint(len(name)) + name
+                    + b"\x18" + varint(int(rk))
+                )
+            srv = H2GrpcTestServer({"/strake.Nation/List": lambda req: msgs})
+            _WIRE_SERVERS.append(srv)
+            _GRPC[sf_dir] = srv
+        return _GRPC[sf_dir]

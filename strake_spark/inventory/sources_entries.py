@@ -380,3 +380,373 @@ def source_clickhouse_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return _nation_select(df)
+
+
+@query(
+    "source_duckdb_roundtrip",
+    oracle=_NATION_ORACLE,
+    notes=(
+        "DuckDB-file DataSource (sources/duck): 4 range-partitioned "
+        "Arrow-batch scans of a content-keyed database file, each "
+        "partition its own read-only connection executor-side. Oracle "
+        "= the plain local read. Completes the reference's embedded-DB "
+        "pair (sqlite.rs / duckdb.rs) at driver-green evidence"
+    ),
+)
+def source_duckdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.inventory import _wire_fakes as W
+    from strake_spark.sources.duck import FORMAT_NAME, ensure_format
+
+    ensure_format(spark)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .options(
+            path=W.duck_path_for(sf_dir),
+            table="nation",
+            partition_column="n_nationkey",
+            num_partitions="4",
+        )
+        .load()
+    )
+    return _nation_select(df)
+
+
+@query(
+    "source_flight_roundtrip",
+    oracle=_NATION_ORACLE,
+    notes=(
+        "Arrow Flight DataSource (sources/flight) against a live "
+        "in-process server with bearer-token-VERIFYING middleware on "
+        "every call: get_flight_info on the 'nation:sharded' command "
+        "returns 5 endpoints (one per region shard), each mapping to "
+        "its own Spark partition whose executor task do_gets its "
+        "ticket. Oracle = the plain local read (shards partition the "
+        "table exactly)"
+    ),
+)
+def source_flight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.inventory import _wire_fakes as W
+    from strake_spark.sources.flight import FORMAT_NAME, ensure_format
+
+    ensure_format(spark)
+    srv = W.flight_server_for(sf_dir)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .options(
+            location=f"grpc://127.0.0.1:{srv.port}",
+            command="nation:sharded",
+            token=W.FLIGHT_TOKEN,
+        )
+        .load()
+    )
+    return _nation_select(df)
+
+
+@query(
+    "source_xlsx_roundtrip",
+    oracle=_NATION_ORACLE,
+    notes=(
+        "XLSX source (sources/xlsx, stdlib OOXML): the entry writes a "
+        "content-keyed workbook holding this sf_dir's nation rows "
+        "(inline-string cells, numeric keys) once, then reads it back "
+        "through sheet_to_df — sheet catalog via workbook "
+        "relationships, typed cells, per-column inference (integral -> "
+        "long). Oracle = the plain local read. Driver-sized by design "
+        "(the format caps a sheet at ~1M rows; see the module "
+        "docstring's scale stance)"
+    ),
+)
+def source_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.sources.xlsx import sheet_to_df
+
+    return _nation_select(sheet_to_df(spark, _xlsx_for(sf_dir), "nation"))
+
+
+def _xlsx_for(sf_dir: str) -> str:
+    """Content-keyed OOXML workbook holding this sf_dir's nation table
+    (header + inline-string name cells); built atomically once."""
+    import zipfile
+
+    tag = hashlib.md5(f"xlsx_rt_v1:{sf_dir}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"strake_rt_{tag}.xlsx")
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet")
+
+    def esc(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    rows = [
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>n_nationkey</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>n_name</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>n_regionkey</t></is></c></row>'
+    ]
+    for i, (k, nm, rk) in enumerate(
+        zip(
+            t.column("n_nationkey").to_pylist(),
+            t.column("n_name").to_pylist(),
+            t.column("n_regionkey").to_pylist(),
+        ),
+        start=2,
+    ):
+        rows.append(
+            f'<row r="{i}"><c r="A{i}"><v>{k}</v></c>'
+            f'<c r="B{i}" t="inlineStr"><is><t>{esc(nm)}</t></is></c>'
+            f'<c r="C{i}"><v>{rk}</v></c></row>'
+        )
+    main_ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg_rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    sheet_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{main_ns}"><sheetData>{"".join(rows)}'
+        "</sheetData></worksheet>"
+    )
+    workbook_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{main_ns}" xmlns:r="{rel_ns}">'
+        '<sheets><sheet name="nation" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    workbook_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{pkg_rel_ns}">'
+        f'<Relationship Id="rId1" Type="{rel_ns}/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{pkg_rel_ns}">'
+        f'<Relationship Id="rId1" Type="{rel_ns}/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        "</Types>"
+    )
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook_xml)
+        z.writestr("xl/_rels/workbook.xml.rels", workbook_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    os.replace(tmp, path)  # atomic: concurrent callers never read a partial book
+    return path
+
+
+@query(
+    "source_grpc_roundtrip",
+    oracle=_NATION_ORACLE,
+    notes=(
+        "jar-free gRPC source (sources/grpc_source over the h2c "
+        "transport in sources/h2grpc): a live in-process HTTP/2 server "
+        "streams this sf_dir's nation rows as protobuf messages; the "
+        "client speaks the full stack under the driver harness — "
+        "connection preface, SETTINGS exchange, HPACK response headers "
+        "(static-indexed + incremental dynamic-table paths), gRPC "
+        "length-prefixed framing, descriptor-driven proto decode, "
+        "grpc-status trailers. Oracle = the plain local read"
+    ),
+)
+def source_grpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.inventory import _wire_fakes as W
+    from strake_spark.sources.grpc_source import FORMAT_NAME, ensure_format
+
+    ensure_format(spark)
+    srv = W.grpc_server_for(sf_dir)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .options(
+            endpoint=f"127.0.0.1:{srv.port}",
+            method="/strake.Nation/List",
+            fields="1:n_nationkey:int64,2:n_name:string,3:n_regionkey:int64",
+            transport="h2c",
+        )
+        .load()
+    )
+    return _nation_select(df)
+
+
+@query(
+    "source_avro_roundtrip",
+    oracle=_NATION_ORACLE,
+    notes=(
+        "Avro source (sources/avro_source): a content-keyed Avro "
+        "object-container file of this sf_dir's nation rows is written "
+        "once through the JVM's bundled avro jar, then read back "
+        "through read_avro_df (spark-avro module when deployed, jar- "
+        "free bounded driver decode otherwise — this container takes "
+        "the fallback). Oracle = the plain local read"
+    ),
+)
+def source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.sources.avro_source import read_avro_df
+
+    return _nation_select(read_avro_df(spark, _avro_for(spark, sf_dir)))
+
+
+_NATION_AVRO_SCHEMA = (
+    '{"type": "record", "name": "nation", "fields": ['
+    '{"name": "n_nationkey", "type": "long"},'
+    '{"name": "n_name", "type": "string"},'
+    '{"name": "n_regionkey", "type": "long"}]}'
+)
+
+
+def _nation_rows(sf_dir: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet")
+    return [
+        {"n_nationkey": int(k), "n_name": nm, "n_regionkey": int(rk)}
+        for k, nm, rk in zip(
+            t.column("n_nationkey").to_pylist(),
+            t.column("n_name").to_pylist(),
+            t.column("n_regionkey").to_pylist(),
+        )
+    ]
+
+
+def _avro_for(spark: SparkSession, sf_dir: str) -> str:
+    """Content-keyed nation.avro, written atomically once per sf_dir."""
+    tag = hashlib.md5(f"avro_rt_v1:{sf_dir}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"strake_rt_{tag}.avro")
+    if os.path.exists(path):
+        return path
+    from strake_spark.sources.avro_source import write_avro
+
+    tmp = f"{path}.{os.getpid()}.tmp"
+    write_avro(spark, tmp, _NATION_AVRO_SCHEMA, _nation_rows(sf_dir))
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "source_iceberg_roundtrip",
+    oracle=_NATION_ORACLE,
+    notes=(
+        "Native Iceberg read path (sources/iceberg_native): the entry "
+        "builds a spec-shaped v2 filesystem table once per sf_dir — "
+        "nation split into two parquet data files (regionkey < 2 / "
+        "rest), two Avro manifests, an Avro manifest list, metadata "
+        "JSON + version hint — and reads the current snapshot back "
+        "through read_iceberg_table (manifest decode via the JVM avro "
+        "jar, data via the parquet scan). Oracle = the plain local "
+        "read; a snapshot/manifest resolution bug is a row/hash "
+        "mismatch"
+    ),
+)
+def source_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strake_spark.sources.iceberg_native import read_iceberg_table
+
+    return _nation_select(read_iceberg_table(spark, _iceberg_for(spark, sf_dir)))
+
+
+_ICE_MANIFEST_SCHEMA = (
+    '{"type": "record", "name": "manifest_entry", "fields": ['
+    '{"name": "status", "type": "int"},'
+    '{"name": "snapshot_id", "type": "long"},'
+    '{"name": "data_file", "type": {"type": "record", "name": "data_file", "fields": ['
+    '{"name": "content", "type": "int", "default": 0},'
+    '{"name": "file_path", "type": "string"},'
+    '{"name": "file_format", "type": "string"},'
+    '{"name": "record_count", "type": "long"},'
+    '{"name": "file_size_in_bytes", "type": "long"}]}}]}'
+)
+
+_ICE_MLIST_SCHEMA = (
+    '{"type": "record", "name": "manifest_file", "fields": ['
+    '{"name": "manifest_path", "type": "string"},'
+    '{"name": "manifest_length", "type": "long"},'
+    '{"name": "partition_spec_id", "type": "int", "default": 0},'
+    '{"name": "content", "type": "int", "default": 0},'
+    '{"name": "added_snapshot_id", "type": "long"}]}'
+)
+
+
+def _iceberg_for(spark: SparkSession, sf_dir: str) -> str:
+    """Content-keyed on-disk Iceberg v2 table of this sf_dir's nation
+    rows (two data files / two manifests / one snapshot); built under a
+    staging dir and renamed into place once complete."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    tag = hashlib.md5(f"ice_rt_v1:{sf_dir}".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"strake_rt_ice_{tag}")
+    if os.path.isdir(root):
+        return root
+    from strake_spark.sources.avro_source import write_avro
+
+    stage = f"{root}.{os.getpid()}.tmp"
+    shutil.rmtree(stage, ignore_errors=True)
+    data, meta = os.path.join(stage, "data"), os.path.join(stage, "metadata")
+    os.makedirs(data)
+    os.makedirs(meta)
+    t = pq.read_table(f"{sf_dir}/nation.parquet").select(
+        ["n_nationkey", "n_name", "n_regionkey"]
+    )
+    import pyarrow.compute as pc
+
+    low = t.filter(pc.less(t["n_regionkey"], 2))
+    high = t.filter(pc.greater_equal(t["n_regionkey"], 2))
+    # every recorded path points at the FINAL root (the staged tree is
+    # renamed into place whole, so staging paths must never leak into
+    # manifest/metadata content)
+    files = []
+    for name, part in (("a.parquet", low), ("b.parquet", high)):
+        p = os.path.join(data, name)
+        pq.write_table(part, p)
+        files.append((os.path.join(root, "data", name), p, part.num_rows))
+    manifests = []
+    for i, (final_p, staged_p, n) in enumerate(files, start=1):
+        m = os.path.join(meta, f"m{i}.avro")
+        write_avro(
+            spark, m, _ICE_MANIFEST_SCHEMA,
+            [{
+                "status": 1, "snapshot_id": 1,
+                "data_file": {
+                    "content": 0, "file_path": final_p,
+                    "file_format": "PARQUET",
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(staged_p),
+                },
+            }],
+        )
+        manifests.append((os.path.join(root, "metadata", f"m{i}.avro"), m))
+    mlist = os.path.join(meta, "snap-1.avro")
+    write_avro(
+        spark, mlist, _ICE_MLIST_SCHEMA,
+        [{
+            "manifest_path": final_m, "manifest_length": os.path.getsize(staged_m),
+            "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1,
+        } for final_m, staged_m in manifests],
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000019",
+        "location": root,
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1_700_000_000_000,
+             "manifest-list": os.path.join(root, "metadata", "snap-1.avro")},
+        ],
+    }
+    with open(os.path.join(meta, "v1.metadata.json"), "w") as f:
+        json.dump(metadata, f)
+    with open(os.path.join(meta, "version-hint.text"), "w") as f:
+        f.write("1")
+    try:
+        os.rename(stage, root)  # atomic on the same filesystem
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # another caller won
+    return root

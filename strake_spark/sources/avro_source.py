@@ -108,3 +108,45 @@ def register_avro_source(spark: SparkSession, cfg: SourceConfig) -> list[str]:
         df.createOrReplaceTempView(name)
         registered.append(name)
     return registered
+
+
+def write_avro(spark, path: str, schema_json: str, rows: list) -> None:
+    """Write an Avro object-container file through the JVM's bundled
+    avro jar (the same battle-tested implementation the fallback reader
+    uses) — generic records built field-by-field from plain dicts;
+    unions resolve to their non-null branch. Shared by the test suites
+    and the driver-green avro/iceberg roundtrip entries."""
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+
+    def build(rec_schema, d):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(rec_schema)
+        for f in rec_schema.getFields():
+            v = d.get(f.name())
+            ftype = f.schema()
+            if ftype.getType().getName() == "union":
+                ftype = next(
+                    (t for t in ftype.getTypes()
+                     if t.getType().getName() != "null"), ftype
+                )
+            if isinstance(v, dict):
+                rec.put(f.name(), build(ftype, v))
+            elif isinstance(v, list):
+                arr = jvm.java.util.ArrayList()
+                elem = ftype.getElementType()
+                for item in v:
+                    arr.add(build(elem, item) if isinstance(item, dict) else item)
+                rec.put(f.name(), arr)
+            elif isinstance(v, (bytes, bytearray)):
+                rec.put(f.name(), jvm.java.nio.ByteBuffer.wrap(bytes(v)))
+            else:
+                rec.put(f.name(), v)
+        return rec
+
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.create(schema, jvm.java.io.File(path))
+    for d in rows:
+        writer.append(build(schema, d))
+    writer.close()

@@ -407,7 +407,15 @@ class PgWireConnection:
             end = payload.find(b"\0", pos)
             if end < 0 or end + 19 > len(payload):
                 raise SourceError("postgres RowDescription: truncated field")
-            name = payload[pos:end].decode()
+            try:
+                name = payload[pos:end].decode()
+            except UnicodeDecodeError as e:
+                # r19 (hypothesis): a hostile/corrupt server can send
+                # non-UTF-8 name bytes — the parser contract is
+                # SourceError, never a raw UnicodeDecodeError
+                raise SourceError(
+                    "postgres RowDescription: non-UTF-8 field name"
+                ) from e
             pos = end + 1
             _table_oid, _attnum, type_oid, _typlen, typmod, _fmt = struct.unpack(
                 ">ihihih", payload[pos:pos + 18]

@@ -980,3 +980,35 @@ class TestRound18Additions:
                 .load()
             )
             assert df.rdd.getNumPartitions() == 4, mod.FORMAT_NAME
+
+    def test_duckdb_and_flight_roundtrip_partitioning(self, spark):
+        """The duckdb roundtrip scans 4 key ranges; the flight roundtrip
+        maps the server's 5 region-shard endpoints to 5 partitions."""
+        from strake_spark.inventory import _wire_fakes as W
+        from strake_spark.sources import duck, flight
+
+        duck.ensure_format(spark)
+        df = (
+            spark.read.format(duck.FORMAT_NAME)
+            .options(
+                path=W.duck_path_for(SF_DIR),
+                table="nation",
+                partition_column="n_nationkey",
+                num_partitions="4",
+            )
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 4
+
+        flight.ensure_format(spark)
+        srv = W.flight_server_for(SF_DIR)
+        df = (
+            spark.read.format(flight.FORMAT_NAME)
+            .options(
+                location=f"grpc://127.0.0.1:{srv.port}",
+                command="nation:sharded",
+                token=W.FLIGHT_TOKEN,
+            )
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 5

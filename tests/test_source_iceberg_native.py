@@ -50,41 +50,7 @@ _MLIST_SCHEMA = json.dumps({
     ]})
 
 
-def _write_avro(spark, path, schema_json, rows):
-    jvm = spark._jvm
-    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
-
-    def build(rec_schema, d):
-        rec = jvm.org.apache.avro.generic.GenericData.Record(rec_schema)
-        for f in rec_schema.getFields():
-            v = d.get(f.name())
-            ftype = f.schema()
-            if ftype.getType().getName() == "union":
-                ftype = next(
-                    (t for t in ftype.getTypes()
-                     if t.getType().getName() != "null"), ftype
-                )
-            if isinstance(v, dict):
-                rec.put(f.name(), build(ftype, v))
-            elif isinstance(v, list):
-                arr = jvm.java.util.ArrayList()
-                elem = ftype.getElementType()
-                for item in v:
-                    arr.add(build(elem, item) if isinstance(item, dict) else item)
-                rec.put(f.name(), arr)
-            elif isinstance(v, (bytes, bytearray)):
-                rec.put(f.name(), jvm.java.nio.ByteBuffer.wrap(bytes(v)))
-            else:
-                rec.put(f.name(), v)
-        return rec
-
-    writer = jvm.org.apache.avro.file.DataFileWriter(
-        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
-    )
-    writer.create(schema, jvm.java.io.File(path))
-    for d in rows:
-        writer.append(build(schema, d))
-    writer.close()
+from strake_spark.sources.avro_source import write_avro as _write_avro
 
 
 def _entry(path, n_rows, status=1, content=0):
