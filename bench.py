@@ -193,9 +193,16 @@ def _end_block(label, run_block, loads, retries):
     post = _load()
     loads[label] = post
     if max(pre, post) > _LOAD_THRESHOLD:
+        # NOTE: on a many-core box the bench's own executor threads can
+        # push the 1-min load past the threshold, so crossing it does
+        # NOT prove external contention — the retry supplies a second
+        # steady-state reading either way, and retry ≈ first reading
+        # acquits the box in-artifact (measured r19: qend 4.28 vs
+        # retry 4.19 on an idle 32-cpu box whose self-load hit 3.67)
         print(
-            f"# {label}: contended (load {pre}->{post} > {_LOAD_THRESHOLD}); "
-            f"backing off {_LOAD_BACKOFF}s and re-running once",
+            f"# {label}: boundary load {pre}->{post} > {_LOAD_THRESHOLD}; "
+            f"backing off {_LOAD_BACKOFF}s and re-running once for a "
+            "second steady-state reading",
             file=sys.stderr,
         )
         time.sleep(_LOAD_BACKOFF)
