@@ -682,6 +682,7 @@ def close_all() -> None:
         _CH.clear()
         _FLIGHT.clear()
         _GRPC.clear()
+        _SFTP.clear()
 
 
 import atexit  # noqa: E402 — registered after the state it closes
@@ -730,3 +731,40 @@ def grpc_server_for(sf_dir: str):
             _WIRE_SERVERS.append(srv)
             _GRPC[sf_dir] = srv
         return _GRPC[sf_dir]
+
+
+_SFTP: dict[str, object] = {}
+
+
+def sftp_server_for(sf_dir: str):
+    """In-process SSH/SFTP server (inventory._ssh_fake) serving a
+    content-keyed root holding this sf_dir's nation.parquet under
+    /data/. Password auth; the caller pins the server's ed25519 key by
+    fingerprint (the client refuses unpinned hosts by policy)."""
+    import shutil
+
+    from strake_spark.inventory._ssh_fake import SshSftpTestServer
+
+    with _LOCK:
+        if sf_dir not in _SFTP:
+            import hashlib as _hashlib
+
+            tag = _hashlib.md5(f"sftp_rt_v1:{sf_dir}".encode()).hexdigest()[:12]
+            root = os.path.join(tempfile.gettempdir(), f"strake_rt_sftp_{tag}")
+            data = os.path.join(root, "data")
+            if not os.path.isdir(data):
+                stage = f"{root}.{os.getpid()}.tmp"
+                shutil.rmtree(stage, ignore_errors=True)
+                os.makedirs(os.path.join(stage, "data"))
+                shutil.copy(
+                    f"{sf_dir}/nation.parquet",
+                    os.path.join(stage, "data", "nation.parquet"),
+                )
+                try:
+                    os.rename(stage, root)
+                except OSError:
+                    shutil.rmtree(stage, ignore_errors=True)
+            srv = SshSftpTestServer(root, password=WIRE_PASSWORD)
+            _WIRE_SERVERS.append(srv)
+            _SFTP[sf_dir] = srv
+        return _SFTP[sf_dir]
