@@ -79,12 +79,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 #
 # Round-19 window (consolidation round): tier (a) — the two operators
 # built+tested in r18 whose registration was deferred by window budget
-# (star-contraction clusters, streaming funnel) plus ten source
+# (star-contraction clusters, streaming funnel) plus eleven source
 # roundtrips (pg/mysql/clickhouse wire, duckdb, flight, xlsx, grpc,
-# avro, iceberg, sftp — every remaining pytest-green source family
-# with an in-container protocol path promoted to driver-green), in
+# avro, iceberg, sftp, ftp — every remaining source family promoted
+# to driver-green against a live in-process protocol peer), in
 # registration order; tier (b) — the five rewritten entries below;
-# tier (c) — the 33 oldest r15-evidence rows. 17 r15 rows spill to
+# tier (c) — the 32 oldest r15-evidence rows. 18 r15 rows spill to
 # the r20 fill.
 
 # Entries whose implementation changes this round (r19):
@@ -123,6 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_avro_roundtrip",
     "source_iceberg_roundtrip",
     "source_sftp_roundtrip",
+    "source_ftp_roundtrip",
     # (b) rewritten this round (5): the bounded-PNG-decode trio and
     # the two spool-path source roundtrips
     "multimodal_image_decode",
@@ -130,7 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_binaryfile_image_decode",
     "source_az_spool_roundtrip",
     "source_gs_interop_roundtrip",
-    # (c) oldest evidence: the 33 oldest r15 rows in registration
+    # (c) oldest evidence: the 32 oldest r15 rows in registration
     # order (all 50 r15-newest rows were displaced out of the r18
     # window by that round's registrations; they come due here)
     "join_anti_customers_without_urgent_orders",
@@ -165,25 +166,24 @@ _PRIORITY: tuple[str, ...] = (
     "agg_group_by_all",
     "window_qualify_top2_per_customer",
     "ann_cosine_topk_bruteforce",
-    "ann_lsh_bucketed_topk",
     # --- 50-entry window boundary ---
 )
 
 # Carryover remainder: the head of the round-20 fill, in order — the
-# 17 remaining r15 rows (these five, then curation_knn_label_
-# consistency, ann_ivfpq_topk, ann_ivfpq_recall_vs_exact,
-# multimodal_decode_meta, stream_view_purchase_join,
-# expr_array_higher_order, sample_hash_bucket,
-# sample_shuffle_deterministic, pipeline_mixture_upsample,
-# pipeline_source_quota, pipeline_shard_manifest,
-# pipeline_chunk_documents). Any query whose plan is rewritten in
-# round 20 joins that window the same round.
+# 18 remaining r15 rows (these five, then ann_pq_recall_vs_exact,
+# curation_knn_label_consistency, ann_ivfpq_topk,
+# ann_ivfpq_recall_vs_exact, multimodal_decode_meta,
+# stream_view_purchase_join, expr_array_higher_order,
+# sample_hash_bucket, sample_shuffle_deterministic,
+# pipeline_mixture_upsample, pipeline_source_quota,
+# pipeline_shard_manifest, pipeline_chunk_documents). Any query whose
+# plan is rewritten in round 20 joins that window the same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "ann_lsh_bucketed_topk",
     "ann_ivf_topk",
     "ann_lsh_recall_vs_exact",
     "ann_ivf_recall_vs_exact",
     "ann_pq_topk",
-    "ann_pq_recall_vs_exact",
 )
 
 

@@ -683,6 +683,7 @@ def close_all() -> None:
         _FLIGHT.clear()
         _GRPC.clear()
         _SFTP.clear()
+        _FTP.clear()
 
 
 import atexit  # noqa: E402 — registered after the state it closes
@@ -736,35 +737,182 @@ def grpc_server_for(sf_dir: str):
 _SFTP: dict[str, object] = {}
 
 
+def _nation_root_for(sf_dir: str) -> str:
+    """Content-keyed served root: /data/nation.parquet copied from this
+    sf_dir; built atomically once, shared by the sftp and ftp servers."""
+    import hashlib as _hashlib
+    import shutil
+
+    tag = _hashlib.md5(f"sftp_rt_v1:{sf_dir}".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"strake_rt_sftp_{tag}")
+    if not os.path.isdir(os.path.join(root, "data")):
+        stage = f"{root}.{os.getpid()}.tmp"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(os.path.join(stage, "data"))
+        shutil.copy(
+            f"{sf_dir}/nation.parquet",
+            os.path.join(stage, "data", "nation.parquet"),
+        )
+        try:
+            os.rename(stage, root)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    return root
+
+
 def sftp_server_for(sf_dir: str):
     """In-process SSH/SFTP server (inventory._ssh_fake) serving a
     content-keyed root holding this sf_dir's nation.parquet under
     /data/. Password auth; the caller pins the server's ed25519 key by
     fingerprint (the client refuses unpinned hosts by policy)."""
-    import shutil
-
     from strake_spark.inventory._ssh_fake import SshSftpTestServer
 
     with _LOCK:
         if sf_dir not in _SFTP:
-            import hashlib as _hashlib
-
-            tag = _hashlib.md5(f"sftp_rt_v1:{sf_dir}".encode()).hexdigest()[:12]
-            root = os.path.join(tempfile.gettempdir(), f"strake_rt_sftp_{tag}")
-            data = os.path.join(root, "data")
-            if not os.path.isdir(data):
-                stage = f"{root}.{os.getpid()}.tmp"
-                shutil.rmtree(stage, ignore_errors=True)
-                os.makedirs(os.path.join(stage, "data"))
-                shutil.copy(
-                    f"{sf_dir}/nation.parquet",
-                    os.path.join(stage, "data", "nation.parquet"),
-                )
-                try:
-                    os.rename(stage, root)
-                except OSError:
-                    shutil.rmtree(stage, ignore_errors=True)
-            srv = SshSftpTestServer(root, password=WIRE_PASSWORD)
+            srv = SshSftpTestServer(_nation_root_for(sf_dir), password=WIRE_PASSWORD)
             _WIRE_SERVERS.append(srv)
             _SFTP[sf_dir] = srv
         return _SFTP[sf_dir]
+
+
+class FtpTestServer:
+    """Minimal RFC 959 FTP server (USER/PASS auth, TYPE, PASV, NLST,
+    RETR, QUIT) over a directory root — enough protocol that the
+    stdlib ftplib client under test speaks to REAL sockets: greeting,
+    auth handshake, passive-mode data connections, listings and
+    transfers all cross the wire (r19; previously ftp:// was tested
+    only against a monkeypatched ftplib.FTP)."""
+
+    def __init__(self, root: str, users: dict[str, str]):
+        import socket
+
+        self.root = root
+        self.users = users
+        self.logins: list[tuple[str, str]] = []
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self._srv.getsockname()[1]
+        self._stop = threading.Event()
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            self._srv.settimeout(0.2)
+            try:
+                conn, _ = self._srv.accept()
+            except TimeoutError:
+                continue
+            except OSError:
+                return
+            threading.Thread(
+                target=self._handle, args=(conn,), daemon=True
+            ).start()
+
+    def _resolve(self, path: str) -> str | None:
+        real_root = os.path.realpath(self.root)
+        p = os.path.realpath(os.path.join(real_root, path.lstrip("/")))
+        if p != real_root and not p.startswith(real_root + os.sep):
+            return None  # traversal attempt
+        return p
+
+    def _handle(self, conn) -> None:
+        import socket
+
+        conn.settimeout(10.0)
+        rfile = conn.makefile("rb")
+
+        def send(line: str) -> None:
+            conn.sendall((line + "\r\n").encode())
+
+        send("220 strake test ftp")
+        user = ""
+        authed = False
+        data_srv = None
+        try:
+            while True:
+                raw = rfile.readline()
+                if not raw:
+                    return
+                cmd, _, arg = raw.decode().rstrip("\r\n").partition(" ")
+                cmd = cmd.upper()
+                if cmd == "USER":
+                    user = arg
+                    send("331 need password")
+                elif cmd == "PASS":
+                    self.logins.append((user, arg))
+                    if self.users.get(user) == arg:
+                        authed = True
+                        send("230 logged in")
+                    else:
+                        send("530 login incorrect")
+                elif cmd == "QUIT":
+                    send("221 bye")
+                    return
+                elif not authed:
+                    send("530 not logged in")
+                elif cmd == "TYPE":
+                    send("200 type set")
+                elif cmd == "PASV":
+                    if data_srv is not None:
+                        data_srv.close()
+                    data_srv = socket.create_server(("127.0.0.1", 0))
+                    p = data_srv.getsockname()[1]
+                    send(f"227 entering passive mode (127,0,0,1,{p >> 8},{p & 255})")
+                elif cmd in ("NLST", "RETR"):
+                    if data_srv is None:
+                        send("425 use PASV first")
+                        continue
+                    local = self._resolve(arg)
+                    bad = local is None or not os.path.exists(local)
+                    if bad or (cmd == "RETR" and not os.path.isfile(local)):
+                        send("550 no such file or directory")
+                        data_srv.close()
+                        data_srv = None
+                        continue
+                    send("150 opening data connection")
+                    data_srv.settimeout(10.0)
+                    dconn, _ = data_srv.accept()
+                    try:
+                        if cmd == "RETR":
+                            with open(local, "rb") as fh:
+                                dconn.sendall(fh.read())
+                        elif os.path.isdir(local):
+                            base = arg.rstrip("/")
+                            dconn.sendall(
+                                "".join(
+                                    f"{base}/{n}\r\n"
+                                    for n in sorted(os.listdir(local))
+                                ).encode()
+                            )
+                        else:  # NLST on a file lists the file itself
+                            dconn.sendall((arg + "\r\n").encode())
+                    finally:
+                        dconn.close()
+                        data_srv.close()
+                        data_srv = None
+                    send("226 transfer complete")
+                else:
+                    send("502 command not implemented")
+        except Exception:  # noqa: BLE001 — a broken client connection ends the session
+            return
+        finally:
+            if data_srv is not None:
+                data_srv.close()
+            conn.close()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._srv.close()
+
+
+_FTP: dict[str, FtpTestServer] = {}
+
+
+def ftp_server_for(sf_dir: str) -> FtpTestServer:
+    """Live FTP server over the same content-keyed root the sftp entry
+    serves (/data/nation.parquet)."""
+    with _LOCK:
+        if sf_dir not in _FTP:
+            srv = FtpTestServer(_nation_root_for(sf_dir), {WIRE_USER: WIRE_PASSWORD})
+            _WIRE_SERVERS.append(srv)
+            _FTP[sf_dir] = srv
+        return _FTP[sf_dir]

@@ -48,9 +48,9 @@ def test_window_is_saturated_prefix_of_evidence_order():
     (r01–r18) — bump the range in the SAME commit as every rotation so
     the check describes that rotation. r19 rotation arithmetic: all 50
     r15-newest rows came due (none were covered in r18); the window is
-    12 new registrations (star-contraction clusters, streaming funnel,
-    ten source roundtrips) + 5 rewritten (bounded-PNG trio, two
-    spool-path roundtrips) + the 33 oldest r15 rows, spilling 17 r15
+    13 new registrations (star-contraction clusters, streaming funnel,
+    eleven source roundtrips) + 5 rewritten (bounded-PNG trio, two
+    spool-path roundtrips) + the 32 oldest r15 rows, spilling 18 r15
     rows to the r20 fill head."""
     import json
     import os
