@@ -8,15 +8,26 @@ paginated REST DataSource — and the oracle is the plain SQL read of
 the same table. A protocol bug anywhere (signing, listing, ranged
 GETs, pagination, type mapping) surfaces as a row/hash mismatch.
 
-The object-store endpoints are in-process signature-VERIFYING fakes
-(strake_spark.inventory._fakes) on 127.0.0.1, cached per sf_dir and
-kept alive for the process (Spark scans are lazy — the driver collects
-after the entry returns). SQLite needs no server: the entry builds a
-content-keyed database file once per sf_dir.
+The endpoints are in-process protocol-faithful, credential-VERIFYING
+fakes on 127.0.0.1 (strake_spark.inventory._fakes for S3/Azure/REST,
+._wire_fakes for Postgres/MySQL/ClickHouse/Flight/gRPC/FTP, ._ssh_fake
+for SSH/SFTP, ._h2_fake for the HTTP/2 transport), cached per sf_dir
+and kept alive for the process (Spark scans are lazy — the driver
+collects after the entry returns; atexit close_all shuts them down).
+Embedded-DB/file sources need no server: the entries build
+content-keyed SQLite/DuckDB/xlsx/avro/iceberg fixtures once per
+sf_dir.
 
-Reference parity: these cover the read paths of
-crates/connectors/src/sources/file.rs:124-207 (object stores) and
-sources/sql/sqlite.rs / rest.rs at the driver-green evidence level.
+Reference parity (driver-green evidence level, r18-r19): these cover
+the read paths of crates/connectors/src/sources/file.rs:124-207
+(object stores incl. ftp/sftp spools), sources/sql/{sqlite,postgres,
+mysql,clickhouse,duckdb}.rs (wire/embedded SQL sources — ours are the
+jar-free protocol clients), sources/rest.rs (pagination),
+sources/flight.rs:23-60 (endpoints -> partitions), sources/grpc.rs:
+21-45 (descriptor-driven decode over HTTP/2), the Avro file format
+(connectors.md:26), and the iceberg provider's snapshot/manifest
+resolution (iceberg/provider.rs:361-420) via the jar-free native
+reader.
 """
 
 from __future__ import annotations
