@@ -391,9 +391,14 @@ def main() -> None:
     # noise moves only the first. Short keys ("q1") keep the final
     # line inside the driver's 2000-char tail capture.
     queries_end: dict[str, float] = {}
+    _qend_calls: list[int] = []
 
     def _queries_end_block() -> float:
-        first = not queries_end
+        # call counter, NOT dict-emptiness (r19 review: under total
+        # chaos every med is None, the dict stays empty, and a retry
+        # would masquerade as the first run)
+        first = not _qend_calls
+        _qend_calls.append(1)
         total = 0.0
         for name in BENCH_QUERIES:
             d, _ = _run(inventory.REGISTRY[name], spark, sf_dir,
@@ -423,9 +428,11 @@ def main() -> None:
     # discarded) under the same short keys; 2-decimal rounding keeps
     # the final line inside the tail budget.
     rest_end: dict[str, float] = {}
+    _rend_calls: list[int] = []
 
     def _rest_end_block() -> float:
-        first = not rest_end
+        first = not _rend_calls
+        _rend_calls.append(1)
         total = 0.0
         for name, spec in sorted(inventory.REGISTRY.items()):
             if not name.startswith("tpch_") or name in BENCH_QUERIES:
@@ -541,22 +548,28 @@ def main() -> None:
     # compact separators (r18): default json.dumps spends one space per
     # delimiter — ~190 B across this dict, a tenth of the whole tail
     # budget, for nothing a parser needs
+    line = _shed(out)
+    assert len(line) < 1900, f"final JSON line {len(line)}B breaks the tail contract"
+    print(line)
+    spark.stop()
+
+
+def _shed(out: dict) -> str:
+    """Tail-budget degradation (r19, replacing the hard assert): a
+    pathological artifact (every median fat AND all three end blocks
+    contended+retried) must NEVER print an unparseable line — the
+    driver keeps only the last ~2000 stdout chars, so an over-budget
+    line loses its head. Shed the least-load-bearing keys (each fully
+    mirrored in the stderr detail line) until the line fits. Mutates
+    ``out`` and returns the final compact line."""
     line = json.dumps(out, separators=(",", ":"))
-    # Tail-budget degradation (r19, replacing the hard assert): a
-    # pathological artifact (every median fat AND all three end blocks
-    # contended+retried) must NEVER print an unparseable line — the
-    # driver keeps only the last ~2000 stdout chars, so an over-budget
-    # line loses its head. Shed the least-load-bearing keys (each fully
-    # mirrored in the stderr detail line) until the line fits.
     for victim in ("retries", "rest_end", "queries_end"):
         if len(line) < 1900:
             break
         out.pop(victim, None)
         out.setdefault("trimmed", []).append(victim)
         line = json.dumps(out, separators=(",", ":"))
-    assert len(line) < 1900, f"final JSON line {len(line)}B breaks the tail contract"
-    print(line)
-    spark.stop()
+    return line
 
 
 def _run_selected(args) -> None:

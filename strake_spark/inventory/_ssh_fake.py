@@ -275,7 +275,15 @@ class SshSftpTestServer:
         p = os.path.normpath(path.decode() or ".")
         if p in (".", "/"):
             return self.root
-        return os.path.join(self.root, p.lstrip("/"))
+        # containment (r19 review): normpath keeps LEADING '..' segments,
+        # so '../../etc/passwd' escaped the root — this server listens on
+        # a real socket with a constant password, so treat every path as
+        # hostile, exactly like the FTP twin and the s3 spool
+        real_root = os.path.realpath(self.root)
+        full = os.path.realpath(os.path.join(real_root, p.lstrip("/")))
+        if full != real_root and not full.startswith(real_root + os.sep):
+            return os.path.join(real_root, "__outside_root__")  # never exists
+        return full
 
     def _sftp_loop(self, t: SshTransport, chan: dict) -> None:
         handles: dict[bytes, dict] = {}

@@ -524,17 +524,46 @@ import threading
 
 WIRE_USER, WIRE_PASSWORD = "rtuser", "rt-wire-secret"
 
-_LOCK = threading.Lock()
+# RLock: the *_server_for constructors call duck_path_for /
+# _nation_root_for while already holding the lock (r19 review: the
+# duckdb entry used to call duck_path_for UNLOCKED, racing the locked
+# wire-server callers on the shared pid-keyed tmp file)
+_LOCK = threading.RLock()
 _PG: dict[str, FakePg] = {}
 _MY: dict[str, FakeMySql] = {}
 _CH: dict[str, HTTPServer] = {}
 _WIRE_SERVERS: list = []
 
 
+def nation_rows(sf_dir: str) -> list[dict]:
+    """This sf_dir's nation table as plain dicts — the single point of
+    truth for every fixture/server that re-serves it (r19 review: the
+    grpc server, xlsx workbook and avro builders each re-implemented
+    the three-column zip; a schema change must land once, here)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet")
+    return [
+        {"n_nationkey": int(k), "n_name": nm, "n_regionkey": int(rk)}
+        for k, nm, rk in zip(
+            t.column("n_nationkey").to_pylist(),
+            t.column("n_name").to_pylist(),
+            t.column("n_regionkey").to_pylist(),
+        )
+    ]
+
+
 def duck_path_for(sf_dir: str) -> str:
     """Content-keyed DuckDB backing file holding this sf_dir's nation
-    table; built atomically once, shared by all three wire servers."""
+    table; built atomically once, shared by the wire servers and the
+    duckdb roundtrip entry (all builds serialize on _LOCK)."""
     import hashlib as _hashlib
+
+    with _LOCK:
+        return _duck_path_locked(sf_dir, _hashlib)
+
+
+def _duck_path_locked(sf_dir: str, _hashlib) -> str:
 
     tag = _hashlib.md5(f"duckrt_v1:{sf_dir}".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"strake_wire_rt_{tag}.duckdb")
@@ -703,10 +732,6 @@ def grpc_server_for(sf_dir: str):
 
     with _LOCK:
         if sf_dir not in _GRPC:
-            import pyarrow.parquet as pq
-
-            t = pq.read_table(f"{sf_dir}/nation.parquet")
-
             def varint(n: int) -> bytes:
                 out = bytearray()
                 while True:
@@ -717,16 +742,12 @@ def grpc_server_for(sf_dir: str):
                         return bytes(out)
 
             msgs = []
-            for k, nm, rk in zip(
-                t.column("n_nationkey").to_pylist(),
-                t.column("n_name").to_pylist(),
-                t.column("n_regionkey").to_pylist(),
-            ):
-                name = nm.encode()
+            for row in nation_rows(sf_dir):
+                name = row["n_name"].encode()
                 msgs.append(
-                    b"\x08" + varint(int(k))
+                    b"\x08" + varint(row["n_nationkey"])
                     + b"\x12" + varint(len(name)) + name
-                    + b"\x18" + varint(int(rk))
+                    + b"\x18" + varint(row["n_regionkey"])
                 )
             srv = H2GrpcTestServer({"/strake.Nation/List": lambda req: msgs})
             _WIRE_SERVERS.append(srv)

@@ -482,10 +482,6 @@ def _xlsx_for(sf_dir: str) -> str:
     path = os.path.join(tempfile.gettempdir(), f"strake_rt_{tag}.xlsx")
     if os.path.exists(path):
         return path
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/nation.parquet")
-
     def esc(s: str) -> str:
         return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
@@ -495,18 +491,11 @@ def _xlsx_for(sf_dir: str) -> str:
         '<c r="B1" t="inlineStr"><is><t>n_name</t></is></c>'
         '<c r="C1" t="inlineStr"><is><t>n_regionkey</t></is></c></row>'
     ]
-    for i, (k, nm, rk) in enumerate(
-        zip(
-            t.column("n_nationkey").to_pylist(),
-            t.column("n_name").to_pylist(),
-            t.column("n_regionkey").to_pylist(),
-        ),
-        start=2,
-    ):
+    for i, row in enumerate(_nation_rows(sf_dir), start=2):
         rows.append(
-            f'<row r="{i}"><c r="A{i}"><v>{k}</v></c>'
-            f'<c r="B{i}" t="inlineStr"><is><t>{esc(nm)}</t></is></c>'
-            f'<c r="C{i}"><v>{rk}</v></c></row>'
+            f'<row r="{i}"><c r="A{i}"><v>{row["n_nationkey"]}</v></c>'
+            f'<c r="B{i}" t="inlineStr"><is><t>{esc(row["n_name"])}</t></is></c>'
+            f'<c r="C{i}"><v>{row["n_regionkey"]}</v></c></row>'
         )
     main_ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
     rel_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
@@ -613,17 +602,9 @@ _NATION_AVRO_SCHEMA = (
 
 
 def _nation_rows(sf_dir: str) -> list[dict]:
-    import pyarrow.parquet as pq
+    from strake_spark.inventory._wire_fakes import nation_rows
 
-    t = pq.read_table(f"{sf_dir}/nation.parquet")
-    return [
-        {"n_nationkey": int(k), "n_name": nm, "n_regionkey": int(rk)}
-        for k, nm, rk in zip(
-            t.column("n_nationkey").to_pylist(),
-            t.column("n_name").to_pylist(),
-            t.column("n_regionkey").to_pylist(),
-        )
-    ]
+    return nation_rows(sf_dir)
 
 
 def _avro_for(spark: SparkSession, sf_dir: str) -> str:

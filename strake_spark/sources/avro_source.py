@@ -147,6 +147,11 @@ def write_avro(spark, path: str, schema_json: str, rows: list) -> None:
         jvm.org.apache.avro.generic.GenericDatumWriter(schema)
     )
     writer.create(schema, jvm.java.io.File(path))
-    for d in rows:
-        writer.append(build(schema, d))
-    writer.close()
+    try:
+        for d in rows:
+            writer.append(build(schema, d))
+    finally:
+        # always release the JVM stream — a row that fails build()
+        # must not leak the fd / leave an unterminated container open
+        # (r19 review); the partial file is the caller's staging path
+        writer.close()

@@ -31,6 +31,7 @@ import datetime as _dt
 import hashlib
 import hmac
 import os
+import re
 import tempfile
 import urllib.parse
 import urllib.request
@@ -544,6 +545,10 @@ def spool_s3(url: str, options: dict) -> str:
     return fetched[0] if len(fetched) == 1 else spool
 
 
+# a hive partition directory segment: name=value (no slashes)
+_HIVE_DIR_RE = re.compile(r"[^=/]+=[^/]*")
+
+
 def _spool_objects(keys, spool: str, prefix: str, fetch) -> list[str]:
     """Fetch listed (key, size) pairs into ``spool``, MIRRORING each
     key's path relative to the prefix directory (r18 advice): a flat
@@ -582,16 +587,32 @@ def _spool_objects(keys, spool: str, prefix: str, fetch) -> list[str]:
     # "data" matching both "data/x.parquet" and "data2/y.parquet"): a
     # multi-file mirror would put them in nested subdirs Spark silently
     # skips (non-hive dirs under the scan root) — refuse loudly instead
-    # (r19 advice). One file is fine: the caller returns the file path
-    # itself, never the spool root.
-    if not dir_anchored and len(rels) > 1 and any("/" in r for _, r in rels):
-        tops = sorted({r.split("/", 1)[0] for _, r in rels})
-        raise SourceError(
-            f"prefix {prefix!r} matches multiple sibling entries "
-            f"({', '.join(tops[:5])}{', ...' if len(tops) > 5 else ''}); "
-            "Spark cannot read the mixed spool layout — name a directory "
-            "(end the prefix with '/') or a full object key"
-        )
+    # (r19 advice). Two carve-outs: one file is fine (the caller
+    # returns the file path itself, never the spool root), and an
+    # all-hive tree (every directory segment at every depth is
+    # col=val, no flat files alongside) is fine — Spark's partition
+    # discovery reads exactly that shape, and preserving it is why the
+    # r18 mirroring exists (e.g. an empty prefix over a bucket of
+    # dt=.../part files). A hive dir next to a flat root file, or a
+    # non-hive dir at ANY depth, still refuses: partition discovery
+    # rejects or silently skips those mixed layouts.
+    if not dir_anchored and len(rels) > 1:
+        nested = [r for _, r in rels if "/" in r]
+        if nested:
+            offending = sorted(
+                {seg for r in nested for seg in r.split("/")[:-1]
+                 if not _HIVE_DIR_RE.fullmatch(seg)}
+                | {r for _, r in rels if "/" not in r}
+            )
+            if offending:
+                raise SourceError(
+                    f"prefix {prefix!r} matches multiple sibling entries "
+                    f"({', '.join(offending[:5])}"
+                    f"{', ...' if len(offending) > 5 else ''}); "
+                    "Spark cannot read the mixed spool layout — name a "
+                    "directory (end the prefix with '/') or a full "
+                    "object key"
+                )
     # an object store legally holds a key that is BOTH a leaf object
     # and a directory prefix of another ("data/0" and "data/0/0") — a
     # local filesystem cannot represent that; surface it loudly

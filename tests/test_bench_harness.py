@@ -104,18 +104,16 @@ class TestTailContract:
 
     def test_pathological_line_degrades_parseably(self):
         """Beyond-realistic shape (3-digit medians everywhere): the
-        bench.py trim loop must shed only the keys whose content is
-        mirrored in stderr detail, and the surviving line must fit and
-        keep every headline/total key."""
+        SHIPPING shed loop (bench._shed — r19 review: the test used to
+        run its own copy of the loop) must drop only the keys whose
+        content is mirrored in stderr detail, and the surviving line
+        must fit and keep every headline/total key."""
+        from bench import _shed
+
         out = self._model_out(123.4567)
-        line = json.dumps(out, separators=(",", ":"))
-        for victim in ("retries", "rest_end", "queries_end"):
-            if len(line) < 1900:
-                break
-            out.pop(victim, None)
-            out.setdefault("trimmed", []).append(victim)
-            line = json.dumps(out, separators=(",", ":"))
+        line = _shed(out)
         assert len(line) < 1900
+        assert out.get("trimmed")  # the pathological shape DID shed
         back = json.loads(line)
         for key in ("metric", "value", "queries", "pipeline_total",
                     "tpch_total_end", "rest_total_end", "pipeline_total_end",

@@ -677,6 +677,67 @@ class TestSpoolSubpathMirroring:
         with pytest.raises(SourceError, match="sibling"):
             spool_s3("s3://bkt/data", opts)
 
+    def test_bucket_root_hive_layout_still_spools_and_reads(
+        self, fake_s3, spark, tmp_path
+    ):
+        """Review regression (r19): the sibling-prefix guard must NOT
+        fire on all-hive top-level dirs under a fallback anchor — a
+        bucket-root prefix over dt=.../part files is exactly the layout
+        the r18 mirroring preserves, and Spark's partition discovery
+        reads it. Only non-hive siblings are refused."""
+        import duckdb
+
+        srv, endpoint = fake_s3
+        con = duckdb.connect()
+        con.execute(f"COPY (SELECT 1 AS v) TO '{tmp_path}/a.parquet' (FORMAT PARQUET)")
+        con.execute(f"COPY (SELECT 2 AS v) TO '{tmp_path}/b.parquet' (FORMAT PARQUET)")
+        srv.objects["hive"] = {
+            "dt=2024-01-01/part-0.parquet": (tmp_path / "a.parquet").read_bytes(),
+            "dt=2024-01-02/part-0.parquet": (tmp_path / "b.parquet").read_bytes(),
+        }
+        opts = {
+            "s3_endpoint": endpoint, "s3_region": REGION,
+            "s3_access_key": ACCESS, "s3_secret_key": SECRET,
+        }
+        d = spool_s3("s3://hive/", opts)  # dir anchor: mirrors as before
+        got = spark.read.parquet(d).toPandas()
+        # partition discovery may type dt as DATE — compare as strings
+        assert sorted(got["v"]) == [1, 2]
+        assert sorted(str(x) for x in got["dt"]) == ["2024-01-01", "2024-01-02"]
+        # the fallback-anchor shape (empty prefix is NOT dir-anchored)
+        d2 = spool_s3("s3://hive", opts)
+        got2 = spark.read.parquet(d2).toPandas()
+        assert sorted(got2["v"]) == [1, 2]
+
+    def test_hive_carveout_refuses_mixed_shapes(self, fake_s3, tmp_path):
+        """The all-hive carve-out is exact: a non-hive dir at ANY depth
+        or a flat file alongside partition dirs still refuses — Spark's
+        partition discovery rejects or silently skips those layouts."""
+        import duckdb
+
+        srv, endpoint = fake_s3
+        con = duckdb.connect()
+        con.execute(f"COPY (SELECT 1 AS v) TO '{tmp_path}/a.parquet' (FORMAT PARQUET)")
+        payload = (tmp_path / "a.parquet").read_bytes()
+        opts = {
+            "s3_endpoint": endpoint, "s3_region": REGION,
+            "s3_access_key": ACCESS, "s3_secret_key": SECRET,
+        }
+        # non-hive second-level dir under a hive top
+        srv.objects["deep"] = {
+            "dt=2024-01-01/sub/part-0.parquet": payload,
+            "dt=2024-01-02/part-0.parquet": payload,
+        }
+        with pytest.raises(SourceError, match="sibling"):
+            spool_s3("s3://deep", opts)
+        # flat root file next to a hive dir
+        srv.objects["mixed"] = {
+            "loose.parquet": payload,
+            "dt=2024-01-02/part-0.parquet": payload,
+        }
+        with pytest.raises(SourceError, match="sibling"):
+            spool_s3("s3://mixed", opts)
+
     def test_single_nested_match_still_returns_the_file(self, fake_s3):
         """One matching key is always fine even when its mirror nests:
         the caller hands Spark the file path itself, not the spool

@@ -120,6 +120,23 @@ class TestPythonClientInterop:
         finally:
             ssh.close()
 
+    def test_path_traversal_blocked(self, server):
+        """r19 review: normpath keeps leading '..' segments, so the
+        server used to serve files OUTSIDE its root (it listens on a
+        real socket with a constant password) — every '..' shape must
+        resolve to not-found, never to a host file."""
+        ssh, sftp = connect_sftp(
+            "127.0.0.1", server.port, "u", "secret",
+            host_key_fingerprint=server.fingerprint,
+        )
+        try:
+            for evil in ("../../../../etc/hostname", "/../etc/hostname",
+                         "a/../../etc/hostname"):
+                with pytest.raises(SourceError):
+                    sftp.read_file(evil)
+        finally:
+            ssh.close()
+
 
 class TestOpenSshInterop:
     """The real OpenSSH client validates our server's transport crypto
