@@ -83,6 +83,32 @@ def test_window_is_saturated_prefix_of_evidence_order():
     )
 
 
+def test_plan_rotation_tool_reproduces_live_rotation():
+    """tools/plan_rotation.py exists so the next rotation is derived,
+    not hand-computed — it must implement exactly the saturated-prefix
+    order this file pins. Feeding it the current pin (evidence through
+    r18) and the current _REWRITTEN must reproduce _PRIORITY."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        from plan_rotation import evidence_rounds, plan
+    finally:
+        sys.path.pop(0)
+
+    last = evidence_rounds("/root/repo", max_round=18)
+    if not last:  # fresh clone without driver artifacts
+        return
+    _, window, carry = plan(
+        list(inventory.REGISTRY), last, list(inventory._REWRITTEN), 50
+    )
+    assert tuple(window) == inventory._PRIORITY
+    assert tuple(carry[: len(inventory._NEXT_ROTATION_HEAD)]) == (
+        inventory._NEXT_ROTATION_HEAD
+    )
+
+
 def test_rewritten_entries_resolve():
     for name in inventory._REWRITTEN:
         assert name in inventory.REGISTRY, name
