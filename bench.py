@@ -208,8 +208,16 @@ def _end_block(label, run_block, loads, retries):
         time.sleep(_LOAD_BACKOFF)
         retry_total = run_block()
         retries[label] = round(retry_total, 2)
-        print(f"# {label}_retry: total={retries[label]} load={_load()}",
+        settled = _load()
+        print(f"# {label}_retry: total={retries[label]} load={settled}",
               file=sys.stderr)
+        # the retry's closing load is this block's TRUE end boundary —
+        # keeping the spike-era reading made the NEXT block's `pre`
+        # stale, so one transient spike cascaded a spurious retry into
+        # every later end block (r19 review); `retries` having this
+        # label already records that the pre-backoff boundary crossed
+        # the threshold
+        loads[label] = settled
     return total
 
 

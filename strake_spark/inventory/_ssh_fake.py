@@ -50,12 +50,14 @@ class SshSftpTestServer:
     query/sign flow OpenSSH uses)."""
 
     def __init__(self, root: str, password: str = "secret",
-                 authorized_keys: list[bytes] | None = None):
+                 authorized_keys: list[bytes] | None = None,
+                 user: str = "u"):
         from cryptography.hazmat.primitives.asymmetric.ed25519 import (
             Ed25519PrivateKey,
         )
 
         self.root = root
+        self.user = user
         self.password = password
         self.authorized_keys = authorized_keys or []
         self.auth_attempts: list[tuple[str, str]] = []
@@ -126,12 +128,17 @@ class SshSftpTestServer:
             service = r.string()
             method = r.string()
             self.auth_attempts.append((user.decode(), method.decode()))
+            # the username is part of the credential (r19 review: only
+            # the password used to be compared, so any username
+            # authenticated — and the entry's 'credential-verifying'
+            # claim silently relied on that); the FTP twin checks both
+            user_ok = user.decode(errors="replace") == self.user
             if method == b"password":
                 r.boolean()
-                if r.string().decode() == self.password:
+                if user_ok and r.string().decode() == self.password:
                     t.send_packet(bytes([MSG_USERAUTH_SUCCESS]))
                     return
-            elif method == b"publickey" and self.authorized_keys:
+            elif method == b"publickey" and self.authorized_keys and user_ok:
                 has_sig = r.boolean()
                 alg = r.string()
                 blob = r.string()

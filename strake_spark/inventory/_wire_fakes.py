@@ -790,7 +790,8 @@ def sftp_server_for(sf_dir: str):
 
     with _LOCK:
         if sf_dir not in _SFTP:
-            srv = SshSftpTestServer(_nation_root_for(sf_dir), password=WIRE_PASSWORD)
+            srv = SshSftpTestServer(_nation_root_for(sf_dir),
+                                    password=WIRE_PASSWORD, user=WIRE_USER)
             _WIRE_SERVERS.append(srv)
             _SFTP[sf_dir] = srv
         return _SFTP[sf_dir]

@@ -146,12 +146,21 @@ def write_avro(spark, path: str, schema_json: str, rows: list) -> None:
     writer = jvm.org.apache.avro.file.DataFileWriter(
         jvm.org.apache.avro.generic.GenericDatumWriter(schema)
     )
-    writer.create(schema, jvm.java.io.File(path))
     try:
+        writer.create(schema, jvm.java.io.File(path))
         for d in rows:
             writer.append(build(schema, d))
-    finally:
-        # always release the JVM stream — a row that fails build()
-        # must not leak the fd / leave an unterminated container open
-        # (r19 review); the partial file is the caller's staging path
-        writer.close()
+    except BaseException:
+        # a failure during create() (e.g. header write on a bad path)
+        # or append() must not leak the JVM stream / leave an
+        # unterminated container open (r19 review); close errors are
+        # suppressed ONLY here, where the original error propagates —
+        # the partial file is the caller's staging path
+        try:
+            writer.close()
+        except Exception:
+            pass
+        raise
+    # success path: close() finalizes the container (sync marker +
+    # flush) — an error here means a corrupt file and must propagate
+    writer.close()

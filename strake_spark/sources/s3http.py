@@ -599,10 +599,18 @@ def _spool_objects(keys, spool: str, prefix: str, fetch) -> list[str]:
     if not dir_anchored and len(rels) > 1:
         nested = [r for _, r in rels if "/" in r]
         if nested:
+            # '_'/'.'-prefixed names are invisible to Spark's file
+            # index (hidden-path filter) — a _SUCCESS marker or
+            # _temporary dir next to partition dirs is the NORMAL
+            # output of a Spark/Hadoop writer, not a mixed layout
+            # (r19 review)
+            def visible(seg: str) -> bool:
+                return not seg.startswith(("_", "."))
+
             offending = sorted(
                 {seg for r in nested for seg in r.split("/")[:-1]
-                 if not _HIVE_DIR_RE.fullmatch(seg)}
-                | {r for _, r in rels if "/" not in r}
+                 if visible(seg) and not _HIVE_DIR_RE.fullmatch(seg)}
+                | {r for _, r in rels if "/" not in r and visible(r)}
             )
             if offending:
                 raise SourceError(

@@ -57,6 +57,27 @@ class TestChaosInjector:
         assert d["med"] is not None and len(d["runs"]) == 3 and n == 7
 
 
+class TestEndBlockRetry:
+    def test_retry_settles_the_boundary_for_the_next_block(self, monkeypatch):
+        """r19 review: a retried block must store its POST-retry load —
+        keeping the spike-era reading made the next block's `pre` stale,
+        so one transient spike cascaded spurious retries through every
+        later end block."""
+        import bench
+
+        monkeypatch.setattr(bench, "_LOAD_BACKOFF", 0.0)
+        readings = iter([1.2, 0.5, 0.4])  # qend post, qend settled, rend post
+        monkeypatch.setattr(bench, "_load", lambda: next(readings))
+        loads = {"rest": 5.0}  # spike at the previous block's boundary
+        retries: dict[str, float] = {}
+        bench._end_block("qend", lambda: 1.0, loads, retries)
+        assert "qend" in retries  # pre=5.0 crossed the threshold
+        assert loads["qend"] == 0.5  # settled, not the 1.2 spike-era post
+        bench._end_block("rend", lambda: 1.0, loads, retries)
+        assert "rend" not in retries  # pre=0.5, post=0.4: no cascade
+        assert loads["rend"] == 0.4
+
+
 class TestTailContract:
     @staticmethod
     def _model_out(med: float):

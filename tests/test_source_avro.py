@@ -37,6 +37,19 @@ def avro_file(spark, tmp_path):
 
 
 class TestAvroSource:
+    def test_create_failure_is_loud_and_writer_still_usable(
+        self, spark, tmp_path
+    ):
+        """r19 review: a create() failure (bad path) used to bypass the
+        close — it must raise loudly, and a subsequent write on a good
+        path must still work (nothing JVM-side left half-open)."""
+        bad = str(tmp_path / "no-such-dir" / "x.avro")
+        with pytest.raises(Exception):
+            _write_avro(spark, bad, _SCHEMA, _ROWS)
+        good = str(tmp_path / "ok.avro")
+        _write_avro(spark, good, _SCHEMA, _ROWS)
+        assert {r.id for r in read_avro_df(spark, good).collect()} == {1, 2, 3}
+
     def test_reads_typed_rows(self, spark, avro_file):
         df = read_avro_df(spark, avro_file)
         got = sorted((r.asDict() for r in df.collect()), key=lambda r: r["id"])

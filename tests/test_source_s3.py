@@ -708,6 +708,40 @@ class TestSpoolSubpathMirroring:
         d2 = spool_s3("s3://hive", opts)
         got2 = spark.read.parquet(d2).toPandas()
         assert sorted(got2["v"]) == [1, 2]
+        # a _SUCCESS marker (what a Spark/Hadoop writer always emits)
+        # is invisible to Spark's file index and must not trip the
+        # sibling guard (r19 review)
+        srv.objects["hivesucc"] = {
+            "_SUCCESS": b"",
+            "dt=2024-01-01/part-0.parquet": (tmp_path / "a.parquet").read_bytes(),
+            "dt=2024-01-02/part-0.parquet": (tmp_path / "b.parquet").read_bytes(),
+        }
+        d3 = spool_s3("s3://hivesucc", opts)
+        got3 = spark.read.parquet(d3).toPandas()
+        assert sorted(got3["v"]) == [1, 2]
+
+    def test_spool_root_walkup_for_nested_single_file(self, tmp_path, monkeypatch):
+        """r19 review: cleanup of a spool whose cached value is a
+        nested single-file path removed only the subdir — _spool_root
+        must walk up to the 'strake-*' mkdtemp root."""
+        import tempfile as _tf
+
+        from strake_spark.inventory.sources_entries import _spool_root
+
+        monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+        root = _tf.mkdtemp(prefix="strake-s3-", dir=str(tmp_path))
+        nested = os.path.join(root, "inner", "deep")
+        os.makedirs(nested)
+        f = os.path.join(nested, "x.parquet")
+        open(f, "wb").close()
+        assert _spool_root(f) == os.path.realpath(root)
+        assert _spool_root(root) == os.path.realpath(root)
+        # unrecognizable layout falls back to the containing dir
+        other = os.path.join(str(tmp_path), "plain")
+        os.makedirs(other)
+        g = os.path.join(other, "y.parquet")
+        open(g, "wb").close()
+        assert _spool_root(g) == other
 
     def test_hive_carveout_refuses_mixed_shapes(self, fake_s3, tmp_path):
         """The all-hive carve-out is exact: a non-hive dir at ANY depth

@@ -109,6 +109,17 @@ class TestPythonClientInterop:
             connect_sftp("127.0.0.1", server.port, "u", "wrong",
                          host_key_fingerprint=server.fingerprint)
 
+    def test_wrong_username_rejected(self, server):
+        """r19 review: the username is part of the credential — the
+        server used to compare only the password, so any username
+        authenticated (and the entry's credential-verifying claim
+        silently relied on that)."""
+        with pytest.raises(SourceError):
+            connect_sftp(
+                "127.0.0.1", server.port, "not-u", "secret",
+                host_key_fingerprint=server.fingerprint,
+            )
+
     def test_missing_file_is_loud(self, server):
         ssh, sftp = connect_sftp(
             "127.0.0.1", server.port, "u", "secret",
@@ -166,7 +177,8 @@ class TestOpenSshInterop:
 
     def test_real_sftp_client_fetches_files(self, sftp_root, keypair, tmp_path):
         key, raw_pub = keypair
-        srv = SshSftpTestServer(str(sftp_root), authorized_keys=[raw_pub])
+        srv = SshSftpTestServer(str(sftp_root), authorized_keys=[raw_pub],
+                                user="tester")
         try:
             batch = tmp_path / "batch"
             batch.write_text(

@@ -45,6 +45,8 @@ def evidence_rounds(repo: str, max_round: int | None) -> dict[str, int]:
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:  # e.g. a stray CORRECTNESS_r19_backup.json
+            continue
         rn = int(m.group(1))
         if max_round is not None and rn > max_round:
             continue
