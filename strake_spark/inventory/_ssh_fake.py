@@ -183,6 +183,16 @@ class SshSftpTestServer:
             )
 
     def _open_channel(self, t: SshTransport) -> dict:
+        # emulate stock OpenSSH >= 6.8: a hostkeys-00@openssh.com
+        # GLOBAL_REQUEST (want-reply false) lands right after userauth
+        # success, BEFORE the client's CHANNEL_OPEN gets its
+        # confirmation — every client test therefore proves the r19
+        # _open_channel fix (the old single-recv client died here)
+        t.send_packet(
+            bytes([MSG_GLOBAL_REQUEST])
+            + ssh_string(b"hostkeys-00@openssh.com")
+            + b"\x00"
+        )
         while True:
             p = t.recv_msg()
             if p[0] == MSG_CHANNEL_OPEN:

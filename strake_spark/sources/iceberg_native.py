@@ -247,16 +247,25 @@ def _normalize_filter(partition_filter) -> list[tuple[str, str, object]]:
     return out
 
 
-def _current_schema_fields(meta: dict) -> dict[int, tuple[str, str]]:
-    """field-id -> (name, iceberg type string) from the current schema."""
+def _current_schema(meta: dict) -> dict:
+    """The table's current schema dict: v2 ``schemas`` list selected by
+    ``current-schema-id`` (falling back to the first entry), else the
+    legacy v1 single ``schema``. The ONE place this selection lives —
+    field-id resolution and pruning must agree on it (r19 review: it
+    was duplicated in _current_schema_fields and
+    _spark_schema_from_iceberg)."""
     if "schemas" in meta:
         sid = meta.get("current-schema-id", 0)
-        schema = next(
+        return next(
             (s for s in meta["schemas"] if s.get("schema-id") == sid),
             meta["schemas"][0] if meta["schemas"] else {},
         )
-    else:
-        schema = meta.get("schema", {})
+    return meta.get("schema", {})
+
+
+def _current_schema_fields(meta: dict) -> dict[int, tuple[str, str]]:
+    """field-id -> (name, iceberg type string) from the current schema."""
+    schema = _current_schema(meta)
     out = {}
     for f in schema.get("fields", []):
         t = f.get("type")
@@ -349,6 +358,12 @@ def _bucket_value(val, n: int, ice_type: str):
         ice_type in ("int", "long", "date") or ice_type.startswith("timestamp")
         or ice_type.startswith("time")
     ):
+        if not -(1 << 63) <= val < (1 << 63):
+            # a literal outside int64 can't be a stored value; pack()
+            # would raise struct.error out of the pruning path (r19
+            # review) — keep the file and let the re-applied DataFrame
+            # filter produce the (empty) correct result
+            return _SKIP
         data = _struct.pack("<q", val)
     elif isinstance(val, str) and ice_type == "string":
         # ONLY true string columns hash their UTF-8 text; uuid/fixed/
@@ -805,14 +820,7 @@ def _spark_schema_from_iceberg(meta: dict):
 
     from pyspark.sql import types as T
 
-    if "schemas" in meta:
-        sid = meta.get("current-schema-id", 0)
-        schema = next(
-            (s for s in meta["schemas"] if s.get("schema-id") == sid),
-            meta["schemas"][0] if meta["schemas"] else {},
-        )
-    else:
-        schema = meta.get("schema", {})
+    schema = _current_schema(meta)
     fields = []
     for f in schema.get("fields", []):
         t = f.get("type")
@@ -987,6 +995,9 @@ def _apply_deletes(spark: SparkSession, df: DataFrame, plan: dict, meta: dict) -
         )
     if plan["eq_deletes"]:
         fields = _current_schema_fields(meta)
+        # schema mapping is per-table, not per-equality-ids group —
+        # hoisted out of the loop (r19 review)
+        st = _spark_schema_from_iceberg(meta)
         groups: dict[tuple, list[dict]] = {}
         for d in plan["eq_deletes"]:
             groups.setdefault(tuple(d["equality_ids"]), []).append(d)
@@ -1005,7 +1016,6 @@ def _apply_deletes(spark: SparkSession, df: DataFrame, plan: dict, meta: dict) -
             # name + the same field id — resolve by id when possible,
             # exactly like the data side (_read_data_files)
             reader = spark.read
-            st = _spark_schema_from_iceberg(meta)
             if st is not None and _file_has_field_ids(dfiles[0]["path"]):
                 sub = [f for f in st.fields if f.name in cols]
                 if len(sub) == len(cols):

@@ -10,7 +10,11 @@ installable here, so the transport is built from the specs:
   keys, aes128-ctr encryption, hmac-sha2-256 (encrypt-and-mac over
   seq || plaintext), compression none. One suite = one code path = the
   whole matrix is exercised by every test.
-- RFC 4252 userauth: password and publickey (ed25519).
+- RFC 4252 userauth: the CLIENT authenticates with password only (the
+  sftp:// URL carries user:password; there is no key-file plumbing in
+  connect_sftp). The publickey (ed25519) flow is implemented on the
+  SERVER side of the shared codec — that is what the real OpenSSH
+  client exercises in the interop tests.
 - RFC 4254 connection protocol: one session channel + the sftp
   subsystem, with window accounting on both directions.
 - SFTP v3 (draft-ietf-secsh-filexfer-02, the universally-deployed
@@ -528,9 +532,20 @@ class SshClient:
             + ssh_string(b"session")
             + struct.pack(">III", 0, self.WINDOW, self.MAX_PACKET)
         )
-        resp = self.t.recv_msg()
-        if resp[0] != MSG_CHANNEL_OPEN_CONFIRMATION:
-            raise SourceError("ssh channel open failed")
+        while True:
+            resp = self.t.recv_msg()
+            if resp[0] == MSG_CHANNEL_OPEN_CONFIRMATION:
+                break
+            if resp[0] == MSG_CHANNEL_OPEN_FAILURE:
+                raise SourceError("ssh channel open failed")
+            # asynchronous server traffic may arrive between userauth
+            # and the open confirmation — notably OpenSSH >= 6.8 sends
+            # a hostkeys-00@openssh.com GLOBAL_REQUEST right after
+            # MSG_USERAUTH_SUCCESS (r19 review: the old single recv
+            # treated it as an open failure, so the client could never
+            # connect to a stock sshd); route it like the subsystem
+            # loop below does
+            self._handle_async(resp)
         r = Reader(resp[1:])
         r.uint32()  # our id (0)
         self.peer_channel = r.uint32()
@@ -651,6 +666,14 @@ def parse_attrs(r: Reader) -> SftpAttrs:
     if flags & 0x8:  # ACMODTIME
         r.uint32()
         r.uint32()
+    if flags & 0x80000000:  # EXTENDED: count * (type string, data string)
+        # a spec-valid v3 server may append extended attrs; not
+        # consuming them desynchronized the READDIR payload parse —
+        # the next entry's filename would be read out of the extended
+        # data (r19 review)
+        for _ in range(r.uint32()):
+            r.string()
+            r.string()
     return a
 
 
@@ -677,6 +700,8 @@ class SftpClient:
         t, payload = self._recv_pkt()
         if t != FXP_VERSION:
             raise SourceError("sftp INIT not answered with VERSION")
+        if len(payload) < 4:
+            raise SourceError("sftp VERSION reply truncated")
         ver = struct.unpack(">I", payload[:4])[0]
         if ver != 3:
             raise SourceError(f"sftp server negotiated v{ver}, need 3")
@@ -684,8 +709,18 @@ class SftpClient:
     def _send_pkt(self, body: bytes) -> None:
         self.ssh.send(struct.pack(">I", len(body)) + body)
 
+    # largest legitimate reply is a DATA packet for one read window
+    # (~300 KB) plus framing; anything past this is a corrupt or
+    # hostile length prefix — refuse before allocating/blocking on it
+    _MAX_PKT = 4 * 1024 * 1024
+
     def _recv_pkt(self) -> tuple[int, bytes]:
         n = struct.unpack(">I", self.ssh.recv_exact(4))[0]
+        # the length prefix is untrusted server bytes: zero would make
+        # body[0] a raw IndexError — the module's bounds-check posture
+        # (r18) demands a clear SourceError instead (r19 review)
+        if n == 0 or n > self._MAX_PKT:
+            raise SourceError(f"sftp packet length {n} out of range")
         body = self.ssh.recv_exact(n)
         return body[0], body[1:]
 

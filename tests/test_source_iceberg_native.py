@@ -649,6 +649,16 @@ class TestTransformHash:
         assert _bucket_value(34, 16, "long") == 2017239379 % 16
         assert _bucket_value("iceberg", 16, "string") == 1210000089 % 16
 
+    def test_bucket_value_out_of_int64_range_skips(self):
+        """r19 review: a literal outside int64 made struct.pack raise
+        out of the pruning path — it must conservatively skip (keep the
+        file; the re-applied filter yields the correct empty result)."""
+        from strake_spark.sources.iceberg_native import _SKIP, _bucket_value
+
+        assert _bucket_value(2**63, 4, "long") is _SKIP
+        assert _bucket_value(-(2**63) - 1, 4, "long") is _SKIP
+        assert _bucket_value(2**63 - 1, 4, "long") is not _SKIP
+
 
 class TestTransformPruning:
     @staticmethod

@@ -149,6 +149,54 @@ class TestPythonClientInterop:
             ssh.close()
 
 
+class TestWireEdgeCases:
+    def test_parse_attrs_consumes_extended_attrs(self):
+        """r19 review: SFTP v3 ATTR_EXTENDED (0x80000000) payload was
+        never consumed, desynchronizing the READDIR parse — the next
+        entry's filename would be read out of the extended data."""
+        import struct
+
+        from strake_spark.sources.sshwire import Reader, parse_attrs, ssh_string
+
+        attrs = (
+            struct.pack(">I", 0x1 | 0x80000000)  # SIZE | EXTENDED
+            + struct.pack(">Q", 1234)
+            + struct.pack(">I", 2)  # two extended pairs
+            + ssh_string(b"vendor@example") + ssh_string(b"data1")
+            + ssh_string(b"other@example") + ssh_string(b"d2")
+        )
+        r = Reader(attrs + ssh_string(b"next-filename"))
+        a = parse_attrs(r)
+        assert a.size == 1234
+        assert r.string() == b"next-filename"  # parse stayed in sync
+
+    def test_sftp_packet_length_bounds(self):
+        """r19 review: the length prefix is untrusted server bytes —
+        zero made body[0] a raw IndexError; a huge value would block
+        accumulating garbage. Both must be a clear SourceError."""
+        import struct
+
+        from strake_spark.sources.sshwire import SftpClient
+
+        class StubSsh:
+            def __init__(self, raw: bytes):
+                self.buf = raw
+
+            def recv_exact(self, n: int) -> bytes:
+                if len(self.buf) < n:
+                    raise SourceError("stub closed")
+                out, self.buf = self.buf[:n], self.buf[n:]
+                return out
+
+        c = object.__new__(SftpClient)
+        c.ssh = StubSsh(struct.pack(">I", 0))
+        with pytest.raises(SourceError, match="out of range"):
+            c._recv_pkt()
+        c.ssh = StubSsh(struct.pack(">I", 64 * 1024 * 1024))
+        with pytest.raises(SourceError, match="out of range"):
+            c._recv_pkt()
+
+
 class TestOpenSshInterop:
     """The real OpenSSH client validates our server's transport crypto
     (kex, derivation, MAC, framing) — independent-implementation proof
