@@ -157,9 +157,26 @@ class ClickHouseHttp:
         literal newlines as \\n inside fields, so line framing is
         exact). Appends [names, types] to ``header_out`` when given.
         Consume fully or the response stays open."""
-        q = urllib.parse.urlencode({"default_format": "TSVWithNamesAndTypes"})
+        # wait_end_of_query: the server buffers the result until the
+        # query COMPLETES, so a mid-query failure (memory limit, killed
+        # query) is a non-200 with the exception text — without it the
+        # 200 status is already sent when streaming starts and the
+        # exception text is appended to the TSV body, where it would
+        # parse as row data (r19 review: silent truncation + a bogus
+        # row). Per-partition range slices bound what the server
+        # buffers, so exactness wins over first-byte latency.
+        q = urllib.parse.urlencode(
+            {"default_format": "TSVWithNamesAndTypes", "wait_end_of_query": "1"}
+        )
+        # cfg.url may legitimately carry a query string (e.g.
+        # ?database=analytics — there is no separate database option);
+        # gluing "/?" after it would mangle both parameter sets
+        if "?" in self.base:
+            url = f"{self.base}&{q}"
+        else:
+            url = f"{self.base.rstrip('/')}/?{q}"
         req = urllib.request.Request(
-            f"{self.base}/?{q}",
+            url,
             data=sql.encode(),
             headers={
                 "X-ClickHouse-User": self.user,
@@ -239,11 +256,37 @@ class ClickHouseReader(DataSourceReader):
             return [_Slice(None)]
         client = _client_from_options(self.options)
         qc = pushsql.quote_ident(col)
-        _n, _t, rows = client.query(
+        _n, ch_types, rows = client.query(
             f"SELECT min({qc}), max({qc}) FROM {pushsql.quote_ident(table)}"
         )
-        lo = int(rows[0][0]) if rows and rows[0][0] is not None else None
-        hi = int(rows[0][1]) if rows and rows[0][1] is not None else None
+        # decode min/max by the column's DECLARED type (r19 review: a
+        # bare int() crashed Date/Float/Decimal partition columns with
+        # a raw ValueError — a parity gap with pgwire/mysqlwire, whose
+        # native decoders feed plan_ranges date/float range math)
+        dtype = _ch_to_spark(ch_types[0]) if ch_types else T.StringType()
+        try:
+            lo = _decode(rows[0][0], dtype) if rows else None
+            hi = _decode(rows[0][1], dtype) if rows else None
+        except (ValueError, ArithmeticError) as e:
+            raise SourceError(
+                f"partition_column {col!r}: cannot decode min/max as "
+                f"{dtype.simpleString()}: {e}"
+            ) from None
+        if isinstance(lo, str) or isinstance(hi, str):
+            raise SourceError(
+                f"partition_column {col!r} has non-rangeable ClickHouse "
+                f"type {ch_types[0] if ch_types else '?'}; use a "
+                "numeric, Date or DateTime column"
+            )
+        import decimal
+
+        # split points need not be exact — float bounds render as
+        # portable literals, and the unbounded outer ranges keep
+        # coverage regardless
+        if isinstance(lo, decimal.Decimal):
+            lo = float(lo)
+        if isinstance(hi, decimal.Decimal):
+            hi = float(hi)
         return [_Slice(r.predicate()) for r in pushsql.plan_ranges(col, lo, hi, n)]
 
     def read(self, partition: _Slice):

@@ -418,6 +418,11 @@ def read_frame(sock: socket.socket) -> tuple[int, int, int, bytes]:
 
 def strip_padding(flags: int, payload: bytes) -> bytes:
     if flags & FLAG_PADDED:
+        # §6.1: pad length >= remaining payload is a PROTOCOL_ERROR —
+        # silently returning a short/empty payload surfaced much later
+        # as an opaque truncated-message error (r19 review)
+        if not payload or payload[0] >= len(payload):
+            raise SourceError("h2c padded frame: pad length exceeds payload")
         pad = payload[0]
         payload = payload[1 : len(payload) - pad]
     return payload
@@ -505,6 +510,7 @@ class H2GrpcChannel:
             self._scheme = "https" if tls else "http"
             self._decoder = HpackDecoder()
             self._next_stream = 1
+            self._goaway_last: int | None = None  # graceful-drain marker
             # send-side flow control (RFC 7540 §6.9): connection window plus
             # the initial window every new stream starts with
             self._conn_window = DEFAULT_WINDOW
@@ -550,6 +556,18 @@ class H2GrpcChannel:
                 self._conn_window += int.from_bytes(payload[:4], "big") & 0x7FFFFFFF
         elif ftype == FT_GOAWAY:
             err = int.from_bytes(payload[4:8], "big") if len(payload) >= 8 else -1
+            last_sid = (
+                int.from_bytes(payload[:4], "big") & 0x7FFFFFFF
+                if len(payload) >= 4 else 0
+            )
+            # §6.8: a graceful GOAWAY (NO_ERROR) promises streams up to
+            # last_stream_id will complete — standard with grpc-go/java
+            # MaxConnectionAge draining (r19 review: aborting the
+            # in-flight RPC here failed healthy Spark tasks). Keep
+            # draining permitted streams; only new calls must fail.
+            if err == 0 and all(sid <= last_sid for sid in self._stream_windows):
+                self._goaway_last = last_sid
+                return
             raise SourceError(f"h2c GOAWAY from peer (error {err})")
 
     def _apply_settings(self, payload: bytes) -> None:
@@ -592,6 +610,11 @@ class H2GrpcChannel:
         """Unary request -> iterator of response message bytes (covers
         both unary and server-streaming responses; the trailers'
         grpc-status is checked either way)."""
+        if self._goaway_last is not None:
+            raise SourceError(
+                "h2c connection is draining (graceful GOAWAY received); "
+                "open a new connection"
+            )
         stream_id = self._next_stream
         self._next_stream += 2
         headers = [

@@ -92,7 +92,12 @@ def _read_lenenc_int(buf: bytes, pos: int) -> tuple[int | None, int]:
         return first, pos + 1
     if first == 0xFB:
         return None, pos + 1  # NULL marker in row data
-    width = {0xFC: 2, 0xFD: 3, 0xFE: 8, 0xFF: 8}[first]
+    if first == 0xFF:
+        # 0xff is the ERR-packet marker, never a length prefix (r19
+        # review: treating it as an 8-byte integer misparsed corrupt
+        # packets instead of rejecting them)
+        raise SourceError("mysql packet: 0xff is not a length-encoded integer")
+    width = {0xFC: 2, 0xFD: 3, 0xFE: 8}[first]
     end = pos + 1 + width
     if end > len(buf):
         raise SourceError("mysql packet: truncated length-encoded integer")
@@ -197,21 +202,31 @@ class MySqlWireConnection:
     # --------------------------------------------------------- handshake
     def _handshake(self, user: str, password: str, database: str) -> None:
         pkt = self._read_packet()
+        if not pkt:
+            raise SourceError("mysql greeting: empty packet")
         if pkt[:1] == b"\xff":
             raise SourceError(f"mysql refused connection: {self._err_text(pkt)}")
         if pkt[0] != 10:
             raise SourceError(f"unsupported mysql protocol version {pkt[0]}")
-        pos = 1
-        end = pkt.index(b"\0", pos)  # server version
-        pos = end + 1 + 4  # thread id
-        auth1 = pkt[pos:pos + 8]
-        pos += 8 + 1  # filler
-        pos += 2 + 1 + 2 + 2  # cap_low, charset, status, cap_high
-        auth_len = pkt[pos]
-        pos += 1 + 10  # reserved
-        auth2 = pkt[pos:pos + max(13, auth_len - 8)]
-        pos += len(auth2)
-        plugin = pkt[pos:].split(b"\0")[0].decode() if pos < len(pkt) else ""
+        try:
+            pos = 1
+            end = pkt.index(b"\0", pos)  # server version
+            pos = end + 1 + 4  # thread id
+            auth1 = pkt[pos:pos + 8]
+            pos += 8 + 1  # filler
+            pos += 2 + 1 + 2 + 2  # cap_low, charset, status, cap_high
+            auth_len = pkt[pos]
+            pos += 1 + 10  # reserved
+            auth2 = pkt[pos:pos + max(13, auth_len - 8)]
+            pos += len(auth2)
+            plugin = pkt[pos:].split(b"\0")[0].decode() if pos < len(pkt) else ""
+        except (ValueError, IndexError):
+            # greeting bytes come from whatever answered the port — a
+            # proxy or non-MySQL service sending a short packet that
+            # happens to start with byte 10 must be a clear error, not
+            # a raw ValueError/IndexError (r19 review; same posture as
+            # _read_lenenc_int's r18 hardening)
+            raise SourceError("mysql greeting truncated or corrupt") from None
         if plugin and plugin != "mysql_native_password":
             raise SourceError(
                 f"unsupported mysql auth plugin {plugin!r} "
@@ -341,9 +356,11 @@ def _decode(field: _Field, raw: bytes):
 
         return datetime.date.fromisoformat(s)
     if isinstance(dt, T.TimestampNTZType):
-        import datetime
+        # DATETIME(n) renders exactly n fraction digits; Python 3.10's
+        # fromisoformat only accepts 3 or 6 (r19 review)
+        from strake_spark.sources.wiretext import parse_wire_timestamp
 
-        return datetime.datetime.fromisoformat(s)
+        return parse_wire_timestamp(s)
     return s
 
 

@@ -118,10 +118,12 @@ def _decode_value(oid: int, raw: bytes, typmod: int = -1):
 
         return datetime.date.fromisoformat(s)
     if oid in (_OID_TIMESTAMP, _OID_TIMESTAMPTZ):
-        import datetime
+        # PG text format: 'YYYY-MM-DD HH:MM:SS[.f...][+HH]' — the
+        # hour-only offset and trimmed fractions need normalizing for
+        # Python 3.10's stricter fromisoformat (r19 review)
+        from strake_spark.sources.wiretext import parse_wire_timestamp
 
-        # PG text format: 'YYYY-MM-DD HH:MM:SS[.ffffff][+TZ]'
-        return datetime.datetime.fromisoformat(s)
+        return parse_wire_timestamp(s)
     return s
 
 

@@ -139,7 +139,23 @@ def _cell_value(c, strings: list[str]):
     if v is None or v.text is None:
         return None
     if t == "s":
-        return strings[int(v.text)]
+        # the index is workbook bytes: a negative value would silently
+        # return the WRONG string (Python negative indexing) and
+        # out-of-range/non-numeric escaped as raw IndexError/ValueError
+        # past _loud_workbook's zip/XML scope (r19 review)
+        try:
+            i = int(v.text)
+        except ValueError:
+            raise SourceError(
+                f"not a readable xlsx workbook: non-numeric shared-string "
+                f"index {v.text!r}"
+            ) from None
+        if not 0 <= i < len(strings):
+            raise SourceError(
+                f"not a readable xlsx workbook: shared-string index {i} "
+                f"out of range (have {len(strings)})"
+            )
+        return strings[i]
     if t == "b":
         return v.text == "1"
     if t in ("str", "e"):

@@ -67,6 +67,61 @@ class TestHttpClient:
         with pytest.raises(SourceError, match="DB::Exception"):
             c.query("SELECT * FROM nope")
 
+    def test_base_url_with_query_string(self, ch):
+        """r19 review: cfg.url may carry ?database=... — gluing '/?'
+        after it mangled both parameter sets; params must append
+        with '&'."""
+        c = ClickHouseHttp(
+            f"http://127.0.0.1:{ch.server_port}?database=analytics",
+            user="analyst", password="k3y",
+        )
+        names, _t, rows = c.query("SELECT 1 AS a")
+        assert names == ["a"] and rows == [["1"]]
+
+    def test_date_partition_column(self, ch):
+        """r19 review: partitions() forced min/max through int(), so a
+        Date partition column crashed with a raw ValueError — parity
+        with pgwire/mysqlwire requires typed decode into plan_ranges."""
+        from pyspark.sql.types import StructType
+
+        from strake_spark.sources.clickhouse_http import ClickHouseReader
+
+        r = ClickHouseReader(
+            {
+                "url": f"http://127.0.0.1:{ch.server_port}",
+                "user": "analyst", "password": "k3y",
+                "table": "orders", "partition_column": "o_orderdate",
+                "num_partitions": "3",
+            },
+            StructType(),
+        )
+        parts = r.partitions()
+        assert len(parts) == 3
+        preds = [p.predicate for p in parts]
+        # temporal bounds render as typed literals (the testdata's
+        # o_orderdate is timestamp-typed, so TIMESTAMP '...'), never a
+        # bare int() crash
+        assert "TIMESTAMP '" in preds[1] or "DATE '" in preds[1]
+        # first slice catches NULLs, last is unbounded above
+        assert "IS NULL" in preds[0] and ">=" in preds[-1]
+
+    def test_string_partition_column_is_loud(self, ch):
+        from pyspark.sql.types import StructType
+
+        from strake_spark.sources.clickhouse_http import ClickHouseReader
+
+        r = ClickHouseReader(
+            {
+                "url": f"http://127.0.0.1:{ch.server_port}",
+                "user": "analyst", "password": "k3y",
+                "table": "orders", "partition_column": "o_orderpriority",
+                "num_partitions": "3",
+            },
+            StructType(),
+        )
+        with pytest.raises(SourceError, match="non-rangeable"):
+            r.partitions()
+
     def test_type_mapping(self):
         from pyspark.sql import types as T
 
