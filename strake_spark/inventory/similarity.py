@@ -482,24 +482,34 @@ def curation_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def curation_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # r19 optimization round (guide §2.4 — remove shuffles outright;
+    # plan evidence in plans/r19/curation_cluster_label_purity_*.txt):
+    # the old shape joined the checkpointed assignment back to the
+    # source for labels and computed the (cluster, label) counts TWICE
+    # (row_number window for the majority + a separate total aggregate,
+    # re-joined on cluster) — 2 assignment scans, 2 broadcast joins,
+    # 4 exchanges, a window and a SortMergeJoin. Now: the label rides
+    # the map-only assignment (kmeans_assign carry_cols, zero extra
+    # shuffle), and ONE pass over the counts takes sum(n) and
+    # max(struct(n, -label)) per cluster — the struct max reproduces
+    # the window's (n DESC, label ASC) tie-break exactly. 1 scan,
+    # 2 exchanges, no join, no window; measured 2.91 s -> 2.27 s
+    # interleaved same-session 7-run medians at sf0.1 (tail pairs
+    # 2.09 -> 1.67 once JIT settles), identical rows.
     from strake_spark.operators import semdedup as SD
 
     emb = table(spark, sf_dir, "embeddings")
-    assign = SD.kmeans_assign(emb, k=8, iters=2)
-    lab = assign.join(emb.select("vec_id", "label"), "vec_id")
-    cnt = lab.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("cluster").orderBy(F.col("n").desc(), F.col("label").asc())
-    top = cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    tot = cnt.groupBy("cluster").agg(F.sum("n").alias("total"))
-    return (
-        top.join(tot, "cluster")
-        .select(
-            F.col("cluster").cast("bigint").alias("cluster"),
-            F.col("label").cast("int").alias("majority_label"),
-            F.col("total").cast("bigint").alias("n_members"),
-            (F.col("n").cast("double") / F.col("total")).alias("purity"),
-        )
+    assign = SD.kmeans_assign(emb, k=8, iters=2, carry_cols=("label",))
+    cnt = assign.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    agg = cnt.groupBy("cluster").agg(
+        F.sum("n").alias("total"),
+        F.max(F.struct(F.col("n").alias("n"), (-F.col("label")).alias("neg_label"))).alias("m"),
+    )
+    return agg.select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        (-F.col("m.neg_label")).cast("int").alias("majority_label"),
+        F.col("total").cast("bigint").alias("n_members"),
+        (F.col("m.n").cast("double") / F.col("total")).alias("purity"),
     )
 
 

@@ -99,7 +99,7 @@ def _assign(e: DataFrame, carr: DataFrame) -> DataFrame:
     return (
         e.crossJoin(F.broadcast(carr))
         .withColumn("_b", best)
-        .select("vec_id", "v", (-F.col("_b.neg_cid")).alias("cluster"))
+        .select(*e.columns, (-F.col("_b.neg_cid")).alias("cluster"))
     )
 
 
@@ -180,7 +180,7 @@ def _assign_ann(
         e.crossJoin(F.broadcast(carr_b))
         .withColumn("_rb", _bucket_expr(F.col("v"), F.col("_anchors")))
         .withColumn("_b", best)
-        .select("vec_id", "v", (-F.col("_b.neg_cid")).alias("cluster"))
+        .select(*e.columns, (-F.col("_b.neg_cid")).alias("cluster"))
     )
 
 
@@ -218,9 +218,13 @@ def _update_carr(assigned: DataFrame) -> DataFrame:
     return flat_row.select(cents_arr.alias("_cents"))
 
 
-def _normalized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _normalized(
+    emb: DataFrame, id_col: str, vec_col: str, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     return emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *(F.col(c) for c in carry_cols),
     )
 
 
@@ -290,8 +294,15 @@ def kmeans_assign(
     assign_method: str = "exact",
     n_anchor_bits: int = 3,
     probe_hamming: int = 0,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic fixed-iteration cosine k-means: (vec_id, cluster).
+
+    ``carry_cols`` rides extra source columns through the MAP-ONLY
+    assignment (r19 optimization round): a consumer that needs e.g. the
+    label next to the cluster gets it for free instead of re-scanning
+    the source and joining back on vec_id — assignment is a map, so the
+    passthrough costs zero extra shuffle at any scale.
 
     ``iters`` counts assignment passes; centroids update between
     passes. Init centroids are the ``k`` smallest ids' vectors.
@@ -311,14 +322,15 @@ def kmeans_assign(
     engine): the (id, cluster) result is checkpointed — it is k-means'
     natural output materialization, two narrow columns — and the
     source cache unpinned immediately."""
-    e = _normalized(emb, id_col, vec_col)
+    e = _normalized(emb, id_col, vec_col, carry_cols)
+    out_cols = ["vec_id", "cluster", *carry_cols]
     assign = _make_assign(e, assign_method, n_anchor_bits, probe_hamming, k=k)
     if not persist:
-        return _kmeans(e, k, iters, assign).select("vec_id", "cluster")
+        return _kmeans(e, k, iters, assign).select(*out_cols)
     from pyspark import StorageLevel
 
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    out = _kmeans(e, k, iters, assign).select("vec_id", "cluster").localCheckpoint()
+    out = _kmeans(e, k, iters, assign).select(*out_cols).localCheckpoint()
     e.unpersist(blocking=False)
     return out
 

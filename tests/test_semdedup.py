@@ -25,6 +25,19 @@ def test_assign_total_and_in_range(spark):
     assert {r.cluster for r in rows} <= set(range(8))
 
 
+def test_assign_carry_cols_matches_join_back(spark):
+    # carry_cols (r19 optimization round) must ride the map-only
+    # assignment unchanged: same (vec_id, cluster) pairs as the plain
+    # call, with the carried label equal to the source row's label.
+    emb = _emb(spark)
+    plain = {(r.vec_id, r.cluster) for r in SD.kmeans_assign(emb, k=8, iters=2).collect()}
+    carried = SD.kmeans_assign(emb, k=8, iters=2, carry_cols=("label",)).collect()
+    assert {(r.vec_id, r.cluster) for r in carried} == plain
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert all(r.label == labels[r.vec_id] for r in carried)
+    assert carried[0].__fields__ == ["vec_id", "cluster", "label"]
+
+
 def test_assign_deterministic_under_repartition(spark):
     emb = _emb(spark)
     a = {(r.vec_id, r.cluster) for r in SD.kmeans_assign(emb, k=8, iters=2).collect()}
