@@ -817,7 +817,21 @@ def _hyperplane_band_udf(num_bands: int, band_bits: int, dim: int, seed: int):
         keys = signs.reshape(len(mat), -1, band_bits) @ bit_weights
         return pd.Series(list(keys.astype(np.int64)))
 
-    return _band_keys
+    # The function IS deterministic (seeded planes), but the optimizer
+    # must not know it: InferFiltersFromGenerate adds a size(keys)>0
+    # filter under every posexplode consumer, and filter/projection
+    # splitting then evaluates the UDF TWICE per row (two
+    # ArrowEvalPython nodes per side in the r19-opt plan capture —
+    # guide §4.4's duplication pattern). Marking it non-deterministic
+    # pins ONE evaluation; the inferred filter was redundant anyway
+    # (non-outer Generate drops empty arrays itself). Plan evidence:
+    # semantic_contamination drops 4 -> 2 ArrowEvalPython nodes (one
+    # per side). Wall-clock at sf0.1 is neutral (the 2000x64 matmul is
+    # trivial and the doubled eval pipelined); the win is the halved
+    # Python-boundary pass count, which is what dominates banding at
+    # web-scale vector volumes. Interleaved A/B confirmed identical
+    # output on both consumers (contamination, dup_pairs).
+    return _band_keys.asNondeterministic()
 
 
 def semantic_contamination(
