@@ -83,8 +83,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # roundtrips (pg/mysql/clickhouse wire, duckdb, flight, xlsx, grpc,
 # avro, iceberg, sftp, ftp — every remaining source family promoted
 # to driver-green against a live in-process protocol peer), in
-# registration order; tier (b) — the five rewritten entries below;
-# tier (c) — the 32 oldest r15-evidence rows. 18 r15 rows spill to
+# registration order; tier (b) — the nine rewritten entries below
+# (five from the build phase, four from the r19 optimization phase);
+# tier (c) — the 28 oldest r15-evidence rows. 22 r15 rows spill to
 # the r20 fill.
 
 # Entries whose implementation changes this round (r19):
@@ -105,6 +106,17 @@ _REWRITTEN: tuple[str, ...] = (
     "multimodal_binaryfile_image_decode",
     "source_az_spool_roundtrip",
     "source_gs_interop_roundtrip",
+    # r19 optimization-phase rewrites (each oracle-identical at
+    # sf0.001/0.01 under a driver-style plain-sort canonicalizer, and
+    # A/B'd at sf0.1): purity — one-aggregation-pass restructure over
+    # carried labels; dup_pairs + contamination — the shared hyperplane
+    # band UDF is pinned to ONE evaluation (asNondeterministic, guide
+    # §4.4); rollup — one fact scan + one aggregation exchange with an
+    # xxhash64 split (output provably invariant to the split).
+    "curation_cluster_label_purity",
+    "ann_embedding_dup_pairs",
+    "curation_semantic_contamination",
+    "events_rollup_incremental",
 )
 
 _PRIORITY: tuple[str, ...] = (
@@ -124,14 +136,19 @@ _PRIORITY: tuple[str, ...] = (
     "source_iceberg_roundtrip",
     "source_sftp_roundtrip",
     "source_ftp_roundtrip",
-    # (b) rewritten this round (5): the bounded-PNG-decode trio and
-    # the two spool-path source roundtrips
+    # (b) rewritten this round (9): the bounded-PNG-decode trio, the
+    # two spool-path source roundtrips, and the four optimization-phase
+    # restructures
     "multimodal_image_decode",
     "multimodal_image_resize",
     "multimodal_binaryfile_image_decode",
     "source_az_spool_roundtrip",
     "source_gs_interop_roundtrip",
-    # (c) oldest evidence: the 32 oldest r15 rows in registration
+    "curation_cluster_label_purity",
+    "ann_embedding_dup_pairs",
+    "curation_semantic_contamination",
+    "events_rollup_incremental",
+    # (c) oldest evidence: the 28 oldest r15 rows in registration
     # order (all 50 r15-newest rows were displaced out of the r18
     # window by that round's registrations; they come due here)
     "join_anti_customers_without_urgent_orders",
@@ -162,28 +179,25 @@ _PRIORITY: tuple[str, ...] = (
     "values_inline",
     "set_intersect_all",
     "expr_unpivot_measures",
-    "join_lateral_top_orders_per_customer",
-    "agg_group_by_all",
-    "window_qualify_top2_per_customer",
-    "ann_cosine_topk_bruteforce",
     # --- 50-entry window boundary ---
 )
 
 # Carryover remainder: the head of the round-20 fill, in order — the
-# 18 remaining r15 rows (these five, then ann_pq_recall_vs_exact,
-# curation_knn_label_consistency, ann_ivfpq_topk,
-# ann_ivfpq_recall_vs_exact, multimodal_decode_meta,
+# 22 remaining r15 rows (these five, then ann_lsh_bucketed_topk,
+# ann_ivf_topk, ann_lsh_recall_vs_exact, ann_ivf_recall_vs_exact,
+# ann_pq_topk, ann_pq_recall_vs_exact, curation_knn_label_consistency,
+# ann_ivfpq_topk, ann_ivfpq_recall_vs_exact, multimodal_decode_meta,
 # stream_view_purchase_join, expr_array_higher_order,
 # sample_hash_bucket, sample_shuffle_deterministic,
 # pipeline_mixture_upsample, pipeline_source_quota,
 # pipeline_shard_manifest, pipeline_chunk_documents). Any query whose
 # plan is rewritten in round 20 joins that window the same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "join_lateral_top_orders_per_customer",
+    "agg_group_by_all",
+    "window_qualify_top2_per_customer",
+    "ann_cosine_topk_bruteforce",
     "ann_lsh_bucketed_topk",
-    "ann_ivf_topk",
-    "ann_lsh_recall_vs_exact",
-    "ann_ivf_recall_vs_exact",
-    "ann_pq_topk",
 )
 
 

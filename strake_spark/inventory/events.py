@@ -227,26 +227,40 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     notes=(
         "continuous-aggregate maintenance (hypertable rollup pattern): the Spark "
-        "side splits events 90/10 by md5(event_id), builds the day-level rollup "
-        "of the 90%, then INCREMENTALLY merges the late 10% touching only their "
-        "days — the oracle is the FULL recompute, so the driver hash proves "
-        "incremental == full, bit-for-bit (decimal partials are associative). "
-        "Cost of a maintenance pass is O(batch + touched rollup rows), "
-        "independent of history size"
+        "side splits events 90/10 by xxhash64(event_id), builds both day-level "
+        "partial rollups, then INCREMENTALLY merges the late 10% touching only "
+        "their days — the oracle is the FULL recompute, so the driver hash "
+        "proves incremental == full, bit-for-bit (decimal partials are "
+        "associative; the output is invariant to WHICH rows the split calls "
+        "late, so the r19 split-hash change from md5 to the codegen-native "
+        "xxhash64 cannot move the hash). Cost of a maintenance pass is "
+        "O(batch + touched rollup rows), independent of history size"
     ),
 )
 def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from strake_spark.operators.hashing import h32
-    from strake_spark.operators.rollup import incremental_rollup
+    from pyspark import StorageLevel
+
+    from strake_spark.operators.rollup import merge_rollups, rollup_events
 
     ev = table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "event_type", "value",
-        (F.pmod(h32(F.col("event_id").cast("string")), F.lit(10)) == 0).alias("__late"),
+        (F.pmod(F.xxhash64("event_id"), F.lit(10)) == 0).alias("__late"),
     )
-    base = ev.filter(~F.col("__late")).drop("__late")
-    late = ev.filter(F.col("__late")).drop("__late")
+    # ONE fact scan + ONE aggregation exchange (r19): the pre-opt form
+    # filtered the split into two DataFrames and let incremental_rollup
+    # aggregate each, which planned as TWO full parquet scans of events
+    # with the split hash evaluated per row per scan. Grouping once by
+    # (day, event_type, __late) builds both partial rollups in a single
+    # pass; the persisted relation is rollup-sized (buckets x 2), never
+    # event-sized, and the split filters below read the cache, not the
+    # fact table. merge_rollups (the maintenance core) is unchanged.
+    parts = rollup_events(
+        ev, keys=["day", "event_type", "__late"]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base_r = parts.filter(~F.col("__late")).drop("__late")
+    late_r = parts.filter(F.col("__late")).drop("__late")
     return (
-        incremental_rollup(base, late, keys=["day", "event_type"])
+        merge_rollups(base_r, late_r, keys=["day", "event_type"])
         .select(
             "day", "event_type", "n_events",
             F.col("total_value").cast("double").alias("total_value"),
