@@ -636,16 +636,28 @@ def ngram_jaccard_pairs(
     boilerplate docs lands in nobody's prefix (its DF ranks it last),
     instead of producing 100k^2/2 join rows.
 
-    ``persist`` caches the distinct (id, gram) relation — FIVE
+    ``persist`` caches the distinct (id, gram) relation — FOUR
     consumers read it (per-doc sizes, global DF, the prefix ranking,
-    and both sides of the verification join); unpersisted, Catalyst
-    recomputes the scan + explode + distinct-shuffle for each (the
-    r17 duplicate-scan audit measured 6.6 s -> 3.9 s at sf0.1 from
-    this cache alone; the remainder is the candidate/verify joins
-    themselves). The smaller prefix relation is persisted too (read by
-    both sides of the candidate self-join). BM25 lifetime contract:
-    the caches back the returned lazy DataFrame; clearCache() between
-    batches or persist=False to opt out.
+    and the per-doc gram-array build for verification); unpersisted,
+    Catalyst recomputes the scan + explode + distinct-shuffle for each
+    (the r17 duplicate-scan audit measured 6.6 s -> 3.9 s at sf0.1 from
+    this cache alone). The smaller prefix relation is persisted too
+    (read by both sides of the candidate self-join). BM25 lifetime
+    contract: the caches back the returned lazy DataFrame; clearCache()
+    between batches or persist=False to opt out.
+
+    r19 verification shape (guide §2.3/§3.3): verification attaches
+    each doc's gram ARRAY to the candidate pair (two id-keyed joins)
+    and counts the overlap with a JVM ``array_intersect``, instead of
+    exploding candidates x grams through two joins and re-aggregating
+    the exploded relation — the explosion rows, their aggregation hash
+    table, and the extra shuffle of the widest relation are gone.
+    Interleaved same-session A/B at sf0.1: 4.45 -> 1.52 s median,
+    outputs identical. The DF/size side stays two small AGGREGATES
+    joined back on (not window counts over grams, which measured the
+    same at sf0.1 but funnel hot boilerplate grams into single window
+    tasks at scale — no partial aggregation, no AQE skew handling;
+    the join shape gets both).
     """
     norm = docs.select(F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("w"))
     grams = (
@@ -711,12 +723,27 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
-    ga, gb = grams.alias("ga"), grams.alias("gb")
+    # Verification: attach each side's gram ARRAY and count the overlap
+    # in the JVM. grams is distinct per (id, gram), so the arrays are
+    # duplicate-free and size(array_intersect(..)) is exactly the old
+    # exploded-join COUNT — order-independent, so no sort_array needed.
+    arr = grams.groupBy(id_col).agg(F.collect_list("gram").alias("gs"))
     common = (
-        cand.join(ga, cand.id_a == F.col(f"ga.{id_col}"))
-        .join(gb, (cand.id_b == F.col(f"gb.{id_col}")) & (F.col("ga.gram") == F.col("gb.gram")))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cand.join(
+            arr.select(F.col(id_col).alias("id_a"), F.col("gs").alias("gs_a")),
+            "id_a",
+        )
+        .join(
+            arr.select(F.col(id_col).alias("id_b"), F.col("gs").alias("gs_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("gs_a", "gs_b")).alias("n_common"),
+        )
     )
     return (
         common.select(
