@@ -121,6 +121,12 @@ _REWRITTEN: tuple[str, ...] = (
     # array_intersect (no candidate x gram explosion); oracle-identical
     # at sf0.001/0.01/0.1, interleaved A/B 4.45 -> 1.52 s.
     "dedup_ngram_jaccard",
+    # pack_sequences — the compact (id, n_tok, part) relation is now
+    # persisted across its two consumers (offsets aggregate + final
+    # windowed pass), removing the second full corpus tokenize; lo/hi
+    # from a pruned min/max scan. Oracle-identical at sf0.001/0.01/0.1,
+    # interleaved A/B at sf0.1: 1.36 -> 1.26 s median.
+    "pipeline_pack_sequences",
 )
 
 _PRIORITY: tuple[str, ...] = (
@@ -140,8 +146,8 @@ _PRIORITY: tuple[str, ...] = (
     "source_iceberg_roundtrip",
     "source_sftp_roundtrip",
     "source_ftp_roundtrip",
-    # (b) rewritten this round (9): the bounded-PNG-decode trio, the
-    # two spool-path source roundtrips, and the four optimization-phase
+    # (b) rewritten this round (10): the bounded-PNG-decode trio, the
+    # two spool-path source roundtrips, and the five optimization-phase
     # restructures
     "multimodal_image_decode",
     "multimodal_image_resize",
@@ -153,7 +159,8 @@ _PRIORITY: tuple[str, ...] = (
     "curation_semantic_contamination",
     "events_rollup_incremental",
     "dedup_ngram_jaccard",
-    # (c) oldest evidence: the 27 oldest r15 rows in registration
+    "pipeline_pack_sequences",
+    # (c) oldest evidence: the 26 oldest r15 rows in registration
     # order (all 50 r15-newest rows were displaced out of the r18
     # window by that round's registrations; they come due here)
     "join_anti_customers_without_urgent_orders",
@@ -182,12 +189,11 @@ _PRIORITY: tuple[str, ...] = (
     "distinct_simple",
     "distinct_on_latest_order",
     "values_inline",
-    "set_intersect_all",
     # --- 50-entry window boundary ---
 )
 
 # Carryover remainder: the head of the round-20 fill, in order — the
-# 23 remaining r15 rows (these six, then ann_lsh_bucketed_topk,
+# 24 remaining r15 rows (these seven, then ann_lsh_bucketed_topk,
 # ann_ivf_topk, ann_lsh_recall_vs_exact, ann_ivf_recall_vs_exact,
 # ann_pq_topk, ann_pq_recall_vs_exact, curation_knn_label_consistency,
 # ann_ivfpq_topk, ann_ivfpq_recall_vs_exact, multimodal_decode_meta,
@@ -197,6 +203,7 @@ _PRIORITY: tuple[str, ...] = (
 # pipeline_shard_manifest, pipeline_chunk_documents). Any query whose
 # plan is rewritten in round 20 joins that window the same round.
 _NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "set_intersect_all",
     "expr_unpivot_measures",
     "join_lateral_top_orders_per_customer",
     "agg_group_by_all",

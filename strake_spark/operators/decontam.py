@@ -84,6 +84,7 @@ def pack_sequences(
     text_col: str = "text",
     budget: int = 4096,
     num_partitions: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Greedy prefix-sum packing: docs ordered by id accumulate
     whitespace-token counts; pack_id = floor((running - own)/budget).
@@ -98,14 +99,24 @@ def pack_sequences(
     The offsets come from a P-row aggregate collected on the driver
     (P = partitions, a few thousand at 100 TB — centroid-sized, like
     IVF training) and rejoined via broadcast. Every heavy stage stays
-    distributed."""
+    distributed.
+
+    ``persist`` caches the compact (id, n_tok, part) relation — TWO
+    consumers read it (the per-bucket offsets aggregate and the final
+    windowed pass); unpersisted, each consumer rescans the corpus and
+    re-tokenizes it, doubling the operator's only heavy stage (r19;
+    same dual-consumption discipline as dsir/tfidf/bm25, same lifetime
+    contract: clearCache() between batches or persist=False)."""
     n_tok = F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long")
     t = docs.select(F.col(id_col).alias("id"), n_tok.alias("n_tok"))
     P = num_partitions or t.sparkSession.sparkContext.defaultParallelism
     # Derive the range bucket from the id VALUE, not repartitionByRange:
     # the bucket must be identical in the offsets pass and the final
     # pass, and range-partitioner sampling is not re-execution-stable.
-    lo, hi = t.agg(F.min("id"), F.max("id")).first()
+    # (min/max of id only — column pruning drops the tokenize here.)
+    lo, hi = docs.agg(
+        F.min(F.col(id_col)), F.max(F.col(id_col))
+    ).first()
     if lo is None:
         return t.select(
             F.lit(0).cast("bigint").alias("pack_id"),
@@ -114,18 +125,24 @@ def pack_sequences(
         ).limit(0)
     width = max(1, (int(hi) - int(lo) + P) // P)
     t = t.withColumn("part", F.floor((F.col("id") - lo) / width).cast("int"))
+    if persist:
+        from pyspark import StorageLevel
+
+        t = t.persist(StorageLevel.MEMORY_AND_DISK)
 
     within = W.partitionBy("part").orderBy("id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    t = t.withColumn("running_local", F.sum("n_tok").over(within))
 
     # P rows: total tokens per partition -> exclusive prefix offsets.
-    # Driver-side cumsum over P values, then broadcast back.
+    # Driver-side cumsum over P values, then broadcast back. This
+    # collect materializes the persisted compact relation, so the
+    # final pass below reads the cache instead of re-tokenizing.
     totals = sorted(
         (r["part"], r["total"])
         for r in t.groupBy("part").agg(F.sum("n_tok").alias("total")).collect()
     )
+    t = t.withColumn("running_local", F.sum("n_tok").over(within))
     offsets, acc = [], 0
     for part, total in totals:
         offsets.append((part, acc))

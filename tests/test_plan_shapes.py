@@ -437,6 +437,25 @@ class TestDecontamination:
         ).collect()[0].t
         assert total == expect  # every token lands in exactly one pack
 
+    def test_packing_persist_covers_final_pass_and_changes_nothing(self, spark):
+        # r19: the compact (id, n_tok, part) relation is persisted across
+        # its two consumers — the final windowed pass must read the cache
+        # (no second corpus tokenize), and persist=False must produce the
+        # identical packing.
+        from strake_spark.data import table
+        from strake_spark.operators.decontam import pack_sequences
+
+        docs = table(spark, SF_DIR, "documents")
+        spark.catalog.clearCache()
+        cached = pack_sequences(docs, budget=4096)
+        assert "InMemoryTableScan" in cached._jdf.queryExecution().toString()
+        got_cached = sorted(map(tuple, cached.collect()))
+        spark.catalog.clearCache()
+        plain = pack_sequences(docs, budget=4096, persist=False)
+        assert "InMemoryTableScan" not in plain._jdf.queryExecution().toString()
+        assert sorted(map(tuple, plain.collect())) == got_cached
+        spark.catalog.clearCache()
+
 
 class TestRound7Additions:
     def test_q2_broadcasts_dims_no_cartesian(self, spark):
