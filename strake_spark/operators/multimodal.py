@@ -368,6 +368,11 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
             )
             if audio_fmt != 1 or depth != 16:
                 raise ValueError("unsupported WAV: need 16-bit PCM")
+            if nch == 0:
+                # a mutated fmt chunk can declare zero channels; the
+                # frame math below would divide by zero (executor-killing
+                # ZeroDivisionError instead of a loud per-row error)
+                raise ValueError("corrupt WAV: zero channels")
             fmt = (nch, rate)
         elif tag == b"data":
             data = chunk

@@ -613,6 +613,20 @@ class TestDecoderFuzz:
 
         run()
 
+    def test_decode_wav_zero_channels_loud(self):
+        # pinned hypothesis find (r19 opt round): flipping the low byte
+        # of nChannels in the fmt chunk (offset 22) to 0 used to raise
+        # ZeroDivisionError from the frame math instead of a loud
+        # ValueError in the decoder's catch set.
+        import numpy as np
+
+        from strake_spark.operators.multimodal import decode_wav, encode_wav
+
+        base = encode_wav(np.arange(-50, 50, dtype=np.int16), 16000)
+        mutated = base[:22] + b"\x00" + base[23:]
+        with pytest.raises(ValueError, match="zero channels"):
+            decode_wav(mutated)
+
     def test_decode_wav_mutated_valid_payload(self):
         import numpy as np
         from hypothesis import given, settings
