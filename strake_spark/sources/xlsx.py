@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 import re
 import zipfile
+import zlib
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import SparkSession
@@ -74,7 +75,31 @@ def _loud_workbook(path: str):
     (``_member``) so real bugs keep their tracebacks."""
     try:
         yield
-    except (zipfile.BadZipFile, ET.ParseError) as e:
+    except (
+        zipfile.BadZipFile, ET.ParseError, zlib.error, NotImplementedError, EOFError,
+    ) as e:
+        # Beyond BadZipFile, stdlib zipfile signals corrupt/unsupported
+        # archives with several raw types (each a byte-flip fuzz find):
+        # zlib.error — corrupted DEFLATE stream dies in the inflater
+        # before the CRC check (which would raise BadZipFile) runs;
+        # NotImplementedError — mutated version-needed / compression-
+        # type fields; EOFError — mis-sized member stream runs dry.
+        # None of these are raised by the parse body itself.
+        raise SourceError(f"{path}: not a readable xlsx workbook: {e}") from e
+    except RuntimeError as e:
+        # zipfile raises bare RuntimeError for password-protected
+        # members (a flipped encryption flag bit on untrusted input);
+        # other RuntimeErrors keep their tracebacks.
+        if "encrypt" in str(e) or "password" in str(e):
+            raise SourceError(f"{path}: not a readable xlsx workbook: {e}") from e
+        raise
+    except OSError as e:
+        # A mutated header offset makes zipfile seek outside the file:
+        # OSError(EINVAL) (fuzz find). Path-level failures (missing
+        # file, permissions, directory) keep their types — the config
+        # layer screens those before the reader runs.
+        if isinstance(e, (FileNotFoundError, IsADirectoryError, PermissionError)):
+            raise
         raise SourceError(f"{path}: not a readable xlsx workbook: {e}") from e
 
 

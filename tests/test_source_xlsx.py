@@ -179,6 +179,117 @@ class TestCorruptWorkbooks:
     """Corrupt or non-OOXML files must raise SourceError, not raw
     zipfile/XML errors (r18)."""
 
+    def test_corrupt_deflate_stream_is_loud(self, tmp_path):
+        # pinned fuzz find (r19 opt round): a byte flip INSIDE a
+        # member's compressed data kills the inflater with a raw
+        # zlib.error before zipfile's CRC check (which would raise the
+        # caught BadZipFile) ever runs. 0xFF fill = BFINAL=1 BTYPE=11
+        # (reserved) -> deterministic "invalid block type".
+        import struct
+        import zipfile
+
+        import pytest
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.xlsx import sheet_names
+
+        path = tmp_path / "deflate.xlsx"
+        wb_xml = (
+            '<?xml version="1.0"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheets>'
+            '<sheet name="orders" sheetId="1"/></sheets></workbook>'
+        ) * 4  # repeat so DEFLATE actually compresses
+        with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as z:
+            z.writestr("xl/workbook.xml", wb_xml)
+        with zipfile.ZipFile(path) as z:
+            zi = z.getinfo("xl/workbook.xml")
+            assert zi.compress_type == zipfile.ZIP_DEFLATED
+        data = bytearray(path.read_bytes())
+        nlen, xlen = struct.unpack_from("<HH", data, zi.header_offset + 26)
+        start = zi.header_offset + 30 + nlen + xlen
+        data[start:start + zi.compress_size] = b"\xff" * zi.compress_size
+        path.write_bytes(bytes(data))
+        with pytest.raises(SourceError, match="not a readable xlsx"):
+            sheet_names(str(path))
+
+    @staticmethod
+    def _deflated_book(path):
+        import zipfile
+
+        wb_xml = (
+            '<?xml version="1.0"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheets>'
+            '<sheet name="orders" sheetId="1"/></sheets></workbook>'
+        ) * 4
+        with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as z:
+            z.writestr("xl/workbook.xml", wb_xml)
+        return bytearray(path.read_bytes())
+
+    def test_unsupported_zip_features_are_loud(self, tmp_path):
+        # pinned fuzz finds: stdlib zipfile signals these with raw
+        # NotImplementedError / RuntimeError, not BadZipFile.
+        import pytest
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.xlsx import sheet_names
+
+        path = tmp_path / "v.xlsx"
+        data = self._deflated_book(path)
+        cd = data.index(b"PK\x01\x02")
+        # central-directory extract_version (offset +6) -> 100 ("zip
+        # file version 10.0" NotImplementedError)
+        hi = bytearray(data)
+        hi[cd + 6] = 100
+        path.write_bytes(bytes(hi))
+        with pytest.raises(SourceError, match="not a readable xlsx"):
+            sheet_names(str(path))
+        # central-directory flag bits (offset +8) bit 0 -> "encrypted,
+        # password required" RuntimeError at z.read
+        enc = bytearray(data)
+        enc[cd + 8] |= 1
+        path.write_bytes(bytes(enc))
+        with pytest.raises(SourceError, match="not a readable xlsx"):
+            sheet_names(str(path))
+
+    def test_mutated_workbook_bytes_never_raise_raw(self, tmp_path):
+        # standing mutation fuzz (same contract as the WAV/PNG decoder
+        # fuzz): byte flips and truncations of a DEFLATED workbook must
+        # parse or raise SourceError — never raw zipfile/zlib/OS errors
+        # (the classes _loud_workbook translates were each found this
+        # way: zlib.error, NotImplementedError, EOFError, encrypted
+        # RuntimeError, seek OSError).
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.xlsx import read_sheet, sheet_names
+
+        path = tmp_path / "m.xlsx"
+        base = bytes(self._deflated_book(path))
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            pos=st.integers(0, len(base) - 1),
+            val=st.integers(0, 255),
+            cut=st.integers(0, len(base)),
+            pos2=st.integers(0, len(base) - 1),
+            val2=st.integers(0, 255),
+        )
+        def run(pos, val, cut, pos2, val2):
+            m1 = base[:pos] + bytes([val]) + base[pos + 1:]
+            m2 = m1[:pos2] + bytes([val2]) + m1[pos2 + 1:]
+            for payload in (m1, m2, base[:cut], m2[:cut]):
+                path.write_bytes(payload)
+                for fn in (sheet_names, read_sheet):
+                    try:
+                        fn(str(path))
+                    except SourceError:
+                        pass
+
+        run()
+
     def test_garbage_and_truncated_files_are_loud(self, tmp_path):
         import zipfile
 
