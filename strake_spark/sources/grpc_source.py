@@ -40,7 +40,12 @@ _WT_VARINT, _WT_I64, _WT_LEN, _WT_I32 = 0, 1, 2, 5
 
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     result = shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            # a continuation bit on the last byte would read past the
+            # buffer — loud, not an executor-killing IndexError
+            raise SourceError("truncated varint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -73,19 +78,35 @@ def decode_message(buf: bytes, fields: dict[int, tuple[str, str]]) -> dict:
                     out[name] = val - (1 << 64) if val >= (1 << 63) else val
         elif wt == _WT_I64:
             raw = buf[pos : pos + 8]
+            if len(raw) < 8:
+                # int.from_bytes on a short slice would return a WRONG
+                # value silently; struct.unpack a raw struct.error
+                raise SourceError("truncated fixed64 field")
             pos += 8
             if name_type:
                 name, typ = name_type
                 out[name] = struct.unpack("<d", raw)[0] if typ == "double" else int.from_bytes(raw, "little")
         elif wt == _WT_LEN:
             ln, pos = _read_varint(buf, pos)
+            if ln > len(buf) - pos:
+                raise SourceError("length-delimited field declared past end")
             raw = buf[pos : pos + ln]
             pos += ln
             if name_type:
                 name, typ = name_type
-                out[name] = raw.decode() if typ == "string" else raw
+                if typ == "string":
+                    try:
+                        out[name] = raw.decode()
+                    except UnicodeDecodeError as e:
+                        raise SourceError(
+                            f"invalid UTF-8 in string field {name!r}"
+                        ) from e
+                else:
+                    out[name] = raw
         elif wt == _WT_I32:
             raw = buf[pos : pos + 4]
+            if len(raw) < 4:
+                raise SourceError("truncated fixed32 field")
             pos += 4
             if name_type:
                 name, typ = name_type

@@ -65,3 +65,56 @@ class TestHpackFuzz:
         # size update past the advertised limit
         with pytest.raises(SourceError, match="advertised limit"):
             HpackDecoder().decode(b"\x3f\xe1\xff\x07")  # 5-bit prefix varint ~128k
+
+
+class TestProtoDecodeFuzz:
+    """decode_message parses bytes from an untrusted gRPC server:
+    malformations must raise SourceError — never IndexError /
+    struct.error / UnicodeDecodeError, and never a silently-wrong
+    value from a short fixed-width slice (the same class the r18 pass
+    fixed in the MySQL lenenc readers)."""
+
+    _FIELDS = {
+        1: ("a", "int64"), 2: ("b", "int32"), 3: ("c", "bool"),
+        4: ("d", "double"), 5: ("e", "float"), 6: ("f", "string"),
+        7: ("g", "bytes"),
+    }
+
+    def test_pinned_hostile_payloads(self):
+        import pytest
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.grpc_source import decode_message
+
+        # truncated varint (continuation bit on the last byte)
+        with pytest.raises(SourceError, match="truncated varint"):
+            decode_message(bytes.fromhex("c3d3"), self._FIELDS)
+        # fixed32 float with an empty tail
+        with pytest.raises(SourceError, match="truncated fixed32"):
+            decode_message(bytes.fromhex("2d"), self._FIELDS)
+        # fixed64 int64 with a 3-byte tail: used to decode to 197121
+        with pytest.raises(SourceError, match="truncated fixed64"):
+            decode_message(b"\x09\x01\x02\x03", {1: ("x", "int64")})
+        # invalid UTF-8 inside a string field
+        with pytest.raises(SourceError, match="invalid UTF-8"):
+            decode_message(b"\x32\x02\x8b\x20", self._FIELDS)
+        # length-delimited field declaring bytes past the end
+        with pytest.raises(SourceError, match="declared past end"):
+            decode_message(b"\x3a\x7f\x01", self._FIELDS)
+
+    def test_arbitrary_bytes_decode_or_raise_source_error(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.grpc_source import decode_message
+
+        @settings(max_examples=200, deadline=None)
+        @given(buf=st.binary(max_size=64))
+        def run(buf):
+            try:
+                decode_message(buf, self._FIELDS)
+            except SourceError:
+                pass
+
+        run()
