@@ -59,8 +59,11 @@ def _ch_to_spark(ch_type: str) -> T.DataType:
         # Decimal(P, S) / Decimal32(S) p=9 / Decimal64(S) p=18 /
         # Decimal128(S) p=38 map to the exact DecimalType; Decimal256
         # (p=76) exceeds Spark's 38-digit ceiling -> Double fallback
+        # a malformed type string ("Decimal(5" with no closing paren —
+        # the header is server bytes) must not escape as a raw
+        # ValueError from rindex; no parseable args -> Double fallback
         args = [a.strip() for a in t[t.index("(") + 1:t.rindex(")")].split(",")] \
-            if "(" in t else []
+            if ("(" in t and ")" in t) else []
         try:
             if base == "Decimal" and len(args) == 2:
                 p, s = int(args[0]), int(args[1])
@@ -111,11 +114,27 @@ _UNESCAPE = {
 }
 
 
+def _utf8(raw: bytes) -> str:
+    """Decode server bytes loudly: a String cell holding non-UTF-8
+    (ClickHouse String is raw bytes) or a corrupted response must not
+    kill the scan with a raw UnicodeDecodeError, nor silently mangle
+    values — the loud error names the fix (cast to base64/hex
+    server-side)."""
+    try:
+        return raw.decode()
+    except UnicodeDecodeError as e:
+        raise SourceError(
+            f"clickhouse response field is not valid UTF-8 "
+            f"({raw[:40]!r}...): cast binary String columns to "
+            "base64Encode()/hex() in the query"
+        ) from e
+
+
 def _unescape_field(raw: bytes) -> str | None:
     if raw == b"\\N":
         return None
     if b"\\" not in raw:
-        return raw.decode()
+        return _utf8(raw)
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -126,7 +145,7 @@ def _unescape_field(raw: bytes) -> str | None:
         else:
             out.append(raw[i])
             i += 1
-    return out.decode()
+    return _utf8(bytes(out))
 
 
 class ClickHouseHttp:
@@ -201,10 +220,10 @@ class ClickHouseHttp:
                 raise SourceError("clickhouse response missing names/types header")
             if header_out is not None:
                 header_out.append(
-                    [f.decode() for f in names_line.rstrip(b"\n").split(b"\t")]
+                    [_utf8(f) for f in names_line.rstrip(b"\n").split(b"\t")]
                 )
                 header_out.append(
-                    [f.decode() for f in types_line.rstrip(b"\n").split(b"\t")]
+                    [_utf8(f) for f in types_line.rstrip(b"\n").split(b"\t")]
                 )
             # every line is a row — a single-column row whose value is
             # the empty string serializes as a bare newline, so lines

@@ -141,6 +141,25 @@ class TestHttpClient:
         # Decimal256 (p=76) exceeds Spark's ceiling
         assert _ch_to_spark("Decimal256(10)") == T.DoubleType()
 
+    def test_malformed_server_bytes_are_loud(self):
+        """The header and cells are server bytes (r19 opt round): a
+        truncated type string must not escape as a raw ValueError from
+        rindex, and non-UTF-8 bytes in a field (ClickHouse String is
+        raw bytes) must raise SourceError with the server-side fix in
+        the message, never a raw UnicodeDecodeError."""
+        from pyspark.sql import types as T
+
+        from strake_spark.sources.clickhouse_http import _unescape_field
+
+        assert _ch_to_spark("Decimal(5") == T.DoubleType()
+        assert _ch_to_spark("Decimal)(") == T.DoubleType()
+        with pytest.raises(SourceError, match="not valid UTF-8"):
+            _unescape_field(b"\x8b\xff")
+        with pytest.raises(SourceError, match="base64"):
+            _unescape_field(b"ok\\n\x8b")  # invalid byte after unescape
+        assert _unescape_field(b"ok\\njoin") == "ok\njoin"
+        assert _unescape_field(b"\\N") is None
+
     def test_empty_string_single_column_rows_not_dropped(self, ch):
         """A single-column resultset whose value is '' serializes as a
         bare newline — those rows must still be yielded."""
