@@ -124,10 +124,25 @@ class AzBlobClient:
             if marker:
                 query["marker"] = marker
             with self._request(f"/{container}", query) as resp:
-                root = ET.fromstring(resp.read())
+                raw = resp.read()
+            try:
+                root = ET.fromstring(raw)
+            except ET.ParseError as e:
+                # server bytes — loud, not a raw ParseError
+                raise SourceError(
+                    f"azure listing for {container!r} is not parseable XML: "
+                    f"{raw[:200]!r}"
+                ) from e
             for b in root.iter("Blob"):
                 name = b.findtext("Name") or ""
-                size = int(b.findtext("Properties/Content-Length") or 0)
+                size_text = b.findtext("Properties/Content-Length") or "0"
+                try:
+                    size = int(size_text)
+                except ValueError as e:
+                    raise SourceError(
+                        f"azure listing: non-numeric Content-Length "
+                        f"{size_text!r} for blob {name!r}"
+                    ) from e
                 out.append((name, size))
             marker = root.findtext("NextMarker") or ""
             if not marker:

@@ -42,6 +42,18 @@ FORMAT_NAME = "strake_rest"
 _PAGINATION_STYLES = ("none", "offset", "page", "token", "link", "body_url")
 
 
+def _body_json(resp, what: str):
+    """Parse a response body loudly: an API that answers 200 with a
+    non-JSON body (HTML error page, proxy banner) must raise
+    SourceError with the body's head, not a raw JSONDecodeError."""
+    try:
+        return resp.json()
+    except ValueError as e:  # json.JSONDecodeError / simplejson variants
+        raise SourceError(
+            f"{what}: response is not JSON ({resp.text[:200]!r})"
+        ) from e
+
+
 def _dig(obj, path: str):
     """Dotted-path extraction: '' -> obj itself."""
     if not path:
@@ -134,9 +146,21 @@ class _Auth:
             timeout=float(o.get("timeout", "30")),
         )
         resp.raise_for_status()
-        body = resp.json()
-        self._token = body["access_token"]
-        self._token_expiry = time.time() + float(body.get("expires_in", 3600))
+        body = _body_json(resp, "oauth2 token endpoint")
+        try:
+            self._token = body["access_token"]
+        except (KeyError, TypeError) as e:
+            raise SourceError(
+                f"oauth2 token endpoint returned no access_token: {body!r}"
+            ) from e
+        try:
+            expires = float(body.get("expires_in", 3600))
+        except (ValueError, TypeError) as e:
+            raise SourceError(
+                f"oauth2 token endpoint returned a non-numeric expires_in: "
+                f"{body.get('expires_in')!r}"
+            ) from e
+        self._token_expiry = time.time() + expires
         return self._token
 
 
@@ -265,7 +289,7 @@ def _fetch_pages(options):
             if style == "token" and token is not None and token_body_field:
                 _set_path(req_body, token_body_field, token)
         resp = _get_with_retry(session, req_url, q, timeout, options, json_body=req_body)
-        body = resp.json()
+        body = _body_json(resp, f"rest page fetch {req_url!r}")
         records = _dig(body, records_path)
         if records is None:
             records = []
@@ -367,10 +391,19 @@ class RestReader(DataSourceReader):
                 timeout=float(self.options.get("timeout", "30")),
             )
             resp.raise_for_status()
-            total = _dig(resp.json(), self.options["total_field"])
+            total = _dig(
+                _body_json(resp, "rest total_field probe"),
+                self.options["total_field"],
+            )
         if not total:
             return [_PageRange(None, None)]
-        total = int(total)
+        try:
+            total = int(total)
+        except (ValueError, TypeError) as e:
+            raise SourceError(
+                f"rest total_field {self.options['total_field']!r} is not an "
+                f"integer: {total!r}"
+            ) from e
         page = int(self.options.get("page_size", "100"))
         per = -(-total // n)  # ceil
         per = -(-per // page) * page  # align to page_size

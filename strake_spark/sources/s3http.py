@@ -254,14 +254,31 @@ class S3Client:
             if token:
                 query["continuation-token"] = token
             with self._request(bucket, "", query) as resp:
-                root = ET.fromstring(resp.read())
+                raw = resp.read()
+            try:
+                root = ET.fromstring(raw)
+            except ET.ParseError as e:
+                # the listing body is server bytes — unparseable XML
+                # (proxy banner, truncated response) must be loud, not
+                # a raw ParseError
+                raise SourceError(
+                    f"s3 listing for {bucket!r} is not parseable XML: "
+                    f"{raw[:200]!r}"
+                ) from e
             ns = root.tag.partition("}")[0] + "}" if root.tag.startswith("{") else ""
             encoded = (root.findtext(f"{ns}EncodingType") or "") == "url"
             for c in root.findall(f"{ns}Contents"):
                 key = c.findtext(f"{ns}Key") or ""
                 if encoded:
                     key = urllib.parse.unquote(key)
-                size = int(c.findtext(f"{ns}Size") or 0)
+                size_text = c.findtext(f"{ns}Size") or "0"
+                try:
+                    size = int(size_text)
+                except ValueError as e:
+                    raise SourceError(
+                        f"s3 listing: non-numeric Size {size_text!r} for "
+                        f"key {key!r}"
+                    ) from e
                 out.append((key, size))
             truncated = (root.findtext(f"{ns}IsTruncated") or "false") == "true"
             token = root.findtext(f"{ns}NextContinuationToken")

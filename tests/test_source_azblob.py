@@ -348,3 +348,40 @@ class TestRowGroupSplitting:
             compare_frames(got, want)
         finally:
             srv.shutdown()
+
+
+class TestHostileListingBodies:
+    """Listing bodies are server bytes (r19 opt round): unparseable XML
+    and non-numeric Content-Length must raise SourceError."""
+
+    class _Resp:
+        def __init__(self, b):
+            self._b = b
+
+        def read(self):
+            return self._b
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def test_unparseable_listing_xml_is_loud(self, monkeypatch):
+        c = AzBlobClient("acct", base64.b64encode(b"k").decode(),
+                         endpoint="http://127.0.0.1:1")
+        monkeypatch.setattr(
+            c, "_request", lambda *a, **k: self._Resp(b"<html>busy"))
+        with pytest.raises(SourceError, match="not parseable XML"):
+            c.list_blobs("cont")
+
+    def test_non_numeric_content_length_is_loud(self, monkeypatch):
+        c = AzBlobClient("acct", base64.b64encode(b"k").decode(),
+                         endpoint="http://127.0.0.1:1")
+        xml = (b'<?xml version="1.0"?><EnumerationResults><Blobs>'
+               b'<Blob><Name>b1</Name><Properties>'
+               b'<Content-Length>lots</Content-Length></Properties></Blob>'
+               b'</Blobs></EnumerationResults>')
+        monkeypatch.setattr(c, "_request", lambda *a, **k: self._Resp(xml))
+        with pytest.raises(SourceError, match="non-numeric Content-Length"):
+            c.list_blobs("cont")

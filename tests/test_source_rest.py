@@ -37,6 +37,9 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
 
     def do_POST(self):
+        if urlparse(self.path).path == "/oauth/noshape":
+            # valid JSON, but no access_token field
+            return self._json({"token_type": "bearer"})
         if urlparse(self.path).path == "/oauth/token":
             ln = int(self.headers.get("Content-Length", "0"))
             form = parse_qs(self.rfile.read(ln).decode())
@@ -121,6 +124,15 @@ class _Handler(BaseHTTPRequestHandler):
             status = q.get("status")
             rows = [dict(r, status=status or "any") for r in ROWS[:3]]
             return self._json(rows)
+        if path == "/notjson":
+            # a proxy/banner page answering 200 with HTML
+            body = b"<html><body>gateway maintenance</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return None
         self._deny(404)
 
 
@@ -462,3 +474,30 @@ class TestPaginationTermination:
         )
         pages = list(_fetch_pages(opts))
         assert len(pages) == 3
+
+
+class TestHostileResponseBodies:
+    """Server bytes must fail loudly (r19 opt round): a 200 with a
+    non-JSON body raises SourceError carrying the body head, and a
+    token endpoint without access_token raises SourceError — never raw
+    JSONDecodeError / KeyError."""
+
+    def test_non_json_body_is_loud(self, server):
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.rest import _fetch_pages
+
+        with pytest.raises(SourceError, match="not JSON.*maintenance"):
+            for _ in _fetch_pages({"url": f"{server}/notjson"}):
+                pass
+
+    def test_token_endpoint_without_access_token_is_loud(self, server):
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.rest import _Auth
+
+        auth = _Auth({
+            "auth_type": "oauth2",
+            "token_url": f"{server}/oauth/noshape",  # valid JSON, wrong shape
+            "client_id": "cid", "client_secret": "sec",
+        })
+        with pytest.raises(SourceError, match="no access_token"):
+            auth._oauth2_token()

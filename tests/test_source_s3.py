@@ -992,3 +992,40 @@ class TestSpoolMirrorPropertyBased:
             _spool_objects(
                 [("data/0", 1), ("data/0/0", 1)], str(tmp_path), "data/", fetch
             )
+
+
+class TestHostileListingBodies:
+    """The listing body is server bytes (r19 opt round): unparseable
+    XML and non-numeric sizes must raise SourceError, not raw
+    ET.ParseError / ValueError."""
+
+    class _Resp:
+        def __init__(self, b):
+            self._b = b
+
+        def read(self):
+            return self._b
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def test_unparseable_listing_xml_is_loud(self, monkeypatch):
+        c = S3Client("http://127.0.0.1:1", region=REGION,
+                     access_key=ACCESS, secret_key=SECRET)
+        monkeypatch.setattr(
+            c, "_request", lambda *a, **k: self._Resp(b"<html>bad gateway"))
+        with pytest.raises(SourceError, match="not parseable XML"):
+            c.list_objects("bkt", "data/")
+
+    def test_non_numeric_size_is_loud(self, monkeypatch):
+        c = S3Client("http://127.0.0.1:1", region=REGION,
+                     access_key=ACCESS, secret_key=SECRET)
+        xml = (b'<?xml version="1.0"?><ListBucketResult>'
+               b'<Contents><Key>k</Key><Size>huge</Size></Contents>'
+               b'<IsTruncated>false</IsTruncated></ListBucketResult>')
+        monkeypatch.setattr(c, "_request", lambda *a, **k: self._Resp(xml))
+        with pytest.raises(SourceError, match="non-numeric Size"):
+            c.list_objects("bkt", "data/")
