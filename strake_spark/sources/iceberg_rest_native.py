@@ -74,7 +74,13 @@ class RestCatalog:
             raise SourceError(
                 f"Iceberg REST catalog {method} {url} -> HTTP {e.code}: {detail}"
             ) from e
-        except (urllib.error.URLError, OSError, json.JSONDecodeError) as e:
+        except (
+            urllib.error.URLError, OSError, json.JSONDecodeError,
+            UnicodeDecodeError,
+        ) as e:
+            # UnicodeDecodeError: json.loads(bytes) dies in encoding
+            # detection before JSONDecodeError can fire when the body
+            # is not UTF-8 (gzip banner, binary error page)
             raise SourceError(
                 f"Iceberg REST catalog unreachable at {url}: {e}"
             ) from e

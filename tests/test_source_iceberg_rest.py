@@ -129,6 +129,28 @@ class TestRestCatalogClient:
         with pytest.raises(SourceError, match="HTTP 400"):
             cat.load_table("default", "events_tbl")
 
+    def test_non_utf8_body_is_loud(self, catalog_server, monkeypatch):
+        # json.loads(bytes) dies in encoding detection with a raw
+        # UnicodeDecodeError (not JSONDecodeError) when a proxy answers
+        # 200 with a binary body (r19 opt round pinned fuzz class)
+        import urllib.request
+
+        class _Resp:
+            def read(self):
+                return b"\x8b\xff not utf8"
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        monkeypatch.setattr(
+            urllib.request, "urlopen", lambda *a, **k: _Resp())
+        cat = RestCatalog(catalog_server, options={"token": "static-tok"})
+        with pytest.raises(SourceError, match="unreachable"):
+            cat.load_table("default", "events_tbl")
+
     def test_unknown_table_404_with_context(self, catalog_server):
         cat = RestCatalog(catalog_server, options={"token": "static-tok"})
         with pytest.raises(SourceError, match="HTTP 404"):
