@@ -346,9 +346,20 @@ def _records_to_batch(
         f.name: [_dig(r, fp[f.name]) if f.name in fp else r.get(f.name) for r in records]
         for f in schema.fields
     }
-    return pa.RecordBatch.from_pydict(
-        {n: pa.array(v, type=arrow_schema.field(n).type) for n, v in cols.items()}
-    )
+    arrays = {}
+    for n, v in cols.items():
+        try:
+            arrays[n] = pa.array(v, type=arrow_schema.field(n).type)
+        except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError, OverflowError) as e:
+            # server values that do not fit the declared column type
+            # must name the column and sample, not die as a raw
+            # pyarrow error in the executor
+            bad = next((x for x in v if x is not None), None)
+            raise SourceError(
+                f"rest response field {n!r} does not match declared type "
+                f"{arrow_schema.field(n).type}: sample {bad!r} ({e})"
+            ) from e
+    return pa.RecordBatch.from_pydict(arrays)
 
 
 @dataclass

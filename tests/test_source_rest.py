@@ -501,3 +501,13 @@ class TestHostileResponseBodies:
         })
         with pytest.raises(SourceError, match="no access_token"):
             auth._oauth2_token()
+
+    def test_mistyped_field_names_column_and_sample(self):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.rest import _records_to_batch
+
+        schema = StructType([StructField("id", LongType())])
+        with pytest.raises(SourceError, match="field 'id'.*sample 'abc'"):
+            _records_to_batch([{"id": "abc"}], schema)
