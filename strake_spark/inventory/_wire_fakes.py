@@ -45,8 +45,14 @@ class _PgHandler(socketserver.BaseRequestHandler):
         self._buf = b""
 
     def _recv_exact(self, n):
+        # read AT MOST the bytes still needed (r19 opt round): an
+        # over-reading recv(65536) could swallow the start of the
+        # client's TLS ClientHello into the plaintext buffer when it
+        # coalesces with the pre-TLS packet in one segment — the
+        # subsequent wrap_socket then deadlocks until the client
+        # timeout (the observed TestTls flake under load)
         while len(self._buf) < n:
-            chunk = self.request.recv(65536)
+            chunk = self.request.recv(n - len(self._buf))
             if not chunk:
                 raise ConnectionError("client gone")
             self._buf += chunk
@@ -277,8 +283,14 @@ class _MyHandler(socketserver.BaseRequestHandler):
         self._seq = 0
 
     def _recv_exact(self, n):
+        # read AT MOST the bytes still needed (r19 opt round): an
+        # over-reading recv(65536) could swallow the start of the
+        # client's TLS ClientHello into the plaintext buffer when it
+        # coalesces with the pre-TLS packet in one segment — the
+        # subsequent wrap_socket then deadlocks until the client
+        # timeout (the observed TestTls flake under load)
         while len(self._buf) < n:
-            chunk = self.request.recv(65536)
+            chunk = self.request.recv(n - len(self._buf))
             if not chunk:
                 raise ConnectionError("client gone")
             self._buf += chunk

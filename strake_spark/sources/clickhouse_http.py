@@ -171,6 +171,22 @@ class ClickHouseHttp:
             else:
                 self._ctx = ssl.create_default_context(cafile=ssl_ca)
 
+    # One TSV line is one row (embedded newlines are escaped). A line
+    # over this bound means a mis-framed or hostile byte stream with no
+    # newlines — readline() would otherwise buffer it without limit
+    # (r19 opt round, matching the pg/ssh frame-cap posture).
+    _MAX_LINE = 256 * 1024 * 1024
+
+    @classmethod
+    def _bounded_line(cls, resp) -> bytes:
+        ln = resp.readline(cls._MAX_LINE + 1)
+        if len(ln) > cls._MAX_LINE:
+            raise SourceError(
+                f"clickhouse response line exceeds {cls._MAX_LINE} bytes "
+                "(missing newline framing — truncated or hostile stream)"
+            )
+        return ln
+
     def query_iter(self, sql: str, header_out: list | None = None):
         """Stream rows line-by-line from the HTTP response (TSV escapes
         literal newlines as \\n inside fields, so line framing is
@@ -214,8 +230,8 @@ class ClickHouseHttp:
         except Exception as e:  # noqa: BLE001 - transport error with context
             raise SourceError(f"clickhouse unreachable: {e}") from e
         with resp:
-            names_line = resp.readline()
-            types_line = resp.readline()
+            names_line = self._bounded_line(resp)
+            types_line = self._bounded_line(resp)
             if not types_line:
                 raise SourceError("clickhouse response missing names/types header")
             if header_out is not None:
@@ -229,7 +245,10 @@ class ClickHouseHttp:
             # the empty string serializes as a bare newline, so lines
             # must NOT be skipped when empty (iteration ends at EOF;
             # there is no trailing blank line to filter)
-            for ln in resp:
+            while True:
+                ln = self._bounded_line(resp)
+                if not ln:
+                    break
                 ln = ln.rstrip(b"\n")
                 yield [_unescape_field(f) for f in ln.split(b"\t")]
 

@@ -439,6 +439,12 @@ def grpc_frame(message: bytes) -> bytes:
 class GrpcMessageBuffer:
     """Reassembles gRPC messages across DATA frame boundaries."""
 
+    # The 4-byte length prefix is peer bytes: a declared multi-GiB
+    # message would stream DATA frames into ``_buf`` until the process
+    # OOMs (flow control replenishes as data arrives, so it does not
+    # bound the total). Cap at the pg-frame posture (r19 opt round).
+    _MAX_MESSAGE = 512 * 1024 * 1024
+
     def __init__(self) -> None:
         self._buf = bytearray()
 
@@ -448,6 +454,11 @@ class GrpcMessageBuffer:
         while len(self._buf) >= 5:
             compressed = self._buf[0]
             ln = int.from_bytes(self._buf[1:5], "big")
+            if ln > self._MAX_MESSAGE:
+                raise SourceError(
+                    f"gRPC message length {ln} exceeds {self._MAX_MESSAGE} "
+                    "bytes (corrupt or hostile length prefix)"
+                )
             if len(self._buf) < 5 + ln:
                 break
             if compressed:

@@ -172,6 +172,14 @@ class MySqlWireConnection:
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 
+    # Continuation-payload sanity bound (r19 opt round, matching
+    # pgwire._MAX_FRAME posture): each packet is capped at 16MB by the
+    # 3-byte length, but the splitting loop below concatenates
+    # continuations — a hostile/looping server streaming endless
+    # 0xffffff packets would otherwise grow `payload` until the
+    # process OOMs.
+    _MAX_PAYLOAD = 512 * 1024 * 1024
+
     def _read_packet(self) -> bytes:
         head = self._recv_exact(4)
         length = int.from_bytes(head[:3], "little")
@@ -185,6 +193,11 @@ class MySqlWireConnection:
             length = int.from_bytes(head[:3], "little")
             self._seq = (head[3] + 1) & 0xFF
             payload += self._recv_exact(length)
+            if len(payload) > self._MAX_PAYLOAD:
+                raise SourceError(
+                    f"mysql packet exceeds {self._MAX_PAYLOAD} bytes "
+                    "(runaway continuation stream?)"
+                )
         return payload
 
     def _send_packet(self, payload: bytes) -> None:

@@ -302,3 +302,18 @@ class TestSparkSource:
                   if "count" in q.lower() and "group by" in q.lower()]
         assert pushed, f"no pushed aggregate in {ch.queries[before:]}"
         assert out.num_rows > 0
+
+
+class TestLineBound:
+    def test_unframed_byte_stream_is_bounded(self, monkeypatch):
+        # r19 opt round: readline() on a response with no newlines
+        # buffered without limit.
+        import io
+
+        monkeypatch.setattr(ClickHouseHttp, "_MAX_LINE", 1024)
+        resp = io.BytesIO(b"y" * 4096)
+        with pytest.raises(SourceError, match="exceeds 1024 bytes"):
+            ClickHouseHttp._bounded_line(resp)
+        # a line inside the bound passes through intact
+        resp = io.BytesIO(b"a\tb\nrest")
+        assert ClickHouseHttp._bounded_line(resp) == b"a\tb\n"

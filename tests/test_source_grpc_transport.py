@@ -674,3 +674,21 @@ class TestSettingsMaxFrameSizeValidation:
         assert ch._peer_max_frame == 16384
         ch._apply_settings(self._settings(0x5, (1 << 24) - 1))
         assert ch._peer_max_frame == (1 << 24) - 1
+
+
+class TestMessageLengthBound:
+    def test_hostile_length_prefix_is_loud(self):
+        # r19 opt round: a declared multi-GiB message would stream DATA
+        # into the buffer until OOM; the cap fires on the prefix.
+        import pytest
+
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.h2grpc import GrpcMessageBuffer
+
+        buf = GrpcMessageBuffer()
+        with pytest.raises(SourceError, match="exceeds"):
+            buf.feed(b"\x00" + (1 << 30).to_bytes(4, "big") + b"xx")
+        # a normal message still reassembles across feeds
+        buf2 = GrpcMessageBuffer()
+        assert buf2.feed(b"\x00\x00\x00\x00\x03ab") == []
+        assert buf2.feed(b"c") == [b"abc"]

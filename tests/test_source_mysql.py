@@ -397,3 +397,20 @@ class TestLenencFuzz:
             _read_lenenc_int(b"", 0)
         with pytest.raises(SourceError, match="exceeds packet"):
             _read_lenenc_str(b"\x0aab", 0)  # declared 10, 2 present
+
+
+class TestContinuationBound:
+    def test_runaway_continuation_stream_is_bounded(self, monkeypatch):
+        # r19 opt round: each packet is <=16MB by the 3-byte length,
+        # but a hostile/looping server streaming endless 0xffffff
+        # continuations would grow the reassembled payload until OOM.
+        from strake_spark.errors import SourceError
+        from strake_spark.sources.mysqlwire import MySqlWireConnection
+
+        conn = object.__new__(MySqlWireConnection)
+        chunk = b"\xff\xff\xff\x00" + b"x" * 0xFFFFFF
+        conn._buf = chunk * 3  # first packet + 2 continuations
+        conn._seq = 0
+        monkeypatch.setattr(MySqlWireConnection, "_MAX_PAYLOAD", 0xFFFFFF)
+        with pytest.raises(SourceError, match="runaway continuation"):
+            conn._read_packet()
