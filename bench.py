@@ -222,6 +222,20 @@ def _end_block(label, run_block, loads, retries):
 
 
 def _run(spec, spark, sf_dir: str, iters: int, chaos: ChaosInjector | None = None):
+    # Entry isolation (r20, mirroring tools/opt_measure.py's d0c7884 fix
+    # into the bench itself — VERDICT r19 task 3): operator persists
+    # (minhash signatures, gram relations, dsir/tfidf/bm25 compacts)
+    # otherwise ACCUMULATE across the whole session — Spark's
+    # CacheManager then serves any later identical-plan subtree from
+    # cache and the storage pool grows until the end blocks measure
+    # memory pressure instead of the query (r19 artifact:
+    # pipeline_total_end 34.8 s under boundary loads of 1.55/1.23).
+    # Within one entry the warmup+iterations still share caches (bench
+    # parity with steady-state reuse); BETWEEN entries the slate is
+    # clean. Declared harness change (additions-only) in
+    # OPTIMIZATION_r20.md.
+    if spark is not None:
+        spark.catalog.clearCache()
     # One untimed warmup per query: whole-stage codegen compilation, JIT,
     # and first-touch scan/page-cache costs land here, not in the stats.
     t = time.perf_counter()
@@ -290,6 +304,7 @@ def main() -> None:
     t0 = time.perf_counter()
     from strake_spark import inventory
     from strake_spark.session import build_session
+    from strake_spark.session import default_parallelism as _default_parallelism
 
     spark = build_session(
         app_name="strake-spark-bench",
@@ -335,7 +350,11 @@ def main() -> None:
         d, n = _run(inventory.REGISTRY[name], spark, sf_dir, q_iters, chaos)
         detail[name] = d
         if d["med"] is not None:
-            times[name] = d["med"]
+            # 3-decimal medians in the final line (r20 tail budget: the
+            # cpus/par + scale-probe keys cost ~65 B; 1 ms resolution is
+            # ample for >0.1 s queries and full precision stays in the
+            # stderr detail line)
+            times[name] = round(d["med"], 3)
         print(f"# {name}: med={d['med']} runs={d['runs']} rows={n}", file=sys.stderr)
     loads["head"] = _load()
 
@@ -347,7 +366,7 @@ def main() -> None:
         d, n = _run(spec, spark, sf_dir, iters, chaos)
         detail[name] = d
         if d["med"] is not None:
-            pipeline[name] = d["med"]
+            pipeline[name] = round(d["med"], 3)
         print(f"# {name}: med={d['med']} runs={d['runs']} rows={n}", file=sys.stderr)
 
     pipeline_new: dict[str, float] = {}
@@ -368,8 +387,32 @@ def main() -> None:
         d, n = _run(_Spec(extra_name, extra_fn), spark, sf_dir, iters, chaos)
         detail[extra_name] = d
         if d["med"] is not None:
-            pipeline[extra_name] = d["med"]
+            pipeline[extra_name] = round(d["med"], 3)
         print(f"# {extra_name}: med={d['med']} runs={d['runs']} rows={n}",
+              file=sys.stderr)
+
+    # Scale probes (r20, VERDICT task 2): the driver re-runs this bench
+    # at a reduced core count and compares per-key medians from the
+    # `queries` dict — but sub-second sf0.1 TPC-H queries are
+    # scheduling-overhead-bound, so their 32-vs-8-core ratios sit at
+    # ~1.0 and the scaling contract looks violated even though
+    # session.py honors $SPARK_GRAFT_CPUS. These two entries do enough
+    # parallel work at sf0.1 (1.4M-shingle explode+agg; gram
+    # explode+self-join) to show a real core-count response. ADDED keys
+    # only (the bench contract allows adding, never removing/renaming);
+    # the headline `value` stays the sum of the original 7 TPC-H
+    # queries, computed before these keys join the dict.
+    scale_probes: dict[str, float] = {}
+    for short, name in (("scale_minhash", "dedup_minhash_lsh_candidates"),
+                        ("scale_ngram", "dedup_ngram_jaccard")):
+        spec = inventory.REGISTRY.get(name)
+        if spec is None:
+            continue
+        d, n = _run(spec, spark, sf_dir, iters, chaos)
+        detail[short] = d
+        if d["med"] is not None:
+            scale_probes[short] = round(d["med"], 3)
+        print(f"# {short}({name}): med={d['med']} runs={d['runs']} rows={n}",
               file=sys.stderr)
     loads["pipe"] = _load()
 
@@ -385,7 +428,7 @@ def main() -> None:
         detail[name] = d
         short = name.split("_")[1]  # tpch_q2_min_cost_supplier -> q2
         if d["med"] is not None:
-            tpch_rest[short] = d["med"]
+            tpch_rest[short] = round(d["med"], 3)
         print(f"# {name}: med={d['med']} runs={d['runs']} rows={n}", file=sys.stderr)
     loads["rest"] = _load()
 
@@ -493,13 +536,17 @@ def main() -> None:
         print("# chaos_events " + json.dumps(chaos.events), file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # value/tpch_total_5q are computed from the 7 TPC-H medians BEFORE
+    # the scale-probe keys join the dict: the headline series stays
+    # round-comparable, the probes are additive keys only.
+    value = round(sum(times.values()), 4)
+    value_5q = round(sum(times[q] for q in _R1_COMPAT if q in times), 4)
+    times.update(scale_probes)
     out = {
         "metric": "tpch_total",
-        "value": round(sum(times.values()), 4),
+        "value": value,
         "unit": "sec",
-        "tpch_total_5q": round(
-            sum(times[q] for q in _R1_COMPAT if q in times), 4
-        ),
+        "tpch_total_5q": value_5q,
         "queries": times,
         "pipeline": pipeline,
         "pipeline_total": round(sum(pipeline.values()), 4),
@@ -514,6 +561,13 @@ def main() -> None:
         "iterations": max(1, iters),
         "iterations_rest": max(1, iters_rest),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # core-count self-certification (r20, VERDICT task 2): the r19
+        # artifact could not prove which master it ran on, so the
+        # driver's `suspect_cpus_ignored` was unanswerable. `cpus` is
+        # the $SPARK_GRAFT_CPUS-derived thread count session.py builds
+        # local[N] from; `par` is the live sc.defaultParallelism.
+        "cpus": _default_parallelism(),
+        "par": spark.sparkContext.defaultParallelism,
         "startup_sec": round(startup, 2),
         # one untimed pass of the whole headline block before timing
         # (r17): absorbs shared-infrastructure JIT so in-session and

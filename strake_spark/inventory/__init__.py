@@ -83,10 +83,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # roundtrips (pg/mysql/clickhouse wire, duckdb, flight, xlsx, grpc,
 # avro, iceberg, sftp, ftp — every remaining source family promoted
 # to driver-green against a live in-process protocol peer), in
-# registration order; tier (b) — the nine rewritten entries below
-# (five from the build phase, four from the r19 optimization phase);
-# tier (c) — the 28 oldest r15-evidence rows. 22 r15 rows spill to
-# the r20 fill.
+# registration order; tier (b) — the eleven rewritten entries below
+# (five from the build phase, six from the r19 optimization phase);
+# tier (c) — the 26 oldest r15-evidence rows. 24 r15 rows spill to
+# the r20 fill. (Counts corrected r20, ADVICE item 1: the tuples
+# below are authoritative — 13 + 11 + 26 = 50.)
 
 # Entries whose implementation changes this round (r19):
 # multimodal_image_decode / multimodal_image_resize /
@@ -146,8 +147,8 @@ _PRIORITY: tuple[str, ...] = (
     "source_iceberg_roundtrip",
     "source_sftp_roundtrip",
     "source_ftp_roundtrip",
-    # (b) rewritten this round (10): the bounded-PNG-decode trio, the
-    # two spool-path source roundtrips, and the five optimization-phase
+    # (b) rewritten this round (11): the bounded-PNG-decode trio, the
+    # two spool-path source roundtrips, and the six optimization-phase
     # restructures
     "multimodal_image_decode",
     "multimodal_image_resize",

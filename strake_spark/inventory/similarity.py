@@ -496,6 +496,15 @@ def curation_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 exchanges, no join, no window; measured 2.91 s -> 2.27 s
     # interleaved same-session 7-run medians at sf0.1 (tail pairs
     # 2.09 -> 1.67 once JIT settles), identical rows.
+    #
+    # PRECONDITION (r20, ADVICE item 3): the struct-max tie-break
+    # requires a NON-NULL NUMERIC label column. -label needs a numeric
+    # type, and a NULL label would change semantics vs the old window
+    # (orderBy label asc put NULLs FIRST, so a NULL-label tie won;
+    # struct-max sorts NULL neg_label last, so the smallest non-null
+    # label wins instead). The embeddings fixture's label is int and
+    # never NULL, so both shapes agree here — coalesce the label
+    # before negation if a nullable source is ever wired in.
     from strake_spark.operators import semdedup as SD
 
     emb = table(spark, sf_dir, "embeddings")

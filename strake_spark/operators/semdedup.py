@@ -322,6 +322,16 @@ def kmeans_assign(
     engine): the (id, cluster) result is checkpointed — it is k-means'
     natural output materialization, two narrow columns — and the
     source cache unpinned immediately."""
+    # Reserved-name guard (r20, ADVICE item 2): a carried column named
+    # like an output or internal working column would silently produce
+    # duplicate/ambiguous columns instead of a clear error.
+    _reserved = {"vec_id", "cluster", "v", "_b", "_cents", "_anchors", "_rb"}
+    bad = [c for c in carry_cols if c in _reserved]
+    if bad:
+        raise ValueError(
+            f"kmeans_assign: carry_cols {bad} collide with reserved "
+            f"output/internal column names {sorted(_reserved)}"
+        )
     e = _normalized(emb, id_col, vec_col, carry_cols)
     out_cols = ["vec_id", "cluster", *carry_cols]
     assign = _make_assign(e, assign_method, n_anchor_bits, probe_hamming, k=k)

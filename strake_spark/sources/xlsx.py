@@ -95,12 +95,19 @@ def _loud_workbook(path: str):
         raise
     except OSError as e:
         # A mutated header offset makes zipfile seek outside the file:
-        # OSError(EINVAL) (fuzz find). Path-level failures (missing
-        # file, permissions, directory) keep their types — the config
-        # layer screens those before the reader runs.
-        if isinstance(e, (FileNotFoundError, IsADirectoryError, PermissionError)):
-            raise
-        raise SourceError(f"{path}: not a readable xlsx workbook: {e}") from e
+        # OSError(EINVAL) (fuzz find; ESPIPE is the same class of
+        # out-of-file seek on other platforms). ONLY that corrupt-input
+        # signature converts to SourceError (r20, ADVICE item 4) —
+        # every other OSError (transient disk I/O, ConnectionResetError
+        # on a network filesystem, missing file, permissions) is an
+        # environmental failure, not corrupt input, and keeps its type.
+        import errno
+
+        if e.errno in (errno.EINVAL, errno.ESPIPE):
+            raise SourceError(
+                f"{path}: not a readable xlsx workbook: {e}"
+            ) from e
+        raise
 
 
 def _member(z: zipfile.ZipFile, name: str) -> bytes:

@@ -81,11 +81,18 @@ class TestEndBlockRetry:
 class TestTailContract:
     @staticmethod
     def _model_out(med: float):
-        """main()'s out dict key-for-key (r19 shape), every median at
-        the given digit width, ALL THREE end-control blocks retried."""
+        """main()'s out dict key-for-key (r20 shape: 3-decimal
+        in-session medians, cpus/par echo, scale-probe keys), every
+        median at the given digit width, ALL THREE end-control blocks
+        retried."""
+        med = round(med, 3)  # r20: in-session medians ship at 3 decimals
         from bench import PIPELINE_NEW
 
         queries = {q: med for q in BENCH_QUERIES}
+        # r20: scale-probe keys ride in `queries` (additive, never in
+        # `value`); cpus/par self-certify the core count
+        queries["scale_minhash"] = med
+        queries["scale_ngram"] = med
         pipeline = {q: med for q in PIPELINE_QUERIES}
         pipeline["ann_embedding_neardup_t09"] = med
         pipeline["curation_knn_lsh"] = med
@@ -98,7 +105,8 @@ class TestTailContract:
             "tpch_rest": rest, "tpch_rest_total": 185.1845,
             "tpch22_total": 271.6032, "iterations": 4,
             "iterations_rest": 2,
-            "sf": 0.1, "startup_sec": 10.15, "block_warmup_sec": 11.26,
+            "sf": 0.1, "cpus": 32, "par": 32,
+            "startup_sec": 10.15, "block_warmup_sec": 11.26,
             "load_avg": [12.34, 12.34],
             # r19: interior boundary loads + worst case of ALL THREE
             # end-control blocks contended and re-run

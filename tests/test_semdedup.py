@@ -98,3 +98,13 @@ def test_bad_params_raise(spark):
         SD.kmeans_assign(emb, k=8, iters=0)
     with pytest.raises(ValueError, match="k must"):
         SD.kmeans_assign(emb, k=0)
+
+
+def test_carry_cols_reserved_names_rejected(spark):
+    # r20 (ADVICE item 2): a carried column colliding with an output or
+    # internal working column must fail loudly, not produce ambiguous
+    # duplicate columns.
+    emb = _emb(spark)
+    for bad in ("cluster", "vec_id", "v", "_cents"):
+        with pytest.raises(ValueError, match="carry_cols"):
+            SD.kmeans_assign(emb, k=2, iters=1, carry_cols=(bad,))
