@@ -77,133 +77,31 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note
 # Everything outside the window is re-verified by
 # tests/test_inventory.py at sf0.001 and sf0.01 every round.
 #
-# Round-19 window (consolidation round): tier (a) — the two operators
-# built+tested in r18 whose registration was deferred by window budget
-# (star-contraction clusters, streaming funnel) plus eleven source
-# roundtrips (pg/mysql/clickhouse wire, duckdb, flight, xlsx, grpc,
-# avro, iceberg, sftp, ftp — every remaining source family promoted
-# to driver-green against a live in-process protocol peer), in
-# registration order; tier (b) — the eleven rewritten entries below
-# (five from the build phase, six from the r19 optimization phase);
-# tier (c) — the 26 oldest r15-evidence rows. 24 r15 rows spill to
-# the r20 fill. (Counts corrected r20, ADVICE item 1: the tuples
-# below are authoritative — 13 + 11 + 26 = 50.)
+# Round-20 window (optimization round 2): tier (a) — empty (all-time
+# coverage is total, no never-checked entries remain); tier (b) — the
+# one entry whose operator code is rewritten this round
+# (dedup_ngram_jaccard: gram-set backbone, see operators/dedup.py);
+# tier (c) — the 49 oldest-evidence rows: the 24 r15 rows that spilled
+# from the r19 window, then the 25 oldest r16 rows in registration
+# order. Derived by tools/plan_rotation.py over CORRECTNESS_r01..r19
+# (newest-round histogram at rotation time: r15x24, r16x47, r17x46,
+# r18x45, r19x50); the evidence pin in tests/test_window_contract.py
+# is bumped to range(1, 20) in the same commit.
 
-# Entries whose implementation changes this round (r19):
-# multimodal_image_decode / multimodal_image_resize /
-# multimodal_binaryfile_image_decode — decode_png gained bounded
-# decompression (declared-dims cap + max_length inflate + zero-dim
-# reject), the r18 verdict's deferred robustness fix; identical output
-# on well-formed payloads, loud on bombs. source_az_spool_roundtrip /
-# source_gs_interop_roundtrip — their shared spool path
-# (s3http._spool_objects) now refuses mixed-sibling-prefix layouts
-# (r19 advice); the entries' own layouts are unchanged but the
-# executed function was rewritten, which invalidates old evidence
-# under this contract. All five re-verified oracle-identical at
-# sf0.01 under a driver-style plain-sort canonicalizer.
 _REWRITTEN: tuple[str, ...] = (
-    "multimodal_image_decode",
-    "multimodal_image_resize",
-    "multimodal_binaryfile_image_decode",
-    "source_az_spool_roundtrip",
-    "source_gs_interop_roundtrip",
-    # r19 optimization-phase rewrites (each oracle-identical at
-    # sf0.001/0.01 under a driver-style plain-sort canonicalizer, and
-    # A/B'd at sf0.1): purity — one-aggregation-pass restructure over
-    # carried labels; dup_pairs + contamination — the shared hyperplane
-    # band UDF is pinned to ONE evaluation (asNondeterministic, guide
-    # §4.4); rollup — one fact scan + one aggregation exchange with an
-    # xxhash64 split (output provably invariant to the split).
-    "curation_cluster_label_purity",
-    "ann_embedding_dup_pairs",
-    "curation_semantic_contamination",
-    "events_rollup_incremental",
-    # ngram_jaccard — verification rebuilt on per-doc gram arrays +
-    # array_intersect (no candidate x gram explosion); oracle-identical
-    # at sf0.001/0.01/0.1, interleaved A/B 4.45 -> 1.52 s.
+    # r20 optimization-phase rewrite (oracle-identical at
+    # sf0.001/0.01 under a driver-style plain-sort canonicalizer and
+    # the local comparator; interleaved A/B at sf0.1 in
+    # OPTIMIZATION_r20.md): ngram_jaccard_pairs — doc-level
+    # distinct-gram-array backbone (one collect_set aggregation feeds
+    # DF counts, prefix ranking, and both verification sides; the
+    # separate per-doc size aggregation and verification collect_list
+    # re-aggregation are gone).
     "dedup_ngram_jaccard",
-    # pack_sequences — the compact (id, n_tok, part) relation is now
-    # persisted across its two consumers (offsets aggregate + final
-    # windowed pass), removing the second full corpus tokenize; lo/hi
-    # from a pruned min/max scan. Oracle-identical at sf0.001/0.01/0.1,
-    # interleaved A/B at sf0.1: 1.36 -> 1.26 s median.
-    "pipeline_pack_sequences",
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked: r19 registrations in registration
-    # order (dedup imports before streaming_entries before
-    # sources_entries)
-    "dedup_clusters_star_contraction",
-    "stream_funnel_conversion",
-    "source_pg_wire_roundtrip",
-    "source_mysql_wire_roundtrip",
-    "source_clickhouse_http_roundtrip",
-    "source_duckdb_roundtrip",
-    "source_flight_roundtrip",
-    "source_xlsx_roundtrip",
-    "source_grpc_roundtrip",
-    "source_avro_roundtrip",
-    "source_iceberg_roundtrip",
-    "source_sftp_roundtrip",
-    "source_ftp_roundtrip",
-    # (b) rewritten this round (11): the bounded-PNG-decode trio, the
-    # two spool-path source roundtrips, and the six optimization-phase
-    # restructures
-    "multimodal_image_decode",
-    "multimodal_image_resize",
-    "multimodal_binaryfile_image_decode",
-    "source_az_spool_roundtrip",
-    "source_gs_interop_roundtrip",
-    "curation_cluster_label_purity",
-    "ann_embedding_dup_pairs",
-    "curation_semantic_contamination",
-    "events_rollup_incremental",
     "dedup_ngram_jaccard",
-    "pipeline_pack_sequences",
-    # (c) oldest evidence: the 26 oldest r15 rows in registration
-    # order (all 50 r15-newest rows were displaced out of the r18
-    # window by that round's registrations; they come due here)
-    "join_anti_customers_without_urgent_orders",
-    "join_cross_region_status",
-    "join_non_equi_price_over_size",
-    "agg_global_stats",
-    "agg_rollup_status_priority",
-    "agg_cube_flag_status",
-    "agg_grouping_sets",
-    "agg_having_big_customers",
-    "agg_variance_by_nation",
-    "agg_string_agg_priorities",
-    "agg_filtered_conditional",
-    "window_row_number_topk",
-    "window_rank_family",
-    "window_running_sum",
-    "window_sliding_rows_frame",
-    "window_range_frame",
-    "window_lag_lead",
-    "window_ntile_first_last",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "distinct_simple",
-    "distinct_on_latest_order",
-    "values_inline",
-    # --- 50-entry window boundary ---
-)
-
-# Carryover remainder: the head of the round-20 fill, in order — the
-# 24 remaining r15 rows (these seven, then ann_lsh_bucketed_topk,
-# ann_ivf_topk, ann_lsh_recall_vs_exact, ann_ivf_recall_vs_exact,
-# ann_pq_topk, ann_pq_recall_vs_exact, curation_knn_label_consistency,
-# ann_ivfpq_topk, ann_ivfpq_recall_vs_exact, multimodal_decode_meta,
-# stream_view_purchase_join, expr_array_higher_order,
-# sample_hash_bucket, sample_shuffle_deterministic,
-# pipeline_mixture_upsample, pipeline_source_quota,
-# pipeline_shard_manifest, pipeline_chunk_documents). Any query whose
-# plan is rewritten in round 20 joins that window the same round.
-_NEXT_ROTATION_HEAD: tuple[str, ...] = (
     "set_intersect_all",
     "expr_unpivot_measures",
     "join_lateral_top_orders_per_customer",
@@ -211,6 +109,62 @@ _NEXT_ROTATION_HEAD: tuple[str, ...] = (
     "window_qualify_top2_per_customer",
     "ann_cosine_topk_bruteforce",
     "ann_lsh_bucketed_topk",
+    "ann_ivf_topk",
+    "ann_lsh_recall_vs_exact",
+    "ann_ivf_recall_vs_exact",
+    "ann_pq_topk",
+    "ann_pq_recall_vs_exact",
+    "curation_knn_label_consistency",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall_vs_exact",
+    "multimodal_decode_meta",
+    "stream_view_purchase_join",
+    "expr_array_higher_order",
+    "sample_hash_bucket",
+    "sample_shuffle_deterministic",
+    "pipeline_mixture_upsample",
+    "pipeline_source_quota",
+    "pipeline_shard_manifest",
+    "pipeline_chunk_documents",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "agg_regression_family",
+    "agg_percentile_within_group",
+    "agg_count_distinct_multi",
+    "join_using_natural",
+    "agg_hll_union_bound",
+    "agg_approx_percentile_bound",
+    "agg_listagg_within_group",
+    "window_ignore_nulls_fill",
+    "expr_regexp_matrix",
+    "expr_json_matrix",
+    "expr_try_cast_matrix",
+    "expr_sequence_explode",
+    "agg_boolean_bitwise",
+    "expr_struct_operations",
+    "expr_url_parse",
+    "expr_collation_compare",
+    "expr_xml_extract",
+    "expr_variant_json",
+    # --- 50-entry window boundary ---
+)
+
+# Carryover remainder: the head of the round-21 fill, in order (the
+# next-oldest r16 rows). Any query whose operator code is rewritten in
+# round 21 joins that window the same round.
+_NEXT_ROTATION_HEAD: tuple[str, ...] = (
+    "expr_width_bucket_histogram",
+    "engine_sql_end_to_end",
+    "events_cohort_retention",
+    "events_rolling_active_users",
+    "events_hopping_window",
+    "dedup_cross_corpus_exact",
+    "dedup_substring_exact_spans",
 )
 
 

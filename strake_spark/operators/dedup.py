@@ -636,15 +636,17 @@ def ngram_jaccard_pairs(
     boilerplate docs lands in nobody's prefix (its DF ranks it last),
     instead of producing 100k^2/2 join rows.
 
-    ``persist`` caches the distinct (id, gram) relation — FOUR
-    consumers read it (per-doc sizes, global DF, the prefix ranking,
-    and the per-doc gram-array build for verification); unpersisted,
-    Catalyst recomputes the scan + explode + distinct-shuffle for each
-    (the r17 duplicate-scan audit measured 6.6 s -> 3.9 s at sf0.1 from
-    this cache alone). The smaller prefix relation is persisted too
-    (read by both sides of the candidate self-join). BM25 lifetime
-    contract: the caches back the returned lazy DataFrame; clearCache()
-    between batches or persist=False to opt out.
+    ``persist`` caches the doc-level distinct-gram-array relation
+    ``docarr`` (r20; previously the exploded (id, gram) relation) —
+    THREE consumers read it (the global-DF/prefix explode, and both
+    verification sides); unpersisted, Catalyst recomputes the scan +
+    explode + gram-set aggregation for each (the r17 duplicate-scan
+    audit measured 6.6 s -> 3.9 s at sf0.1 from this cache alone,
+    and docarr is strictly smaller: corpus ROWS, not gram rows). The
+    smaller prefix relation is persisted too (read by both sides of
+    the candidate self-join). BM25 lifetime contract: the caches back
+    the returned lazy DataFrame; clearCache() between batches or
+    persist=False to opt out.
 
     r19 verification shape (guide §2.3/§3.3): verification attaches
     each doc's gram ARRAY to the candidate pair (two id-keyed joins)
@@ -658,9 +660,33 @@ def ngram_jaccard_pairs(
     same at sf0.1 but funnel hot boilerplate grams into single window
     tasks at scale — no partial aggregation, no AQE skew handling;
     the join shape gets both).
+
+    r20 gram-set shape (guide §2.4): the doc-level DISTINCT GRAM ARRAY
+    relation ``docarr`` (id, gs, n_grams) is the operator's single
+    persisted backbone, built with ONE aggregation:
+    codegen'd explode+concat gram generation, then
+    ``collect_set(gram)`` grouped by id. Every duplicate of an
+    (id, gram) pair originates from the same doc row, so the map-side
+    partial collect_set collapses duplicates BEFORE the exchange —
+    the shuffle carries each doc's distinct gram set exactly once,
+    the same bytes the old ``.distinct()`` exchange carried. What the
+    old shape then paid ON TOP is gone: the per-doc size aggregation
+    (now map-side ``size(gs)``), the verification-side
+    ``collect_list`` re-aggregation (``docarr`` IS the gram-array
+    relation), and the sizes join in the prefix build (``n_grams``
+    rides the explode). Interleaved same-session A/B at sf0.1 (3
+    rounds x [1 cold + 5 warm], noop sink, outputs identical):
+    cold 6.58 -> 4.96 s median (-25%), warm 3.05 -> 2.69 s median
+    (-12%). A per-doc ``transform``+``array_distinct`` variant with NO
+    gram exchange at all measured equal-within-noise at sf0.1 (cold
+    4.53 / warm 2.60) and was REJECTED: it moves the gram-assembly hot
+    loop into interpreted higher-order-lambda evaluation (the measured
+    24x expression-eval class of decontam.ngram_hashes, r17) for zero
+    demonstrated win — at corpus scale that stage is CPU-bound and
+    codegen matters more than the one partial-agg exchange.
     """
     norm = docs.select(F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("w"))
-    grams = (
+    docarr = (
         norm.filter(F.size("w") >= n)
         .select(
             F.col(id_col),
@@ -671,13 +697,17 @@ def ngram_jaccard_pairs(
             F.col(id_col),
             F.concat_ws(" ", F.slice(F.col("w"), F.col("i") + 1, n)).alias("gram"),
         )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("gram").alias("gs"))
+        .select(F.col(id_col), "gs", F.size("gs").alias("n_grams"))
     )
     if persist:
         from pyspark import StorageLevel
 
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+        docarr = docarr.persist(StorageLevel.MEMORY_AND_DISK)
+    grams = docarr.select(
+        F.col(id_col), F.col("n_grams"), F.explode("gs").alias("gram")
+    )
     gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
 
     # Prefix per doc: grams ranked by (global DF asc, gram asc); keep
@@ -693,7 +723,6 @@ def ngram_jaccard_pairs(
     prefix = (
         grams.join(gram_df, "gram")
         .withColumn("rn", rn)
-        .join(sizes, id_col)
         .filter(F.col("rn") <= prefix_len)
         .select(F.col(id_col), F.col("gram"), F.col("n_grams"))
     )
@@ -724,17 +753,17 @@ def ngram_jaccard_pairs(
     )
 
     # Verification: attach each side's gram ARRAY and count the overlap
-    # in the JVM. grams is distinct per (id, gram), so the arrays are
-    # duplicate-free and size(array_intersect(..)) is exactly the old
-    # exploded-join COUNT — order-independent, so no sort_array needed.
-    arr = grams.groupBy(id_col).agg(F.collect_list("gram").alias("gs"))
+    # in the JVM. gs is a collect_set — duplicate-free — so
+    # size(array_intersect(..)) is exactly the old exploded-join COUNT;
+    # order-independent, so no sort_array needed. docarr IS the
+    # gram-array relation (r20): no collect_list re-aggregation.
     common = (
         cand.join(
-            arr.select(F.col(id_col).alias("id_a"), F.col("gs").alias("gs_a")),
+            docarr.select(F.col(id_col).alias("id_a"), F.col("gs").alias("gs_a")),
             "id_a",
         )
         .join(
-            arr.select(F.col(id_col).alias("id_b"), F.col("gs").alias("gs_b")),
+            docarr.select(F.col(id_col).alias("id_b"), F.col("gs").alias("gs_b")),
             "id_b",
         )
         .select(

@@ -45,18 +45,17 @@ def test_window_is_saturated_prefix_of_evidence_order():
     and the carryover remainder — the head of the NEXT round's fill —
     must match the in-code guidance list (inventory._NEXT_ROTATION_HEAD).
     Evidence range is pinned to the files that existed at rotation time
-    (r01–r18) — bump the range in the SAME commit as every rotation so
-    the check describes that rotation. r19 rotation arithmetic: all 50
-    r15-newest rows came due (none were covered in r18); the window is
-    13 new registrations (star-contraction clusters, streaming funnel,
-    eleven source roundtrips) + 5 rewritten (bounded-PNG trio, two
-    spool-path roundtrips) + the 32 oldest r15 rows, spilling 18 r15
-    rows to the r20 fill head."""
+    (r01–r19) — bump the range in the SAME commit as every rotation so
+    the check describes that rotation. r20 rotation arithmetic: no
+    never-checked entries remain; the window is 1 rewritten entry
+    (dedup_ngram_jaccard, gram-set backbone) + the 24 r15 rows that
+    spilled from the r19 window + the 25 oldest r16 rows, spilling the
+    next r16 rows to the r21 fill head."""
     import json
     import os
 
     last: dict[str, int] = {}
-    for rn in range(1, 19):  # pinned at rotation time; bump with each rotation
+    for rn in range(1, 20):  # pinned at rotation time; bump with each rotation
         path = f"/root/repo/CORRECTNESS_r{rn:02d}.json"
         if not os.path.exists(path):
             continue
@@ -87,7 +86,7 @@ def test_plan_rotation_tool_reproduces_live_rotation():
     """tools/plan_rotation.py exists so the next rotation is derived,
     not hand-computed — it must implement exactly the saturated-prefix
     order this file pins. Feeding it the current pin (evidence through
-    r18) and the current _REWRITTEN must reproduce _PRIORITY."""
+    r19) and the current _REWRITTEN must reproduce _PRIORITY."""
     import os
     import sys
 
@@ -97,7 +96,7 @@ def test_plan_rotation_tool_reproduces_live_rotation():
     finally:
         sys.path.pop(0)
 
-    last = evidence_rounds("/root/repo", max_round=18)
+    last = evidence_rounds("/root/repo", max_round=19)
     if not last:  # fresh clone without driver artifacts
         return
     _, window, carry = plan(
