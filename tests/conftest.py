@@ -21,6 +21,41 @@ from strake_spark.data import TABLES  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_MID = "/root/testdata/sf0.01"
 
+# Suite time budget (r20, VERDICT r19 task 1): the driver's pytest run
+# has a hard time budget and the full suite outgrew it (VERIFY_r19
+# tests_ok=false was a TIMEOUT at 61% with zero failures — 1869 tests,
+# 26-35 min). Default runs therefore (a) skip tests marked `slow`
+# (heavyweight redundant sweeps; each names its always-on coverage
+# twin in a comment) and (b) run Spark-job-per-example hypothesis
+# campaigns at a reduced example budget via fuzz_examples(). The
+# builder's round-close record is a FULL run: SPARK_GRAFT_FULL_SUITE=1
+# restores every budget and every slow test. Pure-Python hostile-input
+# fuzz (wire parsers, decoders) is CHEAP and keeps its full budget in
+# the default run — only campaigns that launch Spark jobs per example
+# are scaled.
+FULL_SUITE = os.environ.get("SPARK_GRAFT_FULL_SUITE", "") not in ("", "0")
+
+
+def fuzz_examples(n: int, quick: int | None = None) -> int:
+    """Hypothesis max_examples for Spark-heavy property campaigns:
+    ``n`` under SPARK_GRAFT_FULL_SUITE=1, else ``quick`` (default
+    max(4, n // 5))."""
+    if FULL_SUITE:
+        return n
+    return quick if quick is not None else max(4, n // 5)
+
+
+def pytest_collection_modifyitems(config, items):
+    if FULL_SUITE:
+        return
+    skip_slow = pytest.mark.skip(
+        reason="slow: excluded from the default (driver-budget) run; "
+        "set SPARK_GRAFT_FULL_SUITE=1 to include"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -8,10 +8,12 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from strake_spark.operators import similarity as S
+from tests.conftest import fuzz_examples
 
 DIM = 4
 
@@ -54,7 +56,7 @@ def _py_topk(vecs: list[list[float]], k: int, n_queries: int):
 
 
 class TestCosineTopkProperty:
-    @settings(max_examples=12, deadline=None)
+    @settings(max_examples=fuzz_examples(12), deadline=None)
     @given(_corpora())
     def test_matches_pure_python_reference(self, spark, vecs):
         df = spark.createDataFrame(
@@ -76,7 +78,7 @@ class TestCosineTopkProperty:
 
 
 class TestLshTopkProperty:
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=fuzz_examples(10), deadline=None)
     @given(_corpora())
     def test_candidates_respect_probe_contract_and_exact_cosines(self, spark, vecs):
         df = spark.createDataFrame(
@@ -147,7 +149,13 @@ class TestAnnNullContract:
         rows.append((24, None))
         return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
 
+    @pytest.mark.slow
     def test_null_vectors_dropped_not_fatal(self, spark):
+        # slow (r20): trains IVF/PQ/IVFPQ models five ways (~130 s);
+        # the null-drop contract itself is exercised on every default
+        # run by the cosine/lsh legs of the property campaigns above
+        # and by the inventory entries (null-free data, same operators)
+        # — the model-training legs run in the FULL_SUITE record.
         emb = self._with_null(spark)
         for fn in (
             lambda e: S.cosine_topk(e, k=3, n_queries=4),

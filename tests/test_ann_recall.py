@@ -24,6 +24,12 @@ def exact(spark):
     return _topk_sets(S.cosine_topk(emb, k=3, n_queries=20))
 
 
+@pytest.mark.slow
+# slow (r20, suite budget): recall QUALITY properties of the rows-only
+# ANN entries (~100 s of PQ/IVF training). Always-on twins: the
+# *_deterministic_topk and *_recall_vs_exact entries' EXACT oracles in
+# test_inventory_sf0001 (now in the r20 driver window). Runs in the
+# SPARK_GRAFT_FULL_SUITE=1 round-close record.
 class TestRecall:
     def test_lsh_recall(self, spark, exact):
         emb = table(spark, SF_DIR, "embeddings")
@@ -90,7 +96,12 @@ class TestRecall:
         total = sum(len(v) for v in exact.values())
         assert hits / total >= 0.5, f"IVFPQ recall {hits}/{total}"
 
+    @pytest.mark.slow
     def test_det_variants_partition_invariant(self, spark):
+        # slow (r20): re-trains the deterministic PQ/IVFPQ variants at
+        # multiple repartition widths (~55 s); single-width determinism
+        # stays covered on every default run by the inventory oracle
+        # checks of the *_deterministic_topk entries.
         """The oracle-exact ANN variants' core claim: DECIMAL centroid
         sums make training order-independent, so results are identical
         under any repartitioning (the property that lets a
@@ -165,6 +176,10 @@ class TestKnnLabelConsistencyMethods:
             S.knn_label_consistency(emb, method="ivf")
 
 
+@pytest.mark.slow
+# slow (r20, suite budget): pins exact row counts of rows-only entries
+# (~30 s of IVFPQ training); the same entries' row counts are recorded
+# by the driver itself. FULL_SUITE record only.
 class TestRowsOnlyEntryPinned:
     def test_ivfpq_topk_row_count_is_exact(self, spark):
         """r13 (ADVICE r12): ann_ivfpq_topk is the one no-oracle driver

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import fuzz_examples
+
 from strake_spark.operators.dedup import duplicate_clusters
 
 
@@ -143,7 +145,7 @@ class TestStarContraction:
 
         edge = st.tuples(st.integers(0, 30), st.integers(0, 30))
 
-        @settings(max_examples=12, deadline=None)
+        @settings(max_examples=fuzz_examples(12), deadline=None)
         @given(edges=st.lists(edge, min_size=1, max_size=40))
         def run(edges):
             real = [(a, b) for a, b in edges if a != b]

@@ -32,10 +32,17 @@ def _names():
     return sorted(inventory.REGISTRY)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", _names())
 def test_entry_schema_is_driver_hashable(spark, name):
     """Enumerates ALL registry entries; rows-only entries are exempt
-    (the driver never canonicalizes them — no oracle to hash against)."""
+    (the driver never canonicalizes them — no oracle to hash against).
+
+    slow (r20): the SAME check is inlined in conftest.run_and_compare,
+    so test_inventory_sf0001 asserts it for every entry on every
+    default run — this standalone sweep (which pays each entry's eager
+    plan construction a second time, ~340 s) adds coverage only for
+    rows-only-adjacent paths and runs in the FULL_SUITE record."""
     spec = inventory.REGISTRY[name]
     if spec.oracle is None:
         pytest.skip("rows_only: driver records a row count, never a hash")

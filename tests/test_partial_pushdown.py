@@ -12,7 +12,7 @@ from hypothesis import strategies as st
 import strake_spark as ss
 from strake_spark.plans.federation import plan_sql
 from strake_spark.plans.partial import PartialPlan, analyze_partial
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, fuzz_examples
 
 
 @pytest.fixture(scope="module")
@@ -213,7 +213,7 @@ class TestPartialPushdown:
             expr = f"({expr}) {op} ({nxt})"
         return expr
 
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=fuzz_examples(40), deadline=None)
     @given(pred=_predicates())
     def test_fuzzed_predicates_pushed_equals_local(self, mixed, pred):
         sql = f"""SELECT c.c_custkey, c.c_acctbal, n.n_name

@@ -104,7 +104,12 @@ class TestEmbeddingDupPairsScalePath:
         assert "CartesianProduct" not in plan
         assert "FlatMapGroupsInPandas" in plan
 
+    @pytest.mark.slow
     def test_lsh_matches_exact_on_planted_near_dups(self, spark):
+        # slow (r20, suite budget; ~20 s full-LSH run). Twin:
+        # ann_embedding_dup_pairs' oracle is exact equality vs the brute-force
+        # all-pairs SQL at sf0.001/0.01/0.1 — stronger than this planted corpus.
+
         """Non-vacuous recall check: a constructed corpus with genuine
         near-duplicate vectors (base vectors + tiny perturbations, cosine
         > 0.99) plus unrelated fillers. LSH must reproduce the exact
@@ -150,7 +155,12 @@ class TestEmbeddingDupPairsScalePath:
         assert len(exact) == 15  # 3 pairs per planted triple x 5, nothing else
         assert lsh == exact
 
+    @pytest.mark.slow
     def test_lsh_preserves_string_id_type(self, spark):
+        # slow (r20, suite budget; ~20 s full-LSH run). Twin:
+        # the id-type passthrough is also asserted by the exact-method leg and
+        # the kernel's schema contract; operator untouched since r11.
+
         """The LSH path's pair schema derives from the input id type:
         string ids must come back as strings matching the exact path
         (the r9 kernel hardcoded bigint and broke non-integer ids)."""

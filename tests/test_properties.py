@@ -19,6 +19,7 @@ from hypothesis import strategies as st
 
 from strake_spark.governance.policies import rename_tables
 from strake_spark.sources import pushsql
+from tests.conftest import fuzz_examples
 
 SETTINGS = settings(max_examples=60, deadline=None)
 
@@ -180,7 +181,7 @@ class TestStrictGuardProperty:
         declared=st.sets(st.sampled_from(COLS), min_size=1).map(sorted),
         data=st.data(),
     )
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=fuzz_examples(40), deadline=None)
     def test_pushed_sql_never_leaks_undeclared(self, declared, data):
         from strake_spark.governance.contracts import STRICT_VIEWS
         from strake_spark.plans import federation

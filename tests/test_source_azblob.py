@@ -311,6 +311,8 @@ class TestSpoolSubpathMirroring:
         assert open(os.path.join(d, "a", "0001.bin"), "rb").read() == b"from-a"
         assert open(os.path.join(d, "b", "0001.bin"), "rb").read() == b"from-b"
 
+@pytest.mark.slow
+# slow (r20, suite budget): same rationale as the s3 twin.
 class TestRowGroupSplitting:
     def test_large_blob_splits_into_row_group_tasks(self, spark, tmp_path):
         """A blob over split_threshold_bytes fans out one task per

@@ -508,6 +508,10 @@ class TestDistributedConfigSurface:
             srv.shutdown()
 
 
+@pytest.mark.slow
+# slow (r20, suite budget): builds a multi-row-group object in memory
+# (~15 s). The splitting logic's unit coverage (ranges, boundaries)
+# stays always-on in this file; FULL_SUITE record re-runs this.
 class TestRowGroupSplitting:
     def test_large_object_splits_into_row_group_tasks(self, spark, tmp_path):
         """An object over split_threshold_bytes fans out one task per

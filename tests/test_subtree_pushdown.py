@@ -12,7 +12,7 @@ import strake_spark as ss
 from strake_spark.plans.federation import plan_sql
 from strake_spark.plans.partial import PartialPlan
 from strake_spark.plans.subtree import analyze_subtrees
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, fuzz_examples
 
 
 @pytest.fixture(scope="module")
@@ -182,7 +182,7 @@ class TestSubtreeProperty:
     """Generated single-source subtrees: shipped execution == local
     execution for every shape (aggregates, filters, HAVING)."""
 
-    @settings(max_examples=30, deadline=None)
+    @settings(max_examples=fuzz_examples(30), deadline=None)
     @given(sub=_subtree_sql())
     def test_fuzzed_subtree_pushed_equals_local(self, mixed, sub):
         sql = f"""SELECT nt.n_name, d.m FROM {sub}
